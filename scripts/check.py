@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Runs after `sbt "runMain graft.Verify <sfDir> <outDir>"`:
+for every query output parquet under <outDir>, executes the matching
+oracle SQL (from <outDir>/oracle_sql.json) in DuckDB over the same
+parquet tables, sorts columns by name + rows by all columns, and
+compares values (exact for non-floats, tiny epsilon report for floats).
+
+Usage: python3 scripts/check.py <sfDir> <outDir>
+"""
+import json
+import math
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        key=lambda s: s.astype(str))
+    return df
+
+
+def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
+    errs = []
+    if sorted(got.columns) != sorted(want.columns):
+        return [f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}"]
+    if len(got) != len(want):
+        return [f"row count differs: spark={len(got)} oracle={len(want)}"]
+    g, w = canon(got), canon(want)
+    for c in g.columns:
+        gc, wc = g[c], w[c]
+        for i in range(len(g)):
+            a, b = gc.iloc[i], wc.iloc[i]
+            if pd.isna(a) and pd.isna(b):
+                continue
+            if isinstance(a, float) or isinstance(b, float):
+                try:
+                    fa, fb = float(a), float(b)
+                except (TypeError, ValueError):
+                    errs.append(f"row {i} col {c}: {a!r} != {b!r}")
+                    break
+                if math.isnan(fa) and math.isnan(fb):
+                    continue
+                if fa != fb:
+                    errs.append(f"row {i} col {c}: {fa!r} != {fb!r} (diff {abs(fa-fb):.3g})")
+                    break
+            elif isinstance(a, (list, tuple)) or str(type(a)).find("ndarray") >= 0:
+                if list(a) != list(b):
+                    errs.append(f"row {i} col {c}: {a!r} != {b!r}")
+                    break
+            elif a != b and str(a) != str(b):
+                errs.append(f"row {i} col {c}: {a!r} != {b!r}")
+                break
+        if len(errs) >= 5:
+            break
+    return errs
+
+
+def main(sf_dir: str, out_dir: str) -> int:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    n_pass = n_fail = n_weak = 0
+    import glob
+    import os
+    names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p))
+    for name in names:
+        try:
+            got = pd.read_parquet(f"{out_dir}/{name}")
+        except Exception as e:
+            print(f"FAIL {name}: cannot read spark output: {e}")
+            n_fail += 1
+            continue
+        if name not in oracles:
+            status = "ok" if len(got) > 0 else "EMPTY"
+            print(f"WEAK {name}: no oracle, rows={len(got)} [{status}]")
+            n_weak += 1
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle SQL error: {e}")
+            n_fail += 1
+            continue
+        errs = compare(name, got, want)
+        if errs:
+            print(f"FAIL {name}:")
+            for e in errs:
+                print(f"   {e}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_weak} weak (rows-only)")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
