@@ -38,6 +38,12 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
         gc, wc = g[c], w[c]
         for i in range(len(g)):
             a, b = gc.iloc[i], wc.iloc[i]
+            if isinstance(a, (list, tuple)) or str(type(a)).find("ndarray") >= 0 \
+                    or isinstance(b, (list, tuple)) or str(type(b)).find("ndarray") >= 0:
+                if list(a) != list(b):
+                    errs.append(f"row {i} col {c}: {a!r} != {b!r}")
+                    break
+                continue
             if pd.isna(a) and pd.isna(b):
                 continue
             if isinstance(a, float) or isinstance(b, float):
@@ -50,10 +56,6 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
                     continue
                 if fa != fb:
                     errs.append(f"row {i} col {c}: {fa!r} != {fb!r} (diff {abs(fa-fb):.3g})")
-                    break
-            elif isinstance(a, (list, tuple)) or str(type(a)).find("ndarray") >= 0:
-                if list(a) != list(b):
-                    errs.append(f"row {i} col {c}: {a!r} != {b!r}")
                     break
             elif a != b and str(a) != str(b):
                 errs.append(f"row {i} col {c}: {a!r} != {b!r}")

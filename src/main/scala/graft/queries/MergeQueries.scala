@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.ops.Upsert
+
+/** Sink-side merge semantics S10–S12 (SURVEY.md §2.1) through the
+  * [[graft.ops.Upsert]] operator: Mongo `$set` / `$setOnInsert` bulk
+  * upserts and delete_many, as set-wise relational rewrites.
+  */
+object MergeQueries extends QueryGroup {
+
+  import Tables.load
+
+  private def target(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_mktsegment")
+
+  /** Updates batch derived deterministically from orders: big spenders get
+    * a refreshed balance + VIP segment; top-3 spenders are re-keyed to
+    * non-existent ids → inserts. */
+  private def updates(spark: SparkSession, dir: String): DataFrame = {
+    val spend = load(spark, dir, "orders")
+      .groupBy($"o_custkey")
+      .agg(round(sum($"o_totalprice") / 1000, 2).as("c_acctbal"))
+      .where($"c_acctbal" > 400)
+      .select($"o_custkey".as("c_custkey"), $"c_acctbal",
+        lit("VIP").as("c_mktsegment"))
+    val inserts = spend.orderBy(desc("c_acctbal"), $"c_custkey").limit(3)
+      .withColumn("c_custkey", $"c_custkey" + 100000)
+    spend.unionByName(inserts)
+  }
+
+  private val updatesSql =
+    """spend AS (
+      |  SELECT o_custkey AS c_custkey,
+      |         round(sum(o_totalprice)/1000, 2) AS c_acctbal,
+      |         'VIP' AS c_mktsegment
+      |  FROM orders GROUP BY o_custkey
+      |  HAVING round(sum(o_totalprice)/1000, 2) > 400),
+      |ins AS (
+      |  SELECT c_custkey + 100000 AS c_custkey, c_acctbal, c_mktsegment
+      |  FROM spend ORDER BY c_acctbal DESC, c_custkey LIMIT 3),
+      |upd AS (SELECT * FROM spend UNION ALL SELECT * FROM ins),
+      |tgt AS (SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer)""".stripMargin
+
+  /** S10a — `$set` merge (update_metadata.py:71-77): update wins. */
+  def mergeSet(spark: SparkSession, dir: String): DataFrame =
+    Upsert.merge(target(spark, dir), updates(spark, dir), Seq("c_custkey"))
+      .orderBy($"c_custkey")
+
+  private val mergeSetSql =
+    s"""WITH $updatesSql
+       |SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+       |       t.c_name AS c_name,
+       |       coalesce(u.c_acctbal, t.c_acctbal) AS c_acctbal,
+       |       coalesce(u.c_mktsegment, t.c_mktsegment) AS c_mktsegment
+       |FROM tgt t FULL JOIN upd u ON t.c_custkey = u.c_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** S10b — `$setOnInsert` merge (update_reads.py:46-56): discovery never
+    * clobbers existing enrichments; only new keys are filled. */
+  def mergeSetOnInsert(spark: SparkSession, dir: String): DataFrame =
+    Upsert.merge(target(spark, dir), updates(spark, dir), Seq("c_custkey"),
+        Map("c_acctbal" -> Upsert.SetOnInsert,
+          "c_mktsegment" -> Upsert.SetOnInsert))
+      .orderBy($"c_custkey")
+
+  private val mergeSetOnInsertSql =
+    s"""WITH $updatesSql
+       |SELECT coalesce(t.c_custkey, u.c_custkey) AS c_custkey,
+       |       t.c_name AS c_name,
+       |       coalesce(t.c_acctbal, u.c_acctbal) AS c_acctbal,
+       |       coalesce(t.c_mktsegment, u.c_mktsegment) AS c_mktsegment
+       |FROM tgt t FULL JOIN upd u ON t.c_custkey = u.c_custkey
+       |ORDER BY c_custkey""".stripMargin
+
+  /** S12 — delete_many by key set (delete_mongo_file_if_not_in_aws.py:34). */
+  def deleteByKey(spark: SparkSession, dir: String): DataFrame = {
+    val tgt = target(spark, dir)
+    val victims = tgt.where($"c_acctbal" < 0)
+    Upsert.delete(tgt, victims, Seq("c_custkey")).orderBy($"c_custkey")
+  }
+
+  private val deleteByKeySql =
+    """SELECT c_custkey, c_name, c_acctbal, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** S11 — append sink (insert_many, update_gsheet.py:24-25): pure union. */
+  def appendRows(spark: SparkSession, dir: String): DataFrame = {
+    val nation = load(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    val extra = spark.createDataFrame(
+      Seq((900, "ATLANTIS"), (901, "LEMURIA"))).toDF("n_nationkey", "n_name")
+    nation.unionByName(extra).orderBy($"n_nationkey")
+  }
+
+  private val appendRowsSql =
+    """SELECT n_nationkey, n_name FROM nation
+      |UNION ALL SELECT * FROM (VALUES (900, 'ATLANTIS'), (901, 'LEMURIA')) v(n_nationkey, n_name)
+      |ORDER BY n_nationkey""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("s10a_merge_set", mergeSet, Some(mergeSetSql)),
+    QueryDef("s10b_merge_setoninsert", mergeSetOnInsert, Some(mergeSetOnInsertSql)),
+    QueryDef("s11_append_rows", appendRows, Some(appendRowsSql)),
+    QueryDef("s12_delete_by_key", deleteByKey, Some(deleteByKeySql)))
+}
