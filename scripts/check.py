@@ -21,9 +21,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    def keyfn(s):
+        # nulls (None/NaN/NaT) sort first regardless of representation
+        def one(v):
+            if isinstance(v, (list, tuple)) or str(type(v)).find("ndarray") >= 0:
+                return "[" + ",".join(str(x) for x in v) + "]"
+            return "\x00" if pd.isna(v) else str(v)
+        return s.map(one)
     df = df[sorted(df.columns)]
-    df = df.sort_values(by=list(df.columns), ignore_index=True,
-                        key=lambda s: s.astype(str))
+    df = df.sort_values(by=list(df.columns), ignore_index=True, key=keyfn)
     return df
 
 
