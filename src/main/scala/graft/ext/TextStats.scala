@@ -1,0 +1,90 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for LLM training-data pipelines (SURVEY §7.9):
+  * tokenization, quality scoring, language-ID heuristic, fingerprinting.
+  *
+  * All pure Catalyst expressions — narrow, codegen'd, zero shuffle; at
+  * 100 TB these run at scan speed and the only cost is the string work.
+  */
+object TextStats {
+
+  /** Whitespace tokenizer (lowercased). A BPE-ish refinement would swap
+    * the pattern for a regex over word pieces; the operator shape (array
+    * column, narrow) is identical. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** Small per-language stopword lists for the n-gram/stopword language-ID
+    * heuristic. Deterministic and tiny by design (the real thing would
+    * broadcast a larger dictionary — same plan shape). */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "value", "table", "row"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "une", "est", "dans"),
+    "es" -> Seq("el", "la", "de", "y", "un", "una", "es", "en"),
+    "de" -> Seq("der", "die", "das", "und", "ein", "ist", "in", "zu"),
+    "zh" -> Seq("的", "是", "在", "和", "了", "有"))
+
+  /** Count of tokens belonging to `lang`'s stopword list. */
+  def stopwordCount(toks: Column, lang: String): Column =
+    size(filter(toks, w => w.isin(stopwords(lang): _*)))
+
+  /** Language-ID: argmax of stopword hits, ties broken by fixed language
+    * order (en, fr, es, de, zh) — fully deterministic. */
+  def langId(toks: Column): Column = {
+    val order = Seq("en", "fr", "es", "de", "zh")
+    val scores = order.map(l => l -> stopwordCount(toks, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
+      when(s === best && best > 0, lit(l)).otherwise(acc)
+    }
+  }
+
+  /** Token count. */
+  def tokenCount(toks: Column): Column = size(toks)
+
+  /** Quality-score components (length / punctuation / stopword ratios) and
+    * a blended score in [0,1] — the standard heuristic-filter shape. */
+  def avgWordLen(toks: Column): Column =
+    aggregate(toks, lit(0.0), (acc, w) => acc + length(w)) /
+      greatest(size(toks).cast("double"), lit(1.0))
+
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[\\p{Punct}]", ""))).cast("double") /
+      greatest(length(text).cast("double"), lit(1.0))
+
+  def stopwordRatio(toks: Column): Column =
+    stopwordCount(toks, "en").cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
+
+  /** Blended quality score: rewards 3–8 char mean words, some stopwords,
+    * low punctuation. Clamped to [0,1]. */
+  def qualityScore(text: Column, toks: Column): Column = {
+    val lenScore = lit(1.0) - least(abs(avgWordLen(toks) - 5.5) / 5.5, lit(1.0))
+    val stopScore = least(stopwordRatio(toks) * 5.0, lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(text) * 4.0, lit(1.0))
+    (lenScore * 0.4 + stopScore * 0.3 + punctScore * 0.3)
+  }
+
+  /** Document fingerprint: md5 over the sorted distinct token set — an
+    * order-insensitive content signature (rolling-hash family; md5 keeps
+    * it oracle-checkable). */
+  def fingerprint(toks: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary"))
+
+  /** Full per-document stats frame. */
+  def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = tokens(col(textCol))
+    docs.select(
+      col("doc_id"),
+      tokenCount(t).as("n_tokens"),
+      size(array_distinct(t)).as("n_distinct"),
+      round(avgWordLen(t), 4).as("avg_word_len"),
+      round(punctRatio(col(textCol)), 4).as("punct_ratio"),
+      round(stopwordRatio(t), 4).as("stopword_ratio"),
+      round(qualityScore(col(textCol), t), 4).as("quality"),
+      langId(t).as("lang_pred"),
+      fingerprint(t).as("fingerprint"))
+  }
+}

@@ -1,0 +1,210 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.ext.{Dedup, Similarity, TextStats}
+
+/** Extended LLM-data-pipeline operators (SURVEY §7.9) as oracle-checked
+  * queries over `documents` / `embeddings`: dedup (exact, MinHash-LSH,
+  * SimHash, n-gram Jaccard, embedding-cosine), similarity search, and
+  * text analysis. All hashing is md5-derived so DuckDB reproduces every
+  * step bit-for-bit.
+  */
+object ExtQueries extends QueryGroup {
+
+  import Tables.load
+
+  /** Documents with deterministic injected duplicates (the sf tables have
+    * no exact dups): copies of doc_id < 20 re-keyed to 100000+id. */
+  private def docsWithDups(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    docs.select($"doc_id", $"text")
+      .unionByName(docs.where($"doc_id" < 20)
+        .select(($"doc_id" + 100000).as("doc_id"), $"text"))
+  }
+
+  private val docsWithDupsSql =
+    """dd AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20)""".stripMargin
+
+  /** Exact dedup by content hash (canonical = min doc_id per digest). */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    Dedup.exact(docsWithDups(spark, dir)).orderBy($"doc_id")
+
+  private val dedupExactSql =
+    s"""WITH $docsWithDupsSql
+       |SELECT d.doc_id, c.canonical_id, d.doc_id != c.canonical_id AS is_dup
+       |FROM (SELECT doc_id, md5(text) AS h FROM dd) d
+       |JOIN (SELECT md5(text) AS h, min(doc_id) AS canonical_id
+       |      FROM dd GROUP BY md5(text)) c USING (h)
+       |ORDER BY d.doc_id""".stripMargin
+
+  // Shared SQL fragments for tokenization/shingles (DuckDB side).
+  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+  private def shinglesSql(ws: String) =
+    s"""CASE WHEN len($ws) >= 3
+       |  THEN list_transform(range(1, len($ws) - 1),
+       |         i -> $ws[i] || ' ' || $ws[i+1] || ' ' || $ws[i+2])
+       |  ELSE [array_to_string($ws, ' ')] END""".stripMargin
+
+  /** MinHash+LSH near-dup: 6 md5-minhash components, 3 bands × 2 rows,
+    * bucket-join candidates, true shingle-Jaccard >= 0.5 verification. */
+  def dedupMinhash(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(load(spark, dir, "documents"), 0.5)
+      .orderBy($"id_a", $"id_b")
+
+  private val dedupMinhashSql = {
+    val sigs = (1 to 6).map(i =>
+      s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS sig_$i").mkString(",\n  ")
+    s"""WITH w AS (
+       |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM documents),
+       |sigs AS (
+       |  SELECT doc_id, $sigs FROM w),
+       |bands AS (
+       |  SELECT doc_id, md5(sig_1 || sig_2) AS b0, md5(sig_3 || sig_4) AS b1,
+       |         md5(sig_5 || sig_6) AS b2 FROM sigs),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id),
+       |sets AS (
+       |  SELECT doc_id, list_distinct(${shinglesSql(toksSql)}) AS ss FROM documents),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |         round(len(list_intersect(sa.ss, sb.ss))::DOUBLE /
+       |               len(list_distinct(list_concat(sa.ss, sb.ss))), 4) AS jaccard
+       |  FROM cand c JOIN sets sa ON c.id_a = sa.doc_id
+       |              JOIN sets sb ON c.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** 16-bit SimHash per document + collision-bucket sizes. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    docs.select($"doc_id",
+        Dedup.simhash16(TextStats.tokens($"text")).as("simhash"))
+      .orderBy($"doc_id")
+  }
+
+  private val dedupSimhashSql = {
+    val h = "(('0x' || substr(md5(w), 1, 8))::BIGINT)"
+    val terms = (0 until 16).map { j =>
+      s"(CASE WHEN list_sum(list_transform(ws, w -> ((($h >> $j) & 1) * 2 - 1))) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" +\n  ")
+    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents)
+       |SELECT doc_id, $terms AS simhash
+       |FROM w ORDER BY doc_id""".stripMargin
+  }
+
+  /** Blocked word-set Jaccard near-dup (blocks: lang × length-bucket). */
+  def dedupNgram(spark: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(load(spark, dir, "documents"), 0.8)
+      .orderBy($"id_a", $"id_b")
+
+  private val dedupNgramSql =
+    s"""WITH p AS (
+       |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
+       |         list_distinct($toksSql) AS toks
+       |  FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+       |       round(len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |             len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+       |FROM p a JOIN p b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
+       |                 AND a.doc_id < b.doc_id
+       |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Embedding-cosine near-dup pairs within label blocks. */
+  def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(load(spark, dir, "embeddings"), 0.3)
+      .orderBy($"id_a", $"id_b")
+
+  private val cosSql = (a: String, b: String) =>
+    s"""(list_dot_product($a::DOUBLE[], $b::DOUBLE[]) /
+       | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
+       |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))""".stripMargin
+
+  private val dedupEmbeddingSql =
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       |       round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
+       |FROM embeddings a JOIN embeddings b
+       |  ON a.label = b.label AND a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Brute-force cosine top-5 for the first 10 vectors as queries. */
+  def simTopK(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    Similarity.bruteForceTopK(emb.where($"vec_id" < 10), emb, 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val simTopKSql =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, round(cos, 4) AS cos
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+
+  /** Per-document text statistics (token counts, quality, lang-id,
+    * fingerprint). */
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    TextStats.analyze(load(spark, dir, "documents")).orderBy($"doc_id")
+
+  private val textStatsSql = {
+    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+    val langs = Seq("en", "fr", "es", "de", "zh")
+    val scoreExprs = langs.map(l =>
+      s"len(list_filter(ws, w -> w IN (${inList(TextStats.stopwords(l))}))) AS s_$l").mkString(",\n  ")
+    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+    val predCase = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+      .mkString("CASE ", " ", " ELSE 'und' END")
+    s"""WITH w AS (
+       |  SELECT doc_id, text, $toksSql AS ws FROM documents),
+       |scored AS (
+       |  SELECT doc_id, text, ws, $scoreExprs FROM w),
+       |withbest AS (
+       |  SELECT *, $best AS best FROM scored),
+       |stats AS (
+       |  SELECT doc_id,
+       |    len(ws) AS n_tokens,
+       |    len(list_distinct(ws)) AS n_distinct,
+       |    list_sum(list_transform(ws, w -> length(w)))::DOUBLE
+       |      / greatest(len(ws), 1) AS awl,
+       |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
+       |      / greatest(length(text), 1) AS pr,
+       |    s_en::DOUBLE / greatest(len(ws), 1) AS sr,
+       |    $predCase AS lang_pred,
+       |    md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS fingerprint
+       |  FROM withbest)
+       |SELECT doc_id, n_tokens, n_distinct,
+       |  round(awl, 4) AS avg_word_len,
+       |  round(pr, 4) AS punct_ratio,
+       |  round(sr, 4) AS stopword_ratio,
+       |  round((1.0 - least(abs(awl - 5.5) / 5.5, 1.0)) * 0.4
+       |        + least(sr * 5.0, 1.0) * 0.3
+       |        + (1.0 - least(pr * 4.0, 1.0)) * 0.3, 4) AS quality,
+       |  lang_pred, fingerprint
+       |FROM stats ORDER BY doc_id""".stripMargin
+  }
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
+    QueryDef("ext_text_stats", textStats, Some(textStatsSql)))
+}
