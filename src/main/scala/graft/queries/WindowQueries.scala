@@ -1,0 +1,88 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, QueryGroup, Tables}
+
+/** Window operators W1–W3 (SURVEY §2.5; W1 in AggQueries, W2 in
+  * JoinQueries.conflictTopk) + analytic lag/lead and the streaming
+  * flagship aggregation in its batch form (same plan, bounded input).
+  */
+object WindowQueries extends QueryGroup {
+
+  import Tables.load
+
+  /** W3 — top-2 per group by rank (fuzzy top-2, create_sheets.py:47-50). */
+  def rankTopk(spark: SparkSession, dir: String): DataFrame = {
+    val customer = load(spark, dir, "customer")
+    val w = Window.partitionBy($"c_nationkey").orderBy(desc("c_acctbal"), $"c_custkey")
+    customer.withColumn("rnk", rank().over(w))
+      .where($"rnk" <= 2)
+      .select($"c_nationkey", $"rnk", $"c_custkey", round($"c_acctbal", 2).as("acctbal"))
+      .orderBy($"c_nationkey", $"rnk", $"c_custkey")
+  }
+
+  private val rankTopkSql =
+    """SELECT c_nationkey, rnk, c_custkey, round(c_acctbal, 2) AS acctbal
+      |FROM (SELECT c_nationkey, c_custkey, c_acctbal,
+      |             rank() OVER (PARTITION BY c_nationkey
+      |                          ORDER BY c_acctbal DESC, c_custkey) AS rnk
+      |      FROM customer)
+      |WHERE rnk <= 2 ORDER BY c_nationkey, rnk, c_custkey""".stripMargin
+
+  /** Analytic lag/lead over event time per user (free with the window
+    * layer; unused in the reference but part of the engine surface). */
+  def lagLead(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events").where($"user_id" < 10)
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    ev.select($"user_id", $"event_id", $"value",
+        lag($"value", 1).over(w).as("prev_value"),
+        lead($"value", 1).over(w).as("next_value"),
+        round($"value" - lag($"value", 1).over(w), 2).as("delta"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val lagLeadSql =
+    """SELECT user_id, event_id, value,
+      |       lag(value, 1) OVER w AS prev_value,
+      |       lead(value, 1) OVER w AS next_value,
+      |       round(value - lag(value, 1) OVER w, 2) AS delta
+      |FROM events WHERE user_id < 10
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
+  /** ST1 — tumbling-window arrival counts (the §2.10 streaming flagship,
+    * batch form; the streaming variant is StreamingIngest.arrivalCounts
+    * and shares this exact aggregation). */
+  def tumblingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val tumblingWindowSql =
+    """SELECT time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) AS window_start,
+      |       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** A10 — max group size bookkeeping (highest_len_files,
+    * create_sheets_ultimate.py:387-419). */
+  def maxGroupSize(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .groupBy($"l_orderkey").agg(count(lit(1)).as("n"))
+      .agg(max($"n").as("max_files"), min($"n").as("min_files"),
+        round(avg($"n"), 4).as("avg_files"))
+
+  private val maxGroupSizeSql =
+    """SELECT max(n) AS max_files, min(n) AS min_files, round(avg(n), 4) AS avg_files
+      |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
+    QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
+    QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    QueryDef("a10_max_group_size", maxGroupSize, Some(maxGroupSizeSql)))
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.ops.Upsert
+
+/** Incremental ingestion semantics (SURVEY §2.10) on Structured Streaming.
+  *
+  * The reference's cron-batch loop — processed-file ledger
+  * (update_metadata.py:24-49), insert-only discovery upsert
+  * (update_reads.py:46-56), per-file error capture — maps to:
+  *  - file-source stream + checkpoint  (ledger = checkpoint state)
+  *  - foreachBatch merge with SetOnInsert policy (never clobbers)
+  *  - watermarked tumbling-window arrival counts (dashboard A1, live)
+  *
+  * At scale: the file source lists incrementally (maxFilesPerTrigger
+  * bounds batch size), state is per-window+key only, and the merge
+  * inside foreachBatch is the same one shuffle as the batch Upsert.
+  */
+object StreamingIngest {
+
+  /** File-source stream over a landing directory (parquet parts). */
+  def landingStream(spark: SparkSession, dir: String, schema: StructType,
+      maxFilesPerTrigger: Int = 16): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+
+  /** Watermarked tumbling-window arrival counts per event type — the
+    * streaming flagship aggregation (events fixture; TESTDATA.md). */
+  def arrivalCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
+  /** Insert-only merge sink: each micro-batch merges into the target
+    * directory with `$setOnInsert` semantics (discovery never clobbers
+    * enrichments) — update_reads.py:46-56 as a streaming sink. */
+  def insertOnlyMergeSink(stream: DataFrame, targetPath: String,
+      keys: Seq[String], checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val target =
+          try spark.read.parquet(targetPath)
+          catch { case _: Throwable => batch.limit(0) }
+        val policies = batch.columns.filterNot(keys.contains)
+          .map(_ -> (Upsert.SetOnInsert: Upsert.Policy)).toMap
+        val merged = Upsert.merge(target, batch.dropDuplicates(keys), keys, policies)
+        // atomic-swap write: new dir, then move (same pattern as Sinks)
+        val tmp = targetPath + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          spark.sparkContext.hadoopConfiguration)
+        val dst = new org.apache.hadoop.fs.Path(targetPath)
+        fs.delete(dst, true)
+        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        ()
+      }
+}

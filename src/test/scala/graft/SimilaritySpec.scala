@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.{Dedup, Similarity, TextStats}
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = Tables.load(spark, sfDir, "embeddings").cache()
+
+  test("cosine is 1.0 on identical vectors, symmetric, in [-1,1]") {
+    val self = emb.select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .agg(min("c"), max("c")).collect()(0)
+    assert(math.abs(self.getDouble(0) - 1.0) < 1e-9)
+    assert(math.abs(self.getDouble(1) - 1.0) < 1e-9)
+  }
+
+  test("brute-force top-k returns k rows per query, ranked by cosine desc") {
+    val out = Similarity.bruteForceTopK(emb.where(col("vec_id") < 5), emb, 3).collect()
+    val byQ = out.groupBy(_.getAs[Long]("q_id"))
+    assert(byQ.size === 5)
+    byQ.values.foreach { rows =>
+      assert(rows.length === 3)
+      val sorted = rows.sortBy(_.getAs[Int]("rank"))
+      val cosines = sorted.map(_.getAs[Double]("cos"))
+      assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN achieves non-trivial recall@5 vs brute force with fewer candidates") {
+    val queries = emb.where(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val approx = Similarity.lshTopK(queries, emb, 5, nPlanes = 4).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    // single-probe sign-LSH on random gaussian data: recall is modest by
+    // design; the contract is "non-trivial recall at a fraction of the
+    // comparisons" (16 buckets -> ~6% of pairs scored)
+    assert(recall > 0.10, s"recall@5 was $recall")
+  }
+
+  test("minhash LSH candidates are a superset of high-jaccard pairs (docs)") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val cands = Dedup.lshCandidates(Dedup.withMinhashBands(docs)).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // pairs with very high true shingle-jaccard should collide in >=1 band
+    val sets = docs.select(col("doc_id"),
+      array_distinct(Dedup.shingles(TextStats.tokens(col("text")))).as("ss"))
+    val a = sets.toDF("id_a", "ss_a")
+    val b = sets.toDF("id_b", "ss_b")
+    val hot = a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Dedup.jaccard(col("ss_a"), col("ss_b")).as("j"))
+      .where(col("j") >= 0.9)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    if (hot.nonEmpty) {
+      val caught = (hot & cands).size.toDouble / hot.size
+      assert(caught >= 0.9, s"LSH caught only $caught of near-identical pairs")
+    }
+  }
+
+  test("simhash: identical texts get identical hashes; hash fits 16 bits") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val h = docs.select(Dedup.simhash16(TextStats.tokens(col("text"))).as("h"))
+      .agg(min("h"), max("h")).collect()(0)
+    assert(h.getLong(0) >= 0L && h.getLong(1) < (1L << 16))
+    import spark.implicits._
+    val two = Seq(("a b c d e f", 1), ("a b c d e f", 2)).toDF("text", "i")
+      .select(Dedup.simhash16(TextStats.tokens(col("text"))).as("h"))
+      .distinct().count()
+    assert(two === 1)
+  }
+}
