@@ -1,0 +1,177 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.CustomExpressions
+
+/** The sample↔file linkage join — the reference's crown jewel
+  * (`/root/reference/update_reads.py:64-163`, driver loop :184-338).
+  *
+  * Reference semantics reproduced exactly:
+  *  - query id = `minicore_seq_id`; only the FIRST comma-separated id is
+  *    ever probed (the reference's loop returns unconditionally after the
+  *    first element — update_reads.py:78-130);
+  *  - gate: `minicore_sequenced == "YES"` (update_reads.py:215-221);
+  *  - tier 1: `{id}_` / `{id}-` / `{id}.` substring of file_name;
+  *  - tier 2 (id contains `_`): id with `_`→`-`, same three patterns;
+  *  - tier 3 (id contains `_`): id with `-` stripped, same patterns;
+  *  - tier 2b (id contains `-`, no `_`): id with `-`→`_`, patterns
+  *    `{q}` (bare contains — the reference's literal behavior), `{q}-`,
+  *    `{q}.`;
+  *  - earliest tier with ANY match wins (even if all its matches are
+  *    later dropped by the `.gz` filter — the filter runs AFTER tier
+  *    selection, update_reads.py:147);
+  *  - per sample: `$addToSet` new file names, `received` = matched file
+  *    mdate (reference takes list-order-first — nondeterministic; we pin
+  *    min(mdate)), `filesize_sum` = Σ filesize over ALL matched files;
+  *    matched reads get `orphan = false`.
+  *
+  * Physical strategy (SURVEY §4.3.1): the faithful predicate is a
+  * substring-contains theta join → BroadcastNestedLoopJoin, fine when one
+  * side is broadcast-size. For 100 TB the equi rewrite applies first:
+  * filenames explode into separator-normalized token prefixes, sample ids
+  * normalize the same way, and the match becomes a plain shuffle/broadcast
+  * HASH join; only samples the equi pass missed fall back to the BNLJ.
+  * LinkageSpec proves equi+fallback ≡ faithful BNLJ on the fixtures.
+  */
+object Linkage {
+
+  /** Candidate (tier, pattern, bare-allowed) probes per sample. */
+  def candidateKeys(samples: DataFrame,
+      sampleCol: String = "sample_name",
+      idCol: String = "minicore_seq_id"): DataFrame = {
+    val firstId = split(col(idCol), ",").getItem(0)
+    val t1 = struct(lit(1).as("tier"), firstId.as("key"), lit(false).as("bare"))
+    val t2 = when(firstId.contains("_"),
+      struct(lit(2).as("tier"), regexp_replace(firstId, "_", "-").as("key"),
+        lit(false).as("bare")))
+    val t3 = when(firstId.contains("_"),
+      struct(lit(3).as("tier"), regexp_replace(firstId, "-", "").as("key"),
+        lit(false).as("bare")))
+    val t2b = when(!firstId.contains("_") && firstId.contains("-"),
+      struct(lit(2).as("tier"), regexp_replace(firstId, "-", "_").as("key"),
+        lit(true).as("bare")))
+    samples
+      .where(upper(col("minicore_sequenced")) === "YES")
+      .where(col(idCol).isNotNull && lower(col(idCol)) =!= "nan")
+      .select(col(sampleCol),
+        explode(filter(array(t1, t2, t3, t2b), s => s.isNotNull)).as("probe"))
+      .select(col(sampleCol), col("probe.tier").as("tier"),
+        col("probe.key").as("key"), col("probe.bare").as("bare"))
+  }
+
+  /** The reference's contains predicate for one probe against file_name. */
+  private def containsMatch(fileName: Column, key: Column, bare: Column): Column =
+    fileName.contains(concat(key, lit("_"))) ||
+      fileName.contains(concat(key, lit("-"))) ||
+      fileName.contains(concat(key, lit("."))) ||
+      (bare && fileName.contains(key))
+
+  /** Faithful linkage: contains theta-join (BNLJ; broadcast the probes),
+    * earliest matching tier per sample wins, `.gz` filter after. Output:
+    * (sample_name, file_name, filesize, mdate, tier). */
+  def linkFaithful(samples: DataFrame, reads: DataFrame,
+      sampleCol: String = "sample_name"): DataFrame = {
+    val probes = candidateKeys(samples, sampleCol)
+    val matches = reads.join(broadcast(probes),
+        containsMatch(col("file_name"), col("key"), col("bare")))
+      .select(col(sampleCol), col("tier"), col("file_name"),
+        col("filesize"), col("mdate"))
+    bestTierThenGz(matches, sampleCol)
+  }
+
+  /** Tier selection (min tier with any match, BEFORE the gz filter), then
+    * the `.gz` filter, then per-(sample,file) dedup. */
+  private def bestTierThenGz(matches: DataFrame, sampleCol: String): DataFrame = {
+    val w = Window.partitionBy(col(sampleCol))
+    matches
+      .withColumn("best_tier", min(col("tier")).over(w))
+      .where(col("tier") === col("best_tier"))
+      .where(col("file_name").endsWith(".gz"))
+      .select(col(sampleCol), col("file_name"), col("filesize"), col("mdate"),
+        col("tier"))
+      .dropDuplicates(sampleCol, "file_name")
+  }
+
+  /** Separator-normalized form: strip `-`/`_`/`.` (so every tier variant
+    * of an id collapses to one canonical key). */
+  def normKey(c: Column): Column = regexp_replace(c, "[-_.]", "")
+
+  /** Scalable path, stage 1: explode each file name into normalized token
+    * prefixes (file `CC131_SelS_S1_L001_R1.fastq.gz` → `CC131`,
+    * `CC131SelS`, `CC131SelSS1`, …). maxTokens bounds the blowup; the
+    * result is equi-joinable and distributes like any hash join. */
+  def filePrefixKeys(reads: DataFrame, maxTokens: Int = 8): DataFrame = {
+    val tokens = split(col("file_name"), "[._-]")
+    reads.select(col("file_name"),
+        explode(transform(sequence(lit(1),
+            least(size(tokens), lit(maxTokens))),
+          n => concat_ws("", slice(tokens, lit(1), n)))).as("file_key"))
+      .where(length(col("file_key")) > 0)
+      .distinct()
+  }
+
+  /** Scalable linkage: equi join on normalized prefix keys, then the
+    * faithful BNLJ only for samples the equi pass missed (fidelity
+    * fallback for mid-name matches the prefix keys can't see). */
+  def linkScalable(samples: DataFrame, reads: DataFrame,
+      sampleCol: String = "sample_name"): DataFrame = {
+    val probes = candidateKeys(samples, sampleCol)
+      .withColumn("norm_key", normKey(col("key")))
+    val fileKeys = filePrefixKeys(reads)
+    // Equi join = candidate blocking only; the faithful contains
+    // predicate re-verifies every candidate (cheap, per-pair) so tier
+    // assignment is exact — normalization alone would blur tiers.
+    val equiMatches = fileKeys
+      .join(probes, col("file_key") === col("norm_key"))
+      .join(reads.select(col("file_name"), col("filesize"), col("mdate")), Seq("file_name"))
+      .where(containsMatch(col("file_name"), col("key"), col("bare")))
+      .select(col(sampleCol), col("tier"), col("file_name"),
+        col("filesize"), col("mdate"))
+    val equiLinked = bestTierThenGz(equiMatches, sampleCol)
+
+    // Residual: samples that produced no equi match at all get the
+    // faithful pass (small set; BNLJ is fine by construction).
+    val matchedSamples = equiMatches.select(col(sampleCol)).distinct()
+    val residualSamples = samples.join(matchedSamples, Seq(sampleCol), "left_anti")
+    val residualLinked = linkFaithful(residualSamples, reads, sampleCol)
+
+    equiLinked.unionByName(residualLinked)
+  }
+
+  /** Per-sample aggregates of a linkage result (update_reads.py:237-273):
+    * sorted distinct file list, received = min(mdate) [pinned ordering],
+    * filesize_sum over all matched files. */
+  def aggregates(linked: DataFrame, sampleCol: String = "sample_name"): DataFrame =
+    linked.groupBy(col(sampleCol))
+      .agg(
+        sort_array(collect_set(col("file_name"))).as("files"),
+        min(col("mdate")).as("received"),
+        sum(col("filesize")).as("filesize_sum"))
+
+  /** J4 — conflict resolution (update_reads.py:166-181, solve_conflict):
+    * a file matched by >1 sample goes to the sample with the highest
+    * fuzz.ratio(sample_name, file_name); ties break by name (the
+    * reference inherits dict order — we pin lexicographic). Returns the
+    * linkage result with losers removed. */
+  def resolveConflicts(linked: DataFrame, sampleCol: String = "sample_name"): DataFrame = {
+    val w = Window.partitionBy(col("file_name"))
+      .orderBy(desc("score"), col(sampleCol))
+    linked
+      .withColumn("score",
+        CustomExpressions.fuzz_ratio(col(sampleCol), col("file_name")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("score", "rn")
+  }
+
+  /** Mark matched reads non-orphan (update_reads.py:275-284). */
+  def markOrphans(reads: DataFrame, linked: DataFrame): DataFrame = {
+    val matched = linked.select(col("file_name")).distinct()
+      .withColumn("matched", lit(true))
+    reads.join(matched, Seq("file_name"), "left")
+      .withColumn("orphan", coalesce(!col("matched"), lit(true)))
+      .drop("matched")
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryGroup}
+import graft.ops.{Linkage, Pairing}
+
+/** Oracle-checked queries for the linkage crown jewel (J3) and pairing
+  * (J6) over inline reference-shaped fixtures — the DuckDB oracle
+  * re-implements the tier cascade independently, so the hash match is a
+  * true cross-engine proof of the semantics. */
+object LinkageQueries extends QueryGroup {
+
+  private def fixtureSamples(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Seq(
+      ("s1", "CC131_SelS", "YES"),
+      ("s2", "AB_1", "YES"),
+      ("s3", "CD-2", "YES"),
+      ("s4", "GH_4-x", "YES"),
+      ("s5", "GATED_5", "NO"),
+      ("s6", "S6_1", "YES"),
+      ("s7", "ZZ_9", "YES"),
+      ("s8", "MM_8,NN_8", "YES")))
+      .toDF("sample_name", "minicore_seq_id", "minicore_sequenced")
+      .withColumn("files", array().cast("array<string>"))
+
+  private val fixtureSamplesSql =
+    """samples(sample_name, minicore_seq_id, minicore_sequenced) AS (VALUES
+      |  ('s1', 'CC131_SelS', 'YES'), ('s2', 'AB_1', 'YES'),
+      |  ('s3', 'CD-2', 'YES'), ('s4', 'GH_4-x', 'YES'),
+      |  ('s5', 'GATED_5', 'NO'), ('s6', 'S6_1', 'YES'),
+      |  ('s7', 'ZZ_9', 'YES'), ('s8', 'MM_8,NN_8', 'YES'))""".stripMargin
+
+  private def fixtureReads(spark: SparkSession): DataFrame =
+    spark.createDataFrame(Seq(
+      ("CC131_SelS_S1_L001_R1_001.fastq.gz", 100L),
+      ("CC131_SelS_S1_L001_R2_001.fastq.gz", 110L),
+      ("CC131_SelS_S1_L002_R1_001.fastq.gz", 120L),
+      ("CC131_SelS_S1_L002_R2_001.fastq.gz", 130L),
+      ("AB-1_R1.fastq.gz", 200L), ("AB-1_R2.fastq.gz", 210L),
+      ("CD_2_R1.fastq.gz", 300L), ("CD_2_R2.fastq.gz", 310L),
+      ("GH_4x_R1.fastq.gz", 400L),
+      ("GATED_5_R1.fastq.gz", 500L),
+      ("S6_1_R1.fastq", 600L),
+      ("NN_8_R1.fastq.gz", 800L),
+      ("ORPHAN_X_R1.fastq.gz", 999L)))
+      .toDF("file_name", "filesize")
+      .withColumn("mdate", lit("2023-01-01 00:00:00").cast("timestamp"))
+
+  private val fixtureReadsSql =
+    """reads(file_name, filesize) AS (VALUES
+      |  ('CC131_SelS_S1_L001_R1_001.fastq.gz', 100), ('CC131_SelS_S1_L001_R2_001.fastq.gz', 110),
+      |  ('CC131_SelS_S1_L002_R1_001.fastq.gz', 120), ('CC131_SelS_S1_L002_R2_001.fastq.gz', 130),
+      |  ('AB-1_R1.fastq.gz', 200), ('AB-1_R2.fastq.gz', 210),
+      |  ('CD_2_R1.fastq.gz', 300), ('CD_2_R2.fastq.gz', 310),
+      |  ('GH_4x_R1.fastq.gz', 400), ('GATED_5_R1.fastq.gz', 500),
+      |  ('S6_1_R1.fastq', 600), ('NN_8_R1.fastq.gz', 800),
+      |  ('ORPHAN_X_R1.fastq.gz', 999))""".stripMargin
+
+  /** J3 — the full tiered linkage on the fixture; the oracle implements
+    * the tier cascade independently in SQL. */
+  def linkageTiered(spark: SparkSession, dir: String): DataFrame =
+    Linkage.linkScalable(fixtureSamples(spark), fixtureReads(spark))
+      .select($"sample_name", $"file_name", $"tier")
+      .orderBy($"sample_name", $"file_name")
+
+  private val linkageTieredSql =
+    s"""WITH $fixtureSamplesSql,
+       |$fixtureReadsSql,
+       |gated AS (
+       |  SELECT sample_name, string_split(minicore_seq_id, ',')[1] AS id
+       |  FROM samples
+       |  WHERE upper(minicore_sequenced) = 'YES'
+       |    AND minicore_seq_id IS NOT NULL AND lower(minicore_seq_id) != 'nan'),
+       |probes AS (
+       |  SELECT sample_name, 1 AS tier, id AS key, false AS bare FROM gated
+       |  UNION ALL
+       |  SELECT sample_name, 2, replace(id, '_', '-'), false FROM gated WHERE contains(id, '_')
+       |  UNION ALL
+       |  SELECT sample_name, 3, replace(id, '-', ''), false FROM gated WHERE contains(id, '_')
+       |  UNION ALL
+       |  SELECT sample_name, 2, replace(id, '-', '_'), true FROM gated
+       |  WHERE NOT contains(id, '_') AND contains(id, '-')),
+       |matches AS (
+       |  SELECT p.sample_name, p.tier, r.file_name
+       |  FROM probes p JOIN reads r
+       |    ON contains(r.file_name, p.key || '_')
+       |    OR contains(r.file_name, p.key || '-')
+       |    OR contains(r.file_name, p.key || '.')
+       |    OR (p.bare AND contains(r.file_name, p.key))),
+       |best AS (
+       |  SELECT *, min(tier) OVER (PARTITION BY sample_name) AS best_tier
+       |  FROM matches)
+       |SELECT DISTINCT sample_name, file_name, tier
+       |FROM best WHERE tier = best_tier AND file_name LIKE '%.gz'
+       |ORDER BY sample_name, file_name""".stripMargin
+
+  /** J6 — positional pairing over an inline fixture with oracle. */
+  def pairingPositional(spark: SparkSession, dir: String): DataFrame = {
+    val samples = spark.createDataFrame(Seq(
+      ("p1", Seq("b_R2.fq.gz", "a_R1.fq.gz"), "Genus species"),
+      ("p2", Seq("d", "c", "b", "a"), "Genus species"),
+      ("podd", Seq("x", "y", "z"), "Genus species")))
+      .toDF("sample_name", "files", "organism")
+    Pairing.pairPositional(samples, organismCol = "organism")
+      .select($"sample_name", $"pair_id", $"filename", $"filename2",
+        $"library_ID", $"title")
+      .orderBy($"sample_name", $"pair_id")
+  }
+
+  private val pairingPositionalSql =
+    """WITH samples(sample_name, files, organism) AS (VALUES
+      |  ('p1', ['b_R2.fq.gz', 'a_R1.fq.gz'], 'Genus species'),
+      |  ('p2', ['d', 'c', 'b', 'a'], 'Genus species'),
+      |  ('podd', ['x', 'y', 'z'], 'Genus species')),
+      |even AS (
+      |  SELECT sample_name, list_sort(files) AS sf, organism FROM samples
+      |  WHERE len(files) % 2 = 0),
+      |pos AS (
+      |  SELECT sample_name, organism, unnest(sf) AS f,
+      |         generate_subscripts(sf, 1) - 1 AS p
+      |  FROM even)
+      |SELECT sample_name, p // 2 AS pair_id,
+      |       min(f) AS filename, max(f) AS filename2,
+      |       string_split(min(f), '_R1')[1] AS library_ID,
+      |       'Whole genome sequencing of ' || organism AS title
+      |FROM pos GROUP BY sample_name, organism, p // 2
+      |ORDER BY sample_name, pair_id""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("j3b_linkage_tiered", linkageTiered, Some(linkageTieredSql)),
+    QueryDef("j5_pairing_positional", pairingPositional, Some(pairingPositionalSql)))
+}

@@ -42,23 +42,23 @@ class UpsertSpec extends SparkSpec {
     assert(out("s2").getAs[String]("name") === "Beta")       // not clobbered
     assert(out("s4").getAs[String]("name") === "Delta")      // inserted
     // null target value counts as absent -> filled (mongo sets missing fields)
-    assert(out("s2").getAs[Seq[String]]("files") === Seq("f3"))
+    assert(out("s2").getAs[scala.collection.Seq[String]]("files") === Seq("f3"))
   }
 
   test("$addToSet: dedup union of arrays") {
     val out = collectMap(Upsert.merge(tgt, upd, Seq("key"),
       Map("files" -> Upsert.AddToSet)))
-    assert(out("s2").getAs[Seq[String]]("files") === Seq("f3", "f4"))
-    assert(out("s1").getAs[Seq[String]]("files") === Seq("f1", "f2", "", "NaN"))
-    assert(out("s4").getAs[Seq[String]]("files") === Seq("f9"))
+    assert(out("s2").getAs[scala.collection.Seq[String]]("files") === Seq("f3", "f4"))
+    assert(out("s1").getAs[scala.collection.Seq[String]]("files") === Seq("f1", "f2", "", "NaN"))
+    assert(out("s4").getAs[scala.collection.Seq[String]]("files") === Seq("f9"))
   }
 
   test("$pull: removes ''/'NaN' entries (update_reads.py:190-193)") {
     val cleaned = tgt.withColumn("files",
       Upsert.pull(col("files"), Seq("", "NaN")))
     val out = collectMap(cleaned)
-    assert(out("s1").getAs[Seq[String]]("files") === Seq("f1", "f2"))
-    assert(out("s2").getAs[Seq[String]]("files") === Seq("f3"))
+    assert(out("s1").getAs[scala.collection.Seq[String]]("files") === Seq("f1", "f2"))
+    assert(out("s2").getAs[scala.collection.Seq[String]]("files") === Seq("f3"))
   }
 
   test("merge is idempotent: merge(merge(t,u),u) == merge(t,u)") {
