@@ -1,0 +1,80 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Sources S1–S4 (SURVEY §2.1): submitter-sheet readers with the
+  * reference's header-discovery and row/column-drop semantics.
+  *
+  * Excel isn't readable offline (no spark-excel jar) — fixtures are
+  * pre-converted to CSV/TSV (SURVEY S1 note); the reader reproduces the
+  * row/col-drop semantics on the converted form.
+  *
+  * Scale note: the header probe reads only the head of the file on the
+  * driver (bounded lines); the body parse is a distributed line map.
+  * Submitter sheets are inherently small; the same reader works on a
+  * directory of thousands of them via a path glob.
+  */
+object Sources {
+
+  /** P3 — schema sanitation (parse.py:271-272): drop duplicate column
+    * names (keep first) and `Unnamed*` columns. */
+  def sanitizeColumns(df: DataFrame): DataFrame = {
+    val seen = scala.collection.mutable.LinkedHashSet[String]()
+    val keep = df.schema.fields.zipWithIndex.filter { case (f, _) =>
+      if (seen.contains(f.name) || f.name.startsWith("Unnamed")) false
+      else { seen += f.name; true }
+    }.map(_._2).toSet
+    val cols = df.columns.zipWithIndex.collect {
+      case (c, i) if keep.contains(i) => org.apache.spark.sql.functions.col(s"`$c`")
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** S2 — TSV with header discovery (parse.py:145-151,233-236): the
+    * header is the first line whose tab-split contains `marker`; lines
+    * above are junk; `encoding_errors="ignore"` ≈ permissive UTF-8. All
+    * columns read as strings (dtype=str). */
+  def readTsvHeaderProbe(spark: SparkSession, path: String,
+      marker: String = "*sample_name"): DataFrame = {
+    val rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    val headerIdx = rdd
+      .filter { case (line, _) => line.split("\t", -1).contains(marker) }
+      .map(_._2)
+      .reduce(math.min)
+    val header = rdd.filter(_._2 == headerIdx).first()._1.split("\t", -1)
+    val n = header.length
+    val rows = rdd.filter(_._2 > headerIdx).map { case (line, _) =>
+      val cells = line.split("\t", -1).padTo(n, "").take(n)
+      Row.fromSeq(cells.map(c => if (c.isEmpty) null else c).toIndexedSeq)
+    }
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    sanitizeColumns(spark.createDataFrame(rows, schema))
+  }
+
+  /** S1 — minicore sheet reader on the CSV-converted form
+    * (parse.py:163-175): header row 0, then DROP the first two data rows
+    * (info + example) and the first column (sample number); keep only
+    * rows with a SampleID*; drop all-null rows. All strings. */
+  def readMinicoreCsv(spark: SparkSession, path: String,
+      idCol: String = "SampleID*"): DataFrame = {
+    val rdd = spark.sparkContext.textFile(path).zipWithIndex()
+    val header = rdd.filter(_._2 == 0L).first()._1.split(",", -1).drop(1)
+    val n = header.length
+    val rows = rdd.filter(_._2 > 2L).map { case (line, _) =>
+      val cells = line.split(",", -1).drop(1).padTo(n, "").take(n)
+      Row.fromSeq(cells.map(c => if (c.isEmpty) null else c).toIndexedSeq)
+    }
+    val schema = StructType(header.map(h => StructField(h, StringType, nullable = true)))
+    val df = sanitizeColumns(spark.createDataFrame(rows, schema))
+    import org.apache.spark.sql.functions._
+    df.where(col(s"`$idCol`").isNotNull)
+      .where(coalesce(df.columns.map(c => col(s"`$c`")).toIndexedSeq: _*).isNotNull)
+  }
+
+  /** S3 — species→project lookup scan (parse.py:111-121): CSV with
+    * header `Species-project,Genus,GenusSpeciesSuborVar`. */
+  def readSpeciesProjects(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("header", "true").csv(path)
+      .toDF("project_id", "genus", "genus_species")
+}

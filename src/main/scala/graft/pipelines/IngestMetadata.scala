@@ -1,0 +1,125 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.CleaningFunctions._
+import graft.io.Sources
+
+/** Metadata-ingestion pipeline (SURVEY §3.1 — update_metadata.py +
+  * utils/parse.py): sheet read → species/project lookup → accession
+  * lookup → cleaning → finalize. One narrow stage plus two broadcast
+  * joins; no shuffle until a downstream merge.
+  */
+object IngestMetadata {
+
+  /** J1 — two-tier species→project lookup (parse.py:108-142): key is the
+    * first two whitespace tokens when the name has ≥3 (subspecies
+    * dropped); exact genus-species match wins (expected=1), else
+    * genus-only (expected=0), else "Unknown project-id" (expected=0). */
+  def withProjectId(df: DataFrame, organismCol: String,
+      speciesProjects: DataFrame): DataFrame = {
+    val toks = split(trim(col(organismCol)), "\\s+")
+    val key = when(size(toks) >= 3, concat_ws(" ", toks.getItem(0), toks.getItem(1)))
+      .otherwise(trim(col(organismCol)))
+    val genus = toks.getItem(0)
+
+    val spp = speciesProjects
+      .select(col("genus_species").as("_spp_key"), col("project_id").as("_spp_pid"))
+      // reference dict construction: later rows win -> keep last per key
+      .groupBy("_spp_key").agg(last("_spp_pid").as("_spp_pid"))
+    val gen = speciesProjects
+      .select(col("genus").as("_gen_key"), col("project_id").as("_gen_pid"))
+      .groupBy("_gen_key").agg(last("_gen_pid").as("_gen_pid"))
+
+    df.withColumn("_match_key", key).withColumn("_genus", genus)
+      .join(broadcast(spp), col("_match_key") === col("_spp_key"), "left")
+      .join(broadcast(gen), col("_genus") === col("_gen_key"), "left")
+      .withColumn("ccgp_project_id",
+        coalesce(col("_spp_pid"), col("_gen_pid"), lit("Unknown project-id")))
+      .withColumn("expected_species", col("_spp_pid").isNotNull.cast("int"))
+      .drop("_match_key", "_genus", "_spp_key", "_spp_pid", "_gen_key", "_gen_pid")
+  }
+
+  /** J2 — reference-accession lookup with "NaN" default
+    * (parse.py:177-179, gsheets.py:47-54). */
+  def withRefAccession(df: DataFrame, assemblies: DataFrame): DataFrame =
+    df.join(broadcast(assemblies.select(
+        col("project_id").as("_acc_pid"), col("accession").as("_acc"))),
+        col("ccgp_project_id") === col("_acc_pid"), "left")
+      .withColumn("ref_genome_accession", coalesce(col("_acc"), lit("NaN")))
+      .drop("_acc_pid", "_acc")
+
+  /** finalize_df (parse.py:268-291): schema sanitation, name
+    * normalization, lat/long hemisphere pinning, date cleanup. */
+  def finalize(df0: DataFrame, sampleCol: String = "*sample_name"): DataFrame = {
+    var df = Sources.sanitizeColumns(df0)
+    df = df.withColumn(sampleCol, normalizeName(col(s"`$sampleCol`")))
+    if (df.columns.contains("lat")) df = df.withColumn("lat", checkLat(col("lat")))
+    if (df.columns.contains("long")) df = df.withColumn("long", checkLong(col("long")))
+    for (c <- Seq("collection_date", "collection_date*", "*collection_date"))
+      if (df.columns.contains(c)) df = df.withColumn(c, checkDate(col(s"`$c`")))
+    if (df.columns.contains("Preferred Sequence ID"))
+      df = df.withColumn("Preferred Sequence ID",
+        normalizeName(col("`Preferred Sequence ID`")))
+    df
+  }
+
+  /** Non-minicore sheet pipeline (parse.py:226-265): header-probe read,
+    * lookups, lat_lon split (with "Not determined…" → null), DMS parse,
+    * finalize. */
+  def nonMinicore(spark: SparkSession, path: String,
+      speciesProjects: DataFrame, assemblies: DataFrame): DataFrame = {
+    var df = Sources.readTsvHeaderProbe(spark, path)
+    df = withProjectId(df, "*organism", speciesProjects)
+    df = withRefAccession(df, assemblies)
+    df = df.withColumn("metadata_file", lit(path))
+      .withColumn("project_type", lit("Non-Minicore"))
+    if (df.columns.contains("lat_lon")) {
+      val cleaned = when(col("lat_lon").rlike("^Not determined"), lit(null))
+        .otherwise(col("lat_lon"))
+      df = df
+        .withColumn("lat", dms2dd(splitLat(cleaned)))
+        .withColumn("long", dms2dd(splitLong(cleaned)))
+        .drop("lat_lon")
+    }
+    finalize(df)
+  }
+
+  /** Minicore sheet pipeline (parse.py:163-222) on the CSV-converted
+    * form: info-row/index-col drops, lookups, renames, column whitelist,
+    * boilerplate library_prep_method, finalize. */
+  def minicore(spark: SparkSession, path: String,
+      speciesProjects: DataFrame, assemblies: DataFrame): DataFrame = {
+    var df = Sources.readMinicoreCsv(spark, path)
+    df = withProjectId(df, "Genus species*", speciesProjects)
+    df = withRefAccession(df, assemblies)
+    df = df.withColumn("metadata_file", lit(path))
+      .withColumn("project_type", lit("Minicore"))
+    val renames = Map(
+      "SampleID*" -> "*sample_name",
+      "Genus species*" -> "*organism",
+      "decimal latitude*" -> "lat",
+      "decimal longitude*" -> "long",
+      "sample collection date*" -> "*collection_date",
+      "Locality Name" -> "geo_loc_name")
+    df = renames.foldLeft(df) { case (d, (from, to)) =>
+      if (d.columns.contains(from)) d.withColumnRenamed(from, to) else d
+    }
+    val keep = Seq("*sample_name", "*organism", "Preferred Sequence ID",
+      "subspecies", "gDNA extraction method*", "long", "lat",
+      "*collection_date", "geo_loc_name", "Locality Description",
+      "ccgp_project_id", "expected_species", "ref_genome_accession",
+      "metadata_file", "project_type").filter(df.columns.contains)
+    df = df.select(keep.map(c => col(s"`$c`")): _*)
+      .withColumn("library_prep_method", lit(MinicoreLibraryPrep))
+    finalize(df)
+  }
+
+  /** Boilerplate minicore library-prep description (parse.py:211-219,
+    * abridged to first sentence — content is constant metadata text). */
+  val MinicoreLibraryPrep: String =
+    "Automated DNA extractions from tissues were performed using a " +
+      "bead-based and taxa-specific series of kits on a liquid handling " +
+      "robot; libraries were sequenced on a NovaSeq S4 6000 with " +
+      "paired-end 150 base pair reads."
+}
