@@ -34,30 +34,61 @@ object Dedup {
   }
 
 
-  /** Word n-gram shingles (n=3): requires >= n tokens. */
-  def shingles(toks: Column, n: Int = 3): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n), i =>
-        concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  /** Word n-gram shingles (n=3): requires >= n tokens.
+    *
+    * Built with `zip_with` against shifted slices rather than
+    * `element_at(toks, i)` inside a lambda: interpreted higher-order
+    * functions re-evaluate every non-attribute reference per element, so
+    * an element_at over a derived array re-runs the tokenizer for every
+    * shingle (measured 15× slower). Arguments of zip_with/slice evaluate
+    * once per row. */
+  def shingles(toks: Column, n: Int = 3): Column = {
+    val shifted = (1 until n).map(k =>
+      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))))
+    val grams = shifted.foldLeft(toks) { (acc, s) =>
+      zip_with(acc, s, (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(toks) >= n, slice(grams, lit(1), size(toks) - (n - 1)))
       .otherwise(array(concat_ws(" ", toks)))
+  }
 
-  /** One MinHash signature component: min over shingles of md5(salt|s).
-    * Using the lexicographic min of the salted digest = a random
-    * permutation per salt, with no engine-specific hash arithmetic. */
-  def minhashComponent(sh: Column, salt: Int): Column =
-    array_min(transform(sh, s => md5(concat(lit(s"$salt|"), s).cast("binary"))))
+  /** MinHash permutation constants: (a, b) pairs for h_i(x) = (a·x+b) mod p.
+    * a < 2^20 and x < 2^32 keep a·x+b < 2^52 — no 64-bit overflow in any
+    * engine. p is the smallest prime above 2^32. */
+  val MinhashPrime = 4294967311L
+  val MinhashSalts: Seq[(Long, Long)] = Seq(
+    (1000003L, 17L), (999983L, 29L), (31337L, 71L),
+    (999979L, 101L), (65537L, 131L), (524287L, 151L))
 
-  /** MinHash signatures + LSH bands (k components, r per band). */
+  /** 32-bit base hash per shingle (ONE md5 per shingle; the permutations
+    * are arithmetic). */
+  def shingleHashes(sh: Column): Column =
+    transform(sh, s =>
+      conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  /** One MinHash signature component over pre-hashed shingles:
+    * min over x of (a·x + b) mod p — a random permutation per salt,
+    * reproducible in any engine with 64-bit integers. */
+  def minhashComponent(hashes: Column, salt: Int): Column = {
+    val (a, b) = MinhashSalts(salt - 1)
+    array_min(transform(hashes, x => (x * a + b) % MinhashPrime))
+  }
+
+  /** MinHash signatures + LSH bands (k components, r per band). Band
+    * value = joined component string (no extra hashing needed for the
+    * bucket equi-join). */
   def withMinhashBands(docs: DataFrame, k: Int = 6, r: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val toks = TextStats.tokens(col(textCol))
-    val sh = shingles(toks)
-    val sigs = (1 to k).map(i => minhashComponent(sh, i).as(s"sig_$i"))
-    val withSigs = docs.select((col(idCol) +: sigs): _*)
+    // persist between HOF stages — see minhashLsh for why
+    val withH = docs.select(col(idCol),
+        shingleHashes(shingles(TextStats.tokens(col(textCol)))).as("_hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = (1 to k).map(i => minhashComponent(col("_hs"), i).as(s"sig_$i"))
+    val withSigs = withH.select((col(idCol) +: sigs): _*)
     val bands = (0 until k / r).map { b =>
-      val parts = (1 to r).map(j => col(s"sig_${b * r + j}"))
+      val parts = (1 to r).map(j => col(s"sig_${b * r + j}").cast("string"))
       struct(lit(b).as("band_idx"),
-        md5(concat(parts: _*).cast("binary")).as("band_val")).as(s"band_$b")
+        concat_ws(":", parts: _*).as("band_val")).as(s"band_$b")
     }
     withSigs.select(col(idCol), array(bands: _*).as("bands"))
   }
@@ -80,40 +111,94 @@ object Dedup {
       size(array_union(a, b)).cast("double")
 
   /** MinHash-LSH near-dup pipeline: candidates via band buckets, verified
-    * with true shingle-set Jaccard >= threshold. */
+    * with true shingle-set Jaccard >= threshold.
+    *
+    * The prepared frame (shingles + signatures + bands, one md5 pass per
+    * salt over a stored shingle array) is persisted before the band
+    * self-join — otherwise Spark re-derives the whole signature lineage
+    * for BOTH join sides (measured 40× slower at sf0.1). */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val cands = lshCandidates(withMinhashBands(docs, 6, 2, idCol, textCol), idCol)
-    val sets = docs.select(col(idCol).as("sid"),
-      array_distinct(shingles(TextStats.tokens(col(textCol)))).as("sset"))
-    cands
+    val k = 6; val r = 2
+    // Higher-order functions (transform/aggregate/array_min) run
+    // interpreted — no whole-stage codegen, no subexpression elimination —
+    // so every REFERENCE to a lambda-derived column re-evaluates its whole
+    // chain (Catalyst happily collapses the projections). Persisting
+    // between HOF stages forces one evaluation per stage (measured 10×
+    // at sf0.1). Same pattern as withMinhashBands.
+    // stage 0 stores the token array so shingles() sees an attribute
+    // (multiple references to an attribute are row lookups; references
+    // to a split() expression re-tokenize per reference — and
+    // CollapseProject merges adjacent selects, so a persist barrier is
+    // needed, not just a second select)
+    val stage0 = docs
+      .select(col(idCol), TextStats.tokens(col(textCol)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stage1 = stage0
+      .select(col(idCol), shingles(col("_toks")).as("_sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stage2 = stage1.select(col(idCol),
+        array_distinct(col("_sh")).as("sset"),
+        shingleHashes(col("_sh")).as("_hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigs = (1 to k).map(i => minhashComponent(col("_hs"), i).as(s"sig_$i"))
+    val withSigs = stage2.select((col(idCol) +: col("sset") +: sigs): _*)
+    val bands = (0 until k / r).map { b =>
+      val parts = (1 to r).map(j => col(s"sig_${b * r + j}").cast("string"))
+      struct(lit(b).as("band_idx"),
+        concat_ws(":", parts: _*).as("band_val"))
+    }
+    val base = withSigs
+      .select(col(idCol), col("sset"), array(bands: _*).as("bands"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val exploded = base
+      .select(col(idCol), explode(col("bands")).as("b"))
+      .select(col(idCol), col("b.band_idx").as("band_idx"),
+        col("b.band_val").as("band_val"))
+    val cands = exploded.toDF("id_a", "band_idx", "band_val")
+      .join(exploded.toDF("id_b", "band_idx", "band_val"), Seq("band_idx", "band_val"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+
+    val sets = base.select(col(idCol).as("sid"), col("sset"))
+    val out = cands
       .join(sets.toDF("sid_a", "set_a"), $"id_a" === $"sid_a")
       .join(sets.toDF("sid_b", "set_b"), $"id_b" === $"sid_b")
       .select($"id_a", $"id_b",
         round(jaccard($"set_a", $"set_b"), 4).as("jaccard"))
       .where($"jaccard" >= threshold)
+    out
   }
 
   /** 16-bit SimHash from md5-derived per-token hashes: bit j of the
     * document hash is the sign of Σ_tokens (2·bit_j(h(token)) − 1). */
-  def simhash16(toks: Column): Column = {
-    val h = (w: Column) =>
-      conv(substring(md5(w.cast("binary")), 1, 8), 16, 10).cast("long")
+  /** Per-token 32-bit hashes (one md5 pass). Store this as a column and
+    * feed [[simhash16FromHashes]] — inlining it 16× would re-run md5 per
+    * bit (higher-order exprs are outside Spark's subexpression CSE). */
+  def tokenHashes(toks: Column): Column =
+    transform(toks, w =>
+      conv(substring(md5(w.cast("binary")), 1, 8), 16, 10).cast("long"))
+
+  def simhash16FromHashes(hashes: Column): Column = {
     val bitSums = (0 until 16).map { j =>
-      aggregate(toks, lit(0L),
-        (acc, w) => acc + (shiftright(h(w), j).bitwiseAND(1) * 2 - 1))
+      aggregate(hashes, lit(0L),
+        (acc, h) => acc + (shiftright(h, j).bitwiseAND(1) * 2 - 1))
     }
     bitSums.zipWithIndex.map { case (s, j) =>
       when(s > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
+  def simhash16(toks: Column): Column = simhash16FromHashes(tokenHashes(toks))
+
   /** Blocked n-gram (word-set) Jaccard near-dup: candidate pairs share
     * (lang, n_chars/100 bucket); verified Jaccard >= threshold. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
     val prepared = docs.select(
-      $"doc_id", $"lang", floor($"n_chars" / 100).as("len_bucket"),
-      array_distinct(TextStats.tokens($"text")).as("toks"))
+        $"doc_id", $"lang", floor($"n_chars" / 100).as("len_bucket"),
+        array_distinct(TextStats.tokens($"text")).as("toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = prepared.toDF("id_a", "lang", "len_bucket", "toks_a")
     val b = prepared.toDF("id_b", "lang", "len_bucket", "toks_b")
     a.join(b, Seq("lang", "len_bucket"))

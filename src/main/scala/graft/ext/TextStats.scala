@@ -73,18 +73,29 @@ object TextStats {
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary"))
 
-  /** Full per-document stats frame. */
+  /** Full per-document stats frame. Tokenizes ONCE into a stored column,
+    * then derives raw components, then rounds/blends — higher-order
+    * expressions are outside Spark's CSE, so inlining the tokenizer into
+    * every output would re-split the text per column. */
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = tokens(col(textCol))
-    docs.select(
-      col("doc_id"),
-      tokenCount(t).as("n_tokens"),
-      size(array_distinct(t)).as("n_distinct"),
-      round(avgWordLen(t), 4).as("avg_word_len"),
-      round(punctRatio(col(textCol)), 4).as("punct_ratio"),
-      round(stopwordRatio(t), 4).as("stopword_ratio"),
-      round(qualityScore(col(textCol), t), 4).as("quality"),
-      langId(t).as("lang_pred"),
-      fingerprint(t).as("fingerprint"))
+    val t = col("_toks")
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_awl", avgWordLen(t))
+      .withColumn("_pr", punctRatio(col(textCol)))
+      .withColumn("_sr", stopwordRatio(t))
+      .select(
+        col("doc_id"),
+        tokenCount(t).as("n_tokens"),
+        size(array_distinct(t)).as("n_distinct"),
+        round(col("_awl"), 4).as("avg_word_len"),
+        round(col("_pr"), 4).as("punct_ratio"),
+        round(col("_sr"), 4).as("stopword_ratio"),
+        round(
+          (lit(1.0) - least(abs(col("_awl") - 5.5) / 5.5, lit(1.0))) * 0.4 +
+            least(col("_sr") * 5.0, lit(1.0)) * 0.3 +
+            (lit(1.0) - least(col("_pr") * 4.0, lit(1.0))) * 0.3, 4).as("quality"),
+        langId(t).as("lang_pred"),
+        fingerprint(t).as("fingerprint"))
   }
 }

@@ -57,15 +57,22 @@ object ExtQueries extends QueryGroup {
       .orderBy($"id_a", $"id_b")
 
   private val dedupMinhashSql = {
-    val sigs = (1 to 6).map(i =>
-      s"list_min(list_transform(sh, s -> md5('$i|' || s))) AS sig_$i").mkString(",\n  ")
+    import graft.ext.Dedup.{MinhashPrime, MinhashSalts}
+    val sigs = MinhashSalts.zipWithIndex.map { case ((a, b), i) =>
+      s"list_min(list_transform(hs, x -> (x * $a + $b) % $MinhashPrime)) AS sig_${i + 1}"
+    }.mkString(",\n  ")
     s"""WITH w AS (
        |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM documents),
+       |h AS (
+       |  SELECT doc_id,
+       |         list_transform(sh, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT) AS hs
+       |  FROM w),
        |sigs AS (
-       |  SELECT doc_id, $sigs FROM w),
+       |  SELECT doc_id, $sigs FROM h),
        |bands AS (
-       |  SELECT doc_id, md5(sig_1 || sig_2) AS b0, md5(sig_3 || sig_4) AS b1,
-       |         md5(sig_5 || sig_6) AS b2 FROM sigs),
+       |  SELECT doc_id, sig_1::VARCHAR || ':' || sig_2::VARCHAR AS b0,
+       |         sig_3::VARCHAR || ':' || sig_4::VARCHAR AS b1,
+       |         sig_5::VARCHAR || ':' || sig_6::VARCHAR AS b2 FROM sigs),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
@@ -86,7 +93,8 @@ object ExtQueries extends QueryGroup {
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
     docs.select($"doc_id",
-        Dedup.simhash16(TextStats.tokens($"text")).as("simhash"))
+        Dedup.tokenHashes(TextStats.tokens($"text")).as("_hs"))
+      .select($"doc_id", Dedup.simhash16FromHashes($"_hs").as("simhash"))
       .orderBy($"doc_id")
   }
 

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Geo
+
+/** F21/F22 goldens (create_sheets_TEST3.py:424-500,573-607,622-713). */
+class GeoSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("offline reverse geocode: state hit, invalid coords, miss fallback") {
+    val df = Seq(
+      ("a", "37.0", "-120.0"),    // California box
+      ("b", "44.0", "-121.0"),    // Oregon box
+      ("c", "NaN", "NaN"),        // invalid
+      ("d", "bogus", "-120.0"),   // unparseable
+      ("e", "51.0", "0.0"))       // no box -> reference fallback
+      .toDF("k", "lat", "long")
+    val out = Geo.withReverseGeocode(df, "lat", "long")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[String]("geo_resolved")).toMap
+    assert(out("a") === "USA:California")
+    assert(out("b") === "USA:Oregon")
+    assert(out("c") === "not provided")
+    assert(out("d") === "not provided")
+    assert(out("e") === "USA:California,")  // trailing comma: reference's miss fallback
+  }
+
+  test("masking cascade: (T,T) hides, (T,F) masks to township-range-section, open passes") {
+    val df = Seq(
+      // protected+exclude: fully hidden
+      ("s1", "36.0", "-119.0", "TRUE", "TRUE", "T1", "R1", "S1", "Near creek"),
+      // protected only: geo_loc becomes "USA:State, T-R-S", hidden msg
+      ("s2", "36.0", "-119.0", "TRUE", "FALSE", "T2", "R2", "S2", "Near creek"),
+      // open with real coords and existing geo_loc
+      ("s3", "36.0", "-119.0", "FALSE", "FALSE", "T3", "R3", "S3", "Near creek"),
+      // open with existing == "missing": overwritten by geocode
+      ("s4", "44.0", "-121.0", null, null, null, null, null, "missing"),
+      // open with NaN coords
+      ("s5", "NaN", "NaN", "", "", null, null, null, ""))
+      .toDF("sample_name", "lat", "long", "protected_coords", "exclude",
+        "township", "range", "section", "geo_loc_name")
+
+    val out = Geo.maskProtectedCoords(
+        Geo.withReverseGeocode(df, "lat", "long"))
+      .collect().map(r => r.getAs[String]("sample_name") -> r).toMap
+
+    val s1 = out("s1")
+    assert(s1.getAs[String]("lat_lon") === "not provided")
+    assert(s1.getAs[String]("description") === Geo.HiddenMessage)
+
+    val s2 = out("s2")
+    assert(s2.getAs[String]("geo_loc_name") === "USA:California, T2-R2-S2")
+    assert(s2.getAs[String]("description") === Geo.HiddenMessage)
+    assert(s2.isNullAt(s2.fieldIndex("lat_lon")))
+
+    val s3 = out("s3")
+    assert(s3.getAs[String]("lat_lon") === "36.0,-119.0")
+    assert(s3.getAs[String]("geo_loc_name") === "USA:California, Near creek")
+    assert(s3.isNullAt(s3.fieldIndex("description")))
+
+    val s4 = out("s4")
+    assert(s4.getAs[String]("geo_loc_name") === "USA:Oregon")  // 'missing' overwritten
+    assert(s4.getAs[String]("lat_lon") === "44.0,-121.0")
+
+    val s5 = out("s5")
+    assert(s5.getAs[String]("lat_lon") === "not provided")
+    assert(s5.getAs[String]("geo_loc_name") === "not provided")
+  }
+}
