@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.queries._
+
+/** Physical-plan audits (the 100 TB contract): filters/projections reach
+  * the parquet scan, dimensions broadcast, global top-k avoids a full
+  * sort, aggregations are map-side partial. A plan regression here is a
+  * scale bug even when results stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("s5 scan: predicate and projection pushed into the parquet scan") {
+    val plan = FilterQueries.scanFilterProject(spark, sfDir)
+      .queryExecution.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:") &&
+      plan.contains("GreaterThanOrEqual(l_shipdate"), plan)
+    // only the 4 selected columns are read
+    assert(plan.contains("ReadSchema") && !plan.contains("l_extendedprice"), plan)
+  }
+
+  test("j1/j2 dimension lookups are broadcast joins (no shuffle of the fact side)") {
+    assert(planOf(JoinQueries.twoTierLookup(spark, sfDir)).contains("BroadcastHashJoin"))
+    assert(planOf(JoinQueries.dimLookup(spark, sfDir)).contains("BroadcastHashJoin"))
+  }
+
+  test("j3 substring linkage is a broadcast nested-loop over the tiny side only") {
+    val plan = planOf(JoinQueries.substringLinkage(spark, sfDir))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("o1 global top-k plans as TakeOrderedAndProject (no full sort shuffle)") {
+    val plan = planOf(SortSetQueries.topOrders(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("a1 aggregations are map-side partial (two HashAggregate phases)") {
+    val plan = planOf(AggQueries.conditionalAgg(spark, sfDir))
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("cleaning functions stay narrow: no Exchange in a pure select") {
+    val df = Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.CleaningFunctions.normalizeName(col("text")),
+        graft.functions.CleaningFunctions.checkDate(col("lang")))
+    assert(!planOf(df).contains("Exchange"))
+  }
+
+  test("custom expressions run inside whole-stage codegen") {
+    val df = Tables.load(spark, sfDir, "documents")
+      .select(graft.functions.CustomExpressions.fuzz_ratio(col("text"), col("lang")),
+        graft.functions.CustomExpressions.dms_to_decimal(col("text")))
+    // '*(n)' prefixes mark operators fused into WholeStageCodegen stage n
+    val plan = planOf(df)
+    assert(plan.contains("*(1) Project") && plan.contains("fuzz_ratio"), plan)
+  }
+
+  test("scalable linkage equi path is a hash join, not a nested loop") {
+    val samples = Fixtures.samples(spark)
+    val reads = Fixtures.reads(spark)
+    val probes = graft.ops.Linkage.candidateKeys(samples)
+      .withColumn("norm_key", graft.ops.Linkage.normKey(col("key")))
+    val fileKeys = graft.ops.Linkage.filePrefixKeys(reads)
+    val equi = fileKeys.join(probes, col("file_key") === col("norm_key"))
+    assert(planOf(equi).contains("HashJoin") && !planOf(equi).contains("NestedLoop"))
+  }
+}
