@@ -105,10 +105,14 @@ object Dedup {
       .select($"id_a", $"id_b").distinct()
   }
 
-  /** Word-set Jaccard similarity of two token-array columns. */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_union(a, b)).cast("double")
+  /** Word-set Jaccard similarity of two DISTINCT-element array columns.
+    * |a∪b| = |a|+|b|−|a∩b|, so only the intersection is materialized —
+    * array_union would allocate the union array per pair just to take
+    * its size. Codegen CSE shares the one array_intersect. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - inter)
+  }
 
   /** MinHash-LSH near-dup pipeline: candidates via band buckets, verified
     * with true shingle-set Jaccard >= threshold.

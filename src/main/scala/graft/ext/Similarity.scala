@@ -16,10 +16,13 @@ import org.apache.spark.sql.expressions.Window
 object Similarity {
 
   /** Dot product of two float-array columns, accumulated in double in
-    * index order (deterministic, engine-portable). */
+    * index order (deterministic, engine-portable). Backed by the codegen
+    * [[graft.functions.DotProduct]] expression — the equivalent
+    * zip_with/aggregate formulation runs interpreted (no codegen for
+    * higher-order functions) and was the bench hotspot for cosine
+    * scoring. Results are bit-identical. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.CustomExpressions.dot_product(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
