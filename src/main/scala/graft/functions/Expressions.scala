@@ -63,25 +63,15 @@ object ExprUtil {
     math.round(100.0 * (1.0 - dist.toDouble / (n + m))).toInt
   }
 
-  def dotFloat(a: org.apache.spark.sql.catalyst.util.ArrayData,
-      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
+  def dot(a: org.apache.spark.sql.catalyst.util.ArrayData, aFloat: Boolean,
+      b: org.apache.spark.sql.catalyst.util.ArrayData, bFloat: Boolean): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var acc = 0.0
     var i = 0
     while (i < n) {
-      acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble
-      i += 1
-    }
-    acc
-  }
-
-  def dotDouble(a: org.apache.spark.sql.catalyst.util.ArrayData,
-      b: org.apache.spark.sql.catalyst.util.ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += a.getDouble(i) * b.getDouble(i)
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      acc += x * y
       i += 1
     }
     acc
@@ -133,19 +123,18 @@ object CustomExpressions {
 case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
   import org.apache.spark.sql.types.{ArrayType, FloatType}
   override def dataType: DataType = DoubleType
-  private lazy val isFloat = left.dataType match {
+  private def isFloat(e: Expression) = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
-    if (isFloat) ExprUtil.dotFloat(x, y) else ExprUtil.dotDouble(x, y)
-  }
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val fn = if (isFloat) "dotFloat" else "dotDouble"
-    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.ExprUtil.$fn($a, $b)")
-  }
+  private lazy val lFloat = isFloat(left)
+  private lazy val rFloat = isFloat(right)
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ExprUtil.dot(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], lFloat,
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], rFloat)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.ExprUtil.dot($a, $lFloat, $b, $rFloat)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): DotProduct =
     copy(l, r)
   override def prettyName: String = "dot_product"
