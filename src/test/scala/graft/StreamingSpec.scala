@@ -40,6 +40,39 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("watermark drops late rows beyond the threshold (append mode)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.arrivalCounts(events, watermark = "10 minutes",
+      window_ = "10 minutes")
+    val q = agg.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("late_test").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: events at 10:00-10:09 and 10:30 (advances watermark to 10:20)
+      input.addData(
+        (ts("2024-01-01 10:00:00"), "a", 1.0),
+        (ts("2024-01-01 10:05:00"), "a", 2.0),
+        (ts("2024-01-01 10:30:00"), "a", 3.0))
+      q.processAllAvailable()
+      // batch 2: a LATE event for the already-closed 10:00 window
+      input.addData((ts("2024-01-01 10:01:00"), "a", 100.0))
+      q.processAllAvailable()
+      // batch 3: advance far so all windows close and emit
+      input.addData((ts("2024-01-01 12:00:00"), "a", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("late_test")
+      .collect().map(r => r.getAs[java.sql.Timestamp]("window_start") -> r.getAs[Long]("n")).toMap
+    // the 10:00 window closed with 2 events; the late 100.0 was dropped
+    assert(out(ts("2024-01-01 10:00:00")) === 2L)
+    assert(out(ts("2024-01-01 10:30:00")) === 1L)
+  }
+
   test("insert-only merge sink: ledger skips processed files, never clobbers") {
     import spark.implicits._
     val landing = tmpDir("graft-landing2")
