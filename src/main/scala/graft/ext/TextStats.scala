@@ -73,6 +73,31 @@ object TextStats {
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary"))
 
+  /** TF-IDF top-k terms per document (HashingTF-equivalent, SURVEY §7.9):
+    * tf = term count in doc, idf = ln((N+1)/(df+1)), top-k by tf·idf with
+    * lexicographic tie-break. Two hash aggregations + one broadcast of
+    * the (term, idf) dimension — no all-pairs work; at 100 TB the term
+    * dimension is the only state and it is vocabulary-bounded. */
+  def tfidf(docs: DataFrame, k: Int = 3, textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = docs.select(col("doc_id"),
+      explode(tokens(col(textCol))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(countDistinct(col("doc_id")).as("n_docs"))
+    val scored = tf
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n_docs") + 1) / (col("df") + 1)), 6))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(desc("tfidf"), col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+  }
+
   /** Full per-document stats frame. Tokenizes ONCE into a stored column,
     * then derives raw components, then rounds/blends — higher-order
     * expressions are outside Spark's CSE, so inlining the tokenizer into

@@ -1,0 +1,32 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical layout helpers for the 100 TB deployment (SURVEY §4.1):
+  * `samples`/`reads` partitioned by `ccgp_project_id` so per-project
+  * pipelines (`create_sheets -p <pid>` shape) prune at the source, and
+  * a deterministic salting helper for skewed join keys.
+  */
+object Layout {
+
+  /** Write a table partitioned by the project key: a `-p <pid>` scan
+    * then reads exactly one directory (partition pruning; dynamic
+    * partition pruning covers the join-driven case). */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCol: String = "ccgp_project_id"): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(path)
+
+  /** Salted equi join for skewed keys: the big side gets a deterministic
+    * per-row salt in [0, n); the small side is replicated n times; the
+    * join key becomes (key, salt) so one hot key spreads across n
+    * partitions. Semantics identical to big ⋈ small on `key`. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      nSalts: Int, joinType: String = "inner"): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(nSalts - 1))))
+    salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
+  }
+}

@@ -207,7 +207,32 @@ object ExtQueries extends QueryGroup {
        |FROM stats ORDER BY doc_id""".stripMargin
   }
 
+  /** TF-IDF top-3 terms per document. */
+  def tfidfTop(spark: SparkSession, dir: String): DataFrame =
+    TextStats.tfidf(load(spark, dir, "documents"), 3)
+      .orderBy($"doc_id", $"rank")
+
+  private val tfidfTopSql =
+    s"""WITH terms AS (
+       |  SELECT doc_id, unnest($toksSql) AS term FROM documents),
+       |tf AS (
+       |  SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |dfreq AS (
+       |  SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT tf.doc_id, tf.term,
+       |         round(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+       |  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+       |ranked AS (
+       |  SELECT *, row_number() OVER (PARTITION BY doc_id
+       |                               ORDER BY tfidf DESC, term) AS rank
+       |  FROM scored)
+       |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
+       |ORDER BY doc_id, rank""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
