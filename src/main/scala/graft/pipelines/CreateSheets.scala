@@ -60,6 +60,43 @@ object CreateSheets {
       col("filename"), col("filename2"))
   }
 
+  /** NCBI BioSample taxon column whitelists (create_sheets.py:194-299):
+    * the engine keeps the intersection with whatever columns the project
+    * actually has (P1/U3 schema intersection). */
+  val plantCols: Seq[String] = Seq(
+    "sample_name", "sample_title", "bioproject_accession", "organism",
+    "isolate", "cultivar", "ecotype", "age", "*gen_loc_name", "*tissue",
+    "biomaterial_provider", "cell_line", "cell_type", "collected_by",
+    "collection_date", "culture_collection", "disease", "disease_stage",
+    "genotype", "growth_protocol", "isolation_source", "lat_lon",
+    "phenotype", "population", "sample_type", "sex", "specimen_voucher",
+    "temp", "treatment", "description", "design_description")
+  val invertebrateCols: Seq[String] = Seq(
+    "sample_name", "sample_title", "bioproject_accession", "organism",
+    "isolate", "breed", "host", "isolation_source", "*collection_date",
+    "*geo_loc_name", "*tissue", "age", "altitude", "biomaterial_provider",
+    "collected_by", "depth", "dev_stage", "env_broad_scale",
+    "host_tissue_sampled", "identified_by", "lat_lon", "sex",
+    "specimen_voucher", "temp", "description", "design_description")
+  val vertebrateCols: Seq[String] = Seq(
+    "sample_name", "sample_title", "bioproject_accession", "organism",
+    "strain", "isolate", "breed", "cultivar", "ecotype", "age", "dev_stage",
+    "*sex", "*tissue", "biomaterial_provider", "birth_date",
+    "birth_location", "breeding_history", "breeding_method", "cell_line",
+    "cell_subtype", "cell_type", "collected_by", "collection_date",
+    "culture_collection", "death_date", "disease", "disease_stage",
+    "genotype", "geo_loc_name", "growth_protocol", "health_state",
+    "isolation_source", "lat_lon", "phenotype", "sample_type",
+    "specimen_voucher", "store_cond", "stud_book_number", "treatment",
+    "description", "design_description")
+
+  /** Taxon → whitelist dispatch (gsheets.py:41-45 `NCBI Template`). */
+  def taxonCols(taxon: String): Seq[String] = taxon match {
+    case "Plant"        => plantCols
+    case "Invertebrate" => invertebrateCols
+    case _              => vertebrateCols
+  }
+
   /** Biosample sheet core (create_sheets.py:171-311): lat_lon compose,
     * isolate uniquifier, empty bioproject accession, taxon column
     * whitelist intersection. */

@@ -177,7 +177,29 @@ object AggQueries extends QueryGroup {
   private val histogramSql =
     "SELECT event_type, count(*) AS n FROM events GROUP BY event_type ORDER BY event_type"
 
+  /** Rollup subtotals (engine surface beyond the reference: Spark's
+    * rollup/cube/grouping-sets are free once aggregation is declarative).
+    * NULL group markers replaced for deterministic comparison. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"n", $"qty")
+      .orderBy($"flag", $"status")
+  }
+
+  private val rollupAggSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("a12_rollup", rollupAgg, Some(rollupAggSql)),
     QueryDef("a1_project_summary", projectSummary, Some(projectSummarySql)),
     QueryDef("a2_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
     QueryDef("a3_group_proportion", groupProportion, Some(groupProportionSql)),

@@ -231,7 +231,16 @@ object ExtQueries extends QueryGroup {
        |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
+  /** LSH-bucketed ANN (scale path; approximate by design, so no SQL
+    * oracle — recall vs brute force is asserted in SimilaritySpec). */
+  def simLsh(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    Similarity.lshTopK(emb.where($"vec_id" < 10), emb, 5, nPlanes = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_sim_lsh_ann", simLsh, None),
     QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),

@@ -133,6 +133,23 @@ class PipelineSpec extends SparkSpec {
     assert(r.getAs[String]("title") === "Whole genome sequencing of Sceloporus occidentalis")
   }
 
+  test("biosample sheet: taxon whitelist intersection, isolate, lat_lon compose") {
+    import spark.implicits._
+    val samples = Seq(
+      ("s one", "Genus species", "1-P", "prep", "32.5", "-120.2", "F", "liver"))
+      .toDF("*sample_name", "*organism", "ccgp_project_id",
+        "library_prep_method", "lat", "long", "sex", "*tissue")
+    val sheet = CreateSheets.biosampleSheet(samples, "1-P",
+      CreateSheets.taxonCols("Plant"))
+    // whitelist ∩ actual columns only; order columns exist
+    assert(sheet.columns.contains("isolate") && sheet.columns.contains("lat_lon"))
+    assert(sheet.columns.contains("sex") && !sheet.columns.contains("cultivar"))
+    val r = sheet.collect()(0)
+    assert(r.getAs[String]("isolate") === "Genus_species_s one")
+    assert(r.getAs[String]("lat_lon") === "32.5,-120.2")
+    assert(r.getAs[String]("bioproject_accession") === "")
+  }
+
   test("dashboard summary: counts, mode, pct done, missing-data lists, sort") {
     import spark.implicits._
     val samples = Seq(
