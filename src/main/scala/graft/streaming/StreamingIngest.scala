@@ -41,6 +41,36 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Per-key custom state for the stateful-dedup/running-counter shape
+    * (flatMapGroupsWithState): tracks ids already seen per key so a
+    * reprocessed event emits nothing, plus a running count — the
+    * reference's processed-ledger semantics as explicit operator state
+    * instead of a side table. */
+  case class KeyedEvent(user_id: Long, event_id: Long, value: Double)
+  case class SeenState(seen: Set[Long], count: Long)
+  case class FreshEvent(user_id: Long, event_id: Long, value: Double, seq: Long)
+
+  def dedupWithState(events: org.apache.spark.sql.Dataset[KeyedEvent])
+      : org.apache.spark.sql.Dataset[FreshEvent] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SeenState, FreshEvent](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[KeyedEvent], state: GroupState[SeenState]) =>
+          var st = state.getOption.getOrElse(SeenState(Set.empty, 0L))
+          val out = scala.collection.mutable.ArrayBuffer[FreshEvent]()
+          rows.foreach { e =>
+            if (!st.seen.contains(e.event_id)) {
+              st = SeenState(st.seen + e.event_id, st.count + 1)
+              out += FreshEvent(e.user_id, e.event_id, e.value, st.count)
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Insert-only merge sink: each micro-batch merges into the target
     * directory with `$setOnInsert` semantics (discovery never clobbers
     * enrichments) — update_reads.py:46-56 as a streaming sink. */

@@ -73,6 +73,31 @@ class StreamingSpec extends SparkSpec {
     assert(out(ts("2024-01-01 10:30:00")) === 1L)
   }
 
+  test("flatMapGroupsWithState: per-key dedup state across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[StreamingIngest.KeyedEvent]
+    val out = StreamingIngest.dedupWithState(input.toDS())
+    val q = out.writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("stateful_dedup").start()
+    import StreamingIngest.KeyedEvent
+    try {
+      input.addData(KeyedEvent(1, 10, 1.0), KeyedEvent(1, 11, 2.0), KeyedEvent(2, 10, 3.0))
+      q.processAllAvailable()
+      // batch 2: event 10 for user 1 REPLAYED (must not re-emit), one new
+      input.addData(KeyedEvent(1, 10, 99.0), KeyedEvent(1, 12, 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("stateful_dedup").as[StreamingIngest.FreshEvent]
+      .collect().sortBy(e => (e.user_id, e.event_id))
+    assert(rows.map(e => (e.user_id, e.event_id)).toSeq ===
+      Seq((1L, 10L), (1L, 11L), (1L, 12L), (2L, 10L)))
+    // running counter continues across batches for user 1
+    assert(rows.find(e => e.user_id == 1 && e.event_id == 12).get.seq === 3L)
+  }
+
   test("insert-only merge sink: ledger skips processed files, never clobbers") {
     import spark.implicits._
     val landing = tmpDir("graft-landing2")
