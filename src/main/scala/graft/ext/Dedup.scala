@@ -202,11 +202,16 @@ object Dedup {
     val prepared = docs.select(
         $"doc_id", $"lang", floor($"n_chars" / 100).as("len_bucket"),
         array_distinct(TextStats.tokens($"text")).as("toks"))
+      .withColumn("n_toks", size($"toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prepared.toDF("id_a", "lang", "len_bucket", "toks_a")
-    val b = prepared.toDF("id_b", "lang", "len_bucket", "toks_b")
+    val a = prepared.toDF("id_a", "lang", "len_bucket", "toks_a", "n_a")
+    val b = prepared.toDF("id_b", "lang", "len_bucket", "toks_b", "n_b")
     a.join(b, Seq("lang", "len_bucket"))
       .where($"id_a" < $"id_b")
+      // lossless size prefilter: |a∩b| ≤ min ⇒ j ≤ min/max, so pairs with
+      // min/max < threshold can't pass — skip the intersect entirely
+      .where(least($"n_a", $"n_b").cast("double") /
+        greatest($"n_a", $"n_b") >= threshold)
       .select($"id_a", $"id_b", $"lang",
         round(jaccard($"toks_a", $"toks_b"), 4).as("jaccard"))
       .where($"jaccard" >= threshold)
