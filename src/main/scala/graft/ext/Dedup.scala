@@ -170,8 +170,8 @@ object Dedup {
       .join(sets.toDF("sid_a", "set_a"), $"id_a" === $"sid_a")
       .join(sets.toDF("sid_b", "set_b"), $"id_b" === $"sid_b")
       .select($"id_a", $"id_b",
-        round(jaccard($"set_a", $"set_b"), 4).as("jaccard"))
-      .where($"jaccard" >= threshold)
+        Similarity.floorQ4(jaccard($"set_a", $"set_b")).as("jaccard_q4"))
+      .where($"jaccard_q4" >= math.floor(threshold * 10000).toLong)
     out
   }
 
@@ -213,7 +213,7 @@ object Dedup {
       .where(least($"n_a", $"n_b").cast("double") /
         greatest($"n_a", $"n_b") >= threshold)
       .select($"id_a", $"id_b", $"lang",
-        round(jaccard($"toks_a", $"toks_b"), 4).as("jaccard"))
-      .where($"jaccard" >= threshold)
+        Similarity.floorQ4(jaccard($"toks_a", $"toks_b")).as("jaccard_q4"))
+      .where($"jaccard_q4" >= math.floor(threshold * 10000).toLong)
   }
 }

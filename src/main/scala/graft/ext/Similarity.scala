@@ -41,8 +41,14 @@ object Similarity {
     val w = Window.partitionBy($"q_id").orderBy(desc("cos"), $"n_id")
     scored.withColumn("rank", row_number().over(w))
       .where($"rank" <= k)
-      .select($"q_id", $"n_id", $"rank", round($"cos", 4).as("cos"))
+      .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
   }
+
+  /** Mode-free 4-decimal quantization: floor(x·10⁴) is bit-deterministic
+    * across engines given identical doubles, unlike round() whose
+    * half-way behavior differs (Spark exact-decimal HALF_UP vs DuckDB
+    * scaled nearbyint) — a real divergence observed at sf0.1. */
+  def floorQ4(c: Column): Column = floor(c * 10000).cast("long")
 
   /** Deterministic pseudo-random hyperplanes (seeded), dim × nPlanes. */
   def hyperplanes(dim: Int, nPlanes: Int, seed: Long = 42L): Array[Array[Double]] = {
@@ -75,7 +81,7 @@ object Similarity {
     val w = Window.partitionBy($"q_id").orderBy(desc("cos"), $"n_id")
     scored.withColumn("rank", row_number().over(w))
       .where($"rank" <= k)
-      .select($"q_id", $"n_id", $"rank", round($"cos", 4).as("cos"))
+      .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
   }
 
   /** Embedding-cosine near-dup pairs (blocked by label to bound the
@@ -87,7 +93,7 @@ object Similarity {
     a.join(b, Seq("label"))
       .where($"id_a" < $"id_b")
       .select($"id_a", $"id_b", $"label",
-        round(cosine($"vec_a", $"vec_b"), 4).as("cos"))
-      .where($"cos" >= threshold)
+        floorQ4(cosine($"vec_a", $"vec_b")).as("cos_q4"))
+      .where($"cos_q4" >= math.floor(threshold * 10000).toLong)
   }
 }

@@ -102,6 +102,29 @@ object TextStats {
     * then derives raw components, then rounds/blends — higher-order
     * expressions are outside Spark's CSE, so inlining the tokenizer into
     * every output would re-split the text per column. */
+  /** quality_q4 = floor(10⁴·quality) computed in EXACT integer arithmetic
+    * from the raw counts (S=Σ token lengths, n=#tokens, c=#stopwords,
+    * p=#punct chars, L=#chars):
+    *   lenScore  = A/(11n), A = 11n − min(|2S−11n|, 11n)
+    *   stopScore = B/n,     B = min(5c, n)
+    *   punctScore= C/L,     C = L − min(4p, L)
+    *   q4 = (4000·A·L + 33000·B·L + 33000·C·n) div (11·n·L)
+    * The double-precision blend produced different last-bit results in
+    * Spark vs DuckDB (FP contraction), which flipped rounding at 4 dp;
+    * integer arithmetic is engine-exact. */
+  def qualityQ4(s: Column, n0: Column, c: Column, p: Column, l0: Column): Column = {
+    val n = greatest(n0, lit(1)).cast("long")
+    val l = greatest(l0, lit(1)).cast("long")
+    val a = lit(11L) * n - least(abs(lit(2L) * s - lit(11L) * n), lit(11L) * n)
+    val b = least(lit(5L) * c, n)
+    val cc = l - least(lit(4L) * p, l)
+    val num = lit(4000L) * a * l + lit(33000L) * b * l + lit(33000L) * cc * n
+    val den = lit(11L) * n * l
+    // exact integer division (num - num%den is an exact multiple, and
+    // both operands are < 2^53 so the double division is exact)
+    ((num - pmod(num, den)) / den).cast("long")
+  }
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col("_toks")
     docs
@@ -109,6 +132,13 @@ object TextStats {
       .withColumn("_awl", avgWordLen(t))
       .withColumn("_pr", punctRatio(col(textCol)))
       .withColumn("_sr", stopwordRatio(t))
+      .withColumn("_s", aggregate(t, lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("_n", size(t).cast("long"))
+      .withColumn("_c", stopwordCount(t, "en").cast("long"))
+      .withColumn("_len", length(col(textCol)).cast("long"))
+      .withColumn("_p",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[\\p{Punct}]", ""))).cast("long"))
       .select(
         col("doc_id"),
         tokenCount(t).as("n_tokens"),
@@ -116,10 +146,8 @@ object TextStats {
         round(col("_awl"), 4).as("avg_word_len"),
         round(col("_pr"), 4).as("punct_ratio"),
         round(col("_sr"), 4).as("stopword_ratio"),
-        round(
-          (lit(1.0) - least(abs(col("_awl") - 5.5) / 5.5, lit(1.0))) * 0.4 +
-            least(col("_sr") * 5.0, lit(1.0)) * 0.3 +
-            (lit(1.0) - least(col("_pr") * 4.0, lit(1.0))) * 0.3, 4).as("quality"),
+        qualityQ4(col("_s"), col("_n"), col("_c"), col("_p"), col("_len"))
+          .as("quality_q4"),
         langId(t).as("lang_pred"),
         fingerprint(t).as("fingerprint"))
   }

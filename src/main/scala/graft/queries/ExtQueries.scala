@@ -81,11 +81,11 @@ object ExtQueries extends QueryGroup {
        |  SELECT doc_id, list_distinct(${shinglesSql(toksSql)}) AS ss FROM documents),
        |scored AS (
        |  SELECT c.id_a, c.id_b,
-       |         round(len(list_intersect(sa.ss, sb.ss))::DOUBLE /
-       |               len(list_distinct(list_concat(sa.ss, sb.ss))), 4) AS jaccard
+       |         CAST(floor(len(list_intersect(sa.ss, sb.ss))::DOUBLE /
+       |               len(list_distinct(list_concat(sa.ss, sb.ss))) * 10000) AS BIGINT) AS jaccard_q4
        |  FROM cand c JOIN sets sa ON c.id_a = sa.doc_id
        |              JOIN sets sb ON c.id_b = sb.doc_id)
-       |SELECT id_a, id_b, jaccard FROM scored WHERE jaccard >= 0.5
+       |SELECT id_a, id_b, jaccard_q4 FROM scored WHERE jaccard_q4 >= 5000
        |ORDER BY id_a, id_b""".stripMargin
   }
 
@@ -119,12 +119,12 @@ object ExtQueries extends QueryGroup {
        |         list_distinct($toksSql) AS toks
        |  FROM documents)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
-       |       round(len(list_intersect(a.toks, b.toks))::DOUBLE /
-       |             len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+       |       CAST(floor(len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |             len(list_distinct(list_concat(a.toks, b.toks))) * 10000) AS BIGINT) AS jaccard_q4
        |FROM p a JOIN p b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
        |                 AND a.doc_id < b.doc_id
-       |WHERE len(list_intersect(a.toks, b.toks))::DOUBLE /
-       |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+       |WHERE floor(len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |      len(list_distinct(list_concat(a.toks, b.toks))) * 10000) >= 8000
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Embedding-cosine near-dup pairs within label blocks. */
@@ -139,10 +139,10 @@ object ExtQueries extends QueryGroup {
 
   private val dedupEmbeddingSql =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
-       |       round(${cosSql("a.embedding", "b.embedding")}, 4) AS cos
+       |       CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS cos_q4
        |FROM embeddings a JOIN embeddings b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
-       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.3
+       |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
@@ -162,7 +162,7 @@ object ExtQueries extends QueryGroup {
        |  SELECT q_id, n_id, cos,
        |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
        |  FROM scored)
-       |SELECT q_id, n_id, rank, round(cos, 4) AS cos
+       |SELECT q_id, n_id, rank, CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
 
   /** Per-document text statistics (token counts, quality, lang-id,
@@ -188,6 +188,11 @@ object ExtQueries extends QueryGroup {
        |  SELECT doc_id,
        |    len(ws) AS n_tokens,
        |    len(list_distinct(ws)) AS n_distinct,
+       |    list_sum(list_transform(ws, w -> length(w)))::BIGINT AS s,
+       |    greatest(len(ws), 1)::BIGINT AS n,
+       |    s_en::BIGINT AS c,
+       |    greatest(length(text), 1)::BIGINT AS l,
+       |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p,
        |    list_sum(list_transform(ws, w -> length(w)))::DOUBLE
        |      / greatest(len(ws), 1) AS awl,
        |    (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE
@@ -200,9 +205,9 @@ object ExtQueries extends QueryGroup {
        |  round(awl, 4) AS avg_word_len,
        |  round(pr, 4) AS punct_ratio,
        |  round(sr, 4) AS stopword_ratio,
-       |  round((1.0 - least(abs(awl - 5.5) / 5.5, 1.0)) * 0.4
-       |        + least(sr * 5.0, 1.0) * 0.3
-       |        + (1.0 - least(pr * 4.0, 1.0)) * 0.3, 4) AS quality,
+       |  (4000 * (11*n - least(abs(2*s - 11*n), 11*n)) * l
+       |   + 33000 * least(5*c, n) * l
+       |   + 33000 * (l - least(4*p, l)) * n) // (11 * n * l) AS quality_q4,
        |  lang_pred, fingerprint
        |FROM stats ORDER BY doc_id""".stripMargin
   }

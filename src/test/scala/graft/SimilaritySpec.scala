@@ -21,7 +21,7 @@ class SimilaritySpec extends SparkSpec {
     byQ.values.foreach { rows =>
       assert(rows.length === 3)
       val sorted = rows.sortBy(_.getAs[Int]("rank"))
-      val cosines = sorted.map(_.getAs[Double]("cos"))
+      val cosines = sorted.map(_.getAs[Long]("cos_q4"))
       assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b })
     }
   }
