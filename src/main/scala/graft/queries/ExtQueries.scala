@@ -244,7 +244,17 @@ object ExtQueries extends QueryGroup {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Multimodal decode plumbing (stub codec — no SQL oracle; the
+    * deterministic fake metadata is asserted in MultimodalSpec). */
+  def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Multimodal
+    Multimodal.decode(
+        Multimodal.syntheticAssets(spark, load(spark, dir, "documents")))
+      .toDF().orderBy($"asset_id")
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_multimodal_meta", multimodalMeta, None),
     QueryDef("ext_sim_lsh_ann", simLsh, None),
     QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
