@@ -115,6 +115,34 @@ object IngestMetadata {
     finalize(df)
   }
 
+  /** Batch ingestion with per-file error capture (update_metadata.py:
+    * 97-105): a bad sheet records an error-ledger row and the pipeline
+    * continues; good sheets union into one frame. Returns
+    * (samples, ledger(file_name, status, error)). */
+  def ingestMany(spark: SparkSession, files: Seq[(String, String)],
+      speciesProjects: DataFrame, assemblies: DataFrame): (Option[DataFrame], DataFrame) = {
+    val results = files.map { case (path, kind) =>
+      try {
+        val df = kind match {
+          case "minicore" => minicore(spark, path, speciesProjects, assemblies)
+          case _          => nonMinicore(spark, path, speciesProjects, assemblies)
+        }
+        df.count() // force the parse so errors surface here, not downstream
+        (path, Right(df))
+      } catch {
+        case e: Throwable => (path, Left(Option(e.getMessage).getOrElse(e.toString)))
+      }
+    }
+    val ledger = spark.createDataFrame(results.map {
+      case (p, Right(_)) => (p, "ok", null.asInstanceOf[String])
+      case (p, Left(err)) => (p, "error", err.take(500))
+    }).toDF("file_name", "status", "error")
+    val good = results.collect { case (_, Right(df)) => df }
+    val samples = good.reduceOption((a, b) =>
+      a.unionByName(b, allowMissingColumns = true))
+    (samples, ledger)
+  }
+
   /** Boilerplate minicore library-prep description (parse.py:211-219,
     * abridged to first sentence — content is constant metadata text). */
   val MinicoreLibraryPrep: String =

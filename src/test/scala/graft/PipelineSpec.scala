@@ -75,6 +75,21 @@ class PipelineSpec extends SparkSpec {
     assert(m2.getAs[Double]("long") === -121.9)
   }
 
+  test("batch ingestion captures per-file errors and continues (update_metadata.py:97-105)") {
+    val bad = java.nio.file.Files.createTempFile("graft-bad", ".tsv")
+    java.nio.file.Files.writeString(bad, "no header marker here\njust junk\n")
+    val (samples, ledger) = IngestMetadata.ingestMany(spark, Seq(
+      (s"$fixtures/samples_non_minicore.tsv", "non-minicore"),
+      (bad.toString, "non-minicore")),
+      speciesProjects, assemblies)
+    val led = ledger.collect().map(r => r.getAs[String]("file_name") ->
+      (r.getAs[String]("status"), r.getAs[String]("error"))).toMap
+    assert(led(s"$fixtures/samples_non_minicore.tsv")._1 === "ok")
+    assert(led(bad.toString)._1 === "error")
+    assert(led(bad.toString)._2 != null)
+    assert(samples.isDefined && samples.get.count() === 4)  // good file still ingested
+  }
+
   test("workflow sheet minimum slice end-to-end (§7.3): pair, derive, write, stamp") {
     import spark.implicits._
     val samples = Seq(
