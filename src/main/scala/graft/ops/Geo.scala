@@ -7,12 +7,15 @@ import org.apache.spark.sql.functions._
   * cascade (SURVEY §2.8, hard part 4).
   *
   * The reference calls Nominatim per row (create_sheets_TEST3.py:622-713);
-  * the engine has no network, so the provider is a broadcast state
-  * bounding-box dimension join — same output grammar
-  * (`"{country}:{state}"`, `"not provided"` for invalid coords,
-  * `"USA:California,"` trailing-comma fallback on a miss), deterministic,
-  * and a narrow broadcast join at any scale. A network-backed provider
-  * can be swapped in by replacing the bbox frame.
+  * the engine has no network, so the provider is a state bounding-box
+  * lookup — same output grammar (`"{country}:{state}"`, `"not provided"`
+  * for invalid coords, `"USA:California,"` trailing-comma fallback on a
+  * miss), deterministic. The dimension is tiny and static, so the lookup
+  * compiles to a chained `when` expression: fully narrow, codegen'd, zero
+  * shuffle, and — unlike a join-then-regroup — it cannot change row
+  * multiplicity or choke on non-groupable (map) columns. A dynamic
+  * dimension goes through [[withReverseGeocodeFrom]], which collects the
+  * (by-definition small) box table and builds the same expression.
   */
 object Geo {
 
@@ -35,34 +38,50 @@ object Geo {
     spark.createDataFrame(stateBoxes)
       .toDF("state", "lat_min", "lat_max", "long_min", "long_max")
 
+  /** The geocode grammar as a single narrow expression over parsed
+    * coordinates. Ambiguous box overlaps resolve to the first state in
+    * declaration order (deterministic); invalid/NaN → "not provided";
+    * miss → "USA:California," (reference fallback,
+    * create_sheets_TEST3.py:694). */
+  def geocodeExpr(lat: Column, long: Column,
+      boxes: Seq[(String, Double, Double, Double, Double)] = stateBoxes): Column = {
+    val best = boxes.foldRight(lit(null).cast("string")) {
+      case ((state, latMin, latMax, longMin, longMax), acc) =>
+        when(lat.between(latMin, latMax) && long.between(longMin, longMax),
+          lit(state)).otherwise(acc)
+    }
+    when(lat.isNull || long.isNull || isnan(lat) || isnan(long),
+        lit("not provided"))
+      .when(best.isNotNull, concat(lit("USA:"), best))
+      .otherwise(lit("USA:California,"))
+  }
+
   /** F21 — offline reverse geocode: adds `geo_resolved` from (lat, long)
-    * string columns. Invalid/NaN → "not provided"; bbox hit →
-    * "USA:{state}"; miss → "USA:California," (reference fallback,
-    * create_sheets_TEST3.py:694). Ambiguous overlaps resolve to the
-    * first state in declaration order (deterministic). */
+    * string columns. Pure per-row expression: preserves row multiplicity
+    * exactly (the reference geocodes each row independently) and imposes
+    * no constraint on the rest of the schema. */
   def withReverseGeocode(df: DataFrame, latCol: String, longCol: String,
-      out: String = "geo_resolved"): DataFrame = {
-    val spark = df.sparkSession
-    val lat = col(latCol).try_cast("double")
-    val long = col(longCol).try_cast("double")
-    val boxes = bboxFrame(spark)
-      .withColumn("_prio", monotonically_increasing_id())
-    val withCoords = df
-      .withColumn("_glat", lat).withColumn("_glong", long)
-    val hit = withCoords
-      .join(broadcast(boxes),
-        col("_glat").between(col("lat_min"), col("lat_max")) &&
-          col("_glong").between(col("long_min"), col("long_max")),
-        "left")
-      .groupBy(withCoords.columns.map(c => col(s"`$c`")).toIndexedSeq: _*)
-      .agg(min(struct(col("_prio"), col("state"))).as("_best"))
-      .withColumn(out,
-        when(col("_glat").isNull || col("_glong").isNull ||
-          isnan(col("_glat")) || isnan(col("_glong")), lit("not provided"))
-          .when(col("_best.state").isNotNull, concat(lit("USA:"), col("_best.state")))
-          .otherwise(lit("USA:California,")))
-      .drop("_glat", "_glong", "_best")
-    hit
+      out: String = "geo_resolved"): DataFrame =
+    df.withColumn(out,
+      geocodeExpr(col(latCol).try_cast("double"), col(longCol).try_cast("double")))
+
+  /** Same lookup driven by a bbox DataFrame (columns state, lat_min,
+    * lat_max, long_min, long_max). A geocode dimension is small by
+    * definition, so it is collected once on the driver and inlined into
+    * the expression — the "broadcast as literal" pattern, which keeps the
+    * scan narrow instead of fanning rows out through a theta join. */
+  def withReverseGeocodeFrom(df: DataFrame, boxes: DataFrame,
+      latCol: String, longCol: String, out: String = "geo_resolved"): DataFrame = {
+    val collected = boxes
+      .select(col("state"), col("lat_min").cast("double"),
+        col("lat_max").cast("double"), col("long_min").cast("double"),
+        col("long_max").cast("double"))
+      .collect().toIndexedSeq
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4)))
+    df.withColumn(out,
+      geocodeExpr(col(latCol).try_cast("double"), col(longCol).try_cast("double"),
+        collected))
   }
 
   /** F22 — protected-coords masking cascade
@@ -91,7 +110,12 @@ object Geo {
           .when(open, latLonOpen)
           .otherwise(lit(null).cast("string")))
       .withColumn("description",
-        when(bothTrue || protOnly, lit(HiddenMessage)))
+        // the reference only WRITES description for protected rows
+        // (create_sheets_TEST3.py:451-500); open rows keep whatever
+        // description they already carry
+        when(bothTrue || protOnly, lit(HiddenMessage))
+          .otherwise(if (df.columns.contains("description")) col("description")
+                     else lit(null).cast("string")))
       .withColumn("geo_loc_name",
         when(protOnly, concat(geoStr, lit(", "), trs))
           .when(open && existing.isNotNull && existing =!= "" && geoStr =!= "not provided",

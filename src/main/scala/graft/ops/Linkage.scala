@@ -99,27 +99,47 @@ object Linkage {
   def normKey(c: Column): Column = regexp_replace(c, "[-_.]", "")
 
   /** Scalable path, stage 1: explode each file name into normalized token
-    * prefixes (file `CC131_SelS_S1_L001_R1.fastq.gz` → `CC131`,
-    * `CC131SelS`, `CC131SelSS1`, …). maxTokens bounds the blowup; the
-    * result is equi-joinable and distributes like any hash join. */
-  def filePrefixKeys(reads: DataFrame, maxTokens: Int = 8): DataFrame = {
-    val tokens = split(col("file_name"), "[._-]")
-    reads.select(col("file_name"),
-        explode(transform(sequence(lit(1),
-            least(size(tokens), lit(maxTokens))),
-          n => concat_ws("", slice(tokens, lit(1), n)))).as("file_key"))
+    * SUBRANGES — every contiguous token run starting at any position, not
+    * just leading prefixes (file `resub_CC131_SelS_R1.fastq.gz` → `resub`,
+    * `resubCC131`, …, but also `CC131`, `CC131SelS`, `SelS`, …). A probe
+    * whose id sits mid-name (`CC131_SelS` inside `resub_…`) therefore
+    * still produces an equi candidate; prefix-only keys silently dropped
+    * such files whenever the sample had any other equi hit. maxSpan bounds
+    * the per-start run length (ids are short token sequences); key count
+    * is ≈ tokens × maxSpan per file, dedup'd, and the result stays
+    * equi-joinable like any hash join.
+    *
+    * The token array is projected once before the nested `transform`s:
+    * interpreted HOF lambdas re-evaluate captured expressions per element,
+    * so inlining `split` here would re-split the name O(tokens²) times. */
+  def fileSubstringKeys(reads: DataFrame, maxSpan: Int = 8): DataFrame = {
+    reads
+      .select(col("file_name"), split(col("file_name"), "[._-]").as("toks"))
+      .select(col("file_name"),
+        explode(flatten(transform(sequence(lit(1), size(col("toks"))), start =>
+          transform(sequence(start, least(size(col("toks")),
+              start + lit(maxSpan - 1))),
+            end => concat_ws("",
+              slice(col("toks"), start, end - start + lit(1))))))).as("file_key"))
       .where(length(col("file_key")) > 0)
       .distinct()
   }
 
-  /** Scalable linkage: equi join on normalized prefix keys, then the
-    * faithful BNLJ only for samples the equi pass missed (fidelity
-    * fallback for mid-name matches the prefix keys can't see). */
+  /** Scalable linkage: equi join on normalized token-subrange keys, then
+    * the faithful BNLJ only for samples the equi pass missed entirely.
+    *
+    * Completeness: subrange keys cover every token-ALIGNED match anywhere
+    * in the name (prefix or mid-name), so the per-sample residual only
+    * needs to rescue samples with zero candidates. The one remaining gap
+    * vs pure substring semantics is a match starting mid-token (probe
+    * `CC131` inside token `xCC131`) on a sample that also has an aligned
+    * hit — not producible by the reference's `{id}_S#_...` naming; use
+    * linkFaithful when exact substring fidelity matters more than scale. */
   def linkScalable(samples: DataFrame, reads: DataFrame,
       sampleCol: String = "sample_name"): DataFrame = {
     val probes = candidateKeys(samples, sampleCol)
       .withColumn("norm_key", normKey(col("key")))
-    val fileKeys = filePrefixKeys(reads)
+    val fileKeys = fileSubstringKeys(reads)
     // Equi join = candidate blocking only; the faithful contains
     // predicate re-verifies every candidate (cheap, per-pair) so tier
     // assignment is exact — normalization alone would blur tiers.

@@ -27,15 +27,21 @@ object SortSetQueries extends QueryGroup {
       |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
   /** O2 — array sort (sorted(record['files']), create_sheets.py:26):
-    * per-order sorted list of line numbers. */
+    * per-order sorted list of line numbers. The list sorts numerically and
+    * is emitted as a joined string: the driver's oracle harness hashes
+    * cell values and cannot sort/hash raw list columns (two rounds of
+    * `unhashable type: numpy.ndarray`), so the contract is a scalar cell. */
   def sortedArrays(spark: SparkSession, dir: String): DataFrame =
     load(spark, dir, "lineitem")
       .groupBy($"l_orderkey")
-      .agg(sort_array(collect_list($"l_linenumber")).as("line_nums"))
+      .agg(array_join(
+        transform(sort_array(collect_list($"l_linenumber")), n => n.cast("string")),
+        ",").as("line_nums"))
       .orderBy($"l_orderkey")
 
   private val sortedArraysSql =
-    """SELECT l_orderkey, list(l_linenumber ORDER BY l_linenumber) AS line_nums
+    """SELECT l_orderkey,
+      |       array_to_string(list_sort(list(l_linenumber)), ',') AS line_nums
       |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin
 
   /** O4 — find_one / limit 1, made deterministic by ordering. */

@@ -49,7 +49,10 @@ object Fixtures {
       Sample("X1", "X1", "YES", "Genus species", Seq()),
       Sample("X1_shared", "X1_shared", "YES", "Genus species", Seq()),
       // existing files incl. ""/"NaN" junk entries ($pull pre-clean)
-      Sample("s9", "PP_9", "YES", "Genus species", Seq("", "NaN", "PP_9_R1.fastq.gz"))
+      Sample("s9", "PP_9", "YES", "Genus species", Seq("", "NaN", "PP_9_R1.fastq.gz")),
+      // mid-name case: one file starts with the id, one buries it after a
+      // resubmission prefix — both must link (regression for the equi path)
+      Sample("s10", "MID_10", "YES", "Genus species", Seq())
     ).toDF()
   }
 
@@ -80,6 +83,9 @@ object Fixtures {
       // s9 existing + a new file
       Read("PP_9_R1.fastq.gz", 910, ts("2023-10-01 00:00:00"), true),
       Read("PP_9_R2.fastq.gz", 920, ts("2023-10-02 00:00:00"), true),
+      // s10: prefix-aligned file AND a mid-name file (id after 'resub_')
+      Read("MID_10_R1.fastq.gz", 1000, ts("2023-11-01 00:00:00"), true),
+      Read("resub_MID_10_R2.fastq.gz", 1010, ts("2023-11-02 00:00:00"), true),
       // pure orphan
       Read("ORPHAN_X_R1.fastq.gz", 999, ts("2023-12-01 00:00:00"), true)
     ).toDF()

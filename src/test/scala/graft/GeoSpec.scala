@@ -25,6 +25,44 @@ class GeoSpec extends SparkSpec {
     assert(out("e") === "USA:California,")  // trailing comma: reference's miss fallback
   }
 
+  test("geocode preserves row multiplicity and tolerates map columns") {
+    // regression: the old join+groupBy(all columns) collapsed identical
+    // rows into one and threw on any non-groupable column
+    val df = Seq(
+      ("a", "37.0", "-120.0", Map("k" -> "v")),
+      ("a", "37.0", "-120.0", Map("k" -> "v")),   // exact duplicate row
+      ("b", "44.0", "-121.0", Map.empty[String, String]))
+      .toDF("k", "lat", "long", "extra")
+    val out = Geo.withReverseGeocode(df, "lat", "long").collect()
+    assert(out.length === 3)
+    assert(out.count(r => r.getAs[String]("k") == "a" &&
+      r.getAs[String]("geo_resolved") == "USA:California") === 2)
+  }
+
+  test("geocode from a dynamic bbox frame matches the static dimension") {
+    val df = Seq(("a", "37.0", "-120.0"), ("e", "51.0", "0.0"))
+      .toDF("k", "lat", "long")
+    val out = Geo.withReverseGeocodeFrom(df, Geo.bboxFrame(spark), "lat", "long")
+      .collect().map(r => r.getAs[String]("k") -> r.getAs[String]("geo_resolved")).toMap
+    assert(out("a") === "USA:California")
+    assert(out("e") === "USA:California,")
+  }
+
+  test("masking keeps pre-existing descriptions on open rows") {
+    // regression: when(...) with no otherwise nulled every open row's
+    // description; the reference leaves non-protected rows untouched
+    val df = Seq(
+      ("p1", "36.0", "-119.0", "TRUE", "FALSE", "T1", "R1", "S1", "loc", "field notes"),
+      ("o1", "36.0", "-119.0", "FALSE", "FALSE", "T2", "R2", "S2", "loc", "keep me"))
+      .toDF("sample_name", "lat", "long", "protected_coords", "exclude",
+        "township", "range", "section", "geo_loc_name", "description")
+    val out = Geo.maskProtectedCoords(Geo.withReverseGeocode(df, "lat", "long"))
+      .collect().map(r => r.getAs[String]("sample_name") ->
+        r.getAs[String]("description")).toMap
+    assert(out("p1") === Geo.HiddenMessage)
+    assert(out("o1") === "keep me")
+  }
+
   test("masking cascade: (T,T) hides, (T,F) masks to township-range-section, open passes") {
     val df = Seq(
       // protected+exclude: fully hidden

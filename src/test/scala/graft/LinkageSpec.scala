@@ -49,6 +49,14 @@ class LinkageSpec extends SparkSpec {
     assert(faithful === scalable)
   }
 
+  test("scalable: mid-name file links even when the sample also has a prefix-aligned equi hit") {
+    // regression: prefix-only keys generated no candidate for
+    // resub_MID_10_R2.fastq.gz, and the per-sample fallback skipped s10
+    // because MID_10_R1 had already equi-matched — silently dropping the file
+    val out = linkedMap(Linkage.linkScalable(samples, reads))
+    assert(out("s10") === Set("MID_10_R1.fastq.gz", "resub_MID_10_R2.fastq.gz"))
+  }
+
   test("conflict resolution: highest fuzz ratio wins the shared file") {
     val resolved = linkedMap(
       Linkage.resolveConflicts(Linkage.linkFaithful(samples, reads)))

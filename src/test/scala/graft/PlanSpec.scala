@@ -63,7 +63,7 @@ class PlanSpec extends SparkSpec {
     val reads = Fixtures.reads(spark)
     val probes = graft.ops.Linkage.candidateKeys(samples)
       .withColumn("norm_key", graft.ops.Linkage.normKey(col("key")))
-    val fileKeys = graft.ops.Linkage.filePrefixKeys(reads)
+    val fileKeys = graft.ops.Linkage.fileSubstringKeys(reads)
     val equi = fileKeys.join(probes, col("file_key") === col("norm_key"))
     assert(planOf(equi).contains("HashJoin") && !planOf(equi).contains("NestedLoop"))
   }
