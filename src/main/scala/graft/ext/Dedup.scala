@@ -196,22 +196,54 @@ object Dedup {
 
   def simhash16(toks: Column): Column = simhash16FromHashes(tokenHashes(toks))
 
-  /** Blocked n-gram (word-set) Jaccard near-dup: candidate pairs share
-    * (lang, n_chars/100 bucket); verified Jaccard >= threshold. */
+  /** Word-set Jaccard near-dup via PREFIX FILTERING (the All-Pairs /
+    * PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08), blocked
+    * per lang: candidates are pairs sharing a token in their
+    * frequency-ordered (n − ⌈t·n⌉ + 1)-prefixes; verified with exact
+    * Jaccard ≥ t.
+    *
+    * Why this shape: a pair with J ≥ t must overlap in ≥ ⌈t·max(|a|,|b|)⌉
+    * tokens, and two sets overlapping that much MUST share an element of
+    * their (|x| − ⌈t·|x|⌉ + 1)-prefixes under any fixed global token
+    * order — so the candidate set is provably COMPLETE (identical output
+    * to the quadratic form), unlike MinHash banding which is
+    * probabilistic. Ordering tokens rarest-first makes prefix tokens the
+    * least common ones, so join buckets stay tiny: at 100 TB an (en,
+    * len-bucket) block holds millions of docs (O(n²) pairs), while a
+    * (lang, rare-token) bucket holds the handful of docs actually
+    * containing that token. Cost is a word-count shuffle + one window
+    * sort over doc tokens — all linear in corpus size. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val prepared = docs.select(
-        $"doc_id", $"lang", floor($"n_chars" / 100).as("len_bucket"),
-        array_distinct(TextStats.tokens($"text")).as("toks"))
+        $"doc_id", $"lang", array_distinct(TextStats.tokens($"text")).as("toks"))
       .withColumn("n_toks", size($"toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = prepared.toDF("id_a", "lang", "len_bucket", "toks_a", "n_a")
-    val b = prepared.toDF("id_b", "lang", "len_bucket", "toks_b", "n_b")
-    a.join(b, Seq("lang", "len_bucket"))
+    val docToks = prepared.select($"doc_id", $"lang", $"n_toks",
+      explode($"toks").as("tok"))
+    // global document frequency fixes the token order (rarest first,
+    // lexicographic tiebreak — deterministic)
+    val tokFreq = docToks.groupBy($"tok").agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy($"doc_id").orderBy($"freq", $"tok")
+    // persisted: both sides of the self-join read this frame — without
+    // the barrier the freq join + window sort run twice
+    val prefixes = docToks.join(tokFreq, Seq("tok"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= $"n_toks" - ceil($"n_toks" * threshold) + 1)
+      .select($"doc_id", $"lang", $"n_toks", $"tok")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = prefixes.toDF("id_a", "lang", "n_a", "tok")
+      .join(prefixes.toDF("id_b", "lang", "n_b", "tok"), Seq("lang", "tok"))
       .where($"id_a" < $"id_b")
       // lossless size prefilter: |a∩b| ≤ min ⇒ j ≤ min/max, so pairs with
       // min/max < threshold can't pass — skip the intersect entirely
       .where(least($"n_a", $"n_b").cast("double") /
         greatest($"n_a", $"n_b") >= threshold)
+      .select($"id_a", $"id_b", $"lang").distinct()
+    val sets = prepared.select($"doc_id", $"toks")
+    cands
+      .join(sets.toDF("id_a", "toks_a"), Seq("id_a"))
+      .join(sets.toDF("id_b", "toks_b"), Seq("id_b"))
       .select($"id_a", $"id_b", $"lang",
         Similarity.floorQ4(jaccard($"toks_a", $"toks_b")).as("jaccard_q4"))
       .where($"jaccard_q4" >= math.floor(threshold * 10000).toLong)

@@ -23,13 +23,19 @@ object IngestMetadata {
       .otherwise(trim(col(organismCol)))
     val genus = toks.getItem(0)
 
-    val spp = speciesProjects
-      .select(col("genus_species").as("_spp_key"), col("project_id").as("_spp_pid"))
-      // reference dict construction: later rows win -> keep last per key
-      .groupBy("_spp_key").agg(last("_spp_pid").as("_spp_pid"))
-    val gen = speciesProjects
-      .select(col("genus").as("_gen_key"), col("project_id").as("_gen_pid"))
-      .groupBy("_gen_key").agg(last("_gen_pid").as("_gen_pid"))
+    // reference dict construction: later rows win. Spark's last() is
+    // shuffle-order-dependent, so pin "later" with an explicit row index
+    // taken BEFORE any shuffle: max_by is deterministic however the
+    // dimension gets partitioned.
+    val indexed = speciesProjects.withColumn("_row_idx", monotonically_increasing_id())
+    val spp = indexed
+      .select(col("genus_species").as("_spp_key"), col("project_id").as("_spp_pid"),
+        col("_row_idx"))
+      .groupBy("_spp_key").agg(max_by(col("_spp_pid"), col("_row_idx")).as("_spp_pid"))
+    val gen = indexed
+      .select(col("genus").as("_gen_key"), col("project_id").as("_gen_pid"),
+        col("_row_idx"))
+      .groupBy("_gen_key").agg(max_by(col("_gen_pid"), col("_row_idx")).as("_gen_pid"))
 
     df.withColumn("_match_key", key).withColumn("_genus", genus)
       .join(broadcast(spp), col("_match_key") === col("_spp_key"), "left")
@@ -121,18 +127,38 @@ object IngestMetadata {
     * (samples, ledger(file_name, status, error)). */
   def ingestMany(spark: SparkSession, files: Seq[(String, String)],
       speciesProjects: DataFrame, assemblies: DataFrame): (Option[DataFrame], DataFrame) = {
-    val results = files.map { case (path, kind) =>
+    def msg(e: Throwable) = Option(e.getMessage).getOrElse(e.toString)
+    // Plan construction (schema probe + analysis) is driver-side and cheap;
+    // catch per file so a malformed header lands in the ledger.
+    val built = files.map { case (path, kind) =>
       try {
         val df = kind match {
           case "minicore" => minicore(spark, path, speciesProjects, assemblies)
           case _          => nonMinicore(spark, path, speciesProjects, assemblies)
         }
-        df.count() // force the parse so errors surface here, not downstream
-        (path, Right(df))
+        (path, Right(df)): (String, Either[String, DataFrame])
       } catch {
-        case e: Throwable => (path, Left(Option(e.getMessage).getOrElse(e.toString)))
+        case e: Throwable => (path, Left(msg(e)))
       }
     }
+    // Runtime validation (force the parse so row-level errors surface here,
+    // not downstream) runs as ONE concurrent wave: Spark schedules jobs
+    // from separate threads in parallel, so a 100k-sheet backfill costs one
+    // scheduling round instead of a sequential driver loop.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(math.max(built.size, 1), 16))
+    val ec = scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    val results = try {
+      val futures = built.map {
+        case (path, Right(df)) =>
+          (path, scala.concurrent.Future { df.count(); Right(df): Either[String, DataFrame] }(ec)
+            .recover { case e: Throwable => Left(msg(e)) }(ec))
+        case (path, left) => (path, scala.concurrent.Future.successful(left))
+      }
+      futures.map { case (path, f) =>
+        (path, scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf))
+      }
+    } finally pool.shutdown()
     val ledger = spark.createDataFrame(results.map {
       case (p, Right(_)) => (p, "ok", null.asInstanceOf[String])
       case (p, Left(err)) => (p, "error", err.take(500))

@@ -108,21 +108,21 @@ object ExtQueries extends QueryGroup {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
-  /** Blocked word-set Jaccard near-dup (blocks: lang × length-bucket). */
+  /** Word-set Jaccard near-dup via prefix filtering (lang-blocked). The
+    * oracle is the NAIVE all-pairs form: prefix filtering is provably
+    * complete, so the scalable plan must produce the identical result. */
   def dedupNgram(spark: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(load(spark, dir, "documents"), 0.8)
       .orderBy($"id_a", $"id_b")
 
   private val dedupNgramSql =
     s"""WITH p AS (
-       |  SELECT doc_id, lang, n_chars // 100 AS len_bucket,
-       |         list_distinct($toksSql) AS toks
+       |  SELECT doc_id, lang, list_distinct($toksSql) AS toks
        |  FROM documents)
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
        |       CAST(floor(len(list_intersect(a.toks, b.toks))::DOUBLE /
        |             len(list_distinct(list_concat(a.toks, b.toks))) * 10000) AS BIGINT) AS jaccard_q4
-       |FROM p a JOIN p b ON a.lang = b.lang AND a.len_bucket = b.len_bucket
-       |                 AND a.doc_id < b.doc_id
+       |FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
        |WHERE floor(len(list_intersect(a.toks, b.toks))::DOUBLE /
        |      len(list_distinct(list_concat(a.toks, b.toks))) * 10000) >= 8000
        |ORDER BY id_a, id_b""".stripMargin

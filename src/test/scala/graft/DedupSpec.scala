@@ -1,0 +1,43 @@
+package graft
+
+import graft.ext.Dedup
+
+/** Dedup operator goldens. The oracle gate covers the parquet-scale runs;
+  * these pin the algorithmic properties the oracle can't isolate —
+  * above all that prefix filtering is COMPLETE (finds every pair the
+  * quadratic all-pairs form finds). */
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("prefix-filtered jaccard is complete: equals all-pairs, incl. pairs the old length-bucket blocking missed") {
+    // doc1/doc2: j = 10/11 ≈ 0.909 — but lengths 60 vs 107 chars put them
+    // in DIFFERENT n_chars/100 buckets, so length-bucket blocking dropped
+    // this pair; prefix filtering must find it.
+    val docs = Seq(
+      (1L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "en", "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda_a_very_long_extra_token_pushing_into_the_next_bucket"),
+      (3L, "en", "totally different words entirely unrelated content here now"),
+      (4L, "fr", "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (5L, "en", "alpha beta gamma delta epsilon zeta eta theta iota nu"))
+      .toDF("doc_id", "lang", "text")
+
+    val out = Dedup.ngramJaccard(docs, 0.8)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // brute force at t=0.8: (1,2) j=10/11, (1,5) j=9/11≈0.818;
+    // (2,5) j=9/12=0.75 fails; doc4 same text but other lang — never paired
+    assert(out === Set((1L, 2L), (1L, 5L)))
+  }
+
+  test("exact dedup: canonical = min doc_id per content hash") {
+    val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exact(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("canonical_id"), r.getAs[Boolean]("is_dup"))).toMap
+    assert(out(1L) === (1L, false))
+    assert(out(2L) === (1L, true))
+    assert(out(3L) === (3L, false))
+  }
+}

@@ -75,6 +75,21 @@ class PipelineSpec extends SparkSpec {
     assert(m2.getAs[Double]("long") === -121.9)
   }
 
+  test("J1 'later rows win' is pinned: stable winner across runs and shuffle layouts") {
+    import spark.implicits._
+    // 100 duplicate keys spread over many input partitions; the reference's
+    // dict-insertion semantics mean the LAST source row must win. last()
+    // depended on shuffle fetch order; max_by over a pre-shuffle row index
+    // must give P-100 on every run.
+    val dim = (1 to 100).map(i => ("Genus species", "Genus", s"P-$i"))
+      .toDF("genus_species", "genus", "project_id")
+    val input = Seq(Tuple1("Genus species")).toDF("organism")
+    for (_ <- 1 to 3) {
+      val out = IngestMetadata.withProjectId(input, "organism", dim).collect()(0)
+      assert(out.getAs[String]("ccgp_project_id") === "P-100")
+    }
+  }
+
   test("batch ingestion captures per-file errors and continues (update_metadata.py:97-105)") {
     val bad = java.nio.file.Files.createTempFile("graft-bad", ".tsv")
     java.nio.file.Files.writeString(bad, "no header marker here\njust junk\n")
