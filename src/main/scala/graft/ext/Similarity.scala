@@ -68,8 +68,7 @@ object Similarity {
     * bucket-equi (shuffle on bucket id), never all-pairs. Recall vs
     * brute force is traded via b — tested in SimilaritySpec. */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int = 8,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dim = 64
+      dim: Int = 64, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val planes = hyperplanes(dim, nPlanes)
     val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
       lshBucket(col(vecCol), planes).as("bucket"))

@@ -236,16 +236,43 @@ object ExtQueries extends QueryGroup {
        |SELECT doc_id, rank, term, tfidf FROM ranked WHERE rank <= 3
        |ORDER BY doc_id, rank""".stripMargin
 
-  /** LSH-bucketed ANN (scale path; approximate by design, so no SQL
-    * oracle — recall vs brute force is asserted in SimilaritySpec). */
+  /** LSH-bucketed ANN (scale path). Approximate vs brute force, but fully
+    * DETERMINISTIC: the hyperplanes are seeded, so the oracle inlines the
+    * same plane constants and reproduces bucket assignment + ranking
+    * exactly. */
   def simLsh(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
-    Similarity.lshTopK(emb.where($"vec_id" < 10), emb, 5, nPlanes = 4)
+    Similarity.lshTopK(emb.where($"vec_id" < 10), emb, 5, nPlanes = 4, dim = 64)
       .orderBy($"q_id", $"rank")
   }
 
-  /** Multimodal decode plumbing (stub codec — no SQL oracle; the
-    * deterministic fake metadata is asserted in MultimodalSpec). */
+  private val simLshSql = {
+    // the exact planes lshTopK(nPlanes = 4, dim = 64) derives from seed 42;
+    // Double.toString round-trips, so both engines see identical constants
+    val planes = Similarity.hyperplanes(64, 4)
+    val bucket = planes.zipWithIndex.map { case (p, i) =>
+      val arr = p.map(_.toString).mkString("[", ", ", "]")
+      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " +\n     ", ")")
+    s"""WITH be AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM be q JOIN be c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
+  /** Multimodal decode plumbing (stub codec). The FakeCodec metadata is
+    * pure byte arithmetic over the payload (= the UTF-8 text bytes; the
+    * corpus is ASCII, so DuckDB's char ops see the same bytes), so the
+    * oracle reproduces n_bytes/width/height/frames/rate in SQL. */
   def multimodalMeta(spark: SparkSession, dir: String): DataFrame = {
     import graft.ext.Multimodal
     Multimodal.decode(
@@ -253,9 +280,31 @@ object ExtQueries extends QueryGroup {
       .toDF().orderBy($"asset_id")
   }
 
+  private val multimodalMetaSql =
+    """WITH b AS (
+      |  SELECT doc_id AS asset_id,
+      |         ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+      |         length(text) AS n_bytes,
+      |         list_sum(list_transform(range(1, length(text) + 1),
+      |                                 i -> ascii(substr(text, i, 1))))::BIGINT AS s
+      |  FROM documents)
+      |SELECT asset_id, kind, n_bytes,
+      |  CASE kind WHEN 'image' THEN 64 + s % 1856
+      |            WHEN 'audio' THEN 0
+      |            ELSE 320 + s % 1600 END AS width,
+      |  CASE kind WHEN 'image' THEN 64 + (s // 7) % 1016
+      |            WHEN 'audio' THEN 0
+      |            ELSE 240 + (s // 3) % 840 END AS height,
+      |  CASE kind WHEN 'image' THEN 1
+      |            WHEN 'audio' THEN 0
+      |            ELSE 1 + s % 300 END AS n_frames,
+      |  CASE kind WHEN 'audio' THEN [16000, 22050, 44100][(s % 3) + 1]
+      |            ELSE 0 END AS sample_rate_hz
+      |FROM b ORDER BY asset_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
-    QueryDef("ext_multimodal_meta", multimodalMeta, None),
-    QueryDef("ext_sim_lsh_ann", simLsh, None),
+    QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
+    QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),
     QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
