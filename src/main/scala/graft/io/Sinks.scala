@@ -22,26 +22,41 @@ object Sinks {
       .csv(path)
   }
 
-  /** Atomic table swap: write to `<path>.tmp`, then rename over `path`.
-    * Readers never observe a half-written table (the reference's
-    * bulk_write atomicity analogue for file-backed tables). */
+  /** Table swap: write to `<path>.tmp`, rename the live table aside to
+    * `<path>.old`, rename tmp into place, delete `.old` LAST. Readers
+    * never observe a half-written table, and no crash point loses the
+    * previous version: if the process dies between the two renames, the
+    * data survives in `.old` (and [[readOrEmpty]] falls back to it). A
+    * brief absent-dir window between the renames is inherent to
+    * rename-based swaps on HDFS-like filesystems — what the hardening
+    * buys is durability, not zero-window. */
   def atomicParquetSwap(df: DataFrame, path: String): Unit = {
     val spark = df.sparkSession
     val tmp = path + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val dst = new Path(path)
-    fs.delete(dst, true)
-    if (!fs.rename(new Path(tmp), dst))
-      throw new java.io.IOException(s"atomic swap rename failed: $tmp -> $path")
+    val old = new Path(path + ".old")
+    fs.delete(old, true) // leftover from a crashed previous swap
+    val hadPrevious = fs.exists(dst)
+    if (hadPrevious && !fs.rename(dst, old))
+      throw new java.io.IOException(s"swap rename-aside failed: $path -> $old")
+    if (!fs.rename(new Path(tmp), dst)) {
+      if (hadPrevious) fs.rename(old, dst) // restore before failing
+      throw new java.io.IOException(s"swap rename failed: $tmp -> $path")
+    }
+    fs.delete(old, true)
   }
 
-  /** Read-back helper for swap-managed tables; empty frame with the
-    * given schema when the table doesn't exist yet. */
+  /** Read-back helper for swap-managed tables. Falls back to the
+    * `.old` snapshot when the live dir is missing (crash between the two
+    * swap renames); empty frame with the given schema when neither
+    * exists. */
   def readOrEmpty(spark: org.apache.spark.sql.SparkSession, path: String,
       schema: org.apache.spark.sql.types.StructType): DataFrame = {
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(new Path(path))) spark.read.parquet(path)
+    else if (fs.exists(new Path(path + ".old"))) spark.read.parquet(path + ".old")
     else spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

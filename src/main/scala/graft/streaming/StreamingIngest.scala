@@ -72,30 +72,48 @@ object StreamingIngest {
   }
 
   /** Insert-only merge sink: each micro-batch merges into the target
-    * directory with `$setOnInsert` semantics (discovery never clobbers
-    * enrichments) — update_reads.py:46-56 as a streaming sink. */
+    * with `$setOnInsert` semantics (discovery never clobbers
+    * enrichments) — update_reads.py:46-56 as a streaming sink.
+    *
+    * With `partitionCol` set (e.g. `ccgp_project_id`, the
+    * [[graft.io.Layout.writePartitioned]] layout), each micro-batch
+    * merges ONLY the partitions whose keys appear in the batch: the
+    * rewrite cost scales with the batch, not the table — at 100 TB a
+    * handful of new S3 files must not trigger a full-table
+    * shuffle+rewrite. Untouched partition directories are never opened.
+    * Partition values must be non-null; each partition swap goes through
+    * [[graft.io.Sinks.atomicParquetSwap]] (rename-aside, crash-safe,
+    * result-checked). Without `partitionCol` the whole table is merged —
+    * only appropriate for small control tables. */
   def insertOnlyMergeSink(stream: DataFrame, targetPath: String,
-      keys: Seq[String], checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+      keys: Seq[String], checkpoint: String,
+      partitionCol: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
-        val target =
-          try spark.read.parquet(targetPath)
-          catch { case _: Throwable => batch.limit(0) }
-        val policies = batch.columns.filterNot(keys.contains)
-          .map(_ -> (Upsert.SetOnInsert: Upsert.Policy)).toMap
-        val merged = Upsert.merge(target, batch.dropDuplicates(keys), keys, policies)
-        // atomic-swap write: new dir, then move (same pattern as Sinks)
-        val tmp = targetPath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(targetPath)
-        fs.delete(dst, true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        def mergeInto(path: String, delta: DataFrame): Unit = {
+          val target =
+            try spark.read.parquet(path)
+            catch { case _: Throwable => delta.limit(0) }
+          val policies = delta.columns.filterNot(keys.contains)
+            .map(_ -> (Upsert.SetOnInsert: Upsert.Policy)).toMap
+          graft.io.Sinks.atomicParquetSwap(
+            Upsert.merge(target, delta.dropDuplicates(keys), keys, policies), path)
+        }
+        partitionCol match {
+          case None => mergeInto(targetPath, batch)
+          case Some(pc) =>
+            // distinct partition keys IN THIS BATCH — bounded by batch
+            // size; this is the set of directories we're allowed to touch
+            val parts = batch.select(col(pc)).distinct().collect().map(_.get(0))
+            parts.foreach { pv =>
+              mergeInto(s"$targetPath/$pc=$pv",
+                batch.where(col(pc) === lit(pv)).drop(pc))
+            }
+        }
         ()
       }
 }

@@ -98,6 +98,44 @@ class StreamingSpec extends SparkSpec {
     assert(rows.find(e => e.user_id == 1 && e.event_id == 12).get.seq === 3L)
   }
 
+  test("partition-scoped merge sink: only batch-touched partitions are rewritten") {
+    import spark.implicits._
+    val landing = tmpDir("graft-landing3")
+    val target = tmpDir("graft-ptarget") + "/table"
+    val checkpoint = tmpDir("graft-pckpt")
+
+    Seq(("P1", "k1", "v1"), ("P2", "k2", "v2")).toDF("pid", "key", "value")
+      .write.mode("append").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    def runOnce(): Unit = {
+      val q = StreamingIngest.insertOnlyMergeSink(
+        StreamingIngest.landingStream(spark, landing, schema),
+        target, Seq("key"), checkpoint, partitionCol = Some("pid")).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    runOnce()
+
+    def fileState(dir: String): Map[String, (Long, Long)] = {
+      val d = new java.io.File(dir)
+      d.listFiles().filter(_.isFile).map(f =>
+        f.getName -> (f.length(), f.lastModified())).toMap
+    }
+    val p1Before = fileState(s"$target/pid=P1")
+    assert(p1Before.nonEmpty)
+
+    // batch 2 touches ONLY P2: P1's directory must stay byte-identical
+    Seq(("P2", "k2", "CLOBBER"), ("P2", "k3", "v3")).toDF("pid", "key", "value")
+      .write.mode("append").parquet(landing)
+    runOnce()
+    assert(fileState(s"$target/pid=P1") === p1Before)
+
+    // full-table read sees merged state: k2 not clobbered, k3 inserted
+    val all = spark.read.parquet(target)
+      .select(col("pid"), col("key"), col("value"))
+      .collect().map(r => (r.getString(1), (r.getString(0), r.getString(2)))).toMap
+    assert(all === Map("k1" -> ("P1", "v1"), "k2" -> ("P2", "v2"), "k3" -> ("P2", "v3")))
+  }
+
   test("insert-only merge sink: ledger skips processed files, never clobbers") {
     import spark.implicits._
     val landing = tmpDir("graft-landing2")
