@@ -101,9 +101,66 @@ object MergeQueries extends QueryGroup {
       |UNION ALL SELECT * FROM (VALUES (900, 'ATLANTIS'), (901, 'LEMURIA')) v(n_nationkey, n_name)
       |ORDER BY n_nationkey""".stripMargin
 
+  /** Read-length ingestion (update_readlength_mongo.py:14-30) as a merge:
+    * a deterministic reads/lengths pair derived from `documents` —
+    * half the files get lengths, plus phantom length rows matching
+    * nothing (the reference's "Entry not found" case). */
+  private def rlReads(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "documents")
+      .select(concat(lit("doc_"), $"doc_id".cast("string"), lit(".fastq.gz")).as("file_name"),
+        $"lang", lit(null).cast("long").as("sequence_length"))
+
+  private def rlLengths(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    docs.where($"doc_id" % 2 === 0)
+      .select(concat(lit("doc_"), $"doc_id".cast("string"), lit(".fastq.gz")).as("file_name"),
+        $"n_chars".cast("long").as("sequence_length"))
+      .unionByName(docs.where($"doc_id" % 7 === 0)
+        .select(concat(lit("phantom_"), $"doc_id".cast("string"), lit(".fastq.gz")).as("file_name"),
+          $"n_chars".cast("long").as("sequence_length")))
+  }
+
+  private val rlSql =
+    """r AS (
+      |  SELECT 'doc_' || doc_id || '.fastq.gz' AS file_name, lang
+      |  FROM documents),
+      |l AS (
+      |  SELECT 'doc_' || doc_id || '.fastq.gz' AS file_name,
+      |         n_chars::BIGINT AS sequence_length
+      |  FROM documents WHERE doc_id % 2 = 0
+      |  UNION ALL
+      |  SELECT 'phantom_' || doc_id || '.fastq.gz', n_chars::BIGINT
+      |  FROM documents WHERE doc_id % 7 = 0)""".stripMargin
+
+  /** RL1 — $set sequence_length into reads on file_name. */
+  def readlengthMerge(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ReadLengths.updateReads(rlReads(spark, dir), rlLengths(spark, dir))
+      ._1.select($"file_name", $"lang", $"sequence_length")
+      .orderBy($"file_name")
+
+  private val readlengthMergeSql =
+    s"""WITH $rlSql
+       |SELECT r.file_name, r.lang, l.sequence_length
+       |FROM r LEFT JOIN l USING (file_name)
+       |ORDER BY file_name""".stripMargin
+
+  /** RL2 — the matched/missing ledger (the reference's log lines). */
+  def readlengthLedger(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.ReadLengths.updateReads(rlReads(spark, dir), rlLengths(spark, dir))
+      ._2.orderBy($"file_name")
+
+  private val readlengthLedgerSql =
+    s"""WITH $rlSql
+       |SELECT l.file_name,
+       |       CASE WHEN r.file_name IS NOT NULL THEN 'matched' ELSE 'missing' END AS status
+       |FROM l LEFT JOIN r USING (file_name)
+       |ORDER BY file_name""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s10a_merge_set", mergeSet, Some(mergeSetSql)),
     QueryDef("s10b_merge_setoninsert", mergeSetOnInsert, Some(mergeSetOnInsertSql)),
     QueryDef("s11_append_rows", appendRows, Some(appendRowsSql)),
-    QueryDef("s12_delete_by_key", deleteByKey, Some(deleteByKeySql)))
+    QueryDef("s12_delete_by_key", deleteByKey, Some(deleteByKeySql)),
+    QueryDef("rl1_readlength_merge", readlengthMerge, Some(readlengthMergeSql)),
+    QueryDef("rl2_readlength_ledger", readlengthLedger, Some(readlengthLedgerSql)))
 }
