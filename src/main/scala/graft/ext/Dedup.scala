@@ -120,9 +120,17 @@ object Dedup {
     * The prepared frame (shingles + signatures + bands, one md5 pass per
     * salt over a stored shingle array) is persisted before the band
     * self-join — otherwise Spark re-derives the whole signature lineage
-    * for BOTH join sides (measured 40× slower at sf0.1). */
+    * for BOTH join sides (measured 40× slower at sf0.1).
+    *
+    * `maxBucket` (0 = unlimited) caps band-bucket size: near-empty or
+    * boilerplate documents all collide into the same buckets, and one
+    * such bucket of m docs costs m² candidate pairs. Buckets over the cap
+    * are DROPPED (the standard guard — a bucket that large carries no
+    * near-dup signal, only degenerate content); the default keeps the
+    * exact semantics for oracle parity. At 100 TB set a cap. */
   def minhashLsh(docs: DataFrame, threshold: Double = 0.5,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      maxBucket: Int = 0): DataFrame = {
     val k = 6; val r = 2
     // Higher-order functions (transform/aggregate/array_min) run
     // interpreted — no whole-stage codegen, no subexpression elimination —
@@ -156,10 +164,21 @@ object Dedup {
       .select(col(idCol), col("sset"), array(bands: _*).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val exploded = base
+    val explodedAll = base
       .select(col(idCol), explode(col("bands")).as("b"))
       .select(col(idCol), col("b.band_idx").as("band_idx"),
         col("b.band_val").as("band_val"))
+    val exploded =
+      if (maxBucket <= 0) explodedAll
+      else {
+        val sizes = explodedAll.groupBy($"band_idx", $"band_val")
+          .agg(count(lit(1)).as("_bucket_n"))
+          .where($"_bucket_n" <= maxBucket)
+        explodedAll.join(sizes, Seq("band_idx", "band_val"), "left_semi")
+          // the semi join moves the key columns first; restore the order
+          // the positional toDF below depends on
+          .select(col(idCol), $"band_idx", $"band_val")
+      }
     val cands = exploded.toDF("id_a", "band_idx", "band_val")
       .join(exploded.toDF("id_b", "band_idx", "band_val"), Seq("band_idx", "band_val"))
       .where($"id_a" < $"id_b")

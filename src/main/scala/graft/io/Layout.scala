@@ -20,9 +20,17 @@ object Layout {
   /** Salted equi join for skewed keys: the big side gets a deterministic
     * per-row salt in [0, n); the small side is replicated n times; the
     * join key becomes (key, salt) so one hot key spreads across n
-    * partitions. Semantics identical to big ⋈ small on `key`. */
+    * partitions. Semantics identical to big ⋈ small on `key` for the
+    * SUPPORTED join types only: inner, left (outer/semi/anti), cross.
+    * Right/full outer are rejected — every replica of an unmatched
+    * small-side row would surface as its own output row. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String,
       nSalts: Int, joinType: String = "inner"): DataFrame = {
+    val normalized = joinType.toLowerCase.replace("_", "")
+    require(Set("inner", "cross", "left", "leftouter",
+        "leftsemi", "leftanti").contains(normalized),
+      s"saltedJoin does not preserve '$joinType' semantics: replicated " +
+        "small-side rows each surface for right/full outer joins")
     val salted = big.withColumn("_salt",
       pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(nSalts)))
     val replicated = small.withColumn("_salt",

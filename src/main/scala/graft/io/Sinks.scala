@@ -48,6 +48,33 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** S14 — done-marker gate (Snakemake `touch(...)`,
+    * download_reads.smk:45,60,86): run the write action, then create the
+    * zero-byte marker only after it succeeded. Downstream stages gate on
+    * [[markerExists]]; a crashed write leaves no marker, so the stage
+    * re-runs — the same at-least-once contract as the reference's
+    * checkpoint files. */
+  def withDoneMarker(spark: org.apache.spark.sql.SparkSession,
+      marker: String)(write: => Unit): Unit = {
+    write
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.create(new Path(marker), true).close()
+  }
+
+  def markerExists(spark: org.apache.spark.sql.SparkSession,
+      marker: String): Boolean =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+      .exists(new Path(marker))
+
+  /** S14 — step-log sink (update_reads_by_lane.py:179-209 writes a
+    * per-lane log file): one text file of log lines. Driver-composed
+    * lines, single file by design — logs are artifacts, not data. */
+  def writeLog(spark: org.apache.spark.sql.SparkSession,
+      lines: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    lines.toDF("value").coalesce(1).write.mode("overwrite").text(path)
+  }
+
   /** Read-back helper for swap-managed tables. Falls back to the
     * `.old` snapshot when the live dir is missing (crash between the two
     * swap renames); empty frame with the given schema when neither

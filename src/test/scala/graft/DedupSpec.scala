@@ -30,6 +30,25 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (1L, 5L)))
   }
 
+  test("minhash hot-bucket cap drops oversized buckets, keeps small ones") {
+    // 6 identical boilerplate docs (one hot bucket per band) + 2 distinct
+    // near-dups; with maxBucket=4 the boilerplate pairs vanish, the
+    // near-dup pair survives
+    val boiler = (1L to 6L).map(i => (i, "the same boilerplate text repeated " +
+      "over and over forming one hot bucket"))
+    val pair = Seq(
+      (10L, "completely unrelated document about alpha beta gamma delta epsilon"),
+      (11L, "completely unrelated document about alpha beta gamma delta zeta"))
+    val docs = (boiler ++ pair).toDF("doc_id", "text")
+
+    val uncapped = Dedup.minhashLsh(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.minhashLsh(docs, 0.5, maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((10L, 11L)) && uncapped.exists(_._1 <= 6))
+    assert(capped === Set((10L, 11L)))
+  }
+
   test("exact dedup: canonical = min doc_id per content hash") {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
       .toDF("doc_id", "text")

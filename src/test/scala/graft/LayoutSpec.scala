@@ -39,4 +39,31 @@ class LayoutSpec extends SparkSpec {
       assert(plain.sameElements(salted), s"mismatch for $jt")
     }
   }
+
+  test("salted join rejects right/full outer (replicas would surface)") {
+    import spark.implicits._
+    val big = Seq(("k", 1)).toDF("key", "v")
+    val small = Seq(("k", "l"), ("unmatched", "u")).toDF("key", "label")
+    for (jt <- Seq("right", "full", "full_outer"))
+      assertThrows[IllegalArgumentException](
+        Layout.saltedJoin(big, small, "key", 4, jt))
+  }
+
+  test("done-marker gate: marker appears only after the write succeeds; log sink writes lines") {
+    import graft.io.Sinks
+    val dir = Files.createTempDirectory("graft-marker").toString
+    val marker = s"$dir/stage_done.txt"
+    assert(!Sinks.markerExists(spark, marker))
+    // failing write: no marker
+    assertThrows[RuntimeException](
+      Sinks.withDoneMarker(spark, marker) { throw new RuntimeException("boom") })
+    assert(!Sinks.markerExists(spark, marker))
+    // succeeding write: marker gates downstream
+    Sinks.withDoneMarker(spark, marker) {
+      Sinks.writeLog(spark, Seq("Found 2 reads.", "Found 1 samples."), s"$dir/log")
+    }
+    assert(Sinks.markerExists(spark, marker))
+    val lines = spark.read.text(s"$dir/log").collect().map(_.getString(0)).toSet
+    assert(lines === Set("Found 2 reads.", "Found 1 samples."))
+  }
 }
