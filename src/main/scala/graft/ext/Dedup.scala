@@ -54,11 +54,12 @@ object Dedup {
 
   /** MinHash permutation constants: (a, b) pairs for h_i(x) = (a·x+b) mod p.
     * a < 2^20 and x < 2^32 keep a·x+b < 2^52 — no 64-bit overflow in any
-    * engine. p is the smallest prime above 2^32. */
-  val MinhashPrime = 4294967311L
-  val MinhashSalts: Seq[(Long, Long)] = Seq(
-    (1000003L, 17L), (999983L, 29L), (31337L, 71L),
-    (999979L, 101L), (65537L, 131L), (524287L, 151L))
+    * engine. p is the smallest prime above 2^32. Single source of truth is
+    * [[graft.functions.MinhashKernel]] (the codegen kernel); these views
+    * feed the declarative formulation and the DuckDB oracle SQL. */
+  val MinhashPrime: Long = graft.functions.MinhashKernel.Prime
+  val MinhashSalts: Seq[(Long, Long)] =
+    graft.functions.MinhashKernel.SaltA.zip(graft.functions.MinhashKernel.SaltB).toSeq
 
   /** 32-bit base hash per shingle (ONE md5 per shingle; the permutations
     * are arithmetic). */
@@ -74,24 +75,28 @@ object Dedup {
     array_min(transform(hashes, x => (x * a + b) % MinhashPrime))
   }
 
-  /** MinHash signatures + LSH bands (k components, r per band). Band
-    * value = joined component string (no extra hashing needed for the
-    * bucket equi-join). */
-  def withMinhashBands(docs: DataFrame, k: Int = 6, r: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    // persist between HOF stages — see minhashLsh for why
-    val withH = docs.select(col(idCol),
-        shingleHashes(shingles(TextStats.tokens(col(textCol)))).as("_hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = (1 to k).map(i => minhashComponent(col("_hs"), i).as(s"sig_$i"))
-    val withSigs = withH.select((col(idCol) +: sigs): _*)
+  /** LSH band array from a k-component signature column: band value =
+    * joined component string (no extra hashing needed for the bucket
+    * equi-join). */
+  private def bandArray(sig: Column, k: Int, r: Int): Column = {
     val bands = (0 until k / r).map { b =>
-      val parts = (1 to r).map(j => col(s"sig_${b * r + j}").cast("string"))
-      struct(lit(b).as("band_idx"),
-        concat_ws(":", parts: _*).as("band_val")).as(s"band_$b")
+      val parts = (1 to r).map(j => sig.getItem(b * r + j - 1).cast("string"))
+      struct(lit(b).as("band_idx"), concat_ws(":", parts: _*).as("band_val"))
     }
-    withSigs.select(col(idCol), array(bands: _*).as("bands"))
+    array(bands: _*)
   }
+
+  /** MinHash signatures + LSH bands (k components, r per band), computed
+    * by the one-pass codegen kernel ([[graft.functions.ShingleMinhash]]).
+    * The multiple `_m.sig[i]` references collapse to ONE kernel call per
+    * row under whole-stage codegen's common-subexpression elimination —
+    * no persist barrier needed (unlike the interpreted HOF chain this
+    * replaced). */
+  def withMinhashBands(docs: DataFrame, k: Int = 6, r: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        graft.functions.ShingleMinhash(TextStats.tokens(col(textCol)), 3, k).as("_m"))
+      .select(col(idCol), bandArray(col("_m.sig"), k, r).as("bands"))
 
   /** LSH candidate pairs: docs sharing any band bucket. */
   def lshCandidates(withBands: DataFrame, idCol: String = "doc_id"): DataFrame = {
@@ -132,36 +137,20 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text",
       maxBucket: Int = 0): DataFrame = {
     val k = 6; val r = 2
-    // Higher-order functions (transform/aggregate/array_min) run
-    // interpreted — no whole-stage codegen, no subexpression elimination —
-    // so every REFERENCE to a lambda-derived column re-evaluates its whole
-    // chain (Catalyst happily collapses the projections). Persisting
-    // between HOF stages forces one evaluation per stage (measured 10×
-    // at sf0.1). Same pattern as withMinhashBands.
-    // stage 0 stores the token array so shingles() sees an attribute
-    // (multiple references to an attribute are row lookups; references
-    // to a split() expression re-tokenize per reference — and
-    // CollapseProject merges adjacent selects, so a persist barrier is
-    // needed, not just a second select)
-    val stage0 = docs
-      .select(col(idCol), TextStats.tokens(col(textCol)).as("_toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stage1 = stage0
-      .select(col(idCol), shingles(col("_toks")).as("_sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val stage2 = stage1.select(col(idCol),
-        array_distinct(col("_sh")).as("sset"),
-        shingleHashes(col("_sh")).as("_hs"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sigs = (1 to k).map(i => minhashComponent(col("_hs"), i).as(s"sig_$i"))
-    val withSigs = stage2.select((col(idCol) +: col("sset") +: sigs): _*)
-    val bands = (0 until k / r).map { b =>
-      val parts = (1 to r).map(j => col(s"sig_${b * r + j}").cast("string"))
-      struct(lit(b).as("band_idx"),
-        concat_ws(":", parts: _*).as("band_val"))
-    }
-    val base = withSigs
-      .select(col(idCol), col("sset"), array(bands: _*).as("bands"))
+    // ONE pass per row: the codegen kernel computes the distinct shingle
+    // set and all k signature components together (one md5 per distinct
+    // shingle). This replaced an interpreted HOF chain that needed FOUR
+    // persist barriers just to pin evaluation counts (HOFs run outside
+    // whole-stage codegen and its subexpression elimination, so every
+    // reference to a derived array re-evaluated its lineage — measured
+    // 10–40× at sf0.1). The single persist below remains because the
+    // band self-join and the verification join both consume this frame;
+    // without it the scan+kernel would run three times.
+    val base = docs
+      .select(col(idCol),
+        graft.functions.ShingleMinhash(TextStats.tokens(col(textCol)), 3, k).as("_m"))
+      .select(col(idCol), col("_m.sset").as("sset"),
+        bandArray(col("_m.sig"), k, r).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val explodedAll = base
@@ -192,6 +181,56 @@ object Dedup {
         Similarity.floorQ4(jaccard($"set_a", $"set_b")).as("jaccard_q4"))
       .where($"jaccard_q4" >= math.floor(threshold * 10000).toLong)
     out
+  }
+
+  /** Dedup RESOLUTION: near-dup pairs → connected components → one
+    * canonical document per cluster (min id — deterministic).
+    *
+    * Iterative min-label propagation: every vertex starts as its own
+    * component; each round every vertex takes the min label over itself
+    * and its neighbours; stop when a round changes nothing. Converges in
+    * O(graph diameter) rounds — near-dup graphs are star/clique-shaped
+    * (a cluster of copies all pair with each other), so in practice 2–3
+    * rounds. Each round is ONE hash shuffle on vertex ids (edges join
+    * labels + groupBy min); nothing is ever collected to the driver —
+    * the convergence probe is a count aggregate. For adversarially long
+    * path-shaped graphs the alternating large-star/small-star algorithm
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) bounds rounds by O(log²) — same per-round plan shape, so
+    * swapping it in does not change the operator surface.
+    *
+    * Output: (id, component_id, is_canonical) for EVERY input doc —
+    * singletons form their own component — so a training-data pipeline
+    * filters `is_canonical` to drop all but one copy per cluster. */
+  def resolveComponents(docs: DataFrame, pairs: DataFrame,
+      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // symmetrized edge list; labels flow both directions
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+      .persist(lvl)
+    var labels = docs.select(col(idCol).as("id"))
+      .distinct().select($"id", $"id".as("comp")).persist(lvl)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val nbrMin = edges.join(labels, $"dst" === $"id")
+        .groupBy($"src").agg(min($"comp").as("nbr_comp"))
+      val next = labels.as("l")
+        .join(nbrMin, $"l.id" === $"src", "left")
+        .select($"l.id".as("id"),
+          least($"l.comp", coalesce($"nbr_comp", $"l.comp")).as("comp"))
+        .persist(lvl)
+      val changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
+        .where($"n.comp" =!= $"o.comp").count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    edges.unpersist()
+    labels.select($"id".as(idCol), $"comp".as("component_id"),
+      ($"id" === $"comp").as("is_canonical"))
   }
 
   /** 16-bit SimHash from md5-derived per-token hashes: bit j of the

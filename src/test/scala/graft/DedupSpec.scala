@@ -49,6 +49,34 @@ class DedupSpec extends SparkSpec {
     assert(capped === Set((10L, 11L)))
   }
 
+  test("ShingleMinhash kernel ≡ declarative HOF chain (sset + all k sigs)") {
+    import org.apache.spark.sql.functions._
+    import graft.ext.TextStats
+    // edge cases: normal doc, <3 tokens (whole-doc fallback), 1 token,
+    // empty text (split -> [""]), duplicate shingles
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "two tokens"),
+      (3L, "one"),
+      (4L, ""),
+      (5L, "rep rep rep rep rep rep"))
+      .toDF("doc_id", "text")
+    val k = 6
+    val kernel = docs.select($"doc_id",
+        graft.functions.ShingleMinhash(TextStats.tokens($"text"), 3, k).as("_m"))
+      .select($"doc_id", $"_m.sset".as("sset"), $"_m.sig".as("sig"))
+    val sh = Dedup.shingles(TextStats.tokens($"text"))
+    val declarative = docs.select($"doc_id",
+        array_distinct(sh).as("sset"),
+        array((1 to k).map(i =>
+          Dedup.minhashComponent(Dedup.shingleHashes(sh), i)): _*).as("sig"))
+    val kRows = kernel.collect().map(r => r.getLong(0) ->
+      (r.getSeq[String](1), r.getSeq[Long](2))).toMap
+    val dRows = declarative.collect().map(r => r.getLong(0) ->
+      (r.getSeq[String](1), r.getSeq[Long](2))).toMap
+    assert(kRows === dRows)
+  }
+
   test("exact dedup: canonical = min doc_id per content hash") {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
       .toDF("doc_id", "text")
