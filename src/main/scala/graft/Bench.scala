@@ -13,14 +13,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val spark = LocalSession.build(cpus,
+      Map("spark.sql.adaptive.enabled" -> "true"))
 
     // warm-up: scan + shuffle agg + broadcast join through codegen
     {
@@ -38,6 +32,9 @@ object Bench {
       // drop frames persisted inside operators so no query benefits from
       // (or pays for) another query's cache
       spark.catalog.clearCache()
+      // progress to stderr (stdout carries only the one JSON line): a
+      // wedged run shows WHERE it stopped instead of dying silently
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
       name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

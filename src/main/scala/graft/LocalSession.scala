@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Shared SparkSession builder for the single-JVM local[N] entry points
+  * (Bench / Verify / JudgeProbe).
+  *
+  * Two hardenings beyond the obvious settings, both learned from a bench
+  * run that died mid-flight at sf0.1:
+  *
+  *  - `spark.sql.artifact.isolation.enabled=false`: Spark 4 gives each
+  *    session an isolated artifact classloader; on executors it resolves
+  *    generated-code symbols by fetching candidate class bytes over the
+  *    driver's RPC file channel. In a busy local[32] JVM those fetches
+  *    intermittently stall for ~10 s (and once wedged a whole-stage
+  *    compile behind the codegen KeyLock until the executor's heartbeats
+  *    lapsed and it killed itself). A single-session batch JVM gets
+  *    nothing from isolation — the application classpath IS the session
+  *    — so turn it off.
+  *  - generous heartbeat/network timeouts: driver and executor share the
+  *    JVM here, so a long GC pause stalls both sides at once; the
+  *    defaults (10 s beats, 60 missed max) convert one bad pause into
+  *    executor suicide mid-benchmark.
+  */
+object LocalSession {
+  def build(cpus: String, extra: Map[String, String] = Map.empty): SparkSession = {
+    val b = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.artifact.isolation.enabled", "false")
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "600s")
+      // Plan STRINGS are rendered per AQE stage materialization even with
+      // the UI off; with literal-heavy expressions (inlined centroids /
+      // hyperplanes) the default ~2 GiB cap let one render dominate a
+      // whole benchmark query. 256 KiB is plenty for debugging.
+      .config("spark.sql.maxPlanStringLength", "262144")
+    extra.foreach { case (k, v) => b.config(k, v) }
+    val spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

@@ -94,15 +94,25 @@ object Dedup {
     * replaced). */
   def withMinhashBands(docs: DataFrame, k: Int = 6, r: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    // coalesce: the kernel expression null-propagates, so a null text
+    // would silently drop the doc from pairing; treating it as "" keeps
+    // kernel, declarative chain, and DuckDB oracle in agreement
     docs.select(col(idCol),
-        graft.functions.ShingleMinhash(TextStats.tokens(col(textCol)), 3, k).as("_m"))
+        graft.functions.ShingleMinhash(
+          TextStats.tokens(coalesce(col(textCol), lit(""))), 3, k).as("_m"))
       .select(col(idCol), bandArray(col("_m.sig"), k, r).as("bands"))
 
-  /** LSH candidate pairs: docs sharing any band bucket. */
+  /** LSH candidate pairs: docs sharing any band bucket.
+    *
+    * The exploded frame is persisted because BOTH sides of the bucket
+    * self-join read it: per-row CSE (which lets [[withMinhashBands]] skip
+    * a barrier) does not reach across join branches, so without this the
+    * scan + minhash kernel run twice — once per side. */
   def lshCandidates(withBands: DataFrame, idCol: String = "doc_id"): DataFrame = {
     val exploded = withBands
       .select(col(idCol), explode($"bands").as("b"))
       .select(col(idCol), $"b.band_idx".as("band_idx"), $"b.band_val".as("band_val"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = exploded.toDF("id_a", "band_idx", "band_val")
     val b = exploded.toDF("id_b", "band_idx", "band_val")
     a.join(b, Seq("band_idx", "band_val"))
@@ -146,9 +156,12 @@ object Dedup {
     // 10–40× at sf0.1). The single persist below remains because the
     // band self-join and the verification join both consume this frame;
     // without it the scan+kernel would run three times.
+    // coalesce(text, ''): see withMinhashBands — null text must hash like
+    // the empty doc, not null-propagate the row out of pairing
     val base = docs
       .select(col(idCol),
-        graft.functions.ShingleMinhash(TextStats.tokens(col(textCol)), 3, k).as("_m"))
+        graft.functions.ShingleMinhash(
+          TextStats.tokens(coalesce(col(textCol), lit(""))), 3, k).as("_m"))
       .select(col(idCol), col("_m.sset").as("sset"),
         bandArray(col("_m.sig"), k, r).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -201,34 +214,106 @@ object Dedup {
     *
     * Output: (id, component_id, is_canonical) for EVERY input doc —
     * singletons form their own component — so a training-data pipeline
-    * filters `is_canonical` to drop all but one copy per cluster. */
+    * filters `is_canonical` to drop all but one copy per cluster.
+    *
+    * Partial convergence is an ERROR, never a silent result: a graph
+    * whose diameter exceeds `maxIter` would otherwise come back with
+    * split components (several "canonical" docs per real cluster), so
+    * exhausting the loop throws.
+    *
+    * Every round passes through [[loopBarrier]] — an eager
+    * `localCheckpoint` PLUS a stats-fresh rebuild of the leaf. Both
+    * halves are load-bearing for an iterative join loop:
+    *
+    *  - checkpointing truncates lineage, so each round's plan is
+    *    constant-size (leaf ⋈ leaf) instead of nesting one join per
+    *    round — a `persist` alone leaves every driver-side plan walk
+    *    (analysis, optimization, AQE plan-string rendering)
+    *    superlinear in rounds.
+    *  - the rebuild (`createDataFrame(ck.rdd, schema)`) discards the
+    *    ORIGIN STATS that `localCheckpoint` copies onto its
+    *    `LogicalRDD` leaf. Catalyst's size-only join estimate is
+    *    `size(left) · size(right)`, so with stats carried across
+    *    rounds `sizeInBytes` DOUBLES IN BIT-LENGTH every round —
+    *    measured: 11 bits → 19,858 bits in 12 rounds — and by ~30
+    *    joins the driver sits for minutes inside
+    *    `BigInteger.multiply` under `SizeInBytesOnlyStatsPlanVisitor`
+    *    (this wedged a full sf0.1 benchmark run). With the rebuild
+    *    every round re-plans from a plain leaf (63 bits, constant).
+    *
+    * Superseded checkpoint blocks are freed by the ContextCleaner once
+    * unreferenced — no session-lifetime cache leak. On a real cluster
+    * prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
+    * executor-loss tolerance; the algorithm is unchanged. */
+  /** Iterative-loop barrier: eagerly materialize `df` via
+    * `localCheckpoint`, then rebuild the frame from the checkpointed
+    * RDD so the returned leaf carries FRESH default statistics instead
+    * of the origin stats `localCheckpoint` copies over. See
+    * [[resolveComponents]]'s doc for why carrying stats across rounds
+    * of a join loop is an exponential-bit-length driver hazard. The
+    * Row round-trip this adds is per-label-row (two longs here) —
+    * noise next to the joins it guards. */
+  private def loopBarrier(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   def resolveComponents(docs: DataFrame, pairs: DataFrame,
       idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // symmetrized edge list; labels flow both directions
-    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
-      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
-      .persist(lvl)
-    var labels = docs.select(col(idCol).as("id"))
-      .distinct().select($"id", $"id".as("comp")).persist(lvl)
+    // symmetrized edge list; labels flow both directions. A barrier leaf:
+    // every round's plan references edges, so it must be constant-size.
+    val edges = loopBarrier(pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst"))))
+    var labels = loopBarrier(docs.select(col(idCol).as("id"))
+      .distinct().select($"id", $"id".as("comp")))
+    // Pointer-doubling closure: comp ← comp(comp) until stable. Labels
+    // are monotone non-increasing and always existing vertex ids, so
+    // each pass halves every pointer chain — O(log chain-length) passes.
+    // Change detection rides along as a column (`ch` = strictly
+    // decreased), so the convergence probe is a scan of the just-
+    // checkpointed blocks, never another join.
+    def jumpClosure(tbl: DataFrame): DataFrame = {
+      var cur = tbl
+      var moving = true
+      while (moving) {
+        val jumped = loopBarrier(cur.as("c")
+          .join(cur.select($"id".as("jid"), $"comp".as("jcomp")),
+            $"c.comp" === $"jid", "left")
+          .select($"c.id".as("id"),
+            least($"c.comp", coalesce($"jcomp", $"c.comp")).as("comp"),
+            (least($"c.comp", coalesce($"jcomp", $"c.comp")) < $"c.comp").as("ch")))
+        moving = jumped.where($"ch").limit(1).count() > 0
+        cur = jumped.select($"id", $"comp")
+      }
+      cur
+    }
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // neighbour step: min label over self + neighbours (the only part
+      // that moves information ACROSS edges; the closure only compresses
+      // chains already discovered)
       val nbrMin = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"comp").as("nbr_comp"))
-      val next = labels.as("l")
+      val stepped = loopBarrier(labels.as("l")
         .join(nbrMin, $"l.id" === $"src", "left")
         .select($"l.id".as("id"),
-          least($"l.comp", coalesce($"nbr_comp", $"l.comp")).as("comp"))
-        .persist(lvl)
-      val changed = next.as("n").join(labels.as("o"), $"n.id" === $"o.id")
-        .where($"n.comp" =!= $"o.comp").count()
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+          least($"l.comp", coalesce($"nbr_comp", $"l.comp")).as("comp"),
+          (least($"l.comp", coalesce($"nbr_comp", $"l.comp")) < $"l.comp").as("ch")))
+      val changed = stepped.where($"ch").limit(1).count()
+      System.err.println(s"[resolveComponents] round=$it changed=$changed")
+      if (changed == 0) converged = true
+      else labels = jumpClosure(stepped.select($"id", $"comp"))
       it += 1
     }
-    edges.unpersist()
+    if (!converged) {
+      throw new IllegalStateException(
+        s"resolveComponents did not converge in $maxIter rounds - the " +
+        "pair graph has a component of diameter > maxIter, and returning " +
+        "here would silently split it into multiple components. Raise " +
+        "maxIter (rounds are cheap: one hash shuffle each) or pre-contract " +
+        "the graph with the large-star/small-star variant (Kiveris et al.).")
+    }
     labels.select($"id".as(idCol), $"comp".as("component_id"),
       ($"id" === $"comp").as("is_canonical"))
   }
@@ -298,12 +383,28 @@ object Dedup {
       .where(least($"n_a", $"n_b").cast("double") /
         greatest($"n_a", $"n_b") >= threshold)
       .select($"id_a", $"id_b", $"lang").distinct()
+      // persisted: candidates are the narrow waist of the operator (3 small
+      // columns). Callers routinely re-evaluate the returned frame — a
+      // global orderBy alone walks it 3× (range-partitioner sampling, sort
+      // shuffle map, reduce) — and without this barrier each walk re-runs
+      // the self-join + verify chain (measured 29 s → 137 s at sf0.1).
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sets = prepared.select($"doc_id", $"toks")
-    cands
+    // Score EVERY candidate in a plain projection, persist, THEN filter.
+    // Without the barrier Catalyst pushes `jaccard_q4 >= t` into the
+    // second join as a join CONDITION (the predicate references both
+    // sides), where the array_intersect is evaluated per probe row
+    // outside the projection's subexpression elimination — and appears
+    // again in the output projection, so the intersection ran up to 4×
+    // per pair (measured 23 s → 2 s for the verify stage at sf0.1). The
+    // cached frame is 4 narrow columns per candidate, and it doubles as
+    // the replay point for a caller's sort/write walks.
+    val scored = cands
       .join(sets.toDF("id_a", "toks_a"), Seq("id_a"))
       .join(sets.toDF("id_b", "toks_b"), Seq("id_b"))
       .select($"id_a", $"id_b", $"lang",
         Similarity.floorQ4(jaccard($"toks_a", $"toks_b")).as("jaccard_q4"))
-      .where($"jaccard_q4" >= math.floor(threshold * 10000).toLong)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    scored.where($"jaccard_q4" >= math.floor(threshold * 10000).toLong)
   }
 }

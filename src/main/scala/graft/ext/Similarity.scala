@@ -83,6 +83,101 @@ object Similarity {
       .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
   }
 
+  /** IVF-style ANN (the second scale path next to [[lshTopK]]): corpus
+    * vectors are partitioned into `nCells` Voronoi cells around coarse
+    * centroids; a query probes only its `nProbe` nearest cells.
+    *
+    * Scale shape:
+    *  - centroids are a bounded tiny set, collected once on the driver
+    *    and inlined as literals (exactly what a broadcast would ship) —
+    *    so CELL ASSIGNMENT IS A NARROW PROJECTION: the corpus is never
+    *    shuffled to build the index, and the assignment codegens via
+    *    [[graft.functions.DotProduct]].
+    *  - the probe join broadcasts (query × nProbe) rows against the
+    *    cell-assigned corpus; only matching cells are scored, and the
+    *    only shuffle is the final per-query top-k window over
+    *    candidates (≈ nProbe/nCells of the corpus).
+    *
+    * The coarse quantizer here is deliberately deterministic — the first
+    * `nCells` corpus vectors by id, L2-normalized — so the DuckDB oracle
+    * reproduces the index bit-for-bit. At 100 TB you would feed real
+    * k-means centroids; every plan property above is centroid-agnostic.
+    *
+    * Assignment ranks cells by cosine ≡ dot with NORMALIZED centroids
+    * (the query-side norm is a common positive factor — dropped); ties
+    * break to the lowest cell id on both engines. Probing all cells
+    * (`nProbe = nCells`) degrades to exact search — asserted in
+    * SimilaritySpec. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
+      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+    val sess = queries.sparkSession
+    val centDf = {
+      import org.apache.spark.sql.{Row => SqlRow}
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(StructField("cell", IntegerType, nullable = false),
+        StructField("c_vec", ArrayType(DoubleType, containsNull = false), nullable = false)))
+      val rows: java.util.List[SqlRow] = java.util.Arrays.asList(
+        cents.zipWithIndex.map { case (c, i) => SqlRow(i, c.toSeq) }: _*)
+      sess.createDataFrame(rows, schema)
+    }
+
+    // query side: rank all cells per query relationally (tiny: |q|·nCells)
+    val qScored = queries.select(col(idCol).as("q_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(centDf))
+      .select($"q_id", $"q_vec", $"cell", dot($"q_vec", $"c_vec").as("s"))
+    val wq = Window.partitionBy($"q_id").orderBy(desc("s"), $"cell")
+    val probes = qScored.withColumn("pr", row_number().over(wq))
+      .where($"pr" <= nProbe).select($"q_id", $"q_vec", $"cell")
+
+    // corpus side: narrow argmax over inlined centroids — zero shuffle
+    val assigned = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      ivfCell(col(vecCol), cents).as("cell"))
+
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .where($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", cosine($"q_vec", $"n_vec").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), $"n_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
+  }
+
+  /** Deterministic coarse centroids: first `nCells` corpus vectors by id,
+    * L2-normalized in driver doubles (float→double is exact; same sum
+    * order as the oracle's `list_dot_product`, so the constants agree
+    * bit-for-bit across engines). */
+  def ivfCentroids(corpus: DataFrame, nCells: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
+    corpus.orderBy(col(idCol)).limit(nCells).select(col(vecCol)).collect()
+      .map { r =>
+        val v = r.getSeq[Any](0).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        v.map(_ / n)
+      }
+
+  /** Nearest-cell id as a pure narrow expression: argmax of the codegen
+    * dot products against the inlined normalized centroids; first index
+    * wins ties (array_position takes the FIRST occurrence == ORDER BY
+    * score DESC, cell ASC elsewhere).
+    *
+    * Shape matters here: the scores ARRAY is built once and referenced
+    * twice (CSE shares the evaluation). The obvious alternative — a
+    * when-chain where every branch repeats `greatest(all scores)` —
+    * inlines the nCells·dim centroid literals ~nCells× over, and the
+    * resulting multi-hundred-KB expression tree made AQE's per-stage
+    * plan-string rendering the BOTTLENECK of the whole benchmark (the
+    * driver sat at 100% CPU inside explainString). Literal-heavy
+    * expressions must stay linear in the literal count. */
+  def ivfCell(vec: Column, cents: Array[Array[Double]]): Column = {
+    val scores = array(cents.map(c => dot(vec, array(c.map(lit): _*))): _*)
+    (array_position(scores, array_max(scores)) - 1).cast("int")
+  }
+
   /** Embedding-cosine near-dup pairs (blocked by label to bound the
     * candidate set; at scale the block key would be an LSH bucket). */
   def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {

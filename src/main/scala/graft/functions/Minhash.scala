@@ -5,7 +5,7 @@ import java.security.MessageDigest
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -104,18 +104,33 @@ object MinhashKernel {
   }
 }
 
-/** MinHash shingle signature as a custom codegen Catalyst expression
-  * (SURVEY §4.3.2): array<string> tokens → struct<sset: array<string>,
+/** MinHash shingle signature as a custom Catalyst expression (SURVEY
+  * §4.3.2): array<string> tokens → struct<sset: array<string>,
   * sig: array<long>> in one pass. See [[MinhashKernel]] for why this
-  * beats the higher-order-function formulation. */
-case class ShingleMinhash(child: Expression, n: Int, k: Int) extends UnaryExpression {
+  * beats the higher-order-function formulation.
+  *
+  * Null handling: as a UnaryExpression this null-propagates (null tokens
+  * → null struct), which DIVERGES from the declarative chain it replaced
+  * (signature over [""]). Callers in [[graft.ext.Dedup]] coalesce text
+  * to "" upstream so kernel, declarative chain, and the DuckDB oracle
+  * agree on null input.
+  *
+  * Deliberately [[CodegenFallback]], NOT `defineCodeGen` calling the
+  * kernel: generated Java that references an application class forces the
+  * executor-side Janino compile to resolve that symbol through the
+  * session-artifact class loader, which fetches candidate class bytes
+  * over the driver's RPC file channel — observed to stall whole-stage
+  * compilation for minutes (and once wedge a run outright) under a busy
+  * local[32] JVM. All per-row work happens inside the one kernel call, so
+  * interpreted dispatch of this single expression costs nothing
+  * measurable; the surrounding projection still codegens. */
+case class ShingleMinhash(child: Expression, n: Int, k: Int)
+    extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = StructType(Seq(
     StructField("sset", ArrayType(StringType, containsNull = false), nullable = false),
     StructField("sig", ArrayType(LongType, containsNull = false), nullable = false)))
   override def nullSafeEval(v: Any): Any =
     MinhashKernel.shingleMinhash(v.asInstanceOf[ArrayData], n, k)
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashKernel.shingleMinhash($c, $n, $k)")
   override protected def withNewChildInternal(c: Expression): ShingleMinhash = copy(c)
   override def prettyName: String = "shingle_minhash"
 }

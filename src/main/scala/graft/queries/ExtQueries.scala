@@ -145,6 +145,33 @@ object ExtQueries extends QueryGroup {
        |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Dedup resolution end-to-end: embedding near-dup pairs → connected
+    * components → one canonical doc per cluster. The oracle reproduces
+    * min-label components with a recursive CTE (min reachable id =
+    * component min, since the edge list is symmetrized). */
+  def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    Dedup.resolveComponents(emb, pairs, idCol = "vec_id").orderBy($"vec_id")
+  }
+
+  private val dedupComponentsSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM embeddings a JOIN embeddings b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |comp(id, comp) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, c.comp FROM edges e JOIN comp c ON e.src = c.id),
+       |lab AS (SELECT id, min(comp) AS component_id FROM comp GROUP BY id)
+       |SELECT id AS vec_id, component_id, id = component_id AS is_canonical
+       |FROM lab ORDER BY vec_id""".stripMargin
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
@@ -269,6 +296,47 @@ object ExtQueries extends QueryGroup {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF-bucketed ANN (second scale path next to LSH): deterministic
+    * coarse centroids (first 16 vectors, L2-normalized), narrow argmax
+    * cell assignment, 4-of-16 cell probe. The oracle rebuilds the same
+    * index relationally from the parquet — no inlined constants. */
+  def simIvf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    Similarity.ivfTopK(emb.where($"vec_id" < 10), emb, 5, nCells = 16, nProbe = 4)
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val simIvfSql = {
+    val dotc = (v: String) => s"list_dot_product($v::DOUBLE[], c.c_vec)"
+    s"""WITH cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+       |                                          embedding::DOUBLE[]))) AS c_vec
+       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |cassign AS (
+       |  SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotc("e.embedding")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |corpus AS (SELECT n_id, n_vec, cell FROM cassign WHERE rn = 1),
+       |qassign AS (
+       |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${dotc("q.embedding")} DESC, c.cell) AS pr
+       |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10),
+       |probes AS (SELECT q_id, q_vec, cell FROM qassign WHERE pr <= 4),
+       |scored AS (
+       |  SELECT p.q_id, n.n_id, ${cosSql("p.q_vec", "n.n_vec")} AS cos
+       |  FROM probes p JOIN corpus n USING (cell) WHERE p.q_id != n.n_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Multimodal decode plumbing (stub codec). The FakeCodec metadata is
     * pure byte arithmetic over the payload (= the UTF-8 text bytes; the
     * corpus is ASCII, so DuckDB's char ops see the same bytes), so the
@@ -305,12 +373,14 @@ object ExtQueries extends QueryGroup {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),
+    QueryDef("ext_sim_ivf_ann", simIvf, Some(simIvfSql)),
     QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    QueryDef("ext_dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)))
 }

@@ -77,6 +77,50 @@ class DedupSpec extends SparkSpec {
     assert(kRows === dRows)
   }
 
+  test("resolveComponents: path, pair, and singleton all labeled correctly") {
+    // path 1-2-3-4 (diameter 3, multi-round propagation), pair 10-11,
+    // singleton 20; null-free long ids
+    val docs = Seq(1L, 2L, 3L, 4L, 10L, 11L, 20L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.resolveComponents(docs, pairs)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("component_id"), r.getAs[Boolean]("is_canonical"))).toMap
+    assert(out === Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false), 4L -> (1L, false),
+      10L -> (10L, true), 11L -> (10L, false),
+      20L -> (20L, true)))
+  }
+
+  test("resolveComponents: plan statistics stay bounded across rounds (no exponential sizeInBytes)") {
+    // 64-node chain → several neighbour+jump rounds (~15 checkpointed
+    // joins). Without the stats-fresh loop barrier, Catalyst's size-only
+    // join estimate doubles sizeInBytes' BIT LENGTH per round (11 →
+    // 19,858 bits in 12 rounds measured), and the driver eventually
+    // spends minutes in BigInteger.multiply inside the stats visitor —
+    // this wedged a full sf0.1 bench run. The barrier keeps every
+    // round's leaf at a plain default estimate.
+    val n = 64
+    val docs = (1L to n).toDF("doc_id")
+    val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val out = Dedup.resolveComponents(docs, chain)
+    val bits = out.queryExecution.optimizedPlan.stats.sizeInBytes.bigInteger.bitLength
+    assert(bits < 128, s"stats sizeInBytes uses $bits bits - stats are compounding across rounds")
+    val comps = out.collect()
+    assert(comps.forall(_.getAs[Long]("component_id") == 1L))
+    assert(comps.count(_.getAs[Boolean]("is_canonical")) === 1)
+  }
+
+  test("resolveComponents: throws instead of returning split components at maxIter") {
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
+    // diameter 4 needs >1 round; maxIter=1 must throw, not mislabel
+    val e = intercept[IllegalStateException] {
+      Dedup.resolveComponents(docs, chain, maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("exact dedup: canonical = min doc_id per content hash") {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
       .toDF("doc_id", "text")

@@ -49,6 +49,20 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("Exchange"))
   }
 
+  test("IVF index build is narrow: corpus cell assignment has no Exchange, probe side broadcasts") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.ext.Similarity.ivfCentroids(emb, 16)
+    // the corpus-side plan a probe join consumes: scan + argmax projection
+    val assigned = emb.select(col("vec_id"),
+      graft.ext.Similarity.ivfCell(col("embedding"), cents).as("cell"))
+    assert(!planOf(assigned).contains("Exchange"), planOf(assigned))
+    // full operator: the only Exchange is the final top-k window over
+    // candidates; the corpus reaches the probe join via BroadcastHashJoin
+    val full = graft.ext.Similarity.ivfTopK(emb.where(col("vec_id") < 10), emb, 5)
+    val plan = planOf(full)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     val df = Tables.load(spark, sfDir, "documents")
       .select(graft.functions.CustomExpressions.fuzz_ratio(col("text"), col("lang")),

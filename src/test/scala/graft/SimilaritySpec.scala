@@ -39,6 +39,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.10, s"recall@5 was $recall")
   }
 
+  test("IVF ANN with nProbe = nCells degrades to exact search (≡ brute force)") {
+    val queries = emb.where(col("vec_id") < 20)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("n_id"))).toSet
+    val full = Similarity.ivfTopK(queries, emb, 5, nCells = 16, nProbe = 16).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("n_id"))).toSet
+    assert(full === exact)
+  }
+
+  test("IVF ANN at nProbe=4/16 keeps non-trivial recall with a quarter of the corpus scored") {
+    val queries = emb.where(col("vec_id") < 50)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val approx = Similarity.ivfTopK(queries, emb, 5, nCells = 16, nProbe = 4).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall > 0.25, s"recall@5 was $recall")
+  }
+
   test("minhash LSH candidates are a superset of high-jaccard pairs (docs)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val cands = Dedup.lshCandidates(Dedup.withMinhashBands(docs)).collect()
