@@ -23,8 +23,25 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default forked-JVM heap scales with the host: 28g keeps the sf0.1
+// bench sweep out of GC churn on the 128 GiB bench machine, but would
+// swap/OOM-kill a small laptop, so hosts under 64 GiB get a
+// conservative 8g. SPARK_DRIVER_MEM overrides either way.
+val defaultHeap: String = {
+  val memTotalKb =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toLong }
+      .getOrElse(0L)
+    catch { case _: Throwable => 0L } // non-Linux: assume small
+  if (memTotalKb >= 64L * 1024 * 1024) "28g" else "8g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "28g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )
+// Pipe forked `run` output straight through: sbt's default logger wraps
+// every stdout line in "[info] ", which breaks anything parsing Bench's
+// one-line JSON contract from the process output.
+run / outputStrategy := Some(StdoutOutput)

@@ -12,11 +12,23 @@ import org.apache.spark.sql.functions._
   *    is the band-bucket self-join (|bands|·|docs| small rows), and
   *    verification runs only on bucket-colliding candidate pairs — the
   *    all-pairs cross join never exists.
-  *  - n-gram Jaccard: blocked on (lang, length-bucket) so the candidate
-  *    join is bucket-local; at 100 TB the block key keeps buckets bounded.
+  *  - n-gram Jaccard: prefix filtering (All-Pairs/PPJoin) — candidates
+  *    share a rare-token prefix element, so buckets stay tiny and the
+  *    candidate set is provably complete.
   *
   * All hashing is md5-derived so every step is reproducible in any engine
   * (and DuckDB-oracle-checkable).
+  *
+  * CACHING CONTRACT: the pair-producing operators ([[lshCandidates]],
+  * [[minhashLsh]], [[ngramJaccard]]) persist their internal frames at
+  * MEMORY_AND_DISK — those barriers are load-bearing (each blocks a
+  * measured 4–40× re-evaluation of the scan+kernel lineage, see the
+  * in-method comments) and the returned DataFrame still reads from them
+  * lazily, so the operator cannot unpersist before returning. Callers
+  * own the cache scope: run `spark.catalog.clearCache()` (what Bench
+  * and Verify do per query) or `unpersist()` the frames listed by
+  * `spark.catalog` once the result has been consumed/written, or the
+  * blocks live for the session.
   */
 object Dedup {
 
@@ -94,12 +106,12 @@ object Dedup {
     * replaced). */
   def withMinhashBands(docs: DataFrame, k: Int = 6, r: Int = 2,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    // coalesce: the kernel expression null-propagates, so a null text
-    // would silently drop the doc from pairing; treating it as "" keeps
-    // kernel, declarative chain, and DuckDB oracle in agreement
+    // tokens() is null-safe (null text hashes like the empty doc) — see
+    // TextStats.tokens; without that a null would silently drop the doc
+    // from pairing
     docs.select(col(idCol),
         graft.functions.ShingleMinhash(
-          TextStats.tokens(coalesce(col(textCol), lit(""))), 3, k).as("_m"))
+          TextStats.tokens(col(textCol)), 3, k).as("_m"))
       .select(col(idCol), bandArray(col("_m.sig"), k, r).as("bands"))
 
   /** LSH candidate pairs: docs sharing any band bucket.
@@ -156,12 +168,10 @@ object Dedup {
     // 10–40× at sf0.1). The single persist below remains because the
     // band self-join and the verification join both consume this frame;
     // without it the scan+kernel would run three times.
-    // coalesce(text, ''): see withMinhashBands — null text must hash like
-    // the empty doc, not null-propagate the row out of pairing
     val base = docs
       .select(col(idCol),
         graft.functions.ShingleMinhash(
-          TextStats.tokens(coalesce(col(textCol), lit(""))), 3, k).as("_m"))
+          TextStats.tokens(col(textCol)), 3, k).as("_m"))
       .select(col(idCol), col("_m.sset").as("sset"),
         bandArray(col("_m.sig"), k, r).as("bands"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -199,18 +209,24 @@ object Dedup {
   /** Dedup RESOLUTION: near-dup pairs → connected components → one
     * canonical document per cluster (min id — deterministic).
     *
-    * Iterative min-label propagation: every vertex starts as its own
-    * component; each round every vertex takes the min label over itself
-    * and its neighbours; stop when a round changes nothing. Converges in
-    * O(graph diameter) rounds — near-dup graphs are star/clique-shaped
-    * (a cluster of copies all pair with each other), so in practice 2–3
-    * rounds. Each round is ONE hash shuffle on vertex ids (edges join
-    * labels + groupBy min); nothing is ever collected to the driver —
-    * the convergence probe is a count aggregate. For adversarially long
-    * path-shaped graphs the alternating large-star/small-star algorithm
-    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-    * SoCC'14) bounds rounds by O(log²) — same per-round plan shape, so
-    * swapping it in does not change the operator surface.
+    * Iterative min-label propagation with GRAPH CONTRACTION (the
+    * Kiveris et al. "Connected Components in MapReduce and Beyond",
+    * SoCC'14 insight): every vertex starts as its own component; each
+    * round every vertex takes the min label over itself and its
+    * neighbours, a pointer-doubling closure compresses the discovered
+    * pointer chains, and then the edge list is CONTRACTED through the
+    * new labels — each edge (u,v) becomes (comp(u), comp(v)), self-loops
+    * drop, duplicates dedup. Contraction is what bounds the round count:
+    * plain min-propagation moves information one edge-hop per round
+    * (measured 16 rounds on the sf0.1 embedding graph — a min label
+    * must cross every high-id hub one round at a time), while on the
+    * contracted quotient graph each round halves the effective diameter
+    * (5 rounds on the same graph, identical output). It is also the
+    * 100-TB story: the dominant per-round shuffle (edges ⋈ labels) runs
+    * on an edge list that shrinks geometrically as clusters collapse,
+    * instead of the full input edge list every round. Nothing is ever
+    * collected to the driver — the convergence probe is a limit-1 count
+    * over the just-checkpointed change flags.
     *
     * Output: (id, component_id, is_canonical) for EVERY input doc —
     * singletons form their own component — so a training-data pipeline
@@ -262,7 +278,7 @@ object Dedup {
       idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
     // symmetrized edge list; labels flow both directions. A barrier leaf:
     // every round's plan references edges, so it must be constant-size.
-    val edges = loopBarrier(pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+    var edges = loopBarrier(pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst"))))
     var labels = loopBarrier(docs.select(col(idCol).as("id"))
       .distinct().select($"id", $"id".as("comp")))
@@ -303,16 +319,42 @@ object Dedup {
       val changed = stepped.where($"ch").limit(1).count()
       System.err.println(s"[resolveComponents] round=$it changed=$changed")
       if (changed == 0) converged = true
-      else labels = jumpClosure(stepped.select($"id", $"comp"))
+      else {
+        labels = jumpClosure(stepped.select($"id", $"comp"))
+        // contract: rewrite every edge through the fresh labels. After
+        // jumpClosure every comp value is a fixpoint representative, so
+        // (comp(u), comp(v)) edges connect reps only; self-loops (edges
+        // now inside one component) drop, and dedup collapses the
+        // parallel edges a big cluster produces. Mapping both stored
+        // directions keeps the list symmetric without a re-union.
+        edges = loopBarrier(edges
+          .join(labels.select($"id".as("src"), $"comp".as("csrc")), Seq("src"))
+          .join(labels.select($"id".as("dst"), $"comp".as("cdst")), Seq("dst"))
+          .where($"csrc" =!= $"cdst")
+          .select($"csrc".as("src"), $"cdst".as("dst"))
+          .distinct())
+      }
       it += 1
     }
     if (!converged) {
+      // The loop only proves convergence via a zero-change round, so a
+      // graph that fully resolved in exactly maxIter rounds lands here
+      // with correct labels. One stability probe (would another
+      // neighbour step change anything?) separates that from a
+      // genuinely split labeling.
+      val probeMin = edges.join(labels, $"dst" === $"id")
+        .groupBy($"src").agg(min($"comp").as("nbr_comp"))
+      val unstable = labels.as("l")
+        .join(probeMin, $"l.id" === $"src")
+        .where($"nbr_comp" < $"l.comp").limit(1).count() > 0
+      if (!unstable) converged = true
+    }
+    if (!converged) {
       throw new IllegalStateException(
-        s"resolveComponents did not converge in $maxIter rounds - the " +
-        "pair graph has a component of diameter > maxIter, and returning " +
-        "here would silently split it into multiple components. Raise " +
-        "maxIter (rounds are cheap: one hash shuffle each) or pre-contract " +
-        "the graph with the large-star/small-star variant (Kiveris et al.).")
+        s"resolveComponents needed more than $maxIter rounds (each round " +
+        "is one neighbour step plus a pointer-doubling closure and a " +
+        "graph contraction, so rounds scale ~log(diameter)); returning " +
+        "here would silently split components. Raise maxIter.")
     }
     labels.select($"id".as(idCol), $"comp".as("component_id"),
       ($"id" === $"comp").as("is_canonical"))

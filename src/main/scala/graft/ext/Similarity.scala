@@ -149,7 +149,12 @@ object Similarity {
     * bit-for-bit across engines). */
   def ivfCentroids(corpus: DataFrame, nCells: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] =
-    corpus.orderBy(col(idCol)).limit(nCells).select(col(vecCol)).collect()
+    // an all-zero vector can't be normalized (0/0 = NaN centroid would
+    // poison every cell score), so skip them when seeding; the IVF
+    // oracle SQL applies the same norm>0 guard to stay in lockstep
+    corpus.where(aggregate(col(vecCol), lit(0.0d),
+        (acc, x) => acc + x.cast("double") * x.cast("double")) > 0)
+      .orderBy(col(idCol)).limit(nCells).select(col(vecCol)).collect()
       .map { r =>
         val v = r.getSeq[Any](0).map {
           case f: Float => f.toDouble

@@ -13,8 +13,14 @@ object TextStats {
 
   /** Whitespace tokenizer (lowercased). A BPE-ish refinement would swap
     * the pattern for a regex over word pieces; the operator shape (array
-    * column, narrow) is identical. */
-  def tokens(text: Column): Column = split(lower(text), "\\s+")
+    * column, narrow) is identical.
+    *
+    * Null-safe by construction: null text tokenizes like the empty doc
+    * instead of null-propagating the row out of downstream pairing /
+    * stats — and the DuckDB oracle SQL (`toksSql` in ExtQueries) applies
+    * the same coalesce, so both engines agree on null-text rows. */
+  def tokens(text: Column): Column =
+    split(lower(coalesce(text, lit(""))), "\\s+")
 
   /** Small per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deterministic and tiny by design (the real thing would

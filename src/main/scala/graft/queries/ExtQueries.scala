@@ -43,7 +43,10 @@ object ExtQueries extends QueryGroup {
        |ORDER BY d.doc_id""".stripMargin
 
   // Shared SQL fragments for tokenization/shingles (DuckDB side).
-  private val toksSql = "string_split_regex(lower(text), '\\s+')"
+  // coalesce mirrors TextStats.tokens' null-safety: null text must
+  // tokenize like the empty doc in BOTH engines or null-text docs would
+  // pair in Spark and silently vanish from the DuckDB side
+  private val toksSql = "string_split_regex(lower(coalesce(text, '')), '\\s+')"
   private def shinglesSql(ws: String) =
     s"""CASE WHEN len($ws) >= 3
        |  THEN list_transform(range(1, len($ws) - 1),
@@ -313,7 +316,9 @@ object ExtQueries extends QueryGroup {
        |         list_transform(embedding::DOUBLE[],
        |           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
        |                                          embedding::DOUBLE[]))) AS c_vec
-       |  FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 16)),
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+       |        ORDER BY vec_id LIMIT 16)),
        |cassign AS (
        |  SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id

@@ -111,14 +111,31 @@ class DedupSpec extends SparkSpec {
     assert(comps.count(_.getAs[Boolean]("is_canonical")) === 1)
   }
 
-  test("resolveComponents: throws instead of returning split components at maxIter") {
+  test("resolveComponents: maxIter exhaustion with stable labels returns, not throws") {
+    // the path fully resolves inside round 0's jump closure (pointers
+    // compress end to end), so with maxIter=1 the loop exhausts with
+    // CORRECT labels — the final stability probe must accept them
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
-    // diameter 4 needs >1 round; maxIter=1 must throw, not mislabel
+    val out = Dedup.resolveComponents(docs, chain, maxIter = 1).collect()
+    assert(out.forall(_.getAs[Long]("component_id") == 1L))
+  }
+
+  test("resolveComponents: throws instead of returning split components at maxIter") {
+    // star through a HIGH-id hub: a leaf's min label must cross the hub,
+    // which information-theoretically needs a second neighbour round —
+    // pointer jumping can't shortcut an edge not yet discovered. With
+    // maxIter=1 the labeling is genuinely split (leaves still label
+    // themselves), so returning would be silent corruption.
+    val docs = Seq(1L, 2L, 3L, 100L).toDF("doc_id")
+    val star = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.resolveComponents(docs, chain, maxIter = 1)
+      Dedup.resolveComponents(docs, star, maxIter = 1)
     }
-    assert(e.getMessage.contains("did not converge"))
+    assert(e.getMessage.contains("needed more than"))
+    // and one more round is all it takes
+    val ok = Dedup.resolveComponents(docs, star, maxIter = 2).collect()
+    assert(ok.forall(_.getAs[Long]("component_id") == 1L))
   }
 
   test("exact dedup: canonical = min doc_id per content hash") {
