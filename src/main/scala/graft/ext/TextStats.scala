@@ -79,6 +79,38 @@ object TextStats {
   def fingerprint(toks: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(toks))).cast("binary"))
 
+  /** BPE-ish piece tokenizer: alphanumeric runs OR single non-space
+    * symbols — the pre-tokenization split every byte-pair encoder starts
+    * from. On latin text this approximates subword piece counts; on CJK
+    * it degrades to one piece per character, which is exactly what a
+    * byte-level BPE sees. Pure regexp work → codegen, zero shuffle. */
+  val pieceRegexp = "[a-z0-9]+|[^a-z0-9\\s]"
+
+  def pieces(text: Column): Column =
+    regexp_extract_all(lower(coalesce(text, lit(""))), lit(pieceRegexp), lit(0))
+
+  def pieceCount(text: Column): Column = size(pieces(text))
+
+  /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 — the MOSS
+    * algorithm): hash every character k-gram, slide a w-wide window over
+    * the hash sequence, keep each window's minimum. Guarantees any
+    * shared substring of length ≥ k + w − 1 contributes a shared
+    * fingerprint while retaining ~2/(w+1) of the hashes — the standard
+    * scalable document-fingerprint for overlap detection. Returns the
+    * sorted distinct selected hashes.
+    *
+    * Scale shape: one narrow kernel expression per row
+    * ([[graft.functions.WinnowFingerprint]]) — runs at scan speed, no
+    * shuffle, and the md5-derived gram hash is bit-identical in any
+    * engine (DuckDB-oracle-checkable). The equivalent HOF chain is a
+    * trap: interpreted lambdas get no CSE, so the gram-hash array was
+    * re-built per window element — O(len³) per doc (see the kernel's
+    * scaladoc for the measured wedge). Shorter docs: fewer grams than
+    * the window ⇒ the global min is the single fingerprint; fewer than
+    * k chars ⇒ empty. */
+  def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
+    graft.functions.WinnowFingerprint(coalesce(text, lit("")), k, w)
+
   /** TF-IDF top-k terms per document (HashingTF-equivalent, SURVEY §7.9):
     * tf = term count in doc, idf = ln((N+1)/(df+1)), top-k by tf·idf with
     * lexicographic tie-break. Two hash aggregations + one broadcast of

@@ -1,0 +1,51 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DmsToDecimal, DotProduct, FuzzRatio}
+
+/** Session-extension installer: makes the engine's custom Catalyst
+  * expressions available to ANY session — including ones the library
+  * never sees being built — via plain config:
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.plans.GraftExtensions ...
+  * }}}
+  *
+  * This is the deployment-grade seam next to
+  * [[graft.functions.CustomExpressions.register]] (which needs a live
+  * session object): `injectFunction` registrations survive into every
+  * session cloned from the configured builder, thrift-server sessions
+  * included, so SQL-only users get `dms_to_decimal` / `fuzz_ratio` /
+  * `dot_product` without any Scala entry point. The expressions are the
+  * same codegen'd Catalyst classes the Column API uses — one
+  * implementation, two surfaces.
+  *
+  * Reference semantics: dms_to_decimal ≙ utils/parse.py dms2dd;
+  * fuzz_ratio ≙ thefuzz ratio used by the pairing heuristics;
+  * dot_product backs the similarity operators. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("dms_to_decimal"),
+      info("dms_to_decimal",
+        "dms_to_decimal(str) - degrees-minutes-seconds coordinate to decimal degrees"),
+      (exprs: Seq[Expression]) => DmsToDecimal(exprs.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fuzz_ratio"),
+      info("fuzz_ratio",
+        "fuzz_ratio(a, b) - Levenshtein-based similarity ratio in [0, 100]"),
+      (exprs: Seq[Expression]) => FuzzRatio(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      info("dot_product",
+        "dot_product(a, b) - dot product of two numeric arrays as double"),
+      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+  }
+}

@@ -242,6 +242,54 @@ object ExtQueries extends QueryGroup {
        |FROM stats ORDER BY doc_id""".stripMargin
   }
 
+  /** Whitespace-token vs BPE-ish-piece counts per document (the two
+    * token-counting modes a training-data pipeline budgets with). */
+  def tokenPieces(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    docs.select($"doc_id",
+        TextStats.tokenCount(TextStats.tokens($"text")).as("n_tokens"),
+        TextStats.pieceCount($"text").as("n_pieces"))
+      .orderBy($"doc_id")
+  }
+
+  private val tokenPiecesSql =
+    s"""SELECT doc_id,
+       |  len($toksSql) AS n_tokens,
+       |  len(regexp_extract_all(lower(coalesce(text, '')),
+       |      '[a-z0-9]+|[^a-z0-9\\s]')) AS n_pieces
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Winnowing fingerprints (k=5, w=4), one row per selected hash. */
+  def fingerprintWinnow(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    docs.select($"doc_id",
+        explode(TextStats.winnowFingerprints($"text", 5, 4)).as("fp"))
+      .orderBy($"doc_id", $"fp")
+  }
+
+  private val fingerprintWinnowSql =
+    // mirrors TextStats.winnowFingerprints: md5-derived k-gram hashes,
+    // per-window list_min, short docs keep the global min, sub-k docs
+    // contribute nothing (range/unnest of an empty list emit no rows)
+    s"""WITH t AS (
+       |  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
+       |hs AS (
+       |  SELECT doc_id,
+       |    list_transform(range(1, greatest(length(t) - 5 + 2, 1)),
+       |      i -> ('0x' || substr(md5(substr(t, i::INT, 5)), 1, 8))::BIGINT) AS hs
+       |  FROM t),
+       |sel AS (
+       |  SELECT doc_id,
+       |    CASE WHEN len(hs) = 0 THEN []::BIGINT[]
+       |         WHEN len(hs) - 4 + 1 <= 0 THEN [list_min(hs)]
+       |         ELSE list_sort(list_distinct(
+       |           list_transform(range(1, len(hs) - 4 + 2),
+       |             j -> list_min(list_slice(hs, j, j + 3)))))
+       |    END AS fps
+       |  FROM hs)
+       |SELECT doc_id, unnest(fps) AS fp FROM sel
+       |ORDER BY doc_id, fp""".stripMargin
+
   /** TF-IDF top-3 terms per document. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame =
     TextStats.tfidf(load(spark, dir, "documents"), 3)
@@ -387,5 +435,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     QueryDef("ext_dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
-    QueryDef("ext_text_stats", textStats, Some(textStatsSql)))
+    QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
+    QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
+    QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)))
 }

@@ -63,6 +63,13 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("winnowing fingerprints stay narrow: per-row HOFs, no Exchange before the explode") {
+    val df = Tables.load(spark, sfDir, "documents")
+      .select(col("doc_id"),
+        graft.ext.TextStats.winnowFingerprints(col("text")).as("fps"))
+    assert(!planOf(df).contains("Exchange"), planOf(df))
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     val df = Tables.load(spark, sfDir, "documents")
       .select(graft.functions.CustomExpressions.fuzz_ratio(col("text"), col("lang")),

@@ -13,6 +13,10 @@ object TestSpark {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // config-only install of the custom SQL functions; driven by
+      // GraftExtensionsSpec (a static conf — must be set on the FIRST
+      // session of the JVM, later builders can't add it)
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ext.TextStats
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operator goldens: the winnowing guarantee and the
+  * BPE-ish piece split — properties the row-level oracle gate doesn't
+  * isolate. */
+class TextStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def fps(texts: (Long, String)*): Map[Long, Seq[Long]] =
+    texts.toDF("doc_id", "text")
+      .select($"doc_id", TextStats.winnowFingerprints($"text", 5, 4).as("fps"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+
+  test("winnowing: docs sharing a substring of length >= k+w-1 share a fingerprint") {
+    // k=5, w=4 → any common substring of length >= 8 must contribute at
+    // least one common selected hash (the MOSS guarantee)
+    val common = "xqzwvkjh" // 8 chars, appears inside both docs
+    val out = fps(
+      1L -> s"prefix one $common suffix alpha",
+      2L -> s"totally other lead-in $common and a different tail",
+      3L -> "nothing in common with the others at all")
+    assert(out(1L).toSet.intersect(out(2L).toSet).nonEmpty)
+    assert(out(1L).toSet.intersect(out(3L).toSet).isEmpty)
+  }
+
+  test("winnowing: fingerprints are sorted, distinct, and case-insensitive") {
+    val out = fps(1L -> "The Quick Brown Fox", 2L -> "the quick brown fox")
+    assert(out(1L) === out(2L))
+    assert(out(1L) === out(1L).distinct.sorted)
+  }
+
+  test("winnowing edge cases: sub-k text is empty, sub-window text keeps the global min") {
+    val out = fps(1L -> "abc", 2L -> "abcdef", 3L -> "")
+    assert(out(1L).isEmpty)  // 3 chars < k=5 → no grams
+    assert(out(3L).isEmpty)
+    // 6 chars → 2 grams < w=4 windows → exactly the global min survives
+    assert(out(2L).size === 1)
+  }
+
+  test("pieces: alphanumeric runs + single symbols; CJK counts per character") {
+    val out = Seq((1L, "Hello, world! it's 42"), (2L, "中文 文本"), (3L, null: String))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextStats.pieceCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // hello , world ! it ' s 42 → 8 pieces
+    assert(out(1L) === 8)
+    // each CJK char is its own piece: 中 文 文 本 → 4
+    assert(out(2L) === 4)
+    assert(out(3L) === 0)
+  }
+}
