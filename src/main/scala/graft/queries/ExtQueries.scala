@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryGroup, Tables}
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Contamination, Dedup, Sampling, Similarity, TextStats}
 
 /** Extended LLM-data-pipeline operators (SURVEY §7.9) as oracle-checked
   * queries over `documents` / `embeddings`: dedup (exact, MinHash-LSH,
@@ -267,11 +267,11 @@ object ExtQueries extends QueryGroup {
       .orderBy($"doc_id", $"fp")
   }
 
-  private val fingerprintWinnowSql =
-    // mirrors TextStats.winnowFingerprints: md5-derived k-gram hashes,
-    // per-window list_min, short docs keep the global min, sub-k docs
-    // contribute nothing (range/unnest of an empty list emit no rows)
-    s"""WITH t AS (
+  // mirrors TextStats.winnowFingerprints: md5-derived k-gram hashes,
+  // per-window list_min, short docs keep the global min, sub-k docs
+  // contribute nothing (range/unnest of an empty list emit no rows)
+  private val winnowCte =
+    s"""t AS (
        |  SELECT doc_id, lower(coalesce(text, '')) AS t FROM documents),
        |hs AS (
        |  SELECT doc_id,
@@ -286,9 +286,71 @@ object ExtQueries extends QueryGroup {
        |           list_transform(range(1, len(hs) - 4 + 2),
        |             j -> list_min(list_slice(hs, j, j + 3)))))
        |    END AS fps
-       |  FROM hs)
+       |  FROM hs)""".stripMargin
+
+  private val fingerprintWinnowSql =
+    s"""WITH $winnowCte
        |SELECT doc_id, unnest(fps) AS fp FROM sel
        |ORDER BY doc_id, fp""".stripMargin
+
+  /** Deterministic train/val/test split + per-lang counts (reproducible
+    * across runs/engines — the md5 bucket, never rand()). */
+  def sampleSplit(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    docs.select($"lang",
+        Sampling.splitAssign($"doc_id",
+          Seq(("train", 8000), ("val", 1000), ("test", 1000))).as("split"))
+      .groupBy($"lang", $"split").agg(count(lit(1)).as("n"))
+      .orderBy($"lang", $"split")
+  }
+
+  private val bucketSql =
+    "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000)"
+
+  private val sampleSplitSql =
+    s"""SELECT lang,
+       |  CASE WHEN $bucketSql < 8000 THEN 'train'
+       |       WHEN $bucketSql < 9000 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*) AS n
+       |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin
+
+  /** Stratified deterministic sample: per-language basis-point rates
+    * (language re-balancing for training mixes). */
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Sampling.stratifiedSample(docs, "doc_id", "lang",
+        Map("en" -> 500, "zh" -> 2000), defaultBp = 1000)
+      .select($"doc_id", $"lang").orderBy($"doc_id")
+  }
+
+  private val sampleStratifiedSql =
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $bucketSql < (CASE lang WHEN 'en' THEN 500
+       |                              WHEN 'zh' THEN 2000 ELSE 1000 END)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Benchmark decontamination: corpus docs sharing >= 3 winnowing
+    * fingerprints with the probe subset (doc_id % 101 = 0 stands in for
+    * an eval set). Bucketed by fingerprint — no all-pairs. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Contamination.overlaps(docs, docs.where($"doc_id" % 101 === 0), minShared = 3)
+      .orderBy($"corpus_id", $"probe_id")
+  }
+
+  private val decontaminateSql =
+    s"""WITH $winnowCte,
+       |fps AS (SELECT doc_id, unnest(fps) AS fp FROM sel),
+       |j AS (
+       |  SELECT c.doc_id AS corpus_id, p.doc_id AS probe_id,
+       |         count(*) AS n_shared
+       |  FROM fps c JOIN (SELECT * FROM fps WHERE doc_id % 101 = 0) p
+       |    USING (fp)
+       |  WHERE c.doc_id != p.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT corpus_id, probe_id, n_shared FROM j
+       |WHERE n_shared >= 3 ORDER BY corpus_id, probe_id""".stripMargin
 
   /** TF-IDF top-3 terms per document. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame =
@@ -437,5 +499,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
-    QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)))
+    QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
+    QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
+    QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)))
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Contamination, Sampling}
+
+/** Deterministic sampling / splitting / decontamination properties the
+  * oracle gate can't isolate: stability across re-evaluation, split
+  * exhaustiveness, rate monotonicity, the overlap guarantee, and the
+  * hot-fingerprint cap. */
+class SamplingSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("hashSample is deterministic and monotone in the rate") {
+    val df = (1L to 2000L).toDF("doc_id")
+    val s10a = Sampling.hashSample(df, "doc_id", 1000).collect().map(_.getLong(0)).toSet
+    val s10b = Sampling.hashSample(df, "doc_id", 1000).collect().map(_.getLong(0)).toSet
+    val s20 = Sampling.hashSample(df, "doc_id", 2000).collect().map(_.getLong(0)).toSet
+    assert(s10a === s10b)                       // same rows every run
+    assert(s10a.subsetOf(s20))                  // raising the rate only adds rows
+    // 10% nominal; md5 is uniform enough that 2000 keys land within ±50%
+    assert(s10a.size > 100 && s10a.size < 300, s"got ${s10a.size}")
+  }
+
+  test("splitAssign covers every row exactly once and respects weights roughly") {
+    val df = (1L to 5000L).toDF("doc_id")
+    val counts = df.select(Sampling.splitAssign($"doc_id",
+        Seq(("train", 8000), ("val", 1000), ("test", 1000))).as("s"))
+      .groupBy($"s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 5000L)
+    assert(counts("train") > 3500 && counts("val") > 250 && counts("test") > 250)
+  }
+
+  test("stratifiedSample applies per-stratum rates") {
+    val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+    val out = Sampling.stratifiedSample(df, "doc_id", "lang",
+      Map("en" -> 0, "zh" -> 10000), defaultBp = 0).collect()
+    assert(out.nonEmpty && out.forall(_.getString(1) == "zh"))
+    assert(out.length === 2000) // zh at 100%
+  }
+
+  test("contamination finds a planted >= k+w-1 overlap and respects minShared") {
+    val planted = "zqxjvkwpbf mntrlsgdhc" // 21 chars → many shared fingerprints
+    val corpus = Seq(
+      (1L, s"lead text then $planted and a tail"),
+      (2L, "completely unrelated content with other words"),
+      (3L, s"$planted")).toDF("doc_id", "text")
+    val probes = Seq((100L, s"probe context $planted more")).toDF("doc_id", "text")
+    val hits = Contamination.overlaps(corpus, probes, minShared = 2)
+      .collect().map(r => r.getLong(0)).toSet
+    assert(hits === Set(1L, 3L))
+  }
+
+  test("maxDf cap drops boilerplate fingerprints shared by every doc") {
+    val boiler = "standard disclaimer text appended everywhere"
+    val corpus = (1L to 6L).map(i => (i, s"doc body $i $boiler")).toDF("doc_id", "text")
+    val probes = Seq((100L, boiler)).toDF("doc_id", "text")
+    val uncapped = Contamination.overlaps(corpus, probes, 1)
+    val capped = Contamination.overlaps(corpus, probes, 1, maxDf = 3)
+    assert(uncapped.count() === 6)   // every doc shares the boilerplate
+    assert(capped.count() === 0)     // fingerprints in >3 docs are dropped
+  }
+}
