@@ -70,6 +70,15 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("Exchange"), planOf(df))
   }
 
+  test("decontamination: the probe (eval-set) side reaches the fingerprint join as a broadcast") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.Contamination.overlaps(
+      docs, docs.where(col("doc_id") % 101 === 0), minShared = 3))
+    // an eval set is always small next to the corpus — shuffling the
+    // corpus on fp to meet it would be the 100 TB mistake
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("custom expressions run inside whole-stage codegen") {
     val df = Tables.load(spark, sfDir, "documents")
       .select(graft.functions.CustomExpressions.fuzz_ratio(col("text"), col("lang")),
