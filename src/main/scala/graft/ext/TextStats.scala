@@ -91,6 +91,34 @@ object TextStats {
 
   def pieceCount(text: Column): Column = size(pieces(text))
 
+  /** PII / boilerplate scrubbing: emails, URLs, and long digit runs
+    * (phone/account numbers) → typed placeholder tokens — the standard
+    * pre-training redaction pass. Patterns stay inside the RE2 ∩ Java
+    * regex dialect so any engine reproduces them; applied in a fixed
+    * order (URLs first — an URL may contain digit runs that must not be
+    * double-masked). Pure regexp_replace → codegen, zero shuffle. */
+  val redactionPatterns: Seq[(String, String)] = Seq(
+    "https?://[^\\s]+"                                  -> "<URL>",
+    "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"   -> "<EMAIL>",
+    "[0-9]{6,}"                                         -> "<NUM>")
+
+  def redact(text: Column): Column =
+    redactionPatterns.foldLeft(text) { case (t, (p, tag)) =>
+      regexp_replace(t, p, tag)
+    }
+
+  /** Number of spans the redaction pass would mask (audit metric). */
+  def redactionCount(text: Column): Column = {
+    // count on the progressively-redacted text, like redact() itself:
+    // a digit run inside an URL is the URL match, not a second hit
+    val (cnt, _) = redactionPatterns.foldLeft((lit(0), text)) {
+      case ((n, t), (p, tag)) =>
+        (n + size(regexp_extract_all(t, lit(p), lit(0))),
+          regexp_replace(t, p, tag))
+    }
+    cnt
+  }
+
   /** Winnowing fingerprint (Schleimer et al., SIGMOD'03 — the MOSS
     * algorithm): hash every character k-gram, slide a w-wide window over
     * the hash sequence, keep each window's minimum. Guarantees any

@@ -158,8 +158,8 @@ object ExtQueries extends QueryGroup {
     Dedup.resolveComponents(emb, pairs, idCol = "vec_id").orderBy($"vec_id")
   }
 
-  private val dedupComponentsSql =
-    s"""WITH RECURSIVE pairs AS (
+  private val componentsCte =
+    s"""pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM embeddings a JOIN embeddings b
        |    ON a.label = b.label AND a.vec_id < b.vec_id
@@ -171,9 +171,64 @@ object ExtQueries extends QueryGroup {
        |  SELECT vec_id, vec_id FROM embeddings
        |  UNION
        |  SELECT e.dst, c.comp FROM edges e JOIN comp c ON e.src = c.id),
-       |lab AS (SELECT id, min(comp) AS component_id FROM comp GROUP BY id)
+       |lab AS (SELECT id, min(comp) AS component_id FROM comp GROUP BY id)""".stripMargin
+
+  private val dedupComponentsSql =
+    s"""WITH RECURSIVE $componentsCte
        |SELECT id AS vec_id, component_id, id = component_id AS is_canonical
        |FROM lab ORDER BY vec_id""".stripMargin
+
+  /** End-to-end dedup pipeline (what a training-data run actually does):
+    * near-dup pairs → connected components → keep the HIGHEST-QUALITY
+    * member per cluster (not min-id) with deterministic tie-break.
+    * Composes cosineNearDup + resolveComponents + TextStats quality +
+    * a per-component argmax window. */
+  def dedupPipeline(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = load(spark, dir, "embeddings")
+    val docs = load(spark, dir, "documents")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    val comps = Dedup.resolveComponents(emb, pairs, idCol = "vec_id")
+    val q = TextStats.analyze(docs).select($"doc_id", $"quality_q4")
+    val best = Window.partitionBy($"component_id")
+      .orderBy($"quality_q4".desc, $"vec_id")
+    comps.join(q, $"vec_id" === $"doc_id")
+      .withColumn("rk", row_number().over(best))
+      .withColumn("n_members",
+        count(lit(1)).over(Window.partitionBy($"component_id")))
+      .where($"rk" === 1)
+      .select($"component_id", $"vec_id".as("best_id"),
+        $"quality_q4".as("best_quality_q4"), $"n_members")
+      .orderBy($"component_id")
+  }
+
+  private val dedupPipelineSql = {
+    val enStop = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH RECURSIVE $componentsCte,
+       |qw AS (SELECT doc_id, text, $toksSql AS ws FROM documents),
+       |qs AS (SELECT doc_id,
+       |  list_sum(list_transform(ws, w -> length(w)))::BIGINT AS s,
+       |  greatest(len(ws), 1)::BIGINT AS n,
+       |  len(list_filter(ws, w -> w IN ($enStop)))::BIGINT AS c,
+       |  greatest(length(text), 1)::BIGINT AS l,
+       |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p
+       |  FROM qw),
+       |q AS (SELECT doc_id,
+       |  (4000 * (11*n - least(abs(2*s - 11*n), 11*n)) * l
+       |   + 33000 * least(5*c, n) * l
+       |   + 33000 * (l - least(4*p, l)) * n) // (11 * n * l) AS quality_q4
+       |  FROM qs),
+       |m AS (SELECT l.component_id, l.id, q.quality_q4
+       |      FROM lab l JOIN q ON l.id = q.doc_id),
+       |r AS (SELECT component_id, id, quality_q4,
+       |        row_number() OVER (PARTITION BY component_id
+       |          ORDER BY quality_q4 DESC, id) AS rk,
+       |        count(*) OVER (PARTITION BY component_id) AS n_members
+       |      FROM m)
+       |SELECT component_id, id AS best_id, quality_q4 AS best_quality_q4,
+       |       n_members
+       |FROM r WHERE rk = 1 ORDER BY component_id""".stripMargin
+  }
 
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
@@ -352,6 +407,53 @@ object ExtQueries extends QueryGroup {
        |SELECT corpus_id, probe_id, n_shared FROM j
        |WHERE n_shared >= 3 ORDER BY corpus_id, probe_id""".stripMargin
 
+  /** PII redaction over documents with deterministic planted spans (the
+    * synthetic corpus has no natural emails/URLs, so docs with
+    * doc_id % 7 = 0 get a contact line appended before redaction —
+    * mirrored exactly in the oracle — giving the scrubber real work). */
+  def textRedact(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val enriched = docs.select($"doc_id",
+      when($"doc_id" % 7 === 0,
+          concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or https://data.example.org/dl?id="),
+            $"doc_id".cast("string"),
+            lit(" ref "), lpad($"doc_id".cast("string"), 9, "0")))
+        .otherwise($"text").as("text"))
+    enriched.select($"doc_id",
+        TextStats.redact($"text").as("redacted"),
+        TextStats.redactionCount($"text").cast("long").as("n_redacted"))
+      .orderBy($"doc_id")
+  }
+
+  private val textRedactSql = {
+    // DuckDB single-quoted strings pass backslashes through verbatim, so
+    // the Java-side patterns inline unchanged (they stay in RE2 ∩ Java)
+    val subs = TextStats.redactionPatterns
+    def chain(e: String) = subs.foldLeft(e) { case (t, (p, tag)) =>
+      s"regexp_replace($t, '$p', '$tag', 'g')"
+    }
+    // counts accumulate over the progressively-redacted text, like the engine
+    val cntTerms = subs.inits.toSeq.reverse.tail.map { prefix =>
+      val done = prefix.dropRight(1)
+      val (p, _) = prefix.last
+      val base = done.foldLeft("text") { case (t, (pp, tag)) =>
+        s"regexp_replace($t, '$pp', '$tag', 'g')"
+      }
+      s"len(regexp_extract_all($base, '$p'))"
+    }.mkString(" + ")
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      text || ' contact user' || doc_id ||
+       |      '@example.com or https://data.example.org/dl?id=' || doc_id ||
+       |      ' ref ' || lpad(doc_id::VARCHAR, 9, '0')
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT doc_id, ${chain("text")} AS redacted, ($cntTerms) AS n_redacted
+       |FROM e ORDER BY doc_id""".stripMargin
+  }
+
   /** TF-IDF top-3 terms per document. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame =
     TextStats.tfidf(load(spark, dir, "documents"), 3)
@@ -496,10 +598,12 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     QueryDef("ext_dedup_components", dedupComponents, Some(dedupComponentsSql)),
+    QueryDef("ext_dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
+    QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
     QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)))

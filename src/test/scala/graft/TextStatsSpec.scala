@@ -41,6 +41,20 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L).size === 1)
   }
 
+  test("redact: urls first (inner digits not double-masked), emails, digit runs") {
+    val out = Seq(
+      (1L, "see https://x.org/a?id=123456789 or mail bob.smith+a@corp.example.io ref 00427711942"),
+      (2L, "short 12345 stays, 123456 goes"),
+      (3L, "nothing to scrub here"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextStats.redact($"text").as("r"),
+        TextStats.redactionCount($"text").as("n"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) === ("see <URL> or mail <EMAIL> ref <NUM>", 3))
+    assert(out(2L) === ("short 12345 stays, <NUM> goes", 1)) // 5 digits below threshold
+    assert(out(3L) === ("nothing to scrub here", 0))
+  }
+
   test("pieces: alphanumeric runs + single symbols; CJK counts per character") {
     val out = Seq((1L, "Hello, world! it's 42"), (2L, "中文 文本"), (3L, null: String))
       .toDF("doc_id", "text")
