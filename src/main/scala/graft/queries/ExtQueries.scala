@@ -148,6 +148,36 @@ object ExtQueries extends QueryGroup {
        |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Embedding near-dup, LSH-bucketed (the scale path: no metadata
+    * blocking column, no all-pairs — multi-table sign-bit buckets,
+    * exact cosine verify; candidates = bucket collision in ANY table). */
+  def dedupEmbeddingLsh(spark: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDupLsh(load(spark, dir, "embeddings"), 0.3,
+        nPlanes = 4, nTables = 8, dim = 64)
+      .orderBy($"id_a", $"id_b")
+
+  private val dedupEmbeddingLshSql = {
+    // identical per-table seeded planes as cosineNearDupLsh(4, 8, 64)
+    def bucket(v: String, t: Int) =
+      Similarity.hyperplanes(64, 4, seed = 42L + t).zipWithIndex.map {
+        case (p, i) =>
+          val arr = p.map(_.toString).mkString("[", ", ", "]")
+          s"(CASE WHEN list_dot_product($v::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      }.mkString("(", " + ", ")")
+    val bucketCols = (0 until 8).map(t =>
+      s"${bucket("embedding", t)} AS b$t").mkString(",\n  ")
+    val anyTable = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""WITH be AS (
+       |  SELECT vec_id, embedding,
+       |  $bucketCols
+       |  FROM embeddings)
+       |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |       CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS cos_q4
+       |FROM be a JOIN be b ON a.vec_id < b.vec_id AND ($anyTable)
+       |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Dedup resolution end-to-end: embedding near-dup pairs → connected
     * components → one canonical doc per cluster. The oracle reproduces
     * min-label components with a recursive CTE (min reachable id =
@@ -597,6 +627,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
+    QueryDef("ext_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)),
     QueryDef("ext_dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("ext_dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),

@@ -58,6 +58,26 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.25, s"recall@5 was $recall")
   }
 
+  test("LSH-bucketed embedding near-dup: subset of brute-force truth with useful recall") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    // ground truth: all-pairs cosine >= 0.3 regardless of label/bucket
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val truth = pairSet(e.toDF("id_a", "vec_a")
+      .join(e.toDF("id_b", "vec_b"), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        graft.ext.Similarity.floorQ4(
+          graft.ext.Similarity.cosine(col("vec_a"), col("vec_b"))).as("q"))
+      .where(col("q") >= 3000))
+    val lsh = pairSet(graft.ext.Similarity.cosineNearDupLsh(emb, 0.3))
+    assert(lsh.subsetOf(truth))          // verify step never admits a false pair
+    val recall = (lsh & truth).size.toDouble / truth.size.max(1)
+    // theory: one 4-bit table catches (1−θ/π)⁴ ≈ 13 % at the 0.3 decision
+    // boundary; 8 OR-ed tables lift pairs near the boundary to ~67 %
+    assert(recall >= 0.5, s"recall $recall with 8 tables x 4 bits")
+  }
+
   test("minhash LSH candidates are a superset of high-jaccard pairs (docs)") {
     val docs = Tables.load(spark, sfDir, "documents")
     val cands = Dedup.lshCandidates(Dedup.withMinhashBands(docs)).collect()
