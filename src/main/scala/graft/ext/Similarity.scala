@@ -207,19 +207,35 @@ object Similarity {
     * pairs. No metadata blocking column and no all-pairs work: tables
     * explode to (table, bucket) rows and the self-join is equi on that
     * pair, exactly like MinHash banding for text. Fully DETERMINISTIC —
-    * the seeded planes inline into oracle SQL bit-for-bit. */
+    * the seeded planes inline into oracle SQL bit-for-bit.
+    *
+    * `maxBucket` (0 = unlimited) caps (table, bucket) size before the
+    * self-join, same guard as [[Dedup.minhashLsh]]: with b sign bits a
+    * degenerate direction (zero vectors, one dominant cluster) can pull
+    * a constant fraction of the corpus into one bucket, and a bucket of
+    * m vectors costs m² candidates. Buckets over the cap are dropped;
+    * the default keeps exact semantics for oracle parity. At 100 TB set
+    * a cap (or raise nPlanes). */
   def cosineNearDupLsh(embeddings: DataFrame, threshold: Double,
-      nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64): DataFrame = {
+      nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64,
+      maxBucket: Int = 0): DataFrame = {
     val e = embeddings.select($"vec_id", $"embedding")
     val buckets = (0 until nTables).map { t =>
       lshBucket($"embedding", hyperplanes(dim, nPlanes, seed = 42L + t))
         .as(s"b$t")
     }
     val withB = e.select(($"vec_id" +: buckets): _*)
-    val exploded = withB.select($"vec_id",
+    val explodedAll = withB.select($"vec_id",
         explode(array((0 until nTables).map(t =>
           struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("_tb"))
       .select($"vec_id", $"_tb.t".as("t"), $"_tb.b".as("b"))
+    val exploded =
+      if (maxBucket <= 0) explodedAll
+      else {
+        val hot = explodedAll.groupBy($"t", $"b")
+          .agg(count(lit(1)).as("_n")).where($"_n" > maxBucket)
+        explodedAll.join(broadcast(hot), Seq("t", "b"), "left_anti")
+      }
     val cands = exploded.toDF("id_a", "t", "b")
       .join(exploded.toDF("id_b", "t", "b"), Seq("t", "b"))
       .where($"id_a" < $"id_b")

@@ -76,6 +76,11 @@ class SimilaritySpec extends SparkSpec {
     // theory: one 4-bit table catches (1−θ/π)⁴ ≈ 13 % at the 0.3 decision
     // boundary; 8 OR-ed tables lift pairs near the boundary to ~67 %
     assert(recall >= 0.5, s"recall $recall with 8 tables x 4 bits")
+    // hot-bucket cap: a cap of 1 drops every bucket with >= 2 members,
+    // so no candidate pair survives — proves the guard prunes pre-join
+    val capped = pairSet(graft.ext.Similarity.cosineNearDupLsh(
+      emb, 0.3, maxBucket = 1))
+    assert(capped.isEmpty)
   }
 
   test("minhash LSH candidates are a superset of high-jaccard pairs (docs)") {
