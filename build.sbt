@@ -34,7 +34,9 @@ val defaultHeap: String = {
         l.trim.split("\\s+")(1).toLong }
       .getOrElse(0L)
     catch { case _: Throwable => 0L } // non-Linux: assume small
-  if (memTotalKb >= 64L * 1024 * 1024) "28g" else "8g"
+  // 60 GiB cutoff, not 64: MemTotal on a nominal 64 GiB host reads
+  // ~65M kB after kernel reservations and must still qualify
+  if (memTotalKb >= 60L * 1024 * 1024) "28g" else "8g"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",

@@ -26,8 +26,15 @@ import org.apache.spark.sql.functions._
   * oracle parity. */
 object Contamination {
 
+  /** @param excludeSelfIds drop (corpus_id == probe_id) pairs. ONLY
+    *   correct when probes are drawn from the corpus itself (shared id
+    *   space, as in `ext_decontaminate`); an eval set with its own id
+    *   sequence must pass false, or a corpus doc that genuinely leaked
+    *   probe #42's text while also being numbered 42 would be reported
+    *   clean. */
   def overlaps(corpus: DataFrame, probes: DataFrame, minShared: Int,
       k: Int = 5, w: Int = 4, maxDf: Long = Long.MaxValue,
+      excludeSelfIds: Boolean = true,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val cf = corpus.select(col(idCol).as("corpus_id"),
       explode(TextStats.winnowFingerprints(col(textCol), k, w)).as("fp"))
@@ -35,14 +42,21 @@ object Contamination {
       if (maxDf == Long.MaxValue) cf
       else {
         // document frequency per fingerprint; the cap drops hot keys
-        // BEFORE the probe join so the skewed shuffle never happens
-        val df = cf.groupBy($"fp").agg(countDistinct($"corpus_id").as("_df"))
-        cf.join(broadcast(df.where($"_df" > maxDf)), Seq("fp"), "left_anti")
+        // BEFORE the probe join so the skewed shuffle never happens.
+        // cf is persisted because BOTH the df aggregation and the
+        // anti-join left side consume it — without the barrier the
+        // corpus scan + winnow-kernel explode (the dominant stage)
+        // would run twice.
+        val cfP = cf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val df = cfP.groupBy($"fp").agg(countDistinct($"corpus_id").as("_df"))
+        cfP.join(broadcast(df.where($"_df" > maxDf)), Seq("fp"), "left_anti")
       }
     val pf = probes.select(col(idCol).as("probe_id"),
       explode(TextStats.winnowFingerprints(col(textCol), k, w)).as("fp"))
-    capped.join(pf, Seq("fp"))
-      .where($"corpus_id" =!= $"probe_id")
+    val joined = capped.join(pf, Seq("fp"))
+    val nonSelf =
+      if (excludeSelfIds) joined.where($"corpus_id" =!= $"probe_id") else joined
+    nonSelf
       .groupBy($"corpus_id", $"probe_id")
       .agg(count(lit(1)).as("n_shared"))
       .where($"n_shared" >= minShared)

@@ -186,7 +186,12 @@ object Similarity {
   /** Embedding-cosine near-dup pairs (blocked by label to bound the
     * candidate set; at scale the block key would be an LSH bucket). */
   def cosineNearDup(embeddings: DataFrame, threshold: Double): DataFrame = {
+    // zero-norm vectors are excluded up front: cosine against them is
+    // 0/0 = NaN, which Spark floors to a silent drop while DuckDB's
+    // CAST(floor(NaN)) errors — near-dup is simply undefined for them,
+    // and the oracle SQL applies the identical norm > 0 guard
     val e = embeddings.select($"vec_id", $"label", $"embedding")
+      .where(dot($"embedding", $"embedding") > 0)
     val a = e.toDF("id_a", "label", "vec_a")
     val b = e.toDF("id_b", "label", "vec_b")
     a.join(b, Seq("label"))
@@ -219,16 +224,29 @@ object Similarity {
   def cosineNearDupLsh(embeddings: DataFrame, threshold: Double,
       nPlanes: Int = 4, nTables: Int = 8, dim: Int = 64,
       maxBucket: Int = 0): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // zero-norm exclusion: see cosineNearDup — NaN cosine diverges
+    // between engines, and a zero vector lands in bucket 0 of EVERY
+    // table, manufacturing candidates it can never verify.
+    // Persisted per the Dedup caching contract: this frame feeds the
+    // bucket computation AND both verification join sides — without the
+    // barrier the scan + 32 hyperplane dot products per row re-run per
+    // consumer.
     val e = embeddings.select($"vec_id", $"embedding")
+      .where(dot($"embedding", $"embedding") > 0)
+      .persist(lvl)
     val buckets = (0 until nTables).map { t =>
       lshBucket($"embedding", hyperplanes(dim, nPlanes, seed = 42L + t))
         .as(s"b$t")
     }
     val withB = e.select(($"vec_id" +: buckets): _*)
+    // persisted: both self-join sides (and the hot-bucket aggregation
+    // when capped) read this frame
     val explodedAll = withB.select($"vec_id",
         explode(array((0 until nTables).map(t =>
           struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("_tb"))
       .select($"vec_id", $"_tb.t".as("t"), $"_tb.b".as("b"))
+      .persist(lvl)
     val exploded =
       if (maxBucket <= 0) explodedAll
       else {

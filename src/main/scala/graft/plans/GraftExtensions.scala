@@ -31,21 +31,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def info(name: String, usage: String): ExpressionInfo =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
+  // arity-check inside the builder: resolution surfaces the message as
+  // an analysis error instead of an IndexOutOfBounds internal failure
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    exprs => {
+      require(exprs.length == n,
+        s"$name requires exactly $n argument(s), got ${exprs.length}")
+      build(exprs)
+    }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("dms_to_decimal"),
       info("dms_to_decimal",
         "dms_to_decimal(str) - degrees-minutes-seconds coordinate to decimal degrees"),
-      (exprs: Seq[Expression]) => DmsToDecimal(exprs.head)))
+      arity("dms_to_decimal", 1)(exprs => DmsToDecimal(exprs.head))))
     ext.injectFunction((
       FunctionIdentifier("fuzz_ratio"),
       info("fuzz_ratio",
         "fuzz_ratio(a, b) - Levenshtein-based similarity ratio in [0, 100]"),
-      (exprs: Seq[Expression]) => FuzzRatio(exprs(0), exprs(1))))
+      arity("fuzz_ratio", 2)(exprs => FuzzRatio(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product",
         "dot_product(a, b) - dot product of two numeric arrays as double"),
-      (exprs: Seq[Expression]) => DotProduct(exprs(0), exprs(1))))
+      arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
   }
 }

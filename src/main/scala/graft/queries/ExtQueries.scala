@@ -47,6 +47,14 @@ object ExtQueries extends QueryGroup {
   // tokenize like the empty doc in BOTH engines or null-text docs would
   // pair in Spark and silently vanish from the DuckDB side
   private val toksSql = "string_split_regex(lower(coalesce(text, '')), '\\s+')"
+
+  /** quality_q4 integer blend over raw counts (s = Σ token lengths,
+    * n = #tokens, c = #en-stopwords, l = #chars, p = #punct) — MUST
+    * mirror `TextStats.qualityQ4`; shared by every quality oracle. */
+  private val q4Sql =
+    """(4000 * (11*n - least(abs(2*s - 11*n), 11*n)) * l
+      | + 33000 * least(5*c, n) * l
+      | + 33000 * (l - least(4*p, l)) * n) // (11 * n * l)""".stripMargin
   private def shinglesSql(ws: String) =
     s"""CASE WHEN len($ws) >= 3
        |  THEN list_transform(range(1, len($ws) - 1),
@@ -140,10 +148,15 @@ object ExtQueries extends QueryGroup {
        | (sqrt(list_dot_product($a::DOUBLE[], $a::DOUBLE[])) *
        |  sqrt(list_dot_product($b::DOUBLE[], $b::DOUBLE[]))))""".stripMargin
 
+  // zero-norm exclusion mirrors the Spark operators: NaN cosine would
+  // silently drop in Spark but CAST-error in DuckDB
+  private val nzSql =
+    "(SELECT * FROM embeddings WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0)"
+
   private val dedupEmbeddingSql =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
        |       CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS cos_q4
-       |FROM embeddings a JOIN embeddings b
+       |FROM $nzSql a JOIN $nzSql b
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
@@ -158,19 +171,14 @@ object ExtQueries extends QueryGroup {
 
   private val dedupEmbeddingLshSql = {
     // identical per-table seeded planes as cosineNearDupLsh(4, 8, 64)
-    def bucket(v: String, t: Int) =
-      Similarity.hyperplanes(64, 4, seed = 42L + t).zipWithIndex.map {
-        case (p, i) =>
-          val arr = p.map(_.toString).mkString("[", ", ", "]")
-          s"(CASE WHEN list_dot_product($v::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
-      }.mkString("(", " + ", ")")
     val bucketCols = (0 until 8).map(t =>
-      s"${bucket("embedding", t)} AS b$t").mkString(",\n  ")
+      s"${lshBucketSql("embedding", Similarity.hyperplanes(64, 4, seed = 42L + t))} AS b$t")
+      .mkString(",\n  ")
     val anyTable = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
     s"""WITH be AS (
        |  SELECT vec_id, embedding,
        |  $bucketCols
-       |  FROM embeddings)
+       |  FROM $nzSql)
        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        |       CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS cos_q4
        |FROM be a JOIN be b ON a.vec_id < b.vec_id AND ($anyTable)
@@ -191,7 +199,7 @@ object ExtQueries extends QueryGroup {
   private val componentsCte =
     s"""pairs AS (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |  FROM embeddings a JOIN embeddings b
+       |  FROM $nzSql a JOIN $nzSql b
        |    ON a.label = b.label AND a.vec_id < b.vec_id
        |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
        |edges AS (
@@ -243,11 +251,7 @@ object ExtQueries extends QueryGroup {
        |  greatest(length(text), 1)::BIGINT AS l,
        |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p
        |  FROM qw),
-       |q AS (SELECT doc_id,
-       |  (4000 * (11*n - least(abs(2*s - 11*n), 11*n)) * l
-       |   + 33000 * least(5*c, n) * l
-       |   + 33000 * (l - least(4*p, l)) * n) // (11 * n * l) AS quality_q4
-       |  FROM qs),
+       |q AS (SELECT doc_id, $q4Sql AS quality_q4 FROM qs),
        |m AS (SELECT l.component_id, l.id, q.quality_q4
        |      FROM lab l JOIN q ON l.id = q.doc_id),
        |r AS (SELECT component_id, id, quality_q4,
@@ -320,9 +324,7 @@ object ExtQueries extends QueryGroup {
        |  round(awl, 4) AS avg_word_len,
        |  round(pr, 4) AS punct_ratio,
        |  round(sr, 4) AS stopword_ratio,
-       |  (4000 * (11*n - least(abs(2*s - 11*n), 11*n)) * l
-       |   + 33000 * least(5*c, n) * l
-       |   + 33000 * (l - least(4*p, l)) * n) // (11 * n * l) AS quality_q4,
+       |  $q4Sql AS quality_q4,
        |  lang_pred, fingerprint
        |FROM stats ORDER BY doc_id""".stripMargin
   }
@@ -518,14 +520,19 @@ object ExtQueries extends QueryGroup {
       .orderBy($"q_id", $"rank")
   }
 
-  private val simLshSql = {
-    // the exact planes lshTopK(nPlanes = 4, dim = 64) derives from seed 42;
-    // Double.toString round-trips, so both engines see identical constants
-    val planes = Similarity.hyperplanes(64, 4)
-    val bucket = planes.zipWithIndex.map { case (p, i) =>
+  /** Sign-bit bucket SQL from inlined plane constants — must stay in
+    * lockstep with `Similarity.lshBucket`'s `> 0` convention and bit
+    * encoding (Double.toString round-trips, so both engines see
+    * identical constants). Shared by every LSH oracle. */
+  private def lshBucketSql(v: String, planes: Array[Array[Double]]): String =
+    planes.zipWithIndex.map { case (p, i) =>
       val arr = p.map(_.toString).mkString("[", ", ", "]")
-      s"(CASE WHEN list_dot_product(embedding::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
+      s"(CASE WHEN list_dot_product($v::DOUBLE[], $arr) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString("(", " +\n     ", ")")
+
+  private val simLshSql = {
+    // the exact planes lshTopK(nPlanes = 4, dim = 64) derives from seed 42
+    val bucket = lshBucketSql("embedding", Similarity.hyperplanes(64, 4))
     s"""WITH be AS (
        |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
        |scored AS (

@@ -51,6 +51,15 @@ class SamplingSpec extends SparkSpec {
     val hits = Contamination.overlaps(corpus, probes, minShared = 2)
       .collect().map(r => r.getLong(0)).toSet
     assert(hits === Set(1L, 3L))
+
+    // disjoint id spaces: an eval set numbered independently may share
+    // ids with the corpus — excludeSelfIds=false must keep the (1,1)
+    // pair that the subset-mode exclusion would wrongly drop
+    val evalSet = Seq((1L, s"benchmark item $planted")).toDF("doc_id", "text")
+    val keep = Contamination.overlaps(corpus, evalSet, minShared = 2,
+        excludeSelfIds = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(keep.contains((1L, 1L)))
   }
 
   test("maxDf cap drops boilerplate fingerprints shared by every doc") {
