@@ -22,7 +22,9 @@ object Sampling {
 
   /** md5-derived uniform bucket in [0, 10000). The key is stringified
     * first (a bigint key must hash its DECIMAL form, not raw bytes, to
-    * match `md5(key::VARCHAR)` in any SQL engine). */
+    * match `md5(key::VARCHAR)` in any SQL engine). A NULL key buckets
+    * to NULL and therefore falls out of every sample/split — coalesce
+    * the key upstream if null-keyed rows must be retained. */
   def hashBucket(key: Column): Column =
     pmod(conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long"), lit(10000L))

@@ -70,6 +70,16 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(df).contains("Exchange"), planOf(df))
   }
 
+  test("sampling/split decisions are narrow: no Exchange before the sink") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val sampled = graft.ext.Sampling.stratifiedSample(docs, "doc_id", "lang",
+      Map("en" -> 500), defaultBp = 1000)
+    assert(!planOf(sampled).contains("Exchange"), planOf(sampled))
+    val split = docs.select(graft.ext.Sampling.splitAssign(col("doc_id"),
+      Seq(("train", 9000), ("test", 1000))))
+    assert(!planOf(split).contains("Exchange"), planOf(split))
+  }
+
   test("decontamination: the probe (eval-set) side reaches the fingerprint join as a broadcast") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.ext.Contamination.overlaps(
