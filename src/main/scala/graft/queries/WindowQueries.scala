@@ -68,6 +68,43 @@ object WindowQueries extends QueryGroup {
       |       event_type, count(*) AS n, round(sum(value), 2) AS total_value
       |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
 
+  /** Session windows over the event stream (the windowing mode tumbling
+    * can't express: data-driven boundaries). Batch form of
+    * `session_window(ts, gap)`; the identical aggregation drops into a
+    * streaming readStream → withWatermark → groupBy(session_window)
+    * plan. Oracle = classic gaps-and-islands (lag + cumulative sum).
+    * Boundary semantics: Spark opens a NEW session when the gap is
+    * >= the timeout (event must land strictly inside last_ts + gap to
+    * extend), so the oracle's island-break predicate is `>=`, not `>`. */
+  def sessionWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("n_events"), round(sum($"value"), 2).as("total_value"))
+      .select($"user_id", $"w.start".as("session_start"),
+        $"n_events", $"total_value")
+      .orderBy($"user_id", $"session_start")
+  }
+
+  private val sessionWindowSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+      |marked AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                >= INTERVAL '30 minutes'
+      |         THEN 1 ELSE 0 END AS new_session
+      |  FROM e),
+      |islands AS (
+      |  SELECT user_id, ts, value,
+      |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM marked)
+      |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+      |       round(sum(value), 2) AS total_value
+      |FROM islands GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
   /** A10 — max group size bookkeeping (highest_len_files,
     * create_sheets_ultimate.py:387-419). */
   def maxGroupSize(spark: SparkSession, dir: String): DataFrame =
@@ -84,5 +121,6 @@ object WindowQueries extends QueryGroup {
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
     QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
+    QueryDef("st2_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("a10_max_group_size", maxGroupSize, Some(maxGroupSizeSql)))
 }

@@ -41,6 +41,21 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Watermarked SESSION windows per user — data-driven boundaries the
+    * tumbling form can't express (a session closes `gap` after its last
+    * event, which is also what lets the engine emit it once the
+    * watermark passes). Same aggregation as the batch
+    * `st2_session_window` query. */
+  def sessionCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      gap: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("total_value"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"), col("total_value"))
+
   /** Per-key custom state for the stateful-dedup/running-counter shape
     * (flatMapGroupsWithState): tracks ids already seen per key so a
     * reprocessed event emits nothing, plus a running count — the

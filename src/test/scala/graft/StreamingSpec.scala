@@ -40,6 +40,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming session windows match the batch session_window aggregation") {
+    val batchEvents = Tables.load(spark, sfDir, "events")
+    val landing = tmpDir("graft-landing-sess")
+    batchEvents.write.mode("overwrite").parquet(landing)
+
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.landingStream(spark, landing, schema)
+    val q = StreamingIngest.sessionCounts(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("sessions")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"user_id", $"session_start", $"n_events")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2))).toSet
+    val got = asSet(spark.table("sessions"))
+    val want = asSet(batchEvents
+      .groupBy($"user_id", session_window($"ts", "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id", $"session_window.start".as("session_start"), $"n_events"))
+    assert(got === want)
+  }
+
   test("watermark drops late rows beyond the threshold (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
