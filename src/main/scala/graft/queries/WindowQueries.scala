@@ -105,6 +105,35 @@ object WindowQueries extends QueryGroup {
       |FROM islands GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Sliding (hopping) windows: each event lands in width/slide
+    * overlapping windows — the third windowing mode next to tumbling
+    * and session. Oracle: every event expands to its 4 member windows
+    * via generate_series on the slide grid (window starts in
+    * (t − width, t] are exactly the slide multiples from
+    * floor_slide(t) − (width − slide) to floor_slide(t)). */
+  def slidingWindow(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    ev.groupBy(window($"ts", "1 hour", "15 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select($"w.start".as("window_start"), $"event_type", $"n", $"total_value")
+      .orderBy($"window_start", $"event_type")
+  }
+
+  private val slidingWindowSql =
+    """WITH e AS (
+      |  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM events),
+      |expanded AS (
+      |  SELECT unnest(generate_series(
+      |           time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '45 minutes',
+      |           time_bucket(INTERVAL '15 minutes', ts),
+      |           INTERVAL '15 minutes')) AS window_start,
+      |         event_type, value
+      |  FROM e)
+      |SELECT window_start, event_type, count(*) AS n,
+      |       round(sum(value), 2) AS total_value
+      |FROM expanded GROUP BY 1, 2
+      |ORDER BY window_start, event_type""".stripMargin
+
   /** A10 — max group size bookkeeping (highest_len_files,
     * create_sheets_ultimate.py:387-419). */
   def maxGroupSize(spark: SparkSession, dir: String): DataFrame =
@@ -122,5 +151,6 @@ object WindowQueries extends QueryGroup {
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
     QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     QueryDef("st2_session_window", sessionWindow, Some(sessionWindowSql)),
+    QueryDef("st3_sliding_window", slidingWindow, Some(slidingWindowSql)),
     QueryDef("a10_max_group_size", maxGroupSize, Some(maxGroupSizeSql)))
 }
