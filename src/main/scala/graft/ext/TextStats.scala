@@ -37,14 +37,27 @@ object TextStats {
     size(filter(toks, w => w.isin(stopwords(lang): _*)))
 
   /** Language-ID: argmax of stopword hits, ties broken by fixed language
-    * order (en, fr, es, de, zh) — fully deterministic. */
+    * order (en, fr, es, de, zh) — fully deterministic.
+    *
+    * Evaluation shape: the five per-language counts are built into ONE
+    * scores array and let-bound through a single-element `transform`
+    * lambda, so each language's `filter` walk runs exactly once per row
+    * (`array_position` takes the FIRST max == the fixed-order tie-break).
+    * The previous form — `when(s === greatest(all scores), …)` per
+    * language — re-evaluated the interpreted HOF counts ~15× per row:
+    * subexpression elimination never reaches lambda-bearing expressions,
+    * the repo's documented top hazard (see WinnowFingerprint scaladoc).
+    * TextStatsSpec pins the one-filter-per-language shape on the
+    * optimized plan. */
   def langId(toks: Column): Column = {
     val order = Seq("en", "fr", "es", "de", "zh")
-    val scores = order.map(l => l -> stopwordCount(toks, l))
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((l, s), acc) =>
-      when(s === best && best > 0, lit(l)).otherwise(acc)
-    }
+    val scores = array(order.map(l => stopwordCount(toks, l)): _*)
+    element_at(
+      transform(array(scores), sc =>
+        when(array_max(sc) > 0,
+          element_at(typedLit(order), array_position(sc, array_max(sc)).cast("int")))
+          .otherwise(lit("und"))),
+      1)
   }
 
   /** Token count. */

@@ -16,21 +16,37 @@ object Pairing {
 
   /** J6 — positional pairing: sorted `files`, consecutive pairs, only
     * even-length lists (the reference silently skips odd ones). Output:
-    * one row per pair with filename/filename2/library_ID/title. */
+    * one row per pair with filename/filename2/library_ID/title.
+    *
+    * Reassembly is keyed on a pre-explode `monotonically_increasing_id`,
+    * NOT on the full input row: the shuffle key is the narrow
+    * (_row_id, pair_id) pair, the payload columns ride along as
+    * `first(...)` aggregates (the two rows of a pair are adjacent after
+    * posexplode, so map-side partial aggregation collapses them before
+    * the exchange — the wide row crosses the wire once per pair, never
+    * as a grouping key). This also makes the operator safe for
+    * non-groupable payload columns (e.g. the `extra: Map` contract) and
+    * matches the reference's per-row iteration: duplicate input rows
+    * each produce their own pairs (create_sheets_ultimate.py:394-419
+    * iterrows — a row-wise loop, not a distinct-on-all-columns). */
   def pairPositional(samples: DataFrame,
       filesCol: String = "files", organismCol: String = "organism"): DataFrame = {
-    val sorted = samples
+    val payload = samples.columns.filterNot(_ == filesCol)
+    val tagged = samples
       .where(col(filesCol).isNotNull && size(col(filesCol)) > 0 &&
         pmod(size(col(filesCol)), lit(2)) === 0)
-      .withColumn("_sorted", sort_array(col(filesCol)))
-    sorted
-      .select(col("*"), posexplode(col("_sorted")).as(Seq("pos", "one_file")))
+      .withColumn("_row_id", monotonically_increasing_id())
+    val aggs = payload.toSeq.map(c => first(col(c)).as(c)) ++ Seq(
+      min(struct(col("pos"), col("one_file"))).as("f1"),
+      max(struct(col("pos"), col("one_file"))).as("f2"))
+    tagged
+      .select((col("_row_id") +: payload.map(col)) :+
+        posexplode(sort_array(col(filesCol))).as(Seq("pos", "one_file")): _*)
       .withColumn("pair_id", floor(col("pos") / 2))
-      .groupBy((samples.columns.map(col) :+ col("pair_id")): _*)
-      .agg(min(struct(col("pos"), col("one_file"))).as("f1"),
-        max(struct(col("pos"), col("one_file"))).as("f2"))
+      .groupBy(col("_row_id"), col("pair_id"))
+      .agg(aggs.head, aggs.tail: _*)
       .select(
-        (samples.columns.filterNot(_ == filesCol).map(col) ++ Seq(
+        (payload.map(col) ++ Seq(
           col("pair_id"),
           col("f1.one_file").as("filename"),
           col("f2.one_file").as("filename2"),

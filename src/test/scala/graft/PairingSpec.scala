@@ -32,6 +32,28 @@ class PairingSpec extends SparkSpec {
     assert(bySample("p1")(0).getAs[String]("title") === "Whole genome sequencing of Genus species")
   }
 
+  test("positional: map-typed payload survives and duplicate rows pair per-row") {
+    // The reference iterates rows (create_sheets_ultimate.py:394-419), so two
+    // identical sample rows each yield their own pair; a MapType payload
+    // column (the SURVEY §1.4 `extra` contract) must ride through — a
+    // groupBy on all input columns would throw on the map.
+    val df = Seq(
+      ("dup", Seq("r2.fq", "r1.fq"), Map("note" -> "a")),
+      ("dup", Seq("r2.fq", "r1.fq"), Map("note" -> "a")),
+      ("solo", Seq("y.fq", "x.fq"), Map("note" -> "b")))
+      .toDF("sample_name", "files", "extra")
+      .withColumn("organism", lit("Genus species"))
+    val out = Pairing.pairPositional(df, organismCol = "organism").collect()
+    val dups = out.filter(_.getAs[String]("sample_name") == "dup")
+    assert(dups.length === 2)  // one pair per duplicate input row
+    assert(dups.forall(r => r.getAs[String]("filename") == "r1.fq" &&
+      r.getAs[String]("filename2") == "r2.fq" &&
+      r.getAs[Map[String, String]]("extra") == Map("note" -> "a")))
+    val solo = out.filter(_.getAs[String]("sample_name") == "solo")
+    assert(solo.map(r => (r.getAs[String]("filename"), r.getAs[String]("filename2"))).toSeq
+      === Seq(("x.fq", "y.fq")))
+  }
+
   test("fuzzy: 2-file samples pair directly; quadruples pair per lane prefix") {
     val df = mkSamples(
       "q1" -> Seq("s1_R2.fq.gz", "s1_R1.fq.gz"),

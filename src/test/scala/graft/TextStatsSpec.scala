@@ -55,6 +55,36 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L) === ("nothing to scrub here", 0))
   }
 
+  test("langId: argmax of stopword hits, fixed-order ties, und when zero") {
+    val out = Seq(
+      (1L, "the cat sat on the mat and a dog"),   // en
+      (2L, "le chat est dans la maison et le jardin"), // fr
+      (3L, "der hund ist in das haus und der garten"), // de
+      (4L, "zzz qqq www"),                         // no hits → und
+      (5L, "the le"),                              // 1-1 tie → en (fixed order)
+      (6L, null: String))
+      .toDF("doc_id", "text")
+      .select($"doc_id", TextStats.langId(TextStats.tokens($"text")).as("lang"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(1L -> "en", 2L -> "fr", 3L -> "de",
+      4L -> "und", 5L -> "en", 6L -> "und"))
+  }
+
+  test("langId plan: exactly one stopword filter walk per language") {
+    // Interpreted HOFs get no subexpression elimination — the naive
+    // when(s === greatest(...)) chain re-evaluated each language's
+    // filter ~3×; the let-bound scores array keeps it at exactly 5.
+    import org.apache.spark.sql.catalyst.expressions.ArrayFilter
+    // spark.range (not a LocalRelation) so ConvertToLocalRelation can't
+    // constant-fold the projection away before we inspect it
+    val plan = spark.range(1)
+      .select(concat(lit("the a of "), $"id".cast("string")).as("text"))
+      .select(TextStats.langId(TextStats.tokens($"text")).as("lang"))
+      .queryExecution.optimizedPlan
+    val nFilters = plan.expressions.map(_.collect { case f: ArrayFilter => f }.size).sum
+    assert(nFilters === TextStats.stopwords.size)
+  }
+
   test("pieces: alphanumeric runs + single symbols; CJK counts per character") {
     val out = Seq((1L, "Hello, world! it's 42"), (2L, "中文 文本"), (3L, null: String))
       .toDF("doc_id", "text")
