@@ -32,15 +32,23 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Content hash for exact dedup. */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
-  /** Exact dedup: canonical = min id per content hash. */
+  /** Exact dedup: canonical = min id per content hash.
+    *
+    * ONE shuffle: `min(id)` over a window partitioned by the digest.
+    * The groupBy+re-join formulation this replaces exchanged the hashed
+    * frame twice (agg + join) and re-computed md5 on the probe side
+    * because the frame wasn't persisted; the window keeps the digest
+    * exchange as the entire plan (PlanSpec pins the single Exchange). */
   def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val hashed = docs.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
-    val canon = hashed.groupBy($"content_hash".as("h"))
-      .agg(min(col(idCol)).as("canonical_id"))
-    hashed.join(canon, $"content_hash" === $"h")
+    import org.apache.spark.sql.expressions.Window
+    docs.select(col(idCol), contentHash(col(textCol)).as("content_hash"))
+      .withColumn("canonical_id",
+        min(col(idCol)).over(Window.partitionBy($"content_hash")))
       .select(col(idCol), $"canonical_id",
         (col(idCol) =!= $"canonical_id").as("is_dup"))
   }
@@ -317,7 +325,7 @@ object Dedup {
           least($"l.comp", coalesce($"nbr_comp", $"l.comp")).as("comp"),
           (least($"l.comp", coalesce($"nbr_comp", $"l.comp")) < $"l.comp").as("ch")))
       val changed = stepped.where($"ch").limit(1).count()
-      System.err.println(s"[resolveComponents] round=$it changed=$changed")
+      log.info(s"resolveComponents round=$it changed=$changed")
       if (changed == 0) converged = true
       else {
         labels = jumpClosure(stepped.select($"id", $"comp"))

@@ -37,15 +37,19 @@ object Sampling {
   /** Deterministic split assignment: cumulative bucket ranges over
     * (label, basisPoints) weights, e.g. Seq(("train",8000), ("val",1000),
     * ("test",1000)). Weights must sum to ≤ 10000; rows past the total
-    * get the last label (guards rounding). */
+    * get the last label (guards rounding). A NULL key yields a NULL
+    * split — honoring [[hashBucket]]'s null-falls-out contract instead
+    * of silently landing null-keyed rows in the final label (the
+    * un-guarded CASE would); coalesce the key upstream to retain them. */
   def splitAssign(key: Column, splits: Seq[(String, Int)]): Column = {
     require(splits.nonEmpty && splits.map(_._2).sum <= 10000,
       "split weights are basis points and must sum to <= 10000")
     val b = hashBucket(key)
     val cuts = splits.scanLeft(0)(_ + _._2).tail
-    splits.zip(cuts).dropRight(1).foldRight(lit(splits.last._1): Column) {
+    val assigned = splits.zip(cuts).dropRight(1).foldRight(lit(splits.last._1): Column) {
       case (((label, _), cut), acc) => when(b < cut, lit(label)).otherwise(acc)
     }
+    when(b.isNotNull, assigned)
   }
 
   /** Stratified deterministic sample: per-stratum rates in basis points

@@ -109,6 +109,10 @@ object WinnowKernel {
   * artifact class loader. */
 case class WinnowFingerprint(child: Expression, k: Int, w: Int)
     extends UnaryExpression with CodegenFallback {
+  // misuse must fail at construction, not corrupt the kernel: w <= 0
+  // would advance the deque head past the tail (stale-slot garbage
+  // fingerprints), k <= 0 would throw inside MessageDigest.update
+  require(k >= 1 && w >= 1, s"winnow_fingerprint requires k >= 1 and w >= 1, got k=$k w=$w")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(v: Any): Any =
     WinnowKernel.winnow(v.asInstanceOf[UTF8String], k, w)

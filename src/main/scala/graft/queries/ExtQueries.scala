@@ -339,11 +339,15 @@ object ExtQueries extends QueryGroup {
       .orderBy($"doc_id")
   }
 
+  // interpolates the SHARED pattern constant (runtime values are not
+  // escape-processed, so the \s survives verbatim) — retyping it as a
+  // literal here silently depends on the s-interpolator turning '\\s'
+  // into '\s', an escape trap the advisor caught
   private val tokenPiecesSql =
     s"""SELECT doc_id,
        |  len($toksSql) AS n_tokens,
        |  len(regexp_extract_all(lower(coalesce(text, '')),
-       |      '[a-z0-9]+|[^a-z0-9\\s]')) AS n_pieces
+       |      '${TextStats.pieceRegexp}')) AS n_pieces
        |FROM documents ORDER BY doc_id""".stripMargin
 
   /** Winnowing fingerprints (k=5, w=4), one row per selected hash. */
@@ -394,9 +398,13 @@ object ExtQueries extends QueryGroup {
   private val bucketSql =
     "(('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 10000)"
 
+  // the leading IS NULL arm mirrors splitAssign's null-key ⇒ null-split
+  // contract (doc_id is non-null here, but the SQL must state the same
+  // semantics, not rely on the fixture)
   private val sampleSplitSql =
     s"""SELECT lang,
-       |  CASE WHEN $bucketSql < 8000 THEN 'train'
+       |  CASE WHEN doc_id IS NULL THEN NULL
+       |       WHEN $bucketSql < 8000 THEN 'train'
        |       WHEN $bucketSql < 9000 THEN 'val'
        |       ELSE 'test' END AS split,
        |  count(*) AS n

@@ -80,6 +80,13 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(split).contains("Exchange"), planOf(split))
   }
 
+  test("exact dedup is one shuffle: a single Exchange on the digest, no join") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.Dedup.exact(docs))
+    assert("Exchange".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("decontamination: the probe (eval-set) side reaches the fingerprint join as a broadcast") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.ext.Contamination.overlaps(

@@ -32,6 +32,17 @@ class SamplingSpec extends SparkSpec {
     assert(counts("train") > 3500 && counts("val") > 250 && counts("test") > 250)
   }
 
+  test("splitAssign gives null-keyed rows a null split, not the last label") {
+    // hashBucket's contract: a NULL key falls out of every sample/split.
+    // The un-guarded CASE would dump nulls into 'test' silently.
+    val df = Seq(Some(1L), Some(2L), None).toDF("doc_id")
+    val out = df.select($"doc_id", Sampling.splitAssign($"doc_id",
+        Seq(("train", 9000), ("test", 1000))).as("s"))
+      .collect().map(r => (r.isNullAt(0), Option(r.getString(1)))).toMap
+    assert(out(true) === None)                    // null key → null split
+    assert(out(false).exists(Set("train", "test"))) // real keys still assigned
+  }
+
   test("stratifiedSample applies per-stratum rates") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")

@@ -41,6 +41,17 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L).size === 1)
   }
 
+  test("winnowing: non-positive k or w fails at construction, not with garbage") {
+    // w <= 0 would advance the deque head past the tail (stale-slot
+    // reads); k <= 0 would throw deep inside MessageDigest.update
+    intercept[IllegalArgumentException] {
+      TextStats.winnowFingerprints(lit("some text"), k = 0, w = 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextStats.winnowFingerprints(lit("some text"), k = 5, w = 0)
+    }
+  }
+
   test("redact: urls first (inner digits not double-masked), emails, digit runs") {
     val out = Seq(
       (1L, "see https://x.org/a?id=123456789 or mail bob.smith+a@corp.example.io ref 00427711942"),
