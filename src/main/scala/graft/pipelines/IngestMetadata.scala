@@ -55,8 +55,52 @@ object IngestMetadata {
       .withColumn("ref_genome_accession", coalesce(col("_acc"), lit("NaN")))
       .drop("_acc_pid", "_acc")
 
+  /** Canonical sample columns (SURVEY §1.4): the anticipated fields in
+    * raw-sheet (`*name` / `name*`) and normalized spellings, plus the
+    * three taxon-specific attribute whitelists (single source of truth:
+    * [[CreateSheets.taxonCols]]). Anything else a submitter invents is
+    * "unanticipated" and routes into the `extra` map. */
+  lazy val CanonicalColumns: Set[String] = {
+    val base = Seq(
+      "sample_name", "organism", "ccgp_project_id", "expected_species",
+      "preferred_seq_id", "Preferred Sequence ID", "minicore_seq_id",
+      "old_minicore_seq_id", "minicore_sequenced", "lat", "long", "lat_lon",
+      "collection_date", "geo_loc_name", "locality_description",
+      "Locality Description", "county", "state", "tissue", "sex",
+      "library_prep_method", "ref_genome_accession", "metadata_file",
+      "project_type", "files", "filesize_sum", "received",
+      "ncbi_accession_id", "ncbi_bioproject", "biosample_accession",
+      "protected_coords", "exclude", "township", "range", "section",
+      "subspecies", "gDNA extraction method", "SampleID",
+      "Genus species", "decimal latitude", "decimal longitude",
+      "sample collection date", "Locality Name") ++
+      CreateSheets.taxonCols("Plant") ++
+      CreateSheets.taxonCols("Invertebrate") ++
+      CreateSheets.taxonCols("Vertebrate")
+    base.flatMap(c => Seq(c, s"*$c", s"$c*")).toSet
+  }
+
+  /** Hard part 2 — dynamic schema (SURVEY §1.4): unanticipated submitter
+    * columns leave the top-level schema and land in one
+    * `extra: Map[String,String]` column (values stringified, names
+    * sorted for a deterministic entry order). Keeps the engine schema
+    * closed — downstream operators (grouping, merge, sheet whitelists)
+    * see the canonical struct no matter what a sheet carried — while
+    * preserving every submitted value, mirroring the reference's
+    * whole-row-dict upsert (update_metadata.py:71-77). */
+  def withExtraMap(df: DataFrame,
+      canonical: Set[String] = CanonicalColumns): DataFrame = {
+    val unknown = df.columns.filterNot(canonical.contains).sorted
+    val extra =
+      if (unknown.isEmpty) typedLit(Map.empty[String, String])
+      else map(unknown.toSeq.flatMap(c =>
+        Seq(lit(c), col(s"`$c`").cast("string"))): _*)
+    df.withColumn("extra", extra).drop(unknown.toSeq: _*)
+  }
+
   /** finalize_df (parse.py:268-291): schema sanitation, name
-    * normalization, lat/long hemisphere pinning, date cleanup. */
+    * normalization, lat/long hemisphere pinning, date cleanup, then the
+    * dynamic-schema routing of unanticipated columns into `extra`. */
   def finalize(df0: DataFrame, sampleCol: String = "*sample_name"): DataFrame = {
     var df = Sources.sanitizeColumns(df0)
     df = df.withColumn(sampleCol, normalizeName(col(s"`$sampleCol`")))
@@ -67,7 +111,7 @@ object IngestMetadata {
     if (df.columns.contains("Preferred Sequence ID"))
       df = df.withColumn("Preferred Sequence ID",
         normalizeName(col("`Preferred Sequence ID`")))
-    df
+    withExtraMap(df)
   }
 
   /** Non-minicore sheet pipeline (parse.py:226-265): header-probe read,

@@ -23,11 +23,15 @@ class PipelineSpec extends SparkSpec {
 
     // header probe skipped the 2 junk lines; names normalized (. and space -> _)
     assert(rows.keySet === Set("CC_131_a", "samp2", "samp3", "samp4"))
-    // Unnamed column dropped, extra submitter column kept (dynamic schema)
+    // Unnamed column dropped; the unanticipated submitter column leaves
+    // the top-level schema and lands in the extra map (SURVEY §1.4
+    // dynamic-schema contract), value preserved
     assert(!df.columns.exists(_.startsWith("Unnamed")))
-    assert(df.columns.contains("extra_submitter_col"))
+    assert(!df.columns.contains("extra_submitter_col"))
+    assert(df.columns.contains("extra"))
 
     val cc = rows("CC_131_a")
+    assert(cc.getAs[Map[String, String]]("extra") === Map("extra_submitter_col" -> "extra1"))
     assert(cc.getAs[String]("ccgp_project_id") === "1-Sceloporus")
     assert(cc.getAs[Int]("expected_species") === 1)
     assert(cc.getAs[String]("ref_genome_accession") === "GCA_0001")
@@ -73,6 +77,21 @@ class PipelineSpec extends SparkSpec {
     val m2 = rows("MC2")
     assert(m2.getAs[Double]("lat") === 38.2)
     assert(m2.getAs[Double]("long") === -121.9)
+  }
+
+  test("dynamic schema: unanticipated columns route into the extra map") {
+    import spark.implicits._
+    val df = Seq(("s1", "Genus species", 42, "blue"))
+      .toDF("*sample_name", "*organism", "submitter_invented_score", "favorite_color")
+    val out = IngestMetadata.withExtraMap(df)
+    assert(out.columns.toSeq === Seq("*sample_name", "*organism", "extra"))
+    assert(out.collect()(0).getAs[Map[String, String]]("extra") ===
+      Map("favorite_color" -> "blue", "submitter_invented_score" -> "42"))
+    // a canonical-only frame gets the same closed schema with an empty map
+    val clean = IngestMetadata.withExtraMap(
+      Seq(("s2", "G s")).toDF("*sample_name", "*organism"))
+    assert(clean.columns.toSeq === Seq("*sample_name", "*organism", "extra"))
+    assert(clean.collect()(0).getAs[Map[String, String]]("extra") === Map.empty)
   }
 
   test("J1 'later rows win' is pinned: stable winner across runs and shuffle layouts") {
