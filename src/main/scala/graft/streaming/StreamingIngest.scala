@@ -56,6 +56,23 @@ object StreamingIngest {
       .select(col("user_id"), col("session_window.start").as("session_start"),
         col("n_events"), col("total_value"))
 
+  /** Watermarked SLIDING windows per event type — each event lands in
+    * window/slide overlapping windows (1h/15m ⇒ 4), the moving-average
+    * view of the arrival stream. Completes the tumbling/session/sliding
+    * symmetry; same aggregation as the batch `st3_sliding_window` query.
+    * State is per-(window, key) like tumbling — the overlap multiplies
+    * live windows by window/slide, which the watermark still bounds. */
+  def slidingCounts(events: DataFrame,
+      watermark: String = "10 minutes",
+      window_ : String = "1 hour",
+      slide: String = "15 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_, slide), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("total_value"))
+
   /** Per-key custom state for the stateful-dedup/running-counter shape
     * (flatMapGroupsWithState): tracks ids already seen per key so a
     * reprocessed event emits nothing, plus a running count — the

@@ -40,6 +40,32 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming sliding windows match the batch sliding aggregation") {
+    val batchEvents = Tables.load(spark, sfDir, "events")
+    val landing = tmpDir("graft-landing-slide")
+    batchEvents.write.mode("overwrite").parquet(landing)
+
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.landingStream(spark, landing, schema)
+    val q = StreamingIngest.slidingCounts(stream).writeStream
+      .outputMode("complete")
+      .format("memory").queryName("sliding")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"window_start", $"event_type", $"n", $"total_value")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val got = asSet(spark.table("sliding"))
+    val want = asSet(batchEvents
+      .groupBy(window($"ts", "1 hour", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n"), round(sum($"value"), 2).as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type", $"n", $"total_value"))
+    assert(got === want)
+  }
+
   test("streaming session windows match the batch session_window aggregation") {
     val batchEvents = Tables.load(spark, sfDir, "events")
     val landing = tmpDir("graft-landing-sess")
