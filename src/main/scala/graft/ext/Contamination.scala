@@ -47,7 +47,7 @@ object Contamination {
         // anti-join left side consume it — without the barrier the
         // corpus scan + winnow-kernel explode (the dominant stage)
         // would run twice.
-        val cfP = cf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val cfP = cf.persistScoped
         val df = cfP.groupBy($"fp").agg(countDistinct($"corpus_id").as("_df"))
         cfP.join(broadcast(df.where($"_df" > maxDf)), Seq("fp"), "left_anti")
       }

@@ -25,10 +25,10 @@ import org.apache.spark.sql.functions._
   * measured 4–40× re-evaluation of the scan+kernel lineage, see the
   * in-method comments) and the returned DataFrame still reads from them
   * lazily, so the operator cannot unpersist before returning. Callers
-  * own the cache scope: run `spark.catalog.clearCache()` (what Bench
-  * and Verify do per query) or `unpersist()` the frames listed by
-  * `spark.catalog` once the result has been consumed/written, or the
-  * blocks live for the session.
+  * own the cache scope: wrap the call AND its materialization in
+  * [[CacheScope.withCacheScope]] (frees exactly the operator's frames,
+  * nothing else), or run `spark.catalog.clearCache()` (what Bench and
+  * Verify do per query), or the blocks live for the session.
   */
 object Dedup {
 
@@ -132,7 +132,7 @@ object Dedup {
     val exploded = withBands
       .select(col(idCol), explode($"bands").as("b"))
       .select(col(idCol), $"b.band_idx".as("band_idx"), $"b.band_val".as("band_val"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped
     val a = exploded.toDF("id_a", "band_idx", "band_val")
     val b = exploded.toDF("id_b", "band_idx", "band_val")
     a.join(b, Seq("band_idx", "band_val"))
@@ -182,7 +182,7 @@ object Dedup {
           TextStats.tokens(col(textCol)), 3, k).as("_m"))
       .select(col(idCol), col("_m.sset").as("sset"),
         bandArray(col("_m.sig"), k, r).as("bands"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped
 
     val explodedAll = base
       .select(col(idCol), explode(col("bands")).as("b"))
@@ -411,7 +411,7 @@ object Dedup {
     val prepared = docs.select(
         $"doc_id", $"lang", array_distinct(TextStats.tokens($"text")).as("toks"))
       .withColumn("n_toks", size($"toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped
     val docToks = prepared.select($"doc_id", $"lang", $"n_toks",
       explode($"toks").as("tok"))
     // global document frequency fixes the token order (rarest first,
@@ -424,7 +424,7 @@ object Dedup {
       .withColumn("rn", row_number().over(w))
       .where($"rn" <= $"n_toks" - ceil($"n_toks" * threshold) + 1)
       .select($"doc_id", $"lang", $"n_toks", $"tok")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped
     val cands = prefixes.toDF("id_a", "lang", "n_a", "tok")
       .join(prefixes.toDF("id_b", "lang", "n_b", "tok"), Seq("lang", "tok"))
       .where($"id_a" < $"id_b")
@@ -438,7 +438,7 @@ object Dedup {
       // global orderBy alone walks it 3× (range-partitioner sampling, sort
       // shuffle map, reduce) — and without this barrier each walk re-runs
       // the self-join + verify chain (measured 29 s → 137 s at sf0.1).
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped
     val sets = prepared.select($"doc_id", $"toks")
     // Score EVERY candidate in a plain projection, persist, THEN filter.
     // Without the barrier Catalyst pushes `jaccard_q4 >= t` into the
@@ -454,7 +454,7 @@ object Dedup {
       .join(sets.toDF("id_b", "toks_b"), Seq("id_b"))
       .select($"id_a", $"id_b", $"lang",
         Similarity.floorQ4(jaccard($"toks_a", $"toks_b")).as("jaccard_q4"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persistScoped
     scored.where($"jaccard_q4" >= math.floor(threshold * 10000).toLong)
   }
 }

@@ -234,7 +234,7 @@ object Similarity {
     // consumer.
     val e = embeddings.select($"vec_id", $"embedding")
       .where(dot($"embedding", $"embedding") > 0)
-      .persist(lvl)
+      .persistScoped
     val buckets = (0 until nTables).map { t =>
       lshBucket($"embedding", hyperplanes(dim, nPlanes, seed = 42L + t))
         .as(s"b$t")
@@ -246,7 +246,7 @@ object Similarity {
         explode(array((0 until nTables).map(t =>
           struct(lit(t).as("t"), col(s"b$t").as("b"))): _*)).as("_tb"))
       .select($"vec_id", $"_tb.t".as("t"), $"_tb.b".as("b"))
-      .persist(lvl)
+      .persistScoped
     val exploded =
       if (maxBucket <= 0) explodedAll
       else {

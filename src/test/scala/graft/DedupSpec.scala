@@ -30,6 +30,26 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (1L, 5L)))
   }
 
+  test("withCacheScope frees every operator-persisted block at scope exit") {
+    import org.apache.spark.storage.StorageLevel
+    val docs = (1L to 40L).map(i => (i, "en", s"shared words plus unique token_$i here"))
+      .toDF("doc_id", "lang", "text")
+    var frames: Seq[org.apache.spark.sql.DataFrame] = Nil
+    graft.ext.CacheScope.withCacheScope { scope =>
+      Dedup.ngramJaccard(docs, 0.5).count()   // materialize inside the scope
+      frames = scope.registered
+      // the operator's internal barriers registered and are live
+      assert(frames.nonEmpty)
+      assert(frames.forall(_.storageLevel != StorageLevel.NONE))
+    }
+    // scope exit unpersisted them all (blocking)
+    assert(frames.forall(_.storageLevel == StorageLevel.NONE))
+    // outside any scope the session-lifetime contract is unchanged
+    val out = Dedup.ngramJaccard(docs, 0.5)
+    out.count()
+    spark.catalog.clearCache()
+  }
+
   test("minhash hot-bucket cap drops oversized buckets, keeps small ones") {
     // 6 identical boilerplate docs (one hot bucket per band) + 2 distinct
     // near-dups; with maxBucket=4 the boilerplate pairs vanish, the
