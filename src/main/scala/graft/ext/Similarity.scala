@@ -109,8 +109,13 @@ object Similarity {
     * (`nProbe = nCells`) degrades to exact search — asserted in
     * SimilaritySpec. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCells: Int = 16,
-      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val cents = ivfCentroids(corpus, nCells, idCol, vecCol)
+      nProbe: Int = 4, idCol: String = "vec_id", vecCol: String = "embedding",
+      centroids: Option[Array[Array[Double]]] = None): DataFrame = {
+    // `centroids` overrides the quantizer (e.g. [[ivfCentroidsKmeans]] on
+    // clustered corpora); every plan property below is centroid-agnostic,
+    // so the override changes WHICH cells exist, not how the index or
+    // probe executes.
+    val cents = centroids.getOrElse(ivfCentroids(corpus, nCells, idCol, vecCol))
     val sess = queries.sparkSession
     val centDf = {
       import org.apache.spark.sql.{Row => SqlRow}
@@ -164,6 +169,87 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         v.map(_ / n)
       }
+
+  /** K-means coarse quantizer for [[ivfTopK]] — the centroid-QUALITY path
+    * next to the oracle-reproducible seeded quantizer in [[ivfCentroids]]
+    * (which `ext_sim_ivf_ann` keeps so the DuckDB oracle can rebuild the
+    * index relationally).
+    *
+    * Seeding is deterministic farthest-first (Gonzalez' k-center): start
+    * from the lowest-id non-zero vector, then repeatedly add the corpus
+    * vector with the SMALLEST maximum cosine against the chosen set
+    * (ties break to the lowest id). On clustered data this lands one
+    * seed per cluster before Lloyd even runs — exactly the failure mode
+    * of first-k seeding, which can draw every seed from one cluster.
+    * Each seed costs one narrow scan + TakeOrdered(1); the scan input is
+    * persisted once (registered with the caller's [[CacheScope]] when
+    * one is active).
+    *
+    * Then `iters` Lloyd rounds refine. Assignment reuses [[ivfCell]] —
+    * the same inlined-centroid narrow argmax the probe path uses, zero
+    * shuffle — and the update is ONE hash aggregate per round: nCells
+    * groups × (dim sums + a count), fully map-side combined, so a round
+    * shuffles O(nCells·dim) doubles no matter the corpus size. That is
+    * the 100-TB shape: per-executor partial sums, a tiny exchange, a
+    * driver-side divide. Spherical k-means — means are L2-normalized so
+    * argmax-dot stays ≡ cosine ranking; a cell that comes back empty (or
+    * with a zero mean) keeps its previous centroid.
+    *
+    * Seeding is exactly deterministic; the Lloyd means sum doubles in
+    * partition order, so refined centroids are deterministic only up to
+    * floating-point ordering. The contract here is recall, not bit
+    * identity — hash-checked queries stay on [[ivfCentroids]]. */
+  def ivfCentroidsKmeans(corpus: DataFrame, nCells: Int, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(nCells >= 1, s"nCells must be >= 1, got $nCells")
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val vecs = corpus
+      .where(dot(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
+      .persistScoped
+    def asDoubles(r: org.apache.spark.sql.Row): Array[Double] =
+      r.getSeq[Any](r.fieldIndex("_v")).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case n: Number => n.doubleValue()
+      }.toArray
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    // farthest-first seeding; the count also materializes the persist
+    // barrier before the per-seed scans fan out over it
+    val k = math.min(nCells.toLong, vecs.count()).toInt
+    require(k >= 1, "k-means seeding needs at least one non-zero vector")
+    val first = vecs.orderBy($"_id").limit(1).collect()(0)
+    var cents = Vector(normalized(asDoubles(first)))
+    while (cents.size < k) {
+      val maxCos = array_max(array(cents.map(c =>
+        dot($"_v", array(c.map(lit): _*)) / norm($"_v")): _*))
+      val far = vecs.select($"_id", $"_v", maxCos.as("_mx"))
+        .orderBy($"_mx".asc, $"_id".asc).limit(1).collect()(0)
+      cents = cents :+ normalized(asDoubles(far))
+    }
+    // Lloyd refinement: narrow assignment, one O(nCells·dim) aggregate
+    val dim = cents.head.length
+    for (_ <- 0 until iters) {
+      val assigned = vecs.select(ivfCell($"_v", cents.toArray).as("_cell"), $"_v")
+      val sums = (0 until dim).map(i =>
+        sum(element_at($"_v", i + 1).cast("double")).as(s"_s$i"))
+      val rows = assigned.groupBy($"_cell")
+        .agg(count(lit(1L)).as("_n"), sums: _*)
+        .collect()
+      val byCell = rows.map(r => r.getInt(0) -> r).toMap
+      cents = cents.indices.map { c =>
+        byCell.get(c).map { r =>
+          val n = r.getLong(1).toDouble
+          val mean = Array.tabulate(dim)(i => r.getDouble(2 + i) / n)
+          if (mean.exists(_ != 0.0)) normalized(mean) else cents(c)
+        }.getOrElse(cents(c))
+      }.toVector
+    }
+    cents.toArray
+  }
 
   /** Nearest-cell id as a pure narrow expression: argmax of the codegen
     * dot products against the inlined normalized centroids; first index

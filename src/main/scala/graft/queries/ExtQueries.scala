@@ -599,6 +599,86 @@ object ExtQueries extends QueryGroup {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** IVF on the k-means quantizer's deterministic farthest-first seeding
+    * (`ivfCentroidsKmeans(iters = 0)`): 4 seeds, 2-of-4 probe. The
+    * hash-checked form pins the SEEDING stage — Lloyd refinement sums
+    * partition-ordered doubles (not bit-reproducible across engines) and
+    * is covered by the SimilaritySpec recall test instead. The oracle
+    * rebuilds the chained argmin-of-max-cosine selection relationally
+    * from the parquet — no inlined constants. */
+  def simIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroidsKmeans(emb, nCells = 4, iters = 0)
+    Similarity.ivfTopK(emb.where($"vec_id" < 10), emb, 5, nProbe = 2,
+        centroids = Some(cents))
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val simIvfKmeansSql = {
+    val dotc = (v: String) => s"list_dot_product($v::DOUBLE[], c.c_vec)"
+    // chained farthest-first selection: seed 1 = lowest-id non-zero
+    // vector; seed k+1 = argmin over the corpus of max cosine against
+    // the chosen set (running greatest), ties to the lowest id —
+    // in lockstep with Similarity.ivfCentroidsKmeans' seeding loop
+    s"""WITH nz AS (
+       |  SELECT vec_id, embedding,
+       |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nn
+       |  FROM embeddings
+       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+       |s1 AS (
+       |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
+       |  FROM nz ORDER BY vec_id LIMIT 1),
+       |m1 AS (
+       |  SELECT nz.vec_id, nz.embedding, nz.nn,
+       |         list_dot_product(nz.embedding::DOUBLE[], s1.c) / sqrt(nz.nn) AS mx
+       |  FROM nz CROSS JOIN s1),
+       |s2 AS (
+       |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
+       |  FROM m1 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+       |m2 AS (
+       |  SELECT m1.vec_id, m1.embedding, m1.nn,
+       |         greatest(m1.mx,
+       |           list_dot_product(m1.embedding::DOUBLE[], s2.c) / sqrt(m1.nn)) AS mx
+       |  FROM m1 CROSS JOIN s2),
+       |s3 AS (
+       |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
+       |  FROM m2 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+       |m3 AS (
+       |  SELECT m2.vec_id, m2.embedding, m2.nn,
+       |         greatest(m2.mx,
+       |           list_dot_product(m2.embedding::DOUBLE[], s3.c) / sqrt(m2.nn)) AS mx
+       |  FROM m2 CROSS JOIN s3),
+       |s4 AS (
+       |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
+       |  FROM m3 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+       |cents AS (
+       |  SELECT 0 AS cell, c AS c_vec FROM s1 UNION ALL
+       |  SELECT 1, c FROM s2 UNION ALL
+       |  SELECT 2, c FROM s3 UNION ALL
+       |  SELECT 3, c FROM s4),
+       |cassign AS (
+       |  SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotc("e.embedding")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |corpus AS (SELECT n_id, n_vec, cell FROM cassign WHERE rn = 1),
+       |qassign AS (
+       |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${dotc("q.embedding")} DESC, c.cell) AS pr
+       |  FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 10),
+       |probes AS (SELECT q_id, q_vec, cell FROM qassign WHERE pr <= 2),
+       |scored AS (
+       |  SELECT p.q_id, n.n_id, ${cosSql("p.q_vec", "n.n_vec")} AS cos
+       |  FROM probes p JOIN corpus n USING (cell) WHERE p.q_id != n.n_id),
+       |ranked AS (
+       |  SELECT q_id, n_id, cos,
+       |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id) AS rank
+       |  FROM scored)
+       |SELECT q_id, n_id, rank, CAST(floor(cos * 10000) AS BIGINT) AS cos_q4
+       |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Multimodal decode plumbing (stub codec). The FakeCodec metadata is
     * pure byte arithmetic over the payload (= the UTF-8 text bytes; the
     * corpus is ASCII, so DuckDB's char ops see the same bytes), so the
@@ -636,6 +716,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),
     QueryDef("ext_sim_ivf_ann", simIvf, Some(simIvfSql)),
+    QueryDef("ext_sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
     QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),

@@ -58,6 +58,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.25, s"recall@5 was $recall")
   }
 
+  test("k-means centroids recover IVF recall on clustered data where first-k seeding fails") {
+    import spark.implicits._
+    // 4 orthogonal clusters in 64-dim: direction c is flat over coords
+    // [16c, 16c+16) plus small seeded noise. Ids are arranged so the
+    // first nCells vectors ALL sit in cluster 0 — the exact corpus shape
+    // that makes ivfCentroids' first-k seeding pathological (every seed
+    // from one cluster), which is what the k-means path exists to fix.
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 200L).map { id =>
+      val cl = (id / 50).toInt
+      val v = Array.tabulate(64) { i =>
+        val base = if (i / 16 == cl) 0.25f else 0.0f
+        base + (rnd.nextFloat() - 0.5f) * 0.05f
+      }
+      (id, v)
+    }
+    val all = rows.toDF("vec_id", "embedding")
+    val queries = all.where(col("vec_id").isin(0L, 50L, 100L, 150L))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, all, 5))
+    val seeded = pairs(Similarity.ivfTopK(queries, all, 5, nCells = 4, nProbe = 1))
+    var registered = -1
+    val km = graft.ext.CacheScope.withCacheScope { scope =>
+      val c = Similarity.ivfCentroidsKmeans(all, 4, iters = 3)
+      registered = scope.registered.size
+      c
+    }
+    assert(registered === 1) // the scan frame persists under the caller's scope
+    val refined = pairs(Similarity.ivfTopK(queries, all, 5, nCells = 4, nProbe = 1,
+      centroids = Some(km)))
+    val seededRecall = (exact & seeded).size.toDouble / exact.size
+    val kmRecall = (exact & refined).size.toDouble / exact.size
+    // farthest-first seeding lands one centroid per orthogonal cluster,
+    // so each query's single probed cell holds its whole cluster
+    assert(kmRecall >= 0.9, s"k-means recall was $kmRecall")
+    assert(kmRecall > seededRecall,
+      s"k-means ($kmRecall) should beat degenerate first-k seeding ($seededRecall)")
+  }
+
   test("LSH-bucketed embedding near-dup: subset of brute-force truth with useful recall") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
