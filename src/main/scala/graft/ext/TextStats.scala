@@ -152,6 +152,96 @@ object TextStats {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     graft.functions.WinnowFingerprint(coalesce(text, lit("")), k, w)
 
+  /** Word n-grams as space-joined strings, narrow. `sequence` is guarded
+    * (it would count DOWN for short docs); the untaken branch of a
+    * CaseWhen is never evaluated, so short docs cost nothing. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(1), size(toks) - lit(n - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Exact integer division (both operands positive, < 2^53): num−num%den
+    * is an exact multiple, so the double divide is exact — the same
+    * engine-exact arithmetic as [[qualityQ4]]. */
+  private def exactDiv(num: Column, den: Column): Column =
+    ((num - pmod(num, den)) / den).cast("long")
+
+  /** Mode of a gram array as struct(gram, cnt): sort, then one run-length
+    * pass; strict `>` keeps the FIRST max run of the sorted order, i.e.
+    * ties break to the lexicographically smallest gram — the same
+    * deterministic tie-break a relational `ORDER BY cnt DESC, gram` gives,
+    * which is how the DuckDB oracle rebuilds it. O(g log g) per row,
+    * zero shuffle — per-document mode never needs the explode+groupBy
+    * shape. `run` appears three times in the merge lambda but is a cheap
+    * comparison, not a nested HOF — the re-evaluation hazard class (see
+    * [[langId]]) is about lambdas inside repeated branches. */
+  def topGram(grams: Column): Column = {
+    val z = struct(lit("").as("prev"), lit(0L).as("run"),
+      lit(0L).as("best"), lit("").as("bestg"))
+    aggregate(array_sort(grams), z,
+      (acc, g) => {
+        val run = when(g === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(g.as("prev"), run.as("run"),
+          when(run > acc.getField("best"), run)
+            .otherwise(acc.getField("best")).as("best"),
+          when(run > acc.getField("best"), g)
+            .otherwise(acc.getField("bestg")).as("bestg"))
+      },
+      acc => struct(acc.getField("bestg").as("gram"),
+        acc.getField("best").as("cnt")))
+  }
+
+  /** Gopher-style "fraction of characters in the most common n-gram"
+    * (Rae et al. 2021 §A1.1.3, adapted to word grams — the corpus is
+    * single-line): cnt·len(gram)/chars, q4 fixed-point, capped at 1
+    * (overlapping occurrences can cover more chars than the doc has). */
+  def topCharFracQ4(top: Column, chars: Column): Column =
+    least(exactDiv(lit(10000L) * top.getField("cnt") *
+      length(top.getField("gram")).cast("long"), chars), lit(10000L))
+
+  /** Gopher-style duplicate n-gram fraction: share of n-gram occurrences
+    * that are repeats, 1 − distinct/total, q4 fixed-point. */
+  def dupFracQ4(grams: Column): Column = {
+    val total = size(grams).cast("long")
+    when(total === 0L, lit(0L)).otherwise(
+      exactDiv(lit(10000L) * (total - size(array_distinct(grams)).cast("long")),
+        total))
+  }
+
+  /** Per-document repetition filters (the Gopher/Dolma repetitious-text
+    * family): most-common 2-/3-gram char coverage and duplicate 5-/10-gram
+    * fractions. Entirely narrow — every stat is per-row over the token
+    * array, so at 100 TB this runs at scan speed next to [[analyze]];
+    * no explode, no shuffle. The gram arrays and mode structs are stored
+    * as intermediate columns referenced multiple times downstream:
+    * CollapseProject keeps non-cheap expressions materialized rather than
+    * inlining them per consumer, so each HOF runs once per row
+    * (TextStatsSpec pins one `aggregate` per mode on the optimized plan). */
+  def repetition(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col("_toks")
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_chars",
+        greatest(length(coalesce(col(textCol), lit(""))), lit(1)).cast("long"))
+      .withColumn("_g2", wordNgrams(t, 2))
+      .withColumn("_g3", wordNgrams(t, 3))
+      .withColumn("_g5", wordNgrams(t, 5))
+      .withColumn("_g10", wordNgrams(t, 10))
+      .withColumn("_t2", topGram(col("_g2")))
+      .withColumn("_t3", topGram(col("_g3")))
+      .select(
+        col("doc_id"),
+        when(col("_t2").getField("cnt") > 0, col("_t2").getField("gram"))
+          .as("top2_gram"),
+        col("_t2").getField("cnt").as("top2_count"),
+        topCharFracQ4(col("_t2"), col("_chars")).as("top2_char_frac_q4"),
+        topCharFracQ4(col("_t3"), col("_chars")).as("top3_char_frac_q4"),
+        dupFracQ4(col("_g5")).as("dup5_frac_q4"),
+        dupFracQ4(col("_g10")).as("dup10_frac_q4"))
+  }
+
   /** TF-IDF top-k terms per document (HashingTF-equivalent, SURVEY §7.9):
     * tf = term count in doc, idf = ln((N+1)/(df+1)), top-k by tf·idf with
     * lexicographic tie-break. Two hash aggregations + one broadcast of

@@ -329,6 +329,62 @@ object ExtQueries extends QueryGroup {
        |FROM stats ORDER BY doc_id""".stripMargin
   }
 
+  /** Gopher/Dolma repetition filters per document: most-common 2-/3-gram
+    * char coverage + duplicate 5-/10-gram fractions, all integer q4.
+    * The Spark side is a narrow per-row run-length mode (no explode);
+    * the oracle rebuilds the mode RELATIONALLY (unnest + group + window
+    * with the same cnt-desc-then-gram tie-break), so a hash match proves
+    * the in-row pass against the independent relational definition. */
+  def textRepetition(spark: SparkSession, dir: String): DataFrame =
+    TextStats.repetition(load(spark, dir, "documents")).orderBy($"doc_id")
+
+  private val textRepetitionSql = {
+    // grams: positions 1..len-n+1 (range's upper bound is exclusive);
+    // DuckDB list slices are 1-based inclusive, so ws[i:i+n-1] is n wide
+    def gramsSql(n: Int) =
+      s"""CASE WHEN len(ws) >= $n
+         |  THEN list_transform(range(1, len(ws) - ${n - 2}),
+         |         i -> array_to_string(ws[i:i+${n - 1}], ' '))
+         |  ELSE []::VARCHAR[] END""".stripMargin
+    def topSql(n: Int) =
+      s"""(SELECT doc_id, gm, cnt FROM (
+         |  SELECT doc_id, gm, cnt,
+         |         row_number() OVER (PARTITION BY doc_id
+         |           ORDER BY cnt DESC, gm) AS rn
+         |  FROM (SELECT doc_id, gm, count(*) AS cnt
+         |        FROM (SELECT doc_id, unnest(g$n) AS gm FROM g)
+         |        GROUP BY doc_id, gm))
+         |  WHERE rn = 1)""".stripMargin
+    def dupSql(n: Int) =
+      s"""CASE WHEN len(g$n) = 0 THEN 0
+         |  ELSE (10000 * (len(g$n) - len(list_distinct(g$n)))) // len(g$n)
+         |END""".stripMargin
+    s"""WITH w AS (
+       |  SELECT doc_id, $toksSql AS ws,
+       |         greatest(length(coalesce(text, '')), 1)::BIGINT AS chars
+       |  FROM documents),
+       |g AS (
+       |  SELECT doc_id, chars,
+       |         ${gramsSql(2)} AS g2,
+       |         ${gramsSql(3)} AS g3,
+       |         ${gramsSql(5)} AS g5,
+       |         ${gramsSql(10)} AS g10
+       |  FROM w)
+       |SELECT g.doc_id,
+       |  t2.gm AS top2_gram,
+       |  coalesce(t2.cnt, 0) AS top2_count,
+       |  least((10000 * coalesce(t2.cnt, 0) * length(coalesce(t2.gm, '')))
+       |        // g.chars, 10000) AS top2_char_frac_q4,
+       |  least((10000 * coalesce(t3.cnt, 0) * length(coalesce(t3.gm, '')))
+       |        // g.chars, 10000) AS top3_char_frac_q4,
+       |  ${dupSql(5)} AS dup5_frac_q4,
+       |  ${dupSql(10)} AS dup10_frac_q4
+       |FROM g
+       |LEFT JOIN ${topSql(2)} t2 USING (doc_id)
+       |LEFT JOIN ${topSql(3)} t3 USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
+  }
+
   /** Whitespace-token vs BPE-ish-piece counts per document (the two
     * token-counting modes a training-data pipeline budgets with). */
   def tokenPieces(spark: SparkSession, dir: String): DataFrame = {
@@ -729,6 +785,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
+    QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),

@@ -96,6 +96,59 @@ class TextStatsSpec extends SparkSpec {
     assert(nFilters === TextStats.stopwords.size)
   }
 
+  test("repetition: gram modes, tie-breaks, and caps on a hand fixture") {
+    val docs = Seq(
+      // 2-grams: "a b"×3, "b c"×2, "c a"×2 → mode "a b"; 5-grams:
+      // [a b c a b][b c a b c][c a b c a][a b c a b] → 4 total,
+      // 3 distinct → dup5 = 2500
+      (1L, "a b c a b c a b"),
+      (2L, "x y"),           // single 2-gram, count 1, no 5-grams
+      (3L, "z"),             // no grams at all
+      (4L, null: String))    // null text == empty doc
+      .toDF("doc_id", "text")
+    val out = TextStats.repetition(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val d1 = out(1L)
+    assert(d1.getAs[String]("top2_gram") === "a b")   // 3×, beats "b c" 2×
+    assert(d1.getAs[Long]("top2_count") === 3L)
+    // 3 occurrences × 3 chars / 15 chars = 0.6 → 6000
+    assert(d1.getAs[Long]("top2_char_frac_q4") === 6000L)
+    assert(d1.getAs[Long]("dup5_frac_q4") === 2500L)
+    assert(d1.getAs[Long]("dup10_frac_q4") === 0L)
+    val d2 = out(2L)
+    assert(d2.getAs[String]("top2_gram") === "x y")
+    assert(d2.getAs[Long]("top2_count") === 1L)
+    assert(d2.getAs[Long]("dup5_frac_q4") === 0L)
+    assert(out(3L).getAs[String]("top2_gram") === null)
+    assert(out(3L).getAs[Long]("top2_count") === 0L)
+    assert(out(4L).getAs[String]("top2_gram") === null)
+    // all-equal tokens: every 2-gram identical, char coverage caps at 1
+    val cap = TextStats.repetition(Seq((9L, "aa aa aa aa aa aa"))
+      .toDF("doc_id", "text")).collect()(0)
+    assert(cap.getAs[Long]("top2_char_frac_q4") === 10000L)
+    // "a b a b a": 2-grams [a b][b a][a b][b a] tie 2-2 → the
+    // lexicographically smaller gram must win deterministically
+    val tie = TextStats.repetition(Seq((8L, "a b a b a"))
+      .toDF("doc_id", "text")).collect()(0)
+    assert(tie.getAs[String]("top2_gram") === "a b")
+  }
+
+  test("repetition plan: each gram mode is aggregated exactly once") {
+    // The mode structs are stored columns consumed by several outputs;
+    // CollapseProject must keep them materialized (non-cheap, multiple
+    // refs) rather than inlining one run-length pass per consumer —
+    // the same no-HOF-re-evaluation discipline langId pins above.
+    import org.apache.spark.sql.catalyst.expressions.ArrayAggregate
+    val plan = TextStats.repetition(
+      spark.range(1).select($"id".as("doc_id"),
+        concat(lit("w x y z "), $"id".cast("string")).as("text")))
+      .queryExecution.optimizedPlan
+    val nAggs = plan.collect { case p =>
+      p.expressions.map(_.collect { case a: ArrayAggregate => a }.size).sum
+    }.sum
+    assert(nAggs === 2) // one per mode (_t2, _t3)
+  }
+
   test("pieces: alphanumeric runs + single symbols; CJK counts per character") {
     val out = Seq((1L, "Hello, world! it's 42"), (2L, "中文 文本"), (3L, null: String))
       .toDF("doc_id", "text")
