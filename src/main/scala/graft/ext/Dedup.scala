@@ -457,4 +457,65 @@ object Dedup {
       .persistScoped
     scored.where($"jaccard_q4" >= math.floor(threshold * 10000).toLong)
   }
+
+  /** Exact-substring duplicate SPANS — the ExactSubstr dedup of Lee et
+    * al. 2021 ("Deduplicating Training Data Makes Language Models
+    * Better", arXiv:2107.06499) re-expressed as a distributed k-gram
+    * fingerprint join instead of a monolithic suffix array (their §3.2
+    * builds one over the whole corpus, which has no parallel shape):
+    *
+    *  1. every word k-gram is hashed with its position,
+    *  2. a gram is DUPLICATED if it occurs ≥ 2 times corpus-wide,
+    *  3. per doc, duplicated positions chain into maximal spans via
+    *     gaps-and-islands (positions p, q overlap/adjoin iff q ≤ p+k),
+    *  4. spans shorter than `minSpan` tokens are dropped.
+    *
+    * COMPLETENESS: any substring of ≥ max(minSpan, k) tokens that
+    * appears twice in the corpus has all its k-grams duplicated at
+    * consecutive positions (gap 1 ≤ k), so it lands inside exactly one
+    * reported span. Precision is approximate in the other direction — a
+    * span may chain two distinct duplicates that touch — which is the
+    * standard trade the k-gram formulations make vs a true suffix array.
+    *
+    * Scale shape: the explode is narrow (doc_id, pos, 16-byte hash —
+    * never the gram text); duplicate detection is one map-side-combined
+    * hash aggregate with an early `count ≥ 2` cut; the probe is an
+    * equi semi-join on the hash (co-partitioned, no broadcast needed on
+    * either side because both are corpus-sized); the island pass is one
+    * shuffle by doc_id. A gram occurring in millions of docs costs one
+    * row in the duplicate-hash frame and never amplifies the join output
+    * beyond the input position count. md5 keeps every step
+    * DuckDB-oracle-reproducible; a production deployment would swap in
+    * `xxhash64` for cheaper fingerprints with the same plan. */
+  def duplicateSpans(docs: DataFrame, k: Int = 5, minSpan: Int = 10,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(minSpan >= k, s"minSpan ($minSpan) must be >= k ($k)")
+    // persisted: the duplicate-hash aggregate AND the semi-join probe
+    // both read this frame — without the barrier the scan + tokenize +
+    // gram kernel lineage runs twice
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextStats.wordNgrams(TextStats.tokens(col(textCol)), k))
+          .as(Seq("_p0", "_g")))
+      .select($"doc_id", ($"_p0" + 1).cast("long").as("pos"),
+        md5($"_g".cast("binary")).as("h"))
+      .persistScoped
+    val dupHashes = grams.groupBy($"h")
+      .agg(count(lit(1)).as("_n")).where($"_n" >= 2).select($"h")
+    val wOrd = Window.partitionBy($"doc_id").orderBy($"pos")
+    val islands = grams.join(dupHashes, Seq("h"), "left_semi")
+      // first position of a doc has NULL lag → NULL comparison → new island
+      .withColumn("_new",
+        when($"pos" - lag($"pos", 1).over(wOrd) <= k, lit(0L)).otherwise(lit(1L)))
+      .withColumn("_isl", sum($"_new").over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    islands.groupBy($"doc_id", $"_isl")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + (k - 1)).as("span_end"))
+      .withColumn("span_tokens", $"span_end" - $"span_start" + 1)
+      .where($"span_tokens" >= minSpan)
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+  }
 }

@@ -100,6 +100,38 @@ object ExtQueries extends QueryGroup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Exact-substring duplicate spans (Lee et al. 2021 ExactSubstr shape)
+    * over the dup-injected corpus: word 5-grams occurring ≥ 2× chain
+    * into maximal per-doc spans of ≥ 10 tokens. The injected full-doc
+    * duplicates guarantee whole-document spans; the word-soup corpus
+    * contributes organic shorter ones. */
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateSpans(docsWithDups(spark, dir), k = 5, minSpan = 10)
+      .orderBy($"doc_id", $"span_start")
+
+  private val dedupSpansSql =
+    s"""WITH $docsWithDupsSql,
+       |w AS (SELECT doc_id, $toksSql AS ws FROM dd),
+       |g AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+       |    i -> struct_pack(pos := i, h := md5(array_to_string(ws[i:i+4], ' '))))) AS u
+       |  FROM w WHERE len(ws) >= 5),
+       |p AS (SELECT doc_id, u.pos AS pos, u.h AS h FROM g),
+       |dup AS (SELECT h FROM p GROUP BY h HAVING count(*) >= 2),
+       |dp AS (SELECT doc_id, pos FROM p WHERE h IN (SELECT h FROM dup)),
+       |i1 AS (SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= 5
+       |              THEN 0 ELSE 1 END AS nw FROM dp),
+       |i2 AS (SELECT doc_id, pos,
+       |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS UNBOUNDED PRECEDING) AS isl FROM i1),
+       |s AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
+       |      FROM i2 GROUP BY doc_id, isl)
+       |SELECT doc_id, span_start, span_end,
+       |       span_end - span_start + 1 AS span_tokens
+       |FROM s WHERE span_end - span_start + 1 >= 10
+       |ORDER BY doc_id, span_start""".stripMargin
+
   /** 16-bit SimHash per document + collision-bucket sizes. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
@@ -777,6 +809,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    QueryDef("ext_dedup_spans", dedupSpans, Some(dedupSpansSql)),
     QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     QueryDef("ext_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)),

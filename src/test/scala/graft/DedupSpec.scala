@@ -158,6 +158,39 @@ class DedupSpec extends SparkSpec {
     assert(ok.forall(_.getAs[Long]("component_id") == 1L))
   }
 
+  test("duplicateSpans: completeness on a planted shared substring, chaining, and thresholds") {
+    // docs 1 and 2 share a 12-token run (positions 4..15 in doc 1,
+    // 1..12 in doc 2); doc 3 shares nothing long enough; doc 4 repeats
+    // doc 3's opening 5-gram only (below minSpan)
+    val shared = (1 to 12).map(i => s"dup$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"pad1 pad2 pad3 $shared tail1 tail2"),
+      (2L, s"$shared other trailing words here"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14"),
+      (4L, "u1 u2 u3 u4 u5 x1 x2 x3 x4 x5 x6 x7 x8 x9"))
+      .toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, k = 5, minSpan = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_end"),
+        r.getAs[Long]("span_tokens"))).toSet
+    // the shared run is fully covered (completeness guarantee): doc 1
+    // tokens 4..15, doc 2 tokens 1..12 — exact, nothing more
+    assert(spans === Set((1L, 4L, 15L, 12L), (2L, 1L, 12L, 12L)))
+    // the 5-token overlap between docs 3 and 4 is duplicated but below
+    // minSpan=8 — with minSpan=5 it must surface at exactly 5 tokens
+    val loose = Dedup.duplicateSpans(docs, k = 5, minSpan = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("span_start"), r.getAs[Long]("span_tokens"))).toSet
+    assert(loose.contains((3L, 1L, 5L)) && loose.contains((4L, 1L, 5L)))
+    // within-doc repetition also counts as duplication (corpus-wide ≥2)
+    val selfDup = Seq((9L, ("r1 r2 r3 r4 r5 " * 2).trim + " z1 z2 z3"))
+      .toDF("doc_id", "text")
+    val self = Dedup.duplicateSpans(selfDup, k = 5, minSpan = 5)
+      .collect().map(r => (r.getAs[Long]("span_start"), r.getAs[Long]("span_end")))
+    // grams at positions 1..6 all land in the repeated region and chain
+    assert(self.nonEmpty && self.head === (1L, 10L))
+  }
+
   test("exact dedup: canonical = min doc_id per content hash") {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
       .toDF("doc_id", "text")
