@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryGroup, Tables}
-import graft.ext.{Contamination, Dedup, Sampling, Similarity, TextStats}
+import graft.ext.{Contamination, Dedup, Frequency, Sampling, Similarity, TextStats}
 
 /** Extended LLM-data-pipeline operators (SURVEY §7.9) as oracle-checked
   * queries over `documents` / `embeddings`: dedup (exact, MinHash-LSH,
@@ -360,6 +360,21 @@ object ExtQueries extends QueryGroup {
        |  lang_pred, fingerprint
        |FROM stats ORDER BY doc_id""".stripMargin
   }
+
+  /** Exact heavy hitters over lineitem part keys WITHOUT a full-keyspace
+    * shuffle: per-partition local counts emit candidates (pigeonhole
+    * superset), then only candidate keys are exactly counted. The oracle
+    * is the plain relational HAVING — the two must agree exactly because
+    * the verify phase is exact and the candidate phase is a superset
+    * under any partitioning. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame =
+    Frequency.heavyHitters(load(spark, dir, "lineitem"), "l_partkey", 45L)
+      .orderBy($"l_partkey")
+
+  private val heavyHittersSql =
+    """SELECT l_partkey, count(*) AS cnt FROM lineitem
+      |GROUP BY l_partkey HAVING count(*) >= 45
+      |ORDER BY l_partkey""".stripMargin
 
   /** Gopher/Dolma repetition filters per document: most-common 2-/3-gram
     * char coverage + duplicate 5-/10-gram fractions, all integer q4.
@@ -819,6 +834,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
     QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
+    QueryDef("ext_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ext.Frequency
+import org.apache.spark.sql.functions._
+
+/** Heavy-hitter goldens: the pigeonhole candidate guarantee under
+  * adversarial partitioning, exactness of the verify phase, and null
+  * handling — properties the relational oracle can't isolate. */
+class FrequencySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("heavy hitters equal the naive groupBy under worst-case key spreading") {
+    // a key with global count exactly T, spread one-occurrence-per-
+    // partition across 32 partitions: the local threshold drops to
+    // ceil(T/32) = 1, so every partition nominates it — the pigeonhole
+    // superset must hold even when no partition sees it twice
+    val thin = spark.range(32).select(lit("thin").as("k"))
+      .repartition(32)
+    val rnd = new scala.util.Random(11)
+    val noise = (1 to 2000).map(_ => s"w${rnd.nextInt(300)}").toDF("k")
+    val df = thin.unionByName(noise).repartition(32)
+    val got = Frequency.heavyHitters(df, "k", 32L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = df.groupBy($"k").agg(count(lit(1)).as("cnt"))
+      .where($"cnt" >= 32).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(got.contains("thin") && got("thin") === 32L)
+  }
+
+  test("false candidates die in the verify phase; threshold is inclusive") {
+    // one partition holds 40 copies of "local" (a local heavy hitter)
+    // but globally it stays below T=45 — it must be verified away
+    val local = spark.range(40).select(lit("local").as("k")).coalesce(1)
+    val heavy = spark.range(45).select(lit("heavy").as("k"))
+    val out = Frequency.heavyHitters(local.unionByName(heavy), "k", 45L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("heavy" -> 45L))
+  }
+
+  test("null keys are excluded; typed key column survives to the output") {
+    val df = spark.range(100).select(
+      when($"id" % 10 === 0, lit(null)).otherwise($"id" % 3).as("k"))
+    val out = Frequency.heavyHitters(df, "k", 25L)
+    assert(out.schema("k").dataType.typeName === "long")
+    val got = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // ids 1..99 minus multiples of 10: k=id%3 — exact counts per residue
+    val want = (0L until 100L).filter(_ % 10 != 0).groupBy(_ % 3)
+      .view.mapValues(_.size.toLong).filter(_._2 >= 25).toMap
+    assert(got === want)
+  }
+}
