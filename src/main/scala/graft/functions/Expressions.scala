@@ -117,6 +117,8 @@ object CustomExpressions {
       exprs => DmsToDecimal(exprs.head), "scala_udf")
     reg.createOrReplaceTempFunction("fuzz_ratio",
       exprs => FuzzRatio(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("fuzz_wratio",
+      exprs => FuzzWRatio(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
   }
@@ -126,6 +128,8 @@ object CustomExpressions {
     toColumn(DmsToDecimal(toExpr(c)))
   def fuzz_ratio(a: Column, b: Column): Column =
     toColumn(FuzzRatio(toExpr(a), toExpr(b)))
+  def fuzz_wratio(a: Column, b: Column): Column =
+    toColumn(FuzzWRatio(toExpr(a), toExpr(b)))
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpr(a), toExpr(b)))
 }

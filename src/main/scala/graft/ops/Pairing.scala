@@ -10,7 +10,8 @@ import graft.functions.{CleaningFunctions, CustomExpressions}
   *
   * Both are narrow after one grouping shuffle: arrays are sorted
   * per-sample, exploded, re-grouped by a derived pair key. No UDFs;
-  * the fuzzy scorer is the codegen'd FuzzRatio expression.
+  * the fuzzy scorer is the codegen'd FuzzWRatio expression — the same
+  * weighted combination thefuzz's process.extract applies.
   */
 object Pairing {
 
@@ -56,8 +57,9 @@ object Pairing {
 
   /** J5 — fuzzy pairing: per sample, prefixes = distinct
     * `re.split("_R\\d[._]")[0]` over the sorted files; per prefix the
-    * top-2 files by fuzz.ratio(prefix, file) form a pair (best first,
-    * ties in sorted-file order — matching thefuzz process.extract).
+    * top-2 files by fuzz.WRatio(prefix, file) form a pair (best first,
+    * order-dependent ties resolved to the prefix's own files — matching
+    * thefuzz process.extract wherever its answer is order-independent).
     * 2-file samples pair directly; 3-file / odd shapes drop (reference
     * behavior). */
   def pairFuzzy(samples: DataFrame, sampleCol: String = "sample_name",
@@ -82,17 +84,21 @@ object Pairing {
     val scored = prefixes
       .join(big.select(col(sampleCol), col(organismCol),
         explode(col("sfiles")).as("file")), Seq(sampleCol))
+      // the REAL scorer thefuzz's process.extract uses (codegen'd
+      // FuzzWRatio kernel), so unambiguous rankings match thefuzz by
+      // construction, not by heuristic
       .withColumn("score",
-        CustomExpressions.fuzz_ratio(col("prefix"), col("file")))
-      // thefuzz's process.extract uses WRatio, whose partial-ratio pass
-      // strongly favors files that literally start with the probe prefix;
-      // a plain indel ratio can tie across lanes (e.g. the '2' of 'L002'
-      // matching inside '_R2'). Prioritizing exact own-prefix matches
-      // reproduces the WRatio ranking deterministically.
+        CustomExpressions.fuzz_wratio(col("prefix"), col("file")))
+      // WRatio ties are order-dependent in thefuzz (the reference's own
+      // pathological case, create_sheets.py:43-46: a probe that is a
+      // substring of EVERY file scores partial=100→90 across lanes);
+      // exact-own-prefix breaks those ties to the pair the reference
+      // intends, deterministically — it ranks BELOW the score, so it
+      // only ever decides between score-equal candidates
       .withColumn("exact",
         (CleaningFunctions.pairPrefix(col("file")) === col("prefix")).cast("int"))
     val w = Window.partitionBy(col(sampleCol), col("prefix"))
-      .orderBy(desc("exact"), desc("score"), col("file"))
+      .orderBy(desc("score"), desc("exact"), col("file"))
     val fuzzyPairs = scored
       .withColumn("rn", row_number().over(w))
       .where(col("rn") <= 2)

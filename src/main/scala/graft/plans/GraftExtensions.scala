@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DmsToDecimal, DotProduct, FuzzRatio}
+import graft.functions.{DmsToDecimal, DotProduct, FuzzRatio, FuzzWRatio}
 
 /** Session-extension installer: makes the engine's custom Catalyst
   * expressions available to ANY session — including ones the library
@@ -52,6 +52,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("fuzz_ratio",
         "fuzz_ratio(a, b) - Levenshtein-based similarity ratio in [0, 100]"),
       arity("fuzz_ratio", 2)(exprs => FuzzRatio(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("fuzz_wratio"),
+      info("fuzz_wratio",
+        "fuzz_wratio(a, b) - thefuzz WRatio weighted similarity in [0, 100]"),
+      arity("fuzz_wratio", 2)(exprs => FuzzWRatio(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product",
