@@ -294,6 +294,54 @@ object TextStats {
     ((num - pmod(num, den)) / den).cast("long")
   }
 
+  /** End-to-end corpus quality filtering — the C4/Gopher heuristic
+    * cascade as ONE narrow pass: every document gets its metrics, a
+    * sorted `reasons` array naming each failed rule, and a `keep` flag.
+    * Filtering a 100 TB corpus is a scan, not a pipeline of joins: the
+    * token array, gram arrays, and mode structs are stored intermediate
+    * columns (CollapseProject keeps non-cheap multi-referenced
+    * expressions materialized), so each HOF runs once per row and no
+    * stage shuffles anything.
+    *
+    * Default thresholds are tuned to the synthetic corpus (quality p10
+    * ≈ 7800, top-2-gram coverage p90 ≈ 1100) so both outcomes are
+    * exercised at every SF; real deployments pass their own. */
+  def filterCorpus(docs: DataFrame, textCol: String = "text",
+      minTokens: Long = 15L, minQualityQ4: Long = 8000L,
+      langWant: String = "en", maxDup5Q4: Long = 1000L,
+      maxTop2Q4: Long = 2000L): DataFrame = {
+    val t = col("_toks")
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_chars",
+        greatest(length(coalesce(col(textCol), lit(""))), lit(1)).cast("long"))
+      .withColumn("_g5", wordNgrams(t, 5))
+      .withColumn("_t2", topGram(wordNgrams(t, 2)))
+      .withColumn("_s", aggregate(t, lit(0L), (acc, w) => acc + length(w)))
+      .withColumn("_n", size(t).cast("long"))
+      .withColumn("_c", stopwordCount(t, "en").cast("long"))
+      .withColumn("_p",
+        (length(coalesce(col(textCol), lit(""))) -
+          length(regexp_replace(coalesce(col(textCol), lit("")),
+            "[\\p{Punct}]", ""))).cast("long"))
+      .select(
+        col("doc_id"),
+        col("_n").as("n_tokens"),
+        qualityQ4(col("_s"), col("_n"), col("_c"), col("_p"), col("_chars"))
+          .as("quality_q4"),
+        langId(t).as("lang_pred"),
+        topCharFracQ4(col("_t2"), col("_chars")).as("top2_char_frac_q4"),
+        dupFracQ4(col("_g5")).as("dup5_frac_q4"))
+      .withColumn("reasons", array_sort(filter(array(
+        when(col("n_tokens") < minTokens, lit("too_short")),
+        when(col("quality_q4") < minQualityQ4, lit("low_quality")),
+        when(col("lang_pred") =!= langWant, lit("lang_mismatch")),
+        when(col("dup5_frac_q4") > maxDup5Q4, lit("dup_ngrams")),
+        when(col("top2_char_frac_q4") > maxTop2Q4, lit("top_ngram"))),
+        x => x.isNotNull)))
+      .withColumn("keep", size(col("reasons")) === 0)
+  }
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col("_toks")
     docs

@@ -321,14 +321,20 @@ object ExtQueries extends QueryGroup {
   def textStats(spark: SparkSession, dir: String): DataFrame =
     TextStats.analyze(load(spark, dir, "documents")).orderBy($"doc_id")
 
+  // Language-ID SQL fragments shared by the text-stats and corpus-filter
+  // oracles — always derived from TextStats.stopwords, never retyped.
+  private def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
+  private val langs = Seq("en", "fr", "es", "de", "zh")
+  private val langScoreExprs = langs.map(l =>
+    s"len(list_filter(ws, w -> w IN (${inList(TextStats.stopwords(l))}))) AS s_$l").mkString(",\n  ")
+  private val langBestSql = s"greatest(${langs.map("s_" + _).mkString(", ")})"
+  private val langPredCase = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
+    .mkString("CASE ", " ", " ELSE 'und' END")
+
   private val textStatsSql = {
-    def inList(ws: Seq[String]) = ws.map(w => s"'$w'").mkString(", ")
-    val langs = Seq("en", "fr", "es", "de", "zh")
-    val scoreExprs = langs.map(l =>
-      s"len(list_filter(ws, w -> w IN (${inList(TextStats.stopwords(l))}))) AS s_$l").mkString(",\n  ")
-    val best = s"greatest(${langs.map("s_" + _).mkString(", ")})"
-    val predCase = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
-      .mkString("CASE ", " ", " ELSE 'und' END")
+    val scoreExprs = langScoreExprs
+    val best = langBestSql
+    val predCase = langPredCase
     s"""WITH w AS (
        |  SELECT doc_id, text, $toksSql AS ws FROM documents),
        |scored AS (
@@ -430,6 +436,73 @@ object ExtQueries extends QueryGroup {
        |LEFT JOIN ${topSql(2)} t2 USING (doc_id)
        |LEFT JOIN ${topSql(3)} t3 USING (doc_id)
        |ORDER BY g.doc_id""".stripMargin
+  }
+
+  /** C4/Gopher-style corpus filter: metrics + failed-rule reasons + keep
+    * flag per document, one narrow pass. The oracle recomputes every
+    * metric relationally and re-derives the rule cascade, so the hash
+    * match pins thresholds, reason naming, and the sort order of the
+    * reasons array. */
+  def textFilter(spark: SparkSession, dir: String): DataFrame =
+    TextStats.filterCorpus(load(spark, dir, "documents")).orderBy($"doc_id")
+
+  private val textFilterSql = {
+    def gramsSql(n: Int) =
+      s"""CASE WHEN len(ws) >= $n
+         |  THEN list_transform(range(1, len(ws) - ${n - 2}),
+         |         i -> array_to_string(ws[i:i+${n - 1}], ' '))
+         |  ELSE []::VARCHAR[] END""".stripMargin
+    val reasonsList =
+      """[CASE WHEN n_tokens < 15 THEN 'too_short' END,
+        | CASE WHEN quality_q4 < 8000 THEN 'low_quality' END,
+        | CASE WHEN lang_pred != 'en' THEN 'lang_mismatch' END,
+        | CASE WHEN dup5_frac_q4 > 1000 THEN 'dup_ngrams' END,
+        | CASE WHEN top2_char_frac_q4 > 2000 THEN 'top_ngram' END]""".stripMargin
+    s"""WITH w AS (
+       |  SELECT doc_id, text, $toksSql AS ws,
+       |         greatest(length(coalesce(text, '')), 1)::BIGINT AS chars
+       |  FROM documents),
+       |scored AS (SELECT doc_id, text, ws, chars, $langScoreExprs FROM w),
+       |withbest AS (SELECT *, $langBestSql AS best FROM scored),
+       |base AS (
+       |  SELECT doc_id,
+       |    len(ws)::BIGINT AS n_tokens,
+       |    list_sum(list_transform(ws, w -> length(w)))::BIGINT AS s,
+       |    greatest(len(ws), 1)::BIGINT AS n,
+       |    s_en::BIGINT AS c,
+       |    chars AS l,
+       |    (length(coalesce(text, '')) -
+       |     length(regexp_replace(coalesce(text, ''), '[[:punct:]]', '', 'g')))::BIGINT AS p,
+       |    $langPredCase AS lang_pred,
+       |    ${gramsSql(2)} AS g2,
+       |    ${gramsSql(5)} AS g5
+       |  FROM withbest),
+       |top2 AS (
+       |  SELECT doc_id, gm, cnt FROM (
+       |    SELECT doc_id, gm, cnt,
+       |           row_number() OVER (PARTITION BY doc_id
+       |             ORDER BY cnt DESC, gm) AS rn
+       |    FROM (SELECT doc_id, gm, count(*) AS cnt
+       |          FROM (SELECT doc_id, unnest(g2) AS gm FROM base)
+       |          GROUP BY doc_id, gm))
+       |  WHERE rn = 1),
+       |metrics AS (
+       |  SELECT base.doc_id, n_tokens,
+       |    $q4Sql AS quality_q4,
+       |    lang_pred,
+       |    least((10000 * coalesce(t2.cnt, 0) * length(coalesce(t2.gm, '')))
+       |          // l, 10000) AS top2_char_frac_q4,
+       |    CASE WHEN len(g5) = 0 THEN 0
+       |         ELSE (10000 * (len(g5) - len(list_distinct(g5)))) // len(g5)
+       |    END AS dup5_frac_q4
+       |  FROM base LEFT JOIN top2 t2 USING (doc_id)),
+       |reasoned AS (
+       |  SELECT *, list_sort(list_filter($reasonsList,
+       |    x -> x IS NOT NULL)) AS reasons
+       |  FROM metrics)
+       |SELECT doc_id, n_tokens, quality_q4, lang_pred, top2_char_frac_q4,
+       |       dup5_frac_q4, reasons, len(reasons) = 0 AS keep
+       |FROM reasoned ORDER BY doc_id""".stripMargin
   }
 
   /** Whitespace-token vs BPE-ish-piece counts per document (the two
@@ -835,6 +908,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
     QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("ext_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("ext_text_filter", textFilter, Some(textFilterSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),

@@ -149,6 +149,37 @@ class TextStatsSpec extends SparkSpec {
     assert(nAggs === 2) // one per mode (_t2, _t3)
   }
 
+  test("filterCorpus: each rule fires alone, reasons sort, clean doc keeps") {
+    val clean = "the table value of a row and the part in a scan is " +
+      "the value to hash and the agg of a row in the table"
+    val docs = Seq(
+      (1L, clean),                                  // passes every rule
+      (2L, "too short here"),                       // < 15 tokens
+      (3L, "le la de et un une est dans le la de et un une est dans"),
+      (4L, clean + " " + ("rep rep rep rep rep " * 8).trim))
+      .toDF("doc_id", "text")
+    val out = TextStats.filterCorpus(docs).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Boolean]("keep"),
+        r.getSeq[String](r.fieldIndex("reasons")))).toMap
+    assert(out(1L) === ((true, Seq.empty)))
+    assert(out(2L)._1 === false && out(2L)._2.contains("too_short"))
+    assert(out(3L)._2.contains("lang_mismatch")) // French stopwords
+    assert(out(4L)._1 === false &&
+      (out(4L)._2.contains("dup_ngrams") || out(4L)._2.contains("top_ngram")))
+    // reasons arrive sorted (hash-stable across engines)
+    out.values.foreach { case (_, rs) => assert(rs === rs.sorted) }
+  }
+
+  test("filterCorpus plan: a single narrow pass, no Exchange") {
+    val plan = TextStats.filterCorpus(
+      spark.range(3).select($"id".as("doc_id"),
+        concat(lit("some text for doc "), $"id".cast("string")).as("text")))
+      .queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      "corpus filtering must stay a scan-speed narrow pass")
+  }
+
   test("pieces: alphanumeric runs + single symbols; CJK counts per character") {
     val out = Seq((1L, "Hello, world! it's 42"), (2L, "中文 文本"), (3L, null: String))
       .toDF("doc_id", "text")
