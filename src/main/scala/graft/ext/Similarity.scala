@@ -352,4 +352,34 @@ object Similarity {
         floorQ4(cosine($"vec_a", $"vec_b")).as("cos_q4"))
       .where($"cos_q4" >= math.floor(threshold * 10000).toLong)
   }
+
+  /** Symmetric per-vector int8 quantization — the standard memory-scale
+    * path for ANN corpora (4× smaller vectors, SIMD-friendly integer
+    * dot products downstream): `code_i = ⌊127·x_i/amax⌋` with
+    * `amax = max|x_i|`, `scale = amax/127`, so
+    * `|x_i − code_i·scale| < scale` (floor error < one quantization
+    * step). Floor (not round-half-*) keeps the codes bit-identical in
+    * any engine: float→double widening is exact, `127·amax` fits the
+    * mantissa exactly, and IEEE division/floor are deterministic — the
+    * oracle reproduces every code. Zero/empty vectors quantize to
+    * all-zero codes with scale 0 rather than NaN-poisoning downstream
+    * (the same guard class as [[cosineNearDup]]'s zero-norm case).
+    *
+    * Entirely narrow — quantizing 100 TB of embeddings is a scan; the
+    * amax is a stored column so the HOF runs once per row. */
+  def quantizeInt8(df: DataFrame, vecCol: String = "embedding"): DataFrame =
+    df.withColumn("_amax",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))))
+      .withColumn("codes",
+        when(col("_amax") > 0.0,
+          transform(col(vecCol),
+            x => floor(x.cast("double") * 127.0 / col("_amax")).cast("int")))
+          .otherwise(transform(col(vecCol), _ => lit(0))))
+      .withColumn("scale",
+        when(col("_amax") > 0.0, col("_amax") / 127.0).otherwise(lit(0.0)))
+      .drop("_amax")
+
+  /** Reconstruct approximate doubles from int8 codes. */
+  def dequantize(codes: Column, scale: Column): Column =
+    transform(codes, c => c.cast("double") * scale)
 }

@@ -855,6 +855,30 @@ object ExtQueries extends QueryGroup {
        |FROM ranked WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Int8 quantization of the embeddings table: codes + q6 scale max.
+    * Every code is exact integer output of deterministic IEEE double
+    * arithmetic (float widening exact, 127·amax mantissa-exact, floor),
+    * so the DuckDB rebuild hash-matches element-for-element. */
+  def simQuantize(spark: SparkSession, dir: String): DataFrame =
+    Similarity.quantizeInt8(load(spark, dir, "embeddings"))
+      .select($"vec_id", $"codes",
+        floor($"scale" * lit(127.0) * lit(1000000.0)).cast("long").as("amax_q6"))
+      .orderBy($"vec_id")
+
+  private val simQuantizeSql =
+    """WITH e AS (
+      |  SELECT vec_id, embedding::DOUBLE[] AS v,
+      |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
+      |  FROM embeddings)
+      |SELECT vec_id,
+      |  CASE WHEN amax > 0
+      |       THEN list_transform(v, x -> (floor(x * 127.0 / amax))::INT)
+      |       ELSE list_transform(v, x -> 0) END AS codes,
+      |  CASE WHEN amax > 0
+      |       THEN (floor((amax / 127.0) * 127.0 * 1000000.0))::BIGINT
+      |       ELSE 0 END AS amax_q6
+      |FROM e ORDER BY vec_id""".stripMargin
+
   /** Multimodal decode plumbing (stub codec). The FakeCodec metadata is
     * pure byte arithmetic over the payload (= the UTF-8 text bytes; the
     * corpus is ASCII, so DuckDB's char ops see the same bytes), so the
@@ -893,6 +917,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),
     QueryDef("ext_sim_ivf_ann", simIvf, Some(simIvfSql)),
     QueryDef("ext_sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
+    QueryDef("ext_sim_quantize", simQuantize, Some(simQuantizeSql)),
     QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),

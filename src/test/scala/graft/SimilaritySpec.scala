@@ -98,6 +98,33 @@ class SimilaritySpec extends SparkSpec {
       s"k-means ($kmRecall) should beat degenerate first-k seeding ($seededRecall)")
   }
 
+  test("int8 quantization: codes in range, reconstruction within one step, recall survives") {
+    val q = Similarity.quantizeInt8(emb).cache()
+    val checked = q.select(col("embedding"), col("codes"), col("scale"))
+      .limit(50).collect()
+    checked.foreach { r =>
+      val xs = r.getSeq[Float](0)
+      val cs = r.getSeq[Int](1)
+      val s = r.getDouble(2)
+      assert(cs.forall(c => c >= -127 && c <= 127))
+      xs.zip(cs).foreach { case (x, c) =>
+        assert(math.abs(x.toDouble - c * s) <= s + 1e-12,
+          s"reconstruction off by more than one step: x=$x c=$c scale=$s")
+      }
+    }
+    // searching the dequantized corpus must preserve the neighborhood
+    val deq = q.select(col("vec_id"),
+      Similarity.dequantize(col("codes"), col("scale")).as("embedding"))
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("n_id"))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(emb.where(col("vec_id") < 20), emb, 5))
+    val viaInt8 = pairs(Similarity.bruteForceTopK(
+      deq.where(col("vec_id") < 20), deq, 5))
+    val recall = (exact & viaInt8).size.toDouble / exact.size
+    assert(recall >= 0.8, s"int8 recall@5 was $recall")
+    q.unpersist()
+  }
+
   test("LSH-bucketed embedding near-dup: subset of brute-force truth with useful recall") {
     val emb = Tables.load(spark, sfDir, "embeddings")
     def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
