@@ -496,11 +496,13 @@ object Dedup {
     // both read this frame — without the barrier the scan + tokenize +
     // gram kernel lineage runs twice
     val grams = docs
+      // one-pass GramHashes kernel: no per-gram string allocation, no
+      // interpreted array passes (DedupSpec pins kernel ≡ declarative)
       .select(col(idCol).as("doc_id"),
-        posexplode(TextStats.wordNgrams(TextStats.tokens(col(textCol)), k))
-          .as(Seq("_p0", "_g")))
-      .select($"doc_id", ($"_p0" + 1).cast("long").as("pos"),
-        md5($"_g".cast("binary")).as("h"))
+        TextStats.tokens(col(textCol)).as("_toks"))
+      .select($"doc_id",
+        posexplode(graft.functions.GramHashes($"_toks", k)).as(Seq("_p0", "h")))
+      .select($"doc_id", ($"_p0" + 1).cast("long").as("pos"), $"h")
       .persistScoped
     val dupHashes = grams.groupBy($"h")
       .agg(count(lit(1)).as("_n")).where($"_n" >= 2).select($"h")

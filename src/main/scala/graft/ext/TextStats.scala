@@ -152,14 +152,24 @@ object TextStats {
   def winnowFingerprints(text: Column, k: Int = 5, w: Int = 4): Column =
     graft.functions.WinnowFingerprint(coalesce(text, lit("")), k, w)
 
-  /** Word n-grams as space-joined strings, narrow. `sequence` is guarded
-    * (it would count DOWN for short docs); the untaken branch of a
-    * CaseWhen is never evaluated, so short docs cost nothing. */
-  def wordNgrams(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      transform(sequence(lit(1), size(toks) - lit(n - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+  /** Word n-grams as space-joined strings, narrow — built by folding
+    * `zip_with` over shifted slices (the Dedup.shingles pattern), NOT
+    * `slice(toks, i, n)` inside a `transform` lambda: interpreted HOFs
+    * re-evaluate non-attribute references per ELEMENT, so the lambda
+    * form re-ran the tokenizer once per gram position when handed a
+    * derived array (measured 3.6 s → 0.3 s on the spans gram scan at
+    * sf0.1). zip_with/slice ARGUMENTS evaluate once per row; still,
+    * pass an attribute column (`_toks`) when the tokens come from an
+    * expression — this builder references `toks` ~2n times. */
+  def wordNgrams(toks: Column, n: Int): Column = {
+    val shifted = (1 until n).map(k =>
+      slice(toks, lit(k + 1), greatest(size(toks) - k, lit(0))))
+    val grams = shifted.foldLeft(toks) { (acc, s) =>
+      zip_with(acc, s, (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(toks) >= n, slice(grams, lit(1), size(toks) - (n - 1)))
       .otherwise(array().cast("array<string>"))
+  }
 
   /** Exact integer division (both operands positive, < 2^53): num−num%den
     * is an exact multiple, so the double divide is exact — the same

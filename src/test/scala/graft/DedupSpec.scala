@@ -158,6 +158,31 @@ class DedupSpec extends SparkSpec {
     assert(ok.forall(_.getAs[Long]("component_id") == 1L))
   }
 
+  test("GramHashes kernel ≡ declarative wordNgrams+md5 on randomized docs") {
+    import graft.ext.TextStats
+    import org.apache.spark.sql.functions._
+    val rnd = new scala.util.Random(33L)
+    val words = Seq("alpha", "βήτα", "中文", "x", "", "a-b", "9")
+    val texts = (1L to 60L).map { id =>
+      val n = rnd.nextInt(12)
+      // random spacing exercises empty tokens from the \s+ split edges
+      (id, (1 to n).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(if (rnd.nextBoolean()) " " else "  "))
+    }
+    val df = texts.toDF("doc_id", "text")
+      .withColumn("_toks", TextStats.tokens($"text"))
+    for (k <- Seq(1, 3, 5)) {
+      val kernel = df.select($"doc_id",
+        graft.functions.GramHashes($"_toks", k).as("hs")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      val decl = df.select($"doc_id",
+        transform(TextStats.wordNgrams($"_toks", k),
+          g => md5(g.cast("binary"))).as("hs")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+      assert(kernel === decl, s"k=$k")
+    }
+  }
+
   test("duplicateSpans: completeness on a planted shared substring, chaining, and thresholds") {
     // docs 1 and 2 share a 12-token run (positions 4..15 in doc 1,
     // 1..12 in doc 2); doc 3 shares nothing long enough; doc 4 repeats
