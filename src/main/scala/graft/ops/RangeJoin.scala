@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Interval (range) join — "which points fall inside which intervals" —
+  * with NO equi key. Spark plans a bare range predicate as a broadcast
+  * nested loop (or a cartesian product): O(|P|·|I|) comparisons no
+  * matter how selective the containment is. The standard distributed
+  * fix is BUCKETING: quantize time into fixed-width buckets, explode
+  * each interval into the buckets it covers, tag each point with its
+  * single bucket, hash-join on the bucket, and keep only exact
+  * containment.
+  *
+  *  - COMPLETE: a contained point's bucket is by construction among its
+  *    interval's covered buckets.
+  *  - DUPLICATE-FREE without a distinct: a point has exactly ONE
+  *    bucket, so each qualifying (point, interval) pair meets on
+  *    exactly one join row — no post-join dedup shuffle.
+  *  - Cost: |I| · (len/bucketWidth + 2) exploded rows. Pick the bucket
+  *    width near the median interval length (~2 rows per interval);
+  *    degenerate very-long intervals fan out proportionally and a hot
+  *    bucket (many co-located intervals) is ordinary join skew — AQE's
+  *    skew-join split applies, same as any keyed join.
+  *
+  * Both interval bounds are INCLUSIVE (BETWEEN semantics, matching the
+  * relational formulation). Intervals with end < start are dropped —
+  * `sequence` would otherwise count DOWN and bucket them backwards. */
+object RangeJoin {
+
+  def pointInInterval(points: DataFrame, intervals: DataFrame,
+      ptCol: String, startCol: String, endCol: String,
+      bucketSeconds: Long = 600L): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val overlap = points.columns.toSet.intersect(intervals.columns.toSet)
+    require(overlap.isEmpty,
+      s"points and intervals must not share column names, both have: $overlap")
+    val w = bucketSeconds * 1000000L
+    def b(c: org.apache.spark.sql.Column) = floor(unix_micros(c) / w)
+    val pts = points.withColumn("_b", b(col(ptCol)))
+    val ivs = intervals
+      .where(col(endCol) >= col(startCol))
+      .withColumn("_b", explode(sequence(b(col(startCol)), b(col(endCol)))))
+    pts.join(ivs, Seq("_b"))
+      .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
+      .drop("_b")
+  }
+}

@@ -146,9 +146,65 @@ object WindowQueries extends QueryGroup {
     """SELECT max(n) AS max_files, min(n) AS min_files, round(avg(n), 4) AS avg_files
       |FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_orderkey)""".stripMargin
 
+  /** AS-OF join: each error event matched to the user's latest click at
+    * or before it. The Spark side is the union + carry-forward window
+    * (one keyed shuffle, no candidate-pair explosion); the oracle is
+    * DuckDB's NATIVE `ASOF LEFT JOIN` — two completely independent
+    * formulations of the operator, hash-matched. */
+  def asofJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val errors = ev.where($"event_type" === "error")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    graft.ops.AsofJoin.asofBackward(errors, clicks, Seq("user_id"), "ts",
+        rightPrefix = "click_")
+      .orderBy($"event_id")
+  }
+
+  private val asofJoinSql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events WHERE event_type = 'error'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'click')
+      |SELECT e.event_id, e.user_id, e.ts, e.value,
+      |       c.ts AS click_ts, c.value AS click_value
+      |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
+  /** Pure range join (no equi key): clicks falling inside 10-minute
+    * incident windows opened by high-value errors. The Spark side is the
+    * bucket-equi formulation (hash join, no nested loop — plan pinned in
+    * RangeJoinSpec); the oracle is the plain BETWEEN inequality join. */
+  def rangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val windows = ev.where($"event_type" === "error" && $"value" >= 19.0)
+      .select($"event_id".as("incident_id"), $"ts".as("w_start"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"event_id", $"ts")
+    graft.ops.RangeJoin.pointInInterval(clicks, windows,
+        "ts", "w_start", "w_end", bucketSeconds = 600L)
+      .select($"event_id", $"incident_id")
+      .orderBy($"event_id", $"incident_id")
+  }
+
+  private val rangeJoinSql =
+    """WITH w AS (
+      |  SELECT event_id AS incident_id, CAST(ts AS TIMESTAMP) AS s,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+      |  FROM events WHERE event_type = 'error' AND value >= 19.0),
+      |c AS (SELECT event_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT c.event_id, w.incident_id
+      |FROM c JOIN w ON c.ts BETWEEN w.s AND w.e
+      |ORDER BY event_id, incident_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
+    QueryDef("j17_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("j18_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     QueryDef("st2_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("st3_sliding_window", slidingWindow, Some(slidingWindowSql)),

@@ -1,0 +1,65 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.ops.AsofJoin
+import org.apache.spark.sql.functions._
+
+/** As-of join goldens: boundary semantics (equal-ts match, no-prior
+  * null), per-key isolation, null-key right-row exclusion, and the
+  * no-candidate-explosion plan shape. */
+class AsofJoinSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: Long) = new Timestamp(s * 1000L)
+
+  test("backward as-of: latest at-or-before match, nulls when no prior row") {
+    val quotes = Seq(
+      (1L, ts(10), 100.0),
+      (1L, ts(20), 101.0),
+      (2L, ts(15), 200.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, ts(5), "t-early"),   // before any quote → null
+      (1L, ts(10), "t-equal"),  // equal ts matches
+      (1L, ts(25), "t-late"),   // latest prior is 20/101.0
+      (2L, ts(30), "t-other"),  // key isolation: matches key-2 quote only
+      (3L, ts(50), "t-nokey"))  // key with no quotes at all → null
+      .toDF("k", "ts", "tag")
+    val out = AsofJoin.asofBackward(trades, quotes, Seq("k"), "ts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[Timestamp]("r_ts")).map(_.getTime / 1000),
+          Option(r.getAs[Any]("r_px")))).toMap
+    assert(out("t-early") === ((None, None)))
+    assert(out("t-equal") === ((Some(10L), Some(100.0))))
+    assert(out("t-late") === ((Some(20L), Some(101.0))))
+    assert(out("t-other") === ((Some(15L), Some(200.0))))
+    assert(out("t-nokey") === ((None, None)))
+  }
+
+  test("null-keyed right rows never match; null-keyed left rows pass through unmatched") {
+    val right = Seq((Some(1L), ts(1), 9.0), (None, ts(2), 8.0))
+      .toDF("k", "ts", "px")
+    val left = Seq((Some(1L), ts(5), "a"), (None, ts(5), "b"))
+      .toDF("k", "ts", "tag")
+    val out = AsofJoin.asofBackward(left, right, Seq("k"), "ts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        Option(r.getAs[Any]("r_px"))).toMap
+    assert(out("a") === Some(9.0))
+    assert(out("b") === None) // SQL equi-join semantics: null != null
+  }
+
+  test("plan: one keyed exchange, no join operator, no candidate pairs") {
+    val left = spark.range(100).select($"id".as("k"),
+      timestamp_micros($"id" * 1000000).as("ts"), $"id".as("v"))
+    val right = spark.range(100).select(($"id" % 10).as("k"),
+      timestamp_micros($"id" * 500000).as("ts"), $"id".as("px"))
+    val plan = AsofJoin.asofBackward(left, right, Seq("k"), "ts")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"),
+      s"the as-of must be a window carry-forward, not a join:\n$plan")
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      s"expected exactly one keyed shuffle:\n$plan")
+  }
+}
