@@ -35,6 +35,40 @@ import org.apache.spark.sql.functions._
   */
 object Frequency {
 
+  /** Groups with ≥ `minDistinct` DISTINCT values of `distinctCol` —
+    * the distinct-count sibling of [[heavyHitters]], sketch-first:
+    *
+    *  1. CANDIDATES: one HLL pass (`approx_count_distinct`, rsd 2%) per
+    *     group — sketches partial-merge map-side, so the exchange
+    *     carries one ~KB sketch per (partition, group) instead of every
+    *     distinct (group, value) pair, which is what Spark's exact
+    *     distinct aggregate must shuffle. Groups whose estimate reaches
+    *     70% of the threshold become candidates. Unlike the pigeonhole
+    *     bound in [[heavyHitters]] this superset is PROBABILISTIC — but
+    *     missing a true group needs HLL to underestimate by 30% at
+    *     rsd 2%, a >15σ event; the alternative (exact everywhere) is
+    *     the full distinct shuffle this operator exists to avoid.
+    *  2. VERIFY: exact `countDistinct` over the candidate groups only
+    *     (broadcast semi-join), filtered to ≥ `minDistinct` — so every
+    *     emitted row is exact and the output matches the plain
+    *     relational HAVING.
+    *
+    * Null group keys are excluded (as in [[heavyHitters]]); null values
+    * never count toward distinct totals in either engine. */
+  def distinctHeavyGroups(df: DataFrame, groupCol: String, distinctCol: String,
+      minDistinct: Long, rsd: Double = 0.02): DataFrame = {
+    require(minDistinct >= 1, s"minDistinct must be >= 1, got $minDistinct")
+    val rows = df.where(col(groupCol).isNotNull)
+    val cands = rows.groupBy(col(groupCol))
+      .agg(approx_count_distinct(col(distinctCol), rsd).as("_approx"))
+      .where(col("_approx") >= math.ceil(minDistinct * 0.7).toLong)
+      .select(col(groupCol))
+    rows.join(broadcast(cands), Seq(groupCol), "left_semi")
+      .groupBy(col(groupCol))
+      .agg(countDistinct(col(distinctCol)).as("n_distinct"))
+      .where(col("n_distinct") >= minDistinct)
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, minCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val sess = df.sparkSession

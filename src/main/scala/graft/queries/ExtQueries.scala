@@ -438,6 +438,21 @@ object ExtQueries extends QueryGroup {
        |ORDER BY g.doc_id""".stripMargin
   }
 
+  /** HLL-candidates + exact-verify distinct-count groups: parts touched
+    * by ≥ 42 distinct orders. The sketch phase only nominates; every
+    * emitted row is exactly counted, so the plain relational HAVING
+    * oracle must agree. */
+  def heavyDistinct(spark: SparkSession, dir: String): DataFrame =
+    Frequency.distinctHeavyGroups(load(spark, dir, "lineitem"),
+        "l_partkey", "l_orderkey", 42L)
+      .orderBy($"l_partkey")
+
+  private val heavyDistinctSql =
+    """SELECT l_partkey, count(DISTINCT l_orderkey) AS n_distinct
+      |FROM lineitem GROUP BY l_partkey
+      |HAVING count(DISTINCT l_orderkey) >= 42
+      |ORDER BY l_partkey""".stripMargin
+
   /** C4/Gopher-style corpus filter: metrics + failed-rule reasons + keep
     * flag per document, one narrow pass. The oracle recomputes every
     * metric relationally and re-derives the rule cascade, so the hash
@@ -933,6 +948,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
     QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("ext_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
+    QueryDef("ext_heavy_distinct", heavyDistinct, Some(heavyDistinctSql)),
     QueryDef("ext_text_filter", textFilter, Some(textFilterSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),

@@ -39,6 +39,22 @@ class FrequencySpec extends SparkSpec {
     assert(out === Map("heavy" -> 45L))
   }
 
+  test("distinctHeavyGroups equals the naive distinct-count HAVING") {
+    val rnd = new scala.util.Random(5L)
+    // 40 groups, skewed distinct cardinalities around the threshold
+    val rows = (1 to 8000).map { _ =>
+      val g = rnd.nextInt(40).toLong
+      (g, rnd.nextInt(20 + 3 * g.toInt).toLong)
+    }.toDF("g", "v")
+    val got = Frequency.distinctHeavyGroups(rows, "g", "v", 50L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = rows.groupBy($"g").agg(countDistinct($"v").as("d"))
+      .where($"d" >= 50).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === want)
+    assert(want.nonEmpty && want.size < 40) // both outcomes exercised
+  }
+
   test("null keys are excluded; typed key column survives to the output") {
     val df = spark.range(100).select(
       when($"id" % 10 === 0, lit(null)).otherwise($"id" % 3).as("k"))
