@@ -90,6 +90,30 @@ class StreamingSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("streaming corpus filter matches batch: stateless narrow ops stream as-is") {
+    // filterCorpus is a pure narrow pass (no aggregation, no state), so
+    // the SAME operator drops into readStream unchanged — the property
+    // that makes scan-speed quality filtering valid on a live firehose
+    import graft.ext.TextStats
+    val docs = Tables.load(spark, sfDir, "documents")
+    val landing = tmpDir("graft-docs-landing")
+    docs.write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    val q = TextStats.filterCorpus(stream).writeStream
+      .outputMode("append")
+      .format("memory").queryName("filtered_docs")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"keep", concat_ws("|", $"reasons").as("rs"))
+      .collect().map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    val got = asMap(spark.table("filtered_docs"))
+    val want = asMap(TextStats.filterCorpus(docs))
+    assert(got === want)
+    assert(want.values.exists(_._1) && want.values.exists(!_._1))
+  }
+
   test("watermark drops late rows beyond the threshold (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
