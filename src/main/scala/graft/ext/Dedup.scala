@@ -520,4 +520,43 @@ object Dedup {
       .where($"span_tokens" >= minSpan)
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
   }
+
+  /** The REMOVE half of ExactSubstr dedup: rebuild each doc's text with
+    * the tokens covered by its given spans dropped. WHICH docs lose
+    * WHICH spans is the caller's policy (e.g. filter [[duplicateSpans]]
+    * output to non-canonical copies) — this operator just applies.
+    *
+    * Docs with no spans keep their ORIGINAL text verbatim; touched docs
+    * are rebuilt token-by-token with single spaces (token-level spans
+    * can't preserve the original inter-token whitespace — inherent to
+    * the formulation, and the corpus normalization a trainer wants
+    * anyway). A doc whose spans cover everything comes back as the
+    * empty string, not a dropped row — removal never changes corpus
+    * cardinality.
+    *
+    * Scale shape: spans aggregate to one small array per touched doc
+    * (spans per doc are few by construction — they're maximal), the
+    * join is a broadcast-or-hash equi join on doc_id, and the rebuild
+    * is narrow per-row HOF work over an attribute token column. */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sp = spans
+      .groupBy(col("doc_id").as("_sid"))
+      .agg(collect_list(struct($"span_start", $"span_end")).as("_spans"))
+    docs
+      .join(sp, col(idCol) === $"_sid", "left")
+      .withColumn("_toks", TextStats.tokens(col(textCol)))
+      .withColumn("_kept",
+        filter(transform($"_toks", (t, i) =>
+          when(exists($"_spans", s =>
+            i + 1 >= s.getField("span_start") && i + 1 <= s.getField("span_end")),
+            lit(null)).otherwise(t)), t => t.isNotNull))
+      .select(
+        col(idCol),
+        when($"_spans".isNull, col(textCol))
+          .otherwise(concat_ws(" ", $"_kept")).as("text_clean"),
+        when($"_spans".isNull, lit(0L))
+          .otherwise((size($"_toks") - size($"_kept")).cast("long"))
+          .as("n_removed"))
+  }
 }

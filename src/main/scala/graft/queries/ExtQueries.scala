@@ -109,9 +109,10 @@ object ExtQueries extends QueryGroup {
     Dedup.duplicateSpans(docsWithDups(spark, dir), k = 5, minSpan = 10)
       .orderBy($"doc_id", $"span_start")
 
-  private val dedupSpansSql =
-    s"""WITH $docsWithDupsSql,
-       |w AS (SELECT doc_id, $toksSql AS ws FROM dd),
+  /** CTE chain computing k=5/minSpan=10 duplicate spans over `dd` —
+    * shared by the spans query and the span-removal query. */
+  private val spanChainSql =
+    s"""w AS (SELECT doc_id, $toksSql AS ws FROM dd),
        |g AS (
        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
        |    i -> struct_pack(pos := i, h := md5(array_to_string(ws[i:i+4], ' '))))) AS u
@@ -126,11 +127,58 @@ object ExtQueries extends QueryGroup {
        |         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos
        |                       ROWS UNBOUNDED PRECEDING) AS isl FROM i1),
        |s AS (SELECT doc_id, min(pos) AS span_start, max(pos) + 4 AS span_end
-       |      FROM i2 GROUP BY doc_id, isl)
-       |SELECT doc_id, span_start, span_end,
-       |       span_end - span_start + 1 AS span_tokens
-       |FROM s WHERE span_end - span_start + 1 >= 10
-       |ORDER BY doc_id, span_start""".stripMargin
+       |      FROM i2 GROUP BY doc_id, isl),
+       |spans AS (
+       |  SELECT doc_id, span_start, span_end,
+       |         span_end - span_start + 1 AS span_tokens
+       |  FROM s WHERE span_end - span_start + 1 >= 10)""".stripMargin
+
+  private val dedupSpansSql =
+    s"""WITH $docsWithDupsSql,
+       |$spanChainSql
+       |SELECT doc_id, span_start, span_end, span_tokens
+       |FROM spans ORDER BY doc_id, span_start""".stripMargin
+
+  /** The REMOVE half of ExactSubstr: duplicate spans applied to the
+    * injected copies (doc_id >= 100000 — the originals stay canonical),
+    * rebuilding their text with covered tokens dropped. Exact full-doc
+    * copies come back as empty strings, never dropped rows. */
+  def dedupDespan(spark: SparkSession, dir: String): DataFrame = {
+    val docs = docsWithDups(spark, dir)
+    val spans = Dedup.duplicateSpans(docs, k = 5, minSpan = 10)
+      .where($"doc_id" >= 100000)
+    Dedup.removeSpans(docs, spans).orderBy($"doc_id")
+  }
+
+  private val dedupDespanSql =
+    s"""WITH $docsWithDupsSql,
+       |$spanChainSql,
+       |ap AS (SELECT doc_id, span_start, span_end FROM spans
+       |       WHERE doc_id >= 100000),
+       |tok AS (
+       |  SELECT doc_id, unnest(list_transform(range(1, len(ws) + 1),
+       |    i -> struct_pack(pos := i, tok := ws[i]))) AS u
+       |  FROM w),
+       |tp AS (SELECT doc_id, u.pos AS pos, u.tok AS tok FROM tok),
+       |kept AS (
+       |  SELECT t.doc_id, t.pos, t.tok FROM tp t
+       |  WHERE NOT EXISTS (SELECT 1 FROM ap a WHERE a.doc_id = t.doc_id
+       |                    AND t.pos BETWEEN a.span_start AND a.span_end)),
+       |agg AS (
+       |  SELECT doc_id, array_to_string(list(tok ORDER BY pos), ' ') AS text_clean,
+       |         count(*) AS n_kept
+       |  FROM kept GROUP BY doc_id),
+       |base AS (
+       |  SELECT dd.doc_id, dd.text, len(w.ws) AS n_toks,
+       |         EXISTS (SELECT 1 FROM ap WHERE ap.doc_id = dd.doc_id) AS touched
+       |  FROM dd JOIN w USING (doc_id))
+       |SELECT b.doc_id,
+       |  CASE WHEN NOT touched THEN b.text
+       |       ELSE coalesce(a.text_clean, '') END AS text_clean,
+       |  CASE WHEN NOT touched THEN 0
+       |       ELSE b.n_toks - coalesce(a.n_kept, 0) END AS n_removed
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
 
   /** 16-bit SimHash per document + collision-bucket sizes. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
@@ -938,6 +986,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("ext_dedup_spans", dedupSpans, Some(dedupSpansSql)),
+    QueryDef("ext_dedup_despan", dedupDespan, Some(dedupDespanSql)),
     QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     QueryDef("ext_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)),

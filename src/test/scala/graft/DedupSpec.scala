@@ -216,6 +216,27 @@ class DedupSpec extends SparkSpec {
     assert(self.nonEmpty && self.head === (1L, 10L))
   }
 
+  test("removeSpans: covered tokens drop, untouched docs verbatim, full-cover keeps the row") {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.functions._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "keep  original   spacing"), // untouched → verbatim text
+      (3L, "x y z"))                    // fully covered → empty, row kept
+      .toDF("doc_id", "text")
+    val spans = Seq(
+      (1L, 2L, 4L, 3L),   // drops b c d
+      (1L, 7L, 7L, 1L),   // drops g (disjoint second span)
+      (3L, 1L, 3L, 3L))
+      .toDF("doc_id", "span_start", "span_end", "span_tokens")
+    val out = Dedup.removeSpans(docs, spans).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) === (("a e f h", 4L)))
+    assert(out(2L) === (("keep  original   spacing", 0L)))
+    assert(out(3L) === (("", 3L)))
+    assert(out.size === 3) // removal never changes corpus cardinality
+  }
+
   test("exact dedup: canonical = min doc_id per content hash") {
     val docs = Seq((1L, "same"), (2L, "same"), (3L, "other"))
       .toDF("doc_id", "text")
