@@ -63,4 +63,59 @@ object Sampling {
     }
     df.where(hashBucket(col(keyCol)) < rate)
   }
+
+  /** Sequence packing — assign documents to fixed-token-budget training
+    * sequences by CONTIGUOUS fill in id order:
+    * `seq_id = exclusive_prefix_sum(n_tokens) div budget`. Whole docs
+    * are assigned (a doc straddling a boundary belongs to the sequence
+    * its first token falls in); splitting straddlers is a trivial
+    * downstream refinement, the hard part at scale is the ordered
+    * global prefix sum — and a bare `Window.orderBy` computes it by
+    * dragging the WHOLE corpus into one partition. This is the textbook
+    * two-phase distributed scan instead:
+    *
+    *  1. range-partition by id, sort within partitions, persist — the
+    *     persist is LOAD-BEARING: `repartitionByRange` samples its
+    *     boundaries per action, and the totals pass and the assignment
+    *     pass must observe the SAME partitioning;
+    *  2. one tiny job collects per-partition token totals (P longs to
+    *     the driver), whose prefix sums become per-partition offsets;
+    *  3. each partition independently scans its sorted rows, carrying
+    *     `offset + running` — narrow, no second shuffle.
+    *
+    * Output bins are a pure function of (id → n_tokens), independent of
+    * partition boundaries — reproducible across runs, cluster sizes,
+    * and engines (the oracle is a plain windowed prefix sum). Ids must
+    * be unique: ties have no defined order in either formulation. */
+  def packSequences(docs: DataFrame, budgetTokens: Long,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val sess = docs.sparkSession
+    import sess.implicits.newProductEncoder
+    val nPart = math.max(1, sess.sessionState.conf.numShufflePartitions)
+    val ranged = docs
+      .select(col(idCol).cast("long").as("_id"),
+        TextStats.tokenCount(TextStats.tokens(col(textCol))).cast("long").as("_n"))
+      .repartitionByRange(nPart, col("_id"))
+      .sortWithinPartitions("_id")
+      .persistScoped
+      .as[(Long, Long)]
+    val totals = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.get().partitionId()
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((pid, s))
+    }.collect().toMap
+    val offsets = (0 until nPart).scanLeft(0L)(_ + totals.getOrElse(_, 0L)).toArray
+    val bOff = sess.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.get().partitionId()
+      var run = bOff.value(pid)
+      it.map { case (id, n) =>
+        val exclusive = run
+        run += n
+        (id, n, exclusive / budgetTokens)
+      }
+    }.toDF(idCol, "n_tokens", "seq_id")
+  }
 }

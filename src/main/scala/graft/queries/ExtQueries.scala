@@ -942,6 +942,21 @@ object ExtQueries extends QueryGroup {
       |       ELSE 0 END AS amax_q6
       |FROM e ORDER BY vec_id""".stripMargin
 
+  /** Sequence packing: contiguous 2000-token training sequences over the
+    * documents table. The Spark side is the two-phase distributed prefix
+    * sum; the oracle is the plain windowed form — bin assignments are a
+    * pure function of (id → n_tokens), so they must agree exactly. */
+  def packSeqs(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(load(spark, dir, "documents"), 2000L)
+      .orderBy($"doc_id")
+
+  private val packSeqsSql =
+    s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents)
+       |SELECT doc_id, n_tokens,
+       |       (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |        - n_tokens) // 2000 AS seq_id
+       |FROM w ORDER BY doc_id""".stripMargin
+
   /** Multimodal decode plumbing (stub codec). The FakeCodec metadata is
     * pure byte arithmetic over the payload (= the UTF-8 text bytes; the
     * corpus is ASCII, so DuckDB's char ops see the same bytes), so the
@@ -1003,5 +1018,6 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
     QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("ext_pack_sequences", packSeqs, Some(packSeqsSql)),
     QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)))
 }

@@ -52,6 +52,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.length === 2000) // zh at 100%
   }
 
+  test("packSequences: two-phase prefix sum equals the in-driver scan under adversarial partitioning") {
+    import graft.ext.Sampling
+    val rnd = new scala.util.Random(3L)
+    val docs = (0L until 500L).map { id =>
+      (id, (1 to (1 + rnd.nextInt(40))).map(_ => "w").mkString(" "))
+    }
+    // feed the operator a hostile layout: 7 unsorted hash partitions
+    val df = docs.toDF("doc_id", "text").repartition(7)
+    val got = Sampling.packSequences(df, 100L).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    var run = 0L
+    val want = docs.map { case (id, text) =>
+      val n = text.split("\\s+").length.toLong
+      val ex = run; run += n
+      id -> ((n, ex / 100L))
+    }.toMap
+    assert(got === want)
+    assert(got.values.map(_._2).max > 10) // many sequences actually formed
+    // the plan must never drag the corpus into one partition: the only
+    // exchange is the nPart-way range partitioning
+    val plan = Sampling.packSequences(df, 100L).queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+    assert(plan.contains("rangepartitioning"), plan)
+  }
+
   test("contamination finds a planted >= k+w-1 overlap and respects minShared") {
     val planted = "zqxjvkwpbf mntrlsgdhc" // 21 chars → many shared fingerprints
     val corpus = Seq(
