@@ -69,6 +69,97 @@ object Frequency {
       .where(col("n_distinct") >= minDistinct)
   }
 
+  /** EXACT per-group quantiles (`quantile_disc` semantics: the smallest
+    * element whose cumulative count reaches ⌈p·n⌉ of the group's sorted
+    * multiset) without a global sort and without a per-group window.
+    *
+    * The naive formulations both die at scale: `ORDER BY` per group
+    * drags every row of a group through one sort, and
+    * `Window.partitionBy(group)` sends each whole group to a single
+    * partition — for low-cardinality groups (event types, languages)
+    * that is a handful of executors sorting 100 TB while the rest idle.
+    * This is the distributed-selection shape instead:
+    *
+    *  1. VALUE COUNTS — the only per-row shuffle: `groupBy(group,
+    *     value).count` partial-aggregates map-side, so the exchange
+    *     carries distinct (group, value) pairs, not rows. (For heavily
+    *     duplicated domains — latencies in ms, lengths, scores — this
+    *     is orders of magnitude below row count; for near-continuous
+    *     domains quantize upstream or the count pass degenerates to a
+    *     row shuffle, which is still strictly better than a sort.)
+    *  2. RANGE-partition the counts by (group, value) and sort WITHIN
+    *     partitions — groups span partitions freely; no single-reducer
+    *     group. The persist is load-bearing: `repartitionByRange`
+    *     samples boundaries per action and phases 3+4 must observe the
+    *     SAME partitioning (the packSequences invariant).
+    *  3. One tiny job collects per-(partition, group) count totals — at
+    *     most P + G entries reach the driver — whose per-group prefix
+    *     sums become each partition's starting cumulative count.
+    *  4. Each partition independently scans its sorted slice carrying
+    *     the running per-group cumulative count: narrow, no second
+    *     row-scale shuffle. The quantile is then a map-side-combined
+    *     `min(value WHERE cum >= ⌈p·n⌉)` per group — the final exchange
+    *     is P·G rows.
+    *
+    * ⌈p·n⌉ is evaluated in IEEE double (`ceil(p * n)`) — bit-for-bit
+    * the index DuckDB's `quantile_disc` selects, so the output is
+    * oracle-checkable against a different engine's native aggregate.
+    * Null groups and null values are excluded (as in any relational
+    * quantile); group keys are stringified for transport (callers keep
+    * their typed key by re-joining or casting back — the output column
+    * keeps `groupCol`'s name). Probabilities must lie in (0, 1]. */
+  def exactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantile probabilities must lie in (0, 1], got $ps")
+    val labels = ps.map(p => "p" + math.round(p * 100))
+    require(labels.distinct.size == labels.size,
+      s"probabilities collide at integer-percent labels: $labels")
+    val sess = df.sparkSession
+    import sess.implicits.newProductEncoder
+    val nPart = math.max(1, sess.sessionState.conf.numShufflePartitions)
+    val counts = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val ranged = counts
+      .repartitionByRange(nPart, col("_g"), col("_v"))
+      .sortWithinPartitions("_g", "_v")
+      .persistScoped
+      .as[(String, Double, Long)]
+    // per-(partition, group) totals: P + G entries, not data-scale
+    val partTotals = ranged.mapPartitions { it =>
+      val pid = TaskContext.get().partitionId()
+      val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      it.foreach { case (g, _, c) => m.update(g, m.getOrElse(g, 0L) + c) }
+      m.iterator.map { case (g, s) => (pid, g, s) }
+    }.collect()
+    val grand = partTotals.groupBy(_._2).map { case (g, a) => g -> a.map(_._3).sum }
+    val offsets: Map[(Int, String), Long] =
+      partTotals.groupBy(_._2).iterator.flatMap { case (g, a) =>
+        val inPidOrder = a.sortBy(_._1)
+        inPidOrder.map(_._1).zip(inPidOrder.scanLeft(0L)(_ + _._3))
+          .map { case (pid, off) => (pid, g) -> off }
+      }.toMap
+    val bOff = sess.sparkContext.broadcast(offsets)
+    val bGrand = sess.sparkContext.broadcast(grand)
+    val cum = ranged.mapPartitions { it =>
+      val pid = TaskContext.get().partitionId()
+      var curG: String = null
+      var run = 0L
+      it.map { case (g, v, c) =>
+        if (g != curG) { curG = g; run = bOff.value((pid, g)) }
+        run += c
+        (g, v, run, bGrand.value(g))
+      }
+    }.toDF("_g", "_v", "_cum", "_n")
+    val aggs = ps.zip(labels).map { case (p, lbl) =>
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_v"))).as(lbl)
+    }
+    cum.groupBy(col("_g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, minCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val sess = df.sparkSession

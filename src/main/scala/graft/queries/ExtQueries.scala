@@ -501,6 +501,30 @@ object ExtQueries extends QueryGroup {
       |HAVING count(DISTINCT l_orderkey) >= 42
       |ORDER BY l_partkey""".stripMargin
 
+  /** Exact per-event-type value quantiles — the distributed-selection
+    * operator (value-counts + range-partitioned prefix sum, no global
+    * sort, no low-cardinality window). The oracle is DuckDB's NATIVE
+    * `quantile_disc` — an independent engine's built-in aggregate — so
+    * the hash match pins the ⌈p·n⌉ discrete-quantile semantics, not
+    * just our own formulation replayed. */
+  def quantileExact(spark: SparkSession, dir: String): DataFrame =
+    Frequency.exactQuantiles(load(spark, dir, "events"),
+        "event_type", "value", Seq(0.5, 0.9, 0.99))
+      .select($"event_type",
+        floor($"p50" * 10000).cast("long").as("p50_q4"),
+        floor($"p90" * 10000).cast("long").as("p90_q4"),
+        floor($"p99" * 10000).cast("long").as("p99_q4"))
+      .orderBy($"event_type")
+
+  private val quantileExactSql =
+    """SELECT event_type,
+      |  CAST(floor(quantile_disc(value, 0.50) * 10000) AS BIGINT) AS p50_q4,
+      |  CAST(floor(quantile_disc(value, 0.90) * 10000) AS BIGINT) AS p90_q4,
+      |  CAST(floor(quantile_disc(value, 0.99) * 10000) AS BIGINT) AS p99_q4
+      |FROM events
+      |WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** C4/Gopher-style corpus filter: metrics + failed-rule reasons + keep
     * flag per document, one narrow pass. The oracle recomputes every
     * metric relationally and re-derives the rule cascade, so the hash
@@ -1013,6 +1037,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("ext_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("ext_heavy_distinct", heavyDistinct, Some(heavyDistinctSql)),
+    QueryDef("ext_quantile_exact", quantileExact, Some(quantileExactSql)),
     QueryDef("ext_text_filter", textFilter, Some(textFilterSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),

@@ -55,6 +55,48 @@ class FrequencySpec extends SparkSpec {
     assert(want.nonEmpty && want.size < 40) // both outcomes exercised
   }
 
+  test("exactQuantiles equals the sorted-multiset definition, dups and all") {
+    // duplicated values around every cut: the discrete quantile must be
+    // an ELEMENT of the multiset at position ceil(p*n) — a formulation
+    // bug (e.g. counting distinct values) shifts it
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 5000).map { _ =>
+      (s"g${rnd.nextInt(3)}", rnd.nextInt(40).toDouble / 4.0)
+    }.toDF("g", "v")
+    val got = Frequency.exactQuantiles(rows, "g", "v", Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val want = rows.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, a) =>
+        val sorted = a.map(_._2).sorted
+        def q(p: Double) = sorted(math.ceil(p * sorted.length).toInt - 1)
+        g -> (q(0.5), q(0.9), q(0.99))
+      }
+    assert(got === want)
+  }
+
+  test("exactQuantiles: groups spanning many range partitions carry the prefix sum across") {
+    // one giant group over 4 shuffle partitions (local[4] test session):
+    // the per-partition offsets must stitch into one global cumulative
+    // count or the selected element comes from the wrong slice
+    val one = spark.range(10000).select(lit("big").as("g"),
+      ($"id" % 997).cast("double").as("v"))
+    val tiny = Seq(("small", 42.0)).toDF("g", "v")
+    val got = Frequency.exactQuantiles(one.unionByName(tiny), "g", "v", Seq(0.25, 1.0))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val sorted = one.collect().map(_.getDouble(1)).sorted
+    assert(got("big") === (sorted(math.ceil(0.25 * 10000).toInt - 1), sorted.last))
+    assert(got("small") === ((42.0, 42.0))) // p<=1 of a singleton is itself
+  }
+
+  test("exactQuantiles excludes null groups and null values") {
+    val rows = Seq[(String, java.lang.Double)](
+      ("a", 1.0), ("a", 2.0), ("a", null), (null, 9.0), ("a", 3.0))
+      .toDF("g", "v")
+    val got = Frequency.exactQuantiles(rows, "g", "v", Seq(0.5)).collect()
+    assert(got.length === 1)
+    assert(got.head.getString(0) === "a" && got.head.getDouble(1) === 2.0)
+  }
+
   test("null keys are excluded; typed key column survives to the output") {
     val df = spark.range(100).select(
       when($"id" % 10 === 0, lit(null)).otherwise($"id" % 3).as("k"))
