@@ -37,22 +37,31 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case e: Throwable =>
+                 System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+                 false }
       val dt = (System.nanoTime() - t0) / 1e9
       // drop frames persisted inside operators so no query benefits from
       // (or pays for) another query's cache
       spark.catalog.clearCache()
       // progress to stderr (stdout carries only the one JSON line): a
       // wedged run shows WHERE it stopped instead of dying silently
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s")
-      name -> dt
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s${if (ok) "" else "  ERR"}")
+      (name, dt, ok)
     }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + sec(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // A failed query records the -1 sentinel, NOT its time-to-fail — a
+    // time-to-fail in the queries map reads as a (usually flattering)
+    // legitimate timing. Failures are also excluded from the total and
+    // counted in the trailer so a broken build can't look fast.
+    val qs = results.map { case (k, v, ok) =>
+      "\"" + k + "\":" + (if (ok) sec(v) else "-1") }.mkString("{", ",", "}")
+    val good = results.filter(_._3)
+    val nFailed = results.size - good.size
+    val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failures":$nFailed,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of stdout, which cuts
     // an 85-query JSON line mid-stream. Three outputs, most durable
     // first: (1) the full line goes to a file (committed per round as
@@ -64,7 +73,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     println(full)
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failures":$nFailed,"detail":"$outPath"}""")
     spark.stop()
   }
 }

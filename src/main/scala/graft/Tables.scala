@@ -17,13 +17,26 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // events.ts is TIMESTAMP(NANOS) parquet, which Spark's vectorized
-      // reader rejects; read the raw int64 nanos and truncate to micros
-      // (same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP).
+      // events.ts has been generated as both TIMESTAMP(NANOS) (which
+      // Spark's vectorized reader rejects without the legacy long
+      // fallback) and plain timestamp[us]; branch on what the footer
+      // actually decodes to instead of hard-coding one generation.
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case LongType =>
+          // TIMESTAMP(NANOS) read as raw int64 nanos: truncate to micros
+          // (same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP).
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          // session timezone is pinned to UTC everywhere (LocalSession /
+          // test fixtures), so this cast is value-identical and keeps a
+          // single downstream type for window/asof/range arithmetic.
+          raw.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

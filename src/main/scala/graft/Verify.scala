@@ -12,6 +12,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = LocalSession.build(cpus)
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -19,6 +20,7 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
       }
       spark.catalog.clearCache()  // operators persist internally; don't accumulate
     }
@@ -37,6 +39,20 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Fail LOUD: a broken query must show up as an artifact, not vanish
+    // from the compare (round 6's regression was invisible exactly
+    // because errors only went to stderr). `_failed.json` maps each
+    // failed query name to its error; empty object when all green.
+    val failedJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v.take(2000))}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_failed.json"), failedJson)
+    // Exit 0 even on failures — a nonzero exit could make the driver skip
+    // the DuckDB compare for the queries that DID dump; the artifact and
+    // the stderr banner are the loud part.
+    if (failed.nonEmpty)
+      System.err.println(
+        s"[verify] ${failed.size} quer${if (failed.size == 1) "y" else "ies"} FAILED: " +
+          failed.keys.mkString(", "))
     spark.stop()
   }
 }

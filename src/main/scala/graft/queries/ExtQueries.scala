@@ -531,7 +531,11 @@ object ExtQueries extends QueryGroup {
     * match pins thresholds, reason naming, and the sort order of the
     * reasons array. */
   def textFilter(spark: SparkSession, dir: String): DataFrame =
-    TextStats.filterCorpus(load(spark, dir, "documents")).orderBy($"doc_id")
+    TextStats.filterCorpus(load(spark, dir, "documents"))
+      // library API keeps `reasons` as array<string>; stringified here
+      // because the driver's pandas comparator cannot sort ndarray cells
+      .withColumn("reasons", array_join($"reasons", ","))
+      .orderBy($"doc_id")
 
   private val textFilterSql = {
     def gramsSql(n: Int) =
@@ -588,7 +592,9 @@ object ExtQueries extends QueryGroup {
        |    x -> x IS NOT NULL)) AS reasons
        |  FROM metrics)
        |SELECT doc_id, n_tokens, quality_q4, lang_pred, top2_char_frac_q4,
-       |       dup5_frac_q4, reasons, len(reasons) = 0 AS keep
+       |       dup5_frac_q4,
+       |       coalesce(array_to_string(reasons, ','), '') AS reasons,
+       |       len(reasons) = 0 AS keep
        |FROM reasoned ORDER BY doc_id""".stripMargin
   }
 
@@ -948,7 +954,10 @@ object ExtQueries extends QueryGroup {
     * so the DuckDB rebuild hash-matches element-for-element. */
   def simQuantize(spark: SparkSession, dir: String): DataFrame =
     Similarity.quantizeInt8(load(spark, dir, "embeddings"))
-      .select($"vec_id", $"codes",
+      // the library API keeps `codes` as array<int>; the declared query
+      // stringifies it (o2_sorted_arrays pattern) because the driver's
+      // pandas comparator cannot sort ndarray cells
+      .select($"vec_id", array_join($"codes", ",").as("codes"),
         floor($"scale" * lit(127.0) * lit(1000000.0)).cast("long").as("amax_q6"))
       .orderBy($"vec_id")
 
@@ -958,9 +967,9 @@ object ExtQueries extends QueryGroup {
       |         list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) AS amax
       |  FROM embeddings)
       |SELECT vec_id,
-      |  CASE WHEN amax > 0
+      |  array_to_string(CASE WHEN amax > 0
       |       THEN list_transform(v, x -> (floor(x * 127.0 / amax))::INT)
-      |       ELSE list_transform(v, x -> 0) END AS codes,
+      |       ELSE list_transform(v, x -> 0) END, ',') AS codes,
       |  CASE WHEN amax > 0
       |       THEN (floor((amax / 127.0) * 127.0 * 1000000.0))::BIGINT
       |       ELSE 0 END AS amax_q6
@@ -977,8 +986,8 @@ object ExtQueries extends QueryGroup {
   private val packSeqsSql =
     s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents)
        |SELECT doc_id, n_tokens,
-       |       (sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
-       |        - n_tokens) // 2000 AS seq_id
+       |       ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |         - n_tokens) // 2000)::BIGINT AS seq_id
        |FROM w ORDER BY doc_id""".stripMargin
 
   /** Multimodal decode plumbing (stub codec). The FakeCodec metadata is
