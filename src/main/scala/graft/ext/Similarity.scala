@@ -175,15 +175,26 @@ object Similarity {
     * (which `ext_sim_ivf_ann` keeps so the DuckDB oracle can rebuild the
     * index relationally).
     *
-    * Seeding is deterministic farthest-first (Gonzalez' k-center): start
-    * from the lowest-id non-zero vector, then repeatedly add the corpus
-    * vector with the SMALLEST maximum cosine against the chosen set
-    * (ties break to the lowest id). On clustered data this lands one
-    * seed per cluster before Lloyd even runs — exactly the failure mode
-    * of first-k seeding, which can draw every seed from one cluster.
-    * Each seed costs one narrow scan + TakeOrdered(1); the scan input is
-    * persisted once (registered with the caller's [[CacheScope]] when
-    * one is active).
+    * Two deterministic seeding strategies:
+    *
+    *  - `"parallel"` (default, the 100-TB path): k-means‖-style
+    *    oversampling (Bahmani et al., VLDB'12). Each of `rounds` passes
+    *    samples points with probability ∝ oversample·cost/Σcost against
+    *    the candidate set so far (cost = 1 − max cosine), using a
+    *    splitmix hash of (id, round) as the uniform draw — so the sample
+    *    is a pure function of the data, no RNG state. One job per round
+    *    (a mapPartitions that both samples and partial-sums the next
+    *    round's Σcost), one fused count+first-seed job, one candidate
+    *    weighting job, then a driver-local weighted farthest-first
+    *    reduction of the ≤ rounds·oversample+1 candidates down to k.
+    *    TOTAL: `rounds + 2` corpus scans for ANY nCells — replacing the
+    *    previous per-seed driver loop whose O(nCells) full scans were
+    *    the one remaining scale-killer shape (4096 cells = 4096 scans).
+    *  - `"farthest"`: exact Gonzalez k-center — repeatedly add the
+    *    corpus vector with the smallest maximum cosine against the
+    *    chosen set (ties to the lowest id). One scan PER SEED, so only
+    *    for small k — but exactly reproducible relationally, which is
+    *    why `ext_sim_ivf_kmeans`'s DuckDB oracle pins this variant.
     *
     * Then `iters` Lloyd rounds refine. Assignment reuses [[ivfCell]] —
     * the same inlined-centroid narrow argmax the probe path uses, zero
@@ -195,41 +206,29 @@ object Similarity {
     * argmax-dot stays ≡ cosine ranking; a cell that comes back empty (or
     * with a zero mean) keeps its previous centroid.
     *
-    * Seeding is exactly deterministic; the Lloyd means sum doubles in
-    * partition order, so refined centroids are deterministic only up to
-    * floating-point ordering. The contract here is recall, not bit
-    * identity — hash-checked queries stay on [[ivfCentroids]]. */
+    * Both seedings are exactly deterministic; the Lloyd means sum
+    * doubles in partition order, so refined centroids are deterministic
+    * only up to floating-point ordering. The contract here is recall,
+    * not bit identity — hash-checked queries stay on [[ivfCentroids]] /
+    * `seeding = "farthest"` at `iters = 0`. */
   def ivfCentroidsKmeans(corpus: DataFrame, nCells: Int, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      seeding: String = "parallel", rounds: Int = 3,
+      oversample: Int = 0): Array[Array[Double]] = {
     require(nCells >= 1, s"nCells must be >= 1, got $nCells")
     require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(seeding == "parallel" || seeding == "farthest",
+      s"seeding must be 'parallel' or 'farthest', got '$seeding'")
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
     val vecs = corpus
       .where(dot(col(vecCol), col(vecCol)) > 0)
       .select(col(idCol).cast("long").as("_id"), col(vecCol).as("_v"))
       .persistScoped
-    def asDoubles(r: org.apache.spark.sql.Row): Array[Double] =
-      r.getSeq[Any](r.fieldIndex("_v")).map {
-        case f: Float => f.toDouble
-        case d: Double => d
-        case n: Number => n.doubleValue()
-      }.toArray
-    def normalized(v: Array[Double]): Array[Double] = {
-      val n = math.sqrt(v.map(x => x * x).sum)
-      v.map(_ / n)
-    }
-    // farthest-first seeding; the count also materializes the persist
-    // barrier before the per-seed scans fan out over it
-    val k = math.min(nCells.toLong, vecs.count()).toInt
-    require(k >= 1, "k-means seeding needs at least one non-zero vector")
-    val first = vecs.orderBy($"_id").limit(1).collect()(0)
-    var cents = Vector(normalized(asDoubles(first)))
-    while (cents.size < k) {
-      val maxCos = array_max(array(cents.map(c =>
-        dot($"_v", array(c.map(lit): _*)) / norm($"_v")): _*))
-      val far = vecs.select($"_id", $"_v", maxCos.as("_mx"))
-        .orderBy($"_mx".asc, $"_id".asc).limit(1).collect()(0)
-      cents = cents :+ normalized(asDoubles(far))
-    }
+    var cents =
+      if (seeding == "parallel")
+        parallelSeeds(vecs, nCells, rounds,
+          if (oversample > 0) oversample else math.max(2 * nCells, 8))
+      else farthestFirstSeeds(vecs, nCells)
     // Lloyd refinement: narrow assignment, one O(nCells·dim) aggregate
     val dim = cents.head.length
     for (_ <- 0 until iters) {
@@ -249,6 +248,160 @@ object Similarity {
       }.toVector
     }
     cents.toArray
+  }
+
+  private def asDoubles(r: org.apache.spark.sql.Row, field: String = "_v"): Array[Double] =
+    r.getSeq[Any](r.fieldIndex(field)).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+      case n: Number => n.doubleValue()
+    }.toArray
+
+  private def normalized(v: Array[Double]): Array[Double] = {
+    val n = math.sqrt(v.map(x => x * x).sum)
+    v.map(_ / n)
+  }
+
+  /** Deterministic uniform draw in [0,1) from (id, round): splitmix64
+    * finalizer over a linear mix. A hash IS the sample — reruns and
+    * retried tasks see identical decisions, unlike `rand()`. */
+  private def unitHash(id: Long, round: Int): Double = {
+    var z = id * 0x9E3779B97F4A7C15L + round.toLong * 0xC2B2AE3D27D4EB4FL
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= z >>> 31
+    (z >>> 11).toDouble / (1L << 53).toDouble
+  }
+
+  /** Gonzalez farthest-first: one scan per seed — small-k / oracle path. */
+  private def farthestFirstSeeds(vecs: DataFrame, nCells: Int): Vector[Array[Double]] = {
+    // the count also materializes the persist barrier before the
+    // per-seed scans fan out over it
+    val k = math.min(nCells.toLong, vecs.count()).toInt
+    require(k >= 1, "k-means seeding needs at least one non-zero vector")
+    val first = vecs.orderBy($"_id").limit(1).collect()(0)
+    var cents = Vector(normalized(asDoubles(first)))
+    while (cents.size < k) {
+      val maxCos = array_max(array(cents.map(c =>
+        dot($"_v", array(c.map(lit): _*)) / norm($"_v")): _*))
+      val far = vecs.select($"_id", $"_v", maxCos.as("_mx"))
+        .orderBy($"_mx".asc, $"_id".asc).limit(1).collect()(0)
+      cents = cents :+ normalized(asDoubles(far))
+    }
+    cents
+  }
+
+  /** k-means‖-style oversampled seeding: `rounds + 2` scans total,
+    * independent of k. Candidate maths run per-partition in the closure
+    * (not as inlined-literal Columns) deliberately: the candidate set is
+    * a few hundred × dim doubles, and inlining that as expression-tree
+    * literals is the plan-string blowup [[ivfCell]]'s doc warns about. */
+  private def parallelSeeds(vecs: DataFrame, nCells: Int, rounds: Int,
+      oversample: Int): Vector[Array[Double]] = {
+    def maxCos(v: Array[Double], cands: Seq[Array[Double]]): Double = {
+      val nv = math.sqrt(v.map(x => x * x).sum)
+      var best = -1.0
+      cands.foreach { c =>
+        var s = 0.0; var i = 0
+        while (i < v.length && i < c.length) { s += v(i) * c(i); i += 1 }
+        val cos = s / nv // candidates are L2-normalized
+        if (cos > best) best = cos
+      }
+      best
+    }
+    // scan 1 (fused): corpus size + lowest-id vector, one mapPartitions
+    // job that also materializes the persist barrier
+    val firsts = vecs.toDF().mapPartitions { it =>
+      var n = 0L
+      var bestId = Long.MaxValue
+      var bestVec: Array[Double] = null
+      it.foreach { r =>
+        n += 1
+        val id = r.getLong(0)
+        if (id < bestId) { bestId = id; bestVec = asDoubles(r) }
+      }
+      if (n == 0) Iterator.empty
+      else Iterator.single((n, bestId, bestVec))
+    }(org.apache.spark.sql.Encoders.kryo[(Long, Long, Array[Double])]).collect()
+    require(firsts.nonEmpty, "k-means seeding needs at least one non-zero vector")
+    val n = firsts.map(_._1).sum
+    val k = math.min(nCells.toLong, n).toInt
+    val seed0 = firsts.minBy(_._2)
+    var candIds = Vector(seed0._2)
+    var cands = Vector(normalized(seed0._3))
+    // per round: sample with p = min(1, oversample·cost/Σcost_prev) AND
+    // partial-sum this round's Σcost in the same pass. Round 1 has no
+    // Σcost yet; 2n is a sound upper bound (spherical cost ≤ 2/point) —
+    // it only makes the first round's sample conservative.
+    var phi = 2.0 * n
+    for (r <- 1 to rounds) {
+      val candsNow = cands // stable closure capture
+      val phiNow = phi
+      val sampled = vecs.toDF().mapPartitions { it =>
+        var partPhi = 0.0
+        val hits = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+        it.foreach { row =>
+          val id = row.getLong(0)
+          val v = asDoubles(row)
+          val cost = math.max(0.0, 1.0 - maxCos(v, candsNow))
+          partPhi += cost
+          val p = math.min(1.0, oversample * cost / phiNow)
+          if (unitHash(id, r) < p) hits += ((id, v))
+        }
+        Iterator.single((partPhi, hits.toArray))
+      }(org.apache.spark.sql.Encoders.kryo[(Double, Array[(Long, Array[Double])])])
+        .collect()
+      phi = math.max(sampled.map(_._1).sum, 1e-12)
+      val fresh = sampled.flatMap(_._2).sortBy(_._1)
+        .filterNot(h => candIds.contains(h._1))
+      candIds ++= fresh.map(_._1)
+      cands ++= fresh.map(h => normalized(h._2))
+    }
+    // weighting scan: how many corpus points each candidate owns
+    val candsFinal = cands
+    val weights = vecs.toDF().mapPartitions { it =>
+      val w = new Array[Long](candsFinal.size)
+      it.foreach { row =>
+        val v = asDoubles(row)
+        var best = -2.0; var bi = 0; var i = 0
+        candsFinal.foreach { c =>
+          var s = 0.0; var j = 0
+          while (j < v.length && j < c.length) { s += v(j) * c(j); j += 1 }
+          // candidates are normalized and the query norm is a common
+          // positive factor across candidates — argmax-dot ≡ argmax-cos
+          if (s > best) { best = s; bi = i }
+          i += 1
+        }
+        w(bi) += 1
+      }
+      Iterator.single(w)
+    }(org.apache.spark.sql.Encoders.kryo[Array[Long]]).collect()
+      .reduce { (a, b) => a.indices.foreach(i => a(i) += b(i)); a }
+    // driver-local weighted farthest-first over ≤ rounds·oversample+1
+    // candidates: first the heaviest candidate (tie → lowest index ==
+    // lowest id), then argmax of weight·(1 − max cos to chosen)
+    val heaviest = weights.indices.maxBy(i => (weights(i), -i.toDouble))
+    var chosen = Vector(heaviest)
+    while (chosen.size < k && chosen.size < cands.size) {
+      val pick = cands.indices.filterNot(chosen.contains)
+        .maxBy { i =>
+          val d = 1.0 - maxCos(cands(i), chosen.map(cands))
+          (weights(i) * d, -i.toDouble)
+        }
+      chosen :+= pick
+    }
+    var seeds = chosen.map(cands)
+    if (seeds.size < k) {
+      // degenerate tiny-corpus fallback: fill from the lowest-id vectors
+      val fill = vecs.orderBy($"_id").limit(k).collect()
+        .map(r => normalized(asDoubles(r)))
+      var i = 0
+      while (seeds.size < k && i < fill.length) {
+        if (!seeds.exists(_.sameElements(fill(i)))) seeds :+= fill(i)
+        i += 1
+      }
+    }
+    seeds
   }
 
   /** Nearest-cell id as a pure narrow expression: argmax of the codegen

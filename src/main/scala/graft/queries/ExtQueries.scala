@@ -877,7 +877,8 @@ object ExtQueries extends QueryGroup {
     * from the parquet — no inlined constants. */
   def simIvfKmeans(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
-    val cents = Similarity.ivfCentroidsKmeans(emb, nCells = 4, iters = 0)
+    val cents = Similarity.ivfCentroidsKmeans(emb, nCells = 4, iters = 0,
+      seeding = "farthest") // the variant the DuckDB oracle rebuilds relationally
     Similarity.ivfTopK(emb.where($"vec_id" < 10), emb, 5, nProbe = 2,
         centroids = Some(cents))
       .orderBy($"q_id", $"rank")

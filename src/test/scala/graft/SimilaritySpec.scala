@@ -98,6 +98,42 @@ class SimilaritySpec extends SparkSpec {
       s"k-means ($kmRecall) should beat degenerate first-k seeding ($seededRecall)")
   }
 
+  test("parallel k-means seeding: job count independent of nCells, deterministic") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    def jobsFor(f: => Unit): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        counter.set(0)
+        f
+        // listener delivery is async — poll until the count is stable
+        var last = -1; var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val c = counter.get()
+          if (c == last) stable += 1 else { stable = 0; last = c }
+        }
+        last
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val j8 = jobsFor { Similarity.ivfCentroidsKmeans(emb, 8, iters = 0) }
+    val j32 = jobsFor { Similarity.ivfCentroidsKmeans(emb, 32, iters = 0) }
+    // the old farthest-first loop was O(nCells) scans — 8 vs 32 cells
+    // would differ by 24 jobs. Oversampled seeding: rounds+2 scans flat.
+    assert(j8 === j32, s"seeding job count must not grow with nCells ($j8 vs $j32)")
+    assert(j32 <= 8, s"seeding ran $j32 jobs; expected rounds+2=5 (+persist slack)")
+    // hash-based sampling => bit-identical reruns
+    val a = Similarity.ivfCentroidsKmeans(emb, 16, iters = 0)
+    val b = Similarity.ivfCentroidsKmeans(emb, 16, iters = 0)
+    assert(a.length === 16)
+    assert(a.zip(b).forall { case (x, y) => x.sameElements(y) })
+  }
+
   test("int8 quantization: codes in range, reconstruction within one step, recall survives") {
     val q = Similarity.quantizeInt8(emb).cache()
     val checked = q.select(col("embedding"), col("codes"), col("scale"))
