@@ -232,9 +232,13 @@ object Dedup {
     * (5 rounds on the same graph, identical output). It is also the
     * 100-TB story: the dominant per-round shuffle (edges ⋈ labels) runs
     * on an edge list that shrinks geometrically as clusters collapse,
-    * instead of the full input edge list every round. Nothing is ever
-    * collected to the driver — the convergence probe is a limit-1 count
-    * over the just-checkpointed change flags.
+    * instead of the full input edge list every round. The convergence
+    * probe is a limit-1 count over the just-checkpointed change flags.
+    * Once contraction shrinks the edge list to `localFinishEdges` rows
+    * (a BOUNDED driver materialization), a single union-find finishes
+    * the job — geometric contraction reaches that bound in a few rounds
+    * at any scale, and every avoided tail round is a full cluster
+    * barrier spent on a few thousand rows.
     *
     * Output: (id, component_id, is_canonical) for EVERY input doc —
     * singletons form their own component — so a training-data pipeline
@@ -282,8 +286,17 @@ object Dedup {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** When the (contracted) edge list is at or under this many rows, the
+    * loop finishes with one bounded driver-side union-find instead of
+    * more distributed rounds. Geometric contraction means a 100-TB graph
+    * reaches this within a few rounds; each avoided tail round is a full
+    * cluster barrier (neighbour join + closure + contraction) spent on a
+    * few thousand rows. 500k edges = ~8 MB of longs on the driver. */
+  val componentsLocalFinishEdges: Long = 500000L
+
   def resolveComponents(docs: DataFrame, pairs: DataFrame,
-      idCol: String = "doc_id", maxIter: Int = 50): DataFrame = {
+      idCol: String = "doc_id", maxIter: Int = 50,
+      localFinishEdges: Long = componentsLocalFinishEdges): DataFrame = {
     // symmetrized edge list; labels flow both directions. A barrier leaf:
     // every round's plan references edges, so it must be constant-size.
     var edges = loopBarrier(pairs.select($"id_a".as("src"), $"id_b".as("dst"))
@@ -314,6 +327,43 @@ object Dedup {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      // local finish: once the contracted graph is driver-small, one
+      // union-find replaces every remaining round. The collect is
+      // BOUNDED by localFinishEdges — same class as the other accepted
+      // driver materializations (centroids, partition totals), and the
+      // union-find's min-id roots are exactly the min-label fixpoint the
+      // distributed rounds converge to, so output is bit-identical.
+      // (localFinishEdges = 0 disables, keeping the loop fully
+      // distributed — DedupSpec pins both paths equal.)
+      val eCount = edges.count() // cheap: counts just-checkpointed blocks
+      if (eCount <= localFinishEdges) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val es = edges.collect()
+        es.foreach { e =>
+          val (ra, rb) = (find(e.getLong(0)), find(e.getLong(1)))
+          if (ra != rb) { // attach larger root under smaller: root stays the min id
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        val mapping = es.iterator.flatMap(e => Iterator(e.getLong(0), e.getLong(1)))
+          .toArray.distinct.map(v => (v, find(v))).filter { case (v, r) => v != r }
+        if (mapping.nonEmpty) {
+          val mapDf = labels.sparkSession.createDataFrame(mapping.toSeq)
+            .toDF("_rep", "_fin")
+          labels = loopBarrier(labels.join(broadcast(mapDf),
+              $"comp" === $"_rep", "left")
+            .select($"id", coalesce($"_fin", $"comp").as("comp")))
+        }
+        converged = true
+        it += 1
+      } else {
       // neighbour step: min label over self + neighbours (the only part
       // that moves information ACROSS edges; the closure only compresses
       // chains already discovered)
@@ -343,6 +393,7 @@ object Dedup {
           .distinct())
       }
       it += 1
+      }
     }
     if (!converged) {
       // The loop only proves convergence via a zero-change round, so a

@@ -112,6 +112,26 @@ class DedupSpec extends SparkSpec {
       20L -> (20L, true)))
   }
 
+  test("resolveComponents: driver local finish ≡ fully distributed rounds") {
+    // random sparse graph: enough structure for multi-round distributed
+    // convergence; the default path takes the bounded local finish, the
+    // localFinishEdges=0 path never does — outputs must be identical
+    val rnd = new scala.util.Random(11)
+    val n = 300L
+    val docs = (1L to n).toDF("doc_id")
+    val pairs = (1 to 260).map { _ =>
+      val a = 1L + rnd.nextInt(n.toInt); val b = 1L + rnd.nextInt(n.toInt)
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct.toDF("id_a", "id_b")
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("component_id"), r.getAs[Boolean]("is_canonical")))).toMap
+    val local = asMap(Dedup.resolveComponents(docs, pairs))
+    val dist = asMap(Dedup.resolveComponents(docs, pairs, localFinishEdges = 0))
+    assert(local === dist)
+    assert(local.size === n)
+  }
+
   test("resolveComponents: plan statistics stay bounded across rounds (no exponential sizeInBytes)") {
     // 64-node chain → several neighbour+jump rounds (~15 checkpointed
     // joins). Without the stats-fresh loop barrier, Catalyst's size-only
@@ -123,7 +143,7 @@ class DedupSpec extends SparkSpec {
     val n = 64
     val docs = (1L to n).toDF("doc_id")
     val chain = (1L until n).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val out = Dedup.resolveComponents(docs, chain)
+    val out = Dedup.resolveComponents(docs, chain, localFinishEdges = 0)
     val bits = out.queryExecution.optimizedPlan.stats.sizeInBytes.bigInteger.bitLength
     assert(bits < 128, s"stats sizeInBytes uses $bits bits - stats are compounding across rounds")
     val comps = out.collect()
@@ -137,7 +157,8 @@ class DedupSpec extends SparkSpec {
     // CORRECT labels — the final stability probe must accept them
     val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
     val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("id_a", "id_b")
-    val out = Dedup.resolveComponents(docs, chain, maxIter = 1).collect()
+    val out = Dedup.resolveComponents(docs, chain, maxIter = 1,
+      localFinishEdges = 0).collect()
     assert(out.forall(_.getAs[Long]("component_id") == 1L))
   }
 
@@ -150,11 +171,12 @@ class DedupSpec extends SparkSpec {
     val docs = Seq(1L, 2L, 3L, 100L).toDF("doc_id")
     val star = Seq((1L, 100L), (2L, 100L), (3L, 100L)).toDF("id_a", "id_b")
     val e = intercept[IllegalStateException] {
-      Dedup.resolveComponents(docs, star, maxIter = 1)
+      Dedup.resolveComponents(docs, star, maxIter = 1, localFinishEdges = 0)
     }
     assert(e.getMessage.contains("needed more than"))
     // and one more round is all it takes
-    val ok = Dedup.resolveComponents(docs, star, maxIter = 2).collect()
+    val ok = Dedup.resolveComponents(docs, star, maxIter = 2,
+      localFinishEdges = 0).collect()
     assert(ok.forall(_.getAs[Long]("component_id") == 1L))
   }
 
