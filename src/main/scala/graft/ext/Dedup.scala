@@ -419,6 +419,54 @@ object Dedup {
       ($"id" === $"comp").as("is_canonical"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): SEMANTIC dedup at
+    * corpus scale by clustering embeddings into cells and comparing
+    * pairs only WITHIN a cell — the published answer to "embedding
+    * near-dup without an all-pairs join and without a metadata blocking
+    * column". Composes the pieces this engine already has:
+    *
+    *  1. coarse centroids ([[Similarity.ivfCentroidsKmeans]] — the
+    *     oversampled seeding keeps index build at a constant number of
+    *     scans; pass `centroids` for the oracle-reproducible farthest
+    *     variant);
+    *  2. cell assignment = [[Similarity.ivfCell]]'s narrow argmax over
+    *     inlined centroids — the corpus is never shuffled to build the
+    *     index;
+    *  3. within-cell pairs: ONE shuffle on the cell id, candidate count
+    *     bounded by the largest cell (pick nCells so cells average
+    *     corpus/nCells — SemDeDup uses ~100k cells at web scale);
+    *  4. [[resolveComponents]] + min-id canonical per semantic cluster.
+    *
+    * Output: (id, cell, component_id, is_canonical) for every input
+    * vector. Zero-norm vectors get a cell (argmax of all-zero scores =
+    * cell 0, same as every engine's first-max tiebreak) but never pair:
+    * cosine is undefined for them, so they stay singleton components. */
+  def semanticDedup(emb: DataFrame, nCells: Int = 4, threshold: Double = 0.3,
+      centroids: Option[Array[Array[Double]]] = None,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cents = centroids.getOrElse(
+      Similarity.ivfCentroidsKmeans(emb, nCells, iters = 0, idCol = idCol,
+        vecCol = vecCol))
+    val assigned = emb
+      .select(col(idCol), col(vecCol),
+        Similarity.ivfCell(col(vecCol), cents).as("cell"))
+      .persistScoped // feeds both pair-join sides and the final output join
+    val nz = assigned
+      .where(Similarity.dot(col(vecCol), col(vecCol)) > 0)
+      .select(col(idCol), col(vecCol), $"cell")
+    val minQ4 = math.floor(threshold * 10000).toLong
+    val pairs = nz.toDF("id_a", "vec_a", "cell")
+      .join(nz.toDF("id_b", "vec_b", "cell"), Seq("cell"))
+      .where($"id_a" < $"id_b")
+      .where(Similarity.floorQ4(
+        Similarity.cosine($"vec_a", $"vec_b")) >= minQ4)
+      .select($"id_a", $"id_b")
+    val comps = resolveComponents(emb.select(col(idCol)), pairs, idCol = idCol)
+    assigned.select(col(idCol), $"cell")
+      .join(comps, Seq(idCol))
+      .select(col(idCol), $"cell", $"component_id", $"is_canonical")
+  }
+
   /** 16-bit SimHash from md5-derived per-token hashes: bit j of the
     * document hash is the sign of Σ_tokens (2·bit_j(h(token)) − 1). */
   /** Per-token 32-bit hashes (one md5 pass). Store this as a column and

@@ -118,4 +118,74 @@ object Sampling {
       }
     }.toDF(idCol, "n_tokens", "seq_id")
   }
+
+  /** Temperature-scaled mixture resampling — the "data mixing" op that
+    * rebalances a multi-source corpus toward `count^alpha`-proportional
+    * shares (alpha = 1 keeps the natural mix, alpha = 0 is uniform,
+    * 0.5 is the standard multilingual-temperature compromise) by
+    * DOWN-sampling only (no row is ever duplicated):
+    *
+    *  - target share of source s:  w_s = n_s^alpha / Σ n_t^alpha
+    *  - feasible total: N* = min_s floor(n_s / w_s)  (the largest total
+    *    where no source needs upsampling)
+    *  - keep-rate of s in basis points: floor(10^4 · w_s · N* / n_s)
+    *
+    * The per-source counts are a BOUNDED driver materialization (one
+    * map-side-combined aggregate; sources are a rate-table-sized set,
+    * same class as [[stratifiedSample]]'s map). Rates are derived in
+    * exact BigInt arithmetic over `floor(n^alpha · 1000)` integer
+    * weights, so the basis points are identical in any engine — and the
+    * row filter is [[hashBucket]], so membership is deterministic too.
+    * The filter itself is a narrow inlined-rate scan: zero shuffle,
+    * zero joins, exactly like [[stratifiedSample]].
+    *
+    * alpha = 0.5 uses `sqrt` (IEEE-exact, bit-identical across
+    * engines); other alphas go through `pow`, which may differ by an
+    * ulp between libm builds — fine for training mixes, but pin 0.5 for
+    * cross-engine hash checks. */
+  def mixtureSample(df: DataFrame, keyCol: String, srcCol: String,
+      alpha: Double = 0.5): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha must be in [0,1], got $alpha")
+    val rates = mixtureRates(df, srcCol, alpha)
+    stratifiedSample(df, keyCol, srcCol, rates, defaultBp = 0)
+  }
+
+  /** The per-source basis-point keep-rates [[mixtureSample]] applies —
+    * exposed so a pipeline can log/inspect the mix it is about to cut. */
+  def mixtureRates(df: DataFrame, srcCol: String,
+      alpha: Double = 0.5): Map[String, Int] = {
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sqi = counts.map { case (s, n) =>
+      val w = if (alpha == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, alpha)
+      s -> BigInt(math.floor(w * 1000.0).toLong)
+    }
+    val total = sqi.values.sum
+    val nStar = counts.map { case (s, n) => BigInt(n) * total / sqi(s) }.min
+    counts.map { case (s, n) =>
+      val bp = BigInt(10000) * sqi(s) * nStar / (total * BigInt(n))
+      s -> bp.min(BigInt(10000)).toInt
+    }
+  }
+
+  /** Deterministic global shuffle + sharding for training-data output:
+    * `shard` = md5-hash of the row key mod nShards, `pos` = the row's
+    * rank within its shard by (md5 hex, key). Together they define a
+    * reproducible pseudo-random permutation of the corpus — what a
+    * training run needs from "shuffle the data into N shards" — with no
+    * global sort: the only wide op is one hash-partitioned window, and
+    * each shard sorts independently (at 100 TB: nShards ≥ executors and
+    * AQE splits any skew; md5 makes skew all but impossible). */
+  def shardAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    import org.apache.spark.sql.expressions.Window
+    val h = md5(col(keyCol).cast("string").cast("binary"))
+    val w = Window.partitionBy(col("shard")).orderBy(col("_h"), col(keyCol))
+    df.withColumn("_h", h)
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("_h")
+  }
 }

@@ -344,6 +344,51 @@ object ExtQueries extends QueryGroup {
        |FROM r WHERE rk = 1 ORDER BY component_id""".stripMargin
   }
 
+  /** SemDeDup: cluster embeddings into cells (deterministic farthest
+    * seeds so the oracle rebuilds them), pair only within a cell,
+    * resolve components, mark the min-id canonical. The oracle replays
+    * seeding, assignment, within-cell pairs, and min-label components
+    * relationally — so the hash match pins the whole cluster-then-dedup
+    * cascade, not just the pieces. */
+  def dedupSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val cents = Similarity.ivfCentroidsKmeans(emb, nCells = 4, iters = 0,
+      seeding = "farthest")
+    Dedup.semanticDedup(emb, nCells = 4, threshold = 0.3,
+        centroids = Some(cents))
+      .orderBy($"vec_id")
+  }
+
+  private val dedupSemanticSql =
+    s"""WITH RECURSIVE $farthestSeeds4Cte,
+       |cassign AS (
+       |  SELECT e.vec_id, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY list_dot_product(e.embedding::DOUBLE[], c.c_vec) DESC,
+       |                    c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN cents c),
+       |cells AS (SELECT vec_id, cell FROM cassign WHERE rn = 1),
+       |pnz AS (
+       |  SELECT n.vec_id, n.embedding, cl.cell
+       |  FROM nz n JOIN cells cl USING (vec_id)),
+       |spairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM pnz a JOIN pnz b
+       |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |sedges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM spairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM spairs),
+       |scomp(id, comp) AS (
+       |  SELECT vec_id, vec_id FROM embeddings
+       |  UNION
+       |  SELECT e.dst, c.comp FROM sedges e JOIN scomp c ON e.src = c.id),
+       |slab AS (SELECT id, min(comp) AS component_id FROM scomp GROUP BY id)
+       |SELECT l.id AS vec_id, cl.cell, l.component_id,
+       |       l.id = l.component_id AS is_canonical
+       |FROM slab l JOIN cells cl ON cl.vec_id = l.id
+       |ORDER BY vec_id""".stripMargin
+
   /** Brute-force cosine top-5 for the first 10 vectors as queries. */
   def simTopK(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
@@ -694,6 +739,57 @@ object ExtQueries extends QueryGroup {
        |                              WHEN 'zh' THEN 2000 ELSE 1000 END)
        |ORDER BY doc_id""".stripMargin
 
+  /** Temperature-0.5 mixture resampling over `source`: the oracle
+    * re-derives the exact integer keep-rates (sqrt weights → feasible
+    * total → basis points, all floor-division) and the md5-bucket
+    * membership, so the hash match pins both the rate math and the
+    * per-row sample. */
+  def sampleMixture(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Sampling.mixtureSample(docs, "doc_id", "source", alpha = 0.5)
+      .select($"doc_id", $"source").orderBy($"doc_id")
+  }
+
+  private val sampleMixtureSql =
+    s"""WITH n AS (
+       |  SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
+       |sq AS (
+       |  SELECT source, n_s,
+       |         CAST(floor(sqrt(n_s) * 1000) AS BIGINT) AS sqi FROM n),
+       |tot AS (SELECT sum(sqi)::HUGEINT AS s FROM sq),
+       |fs AS (
+       |  SELECT min(n_s::HUGEINT * t.s // sqi::HUGEINT) AS nstar
+       |  FROM sq CROSS JOIN tot t),
+       |rates AS (
+       |  SELECT source,
+       |         least((10000::HUGEINT * sqi::HUGEINT * f.nstar)
+       |                 // (t.s * n_s::HUGEINT),
+       |               10000::HUGEINT)::BIGINT AS bp
+       |  FROM sq CROSS JOIN tot t CROSS JOIN fs f)
+       |SELECT d.doc_id, d.source
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE $bucketSql < r.bp
+       |ORDER BY doc_id""".stripMargin
+
+  /** Deterministic global shuffle into 8 training shards: shard = md5
+    * range, pos = rank by (md5, id) within the shard. Reproducible
+    * permutation with no global sort — one hash-partitioned window. */
+  def sampleShards(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Sampling.shardAssign(docs, "doc_id", nShards = 8)
+      .select($"doc_id", $"shard", $"pos")
+      .orderBy($"shard", $"pos")
+  }
+
+  private val sampleShardsSql =
+    """WITH h AS (SELECT doc_id, md5(doc_id::VARCHAR) AS hh FROM documents),
+      |s AS (SELECT doc_id, hh,
+      |        (('0x' || substr(hh, 1, 8))::BIGINT % 8) AS shard FROM h)
+      |SELECT doc_id, shard,
+      |       (row_number() OVER (PARTITION BY shard ORDER BY hh, doc_id)
+      |        - 1)::BIGINT AS pos
+      |FROM s ORDER BY shard, pos""".stripMargin
+
   /** Benchmark decontamination: corpus docs sharing >= 3 winnowing
     * fingerprints with the probe subset (doc_id % 101 = 0 stands in for
     * an eval set). Bucketed by fingerprint — no all-pairs. */
@@ -884,48 +980,55 @@ object ExtQueries extends QueryGroup {
       .orderBy($"q_id", $"rank")
   }
 
+  /** Chained farthest-first selection of 4 seeds as CTEs (`nz` … `cents`):
+    * seed 1 = lowest-id non-zero vector; seed k+1 = argmin over the
+    * corpus of max cosine against the chosen set (running greatest),
+    * ties to the lowest id — in lockstep with
+    * `Similarity.ivfCentroidsKmeans(seeding = "farthest")`. Shared by
+    * the IVF-kmeans and semantic-dedup oracles. */
+  // lazy: referenced by dedupSemanticSql, which is declared earlier in
+  // the file — a plain val would interpolate null at init order
+  private lazy val farthestSeeds4Cte =
+    """nz AS (
+      |  SELECT vec_id, embedding,
+      |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nn
+      |  FROM embeddings
+      |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
+      |s1 AS (
+      |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
+      |  FROM nz ORDER BY vec_id LIMIT 1),
+      |m1 AS (
+      |  SELECT nz.vec_id, nz.embedding, nz.nn,
+      |         list_dot_product(nz.embedding::DOUBLE[], s1.c) / sqrt(nz.nn) AS mx
+      |  FROM nz CROSS JOIN s1),
+      |s2 AS (
+      |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
+      |  FROM m1 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+      |m2 AS (
+      |  SELECT m1.vec_id, m1.embedding, m1.nn,
+      |         greatest(m1.mx,
+      |           list_dot_product(m1.embedding::DOUBLE[], s2.c) / sqrt(m1.nn)) AS mx
+      |  FROM m1 CROSS JOIN s2),
+      |s3 AS (
+      |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
+      |  FROM m2 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+      |m3 AS (
+      |  SELECT m2.vec_id, m2.embedding, m2.nn,
+      |         greatest(m2.mx,
+      |           list_dot_product(m2.embedding::DOUBLE[], s3.c) / sqrt(m2.nn)) AS mx
+      |  FROM m2 CROSS JOIN s3),
+      |s4 AS (
+      |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
+      |  FROM m3 ORDER BY mx ASC, vec_id ASC LIMIT 1),
+      |cents AS (
+      |  SELECT 0 AS cell, c AS c_vec FROM s1 UNION ALL
+      |  SELECT 1, c FROM s2 UNION ALL
+      |  SELECT 2, c FROM s3 UNION ALL
+      |  SELECT 3, c FROM s4)""".stripMargin
+
   private val simIvfKmeansSql = {
     val dotc = (v: String) => s"list_dot_product($v::DOUBLE[], c.c_vec)"
-    // chained farthest-first selection: seed 1 = lowest-id non-zero
-    // vector; seed k+1 = argmin over the corpus of max cosine against
-    // the chosen set (running greatest), ties to the lowest id —
-    // in lockstep with Similarity.ivfCentroidsKmeans' seeding loop
-    s"""WITH nz AS (
-       |  SELECT vec_id, embedding,
-       |         list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) AS nn
-       |  FROM embeddings
-       |  WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0),
-       |s1 AS (
-       |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
-       |  FROM nz ORDER BY vec_id LIMIT 1),
-       |m1 AS (
-       |  SELECT nz.vec_id, nz.embedding, nz.nn,
-       |         list_dot_product(nz.embedding::DOUBLE[], s1.c) / sqrt(nz.nn) AS mx
-       |  FROM nz CROSS JOIN s1),
-       |s2 AS (
-       |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
-       |  FROM m1 ORDER BY mx ASC, vec_id ASC LIMIT 1),
-       |m2 AS (
-       |  SELECT m1.vec_id, m1.embedding, m1.nn,
-       |         greatest(m1.mx,
-       |           list_dot_product(m1.embedding::DOUBLE[], s2.c) / sqrt(m1.nn)) AS mx
-       |  FROM m1 CROSS JOIN s2),
-       |s3 AS (
-       |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
-       |  FROM m2 ORDER BY mx ASC, vec_id ASC LIMIT 1),
-       |m3 AS (
-       |  SELECT m2.vec_id, m2.embedding, m2.nn,
-       |         greatest(m2.mx,
-       |           list_dot_product(m2.embedding::DOUBLE[], s3.c) / sqrt(m2.nn)) AS mx
-       |  FROM m2 CROSS JOIN s3),
-       |s4 AS (
-       |  SELECT list_transform(embedding::DOUBLE[], x -> x / sqrt(nn)) AS c
-       |  FROM m3 ORDER BY mx ASC, vec_id ASC LIMIT 1),
-       |cents AS (
-       |  SELECT 0 AS cell, c AS c_vec FROM s1 UNION ALL
-       |  SELECT 1, c FROM s2 UNION ALL
-       |  SELECT 2, c FROM s3 UNION ALL
-       |  SELECT 3, c FROM s4),
+    s"""WITH $farthestSeeds4Cte,
        |cassign AS (
        |  SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.cell,
        |         row_number() OVER (PARTITION BY e.vec_id
@@ -1041,6 +1144,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)),
     QueryDef("ext_dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("ext_dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
+    QueryDef("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
@@ -1053,6 +1157,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
     QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
+    QueryDef("ext_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
+    QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),
     QueryDef("ext_pack_sequences", packSeqs, Some(packSeqsSql)),
     QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)))
 }

@@ -112,6 +112,23 @@ class DedupSpec extends SparkSpec {
       20L -> (20L, true)))
   }
 
+  test("semanticDedup: near-identical vectors collapse within cells, zero vector stays singleton") {
+    def mk(dir: Int, eps: Float): Array[Float] =
+      Array.tabulate(8)(i => (if (i == dir) 1.0f else 0.0f) +
+        (if (i == 7) eps else 0.0f))
+    val emb = Seq(
+      (1L, mk(0, 0.00f)), (2L, mk(0, 0.01f)), (3L, mk(0, 0.02f)),
+      (4L, mk(1, 0.00f)), (5L, mk(1, 0.01f)),
+      (6L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(emb, nCells = 2, threshold = 0.9).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("component_id"), r.getAs[Boolean]("is_canonical")))).toMap
+    assert(out === Map(
+      1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
+      4L -> (4L, true), 5L -> (4L, false),
+      6L -> (6L, true)))
+  }
+
   test("resolveComponents: driver local finish ≡ fully distributed rounds") {
     // random sparse graph: enough structure for multi-round distributed
     // convergence; the default path takes the bounded local finish, the

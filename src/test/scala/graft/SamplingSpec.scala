@@ -23,6 +23,64 @@ class SamplingSpec extends SparkSpec {
     assert(s10a.size > 100 && s10a.size < 300, s"got ${s10a.size}")
   }
 
+  test("mixtureSample: rates feasible, min source kept ~whole, big sources cut toward sqrt mix") {
+    // three sources with counts 4000 / 900 / 100
+    val df = ((1L to 4000L).map(i => (i, "web")) ++
+      (4001L to 4900L).map(i => (i, "books")) ++
+      (4901L to 5000L).map(i => (i, "code"))).toDF("doc_id", "source")
+    val rates = Sampling.mixtureRates(df, "source", alpha = 0.5)
+    assert(rates.keySet === Set("web", "books", "code"))
+    assert(rates.values.forall(bp => bp >= 0 && bp <= 10000))
+    // the scarcest-relative-to-target source anchors the feasible total:
+    // its keep-rate is 10000 up to floor rounding
+    assert(rates.values.max >= 9990, s"rates $rates")
+    // alpha=0.5 flattens: the largest source must be cut the hardest
+    assert(rates("web") < rates("books") && rates("books") <= rates("code"),
+      s"rates $rates")
+    // kept counts should land near w_s * N* (md5 uniformity, ±20%)
+    val kept = Sampling.mixtureSample(df, "doc_id", "source").groupBy($"source")
+      .count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val sq = Map("web" -> math.sqrt(4000), "books" -> math.sqrt(900), "code" -> math.sqrt(100))
+    val sqSum = sq.values.sum
+    val nStar = Seq(4000 / (sq("web") / sqSum), 900 / (sq("books") / sqSum),
+      100 / (sq("code") / sqSum)).min
+    sq.foreach { case (s, w) =>
+      val want = w / sqSum * nStar
+      assert(math.abs(kept(s) - want) < want * 0.2 + 10,
+        s"$s kept ${kept(s)}, target ~$want")
+    }
+    // determinism: same rows on rerun
+    val a = Sampling.mixtureSample(df, "doc_id", "source").collect().map(_.getLong(0)).toSet
+    val b = Sampling.mixtureSample(df, "doc_id", "source").collect().map(_.getLong(0)).toSet
+    assert(a === b)
+  }
+
+  test("mixtureSample alpha=1 keeps the natural mix (every rate ~10000)") {
+    val df = ((1L to 300L).map(i => (i, "a")) ++ (301L to 400L).map(i => (i, "b")))
+      .toDF("doc_id", "source")
+    val rates = Sampling.mixtureRates(df, "source", alpha = 1.0)
+    assert(rates.values.forall(_ >= 9990), s"rates $rates")
+  }
+
+  test("shardAssign: dense 0..n-1 positions per shard, full coverage, deterministic") {
+    val df = (1L to 3000L).toDF("doc_id")
+    val out = Sampling.shardAssign(df, "doc_id", 8).collect()
+    assert(out.length === 3000)
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === (1L to 3000L).toSet)
+    val byShard = out.groupBy(_.getAs[Long]("shard"))
+    assert(byShard.keySet.subsetOf((0L until 8L).toSet))
+    byShard.foreach { case (s, rows) =>
+      val ps = rows.map(_.getAs[Long]("pos")).sorted
+      assert(ps === (0L until rows.length).toArray.toSeq, s"shard $s positions not dense")
+      // md5 uniformity: 3000/8 = 375 ± 35%
+      assert(rows.length > 240 && rows.length < 520, s"shard $s size ${rows.length}")
+    }
+    val again = Sampling.shardAssign(df, "doc_id", 8).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"), r.getAs[Long]("pos"))).toSet
+    assert(again === out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+      r.getAs[Long]("pos"))).toSet)
+  }
+
   test("splitAssign covers every row exactly once and respects weights roughly") {
     val df = (1L to 5000L).toDF("doc_id")
     val counts = df.select(Sampling.splitAssign($"doc_id",
