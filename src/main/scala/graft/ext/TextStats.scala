@@ -352,6 +352,55 @@ object TextStats {
       .withColumn("keep", size(col("reasons")) === 0)
   }
 
+  /** Corpus-frequency bigram LM score — the CCNet/Wikipedia-LM quality
+    * signal shape without an external model: score a document by how
+    * typical its word transitions are IN THIS CORPUS.
+    *
+    * Per bigram g = "w1 w2": q(g) = (10^6 · c(g)) div c(w1·) where c(g)
+    * is the corpus bigram count and c(w1·) the count of bigrams starting
+    * with w1 — i.e. the quantized conditional probability P(w2 | w1).
+    * Per document: `lm_q6` = floor-average of q over its bigrams.
+    * All-integer arithmetic (`div`), so any engine reproduces it
+    * bit-for-bit (counts must stay under 2^63/10^6 ≈ 9·10^12 bigram
+    * occurrences per gram — beyond that, lift the quantizer into
+    * decimal).
+    *
+    * Scale shape: two map-side-combined gram-count aggregates, q derived
+    * on the GRAM-LEVEL table (bigram-vocabulary-sized, not corpus-sized)
+    * with one join, then one equi-join back to the exploded corpus and a
+    * per-doc aggregate. No driver materialization, no all-pairs. */
+  def lmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val bg = docs
+      .select(col(idCol), explode(wordNgrams(tokens(col(textCol)), 2)).as("g"))
+    val c2 = bg.groupBy($"g").agg(count(lit(1L)).as("c2"))
+    val c1 = bg.select(substring_index($"g", " ", 1).as("w1"))
+      .groupBy($"w1").agg(count(lit(1L)).as("c1"))
+    val q = c2.join(c1, substring_index(c2("g"), " ", 1) === c1("w1"))
+      .select($"g", expr("(1000000 * c2) div c1").as("q"))
+    val perDoc = bg.join(q, Seq("g"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1L)).as("n_bigrams"), sum($"q").as("s"))
+    docs.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_q6"))
+  }
+
+  /** Top-k adjacent-token-pair frequencies — the statistic one BPE
+    * training step ranks (count DESC, gram ASC tie-break, so the cut is
+    * deterministic). Global top-k plans as TakeOrderedAndProject over a
+    * map-side-combined count: no full sort, no full shuffle of grams. */
+  def vocabPairs(docs: DataFrame, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    docs.select(explode(wordNgrams(tokens(col(textCol)), 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1L)).as("n"))
+      .orderBy($"n".desc, $"g".asc)
+      .limit(k)
+  }
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col("_toks")
     docs

@@ -643,6 +643,53 @@ object ExtQueries extends QueryGroup {
        |FROM reasoned ORDER BY doc_id""".stripMargin
   }
 
+  /** Corpus-frequency bigram LM score per document (quantized
+    * conditional P(w2|w1) average — all-integer arithmetic, so the
+    * oracle re-derives it exactly from the same counts). */
+  def textLm(spark: SparkSession, dir: String): DataFrame =
+    TextStats.lmScore(load(spark, dir, "documents")).orderBy($"doc_id")
+
+  private val textLmSql =
+    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |         THEN list_transform(range(1, len(ws)),
+       |                i -> ws[i] || ' ' || ws[i + 1])
+       |         ELSE []::VARCHAR[] END) AS g
+       |  FROM w),
+       |c2 AS (SELECT g, count(*)::BIGINT AS c2 FROM bg GROUP BY g),
+       |c1 AS (SELECT split_part(g, ' ', 1) AS w1, count(*)::BIGINT AS c1
+       |       FROM bg GROUP BY 1),
+       |q AS (
+       |  SELECT c2.g, (1000000 * c2.c2) // c1.c1 AS q
+       |  FROM c2 JOIN c1 ON split_part(c2.g, ' ', 1) = c1.w1),
+       |per AS (
+       |  SELECT bg.doc_id, count(*)::BIGINT AS n, sum(q.q)::BIGINT AS s
+       |  FROM bg JOIN q USING (g) GROUP BY bg.doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(p.n, 0)::BIGINT AS n_bigrams,
+       |       coalesce(p.s // p.n, 0)::BIGINT AS lm_q6
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
+  /** Top-50 adjacent-token pairs by corpus frequency (one BPE training
+    * step's ranked statistic; deterministic count-then-gram tie-break). */
+  def vocabPairs(spark: SparkSession, dir: String): DataFrame =
+    TextStats.vocabPairs(load(spark, dir, "documents"), 50)
+
+  private val vocabPairsSql =
+    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |bg AS (
+       |  SELECT unnest(
+       |    CASE WHEN len(ws) >= 2
+       |         THEN list_transform(range(1, len(ws)),
+       |                i -> ws[i] || ' ' || ws[i + 1])
+       |         ELSE []::VARCHAR[] END) AS g
+       |  FROM w)
+       |SELECT g, count(*)::BIGINT AS n FROM bg
+       |GROUP BY g ORDER BY n DESC, g LIMIT 50""".stripMargin
+
   /** Whitespace-token vs BPE-ish-piece counts per document (the two
     * token-counting modes a training-data pipeline budgets with). */
   def tokenPieces(spark: SparkSession, dir: String): DataFrame = {
@@ -1148,6 +1195,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
+    QueryDef("ext_text_lm", textLm, Some(textLmSql)),
+    QueryDef("ext_vocab_pairs", vocabPairs, Some(vocabPairsSql)),
     QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("ext_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("ext_heavy_distinct", heavyDistinct, Some(heavyDistinctSql)),

@@ -149,6 +149,33 @@ class TextStatsSpec extends SparkSpec {
     assert(nAggs === 2) // one per mode (_t2, _t3)
   }
 
+  test("lmScore: hand-computed conditional-probability quantization") {
+    // doc 1 "x y x y": bigrams (x y)(y x)(x y); doc 2 "x z"; doc 3 empty
+    // corpus counts: c2(x y)=2, c2(y x)=1, c2(x z)=1; c1(x·)=3, c1(y·)=1
+    // q(x y) = 1e6·2 div 3 = 666666; q(y x) = 1000000; q(x z) = 333333
+    val docs = Seq((1L, "x y x y"), (2L, "x z"), (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out === Map(
+      1L -> ((3L, (666666L + 1000000L + 666666L) / 3)), // = 777777
+      2L -> ((1L, 333333L)),
+      3L -> ((0L, 0L))))
+  }
+
+  test("vocabPairs: count-desc gram-asc ranking with an exact cut") {
+    val docs = Seq((1L, "b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    // pairs: (b a)x2 (a b)x2+1 (b c)x1 → a b:3, b a:2, a b? recount:
+    // doc1 "b a b a b": (b a)(a b)(b a)(a b); doc2: (a b)(b c)
+    // → "a b":3, "b a":2, "b c":1
+    val out = TextStats.vocabPairs(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("a b", 3L), ("b a", 2L)))
+    // tie-break: equal counts rank lexicographically
+    val tied = TextStats.vocabPairs(Seq((1L, "z y"), (2L, "a b")).toDF("doc_id", "text"), 1)
+      .collect().map(_.getString(0))
+    assert(tied.toSeq === Seq("a b"))
+  }
+
   test("filterCorpus: each rule fires alone, reasons sort, clean doc keeps") {
     val clean = "the table value of a row and the part in a scan is " +
       "the value to hash and the agg of a row in the table"
