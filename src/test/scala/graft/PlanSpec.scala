@@ -80,6 +80,29 @@ class PlanSpec extends SparkSpec {
     assert(!planOf(split).contains("Exchange"), planOf(split))
   }
 
+  test("mixture sampling is narrow after the bounded rate derivation") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val rates = graft.ext.Sampling.mixtureRates(docs, "source")
+    val kept = graft.ext.Sampling.stratifiedSample(docs, "doc_id", "source",
+      rates, defaultBp = 0)
+    // the per-row filter itself is an inlined-rate scan — zero shuffle
+    assert(!planOf(kept).contains("Exchange"), planOf(kept))
+  }
+
+  test("shard assignment: exactly one hash Exchange (the per-shard window), no sort shuffle") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.Sampling.shardAssign(docs, "doc_id", 8))
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+  }
+
+  test("vocab pairs: global top-k is TakeOrderedAndProject over a partial aggregate") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.TextStats.vocabPairs(docs, 50))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+  }
+
   test("exact dedup is one shuffle: a single Exchange on the digest, no join") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.ext.Dedup.exact(docs))
