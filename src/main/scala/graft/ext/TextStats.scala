@@ -110,9 +110,15 @@ object TextStats {
     * regex dialect so any engine reproduces them; applied in a fixed
     * order (URLs first — an URL may contain digit runs that must not be
     * double-masked). Pure regexp_replace → codegen, zero shuffle. */
+  /** Ordered outer-to-inner (URL ⊃ email-ish ⊃ dotted-quad ⊃ phone ⊃
+    * bare digit run): each pattern runs on the text the previous ones
+    * already masked, so an inner span never double-fires. All patterns
+    * stay in RE2 ∩ Java so the DuckDB oracle inlines them verbatim. */
   val redactionPatterns: Seq[(String, String)] = Seq(
     "https?://[^\\s]+"                                  -> "<URL>",
     "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"   -> "<EMAIL>",
+    "(?:[0-9]{1,3}\\.){3}[0-9]{1,3}"                    -> "<IP>",
+    "(?:\\+?[0-9]{1,3}[-. ])?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}" -> "<PHONE>",
     "[0-9]{6,}"                                         -> "<NUM>")
 
   def redact(text: Column): Column =

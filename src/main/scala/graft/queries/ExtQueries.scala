@@ -870,6 +870,8 @@ object ExtQueries extends QueryGroup {
           concat($"text", lit(" contact user"), $"doc_id".cast("string"),
             lit("@example.com or https://data.example.org/dl?id="),
             $"doc_id".cast("string"),
+            lit(" call +1-555-012-3456 from 10.0.0."),
+            ($"doc_id" % 256).cast("string"),
             lit(" ref "), lpad($"doc_id".cast("string"), 9, "0")))
         .otherwise($"text").as("text"))
     enriched.select($"doc_id",
@@ -899,6 +901,7 @@ object ExtQueries extends QueryGroup {
        |    CASE WHEN doc_id % 7 = 0 THEN
        |      text || ' contact user' || doc_id ||
        |      '@example.com or https://data.example.org/dl?id=' || doc_id ||
+       |      ' call +1-555-012-3456 from 10.0.0.' || (doc_id % 256) ||
        |      ' ref ' || lpad(doc_id::VARCHAR, 9, '0')
        |    ELSE text END AS text
        |  FROM documents)

@@ -52,11 +52,14 @@ class TextStatsSpec extends SparkSpec {
     }
   }
 
-  test("redact: urls first (inner digits not double-masked), emails, digit runs") {
+  test("redact: urls first (inner digits not double-masked), emails, ip, phone, digit runs") {
     val out = Seq(
       (1L, "see https://x.org/a?id=123456789 or mail bob.smith+a@corp.example.io ref 00427711942"),
       (2L, "short 12345 stays, 123456 goes"),
-      (3L, "nothing to scrub here"))
+      (3L, "nothing to scrub here"),
+      (4L, "host 192.168.100.254 answered"),
+      (5L, "call +1-555-012-3456 or (555) 987-6543 now"),
+      (6L, "url with ip https://10.0.0.1/x stays one URL"))
       .toDF("doc_id", "text")
       .select($"doc_id", TextStats.redact($"text").as("r"),
         TextStats.redactionCount($"text").as("n"))
@@ -64,6 +67,9 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1L) === ("see <URL> or mail <EMAIL> ref <NUM>", 3))
     assert(out(2L) === ("short 12345 stays, <NUM> goes", 1)) // 5 digits below threshold
     assert(out(3L) === ("nothing to scrub here", 0))
+    assert(out(4L) === ("host <IP> answered", 1))
+    assert(out(5L) === ("call <PHONE> or <PHONE> now", 2))
+    assert(out(6L) === ("url with ip <URL> stays one URL", 1))
   }
 
   test("langId: argmax of stopword hits, fixed-order ties, und when zero") {
