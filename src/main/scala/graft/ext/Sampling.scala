@@ -168,6 +168,26 @@ object Sampling {
     }
   }
 
+  /** Per-group cap — the C4/Dolma "at most k documents per domain"
+    * guard against a single source dominating the mix. Deterministic:
+    * within a group, rows rank by (md5 of the key, key) — a reproducible
+    * pseudo-random order, so the kept k are a stable uniform draw rather
+    * than whatever k arrived first. One hash-partitioned window on the
+    * group column; no global sort. Skewed groups are exactly the point
+    * (a hot domain IS the oversized partition) — AQE splits the
+    * straggler, and the window only ranks, never materializes the group
+    * in one buffer beyond Spark's spill-able window frame. */
+  def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
+    df.withColumn("_rk", row_number().over(w))
+      .where(col("_rk") <= k)
+      .drop("_rk")
+  }
+
   /** Deterministic global shuffle + sharding for training-data output:
     * `shard` = md5-hash of the row key mod nShards, `pos` = the row's
     * rank within its shard by (md5 hex, key). Together they define a

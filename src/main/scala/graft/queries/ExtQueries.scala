@@ -818,6 +818,24 @@ object ExtQueries extends QueryGroup {
        |WHERE $bucketSql < r.bp
        |ORDER BY doc_id""".stripMargin
 
+  /** Per-source cap at 40 docs (C4/Dolma domain capping): kept rows are
+    * a deterministic uniform draw via the md5 rank, so the oracle
+    * reproduces membership exactly. */
+  def sampleCap(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Sampling.capPerGroup(docs, "doc_id", "source", k = 40)
+      .select($"doc_id", $"source").orderBy($"doc_id")
+  }
+
+  private val sampleCapSql =
+    """WITH r AS (
+      |  SELECT doc_id, source,
+      |         row_number() OVER (PARTITION BY source
+      |           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+      |  FROM documents)
+      |SELECT doc_id, source FROM r WHERE rk <= 40
+      |ORDER BY doc_id""".stripMargin
+
   /** Deterministic global shuffle into 8 training shards: shard = md5
     * range, pos = rank by (md5, id) within the shard. Reproducible
     * permutation with no global sort — one hash-partitioned window. */
@@ -1211,6 +1229,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("ext_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
     QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),
+    QueryDef("ext_sample_cap", sampleCap, Some(sampleCapSql)),
     QueryDef("ext_pack_sequences", packSeqs, Some(packSeqsSql)),
     QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)))
 }

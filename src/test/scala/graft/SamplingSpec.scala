@@ -81,6 +81,21 @@ class SamplingSpec extends SparkSpec {
       r.getAs[Long]("pos"))).toSet)
   }
 
+  test("capPerGroup: min(size,k) kept per group; membership stable under repartitioning") {
+    val df = ((1L to 100L).map(i => (i, "big")) ++
+      (101L to 110L).map(i => (i, "small"))).toDF("doc_id", "source")
+    val kept = Sampling.capPerGroup(df, "doc_id", "source", 25).collect()
+    val byGroup = kept.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    assert(byGroup === Map("big" -> 25, "small" -> 10))
+    // the draw keys off md5, not arrival order: shuffled input, same rows
+    val reshuffled = Sampling.capPerGroup(df.repartition(7, $"doc_id"),
+      "doc_id", "source", 25).collect().map(_.getLong(0)).toSet
+    assert(reshuffled === kept.map(_.getLong(0)).toSet)
+    // and it is a hash draw, not lowest-k ids
+    assert(kept.filter(_.getString(1) == "big").map(_.getLong(0)).toSet
+      !== (1L to 25L).toSet)
+  }
+
   test("splitAssign covers every row exactly once and respects weights roughly") {
     val df = (1L to 5000L).toDF("doc_id")
     val counts = df.select(Sampling.splitAssign($"doc_id",
