@@ -103,6 +103,30 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
   }
 
+  test("semantic dedup cell assignment is narrow; pair join is hash-equi on the cell") {
+    val emb = Tables.load(spark, sfDir, "embeddings")
+    val cents = graft.ext.Similarity.ivfCentroids(emb, 4)
+    val assigned = emb.select(col("vec_id"),
+      graft.ext.Similarity.ivfCell(col("embedding"), cents).as("cell"))
+    assert(!planOf(assigned).contains("Exchange"), planOf(assigned))
+    // full operator: within-cell pairing must never plan as a nested
+    // loop / cartesian — cells are an equi key
+    val full = graft.ext.CacheScope.withCacheScope { _ =>
+      graft.ext.Dedup.semanticDedup(emb, nCells = 4, threshold = 0.3,
+        centroids = Some(cents))
+    }
+    val plan = planOf(full)
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("lm score: counts are map-side partial; corpus side joins the gram table once") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.TextStats.lmScore(docs))
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan) // 2 counts x partial+final
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("exact dedup is one shuffle: a single Exchange on the digest, no join") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.ext.Dedup.exact(docs))

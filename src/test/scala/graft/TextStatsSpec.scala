@@ -168,6 +168,34 @@ class TextStatsSpec extends SparkSpec {
       3L -> ((0L, 0L))))
   }
 
+  test("lmScore == naive driver reference on a randomized corpus") {
+    val rnd = new scala.util.Random(99)
+    val words = Seq("a", "b", "c", "dd", "ee")
+    val docs = (1L to 120L).map { id =>
+      val n = rnd.nextInt(8) // includes 0 and 1 (no bigrams)
+      (id, Seq.fill(n)(words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    def toks(t: String) = t.toLowerCase.split("\\s+").toSeq
+    val bigrams = docs.flatMap { case (id, t) =>
+      val w = toks(t)
+      if (w.length >= 2) w.sliding(2).map(p => (id, p(0) + " " + p(1))).toSeq
+      else Seq.empty
+    }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._2.split(" ")(0)).view.mapValues(_.size.toLong).toMap
+    val want = docs.map { case (id, _) =>
+      val bs = bigrams.filter(_._1 == id).map(_._2)
+      if (bs.isEmpty) id -> ((0L, 0L))
+      else {
+        val qs = bs.map(g => 1000000L * c2(g) / c1(g.split(" ")(0)))
+        id -> ((bs.size.toLong, qs.sum / bs.size))
+      }
+    }.toMap
+    val got = TextStats.lmScore(docs.toDF("doc_id", "text")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === want)
+  }
+
   test("vocabPairs: count-desc gram-asc ranking with an exact cut") {
     val docs = Seq((1L, "b a b a b"), (2L, "a b c")).toDF("doc_id", "text")
     // pairs: (b a)x2 (a b)x2+1 (b c)x1 → a b:3, b a:2, a b? recount:
