@@ -797,26 +797,61 @@ object ExtQueries extends QueryGroup {
       .select($"doc_id", $"source").orderBy($"doc_id")
   }
 
+  /** Exact integer re-derivation of `Sampling.mixtureRates(alpha=0.5)`
+    * as CTEs ending in `rates(source, bp)` — shared by the mixture
+    * sample and mix-report oracles. */
+  private val mixtureRatesCte =
+    """n AS (
+      |  SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
+      |sq AS (
+      |  SELECT source, n_s,
+      |         CAST(floor(sqrt(n_s) * 1000) AS BIGINT) AS sqi FROM n),
+      |tot AS (SELECT sum(sqi)::HUGEINT AS s FROM sq),
+      |fs AS (
+      |  SELECT min(n_s::HUGEINT * t.s // sqi::HUGEINT) AS nstar
+      |  FROM sq CROSS JOIN tot t),
+      |rates AS (
+      |  SELECT source,
+      |         least((10000::HUGEINT * sqi::HUGEINT * f.nstar)
+      |                 // (t.s * n_s::HUGEINT),
+      |               10000::HUGEINT)::BIGINT AS bp
+      |  FROM sq CROSS JOIN tot t CROSS JOIN fs f)""".stripMargin
+
   private val sampleMixtureSql =
-    s"""WITH n AS (
-       |  SELECT source, count(*)::BIGINT AS n_s FROM documents GROUP BY source),
-       |sq AS (
-       |  SELECT source, n_s,
-       |         CAST(floor(sqrt(n_s) * 1000) AS BIGINT) AS sqi FROM n),
-       |tot AS (SELECT sum(sqi)::HUGEINT AS s FROM sq),
-       |fs AS (
-       |  SELECT min(n_s::HUGEINT * t.s // sqi::HUGEINT) AS nstar
-       |  FROM sq CROSS JOIN tot t),
-       |rates AS (
-       |  SELECT source,
-       |         least((10000::HUGEINT * sqi::HUGEINT * f.nstar)
-       |                 // (t.s * n_s::HUGEINT),
-       |               10000::HUGEINT)::BIGINT AS bp
-       |  FROM sq CROSS JOIN tot t CROSS JOIN fs f)
+    s"""WITH $mixtureRatesCte
        |SELECT d.doc_id, d.source
        |FROM documents d JOIN rates r USING (source)
        |WHERE $bucketSql < r.bp
        |ORDER BY doc_id""".stripMargin
+
+  /** The pre-training mix report: what lands in each (source, split)
+    * bucket — documents and token budget — after temperature mixing.
+    * Composes mixtureSample + splitAssign + token counting in one
+    * aggregation; the oracle re-derives every stage. */
+  def mixReport(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Sampling.mixtureSample(docs, "doc_id", "source", alpha = 0.5)
+      .select($"source",
+        Sampling.splitAssign($"doc_id",
+          Seq(("train", 8000), ("val", 1000), ("test", 1000))).as("split"),
+        TextStats.tokenCount(TextStats.tokens($"text")).cast("long").as("_nt"))
+      .groupBy($"source", $"split")
+      .agg(count(lit(1)).as("n_docs"), sum($"_nt").as("n_tokens"))
+      .orderBy($"source", $"split")
+  }
+
+  private val mixReportSql =
+    s"""WITH $mixtureRatesCte
+       |SELECT d.source,
+       |  CASE WHEN d.doc_id IS NULL THEN NULL
+       |       WHEN $bucketSql < 8000 THEN 'train'
+       |       WHEN $bucketSql < 9000 THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  count(*)::BIGINT AS n_docs,
+       |  sum(len($toksSql))::BIGINT AS n_tokens
+       |FROM documents d JOIN rates r USING (source)
+       |WHERE $bucketSql < r.bp
+       |GROUP BY 1, 2 ORDER BY source, split""".stripMargin
 
   /** Per-source cap at 40 docs (C4/Dolma domain capping): kept rows are
     * a deterministic uniform draw via the md5 rank, so the oracle
@@ -1230,6 +1265,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
     QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),
     QueryDef("ext_sample_cap", sampleCap, Some(sampleCapSql)),
+    QueryDef("ext_mix_report", mixReport, Some(mixReportSql)),
     QueryDef("ext_pack_sequences", packSeqs, Some(packSeqsSql)),
     QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)))
 }
