@@ -440,10 +440,20 @@ object Dedup {
     * Output: (id, cell, component_id, is_canonical) for every input
     * vector. Zero-norm vectors get a cell (argmax of all-zero scores =
     * cell 0, same as every engine's first-max tiebreak) but never pair:
-    * cosine is undefined for them, so they stay singleton components. */
+    * cosine is undefined for them, so they stay singleton components.
+    *
+    * `maxCell` (0 = unlimited) caps cell size before the self-join —
+    * the same guard as [[minhashLsh]]'s `maxBucket`: a degenerate
+    * quantizer (one dominant cluster, too few cells) can pull a constant
+    * fraction of the corpus into one cell, and a cell of m vectors costs
+    * m² candidates. Vectors in an over-cap cell keep their cell id but
+    * skip pairing (they resolve as singletons). The default keeps exact
+    * semantics for oracle parity; at 100 TB set a cap (or raise
+    * nCells — SemDeDup's own answer is ~100k cells). */
   def semanticDedup(emb: DataFrame, nCells: Int = 4, threshold: Double = 0.3,
       centroids: Option[Array[Array[Double]]] = None,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxCell: Int = 0): DataFrame = {
     val cents = centroids.getOrElse(
       Similarity.ivfCentroidsKmeans(emb, nCells, iters = 0, idCol = idCol,
         vecCol = vecCol))
@@ -451,9 +461,19 @@ object Dedup {
       .select(col(idCol), col(vecCol),
         Similarity.ivfCell(col(vecCol), cents).as("cell"))
       .persistScoped // feeds both pair-join sides and the final output join
-    val nz = assigned
+    val nzAll = assigned
       .where(Similarity.dot(col(vecCol), col(vecCol)) > 0)
       .select(col(idCol), col(vecCol), $"cell")
+    val nz =
+      if (maxCell <= 0) nzAll
+      else {
+        val hot = nzAll.groupBy($"cell").agg(count(lit(1)).as("_n"))
+          .where($"_n" > maxCell).select($"cell")
+        // a USING join reorders columns (join key first) — restore the
+        // canonical order the positional toDF renames below rely on
+        nzAll.join(broadcast(hot), Seq("cell"), "left_anti")
+          .select(col(idCol), col(vecCol), $"cell")
+      }
     val minQ4 = math.floor(threshold * 10000).toLong
     val pairs = nz.toDF("id_a", "vec_a", "cell")
       .join(nz.toDF("id_b", "vec_b", "cell"), Seq("cell"))

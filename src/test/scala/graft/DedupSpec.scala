@@ -127,6 +127,16 @@ class DedupSpec extends SparkSpec {
       1L -> (1L, true), 2L -> (1L, false), 3L -> (1L, false),
       4L -> (4L, true), 5L -> (4L, false),
       6L -> (6L, true)))
+    // hot-cell cap: maxCell=2 drops the 3-vector cell from pairing, so
+    // 1/2/3 become singletons while the 2-vector cell still collapses
+    val capped = Dedup.semanticDedup(emb, nCells = 2, threshold = 0.9,
+        maxCell = 2).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("component_id"), r.getAs[Boolean]("is_canonical")))).toMap
+    assert(capped === Map(
+      1L -> (1L, true), 2L -> (2L, true), 3L -> (3L, true),
+      4L -> (4L, true), 5L -> (4L, false),
+      6L -> (6L, true)))
   }
 
   test("resolveComponents: driver local finish ≡ fully distributed rounds") {
