@@ -103,6 +103,25 @@ object StreamingIngest {
       }
   }
 
+  /** Watermark-bounded streaming dedup — `dropDuplicatesWithinWatermark`
+    * on the event id. The unbounded-state trap in streaming dedup is
+    * that plain `dropDuplicates` must remember EVERY key forever; the
+    * within-watermark form evicts key state once the watermark passes
+    * it, so state is bounded by (arrival rate × watermark) no matter how
+    * long the stream runs — the only viable shape for deduping a
+    * firehose of re-delivered events (at-least-once sources re-send
+    * within bounded lateness by construction).
+    *
+    * Contract difference from [[dedupWithState]]: that one keeps a
+    * PERMANENT per-user ledger (exactly the reference's processed-file
+    * ledger); this one trades permanence for bounded state. */
+  def dedupWithinWatermark(events: DataFrame,
+      watermark: String = "10 minutes",
+      idCols: Seq[String] = Seq("event_id")): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(idCols)
+
   /** Insert-only merge sink: each micro-batch merges into the target
     * with `$setOnInsert` semantics (discovery never clobbers
     * enrichments) — update_reads.py:46-56 as a streaming sink.

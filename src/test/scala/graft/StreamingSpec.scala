@@ -114,6 +114,38 @@ class StreamingSpec extends SparkSpec {
     assert(want.values.exists(_._1) && want.values.exists(!_._1))
   }
 
+  test("dedupWithinWatermark: re-deliveries drop within the delay, state evicts after") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val events = input.toDF().toDF("ts", "event_id", "value")
+    val q = StreamingIngest.dedupWithinWatermark(events, "10 minutes")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("wm_dedup").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    try {
+      // batch 1: same-batch duplicate of id 1 emits once
+      input.addData((ts("2026-01-01 10:00:00"), 1L, 1.0),
+        (ts("2026-01-01 10:00:00"), 1L, 1.0),
+        (ts("2026-01-01 10:01:00"), 2L, 2.0))
+      q.processAllAvailable()
+      // batch 2: cross-batch re-delivery of id 1 within the delay drops;
+      // the 10:30 event advances the watermark to 10:20, past id 1's
+      // 10:00 + 10min expiry
+      input.addData((ts("2026-01-01 10:02:00"), 1L, 1.0),
+        (ts("2026-01-01 10:30:00"), 3L, 3.0))
+      q.processAllAvailable()
+      // batch 3: id 1 again AFTER its state evicted — emits again: the
+      // bounded-state contract trades permanence for eviction
+      input.addData((ts("2026-01-01 10:31:00"), 1L, 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("wm_dedup").collect()
+      .map(r => r.getAs[Long]("event_id")).sorted.toSeq
+    assert(got === Seq(1L, 1L, 2L, 3L))
+  }
+
   test("watermark drops late rows beyond the threshold (append mode)") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
