@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event-sequence analytics over the events stream (bonus operators —
+  * the reference has no event-journey surface, but any engine fed an
+  * event table gets asked for funnels and retention on day one).
+  *
+  * Scale shapes:
+  *  - [[funnel]]: ONE hash aggregate (per-user sorted event array) plus
+  *    a narrow state-machine fold over the array — no self-joins, no
+  *    per-stage passes. Per-user state is the user's own event list;
+  *    in production the input is first bounded to the funnel's time
+  *    window (the standard guard for hyperactive keys).
+  *  - [[retention]]: two map-side-combined aggregates and one equi-join
+  *    on user_id — cohort assignment broadcasts nothing and the distinct
+  *    is on (cohort, offset, user), already co-partitioned by the join.
+  */
+object Journeys {
+
+  /** Ordered-funnel completion per user: earliest `stages(0)` event,
+    * then the earliest `stages(1)` event STRICTLY AFTER it, and so on —
+    * the chained-earliest semantics every funnel product uses (a click
+    * before the first view does not count).
+    *
+    * Output: (user_id, stage — how many steps completed, t1..tN —
+    * completion timestamps, null past the reached stage). Deterministic:
+    * the per-user array sorts by (ts, event_type) so equal-timestamp
+    * events break ties lexicographically. */
+  def funnel(events: DataFrame, stages: Seq[String],
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val relevant = events
+      .where(col(typeCol).isin(stages.map(lit): _*))
+      .select(col(userCol), col(tsCol).as("_ts"), col(typeCol).as("_et"))
+    val byUser = relevant.groupBy(col(userCol))
+      .agg(sort_array(collect_list(struct($"_ts", $"_et"))).as("_evs"))
+    // state: array of N completion timestamps (null = stage not reached);
+    // one pass over the sorted events advances the first open stage whose
+    // predecessor is complete and whose type matches
+    val n = stages.length
+    val init: Column = array(stages.map(_ => lit(null).cast("timestamp")): _*)
+    val folded = aggregate($"_evs", init, (acc, e) => {
+      val ts = e.getField("_ts")
+      val et = e.getField("_et")
+      val slots = (0 until n).map { i =>
+        val open = acc.getItem(i).isNull &&
+          (if (i == 0) lit(true)
+           else acc.getItem(i - 1).isNotNull && ts > acc.getItem(i - 1))
+        when(open && et === stages(i), ts).otherwise(acc.getItem(i))
+      }
+      array(slots: _*)
+    })
+    val withT = byUser.withColumn("_t", folded)
+    val stageCols = (0 until n).map(i => $"_t".getItem(i).as(s"t${i + 1}"))
+    withT.select(
+        (col(userCol) +:
+          aggregate($"_t", lit(0),
+            (c, t) => when(t.isNotNull, c + 1).otherwise(c)).as("stage") +:
+          stageCols): _*)
+  }
+
+  /** Weekly cohort retention: users grouped by the ISO week of their
+    * FIRST event; for each (cohort_week, week_offset) the number of
+    * distinct cohort users active that many weeks later. Offsets are
+    * exact 7-day buckets from the cohort week's Monday, so week 0 always
+    * exists and contains the whole cohort. */
+  def retention(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val firsts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    events.select(col(userCol), col(tsCol))
+      .join(firsts, Seq(userCol))
+      .select(col(userCol), $"cohort_week",
+        (datediff(col(tsCol).cast("date"), $"cohort_week") / 7)
+          .cast("long").as("week_offset"))
+      .distinct()
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(count(lit(1)).as("n_users"))
+      // date → timestamp for the output: parquet DATE reaches pandas as
+      // datetime64 while DuckDB's DATE stays a date object — a dtype
+      // mismatch on identical values; a timestamp is unambiguous
+      .withColumn("cohort_week", $"cohort_week".cast("timestamp"))
+  }
+
+  private implicit class Dollar(private val sc: StringContext) {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+}

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Journeys
+
+/** Funnel/retention semantics the oracle gate can't isolate: strict
+  * ordering (a click BEFORE the first view doesn't count), simultaneous
+  * events, partial funnels, and cohort week-0 completeness. */
+class JourneysSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("funnel: chained-earliest with strict order; pre-view clicks don't count") {
+    val events = Seq(
+      // user 1: full funnel, but the earliest click precedes the view
+      (1L, ts("2026-01-01 09:00:00"), "click"),    // before first view: ignored
+      (1L, ts("2026-01-01 10:00:00"), "view"),
+      (1L, ts("2026-01-01 11:00:00"), "click"),    // this one counts
+      (1L, ts("2026-01-01 12:00:00"), "purchase"),
+      // user 2: view only
+      (2L, ts("2026-01-01 10:00:00"), "view"),
+      // user 3: purchase with no view/click: stage 0
+      (3L, ts("2026-01-01 10:00:00"), "purchase"),
+      // user 4: click simultaneous with first view doesn't count (strict >)
+      (4L, ts("2026-01-01 10:00:00"), "view"),
+      (4L, ts("2026-01-01 10:00:00"), "click"),
+      (4L, ts("2026-01-01 10:30:00"), "click"))
+      .toDF("user_id", "ts", "event_type")
+    val out = Journeys.funnel(events, Seq("view", "click", "purchase"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getTimestamp(2), r.getTimestamp(3), r.getTimestamp(4)))).toMap
+    assert(out(1L) === ((3, ts("2026-01-01 10:00:00"),
+      ts("2026-01-01 11:00:00"), ts("2026-01-01 12:00:00"))))
+    assert(out(2L) === ((1, ts("2026-01-01 10:00:00"), null, null)))
+    assert(out(3L) === ((0, null, null, null)))
+    assert(out(4L) === ((2, ts("2026-01-01 10:00:00"),
+      ts("2026-01-01 10:30:00"), null)))
+  }
+
+  test("retention: week 0 holds the whole cohort; offsets are 7-day buckets from Monday") {
+    val events = Seq(
+      (1L, ts("2026-01-07 10:00:00")), // Wed of week starting Mon 2026-01-05
+      (1L, ts("2026-01-13 10:00:00")), // next week → offset 1
+      (1L, ts("2026-01-13 11:00:00")), // same week, same user → one row
+      (2L, ts("2026-01-09 10:00:00")), // same cohort week, week 0 only
+      (3L, ts("2026-01-14 10:00:00"))) // cohort week of Mon 2026-01-12
+      .toDF("user_id", "ts")
+    val out = Journeys.retention(events).collect()
+      .map(r => (r.getTimestamp(0).toString, r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set(
+      ("2026-01-05 00:00:00.0", 0L, 2L),
+      ("2026-01-05 00:00:00.0", 1L, 1L),
+      ("2026-01-12 00:00:00.0", 0L, 1L)))
+  }
+}
