@@ -134,6 +134,40 @@ object WindowQueries extends QueryGroup {
       |FROM expanded GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** ST4 — interval join (batch form of the stream-stream time-range
+    * join): each click attributed to every view by the same user within
+    * the preceding 6 hours. The streaming variant is
+    * StreamingIngest.intervalJoin with watermarks on BOTH sides — the
+    * two-sided time bound is what makes join state evictable on
+    * unbounded streams (parity-tested in StreamingSpec). Batch plan:
+    * equi-join on user_id with the range as residual filter — hash
+    * join, never a nested loop. */
+  def intervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val views = ev.where($"event_type" === "view")
+      .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts"))
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts"))
+    graft.streaming.StreamingIngest.intervalJoin(
+        views, clicks, "user_id", "view_ts", "click_ts", "6 hours")
+      .select($"user_id", $"view_id", $"click_id", $"view_ts", $"click_ts",
+        expr("(unix_micros(click_ts) - unix_micros(view_ts)) div 1000000")
+          .as("delay_sec"))
+      .orderBy($"view_id", $"click_id")
+  }
+
+  private val intervalJoinSql =
+    """WITH v AS (SELECT user_id, event_id AS view_id, CAST(ts AS TIMESTAMP) AS view_ts
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, event_id AS click_id, CAST(ts AS TIMESTAMP) AS click_ts
+      |      FROM events WHERE event_type = 'click')
+      |SELECT v.user_id, v.view_id, c.click_id, v.view_ts, c.click_ts,
+      |       (epoch_us(c.click_ts) - epoch_us(v.view_ts)) // 1000000 AS delay_sec
+      |FROM v JOIN c ON v.user_id = c.user_id
+      |  AND c.click_ts >= v.view_ts
+      |  AND c.click_ts <= v.view_ts + INTERVAL 6 HOUR
+      |ORDER BY view_id, click_id""".stripMargin
+
   /** A10 — max group size bookkeeping (highest_len_files,
     * create_sheets_ultimate.py:387-419). */
   def maxGroupSize(spark: SparkSession, dir: String): DataFrame =
@@ -208,5 +242,6 @@ object WindowQueries extends QueryGroup {
     QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     QueryDef("st2_session_window", sessionWindow, Some(sessionWindowSql)),
     QueryDef("st3_sliding_window", slidingWindow, Some(slidingWindowSql)),
+    QueryDef("st4_interval_join", intervalJoin, Some(intervalJoinSql)),
     QueryDef("a10_max_group_size", maxGroupSize, Some(maxGroupSizeSql)))
 }

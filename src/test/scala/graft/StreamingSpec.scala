@@ -114,6 +114,42 @@ class StreamingSpec extends SparkSpec {
     assert(want.values.exists(_._1) && want.values.exists(!_._1))
   }
 
+  test("stream-stream interval join matches batch; batch plan is never a nested loop") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val landing = tmpDir("graft-landing-ssj")
+    ev.write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+
+    def sides(df: org.apache.spark.sql.DataFrame) = (
+      df.where($"event_type" === "view")
+        .select($"user_id", $"event_id".as("view_id"), $"ts".as("view_ts")),
+      df.where($"event_type" === "click")
+        .select($"user_id", $"event_id".as("click_id"), $"ts".as("click_ts")))
+
+    // streaming: BOTH sides read as streams — the true stream-stream join
+    val (sv, sc) = sides(spark.readStream.schema(schema).parquet(landing))
+    val q = StreamingIngest
+      .intervalJoin(sv, sc, "user_id", "view_ts", "click_ts", "6 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj").start()
+    try q.processAllAvailable() finally q.stop()
+
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"view_id", $"click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val (bv, bc) = sides(ev)
+    val batch = StreamingIngest
+      .intervalJoin(bv, bc, "user_id", "view_ts", "click_ts", "6 hours")
+    val got = asSet(spark.table("ssj"))
+    val want = asSet(batch)
+    assert(got === want)
+    assert(want.nonEmpty)
+    // scale pin: the equi key must carry the join — range stays residual
+    val phys = batch.queryExecution.executedPlan.toString
+    assert(!phys.contains("BroadcastNestedLoopJoin") &&
+      !phys.contains("CartesianProduct"), phys)
+  }
+
   test("dedupWithinWatermark: re-deliveries drop within the delay, state evicts after") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
