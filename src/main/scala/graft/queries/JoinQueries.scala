@@ -291,7 +291,34 @@ object JoinQueries extends QueryGroup {
       |FROM base FULL JOIN rich USING (c_nationkey, c_mktsegment)
       |ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** J19 — bloom-prefilter join: lineitem pruned by a Bloom filter of
+    * the selective orders subset's keys BEFORE the join shuffle, then
+    * exactly joined (false positives removed), so the oracle is the
+    * plain inner join. The runtime-filter shape for 100-TB probe sides
+    * whose build side is too big to broadcast as rows but tiny as a
+    * ~10-bits-per-key bitset. */
+  def bloomPrefilterJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity")
+    val urgent = load(spark, dir, "orders")
+      .where($"o_orderpriority" === "1-URGENT" && $"o_totalprice" > 150000)
+      .select($"o_orderkey".as("l_orderkey"), $"o_orderdate")
+    graft.ops.BloomJoin.innerJoin(li, urgent, "l_orderkey")
+      .select($"l_orderkey", $"l_linenumber",
+        $"o_orderdate".cast("timestamp").as("o_orderdate"), $"l_quantity")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val bloomPrefilterJoinSql =
+    """SELECT l.l_orderkey, l.l_linenumber,
+      |       o.o_orderdate::TIMESTAMP AS o_orderdate, l.l_quantity
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
+      |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("j19_bloom_join", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
     QueryDef("j1_two_tier_lookup", twoTierLookup, Some(twoTierLookupSql)),
     QueryDef("j2_dim_lookup", dimLookup, Some(dimLookupSql)),
     QueryDef("j3_substring_linkage", substringLinkage, Some(substringLinkageSql)),
