@@ -407,6 +407,35 @@ object TextStats {
       .limit(k)
   }
 
+  /** Model-based quality scoring — the classifier-filter stage of a
+    * pretraining pipeline (fastText-style as in CCNet/GPT-3/DCLM): each
+    * document scored by a hashing-trick linear model in one narrow
+    * codegen pass (no join, no shuffle — the weight table rides to
+    * executors inside the broadcast task binary).
+    *
+    * Scores are all-integer and md5-derived (see
+    * [[graft.functions.LinearModelKernel]]) so the oracle reproduces
+    * them exactly: `score_bp` rescales the mean token weight from
+    * [−1000, 1000] into basis points [0, 10000] with floor division on
+    * a non-negative numerator (truncation == floor, cross-engine
+    * exact); `keep` thresholds at the midpoint. A deployment swaps the
+    * deterministic weight table for trained parameters; plan unchanged. */
+  def classifierScore(docs: DataFrame, dim: Int = 4096,
+      keepAtBp: Int = 5000, textCol: String = "text"): DataFrame = {
+    require(dim > 0, s"dim must be > 0, got $dim")
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val weights = graft.functions.LinearModelKernel.buildWeights(dim)
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_raw", toColumn(
+        graft.functions.HashedLinearScore(toExpr(col("_toks")), weights)))
+      .withColumn("n_tokens", size(col("_toks")).cast("long"))
+      .withColumn("score_bp",
+        expr("(10000 * (_raw + 1000 * n_tokens)) div (2000 * n_tokens)"))
+      .select(col("doc_id"), col("n_tokens"), col("score_bp"),
+        (col("score_bp") >= keepAtBp).as("keep"))
+  }
+
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col("_toks")
     docs

@@ -570,6 +570,31 @@ object ExtQueries extends QueryGroup {
       |WHERE event_type IS NOT NULL AND value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Model-based quality scoring (hashing-trick linear classifier —
+    * the CCNet/DCLM fastText-filter shape). All-integer md5-derived
+    * scores; the oracle re-derives bucket → weight → Σ → basis-point
+    * rescale inline, so a hash match pins the whole model application,
+    * not just row counts. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame =
+    TextStats.classifierScore(load(spark, dir, "documents"))
+      .orderBy($"doc_id")
+
+  private val qualityClassifierSql = {
+    val md5u32 = (s: String) => s"(('0x' || substr(md5($s), 1, 8))::BIGINT)"
+    val weight =
+      s"(${md5u32(s"(${md5u32("w")} % 4096)::VARCHAR")} % 2001) - 1000"
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |s AS (
+       |  SELECT doc_id, len(ws)::BIGINT AS n_tokens,
+       |         list_sum(list_transform(ws, w -> $weight))::BIGINT AS raw
+       |  FROM t)
+       |SELECT doc_id, n_tokens,
+       |       (10000 * (raw + 1000 * n_tokens)) // (2000 * n_tokens) AS score_bp,
+       |       ((10000 * (raw + 1000 * n_tokens)) // (2000 * n_tokens)) >= 5000 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** C4/Gopher-style corpus filter: metrics + failed-rule reasons + keep
     * flag per document, one narrow pass. The oracle recomputes every
     * metric relationally and re-derives the rule cascade, so the hash
@@ -1258,6 +1283,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_heavy_distinct", heavyDistinct, Some(heavyDistinctSql)),
     QueryDef("ext_quantile_exact", quantileExact, Some(quantileExactSql)),
     QueryDef("ext_text_filter", textFilter, Some(textFilterSql)),
+    QueryDef("ext_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),

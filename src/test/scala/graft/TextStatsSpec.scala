@@ -241,6 +241,50 @@ class TextStatsSpec extends SparkSpec {
       "corpus filtering must stay a scan-speed narrow pass")
   }
 
+  test("classifierScore == independent md5 reimplementation; keep at midpoint") {
+    // independent transcription of the model contract (NOT the kernel):
+    // bucket = md5u32(token) % dim, weight = md5u32(str(bucket)) % 2001 - 1000
+    def md5u32(s: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+        ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    }
+    def expected(text: String, dim: Int): (Long, Long, Boolean) = {
+      val toks = text.toLowerCase.split("\\s+", -1)
+      val raw = toks.map(t => md5u32((md5u32(t) % dim).toString) % 2001 - 1000).sum
+      val n = toks.length.toLong
+      val bp = (10000L * (raw + 1000 * n)) / (2000 * n)
+      (n, bp, bp >= 5000)
+    }
+    val texts = Seq("the quick brown fox", "spark scan merge join table row",
+      "a", "  ", "δδδ mixed UNICODE Case")
+    val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextStats.classifierScore(docs, dim = 64).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) === expected(t, 64), s"doc $i: '$t'")
+    }
+    // real corpus: both outcomes occur and scores stay in [0, 10000]
+    val corpus = TextStats.classifierScore(
+      Tables.load(spark, sfDir, "documents")).collect()
+    assert(corpus.exists(_.getBoolean(3)) && corpus.exists(!_.getBoolean(3)))
+    assert(corpus.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 10000))
+  }
+
+  test("classifierScore plan: narrow codegen pass, no join, no Exchange") {
+    val df = TextStats.classifierScore(
+      spark.range(3).select($"id".as("doc_id"),
+        concat(lit("text for doc "), $"id".cast("string")).as("text")))
+    val plan = df.queryExecution.executedPlan
+    import org.apache.spark.sql.execution.exchange.Exchange
+    assert(plan.collect { case e: Exchange => e }.isEmpty,
+      "model scoring must stay a scan-speed narrow pass")
+    assert(plan.toString.contains("hashed_linear_score"))
+  }
+
   test("pieces: alphanumeric runs + single symbols; CJK counts per character") {
     val out = Seq((1L, "Hello, world! it's 42"), (2L, "中文 文本"), (3L, null: String))
       .toDF("doc_id", "text")
