@@ -156,7 +156,78 @@ object MergeQueries extends QueryGroup {
        |FROM l LEFT JOIN r USING (file_name)
        |ORDER BY file_name""".stripMargin
 
+  /** S15 — SCD2 history-keeping merge ([[graft.ops.Scd2]]): a change
+    * batch against a current customer snapshot, where a value change
+    * closes the old row and opens a new current one. The batch
+    * exercises all four outcomes — real change (`%6==0`), unchanged
+    * re-delivery (`%3==0` but not `%6`), brand-new key, untouched key.
+    * The oracle replays the merge with an INDEPENDENT three-join
+    * formulation (closed/kept/opened CTEs vs the engine's single full
+    * join + outcome explode). */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val customer = load(spark, dir, "customer")
+    val t0 = lit("2024-01-01 00:00:00").cast("timestamp")
+    val t1 = lit("2024-06-01 00:00:00").cast("timestamp")
+    val history = customer
+      .select($"c_custkey", $"c_mktsegment", round($"c_acctbal", 2).as("acctbal"))
+      .withColumn("valid_from", t0)
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+      .withColumn("is_current", lit(true))
+    val changes = customer.where($"c_custkey" % 3 === 0)
+      .select($"c_custkey",
+        when($"c_custkey" % 6 === 0, lit("REASSIGNED"))
+          .otherwise($"c_mktsegment").as("c_mktsegment"),
+        when($"c_custkey" % 6 === 0, round($"c_acctbal" + 100, 2))
+          .otherwise(round($"c_acctbal", 2)).as("acctbal"))
+      .unionByName(customer.where($"c_custkey" % 1000 === 1)
+        .select(($"c_custkey" + 9000000).as("c_custkey"),
+          lit("NEWSEG").as("c_mktsegment"), lit(0.0).as("acctbal")))
+    graft.ops.Scd2.merge(history, changes, Seq("c_custkey"),
+        Seq("c_mktsegment", "acctbal"), t1)
+      .orderBy($"c_custkey", $"valid_from")
+  }
+
+  private val scd2MergeSql =
+    """WITH hist AS (
+      |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+      |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+      |         NULL::TIMESTAMP AS valid_to, true AS is_current
+      |  FROM customer),
+      |ch AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 6 = 0 THEN 'REASSIGNED'
+      |              ELSE c_mktsegment END AS c_mktsegment,
+      |         CASE WHEN c_custkey % 6 = 0 THEN round(c_acctbal + 100, 2)
+      |              ELSE round(c_acctbal, 2) END AS acctbal
+      |  FROM customer WHERE c_custkey % 3 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 9000000, 'NEWSEG', 0.0
+      |  FROM customer WHERE c_custkey % 1000 = 1),
+      |closed AS (
+      |  SELECT h.c_custkey, h.c_mktsegment, h.acctbal, h.valid_from,
+      |         TIMESTAMP '2024-06-01 00:00:00' AS valid_to, false AS is_current
+      |  FROM hist h JOIN ch c USING (c_custkey)
+      |  WHERE h.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+      |     OR h.acctbal IS DISTINCT FROM c.acctbal),
+      |kept AS (
+      |  SELECT h.* FROM hist h LEFT JOIN ch c USING (c_custkey)
+      |  WHERE c.c_custkey IS NULL
+      |     OR (h.c_mktsegment IS NOT DISTINCT FROM c.c_mktsegment
+      |         AND h.acctbal IS NOT DISTINCT FROM c.acctbal)),
+      |opened AS (
+      |  SELECT c.c_custkey, c.c_mktsegment, c.acctbal,
+      |         TIMESTAMP '2024-06-01 00:00:00' AS valid_from,
+      |         NULL::TIMESTAMP AS valid_to, true AS is_current
+      |  FROM ch c LEFT JOIN hist h USING (c_custkey)
+      |  WHERE h.c_custkey IS NULL
+      |     OR h.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+      |     OR h.acctbal IS DISTINCT FROM c.acctbal)
+      |SELECT * FROM closed UNION ALL SELECT * FROM kept
+      |UNION ALL SELECT * FROM opened
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("s15_scd2_merge", scd2Merge, Some(scd2MergeSql)),
     QueryDef("s10a_merge_set", mergeSet, Some(mergeSetSql)),
     QueryDef("s10b_merge_setoninsert", mergeSetOnInsert, Some(mergeSetOnInsertSql)),
     QueryDef("s11_append_rows", appendRows, Some(appendRowsSql)),
