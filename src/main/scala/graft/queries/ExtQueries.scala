@@ -296,6 +296,35 @@ object ExtQueries extends QueryGroup {
        |SELECT id AS vec_id, component_id, id = component_id AS is_canonical
        |FROM lab ORDER BY vec_id""".stripMargin
 
+  /** Leakage-safe train/val/test split: split assignment keyed on the
+    * near-dup COMPONENT id, not the document id, so near-duplicates can
+    * never straddle train and eval (the contamination mode a plain
+    * per-doc split invites — one copy trains, its near-copy evaluates).
+    * Composes cosineNearDup → resolveComponents → splitAssign; the
+    * whole-cluster-moves property is what decontamination-by-split
+    * means at scale. */
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    Dedup.resolveComponents(emb, pairs, idCol = "vec_id")
+      .select($"vec_id", $"component_id",
+        Sampling.splitAssign($"component_id",
+          Seq(("train", 8000), ("val", 1000), ("test", 1000))).as("split"))
+      .orderBy($"vec_id")
+  }
+
+  private val splitLeakageSafeSql = {
+    val compBucket =
+      "(('0x' || substr(md5(component_id::VARCHAR), 1, 8))::BIGINT % 10000)"
+    s"""WITH RECURSIVE $componentsCte
+       |SELECT id AS vec_id, component_id,
+       |  CASE WHEN component_id IS NULL THEN NULL
+       |       WHEN $compBucket < 8000 THEN 'train'
+       |       WHEN $compBucket < 9000 THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM lab ORDER BY vec_id""".stripMargin
+  }
+
   /** End-to-end dedup pipeline (what a training-data run actually does):
     * near-dup pairs → connected components → keep the HIGHEST-QUALITY
     * member per cluster (not min-id) with deterministic tie-break.
@@ -1287,6 +1316,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
+    QueryDef("ext_split_leakage_safe", splitLeakageSafe, Some(splitLeakageSafeSql)),
     QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("ext_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
     QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),

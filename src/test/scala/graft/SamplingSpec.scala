@@ -116,6 +116,18 @@ class SamplingSpec extends SparkSpec {
     assert(out(false).exists(Set("train", "test"))) // real keys still assigned
   }
 
+  test("leakage-safe split: every near-dup component lands whole in one split") {
+    val df = graft.queries.ExtQueries.splitLeakageSafe(spark, sfDir)
+    // the defining property: one distinct split per component
+    assert(df.groupBy($"component_id")
+      .agg(countDistinct($"split").as("n")).where($"n" =!= 1).count() === 0)
+    // and it is a real split (more than one label in use), covering all rows
+    assert(df.select($"split").distinct().count() >= 2)
+    assert(df.where($"split".isNull).count() === 0)
+    // non-degenerate: at least one multi-member component exercises the property
+    assert(df.groupBy($"component_id").count().where($"count" > 1).count() > 0)
+  }
+
   test("stratifiedSample applies per-stratum rates") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
