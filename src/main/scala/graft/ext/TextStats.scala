@@ -407,6 +407,35 @@ object TextStats {
       .limit(k)
   }
 
+  /** Context-window chunking — split each document into fixed-size
+    * token windows with stride overlap (the long-document preparation
+    * step before sequence packing: a 100k-token doc becomes overlapping
+    * `size`-token training chunks instead of being truncated).
+    *
+    * Chunk starts walk the stride grid: 0, stride, 2·stride, …; the
+    * last start is the first multiple covering the tail, so
+    * `n_chunks = ceil(max(0, n − size) ∕ stride) + 1` — every token is
+    * in ≥ 1 chunk, consecutive chunks share `size − stride` tokens, and
+    * a short doc yields exactly itself. Pure narrow explode: the
+    * cardinality grows ~n/stride per doc but NOTHING shuffles — the
+    * right shape for a 100-TB corpus rewrite. All arithmetic integer. */
+  def chunkDocs(docs: DataFrame, size: Int = 64, stride: Int = 48,
+      textCol: String = "text"): DataFrame = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_n", org.apache.spark.sql.functions.size(col("_toks")))
+      .withColumn("chunk_id", explode(sequence(lit(0),
+        expr(s"cast((greatest(_n - $size, 0) + ${stride - 1}) div $stride as int)"))))
+      .withColumn("_chunk", slice(col("_toks"),
+        col("chunk_id") * stride + 1, lit(size)))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        org.apache.spark.sql.functions.size(col("_chunk")).cast("long")
+          .as("n_chunk_tokens"),
+        array_join(col("_chunk"), " ").as("chunk_text"))
+  }
+
   /** Model-based quality scoring — the classifier-filter stage of a
     * pretraining pipeline (fastText-style as in CCNet/GPT-3/DCLM): each
     * document scored by a hashing-trick linear model in one narrow
@@ -434,6 +463,35 @@ object TextStats {
         expr("(10000 * (_raw + 1000 * n_tokens)) div (2000 * n_tokens)"))
       .select(col("doc_id"), col("n_tokens"), col("score_bp"),
         (col("score_bp") >= keepAtBp).as("keep"))
+  }
+
+  /** Collocation mining — adjacent pairs ranked by contingency-table
+    * lift: `lift = n_ab · N ∕ (n_a• · n_•b)` over the bigram table
+    * (n_a• = pair occurrences with `a` first, n_•b = with `b` second,
+    * N = total pairs). The no-log monotone cousin of PMI, so it stays
+    * ALL-INTEGER (basis points, floor div on non-negative operands) and
+    * every engine agrees bit-for-bit. Shape: one map-side-combined
+    * bigram count, two vocabulary-sized margin aggregates broadcast
+    * back onto it, global top-k as TakeOrderedAndProject — the corpus
+    * is read once, nothing big shuffles. */
+  def collocations(docs: DataFrame, k: Int, minCount: Long = 5,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bi = docs
+      .select(explode(wordNgrams(tokens(col(textCol)), 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1L)).as("n_ab"))
+      .withColumn("w1", split($"g", " ").getItem(0))
+      .withColumn("w2", split($"g", " ").getItem(1))
+    val left = bi.groupBy($"w1").agg(sum($"n_ab").as("n_a"))
+    val right = bi.groupBy($"w2").agg(sum($"n_ab").as("n_b"))
+    val tot = bi.agg(sum($"n_ab").as("n_tot"))
+    bi.join(broadcast(left), "w1").join(broadcast(right), "w2")
+      .crossJoin(broadcast(tot))
+      .where($"n_ab" >= minCount)
+      .select($"g", $"n_ab",
+        expr("(n_ab * n_tot * 10000) div (n_a * n_b)").as("lift_bp"))
+      .orderBy($"lift_bp".desc, $"g".asc)
+      .limit(k)
   }
 
   def analyze(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -198,8 +198,36 @@ object AggQueries extends QueryGroup {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
 
+  /** Arbitrary GROUPING SETS (the general form rollup/cube specialize):
+    * per-(flag,status), per-flag, and per-STATUS subtotals in one pass —
+    * a set rollup cannot express (it only nests prefixes). Spark plans
+    * one Expand + one aggregate, not three scans. */
+  def groupingSets(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.groupingSets(
+        Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"),
+          Seq($"l_linestatus")),
+        $"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"n", $"qty")
+      .orderBy($"flag", $"status")
+  }
+
+  private val groupingSetsSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+      |                        (l_returnflag), (l_linestatus))
+      |ORDER BY flag, status""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("a12_rollup", rollupAgg, Some(rollupAggSql)),
+    QueryDef("a13_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("a1_project_summary", projectSummary, Some(projectSummarySql)),
     QueryDef("a2_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
     QueryDef("a3_group_proportion", groupProportion, Some(groupProportionSql)),

@@ -599,6 +599,53 @@ object ExtQueries extends QueryGroup {
       |WHERE event_type IS NOT NULL AND value IS NOT NULL
       |GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Context-window chunking: long documents → overlapping fixed-size
+    * token windows (size 24, stride 16 here so multi-chunk docs are
+    * common at every SF). Narrow explode, nothing shuffles. */
+  def chunkDocs(spark: SparkSession, dir: String): DataFrame =
+    TextStats.chunkDocs(load(spark, dir, "documents"), size = 24, stride = 16)
+      .orderBy($"doc_id", $"chunk_id")
+
+  private val chunkDocsSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS ws, len($toksSql)::BIGINT AS n
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, ws, unnest(generate_series(
+       |           0, (greatest(n - 24, 0) + 15) // 16)) AS chunk_id
+       |  FROM t)
+       |SELECT doc_id, chunk_id,
+       |       len(ws[chunk_id * 16 + 1 : chunk_id * 16 + 24])::BIGINT
+       |         AS n_chunk_tokens,
+       |       array_to_string(ws[chunk_id * 16 + 1 : chunk_id * 16 + 24], ' ')
+       |         AS chunk_text
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Collocation mining: adjacent-pair lift in basis points (the
+    * no-log integer cousin of PMI), min-count 5, top-40 with
+    * deterministic tie-break. */
+  def collocations(spark: SparkSession, dir: String): DataFrame =
+    TextStats.collocations(load(spark, dir, "documents"), k = 40)
+
+  private val collocationsSql =
+    s"""WITH g AS (
+       |  SELECT doc_id, $toksSql AS ws FROM documents),
+       |bi AS (
+       |  SELECT array_to_string(ws[i:i+1], ' ') AS g,
+       |         ws[i] AS w1, ws[i+1] AS w2
+       |  FROM (SELECT ws, unnest(range(1, len(ws))) AS i FROM g)
+       |  WHERE len(ws) >= 2),
+       |cnt AS (SELECT g, w1, w2, count(*)::BIGINT AS n_ab
+       |        FROM bi GROUP BY 1, 2, 3),
+       |l AS (SELECT w1, sum(n_ab)::BIGINT AS n_a FROM cnt GROUP BY 1),
+       |r AS (SELECT w2, sum(n_ab)::BIGINT AS n_b FROM cnt GROUP BY 1),
+       |tot AS (SELECT sum(n_ab)::BIGINT AS n_tot FROM cnt)
+       |SELECT c.g, c.n_ab,
+       |       (c.n_ab * t.n_tot * 10000) // (l.n_a * r.n_b) AS lift_bp
+       |FROM cnt c JOIN l USING (w1) JOIN r USING (w2) CROSS JOIN tot t
+       |WHERE c.n_ab >= 5
+       |ORDER BY lift_bp DESC, g ASC LIMIT 40""".stripMargin
+
   /** Model-based quality scoring (hashing-trick linear classifier —
     * the CCNet/DCLM fastText-filter shape). All-integer md5-derived
     * scores; the oracle re-derives bucket → weight → Σ → basis-point
@@ -1313,6 +1360,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_quantile_exact", quantileExact, Some(quantileExactSql)),
     QueryDef("ext_text_filter", textFilter, Some(textFilterSql)),
     QueryDef("ext_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    QueryDef("ext_chunk_docs", chunkDocs, Some(chunkDocsSql)),
+    QueryDef("ext_collocations", collocations, Some(collocationsSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),

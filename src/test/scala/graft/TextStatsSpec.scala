@@ -285,6 +285,52 @@ class TextStatsSpec extends SparkSpec {
     assert(plan.toString.contains("hashed_linear_score"))
   }
 
+  test("chunkDocs: coverage, overlap, tail, and short-doc identity") {
+    val words = (1 to 100).map(i => s"w$i")
+    val docs = Seq(
+      (1L, words.mkString(" ")),       // 100 tokens -> 3 chunks at 48/32
+      (2L, "a b c"),                   // short: one chunk, itself
+      (3L, words.take(48).mkString(" ")), // exactly size: one chunk
+      (4L, words.take(49).mkString(" ")))  // size+1: two chunks
+      .toDF("doc_id", "text")
+    val out = TextStats.chunkDocs(docs, size = 48, stride = 32).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keys.count(_._1 == 1L) === 3)
+    assert(out((1L, 0L))._2 === words.slice(0, 48).mkString(" "))
+    assert(out((1L, 1L))._2 === words.slice(32, 80).mkString(" "))
+    assert(out((1L, 2L))._2 === words.slice(64, 100).mkString(" ")) // 36-token tail
+    assert(out((1L, 2L))._1 === 36)
+    assert(out((2L, 0L)) === ((3L, "a b c")) && !out.contains((2L, 1L)))
+    assert(out.keys.count(_._1 == 3L) === 1)
+    assert(out.keys.count(_._1 == 4L) === 2)
+    // every token of doc 1 appears in some chunk (coverage)
+    val covered = out.collect { case ((1L, _), (_, t)) => t.split(" ") }.flatten.toSet
+    assert(covered === words.toSet)
+  }
+
+  test("collocations: lift ranks a planted sticky pair above frequent-but-independent") {
+    // 'x y' always adjacent (perfect association); 'the'/'of' frequent but
+    // independently placed -> high margins, low lift
+    val docs = (1 to 30).map { i =>
+      (i.toLong, s"x y the w$i of the q$i of x y w$i the of")
+    }.toDF("doc_id", "text")
+    val out = TextStats.collocations(docs, k = 10, minCount = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty)
+    val byG = out.map(t => t._1 -> t._3).toMap
+    assert(byG.contains("x y"))
+    // the perfectly-associated pair sits at the top; high-margin
+    // independent words ('the' appears 3x/doc in varied contexts) rank
+    // strictly below it
+    assert(byG("x y") === out.map(_._3).max)
+    out.filter(t => t._1.startsWith("the "))
+      .foreach(t => assert(byG("x y") > t._3, s"x y should out-lift ${t._1}"))
+    assert(out.exists(_._3 < byG("x y")), "some pair must rank strictly below")
+    // descending lift with g tie-break
+    assert(out.map(_._3).toSeq === out.map(_._3).sortBy(-_).toSeq)
+  }
+
   test("pieces: alphanumeric runs + single symbols; CJK counts per character") {
     val out = Seq((1L, "Hello, world! it's 42"), (2L, "中文 文本"), (3L, null: String))
       .toDF("doc_id", "text")
