@@ -37,4 +37,25 @@ object Layout {
       explode(sequence(lit(0), lit(nSalts - 1))))
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
+
+  /** Z-order clustering for write layout: range-partition + sort by the
+    * Morton z-value of two columns so each output file covers a compact
+    * box in BOTH dimensions — parquet min/max footer stats then prune
+    * scans filtered on either column (single-column sort only prunes
+    * its own column). One range exchange, one in-partition sort; the
+    * curve itself is a narrow codegen expression
+    * ([[graft.functions.ZValue]]). Columns are masked to `bits` low
+    * bits (callers with wider domains bucket/scale first). */
+  def zorderBy(df: DataFrame, c1: String, c2: String, bits: Int = 16,
+      numFiles: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val mask = (1L << bits) - 1
+    val z = toColumn(graft.functions.ZValue(
+      toExpr(col(c1).cast("long").bitwiseAND(mask)),
+      toExpr(col(c2).cast("long").bitwiseAND(mask)), bits))
+    df.withColumn("_z", z)
+      .repartitionByRange(numFiles, col("_z"))
+      .sortWithinPartitions("_z")
+      .drop("_z")
+  }
 }

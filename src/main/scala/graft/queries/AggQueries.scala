@@ -198,6 +198,48 @@ object AggQueries extends QueryGroup {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
 
+  /** A14 — star-schema revenue (TPC-H Q5 shape): the canonical
+    * multi-dimension join plan. The fact table (lineitem) takes ONE
+    * hash shuffle (to orders on the orderkey); every dimension hop —
+    * customer, nation, region — is a broadcast, so the 100-TB fact
+    * never re-shuffles per dimension. Filters (region, order year)
+    * reach the scans before any join. */
+  def starRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val ord = load(spark, dir, "orders")
+      .where(year($"o_orderdate") === 1995)
+      .select($"o_orderkey", $"o_custkey")
+    val cust = load(spark, dir, "customer")
+      .select($"c_custkey", $"c_nationkey")
+    val nat = load(spark, dir, "nation")
+      .select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = load(spark, dir, "region")
+      .where($"r_name" === "ASIA").select($"r_regionkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name".as("nation"))
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")) / 1e6, 4)
+        .as("revenue_m"), count(lit(1)).as("n_items"))
+      .orderBy(desc("revenue_m"), $"nation")
+  }
+
+  private val starRevenueSql =
+    """SELECT n.n_name AS nation,
+      |       round(sum(l.l_extendedprice * (1 - l.l_discount)) / 1e6, 4)
+      |         AS revenue_m,
+      |       count(*) AS n_items
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE year(o.o_orderdate) = 1995 AND r.r_name = 'ASIA'
+      |GROUP BY n.n_name
+      |ORDER BY revenue_m DESC, nation""".stripMargin
+
   /** Arbitrary GROUPING SETS (the general form rollup/cube specialize):
     * per-(flag,status), per-flag, and per-STATUS subtotals in one pass —
     * a set rollup cannot express (it only nests prefixes). Spark plans
@@ -228,6 +270,7 @@ object AggQueries extends QueryGroup {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("a12_rollup", rollupAgg, Some(rollupAggSql)),
     QueryDef("a13_grouping_sets", groupingSets, Some(groupingSetsSql)),
+    QueryDef("a14_star_revenue", starRevenue, Some(starRevenueSql)),
     QueryDef("a1_project_summary", projectSummary, Some(projectSummarySql)),
     QueryDef("a2_conditional_agg", conditionalAgg, Some(conditionalAggSql)),
     QueryDef("a3_group_proportion", groupProportion, Some(groupProportionSql)),

@@ -646,6 +646,37 @@ object ExtQueries extends QueryGroup {
        |WHERE c.n_ab >= 5
        |ORDER BY lift_bp DESC, g ASC LIMIT 40""".stripMargin
 
+  /** Z-order curve verification: per-z-block stats over the Morton
+    * interleave of (orderkey, partkey) low 16 bits. The oracle rebuilds
+    * the interleave with pure shift/mask arithmetic, pinning the curve
+    * bit-for-bit — the correctness core of [[graft.io.Layout.zorderBy]]
+    * (the layout/write side is exercised in LayoutSpec; file stats
+    * aren't SQL-visible). */
+  def zorderCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val li = load(spark, dir, "lineitem")
+    val z = toColumn(graft.functions.ZValue(
+      toExpr($"l_orderkey".bitwiseAND(65535L)),
+      toExpr($"l_partkey".bitwiseAND(65535L)), 16))
+    li.select(z.as("z"))
+      .groupBy(expr("z div 16777216").as("z_block"))
+      .agg(count(lit(1)).as("n"), min($"z").as("z_min"), max($"z").as("z_max"))
+      .orderBy($"z_block")
+  }
+
+  private val zorderCurveSql =
+    """WITH p AS (
+      |  SELECT (l_orderkey & 65535) AS x, (l_partkey & 65535) AS y
+      |  FROM lineitem),
+      |zz AS (
+      |  SELECT list_sum(list_transform(range(0, 16), i ->
+      |           (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))
+      |         ))::BIGINT AS z
+      |  FROM p)
+      |SELECT z // 16777216 AS z_block, count(*) AS n,
+      |       min(z) AS z_min, max(z) AS z_max
+      |FROM zz GROUP BY 1 ORDER BY z_block""".stripMargin
+
   /** Model-based quality scoring (hashing-trick linear classifier —
     * the CCNet/DCLM fastText-filter shape). All-integer md5-derived
     * scores; the oracle re-derives bucket → weight → Σ → basis-point
@@ -1362,6 +1393,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("ext_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("ext_collocations", collocations, Some(collocationsSql)),
+    QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),

@@ -157,6 +157,17 @@ object StreamingIngest {
       .drop(col(s"r.$key"))
   }
 
+  /** Stream-static enrichment: a live stream joined to a slowly-moving
+    * dimension. Stateless on the stream side (each micro-batch joins the
+    * dimension as of that batch — no watermark, no join state), and the
+    * dimension hop is a broadcast, so the firehose is never shuffled for
+    * the lookup — the streaming twin of the batch J1/J2 dimension
+    * lookups and the natural reader of an [[graft.ops.Scd2]] current
+    * slice (`where is_current`). */
+  def enrichStream(stream: DataFrame, dim: DataFrame,
+      keys: Seq[String]): DataFrame =
+    stream.join(broadcast(dim), keys, "left")
+
   /** Insert-only merge sink: each micro-batch merges into the target
     * with `$setOnInsert` semantics (discovery never clobbers
     * enrichments) — update_reads.py:46-56 as a streaming sink.

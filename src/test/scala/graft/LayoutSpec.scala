@@ -66,4 +66,56 @@ class LayoutSpec extends SparkSpec {
     val lines = spark.read.text(s"$dir/log").collect().map(_.getString(0)).toSet
     assert(lines === Set("Found 2 reads.", "Found 1 samples."))
   }
+
+  test("zvalue kernel == naive interleave; aligned prefix blocks nest") {
+    import graft.functions.ZOrderKernel
+    def naive(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).foldLeft(0L) { (z, i) =>
+        z | (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
+      }
+    val rnd = new scala.util.Random(11)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (1L, 0L)) ++
+      (1 to 500).map(_ => (rnd.nextInt(65536).toLong, rnd.nextInt(65536).toLong))
+    pts.foreach { case (x, y) =>
+      val z = ZOrderKernel.zvalue(x, y, 16)
+      assert(z === naive(x, y, 16), s"($x,$y)")
+      // the curve's defining property: truncating 2k z-bits == the
+      // z-value of the k-bit-truncated point, so every aligned
+      // 2^j x 2^j square is one contiguous z range
+      (1 to 16).foreach { k =>
+        assert((z >>> (2 * (16 - k))) ===
+          ZOrderKernel.zvalue(x >>> (16 - k), y >>> (16 - k), k), s"($x,$y) k=$k")
+      }
+    }
+  }
+
+  test("zorderBy: one range exchange; output partitions cover compact 2-D boxes") {
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val clustered = Layout.zorderBy(li, "l_orderkey", "l_partkey",
+      bits = 16, numFiles = 8)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.split("rangepartitioning").length - 1 +
+      plan.split("RangePartitioning").length - 1 >= 1, plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+    // locality: the average per-partition bounding box is far smaller
+    // than the global box (that is what makes footer stats prune)
+    val boxes = clustered
+      .withColumn("pid", spark_partition_id())
+      .withColumn("x", $"l_orderkey".bitwiseAND(65535L))
+      .withColumn("y", $"l_partkey".bitwiseAND(65535L))
+      .groupBy($"pid")
+      .agg(min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(boxes.length >= 4)
+    val gx0 = boxes.map(_._1).min; val gx1 = boxes.map(_._2).max
+    val gy0 = boxes.map(_._3).min; val gy1 = boxes.map(_._4).max
+    val global = (gx1 - gx0 + 1).toDouble * (gy1 - gy0 + 1)
+    val avg = boxes.map(b => (b._2 - b._1 + 1).toDouble * (b._4 - b._3 + 1))
+      .sum / boxes.length
+    assert(avg < global / 2, s"avg box $avg vs global $global")
+  }
 }

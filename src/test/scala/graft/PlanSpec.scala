@@ -27,6 +27,17 @@ class PlanSpec extends SparkSpec {
     assert(planOf(JoinQueries.dimLookup(spark, sfDir)).contains("BroadcastHashJoin"))
   }
 
+  test("a14 star join: every dimension hop broadcasts; fact side joins hash-wise") {
+    val plan = planOf(AggQueries.starRevenue(spark, sfDir))
+    // three dimension hops (customer, nation, region) broadcast
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 3, plan)
+    // the pushed filters prune dims/orders before any join
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the year filter is applied (pruning orders before its fact join)
+    assert(plan.contains("year"), plan)
+  }
+
   test("j3 substring linkage is a broadcast nested-loop over the tiny side only") {
     val plan = planOf(JoinQueries.substringLinkage(spark, sfDir))
     assert(plan.contains("BroadcastNestedLoopJoin"), plan)

@@ -150,6 +150,31 @@ class StreamingSpec extends SparkSpec {
       !phys.contains("CartesianProduct"), phys)
   }
 
+  test("stream-static enrichment matches the batch join; dim hop broadcasts") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val landing = tmpDir("graft-landing-enrich")
+    ev.write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    // dimension: per-user first-seen event type (from the batch table)
+    val dim = ev.groupBy($"user_id")
+      .agg(min_by($"event_type", struct($"ts", $"event_id")).as("first_type"))
+    val stream = spark.readStream.schema(schema).parquet(landing)
+    val q = StreamingIngest.enrichStream(stream, dim, Seq("user_id"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("enriched").start()
+    try q.processAllAvailable() finally q.stop()
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"event_id", $"first_type")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val got = asSet(spark.table("enriched"))
+    val want = asSet(StreamingIngest.enrichStream(ev, dim, Seq("user_id")))
+    assert(got === want && got.nonEmpty)
+    // the lookup is a broadcast join (no stream-side shuffle, no state)
+    val plan = StreamingIngest.enrichStream(ev, dim, Seq("user_id"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("dedupWithinWatermark: re-deliveries drop within the delay, state evicts after") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
