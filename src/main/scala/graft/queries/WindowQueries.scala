@@ -134,6 +134,25 @@ object WindowQueries extends QueryGroup {
       |FROM expanded GROUP BY 1, 2
       |ORDER BY window_start, event_type""".stripMargin
 
+  /** W5 — per-group top-k via the bounded-buffer Aggregator
+    * ([[graft.ops.TopK]]): partial buffers hold ≤ k entries, so the
+    * map-side combine prunes every partition to k rows per group
+    * BEFORE the shuffle — the window row_number formulation (which the
+    * ORACLE uses, independently) ships whole groups. Same answer, scale
+    * shapes apart. */
+  def topKGroups(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.TopK.topKPerGroup(load(spark, dir, "events"),
+        Seq("event_type"), "value", "event_id", k = 3)
+      .orderBy($"event_type", $"rnk")
+
+  private val topKGroupsSql =
+    """SELECT event_type, rnk, event_id, value FROM (
+      |  SELECT event_type, event_id, value,
+      |         row_number() OVER (PARTITION BY event_type
+      |                            ORDER BY value DESC, event_id) AS rnk
+      |  FROM events WHERE value IS NOT NULL)
+      |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin
+
   /** ST4 — interval join (batch form of the stream-stream time-range
     * join): each click attributed to every view by the same user within
     * the preceding 6 hours. The streaming variant is
@@ -237,6 +256,7 @@ object WindowQueries extends QueryGroup {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
+    QueryDef("w5_topk_groups", topKGroups, Some(topKGroupsSql)),
     QueryDef("j17_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("j18_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
