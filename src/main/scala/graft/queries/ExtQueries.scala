@@ -646,6 +646,27 @@ object ExtQueries extends QueryGroup {
        |WHERE c.n_ab >= 5
        |ORDER BY lift_bp DESC, g ASC LIMIT 40""".stripMargin
 
+  /** Table profiling (ANALYZE shape): per-column rows/nulls/ndv/min/max
+    * in one aggregate pass; the oracle is a UNION ALL of independent
+    * per-column aggregates. */
+  def profileTable(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.profile(load(spark, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate", "o_totalprice"))
+      .orderBy($"col_name")
+
+  private val profileTableSql = {
+    def one(c: String) =
+      s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+         |  (count(*) - count($c))::BIGINT AS n_nulls,
+         |  count(DISTINCT $c)::BIGINT AS n_distinct,
+         |  min($c)::VARCHAR AS min_value, max($c)::VARCHAR AS max_value
+         |FROM orders""".stripMargin
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+      "o_orderdate", "o_totalprice").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
+
   /** Z-order curve verification: per-z-block stats over the Morton
     * interleave of (orderkey, partkey) low 16 bits. The oracle rebuilds
     * the interleave with pure shift/mask arithmetic, pinning the curve
@@ -1394,6 +1415,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("ext_collocations", collocations, Some(collocationsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
+    QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
