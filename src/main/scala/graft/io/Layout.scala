@@ -38,6 +38,21 @@ object Layout {
     salted.join(replicated, Seq(key, "_salt"), joinType).drop("_salt")
   }
 
+  /** Bucketed layout for co-located joins: hash-bucket + sort BY THE
+    * JOIN KEY at write time, so two tables bucketed the same way join
+    * with ZERO exchanges — the shuffle is paid once when the table is
+    * written, then amortized over every subsequent join/aggregate on
+    * that key. THE layout decision for a 100-TB fact table that joins
+    * its biggest dimension daily: neither side is broadcastable and an
+    * every-query shuffle of the fact is the dominant cost. Registered
+    * through the catalog (bucket metadata lives there; a bare parquet
+    * path has nowhere to record it). */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+      nBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
   /** Z-order clustering for write layout: range-partition + sort by the
     * Morton z-value of two columns so each output file covers a compact
     * box in BOTH dimensions — parquet min/max footer stats then prune

@@ -67,6 +67,43 @@ class LayoutSpec extends SparkSpec {
     assert(lines === Set("Found 2 reads.", "Found 1 samples."))
   }
 
+  test("bucketed tables join and aggregate with zero exchanges") {
+    import spark.implicits._
+    val orders = Tables.load(spark, sfDir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    Layout.writeBucketed(orders, "b_orders", "o_orderkey", 4)
+    Layout.writeBucketed(li.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", "o_orderkey", 4)
+    try {
+      val bo = spark.table("b_orders")
+      val bl = spark.table("b_lineitem")
+      // force the non-broadcast path (the layout exists for big-big joins)
+      val joined = bo.hint("merge").join(bl, "o_orderkey")
+        .groupBy($"o_orderkey").agg(sum($"l_quantity").as("qty"))
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      import org.apache.spark.sql.execution.exchange.Exchange
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: Exchange => e }
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(exchanges.isEmpty,
+        s"bucketed join+agg must be exchange-free\n$plan")
+      // and the answer matches the unbucketed join
+      val want = orders.join(
+          li.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+        .groupBy($"o_orderkey").agg(sum($"l_quantity").as("qty"))
+      // rounded: the two plans sum each group in different orders
+      def asSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), math.round(r.getDouble(1) * 1e6))).toSet
+      assert(asSet(joined) === asSet(want))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("zvalue kernel == naive interleave; aligned prefix blocks nest") {
     import graft.functions.ZOrderKernel
     def naive(x: Long, y: Long, bits: Int): Long =
