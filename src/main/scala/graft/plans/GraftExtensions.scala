@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DmsToDecimal, DotProduct, FuzzRatio, FuzzWRatio}
+import graft.functions.{DmsToDecimal, DotProduct, FuzzRatio, FuzzWRatio, ZValue}
 
 /** Session-extension installer: makes the engine's custom Catalyst
   * expressions available to ANY session — including ones the library
@@ -62,5 +62,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_product",
         "dot_product(a, b) - dot product of two numeric arrays as double"),
       arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("zvalue"),
+      info("zvalue",
+        "zvalue(x, y, bits) - Morton z-order interleave of two longs (bits must be a literal)"),
+      arity("zvalue", 3)(exprs => {
+        val bits = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "zvalue(x, y, bits): bits must be an integer literal")
+        }
+        ZValue(exprs(0), exprs(1), bits)
+      })))
   }
 }

@@ -168,6 +168,46 @@ object StreamingIngest {
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
 
+  /** Incremental aggregate maintenance: keep a per-key (n, total)
+    * aggregate table up to date from a stream WITHOUT ever
+    * re-aggregating history — each micro-batch is pre-aggregated (one
+    * small shuffle over the batch) and merged ADDITIVELY into the
+    * target, so the cost per trigger is O(batch + |aggregate table|)
+    * no matter how much history the stream has seen. This is the
+    * materialized-view-maintenance shape: count/sum are the
+    * self-mergeable aggregates (avg = total/n at read time); the same
+    * skeleton carries any commutative monoid (min/max/HLL/bounded
+    * top-k). The alternative — a watermarked complete-mode aggregation
+    * — holds every key in operator state forever; here state lives in
+    * the target table and the checkpoint only tracks file progress.
+    * The swap is atomic (rename-aside) and each batch is either wholly
+    * merged or not, so AvailableNow restarts resume exactly. */
+  def runningAggSink(stream: DataFrame, targetPath: String,
+      keys: Seq[String], valueCol: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("_d_n"), sum(col(valueCol)).as("_d_total"))
+        val target =
+          try spark.read.parquet(targetPath)
+          catch { case _: Throwable =>
+            delta.select(keys.map(col) :+ col("_d_n").as("n") :+
+              col("_d_total").as("total"): _*).limit(0) }
+        val merged = target.join(delta, keys, "full")
+          .select(keys.map(col) ++ Seq(
+            (coalesce(col("n"), lit(0L)) + coalesce(col("_d_n"), lit(0L)))
+              .as("n"),
+            (coalesce(col("total"), lit(0.0)) +
+              coalesce(col("_d_total"), lit(0.0))).as("total")): _*)
+        graft.io.Sinks.atomicParquetSwap(merged, targetPath)
+        ()
+      }
+
   /** Insert-only merge sink: each micro-batch merges into the target
     * with `$setOnInsert` semantics (discovery never clobbers
     * enrichments) — update_reads.py:46-56 as a streaming sink.

@@ -175,6 +175,30 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("runningAggSink: multi-batch additive maintenance equals the batch aggregate") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val landing = tmpDir("graft-landing-ragg")
+    // many part files + maxFilesPerTrigger=2 forces SEVERAL micro-batches,
+    // so the additive merge across batches is what's under test
+    ev.repartition(6).write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.landingStream(spark, landing, schema,
+      maxFilesPerTrigger = 2)
+    val target = tmpDir("graft-ragg-target") + "/agg"
+    val q = StreamingIngest.runningAggSink(stream, target,
+      Seq("event_type"), "value", tmpDir("graft-ragg-ckpt")).start()
+    try q.awaitTermination() finally q.stop()
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), math.round(r.getDouble(2) * 1e4)))).toMap
+    val got = asMap(spark.read.parquet(target)
+      .select($"event_type", $"n", $"total"))
+    val want = asMap(ev.groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"value").as("total"))
+      .select($"event_type", $"n", $"total"))
+    assert(got === want && got.size >= 3)
+  }
+
   test("dedupWithinWatermark: re-deliveries drop within the delay, state evicts after") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
