@@ -267,7 +267,30 @@ object AggQueries extends QueryGroup {
       |                        (l_returnflag), (l_linestatus))
       |ORDER BY flag, status""".stripMargin
 
+  /** A15 — pivot (long → wide): per-user event counts, one column per
+    * event type. Spark compiles `pivot` to conditional aggregation —
+    * one pass, map-side partial — with the pivot values pinned
+    * explicitly so the plan never needs the extra distinct-scan (and
+    * the output schema is stable for the oracle). */
+  def pivotCounts(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+
+  private val pivotCountsSql =
+    """SELECT user_id,
+      |  count(*) FILTER (event_type = 'view') AS view,
+      |  count(*) FILTER (event_type = 'click') AS click,
+      |  count(*) FILTER (event_type = 'purchase') AS purchase,
+      |  count(*) FILTER (event_type = 'signup') AS signup,
+      |  count(*) FILTER (event_type = 'error') AS error
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("a15_pivot", pivotCounts, Some(pivotCountsSql)),
     QueryDef("a12_rollup", rollupAgg, Some(rollupAggSql)),
     QueryDef("a13_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("a14_star_revenue", starRevenue, Some(starRevenueSql)),

@@ -646,6 +646,57 @@ object ExtQueries extends QueryGroup {
        |WHERE c.n_ab >= 5
        |ORDER BY lift_bp DESC, g ASC LIMIT 40""".stripMargin
 
+  /** Snapshot diff (CDC between two table versions): the after-image
+    * modifies every `%6==0` customer, drops `%5==0`, and adds re-keyed
+    * rows — added/removed/changed classification with old/new values
+    * side by side. The oracle classifies with an independent
+    * CASE-over-full-join formulation. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val customer = load(spark, dir, "customer")
+    val before = customer
+      .select($"c_custkey", $"c_mktsegment", round($"c_acctbal", 2).as("acctbal"))
+    val after = customer.where($"c_custkey" % 5 =!= 0)
+      .select($"c_custkey",
+        when($"c_custkey" % 6 === 0, lit("MOVED"))
+          .otherwise($"c_mktsegment").as("c_mktsegment"),
+        round($"c_acctbal", 2).as("acctbal"))
+      .unionByName(customer.where($"c_custkey" % 1000 === 2)
+        .select(($"c_custkey" + 8000000).as("c_custkey"),
+          $"c_mktsegment", round($"c_acctbal", 2).as("acctbal")))
+    graft.ops.SnapshotDiff.diff(before, after, Seq("c_custkey"))
+      .orderBy($"c_custkey")
+  }
+
+  private val snapshotDiffSql =
+    """WITH b AS (
+      |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+      |  FROM customer),
+      |a AS (
+      |  SELECT c_custkey,
+      |         CASE WHEN c_custkey % 6 = 0 THEN 'MOVED'
+      |              ELSE c_mktsegment END AS c_mktsegment,
+      |         round(c_acctbal, 2) AS acctbal
+      |  FROM customer WHERE c_custkey % 5 != 0
+      |  UNION ALL
+      |  SELECT c_custkey + 8000000, c_mktsegment, round(c_acctbal, 2)
+      |  FROM customer WHERE c_custkey % 1000 = 2)
+      |SELECT coalesce(b.c_custkey, a.c_custkey) AS c_custkey,
+      |       CASE WHEN b.c_custkey IS NULL THEN 'added'
+      |            WHEN a.c_custkey IS NULL THEN 'removed'
+      |            WHEN b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+      |              OR b.acctbal IS DISTINCT FROM a.acctbal THEN 'changed'
+      |       END AS change_type,
+      |       b.c_mktsegment AS old_c_mktsegment,
+      |       a.c_mktsegment AS new_c_mktsegment,
+      |       b.acctbal AS old_acctbal, a.acctbal AS new_acctbal
+      |FROM b FULL JOIN a ON b.c_custkey = a.c_custkey
+      |WHERE CASE WHEN b.c_custkey IS NULL THEN 'added'
+      |           WHEN a.c_custkey IS NULL THEN 'removed'
+      |           WHEN b.c_mktsegment IS DISTINCT FROM a.c_mktsegment
+      |             OR b.acctbal IS DISTINCT FROM a.acctbal THEN 'changed'
+      |      END IS NOT NULL
+      |ORDER BY c_custkey""".stripMargin
+
   /** Table profiling (ANALYZE shape): per-column rows/nulls/ndv/min/max
     * in one aggregate pass; the oracle is a UNION ALL of independent
     * per-column aggregates. */
@@ -1416,6 +1467,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_collocations", collocations, Some(collocationsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
+    QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
