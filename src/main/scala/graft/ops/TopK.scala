@@ -10,14 +10,19 @@ import org.apache.spark.sql.functions._
   * entries, so the map-side combine prunes each partition's
   * contribution to ≤ k rows per group BEFORE the exchange.
   *
-  * The window formulation (`row_number() ≤ k`) shuffles EVERY row of
-  * every group to its reducer and sorts there — at 100 TB that is the
-  * whole fact table through the wire for a k-row answer. Here the
-  * shuffle carries ≤ k·partitions rows per group, independent of group
-  * size: the same asymmetry TakeOrderedAndProject exploits for global
-  * top-k, generalized per group (and the map-side prune Spark's own
-  * collect_list-based rewrites cannot do, because their partial buffers
-  * are unbounded).
+  * Spark itself prunes a `row_number() ≤ k` filter map-side since the
+  * WindowGroupLimit rule (measured head-to-head in MetricsSpec: both
+  * shapes ship ≤ k·partitions rows per group; with that rule disabled
+  * the window ships EVERY row). What the window shape still cannot do,
+  * and this Aggregator can:
+  *  - ride the SAME groupBy as other aggregates — top-k alongside
+  *    count/sum/mode in one shuffle instead of a window pass plus a
+  *    re-aggregation;
+  *  - yield the top-k as an ARRAY per group (no explode → re-group
+  *    round-trip when the consumer wants the list);
+  *  - prune inside ANY aggregation context (grouping sets, streaming
+  *    foreachBatch partials) where a rank filter has no window to push
+  *    into.
   *
   * Ordering: value DESC, ties by id ASC — fully deterministic. Null
   * values are ignored (SQL window ordering would sort them last and k

@@ -137,9 +137,9 @@ object WindowQueries extends QueryGroup {
   /** W5 — per-group top-k via the bounded-buffer Aggregator
     * ([[graft.ops.TopK]]): partial buffers hold ≤ k entries, so the
     * map-side combine prunes every partition to k rows per group
-    * BEFORE the shuffle — the window row_number formulation (which the
-    * ORACLE uses, independently) ships whole groups. Same answer, scale
-    * shapes apart. */
+    * BEFORE the shuffle. The ORACLE uses the window row_number
+    * formulation — independent shape, same answer (shuffle economics
+    * of both shapes measured in MetricsSpec). */
   def topKGroups(spark: SparkSession, dir: String): DataFrame =
     graft.ops.TopK.topKPerGroup(load(spark, dir, "events"),
         Seq("event_type"), "value", "event_id", k = 3)

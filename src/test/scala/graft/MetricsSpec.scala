@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.ops.{BloomJoin, Metrics, TopK}
+
+/** The scale contracts, MEASURED: actual shuffle-write bytes of the
+  * scale-shaped formulation vs the naive one on the same data. */
+class MetricsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bounded top-k matches WindowGroupLimit's map-side prune; both beat it disabled") {
+    Metrics.withoutAqe(spark) {
+      // one massive group + several small ones, 16 input partitions
+      val rnd = new scala.util.Random(5)
+      val df = (1 to 60000).map { i =>
+        (if (i % 20 == 0) s"g${i % 7}" else "hot", rnd.nextDouble(), i.toLong)
+      }.toDF("grp", "v", "id").repartition(16).cache()
+      df.count()
+
+      val topk = Metrics.shuffleWrite(
+        TopK.topKPerGroup(df, Seq("grp"), "v", "id", 3))
+      val w = Window.partitionBy($"grp").orderBy($"v".desc, $"id")
+      def windowQuery = df.withColumn("rnk", row_number().over(w))
+        .where($"rnk" <= 3)
+      // Spark's WindowGroupLimit rule prunes rank filters map-side too —
+      // the honest comparison is three-way
+      val windowPruned = Metrics.shuffleWrite(windowQuery)
+      val limitKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+      val prev = spark.conf.get(limitKey)
+      spark.conf.set(limitKey, "-1") // disable the rule → the naive shape
+      val windowNaive =
+        try Metrics.shuffleWrite(windowQuery)
+        finally spark.conf.set(limitKey, prev)
+      df.unpersist()
+
+      // both pruned shapes cap shuffled records at ~k per partition per group
+      val cap = 16L * 8 * 3 + 16
+      assert(topk.recordsWritten <= cap,
+        s"partial buffers must cap shuffled records, got ${topk.recordsWritten}")
+      assert(windowPruned.recordsWritten <= cap,
+        s"WindowGroupLimit should prune too, got ${windowPruned.recordsWritten}")
+      // without the prune the window ships every row — the 100-TB cliff
+      assert(windowNaive.recordsWritten >= 60000,
+        s"naive window ships every row, got ${windowNaive.recordsWritten}")
+      assert(topk.bytesWritten * 20 < windowNaive.bytesWritten,
+        s"topk=${topk.bytesWritten}B naive=${windowNaive.bytesWritten}B")
+    }
+  }
+
+  test("bloom prefilter cuts the big side's shuffle vs the plain shuffle join") {
+    Metrics.withoutAqe(spark) {
+      val big = (1 to 80000).map(i => (i.toLong, s"payload-$i-abcdefghij"))
+        .toDF("k", "payload").repartition(8).cache()
+      val small = (1 to 80000 by 100).map(i => (i.toLong, i * 2))
+        .toDF("k", "tag").cache()
+      big.count(); small.count()
+
+      val plain = Metrics.shuffleWrite(
+        big.hint("merge").join(small.hint("merge"), Seq("k")))
+      val f = BloomJoin.build(small, "k", expectedItems = 800, fpp = 0.01)
+      val bloomed = Metrics.shuffleWrite(
+        BloomJoin.prefilter(big, "k", f).hint("merge")
+          .join(small.hint("merge"), Seq("k")))
+      big.unpersist(); small.unpersist()
+      // 1-in-100 selectivity: the pruned fact side should shrink the
+      // total shuffle by an order of magnitude
+      assert(bloomed.bytesWritten * 10 < plain.bytesWritten,
+        s"bloomed=${bloomed.bytesWritten}B plain=${plain.bytesWritten}B")
+    }
+  }
+}
