@@ -34,6 +34,19 @@ object Sampling {
   def hashSample(df: DataFrame, keyCol: String, rateBp: Int): DataFrame =
     df.where(hashBucket(col(keyCol)) < rateBp)
 
+  /** Per-ROW-rate deterministic sample: keep a row iff its md5 bucket
+    * falls under `rateBp`, an arbitrary basis-point EXPRESSION — the
+    * generalization of [[hashSample]] (constant rate) and
+    * [[stratifiedSample]] (per-stratum rate) to a per-row keep
+    * probability, e.g. rate ∝ a model quality score so the sample
+    * up-weights what the classifier likes while staying bit-for-bit
+    * reproducible (same key ⇒ same verdict on every run and engine).
+    * Rates clamp to [0, 10000]; a NULL key falls out per the
+    * [[hashBucket]] contract. Pure narrow filter, zero shuffle. */
+  def weightedSample(df: DataFrame, keyCol: String, rateBp: Column): DataFrame =
+    df.where(hashBucket(col(keyCol)) <
+      greatest(lit(0), least(lit(10000), rateBp)))
+
   /** Deterministic split assignment: cumulative bucket ranges over
     * (label, basisPoints) weights, e.g. Seq(("train",8000), ("val",1000),
     * ("test",1000)). Weights must sum to ≤ 10000; rows past the total

@@ -774,6 +774,43 @@ object ExtQueries extends QueryGroup {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** Model-weighted sampling: per-row keep probability ∝ the
+    * classifier score ([[TextStats.classifierScore]]) — the sample
+    * up-weights what the model likes, deterministically (md5 bucket vs
+    * score, bit-reproducible across runs and engines). Oracle re-derives
+    * score AND membership in SQL. */
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val scored = TextStats.classifierScore(docs)
+      .select($"doc_id", $"score_bp")
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+    Sampling.weightedSample(scored, "doc_id", $"score_bp")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"), sum($"score_bp").as("score_sum"))
+      .orderBy($"source")
+  }
+
+  private val sampleWeightedSql = {
+    val md5u32 = (s: String) => s"(('0x' || substr(md5($s), 1, 8))::BIGINT)"
+    val weight =
+      s"(${md5u32(s"(${md5u32("w")} % 4096)::VARCHAR")} % 2001) - 1000"
+    s"""WITH t AS (
+       |  SELECT doc_id, source, $toksSql AS ws FROM documents),
+       |s AS (
+       |  SELECT doc_id, source, len(ws)::BIGINT AS n,
+       |         list_sum(list_transform(ws, w -> $weight))::BIGINT AS raw
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, source,
+       |         (10000 * (raw + 1000 * n)) // (2000 * n) AS score_bp
+       |  FROM s)
+       |SELECT source, count(*) AS n_kept, sum(score_bp) AS score_sum
+       |FROM sc
+       |WHERE (${md5u32("doc_id::VARCHAR")} % 10000)
+       |        < greatest(0, least(10000, score_bp))
+       |GROUP BY source ORDER BY source""".stripMargin
+  }
+
   /** C4/Gopher-style corpus filter: metrics + failed-rule reasons + keep
     * flag per document, one narrow pass. The oracle recomputes every
     * metric relationally and re-derives the rule cascade, so the hash
@@ -1472,6 +1509,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
     QueryDef("ext_split_leakage_safe", splitLeakageSafe, Some(splitLeakageSafeSql)),
+    QueryDef("ext_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("ext_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
     QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),

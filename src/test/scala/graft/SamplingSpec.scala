@@ -128,6 +128,27 @@ class SamplingSpec extends SparkSpec {
     assert(df.groupBy($"component_id").count().where($"count" > 1).count() > 0)
   }
 
+  test("weightedSample: boundary rates, clamping, and per-row monotonicity") {
+    import graft.ext.Sampling
+    val df = (1 to 2000).map(i => (i.toLong, i % 7)).toDF("k", "grp")
+    assert(Sampling.weightedSample(df, "k", lit(0)).count() === 0)
+    assert(Sampling.weightedSample(df, "k", lit(10000)).count() === 2000)
+    // clamps: out-of-range rates behave as 0 / 10000
+    assert(Sampling.weightedSample(df, "k", lit(-50)).count() === 0)
+    assert(Sampling.weightedSample(df, "k", lit(99999)).count() === 2000)
+    // monotone per row: a higher rate keeps a superset
+    def kept(rate: org.apache.spark.sql.Column) =
+      Sampling.weightedSample(df, "k", rate).select("k")
+        .collect().map(_.getLong(0)).toSet
+    val lo = kept(lit(2000)); val hi = kept(lit(6000))
+    assert(lo.subsetOf(hi) && lo.nonEmpty && hi.size > lo.size)
+    // per-row expression rates: rows in grp 0 sampled at 10000, rest at 0
+    val byGrp = Sampling.weightedSample(df, "k",
+        when($"grp" === 0, 10000).otherwise(0))
+      .select("grp").distinct().collect().map(_.getInt(0)).toSeq
+    assert(byGrp === Seq(0))
+  }
+
   test("stratifiedSample applies per-stratum rates") {
     val df = (1L to 4000L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
       .toDF("doc_id", "lang")
