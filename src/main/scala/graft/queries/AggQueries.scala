@@ -289,8 +289,28 @@ object AggQueries extends QueryGroup {
       |  count(*) FILTER (event_type = 'error') AS error
       |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** A16 — unpivot/melt (wide → long, the inverse of a15): customer
+    * numeric attributes to (key, attribute, value) rows. Narrow Expand
+    * — one output row per (row, attribute), no shuffle. */
+  def unpivotAttrs(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .select($"c_custkey", $"c_acctbal", $"c_nationkey".cast("double").as("c_nationkey"))
+      .unpivot(Array($"c_custkey"), Array($"c_acctbal", $"c_nationkey"),
+        "attribute", "value")
+      .select($"c_custkey", $"attribute", round($"value", 2).as("value"))
+      .orderBy($"c_custkey", $"attribute")
+
+  private val unpivotAttrsSql =
+    """SELECT c_custkey, attribute, round(value, 2) AS value FROM (
+      |  SELECT c_custkey, 'c_acctbal' AS attribute, c_acctbal AS value
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 'c_nationkey', c_nationkey::DOUBLE FROM customer)
+      |ORDER BY c_custkey, attribute""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("a15_pivot", pivotCounts, Some(pivotCountsSql)),
+    QueryDef("a16_unpivot", unpivotAttrs, Some(unpivotAttrsSql)),
     QueryDef("a12_rollup", rollupAgg, Some(rollupAggSql)),
     QueryDef("a13_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("a14_star_revenue", starRevenue, Some(starRevenueSql)),
