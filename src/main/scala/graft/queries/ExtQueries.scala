@@ -646,6 +646,51 @@ object ExtQueries extends QueryGroup {
        |WHERE c.n_ab >= 5
        |ORDER BY lift_bp DESC, g ASC LIMIT 40""".stripMargin
 
+  /** PageRank over the near-dup graph ([[graft.ops.PageRank]]):
+    * all-integer damped iterations, K=4, unrolled CTE-per-iteration in
+    * the oracle (recursive SQL cannot aggregate over its own recursive
+    * reference, so the fixed unroll IS the independent formulation). */
+  def pagerank(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    graft.ops.PageRank.run(edges, emb.select($"vec_id".as("id")),
+        iterations = 4)
+      .orderBy($"id")
+  }
+
+  private val pagerankSql = {
+    def iter(prev: String, cur: String) =
+      s"""$cur AS (
+         |  SELECT i.id,
+         |         ((10000 - 8500) * (1000000000 // p.n)) // 10000
+         |           + (8500 * coalesce(s.s, 0)) // 10000 AS r
+         |  FROM ids i CROSS JOIN p
+         |  LEFT JOIN (
+         |    SELECT e.dst, sum(r.r // d.d) AS s
+         |    FROM $prev r JOIN deg d ON r.id = d.src
+         |    JOIN edges e ON e.src = d.src
+         |    GROUP BY e.dst) s ON i.id = s.dst)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |deg AS (SELECT src, count(*)::BIGINT AS d FROM edges GROUP BY 1),
+       |ids AS (SELECT DISTINCT vec_id AS id FROM embeddings),
+       |p AS (SELECT count(*)::BIGINT AS n FROM ids),
+       |it0 AS (SELECT id, (1000000000 // p.n) AS r FROM ids CROSS JOIN p),
+       |${iter("it0", "it1")},
+       |${iter("it1", "it2")},
+       |${iter("it2", "it3")},
+       |${iter("it3", "it4")}
+       |SELECT id, r AS rank FROM it4 ORDER BY id""".stripMargin
+  }
+
   /** Snapshot diff (CDC between two table versions): the after-image
     * modifies every `%6==0` customer, drops `%5==0`, and adds re-keyed
     * rows — added/removed/changed classification with old/new values
@@ -1505,6 +1550,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
+    QueryDef("ext_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
