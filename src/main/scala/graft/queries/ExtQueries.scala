@@ -691,6 +691,32 @@ object ExtQueries extends QueryGroup {
        |SELECT id, r AS rank FROM it4 ORDER BY id""".stripMargin
   }
 
+  /** Triangle counts per node over the near-dup graph
+    * ([[graft.ops.Triangles]], degree-ordered wedge enumeration). The
+    * oracle enumerates each triangle by plain id-order (a<b<c triple
+    * self-join) — a completely different orientation, same triangles. */
+  def triangles(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    graft.ops.Triangles.perNode(pairs).orderBy($"id")
+  }
+
+  private val trianglesSql =
+    s"""WITH e AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |tri AS (
+       |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.id_a = e1.id_b
+       |  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       |corners AS (
+       |  SELECT unnest([a, b, c]) AS id FROM tri)
+       |SELECT id, count(*)::BIGINT AS n_triangles
+       |FROM corners GROUP BY id ORDER BY id""".stripMargin
+
   /** Snapshot diff (CDC between two table versions): the after-image
     * modifies every `%6==0` customer, drops `%5==0`, and adds re-keyed
     * rows — added/removed/changed classification with old/new values
@@ -1551,6 +1577,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("ext_pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
