@@ -160,6 +160,38 @@ object Frequency {
     cum.groupBy(col("_g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Winsorization (outlier clipping) of `valueCol` at exact per-group
+    * quantiles [pLo, pHi] — the standard robust-statistics pre-pass
+    * before length/score distributions feed sampling weights or
+    * normalization. Returns every input row with the group bounds, the
+    * clipped value, and a `was_clipped` flag.
+    *
+    * Scale shape: the bounds come from [[exactQuantiles]] (distributed
+    * selection — no global sort, no per-group window), and the bounds
+    * table is GROUP-cardinality, so it broadcasts back onto the rows:
+    * the data-scale side never shuffles for the clip. Values are
+    * handled as doubles internally (the exactQuantiles transport type);
+    * integer inputs survive exactly (< 2^53). */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+      pLo: Double, pHi: Double): DataFrame = {
+    require(pLo < pHi, s"need pLo < pHi, got $pLo >= $pHi")
+    val labels = Seq(pLo, pHi).map(p => "p" + math.round(p * 100))
+    // the bounds frame shares df's lineage (self-join): re-key its group
+    // column to a fresh name so the join condition is unambiguous
+    val bounds = exactQuantiles(df, groupCol, valueCol, Seq(pLo, pHi))
+      .withColumnRenamed(groupCol, "_wg")
+      .withColumnRenamed(labels.head, "lo")
+      .withColumnRenamed(labels.last, "hi")
+    df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .join(broadcast(bounds),
+        col(groupCol).cast("string") === col("_wg"), "inner")
+      .drop("_wg")
+      .withColumn("_v", col(valueCol).cast("double"))
+      .withColumn("clipped", least(greatest(col("_v"), col("lo")), col("hi")))
+      .withColumn("was_clipped", col("_v") < col("lo") || col("_v") > col("hi"))
+      .drop("_v")
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, minCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val sess = df.sparkSession

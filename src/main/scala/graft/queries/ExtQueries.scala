@@ -46,7 +46,7 @@ object ExtQueries extends QueryGroup {
   // coalesce mirrors TextStats.tokens' null-safety: null text must
   // tokenize like the empty doc in BOTH engines or null-text docs would
   // pair in Spark and silently vanish from the DuckDB side
-  private val toksSql = "string_split_regex(lower(coalesce(text, '')), '\\s+')"
+  private[queries] val toksSql = "string_split_regex(lower(coalesce(text, '')), '\\s+')"
 
   /** quality_q4 integer blend over raw counts (s = Σ token lengths,
     * n = #tokens, c = #en-stopwords, l = #chars, p = #punct) — MUST

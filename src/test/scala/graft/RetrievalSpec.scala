@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ext.{Frequency, Retrieval, Vocab}
+
+/** Retrieval / vocab-encode / winsorize properties the oracle gate can't
+  * isolate: posting-cap behavior, BM25 ranking sanity, OOV handling,
+  * and clip-flag correctness. */
+class RetrievalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  test("invertedIndex: exact df/total_tf, postings capped and ordered") {
+    val d = docs(
+      1L -> "a a b",
+      2L -> "a c",
+      3L -> "a a a",
+      4L -> "b")
+    val idx = Retrieval.invertedIndex(d, maxPostings = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // term a: df=3, total=6; cap 2 keeps tf-desc (doc3 tf=3, doc1 tf=2)
+    assert(idx("a") === ((3L, 6L, "3:3,1:2")))
+    // term b: tie tf=1 breaks to lower doc_id first
+    assert(idx("b") === ((2L, 2L, "1:1,4:1")))
+    assert(idx("c") === ((1L, 1L, "2:1")))
+  }
+
+  test("invertedIndex: hot term ships only the cap, counts stay exact") {
+    val hot = (1L to 200L).map(i => i -> "hot").toDF("doc_id", "text")
+    val row = Retrieval.invertedIndex(hot, maxPostings = 5).collect()
+    assert(row.length === 1)
+    assert(row(0).getLong(1) === 200L)     // df exact despite the cap
+    assert(row(0).getString(3) === "1:1,2:1,3:1,4:1,5:1")
+  }
+
+  test("bm25TopK: shared rare terms outrank, self excluded, deterministic") {
+    val corpus = docs(
+      1L -> "apple banana apple kiwi",
+      2L -> "apple cherry plum pear",
+      3L -> "durian fig grape melon",
+      4L -> "apple banana banana lime")
+    val q = corpus.where($"doc_id" === 1L)
+    val res = Retrieval.bm25TopK(corpus, q, k = 3).orderBy($"rank")
+    val rows = res.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // doc 1 itself excluded; doc 3 shares nothing -> absent entirely
+    assert(!rows.exists(_._3 == 1L))
+    assert(!rows.exists(_._3 == 3L))
+    // doc 4 shares apple AND (twice) banana -> beats doc 2 (apple only)
+    assert(rows.head._3 === 4L)
+    assert(rows.map(_._3).toSet === Set(2L, 4L))
+    // bit-stable across re-evaluation (integer-sum contract)
+    val again = Retrieval.bm25TopK(corpus, q, k = 3).orderBy($"rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq === again.toSeq)
+  }
+
+  test("bm25TopK: scores monotone in matching tf at equal length") {
+    val corpus = docs(
+      1L -> "x x x y",
+      2L -> "x y y y",
+      3L -> "z z z z")
+    val q = docs(10L -> "x")
+    val scored = Retrieval.bm25TopK(corpus, q, k = 3)
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(scored(1L) > scored(2L))        // tf 3 beats tf 1, same dl
+    assert(!scored.contains(3L))
+  }
+
+  test("vocab: rank ids deterministic, encode maps OOV to 0") {
+    val d = docs(
+      1L -> "b b b a a c",
+      2L -> "a b rare")
+    val v = Vocab.buildVocab(d, size = 2)
+    // b (4 occurrences) -> 1, a (3) -> 2; c/rare fall out
+    assert(v === Map("b" -> 1, "a" -> 2))
+    val enc = Vocab.encode(d, v, headIds = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toList
+    assert(enc === List(
+      (1L, 6L, 1L, "1,1,1,2"),             // csv clips at headIds
+      (2L, 3L, 1L, "2,1,0")))              // rare -> 0
+  }
+
+  test("vocab: count ties break to the lexicographically smaller piece") {
+    val d = docs(1L -> "beta alpha")
+    assert(Vocab.buildVocab(d, size = 1) === Map("alpha" -> 1))
+  }
+
+  test("winsorize: exact bounds, clipping, and flags per group") {
+    val d = (1L to 100L).map(i => (i, "g", i)) // values 1..100
+      .toDF("doc_id", "grp", "v")
+    val w = Frequency.winsorize(d, "grp", "v", 0.05, 0.95)
+      .select($"doc_id", $"lo", $"hi", $"clipped", $"was_clipped")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(w.size === 100)                  // cardinality preserved
+    // quantile_disc(ceil(p*n)): p05 -> 5th value, p95 -> 95th
+    assert(w(1L) === ((5.0, 95.0, 5.0, true)))
+    assert(w(50L) === ((5.0, 95.0, 50.0, false)))
+    assert(w(100L) === ((5.0, 95.0, 95.0, true)))
+    assert(w(95L)._4 === false)             // boundary value is inside
+  }
+
+  test("winsorize: null groups and null values fall out") {
+    val d = Seq[(Long, Option[String], Option[Long])](
+      (1L, Some("g"), Some(10L)), (2L, None, Some(5L)), (3L, Some("g"), None),
+      (4L, Some("g"), Some(20L)), (5L, Some("g"), Some(30L)))
+      .toDF("doc_id", "grp", "v")
+    val ids = Frequency.winsorize(d, "grp", "v", 0.05, 0.95)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 4L, 5L))
+  }
+
+  test("plan: vocab encode is narrow (no Exchange)") {
+    val d = docs(1L -> "a b", 2L -> "b c")
+    val plan = Vocab.encode(d, Map("a" -> 1, "b" -> 2))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
