@@ -53,6 +53,37 @@ object Layout {
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈totalBytes / targetBytes⌉ files. The operational pressure-valve
+    * every long-lived 100-TB table needs — streaming sinks, partitioned
+    * upserts, and per-batch merges all accrete KB-scale files until
+    * task scheduling and footer reads dominate scan time.
+    *
+    * `coalesce`, NOT `repartition`: compaction reduces file count, and
+    * coalesce does it with ZERO shuffle — each output task just reads
+    * several input files end-to-end. (repartition would round-robin
+    * every row through an exchange to achieve the same file count; use
+    * it only if pathological input skew must be rebalanced, which a
+    * compaction of same-schema small files doesn't exhibit.) Returns
+    * (filesBefore, bytesBefore, filesAfter). */
+  def compactFiles(spark: SparkSession, inPath: String, outPath: String,
+      targetBytes: Long): (Int, Long, Int) = {
+    require(targetBytes >= 1, s"targetBytes must be >= 1, got $targetBytes")
+    def dataFiles(p: String): Seq[org.apache.hadoop.fs.FileStatus] = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(hp).toIndexedSeq
+        .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
+          && !s.getPath.getName.startsWith("."))
+    }
+    val before = dataFiles(inPath)
+    val bytes = before.map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    spark.read.parquet(inPath).coalesce(nOut)
+      .write.mode("overwrite").parquet(outPath)
+    (before.size, bytes, dataFiles(outPath).size)
+  }
+
   /** Z-order clustering for write layout: range-partition + sort by the
     * Morton z-value of two columns so each output file covers a compact
     * box in BOTH dimensions — parquet min/max footer stats then prune
