@@ -640,6 +640,59 @@ object Dedup {
       .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
   }
 
+  /** Segment-level GLOBAL dedup at sub-document granularity — the C4 /
+    * CCNet paragraph-dedup shape: the corpus is cut into fixed
+    * `segLen`-token segments on a deterministic grid, every repeated
+    * segment keeps only its globally FIRST occurrence (smallest
+    * (doc_id, seg_idx)), and each doc is rebuilt from its surviving
+    * segments in order. Unlike doc-level [[exact]] this removes the
+    * boilerplate that repeats across *different* documents (headers,
+    * navigation, license blocks) while keeping the unique remainder.
+    *
+    * Returns one row per input doc: `(doc_id, n_seg, n_kept,
+    * text_dedup)` — cardinality-preserving like [[removeSpans]]; a doc
+    * whose every segment lost comes back with `n_kept = 0` and empty
+    * text, not a dropped row.
+    *
+    * Scale shape: the winner per distinct segment is `min(struct(doc_id,
+    * seg_idx))` — ONE map-side-combined hash aggregate, so a
+    * corpus-hot segment (boilerplate repeated in millions of docs)
+    * ships one partial row per map partition, never its occurrence
+    * universe (the same reason [[exact]] aggregates instead of
+    * windowing). Reassembly is a second map-side-combinable aggregate
+    * over winners only — already ≤ one row per distinct segment. Both
+    * exchanges carry segment TEXT once each; at production scale the
+    * winner pass would key on a 16-byte segment digest with the text
+    * resolved by a third join, same plan shape. */
+  def segmentDedup(docs: DataFrame, segLen: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextStats.tokens(col(textCol)).as("_toks"))
+      // ceil(n / segLen) in exact integer arithmetic (tokens is never
+      // empty under this tokenizer: "" tokenizes to [""])
+      .withColumn("_nseg",
+        floor((size($"_toks") + lit(segLen - 1)) / lit(segLen)).cast("long"))
+      .persistScoped // read twice: segment explode + per-doc totals
+    val occ = base.select($"doc_id",
+      posexplode(transform(sequence(lit(0), ($"_nseg" - 1).cast("int")),
+        i => array_join(slice($"_toks", i * segLen + 1, lit(segLen)), " ")))
+        .as(Seq("seg_idx", "seg")))
+    val winners = occ.groupBy($"seg")
+      .agg(min(struct($"doc_id", $"seg_idx")).as("_w"))
+      .select($"_w.doc_id".as("doc_id"), $"_w.seg_idx".as("seg_idx"), $"seg")
+    val kept = winners.groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"seg_idx", $"seg"))),
+          s => s.getField("seg"))).as("text_dedup"))
+    base.select($"doc_id", $"_nseg".as("n_seg"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_seg",
+        coalesce($"n_kept", lit(0L)).as("n_kept"),
+        coalesce($"text_dedup", lit("")).as("text_dedup"))
+  }
+
   /** The REMOVE half of ExactSubstr dedup: rebuild each doc's text with
     * the tokens covered by its given spans dropped. WHICH docs lose
     * WHICH spans is the caller's policy (e.g. filter [[duplicateSpans]]

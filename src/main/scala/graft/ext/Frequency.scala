@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Frequency analysis for training-data pipelines: EXACT heavy hitters
@@ -190,6 +190,141 @@ object Frequency {
       .withColumn("clipped", least(greatest(col("_v"), col("lo")), col("hi")))
       .withColumn("was_clipped", col("_v") < col("lo") || col("_v") > col("hi"))
       .drop("_v")
+  }
+
+  /** Robust per-group outlier detection by median/MAD — the
+    * heavy-tail-safe alternative to mean/stddev z-scores (one extreme
+    * value cannot drag the threshold, because both the center and the
+    * spread are medians). Flags a row when
+    * `|value − median| > k · MAD` where `MAD = median(|value − median|)`.
+    *
+    * Returns every surviving (non-null group/value) row with `med`,
+    * `mad`, `dev` (= |value − median|) and `is_outlier` attached.
+    * Integer-valued inputs (e.g. q4 fixed-point longs) keep every
+    * emitted number exact: medians of integers are integers, `k · mad`
+    * with a small-integer k is exact double arithmetic, so the flag is
+    * reproducible bit-for-bit cross-engine.
+    *
+    * Scale shape: two [[exactQuantiles]] passes (distributed selection —
+    * no global sort, no per-group window), each producing a
+    * GROUP-cardinality frame that BROADCASTS back onto the rows; the
+    * data-scale side never shuffles. The second pass runs over the
+    * derived |value − median| column, so its input is the same row
+    * frame, one narrow projection deeper. */
+  def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
+      k: Double = 3.0): DataFrame = {
+    require(k > 0.0, s"k must be > 0, got $k")
+    val meds = exactQuantiles(df, groupCol, valueCol, Seq(0.5))
+      .withColumnRenamed(groupCol, "_mg")
+      .withColumnRenamed("p50", "med")
+    val withMed = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .join(broadcast(meds), col(groupCol).cast("string") === col("_mg"))
+      .drop("_mg")
+      .withColumn("dev", abs(col(valueCol).cast("double") - col("med")))
+    val mads = exactQuantiles(withMed, groupCol, "dev", Seq(0.5))
+      .withColumnRenamed(groupCol, "_sg")
+      .withColumnRenamed("p50", "mad")
+    withMed
+      .join(broadcast(mads), col(groupCol).cast("string") === col("_sg"))
+      .drop("_sg")
+      .withColumn("is_outlier", col("dev") > lit(k) * col("mad"))
+  }
+
+  /** Count–min sketch built as a RELATION (Cormode & Muthukrishnan
+    * 2005): `depth` md5-derived hash rows × `width` columns, each cell
+    * holding the exact count of keys mapping into it. The sketch is the
+    * result of ONE map-side-combined aggregate whose exchange carries
+    * at most `depth · width` combined rows per partition — the fixed
+    * memory footprint that makes frequency estimation possible when
+    * even [[heavyHitters]]' candidate pass is too much state. Returns
+    * `(j, c, cnt)` — the sketch matrix in coordinate form, mergeable
+    * across corpora by unioning and re-aggregating (counts are sums). */
+  def countMinSketch(df: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 1, s"need depth/width >= 1, got $depth/$width")
+    df.where(col(keyCol).isNotNull)
+      .select(explode(sequence(lit(0), lit(depth - 1))).as("j"),
+        col(keyCol).cast("string").as("_k"))
+      .select($"j", cmsCell($"j", $"_k", width).as("c"))
+      .groupBy($"j", $"c")
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-estimate probe keys against a [[countMinSketch]] relation:
+    * `est = min_j sketch(j, h_j(key))` — the classic one-sided bound
+    * (`est ≥ true`, overestimate only from collisions). The sketch is
+    * `depth · width` rows by construction, so it BROADCASTS onto the
+    * probe side; estimating any number of keys never shuffles them. */
+  def cmsEstimate(sketch: DataFrame, probes: DataFrame, keyCol: String,
+      depth: Int = 4, width: Int = 64): DataFrame =
+    probes.select(col(keyCol).cast("string").as("key")).distinct()
+      .select($"key", explode(sequence(lit(0), lit(depth - 1))).as("j"))
+      .select($"key", $"j", cmsCell($"j", $"key", width).as("c"))
+      .join(broadcast(sketch), Seq("j", "c"), "left")
+      .groupBy($"key")
+      .agg(min(coalesce($"cnt", lit(0L))).as("est"))
+
+  /** Hash row `j`'s cell for `key`: first 32 md5 bits of `"j_key"`
+    * mod width — the same md5 pseudo-randomness basis as the sampling
+    * layer, reproducible in any engine. */
+  private def cmsCell(j: Column, key: Column, width: Int): Column =
+    (conv(substring(md5(concat(j.cast("string"), lit("_"), key)
+      .cast("binary")), 1, 8), 16, 10).cast("long") % width).cast("long")
+
+  /** EXACT global rank (SQL `rank()` over the whole frame: ties share
+    * the smallest position) of every distinct value — WITHOUT the
+    * single-reducer `Window.orderBy(value)` plan Spark gives the naive
+    * formulation, which at 100 TB funnels the entire frame through one
+    * task. Returns `(value, cnt, rank, pct_bp)` per distinct value
+    * (`pct_bp` = ⌊10⁴·(rank−1)/(n−1)⌋, the percentile in basis points);
+    * callers re-join on value for per-row ranks.
+    *
+    * Same distributed-selection machinery as [[exactQuantiles]]:
+    *  1. one map-side-combined count per distinct value;
+    *  2. RANGE-partition + sort WITHIN partitions (distributed sort,
+    *     every partition doing its share — no global single sort task);
+    *  3. one bounded job collects per-partition totals (P rows) whose
+    *     prefix sums seed each partition's running rank;
+    *  4. a narrow per-partition scan emits `rank = offset + running`.
+    *
+    * The persist between 2 and 3/4 is load-bearing for the same reason
+    * as in exactQuantiles: `repartitionByRange` samples boundaries per
+    * action, and both passes must observe the SAME partitioning. */
+  def globalRank(df: DataFrame, valueCol: String): DataFrame = {
+    val sess = df.sparkSession
+    import sess.implicits.newProductEncoder
+    val nPart = math.max(1, sess.sessionState.conf.numShufflePartitions)
+    val counts = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .repartitionByRange(nPart, col("_v"))
+      .sortWithinPartitions("_v")
+      .persistScoped
+      .as[(Double, Long)]
+    val partTotals = counts.mapPartitions { it =>
+      val pid = TaskContext.get().partitionId()
+      var s = 0L
+      it.foreach(s += _._2)
+      Iterator.single((pid, s))
+    }.collect().sortBy(_._1)
+    val n = partTotals.map(_._2).sum
+    val offsets: Map[Int, Long] = partTotals.map(_._1)
+      .zip(partTotals.scanLeft(0L)(_ + _._2)).toMap
+    val bOff = sess.sparkContext.broadcast(offsets)
+    counts.mapPartitions { it =>
+      val pid = TaskContext.get().partitionId()
+      var run = bOff.value(pid)
+      it.map { case (v, c) =>
+        val r = run + 1
+        run += c
+        (v, c, r)
+      }
+    }.toDF("value", "cnt", "rank")
+      .withColumn("pct_bp",
+        floor(lit(10000.0) * (col("rank") - 1) /
+          lit(math.max(1L, n - 1).toDouble)).cast("long"))
   }
 
   def heavyHitters(df: DataFrame, keyCol: String, minCount: Long): DataFrame = {

@@ -124,4 +124,47 @@ object Retrieval {
       .where($"rank" <= k)
       .select($"q_id", $"rank".cast("long").as("rank"), $"n_id", $"score_q4")
   }
+
+  /** Exact n-word PHRASE search over positional postings — the query
+    * class bag-of-words retrieval ([[bm25TopK]]) cannot answer.
+    * `phrases` is `(phrase_id, phrase)`; returns `(phrase_id, doc_id,
+    * n_occ)` for every document containing the phrase as consecutive
+    * tokens, with the exact occurrence count.
+    *
+    * Formulation is the classic positional-index intersect: each corpus
+    * token position joins the (broadcast) phrase-term table, every
+    * match votes for the phrase start `pos − offset` it would imply,
+    * and a start that collects ALL `plen` offsets is an occurrence.
+    * Repeated terms inside a phrase are handled by construction — a
+    * (phrase, doc, start, offset) vote is unique, so the count reaches
+    * `plen` iff every slot matches.
+    *
+    * Scale shape: the corpus explode is narrow; the phrase table is
+    * query-sized and BROADCASTS, so the corpus never reshuffles for the
+    * probe workload (the bm25/decontamination contract); the only
+    * exchange carries candidate votes — positions whose token appears
+    * in some phrase — which selective phrases keep far below corpus
+    * position count. A stopword-heavy phrase degrades toward its
+    * posting volume, exactly as in a posting-list engine. */
+  def phraseSearch(corpus: DataFrame, phrases: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val pt = phrases
+      .select($"phrase_id",
+        posexplode(TextStats.tokens($"phrase")).as(Seq("off", "term")))
+      .where($"term" =!= "")
+    val plen = pt.groupBy($"phrase_id").agg(count(lit(1)).as("_plen"))
+    val pterms = pt.join(plen, "phrase_id")
+    val positions = corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "term")))
+      .where($"term" =!= "")
+    positions.join(broadcast(pterms), Seq("term"))
+      .select($"phrase_id", $"doc_id", ($"pos" - $"off").as("start"), $"_plen")
+      .where($"start" >= 0)
+      .groupBy($"phrase_id", $"doc_id", $"start", $"_plen")
+      .agg(count(lit(1)).as("_hit"))
+      .where($"_hit" === $"_plen")
+      .groupBy($"phrase_id", $"doc_id")
+      .agg(count(lit(1)).as("n_occ"))
+  }
 }

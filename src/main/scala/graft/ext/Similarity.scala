@@ -535,4 +535,52 @@ object Similarity {
   /** Reconstruct approximate doubles from int8 codes. */
   def dequantize(codes: Column, scale: Column): Column =
     transform(codes, c => c.cast("double") * scale)
+
+  /** Deterministic ±1 sign matrix for [[randomProject]]: entry (j, i)
+    * is +1 iff the first 32 md5 bits of `"j_i"` are even — the same
+    * md5-derived pseudo-randomness basis the sampling/LSH layers use,
+    * computed ONCE at plan-build time (never per row) and reproducible
+    * in any engine with an md5 function. */
+  def signMatrix(outDim: Int, inDim: Int): Array[Array[Long]] =
+    Array.tabulate(outDim, inDim) { (j, i) =>
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${j}_$i".getBytes("UTF-8"))
+      val v = java.lang.Long.parseLong(
+        h.take(4).map(b => f"$b%02x").mkString, 16)
+      if (v % 2 == 0) 1L else -1L
+    }
+
+  /** Johnson–Lindenstrauss random projection with a ±1 sign matrix
+    * (Achlioptas 2001): reduce each embedding to `outDim` components
+    * `proj_j = Σ_i s(j,i) · ⌊10⁶·x_i⌋` — the standard dimensionality
+    * squeeze in front of ANN indexing / clustering when the stored
+    * dimension is wide (a 4096-d corpus projected to 64-d keeps
+    * pairwise distances within JL bounds at 1/64 the bytes).
+    *
+    * Components are exact BIGINT sums of q6 fixed-point terms: ±1
+    * weights need no float matrix multiply, `float→double` widening and
+    * `⌊10⁶·x⌋` are bit-deterministic, and an integer sum is
+    * order-independent — so the projection is reproducible across
+    * engines AND across partitionings (the ext-layer determinism
+    * contract; a float GEMM would be neither).
+    *
+    * Entirely NARROW: the matrix rides the plan as literals (outDim ×
+    * inDim signs, kilobytes), each row's projection is a codegen'd HOF
+    * chain, no exchange anywhere — projecting 100 TB is a scan. Input
+    * vectors shorter than `inDim` simply use their own length (zip_with
+    * pads with nulls which the sum treats as absent). */
+  def randomProject(emb: DataFrame, outDim: Int = 16, inDim: Int = 64,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(outDim >= 1, s"outDim must be >= 1, got $outDim")
+    val mat = signMatrix(outDim, inDim)
+    val projCols = mat.map { row =>
+      aggregate(
+        zip_with(col(vecCol), typedLit(row.toSeq), (x, s) =>
+          coalesce(s * floor(x.cast("double") * lit(1000000.0)).cast("long"),
+            lit(0L))),
+        lit(0L), (acc, t) => acc + t)
+    }
+    emb.select(col(idCol),
+      array_join(array(projCols.toIndexedSeq: _*), ",").as("proj_csv"))
+  }
 }

@@ -520,4 +520,86 @@ object TextStats {
         langId(t).as("lang_pred"),
         fingerprint(t).as("fingerprint"))
   }
+
+  /** Per-source distribution drift: KL(source ‖ corpus) over the token
+    * unigram distributions — the mix-monitoring statistic a curation
+    * team tracks per ingest batch (a source whose KL jumps got
+    * scraped differently / degraded; the aggregate twin of
+    * [[Sampling.mixtureRates]]' composition report).
+    *
+    * Each term's contribution `p·ln(p/q)` is floor-quantized to q8
+    * fixed point BEFORE the sum (the bm25 determinism pattern: doubles
+    * sum in nondeterministic partition order, longs don't, and each
+    * contribution is itself a fixed chain of correctly-rounded IEEE
+    * ops both engines reproduce bit-for-bit). Returns
+    * `(source, n_terms, kl_q8)`; KL ≥ 0 up to quantization (each
+    * term's floor can shave < 1 q8 unit).
+    *
+    * Scale shape: two map-side-combined count aggregates (per-source
+    * terms, global terms) joined on term — co-partitioned hash join,
+    * vocabulary-sized, the corpus text itself never shuffles; the
+    * source-total and corpus-total frames are source-cardinality and
+    * broadcast. */
+  def mixKlDrift(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("term"))
+      .where($"term" =!= "")
+      .persistScoped // read twice: per-source counts and global counts
+    val srcCnt = toks.groupBy($"src", $"term").agg(count(lit(1)).as("sc"))
+    val srcTot = toks.groupBy($"src").agg(count(lit(1)).as("st"))
+    val globCnt = toks.groupBy($"term").agg(count(lit(1)).as("gc"))
+    val globTot = toks.agg(count(lit(1)).as("gt"))
+    srcCnt
+      .join(globCnt, Seq("term"))
+      .join(broadcast(srcTot), Seq("src"))
+      .crossJoin(broadcast(globTot))
+      // the exact operation nesting the oracle spells out: p, q, ln, ×
+      .withColumn("_p", $"sc".cast("double") / $"st".cast("double"))
+      .withColumn("_q", $"gc".cast("double") / $"gt".cast("double"))
+      .withColumn("_c_q8",
+        floor($"_p" * log($"_p" / $"_q") * lit(100000000.0)).cast("long"))
+      .groupBy($"src".as("source"))
+      .agg(count(lit(1)).as("n_terms"), sum($"_c_q8").as("kl_q8"))
+  }
+
+  /** N-gram novelty: the fraction of each document's DISTINCT word
+    * n-grams that occur in NO other document — the "how much of this
+    * doc is new text" signal (novelty ≈ 0 flags near-boilerplate even
+    * when no single dedup rule fires; the per-doc complement of the
+    * corpus-level dedup family).
+    *
+    * Returns `(doc_id, n_grams, n_exclusive, novelty_bp)` with
+    * `novelty_bp = ⌊10⁴·n_exclusive/n_grams⌋` (0 for docs too short to
+    * have an n-gram). A gram repeated only WITHIN one doc is still
+    * exclusive to it — document frequency is counted over distinct
+    * (doc, gram).
+    *
+    * Scale shape: distinct grams per doc are computed in-row
+    * (`array_distinct`, narrow), document frequency is one
+    * map-side-combined aggregate, and the flag joins back on the gram
+    * — co-partitioned with the df aggregate's own partitioning, so
+    * the gram frame shuffles once. */
+  def ngramNovelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val grams = docs
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(wordNgrams(tokens(col(textCol)), n))).as("gram"))
+      .persistScoped // read twice: df aggregate + per-doc join-back
+    val dfreq = grams.groupBy($"gram").agg(count(lit(1)).as("_df"))
+    val perDoc = grams
+      .join(dfreq, Seq("gram"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when($"_df" === 1, 1L).otherwise(0L)).as("n_exclusive"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce($"n_exclusive", lit(0L)).as("n_exclusive"),
+        when(coalesce($"n_grams", lit(0L)) === 0, lit(0L))
+          .otherwise(floor(lit(10000.0) * $"n_exclusive" / $"n_grams")
+            .cast("long")).as("novelty_bp"))
+  }
 }

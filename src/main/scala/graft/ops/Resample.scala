@@ -1,0 +1,74 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ext.ColInterpolator
+
+/** Time-series regularization: resample an irregular event stream onto a
+  * fixed per-key time grid with forward-fill — the standard feature-store
+  * pre-pass (metrics dashboards, per-user activity matrices, model
+  * features at fixed cadence) that the reference's ad-hoc pandas
+  * resampling would cover on one machine.
+  *
+  * Scale shape, deliberately:
+  *  - observations collapse to ONE row per (key, bucket) in a map-side
+  *    combined aggregate BEFORE any grid work — raw event volume never
+  *    meets the grid;
+  *  - the grid is generated per key from its own [min, max] bucket span
+  *    (a `sequence` explode off a key-cardinality aggregate — never a
+  *    global calendar cross join, which at 100 TB would manufacture
+  *    rows for the quiet 99 % of keys × minutes);
+  *  - every exchange in the plan hashes on the SAME key family
+  *    (`user_id`), so the grid join and the carry-forward window reuse
+  *    one clustering; the fill itself is a bounded `last(_, ignoreNulls)`
+  *    running window, narrow within each key's sorted slice.
+  *
+  * Buckets are integer epoch quotients (`epoch_us // (bucketSeconds·1e6)`)
+  * and fill values ride as q4 fixed-point longs, so every emitted number
+  * is exact integer arithmetic an independent engine reproduces
+  * bit-for-bit (the cross-engine determinism contract used across the
+  * ext layer).
+  */
+object Resample {
+
+  /** Per-`keyCol` regular grid of `bucketSeconds`-wide buckets spanning
+    * each key's [first, last] observed bucket, carrying
+    *  - `n_events`   — observations in the bucket (0 on gap rows),
+    *  - `last_q4`    — the bucket's LAST observation by (tsCol, tieCol)
+    *                   as floor(value·10⁴), null on gap rows,
+    *  - `filled_q4`  — `last_q4` forward-filled from the most recent
+    *                   observed bucket (never null: each key's grid
+    *                   starts at an observed bucket).
+    *
+    * The per-bucket "last observation wins" pick is a `max(struct)`
+    * aggregate — (ts, tie, value) tuples are totally ordered, so the
+    * reduction is associative/commutative and map-side combinable (no
+    * window over raw events). */
+  def gapFill(events: DataFrame, bucketSeconds: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value", tieCol: String = "event_id"): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val obs = events
+      .select(col(keyCol).as("_k"),
+        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"),
+        col(tsCol).as("_ts"), col(tieCol).as("_tie"),
+        floor(col(valueCol) * lit(10000.0)).cast("long").as("_v_q4"))
+      .groupBy($"_k", $"b")
+      .agg(count(lit(1)).as("n_events"),
+        max(struct($"_ts", $"_tie", $"_v_q4")).as("_last"))
+      .select($"_k", $"b", $"n_events", $"_last._v_q4".as("last_q4"))
+    val grid = obs
+      .groupBy($"_k")
+      .agg(min($"b").as("_mn"), max($"b").as("_mx"))
+      .select($"_k", explode(sequence($"_mn", $"_mx")).as("b"))
+    val w = Window.partitionBy($"_k").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .join(obs, Seq("_k", "b"), "left")
+      .select($"_k".as(keyCol), $"b",
+        coalesce($"n_events", lit(0L)).as("n_events"),
+        $"last_q4",
+        last($"last_q4", ignoreNulls = true).over(w).as("filled_q4"))
+  }
+}

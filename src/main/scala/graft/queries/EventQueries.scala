@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, QueryGroup, Tables}
-import graft.ops.Journeys
+import graft.ops.{Journeys, Resample}
 
 /** Event-journey analytics (bonus surface): ordered funnels and weekly
   * cohort retention over the events table. The oracles use a DIFFERENT
@@ -66,7 +66,51 @@ object EventQueries extends QueryGroup {
       |       count(*)::BIGINT AS n_users
       |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Gap-filled hourly resample with forward-fill (ops.Resample): every
+    * user gets a complete hour grid over their own [first, last]
+    * bucket, observed buckets carry count + last value, gap buckets
+    * carry the most recent value forward. The oracle fills via DuckDB's
+    * NATIVE ASOF JOIN (grid row → latest observed bucket at-or-before) —
+    * an independent formulation of carry-forward, so the hash match
+    * pins the semantics, not a replay. */
+  def gapFill(spark: SparkSession, dir: String): DataFrame =
+    Resample.gapFill(
+        load(spark, dir, "events").where(col("user_id") % 50 === 0),
+        bucketSeconds = 3600L)
+      .orderBy(col("user_id"), col("b"))
+
+  private val gapFillSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 3600000000 AS b,
+      |         floor(value * 10000.0::DOUBLE)::BIGINT AS v_q4
+      |  FROM events WHERE user_id % 50 = 0),
+      |r AS (
+      |  SELECT user_id, b, v_q4,
+      |         row_number() OVER (PARTITION BY user_id, b
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM e),
+      |c AS (SELECT user_id, b, count(*)::BIGINT AS n_events
+      |      FROM e GROUP BY user_id, b),
+      |ob AS (
+      |  SELECT r.user_id, r.b, c.n_events, r.v_q4 AS last_q4
+      |  FROM r JOIN c USING (user_id, b) WHERE r.rn = 1),
+      |g AS (
+      |  SELECT user_id, unnest(range(mn, mx + 1)) AS b
+      |  FROM (SELECT user_id, min(b) AS mn, max(b) AS mx
+      |        FROM ob GROUP BY user_id)),
+      |f AS (
+      |  SELECT g.user_id, g.b, ob.last_q4 AS filled_q4
+      |  FROM g ASOF LEFT JOIN ob
+      |    ON g.user_id = ob.user_id AND g.b >= ob.b)
+      |SELECT f.user_id, f.b,
+      |       coalesce(o2.n_events, 0)::BIGINT AS n_events,
+      |       o2.last_q4, f.filled_q4
+      |FROM f LEFT JOIN ob o2 ON f.user_id = o2.user_id AND f.b = o2.b
+      |ORDER BY f.user_id, f.b""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ev1_funnel", funnel, Some(funnelSql)),
-    QueryDef("ev2_retention", retention, Some(retentionSql)))
+    QueryDef("ev2_retention", retention, Some(retentionSql)),
+    QueryDef("ev3_gap_fill", gapFill, Some(gapFillSql)))
 }

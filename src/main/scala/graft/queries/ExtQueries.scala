@@ -1542,7 +1542,174 @@ object ExtQueries extends QueryGroup {
       |            ELSE 0 END AS sample_rate_hz
       |FROM b ORDER BY asset_id""".stripMargin
 
+  /** Segment-level global dedup (C4/CCNet paragraph granularity): the
+    * corpus cut into 8-token segments, every repeated segment keeping
+    * only its globally first occurrence, docs rebuilt from survivors.
+    * The 31-word synthetic vocabulary makes segment collisions organic
+    * (plus exact ones via the injected duplicate docs in DedupSpec);
+    * here the plain corpus exercises the operator end-to-end. */
+  def dedupSegments(spark: SparkSession, dir: String): DataFrame =
+    Dedup.segmentDedup(load(spark, dir, "documents"), segLen = 8)
+      .orderBy($"doc_id")
+
+  private val dedupSegmentsSql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, (len(toks) + 7) // 8 AS n_seg FROM d),
+       |o0 AS (SELECT doc_id, toks, unnest(range(0, n_seg)) AS i FROM b),
+       |o AS (SELECT doc_id, i AS seg_idx,
+       |             array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+       |      FROM o0),
+       |w AS (SELECT doc_id, seg_idx, seg,
+       |             row_number() OVER (PARTITION BY seg
+       |               ORDER BY doc_id, seg_idx) AS rn FROM o),
+       |k AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |             string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup
+       |      FROM w WHERE rn = 1 GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_seg::BIGINT AS n_seg,
+       |       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       |       coalesce(k.text_dedup, '') AS text_dedup
+       |FROM b LEFT JOIN k USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
+  /** Johnson–Lindenstrauss ±1 random projection of the embeddings to
+    * 16 components as exact q6 integer sums (order-independent,
+    * cross-engine bit-identical); the sign matrix is md5-derived at
+    * plan build and inlined into the oracle as literals. Entirely
+    * narrow — no exchange anywhere. */
+  def simRandomProject(spark: SparkSession, dir: String): DataFrame =
+    Similarity.randomProject(load(spark, dir, "embeddings"),
+        outDim = 16, inDim = 64)
+      .orderBy($"vec_id")
+
+  private val simRandomProjectSql = {
+    val mat = Similarity.signMatrix(16, 64)
+    val comps = mat.map { row =>
+      val lits = row.mkString("[", ", ", "]")
+      s"""(list_sum(list_transform(range(1, len(embedding) + 1),
+         |  i -> ($lits)[i] * floor(embedding[i]::DOUBLE * 1000000.0::DOUBLE)::BIGINT)))::BIGINT""".stripMargin
+    }.mkString(",\n  ")
+    s"""SELECT vec_id,
+       |  array_to_string([$comps], ',') AS proj_csv
+       |FROM embeddings ORDER BY vec_id""".stripMargin
+  }
+
+  /** Count–min sketch over the corpus token stream (depth 4 × width 64
+    * — narrower than the 31-term vocabulary is wide, so collisions and
+    * the one-sided overestimate REALLY occur) probed for every distinct
+    * term, with the exact counts alongside: `est ≥ true` per key by
+    * construction, and the oracle re-derives sketch + probe + truth
+    * relationally. */
+  def sketchCms(spark: SparkSession, dir: String): DataFrame = {
+    val keys = load(spark, dir, "documents")
+      .select(explode(TextStats.tokens($"text")).as("term"))
+      .where($"term" =!= "")
+    val sketch = Frequency.countMinSketch(keys, "term", depth = 4, width = 64)
+    val est = Frequency.cmsEstimate(sketch, keys, "term", depth = 4, width = 64)
+    val truth = keys.groupBy($"term".as("key")).agg(count(lit(1)).as("true_cnt"))
+    truth.join(est, Seq("key"))
+      .select($"key", $"true_cnt", $"est",
+        ($"est" - $"true_cnt").as("overcount"))
+      .orderBy($"key")
+  }
+
+  private val sketchCmsSql =
+    s"""WITH t AS (SELECT unnest($toksSql) AS k FROM documents),
+       |tk AS (SELECT k FROM t WHERE k != ''),
+       |js AS (SELECT unnest(range(0, 4)) AS j),
+       |cells AS (
+       |  SELECT j, ('0x' || substr(md5(j::VARCHAR || '_' || k), 1, 8))::BIGINT % 64 AS c,
+       |         count(*) AS cnt
+       |  FROM tk CROSS JOIN js GROUP BY j, c),
+       |probes AS (SELECT DISTINCT k FROM tk),
+       |pc AS (
+       |  SELECT k, j, ('0x' || substr(md5(j::VARCHAR || '_' || k), 1, 8))::BIGINT % 64 AS c
+       |  FROM probes CROSS JOIN js),
+       |est AS (
+       |  SELECT pc.k, min(coalesce(cells.cnt, 0))::BIGINT AS est
+       |  FROM pc LEFT JOIN cells USING (j, c) GROUP BY pc.k),
+       |tr AS (SELECT k, count(*)::BIGINT AS true_cnt FROM tk GROUP BY k)
+       |SELECT tr.k AS key, tr.true_cnt, est.est,
+       |       (est.est - tr.true_cnt)::BIGINT AS overcount
+       |FROM tr JOIN est USING (k) ORDER BY key""".stripMargin
+
+  /** EXACT global rank + percentile (basis points) of every distinct
+    * o_totalprice in a deterministic order subset — via the
+    * distributed-selection prefix machinery, NOT `Window.orderBy(value)`
+    * (which plans the whole frame into one task). GlobalRankSpec pins
+    * the no-single-partition-exchange property. */
+  def globalRankQ(spark: SparkSession, dir: String): DataFrame =
+    Frequency.globalRank(
+        load(spark, dir, "orders").where($"o_custkey" % 100 === 0),
+        "o_totalprice")
+      .orderBy($"value")
+
+  private val globalRankSql =
+    """WITH v AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+      |           WHERE o_custkey % 100 = 0),
+      |c AS (SELECT v, count(*) AS cnt FROM v GROUP BY v),
+      |r AS (SELECT v, cnt,
+      |             (sum(cnt) OVER (ORDER BY v) - cnt + 1)::BIGINT AS rank
+      |      FROM c),
+      |n AS (SELECT count(*)::BIGINT AS n FROM v)
+      |SELECT r.v AS value, r.cnt::BIGINT AS cnt, r.rank,
+      |       floor(10000.0::DOUBLE * (r.rank - 1)
+      |             / greatest(n.n - 1, 1))::BIGINT AS pct_bp
+      |FROM r CROSS JOIN n ORDER BY r.v""".stripMargin
+
+  /** Per-source KL(source ‖ corpus) over token unigram distributions —
+    * the mix-drift monitor. Contributions floor-quantized to q8 before
+    * the sum (order-independent integer aggregate, the bm25 pattern). */
+  def mixKl(spark: SparkSession, dir: String): DataFrame =
+    TextStats.mixKlDrift(load(spark, dir, "documents"))
+      .orderBy($"source")
+
+  private val mixKlSql =
+    s"""WITH t AS (SELECT source AS src, unnest($toksSql) AS term FROM documents),
+       |tk AS (SELECT src, term FROM t WHERE term != ''),
+       |sc AS (SELECT src, term, count(*) AS sc FROM tk GROUP BY src, term),
+       |st AS (SELECT src, count(*) AS st FROM tk GROUP BY src),
+       |gc AS (SELECT term, count(*) AS gc FROM tk GROUP BY term),
+       |gt AS (SELECT count(*) AS gt FROM tk)
+       |SELECT sc.src AS source, count(*)::BIGINT AS n_terms,
+       |  sum(floor((sc.sc::DOUBLE / st.st::DOUBLE)
+       |      * ln((sc.sc::DOUBLE / st.st::DOUBLE)
+       |           / (gc.gc::DOUBLE / gt.gt::DOUBLE))
+       |      * 100000000.0::DOUBLE))::BIGINT AS kl_q8
+       |FROM sc JOIN gc USING (term) JOIN st USING (src) CROSS JOIN gt
+       |GROUP BY sc.src ORDER BY source""".stripMargin
+
+  /** Word-3-gram novelty per document: fraction (basis points) of a
+    * doc's distinct 3-grams occurring in no other document. */
+  def textNovelty(spark: SparkSession, dir: String): DataFrame =
+    TextStats.ngramNovelty(load(spark, dir, "documents"), n = 3)
+      .orderBy($"doc_id")
+
+  private val textNoveltySql =
+    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |g AS (SELECT doc_id, unnest(list_distinct(
+       |        CASE WHEN len(ws) >= 3
+       |             THEN list_transform(range(1, len(ws) - 1),
+       |                    i -> array_to_string(ws[i:i+2], ' '))
+       |             ELSE CAST([] AS VARCHAR[]) END)) AS gram
+       |      FROM w),
+       |dfq AS (SELECT gram, count(*) AS df FROM g GROUP BY gram),
+       |pd AS (SELECT g.doc_id, count(*)::BIGINT AS n_grams,
+       |              sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END)::BIGINT
+       |                AS n_exclusive
+       |       FROM g JOIN dfq USING (gram) GROUP BY g.doc_id)
+       |SELECT w.doc_id, coalesce(pd.n_grams, 0)::BIGINT AS n_grams,
+       |       coalesce(pd.n_exclusive, 0)::BIGINT AS n_exclusive,
+       |       (CASE WHEN coalesce(pd.n_grams, 0) = 0 THEN 0
+       |             ELSE floor(10000.0::DOUBLE * pd.n_exclusive / pd.n_grams)
+       |        END)::BIGINT AS novelty_bp
+       |FROM w LEFT JOIN pd USING (doc_id) ORDER BY w.doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_sketch_cms", sketchCms, Some(sketchCmsSql)),
+    QueryDef("ext_global_rank", globalRankQ, Some(globalRankSql)),
+    QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),
+    QueryDef("ext_text_novelty", textNovelty, Some(textNoveltySql)),
+    QueryDef("ext_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
+    QueryDef("ext_sim_rp", simRandomProject, Some(simRandomProjectSql)),
     QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),
     QueryDef("ext_sim_ivf_ann", simIvf, Some(simIvfSql)),

@@ -139,9 +139,75 @@ object RetrievalQueries extends QueryGroup {
       |FROM documents d JOIN q USING (lang)
       |WHERE d.n_chars IS NOT NULL ORDER BY d.doc_id""".stripMargin
 
+  /** Exact phrase search: 3-word probe phrases (the first three tokens
+    * of every doc_id % 100 = 1 document) located across the whole
+    * corpus with exact occurrence counts, via the positional-index
+    * intersect (phrase table broadcasts; only candidate votes shuffle).
+    * The oracle is an INDEPENDENT formulation — a per-document array
+    * scan comparing token slices — so the hash match pins phrase
+    * semantics (adjacency, overlaps, repeated terms), not a replay. */
+  def phraseSearch(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val probes = docs.where($"doc_id" % 100 === 1)
+      .select($"doc_id".as("phrase_id"),
+        array_join(slice(TextStats.tokens($"text"), 1, 3), " ").as("phrase"))
+    Retrieval.phraseSearch(docs, probes)
+      .orderBy($"phrase_id", $"doc_id")
+  }
+
+  private val phraseSearchSql =
+    s"""WITH p AS (
+       |  SELECT doc_id AS phrase_id,
+       |         list_slice($toksSql, 1, 3) AS ptoks
+       |  FROM documents WHERE doc_id % 100 = 1),
+       |d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |m AS (
+       |  SELECT p.phrase_id, d.doc_id,
+       |         len(list_filter(range(1, len(d.toks) + 1),
+       |             s -> d.toks[s:(s + len(p.ptoks) - 1)] = p.ptoks))::BIGINT
+       |           AS n_occ
+       |  FROM p CROSS JOIN d)
+       |SELECT phrase_id, doc_id, n_occ FROM m WHERE n_occ > 0
+       |ORDER BY phrase_id, doc_id""".stripMargin
+
+  /** Median/MAD robust outlier detection on events.value (as exact q4
+    * fixed point) per event type, emitting only the flagged rows — two
+    * distributed-selection quantile passes, group-sized frames
+    * broadcast back, the row side never shuffles. */
+  def outlierMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events").where($"user_id" % 5 === 0)
+      .select($"event_id", $"event_type",
+        floor($"value" * lit(10000.0)).cast("long").as("v_q4"))
+    Frequency.madOutliers(ev, "event_type", "v_q4", k = 3.0)
+      .where($"is_outlier")
+      .select($"event_id", $"event_type", $"v_q4",
+        $"med".cast("long").as("med_q4"), $"mad".cast("long").as("mad_q4"))
+      .orderBy($"event_id")
+  }
+
+  private val outlierMadSql =
+    """WITH e AS (
+      |  SELECT event_id, event_type,
+      |         floor(value * 10000.0::DOUBLE)::BIGINT AS v_q4
+      |  FROM events WHERE user_id % 5 = 0),
+      |m AS (SELECT event_type, quantile_disc(v_q4, 0.5) AS med
+      |      FROM e GROUP BY event_type),
+      |d AS (SELECT e.event_id, e.event_type, e.v_q4, m.med,
+      |             abs(e.v_q4 - m.med) AS dev
+      |      FROM e JOIN m USING (event_type)),
+      |s AS (SELECT event_type, quantile_disc(dev, 0.5) AS mad
+      |      FROM d GROUP BY event_type)
+      |SELECT d.event_id, d.event_type, d.v_q4,
+      |       d.med::BIGINT AS med_q4, s.mad::BIGINT AS mad_q4
+      |FROM d JOIN s USING (event_type)
+      |WHERE d.dev > 3.0::DOUBLE * s.mad
+      |ORDER BY d.event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ext_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("ext_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("ext_tokenize_ids", tokenizeIds, Some(tokenizeIdsSql)),
-    QueryDef("ext_winsorize", winsorize, Some(winsorizeSql)))
+    QueryDef("ext_winsorize", winsorize, Some(winsorizeSql)),
+    QueryDef("ext_phrase_search", phraseSearch, Some(phraseSearchSql)),
+    QueryDef("ext_outlier_mad", outlierMad, Some(outlierMadSql)))
 }

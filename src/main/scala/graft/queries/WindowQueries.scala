@@ -253,9 +253,43 @@ object WindowQueries extends QueryGroup {
       |FROM c JOIN w ON c.ts BETWEEN w.s AND w.e
       |ORDER BY event_id, incident_id""".stripMargin
 
+  /** Range-frame trailing window: per-user sum/count of the TRAILING
+    * 10 minutes at every event (RANGE frame over integer epoch seconds,
+    * so ties at the same second include all peers deterministically).
+    * Values ride as q4 fixed-point longs — the windowed sum is exact
+    * integer arithmetic both engines reproduce bit-for-bit. One
+    * exchange (hash on user_id), then narrow sorted-slice window work —
+    * the rolling-feature shape as it should look at scale. */
+  def rangeTrailing(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events").where($"user_id" % 25 === 0)
+      .select($"user_id", $"event_id",
+        expr("unix_micros(ts) div 1000000").as("es"),
+        floor($"value" * lit(10000.0)).cast("long").as("v_q4"))
+    val w = Window.partitionBy($"user_id").orderBy($"es").rangeBetween(-600, 0)
+    ev.select($"user_id", $"event_id", $"es",
+        sum($"v_q4").over(w).as("trail_sum_q4"),
+        count(lit(1)).over(w).as("trail_cnt"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val rangeTrailingSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es,
+      |         floor(value * 10000.0::DOUBLE)::BIGINT AS v_q4
+      |  FROM events WHERE user_id % 25 = 0)
+      |SELECT user_id, event_id, es,
+      |       (sum(v_q4) OVER w)::BIGINT AS trail_sum_q4,
+      |       (count(*) OVER w)::BIGINT AS trail_cnt
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY es
+      |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
+    QueryDef("w6_range_trailing", rangeTrailing, Some(rangeTrailingSql)),
     QueryDef("w5_topk_groups", topKGroups, Some(topKGroupsSql)),
     QueryDef("j17_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("j18_range_join", rangeJoin, Some(rangeJoinSql)),

@@ -296,4 +296,34 @@ class DedupSpec extends SparkSpec {
     assert(out(2L) === (1L, true))
     assert(out(3L) === (3L, false))
   }
+
+  test("segmentDedup: global first occurrence wins, docs rebuild in order") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ") // one exact segment
+    val docs = Seq(
+      // seg0 = boiler, seg1 = unique tail
+      (1L, s"$boiler u1 u2 u3"),
+      // whole doc is the boilerplate segment -> loses everything
+      (2L, boiler),
+      // unique head segment, then the boilerplate again -> middle drops,
+      // order of survivors preserved
+      (3L, (1 to 8).map(i => s"c$i").mkString(" ") + s" $boiler d1 d2")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.segmentDedup(docs, segLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 2L, s"$boiler u1 u2 u3")))
+    assert(out(2L) === ((1L, 0L, ""))) // cardinality preserved, text empty
+    assert(out(3L) === ((3L, 2L,
+      (1 to 8).map(i => s"c$i").mkString(" ") + " d1 d2")))
+  }
+
+  test("segmentDedup: a segment repeated WITHIN one doc keeps only its first copy") {
+    import spark.implicits._
+    val seg = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq((7L, s"$seg $seg")).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.segmentDedup(docs, segLen = 8).head
+    assert((out.getLong(1), out.getLong(2), out.getString(3)) ===
+      ((2L, 1L, seg)))
+  }
 }

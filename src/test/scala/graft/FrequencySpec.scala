@@ -108,4 +108,47 @@ class FrequencySpec extends SparkSpec {
       .view.mapValues(_.size.toLong).filter(_._2 >= 25).toMap
     assert(got === want)
   }
+
+  test("count-min sketch: one-sided bound holds; wide sketch is exact; sketches merge") {
+    val rnd = new scala.util.Random(17)
+    val keys = (1 to 3000).map(_ => s"k${rnd.nextInt(40)}").toDF("k")
+    val truth = keys.groupBy($"k").agg(count(lit(1)).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // narrow sketch (width 16 << 40 keys): collisions certain, est >= true
+    val narrow = Frequency.countMinSketch(keys, "k", depth = 4, width = 16)
+    val estN = Frequency.cmsEstimate(narrow, keys, "k", depth = 4, width = 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    truth.foreach { case (k, t) =>
+      assert(estN(k) >= t, s"$k: est ${estN(k)} < true $t")
+    }
+    assert(truth.exists { case (k, t) => estN(k) > t }) // collisions happened
+    // wide sketch: 4096 cells for 40 keys -> exact with high probability
+    val wide = Frequency.countMinSketch(keys, "k", depth = 4, width = 4096)
+    val estW = Frequency.cmsEstimate(wide, keys, "k", depth = 4, width = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estW === truth)
+    // mergeability: sketch(A) union sketch(B), re-aggregated = sketch(A++B)
+    val (a, b) = (keys.limit(1500), keys.exceptAll(keys.limit(1500)))
+    val merged = Frequency.countMinSketch(a, "k", 4, 16)
+      .unionByName(Frequency.countMinSketch(b, "k", 4, 16))
+      .groupBy($"j", $"c").agg(sum($"cnt").as("cnt"))
+    val estM = Frequency.cmsEstimate(merged, keys, "k", 4, 16)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estM === estN)
+  }
+
+  test("globalRank: rank()-with-ties semantics, no single-partition exchange, no Window") {
+    val vals = Seq(5L, 3L, 3L, 9L, 1L, 9L, 9L, 2L).toDF("v")
+    val out = Frequency.globalRank(vals, "v")
+    val got = out.collect()
+      .map(r => r.getDouble(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // sorted: 1 2 3 3 5 9 9 9 -> rank of ties = smallest position
+    assert(got === Map(1.0 -> ((1L, 1L)), 2.0 -> ((1L, 2L)),
+      3.0 -> ((2L, 3L)), 5.0 -> ((1L, 5L)), 9.0 -> ((3L, 6L))))
+    val pct = out.collect().map(r => r.getDouble(0) -> r.getLong(3)).toMap
+    assert(pct(1.0) === 0L && pct(9.0) === math.floor(10000.0 * 5 / 7).toLong)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
 }

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.Resample
+import java.sql.Timestamp
+
+/** Gap-fill resample goldens: grid completeness, carry-forward fill,
+  * per-bucket last-observation pick, and per-key grid independence —
+  * the within-bucket/within-gap mechanics the relational oracle only
+  * checks in aggregate. */
+class ResampleSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val ts = (s: String) => Timestamp.valueOf(s)
+  // epoch hour of 2024-01-01 00:00 UTC (session timezone is pinned UTC)
+  private val hb = 1704067200L / 3600L
+
+  test("gapFill completes the grid and carries the last value forward") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:05:00"), 10L, 1.5), // bucket 0, early
+      (1L, ts("2024-01-01 00:50:00"), 11L, 2.5), // bucket 0, last -> wins
+      (1L, ts("2024-01-01 03:10:00"), 12L, 7.25), // bucket 3 after a 2h gap
+      (2L, ts("2024-01-01 01:00:00"), 20L, 4.0) // single-bucket key
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.gapFill(ev, bucketSeconds = 3600L)
+      .orderBy("user_id", "b")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      (1L, hb + 0, 2L, Some(25000L), 25000L),
+      (1L, hb + 1, 0L, None, 25000L), // gap: carried forward
+      (1L, hb + 2, 0L, None, 25000L),
+      (1L, hb + 3, 1L, Some(72500L), 72500L),
+      (2L, hb + 1, 1L, Some(40000L), 40000L)))
+  }
+
+  test("within-bucket ties on ts resolve by the tie column (event_id)") {
+    val t = ts("2024-01-01 00:30:00")
+    val ev = Seq(
+      (1L, t, 5L, 1.0),
+      (1L, t, 9L, 3.0), // same ts, larger event_id -> the bucket's last
+      (1L, t, 7L, 2.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.gapFill(ev, 3600L).collect()
+    assert(out.length === 1)
+    assert(out.head.getLong(4) === 30000L)
+  }
+
+  test("grids are per-key: a quiet key never inherits another key's span") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 1L, 1.0),
+      (1L, ts("2024-01-05 00:10:00"), 2L, 2.0), // 96h span for key 1
+      (2L, ts("2024-01-02 12:00:00"), 3L, 5.0) // one bucket for key 2
+    ).toDF("user_id", "ts", "event_id", "value")
+    val byKey = Resample.gapFill(ev, 3600L)
+      .groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byKey(1L) === 97L) // inclusive [first, last] hour span
+    assert(byKey(2L) === 1L) // NOT 97 - no global calendar cross join
+  }
+}

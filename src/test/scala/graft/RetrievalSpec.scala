@@ -121,4 +121,57 @@ class RetrievalSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("phraseSearch: overlapping occurrences and repeated-term phrases count exactly") {
+    val corpus = docs(
+      1L -> "a a a b", // "a a" occurs at starts 0 and 1 (overlap)
+      2L -> "a b a b a", // "a b a" at starts 0 and 2; NO adjacent "a a"
+      3L -> "b b b")
+    val phrases = Seq((10L, "a a"), (11L, "a b a"))
+      .toDF("phrase_id", "phrase")
+    val out = Retrieval.phraseSearch(corpus, phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((10L, 1L) -> 2L, (11L, 2L) -> 2L))
+  }
+
+  test("phraseSearch: a phrase prefix at end-of-doc is not a match") {
+    val corpus = docs(1L -> "x y") // ends with the phrase's FIRST word only
+    val phrases = Seq((1L, "y z")).toDF("phrase_id", "phrase")
+    assert(Retrieval.phraseSearch(corpus, phrases).count() === 0L)
+  }
+
+  test("phraseSearch: the phrase table reaches the corpus as a broadcast") {
+    val corpus = docs(1L -> "a b c", 2L -> "c a b")
+    val phrases = Seq((1L, "a b")).toDF("phrase_id", "phrase")
+    val plan = Retrieval.phraseSearch(corpus, phrases)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
+  test("madOutliers: flags exactly |v - med| > k*MAD, medians exact") {
+    val df = ((1L to 9L).map(v => ("a", v)) :+ (("a", 100L)))
+      .toDF("g", "v")
+    val out = Frequency.madOutliers(df, "g", "v", k = 3.0)
+    // sorted values 1..9,100: med = 5 (quantile_disc 0.5 of n=10);
+    // devs sorted 0,1,1,2,2,3,3,4,4,95: MAD = 2; threshold 6 -> only 100
+    val flagged = out.where($"is_outlier").select($"v")
+      .collect().map(_.getLong(0)).toSeq
+    assert(flagged === Seq(100L))
+    val r = out.where($"v" === 100L).select($"med", $"mad").head
+    assert(r.getDouble(0) === 5.0 && r.getDouble(1) === 2.0)
+  }
+
+  test("madOutliers: groups are independent; null group/value rows fall out") {
+    val df = Seq[(Option[String], Option[Long])](
+      (Some("a"), Some(1L)), (Some("a"), Some(2L)), (Some("a"), Some(3L)),
+      (Some("a"), Some(1000L)), // outlier in a only
+      (Some("b"), Some(1000L)), (Some("b"), Some(1001L)), (Some("b"), Some(1002L)),
+      (None, Some(5L)), (Some("a"), None))
+      .toDF("g", "v")
+    val out = Frequency.madOutliers(df, "g", "v", k = 3.0)
+    assert(out.count() === 7L) // null rows excluded
+    val flagged = out.where($"is_outlier")
+      .select($"g", $"v").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(flagged.toSeq === Seq(("a", 1000L))) // b's 1000s are normal for b
+  }
 }

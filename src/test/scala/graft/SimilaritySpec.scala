@@ -216,4 +216,44 @@ class SimilaritySpec extends SparkSpec {
       .distinct().count()
     assert(two === 1)
   }
+
+  test("randomProject: exact integer components against the sign matrix, narrow plan") {
+    import spark.implicits._
+    val emb = Seq((1L, Array(0.5f, -1.25f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(emb, outDim = 4, inDim = 2)
+    val out = proj.orderBy("vec_id").collect()
+    val mat = Similarity.signMatrix(4, 2)
+    // q6 terms: floor(0.5e6) = 500000, floor(-1.25e6) = -1250000
+    val exp1 = mat.map(r => r(0) * 500000L + r(1) * -1250000L).mkString(",")
+    assert(out(0).getString(1) === exp1)
+    assert(out(1).getString(1) === "0,0,0,0")
+    val plan = proj.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan) // projecting is a scan
+  }
+
+  test("randomProject: JL sketch preserves cosine neighborhoods usefully at 64->16") {
+    // clustered corpus: 3 well-separated centers, the projected space
+    // must keep same-cluster vectors closer than cross-cluster ones
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val centers = Array.fill(3, 64)(rnd.nextGaussian() * 5.0)
+    val vecs = (0 until 60).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat))
+    }
+    val emb = vecs.toSeq.toDF("vec_id", "embedding")
+    val proj = Similarity.randomProject(emb, outDim = 16, inDim = 64)
+      .collect().map(r => r.getLong(0) ->
+        r.getString(1).split(",").map(_.toDouble)).toMap
+    def d2(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    // nearest projected neighbor of every vector is in its own cluster
+    val errs = vecs.map(_._1).count { i =>
+      val nn = vecs.map(_._1).filter(_ != i)
+        .minBy(j => d2(proj(i), proj(j)))
+      nn % 3 != i % 3
+    }
+    assert(errs === 0, s"$errs of 60 projected nearest neighbors crossed clusters")
+  }
 }

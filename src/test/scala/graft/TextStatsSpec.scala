@@ -342,4 +342,53 @@ class TextStatsSpec extends SparkSpec {
     assert(out(2L) === 4)
     assert(out(3L) === 0)
   }
+
+  test("mixKlDrift: identical-mix sources score exactly 0; drifted source is positive and exact") {
+    // both sources have the corpus distribution -> p = q per term, every
+    // contribution is floor(0) = 0 (no quantization shave on true zero)
+    val same = Seq(("s1", "a b a c"), ("s2", "a b a c"))
+      .toDF("source", "text")
+    val kl0 = TextStats.mixKlDrift(same)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(kl0 === Map("s1" -> 0L, "s2" -> 0L))
+
+    // "skew" is all one token: p(a)=1, corpus q(a)=10/16 -> KL=ln(1.6)
+    val docs = Seq(
+      ("flat", "a b c d"), ("flat", "a b c d"),
+      ("skew", "a a a a"), ("skew", "a a a a"))
+      .toDF("source", "text")
+    val out = TextStats.mixKlDrift(docs)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out("skew") ===
+      math.floor(1.0 * math.log(1.0 / (10.0 / 16.0)) * 1e8).toLong)
+    // KL >= 0 up to < 1 q8 unit shave per term; flat (4 terms) bounded below
+    assert(out("flat") >= -4L && out("skew") > out("flat"),
+      s"flat=${out("flat")} skew=${out("skew")}")
+  }
+
+  test("ngramNovelty: unique doc 10000 bp, duplicated text 0 bp, short doc 0 grams") {
+    val docs = Seq(
+      (1L, "u1 u2 u3 u4 u5"), // all grams exclusive
+      (2L, "c1 c2 c3 c4"), // duplicated in doc 3 -> both fully non-novel
+      (3L, "c1 c2 c3 c4"),
+      (4L, "s1 s2")) // too short for a 3-gram
+      .toDF("doc_id", "text")
+    val out = TextStats.ngramNovelty(docs, n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 3L, 10000L)))
+    assert(out(2L) === ((2L, 0L, 0L)))
+    assert(out(3L) === ((2L, 0L, 0L)))
+    assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
+  test("ngramNovelty: a gram repeated only WITHIN one doc stays exclusive") {
+    val docs = Seq(
+      (1L, "x y z x y z"), // "x y z" occurs twice, but only in doc 1
+      (2L, "p q r s"))
+      .toDF("doc_id", "text")
+    val out = TextStats.ngramNovelty(docs, n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out(1L) === 10000L)
+  }
 }
