@@ -85,6 +85,36 @@ object Journeys {
       .withColumn("cohort_week", $"cohort_week".cast("timestamp"))
   }
 
+  /** Markov transition matrix over event types: for every ordered
+    * adjacent pair of a user's events ((ts, tie) order), the count of
+    * `from_type → to_type` steps and the row-normalized probability in
+    * basis points (`p_bp = ⌊10⁴·n/Σ_row n⌋` — exact integer arithmetic,
+    * engine-reproducible). The "what happens after X" statistic next to
+    * [[funnel]]'s fixed-path view.
+    *
+    * Scale shape: ONE hash exchange on the user key for the `lead`
+    * window (the sessionization shuffle every per-user-ordered operator
+    * pays), then a map-side-combined pair count whose exchange carries
+    * ≤ |types|² rows, with the row totals — type-cardinality — joined
+    * back as a broadcast. */
+  def transitions(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .where($"_next".isNotNull)
+    val cnt = pairs
+      .groupBy(col(typeCol).as("from_type"), $"_next".as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy($"from_type").agg(sum($"n").as("_t"))
+    cnt.join(broadcast(tot), Seq("from_type"))
+      .select($"from_type", $"to_type", $"n",
+        floor(lit(10000.0) * $"n" / $"_t").cast("long").as("p_bp"))
+  }
+
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

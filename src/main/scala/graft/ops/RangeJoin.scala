@@ -45,4 +45,37 @@ object RangeJoin {
       .where(col(ptCol) >= col(startCol) && col(ptCol) <= col(endCol))
       .drop("_b")
   }
+
+  /** Interval × interval OVERLAP join — both sides are ranges (the
+    * genomics/incident-correlation shape [[pointInInterval]] cannot
+    * express). Same bucket-quantization idea, with the dedup rule
+    * adapted: both sides explode into covered buckets, so an
+    * overlapping pair meets in EVERY shared bucket — the pair is kept
+    * only in the bucket containing the OVERLAP START `max(startL,
+    * startR)`. That instant lies inside both intervals (it IS one
+    * side's start and ≤ both ends for any overlapping pair), so
+    * exactly one join row survives per qualifying pair: complete AND
+    * duplicate-free, still no distinct, never a nested loop.
+    *
+    * Overlap is inclusive on both bounds (`startL ≤ endR AND startR ≤
+    * endL`). Degenerate reversed intervals (end < start) are dropped
+    * on both sides, as in [[pointInInterval]]. */
+  def intervalOverlap(left: DataFrame, right: DataFrame,
+      startL: String, endL: String, startR: String, endR: String,
+      bucketSeconds: Long = 600L): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left and right must not share column names, both have: $shared")
+    val w = bucketSeconds * 1000000L
+    def b(c: org.apache.spark.sql.Column) = floor(unix_micros(c) / w)
+    val l = left.where(col(endL) >= col(startL))
+      .withColumn("_b", explode(sequence(b(col(startL)), b(col(endL)))))
+    val r = right.where(col(endR) >= col(startR))
+      .withColumn("_b", explode(sequence(b(col(startR)), b(col(endR)))))
+    l.join(r, Seq("_b"))
+      .where(col(startL) <= col(endR) && col(startR) <= col(endL))
+      .where(col("_b") === b(greatest(col(startL), col(startR))))
+      .drop("_b")
+  }
 }

@@ -109,8 +109,32 @@ object EventQueries extends QueryGroup {
       |FROM f LEFT JOIN ob o2 ON f.user_id = o2.user_id AND f.b = o2.b
       |ORDER BY f.user_id, f.b""".stripMargin
 
+  /** Markov transition matrix over event types: adjacent-pair counts
+    * per user order plus row-normalized probabilities in basis points.
+    * One user-keyed window shuffle, then a ≤ |types|² aggregate with
+    * broadcast row totals. */
+  def transitions(spark: SparkSession, dir: String): DataFrame =
+    Journeys.transitions(load(spark, dir, "events"))
+      .orderBy(col("from_type"), col("to_type"))
+
+  private val transitionsSql =
+    """WITH p AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS next_type
+      |  FROM events),
+      |c AS (SELECT event_type AS from_type, next_type AS to_type,
+      |             count(*) AS n
+      |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, sum(n) AS tt FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n::BIGINT AS n,
+      |       floor(10000.0::DOUBLE * c.n / t.tt)::BIGINT AS p_bp
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ev1_funnel", funnel, Some(funnelSql)),
     QueryDef("ev2_retention", retention, Some(retentionSql)),
-    QueryDef("ev3_gap_fill", gapFill, Some(gapFillSql)))
+    QueryDef("ev3_gap_fill", gapFill, Some(gapFillSql)),
+    QueryDef("ev4_transitions", transitions, Some(transitionsSql)))
 }

@@ -1703,7 +1703,50 @@ object ExtQueries extends QueryGroup {
        |        END)::BIGINT AS novelty_bp
        |FROM w LEFT JOIN pd USING (doc_id) ORDER BY w.doc_id""".stripMargin
 
+  /** Data-quality expectations over lineitem: four predicate rules in
+    * ONE aggregate pass plus the uniqueness rule (its own key shuffle,
+    * inherent) — the pre-publish gate an ingest pipeline runs. The
+    * synthetic lineitem genuinely violates pk uniqueness and the
+    * tax/discount caps, so both outcomes exercise. */
+  def expectationsQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val rules = Seq(
+      "quantity_in_1_50" -> !$"l_quantity".between(1.0, 50.0),
+      "discount_le_8pct" -> ($"l_discount" > 0.08),
+      "tax_le_6pct" -> ($"l_tax" > 0.06),
+      "shipdate_not_null" -> $"l_shipdate".isNull)
+    graft.ops.Expectations.check(li, rules)
+      .unionByName(graft.ops.Expectations.checkUnique(li,
+        Seq("l_orderkey", "l_linenumber"), "pk_unique"))
+      .orderBy($"rule")
+  }
+
+  private val expectationsSql =
+    """WITH base AS (
+      |  SELECT 'quantity_in_1_50' AS rule, count(*)::BIGINT AS n_rows,
+      |    sum(CASE WHEN coalesce(NOT (l_quantity BETWEEN 1.0 AND 50.0), TRUE)
+      |        THEN 1 ELSE 0 END)::BIGINT AS n_violations FROM lineitem
+      |  UNION ALL
+      |  SELECT 'discount_le_8pct', count(*)::BIGINT,
+      |    sum(CASE WHEN coalesce(l_discount > 0.08, TRUE)
+      |        THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+      |  UNION ALL
+      |  SELECT 'tax_le_6pct', count(*)::BIGINT,
+      |    sum(CASE WHEN coalesce(l_tax > 0.06, TRUE)
+      |        THEN 1 ELSE 0 END)::BIGINT FROM lineitem
+      |  UNION ALL
+      |  SELECT 'shipdate_not_null', count(*)::BIGINT,
+      |    sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END)::BIGINT
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'pk_unique', count(*)::BIGINT,
+      |    (count(*) - count(DISTINCT (l_orderkey, l_linenumber)))::BIGINT
+      |  FROM lineitem)
+      |SELECT rule, n_rows, n_violations, n_violations = 0 AS pass
+      |FROM base ORDER BY rule""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_expectations", expectationsQ, Some(expectationsSql)),
     QueryDef("ext_sketch_cms", sketchCms, Some(sketchCmsSql)),
     QueryDef("ext_global_rank", globalRankQ, Some(globalRankSql)),
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),

@@ -286,7 +286,41 @@ object WindowQueries extends QueryGroup {
       |             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
       |ORDER BY user_id, event_id""".stripMargin
 
+  /** J20 — interval × interval overlap join (error incident windows ×
+    * click activity windows): bucket-quantized on both sides, pair kept
+    * only in its overlap-start bucket — complete, duplicate-free, never
+    * a nested loop (RangeJoinSpec pins the plan). */
+  def intervalOverlapQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val a = ev
+      .where($"event_type" === "error" && $"value" >= 45.0 && $"user_id" % 5 === 0)
+      .select($"event_id".as("incident_id"), $"ts".as("a_start"),
+        ($"ts" + expr("INTERVAL 10 MINUTES")).as("a_end"))
+    val b = ev.where($"event_type" === "click" && $"value" >= 45.0)
+      .select($"event_id".as("click_id"), $"ts".as("b_start"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("b_end"))
+    graft.ops.RangeJoin.intervalOverlap(a, b,
+        "a_start", "a_end", "b_start", "b_end", bucketSeconds = 600L)
+      .select($"incident_id", $"click_id")
+      .orderBy($"incident_id", $"click_id")
+  }
+
+  private val intervalOverlapSql =
+    """WITH a AS (
+      |  SELECT event_id AS incident_id, CAST(ts AS TIMESTAMP) AS s,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 10 MINUTE AS e
+      |  FROM events
+      |  WHERE event_type = 'error' AND value >= 45.0 AND user_id % 5 = 0),
+      |b AS (
+      |  SELECT event_id AS click_id, CAST(ts AS TIMESTAMP) AS s2,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS e2
+      |  FROM events WHERE event_type = 'click' AND value >= 45.0)
+      |SELECT a.incident_id, b.click_id
+      |FROM a JOIN b ON a.s <= b.e2 AND b.s2 <= a.e
+      |ORDER BY incident_id, click_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("j20_interval_overlap", intervalOverlapQ, Some(intervalOverlapSql)),
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
     QueryDef("w6_range_trailing", rangeTrailing, Some(rangeTrailingSql)),

@@ -54,4 +54,32 @@ class JourneysSpec extends SparkSpec {
       ("2026-01-05 00:00:00.0", 1L, 1L),
       ("2026-01-12 00:00:00.0", 0L, 1L)))
   }
+
+  test("transitions: per-user adjacency only, exact counts and basis points") {
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    // user 1: v -> c -> v -> c ; user 2: p (no pair; also its v must NOT
+    // chain onto user 1's last event)
+    val events = Seq(
+      (1L, ts("2024-01-01 00:01:00"), 1L, "view"),
+      (1L, ts("2024-01-01 00:02:00"), 2L, "click"),
+      (1L, ts("2024-01-01 00:03:00"), 3L, "view"),
+      (1L, ts("2024-01-01 00:04:00"), 4L, "click"),
+      (2L, ts("2024-01-01 00:05:00"), 5L, "purchase"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Journeys.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(
+      ("view", "click") -> ((2L, 10000L)),
+      ("click", "view") -> ((1L, 10000L))))
+  }
+
+  test("transitions: same-timestamp order resolves by the tie column") {
+    val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val events = Seq(
+      (1L, t, 2L, "b"), (1L, t, 1L, "a"), (1L, t, 3L, "c"))
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Journeys.transitions(events).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out === Set(("a", "b"), ("b", "c"))) // event_id order: a b c
+  }
 }

@@ -62,4 +62,43 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
     assert(plan.contains("HashJoin"), plan)
   }
+
+  test("intervalOverlap ≡ naive overlap join on randomized intervals, duplicate-free") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    // interval lengths straddle the bucket width (600 s): some fit in
+    // one bucket, some span several — both dedup regimes exercised
+    def mk(n: Int, tag: String) = (1 to n).map { i =>
+      val s = rnd.nextInt(86400).toLong
+      val len = (rnd.nextInt(1800) + 1).toLong
+      (i.toLong, s, s + len)
+    }.toDF(s"${tag}_id", s"${tag}_s", s"${tag}_e")
+      .select(col(s"${tag}_id"),
+        timestamp_micros(col(s"${tag}_s") * 1000000L).as(s"${tag}_start"),
+        timestamp_micros(col(s"${tag}_e") * 1000000L).as(s"${tag}_end"))
+    val (a, b) = (mk(120, "a"), mk(150, "b"))
+    val got = RangeJoin.intervalOverlap(a, b, "a_start", "a_end",
+        "b_start", "b_end", bucketSeconds = 600L)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = a.join(b,
+        col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length, "pairs must be emitted once")
+    assert(got.toSet === want.toSet)
+    assert(got.length === want.length)
+  }
+
+  test("intervalOverlap plan: hash join on the bucket, never a nested loop") {
+    import spark.implicits._
+    val a = spark.range(10).select($"id".as("a_id"),
+      timestamp_micros($"id" * 300000000L).as("a_start"),
+      timestamp_micros($"id" * 300000000L + 60000000L).as("a_end"))
+    val b = spark.range(10).select($"id".as("b_id"),
+      timestamp_micros($"id" * 200000000L).as("b_start"),
+      timestamp_micros($"id" * 200000000L + 90000000L).as("b_end"))
+    val plan = RangeJoin.intervalOverlap(a, b, "a_start", "a_end",
+      "b_start", "b_end").queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(plan.contains("HashJoin"), plan)
+  }
 }
