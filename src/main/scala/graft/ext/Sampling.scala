@@ -209,6 +209,35 @@ object Sampling {
     * global sort: the only wide op is one hash-partitioned window, and
     * each shard sorts independently (at 100 TB: nShards ≥ executors and
     * AQE splits any skew; md5 makes skew all but impossible). */
+  /** Weighted sampling WITHOUT replacement — the deterministic form of
+    * the Efraimidis–Spirakis A-ES scheme: each row draws the md5-uniform
+    * `u = (bucket + 1)/10001 ∈ (0, 1)` from its OWN key and exposes
+    * `score_q8 = ⌊(−ln u)/w · 10⁸⌋`; the k smallest scores are the
+    * sample (equivalent to the classic "largest u^(1/w)" rule — ln is
+    * monotone — with the quantized score making the cut reproducible
+    * across engines; ties at a score break by key). Inclusion
+    * probability rises with weight; re-running with the same corpus
+    * reproduces the same sample bit-for-bit, the same contract as every
+    * other md5-basis sampler here.
+    *
+    * Scale shape: the score is a narrow per-row expression; top-k plans
+    * as TakeOrderedAndProject (per-partition heads + one k-row merge) —
+    * no global sort, no full shuffle. Null or non-positive weights and
+    * null keys fall out (a zero-weight row must never be sampled; a
+    * null key has no reproducible draw). */
+  def weightedWithoutReplacement(df: DataFrame, keyCol: String,
+      weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val u = (hashBucket(col(keyCol)).cast("double") + lit(1.0)) / lit(10001.0)
+    df.where(col(keyCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("score_q8",
+        floor((-log(u)) / col(weightCol).cast("double") * lit(100000000.0))
+          .cast("long"))
+      .orderBy(col("score_q8").asc, col(keyCol).asc)
+      .limit(k)
+  }
+
   def shardAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window

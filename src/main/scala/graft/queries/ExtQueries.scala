@@ -691,6 +691,72 @@ object ExtQueries extends QueryGroup {
        |SELECT id, r AS rank FROM it4 ORDER BY id""".stripMargin
   }
 
+  /** Label-propagation communities over the same near-dup graph as
+    * PageRank (3 deterministic synchronous rounds, most-frequent
+    * neighbor label, min tie-break): components finds reachability,
+    * LPA finds the dense groups inside. Oracle unrolls the rounds as
+    * chained CTEs with a window argmax per round. */
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    graft.ops.LabelProp.run(edges, emb.select($"vec_id".as("id")),
+        iterations = 3)
+      .orderBy($"id")
+  }
+
+  private val labelPropSql = {
+    def round(prev: String, cur: String) =
+      s"""g$cur AS (
+         |  SELECT e.dst, pl.lab, count(*) AS c
+         |  FROM edges e JOIN $prev pl ON e.src = pl.id
+         |  GROUP BY e.dst, pl.lab),
+         |w$cur AS (
+         |  SELECT dst, lab,
+         |         row_number() OVER (PARTITION BY dst
+         |           ORDER BY c DESC, lab) AS rn
+         |  FROM g$cur),
+         |$cur AS (
+         |  SELECT l.id, coalesce(w.lab, l.lab) AS lab
+         |  FROM $prev l LEFT JOIN (SELECT dst, lab FROM w$cur WHERE rn = 1) w
+         |    ON l.id = w.dst)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |l0 AS (SELECT DISTINCT vec_id AS id, vec_id AS lab FROM embeddings),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
+  }
+
+  /** Weighted sampling without replacement (deterministic
+    * Efraimidis–Spirakis): 50 documents drawn with probability rising
+    * in n_chars; TakeOrderedAndProject top-k, no global sort. */
+  def sampleWor(spark: SparkSession, dir: String): DataFrame =
+    Sampling.weightedWithoutReplacement(
+        load(spark, dir, "documents").select($"doc_id", $"n_chars"),
+        "doc_id", "n_chars", k = 50)
+      .orderBy($"doc_id")
+
+  private val sampleWorSql =
+    """WITH s AS (
+      |  SELECT doc_id, n_chars,
+      |    floor((-ln(((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+      |                 % 10000) + 1.0::DOUBLE) / 10001.0::DOUBLE))
+      |          / n_chars::DOUBLE * 100000000.0::DOUBLE)::BIGINT AS score_q8
+      |  FROM documents
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL AND n_chars > 0),
+      |k AS (SELECT doc_id, n_chars, score_q8 FROM s
+      |      ORDER BY score_q8, doc_id LIMIT 50)
+      |SELECT doc_id, n_chars, score_q8 FROM k ORDER BY doc_id""".stripMargin
+
   /** Triangle counts per node over the near-dup graph
     * ([[graft.ops.Triangles]], degree-ordered wedge enumeration). The
     * oracle enumerates each triangle by plain id-order (a<b<c triple
@@ -1787,6 +1853,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("ext_pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),
+    QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),

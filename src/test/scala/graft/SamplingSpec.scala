@@ -213,4 +213,49 @@ class SamplingSpec extends SparkSpec {
     assert(uncapped.count() === 6)   // every doc shares the boilerplate
     assert(capped.count() === 0)     // fingerprints in >3 docs are dropped
   }
+
+  test("weighted WOR: equals the A-ES formula replayed independently; deterministic") {
+    val rows = (1L to 200L).map(i => (i, (i % 7 + 1) * 10L)).toDF("k", "w")
+    val got = Sampling.weightedWithoutReplacement(rows, "k", "w", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    // independent replay of score_q8 = floor(-ln((b+1)/10001)/w * 1e8)
+    def bucket(k: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(k.toString.getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(4).map(b => f"$b%02x").mkString, 16) % 10000L
+    }
+    val want = (1L to 200L).map { i =>
+      val w = (i % 7 + 1) * 10L
+      val u = (bucket(i) + 1.0) / 10001.0
+      (i, math.floor(-math.log(u) / w * 1e8).toLong)
+    }.sortBy { case (k, s) => (s, k) }.take(20)
+    assert(got.toSet === want.toSet)
+    val again = Sampling.weightedWithoutReplacement(rows.repartition(11), "k", "w", 20)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(again.toSet === want.toSet)
+  }
+
+  test("weighted WOR: null/zero weights and null keys fall out; heavier is likelier") {
+    val rows = Seq[(Option[Long], Option[Long])](
+      (Some(1L), Some(0L)), (Some(2L), None), (None, Some(5L)),
+      (Some(4L), Some(3L)), (Some(5L), Some(8L)))
+      .toDF("k", "w")
+    val kept = Sampling.weightedWithoutReplacement(rows, "k", "w", 10)
+      .select($"k").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(4L, 5L))
+    // inclusion is weight-monotone in aggregate: with half the corpus at
+    // 10x weight, the top quarter must be dominated by heavy rows
+    val mixed = (1L to 400L).map(i =>
+      (i, if (i <= 200) 1000L else 100L)).toDF("k", "w")
+    val top = Sampling.weightedWithoutReplacement(mixed, "k", "w", 100)
+      .select($"k").collect().map(_.getLong(0))
+    assert(top.count(_ <= 200) > 80, s"heavy rows: ${top.count(_ <= 200)}/100")
+  }
+
+  test("weighted WOR plan: TakeOrderedAndProject, no global sort exchange") {
+    val rows = (1L to 50L).map(i => (i, i)).toDF("k", "w")
+    val plan = Sampling.weightedWithoutReplacement(rows, "k", "w", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
 }
