@@ -103,6 +103,45 @@ object StreamingIngest {
       }
   }
 
+  /** State for [[transitionsStream]]: each key remembers only its LAST
+    * event — O(1) state per key forever, the cheapest stateful shape. */
+  case class LastSeen(tsMicros: Long, eventId: Long, eventType: String)
+  case class Transition(user_id: Long, from_type: String, to_type: String)
+
+  /** Streaming twin of [[graft.ops.Journeys.transitions]]' pair
+    * extraction: per-key from→to event-type steps emitted incrementally
+    * (the downstream count/normalize is an ordinary streaming
+    * aggregation, or [[runningAggSink]] for exact-resume maintenance).
+    *
+    * Rows within a micro-batch are sorted by (ts, event_id) before
+    * folding, so intra-batch disorder is corrected; ACROSS batches the
+    * operator assumes per-key in-order delivery (the state is one event
+    * — event-time reordering beyond a batch would need a watermark
+    * buffer, a deliberate trade for O(1) state per key). Batch≡stream
+    * parity under chronological feeding is pinned in StreamingSpec. */
+  def transitionsStream(events: org.apache.spark.sql.Dataset[KeyedTypedEvent])
+      : org.apache.spark.sql.Dataset[Transition] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastSeen, Transition](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[KeyedTypedEvent], state: GroupState[LastSeen]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Transition]()
+          var last = state.getOption
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(uid, l.eventType, e.event_type))
+            last = Some(LastSeen(e.ts.getTime, e.event_id, e.event_type))
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
+  case class KeyedTypedEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String)
+
   /** Watermark-bounded streaming dedup — `dropDuplicatesWithinWatermark`
     * on the event id. The unbounded-state trap in streaming dedup is
     * that plain `dropDuplicates` must remember EVERY key forever; the

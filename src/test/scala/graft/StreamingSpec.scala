@@ -289,6 +289,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.find(e => e.user_id == 1 && e.event_id == 12).get.seq === 3L)
   }
 
+  test("transitionsStream: multi-batch stateful pairs equal the batch transition extraction") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.KeyedTypedEvent
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // chronological feed split across batches mid-user; batch 1 is
+    // deliberately fed out of order WITHIN the batch (sorted by the op)
+    val b1 = Seq(
+      KeyedTypedEvent(1L, 2L, ts(20), "click"),
+      KeyedTypedEvent(1L, 1L, ts(10), "view"),
+      KeyedTypedEvent(2L, 3L, ts(15), "view"))
+    val b2 = Seq(
+      KeyedTypedEvent(1L, 4L, ts(30), "purchase"), // chains onto batch-1 click
+      KeyedTypedEvent(2L, 5L, ts(25), "click"))
+    val input = MemoryStream[KeyedTypedEvent]
+    val q = StreamingIngest.transitionsStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("transitions_stream").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("transitions_stream")
+      .as[StreamingIngest.Transition].collect()
+      .map(t => (t.user_id, t.from_type, t.to_type)).sorted
+    val batch = graft.ops.Journeys.transitions(
+        (b1 ++ b2).toDF().select(col("user_id"), col("ts"),
+          col("event_id"), col("event_type")))
+      .collect().flatMap(r => Seq.fill(r.getLong(2).toInt)(("", r.getString(0), r.getString(1))))
+    // same per-(from,to) multiset of steps as the batch operator
+    val streamedPairs = streamed.map(t => (t._2, t._3)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    val batchPairs = batch.map(t => (t._2, t._3)).groupBy(identity)
+      .view.mapValues(_.length).toMap
+    assert(streamedPairs === batchPairs)
+    assert(streamed.toSeq === Seq(
+      (1L, "click", "purchase"), (1L, "view", "click"), (2L, "view", "click")))
+  }
+
   test("partition-scoped merge sink: only batch-touched partitions are rewritten") {
     import spark.implicits._
     val landing = tmpDir("graft-landing3")
