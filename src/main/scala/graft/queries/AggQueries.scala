@@ -198,6 +198,28 @@ object AggQueries extends QueryGroup {
       |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       |ORDER BY flag, status""".stripMargin
 
+  /** A17 — CUBE: all 2^k grouping combinations (the non-prefix sets
+    * rollup can't produce) in one Expand + one aggregate — completes
+    * the multidimensional-aggregate family next to a12 (rollup) and
+    * a13 (explicit grouping sets). */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    li.cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("n"), round(sum($"l_quantity"), 2).as("qty"))
+      .select(
+        coalesce($"l_returnflag", lit("ALL")).as("flag"),
+        coalesce($"l_linestatus", lit("ALL")).as("status"),
+        $"n", $"qty")
+      .orderBy($"flag", $"status")
+  }
+
+  private val cubeAggSql =
+    """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+      |       coalesce(l_linestatus, 'ALL') AS status,
+      |       count(*) AS n, round(sum(l_quantity), 2) AS qty
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY flag, status""".stripMargin
+
   /** A14 — star-schema revenue (TPC-H Q5 shape): the canonical
     * multi-dimension join plan. The fact table (lineitem) takes ONE
     * hash shuffle (to orders on the orderkey); every dimension hop —
@@ -312,6 +334,7 @@ object AggQueries extends QueryGroup {
     QueryDef("a15_pivot", pivotCounts, Some(pivotCountsSql)),
     QueryDef("a16_unpivot", unpivotAttrs, Some(unpivotAttrsSql)),
     QueryDef("a12_rollup", rollupAgg, Some(rollupAggSql)),
+    QueryDef("a17_cube", cubeAgg, Some(cubeAggSql)),
     QueryDef("a13_grouping_sets", groupingSets, Some(groupingSetsSql)),
     QueryDef("a14_star_revenue", starRevenue, Some(starRevenueSql)),
     QueryDef("a1_project_summary", projectSummary, Some(projectSummarySql)),

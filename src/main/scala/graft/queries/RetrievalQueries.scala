@@ -203,7 +203,53 @@ object RetrievalQueries extends QueryGroup {
       |WHERE d.dev > 3.0::DOUBLE * s.mad
       |ORDER BY d.event_id""".stripMargin
 
+  /** Grouped Pearson correlation + simple OLS of event value (integer
+    * floor) against hour-of-day, per event type — exact integer
+    * co-moments (order-independent long sums), floating point only in
+    * the final per-group formula the oracle spells identically. */
+  def corrOls(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select($"event_type",
+        expr("hour(ts)").cast("long").as("x"),
+        floor($"value").cast("long").as("y"))
+    graft.ops.Moments.corrOls(ev, "event_type", "x", "y")
+      .orderBy($"event_type")
+  }
+
+  private val corrOlsSql =
+    """WITH e AS (
+      |  SELECT event_type, hour(CAST(ts AS TIMESTAMP))::BIGINT AS x,
+      |         floor(value)::BIGINT AS y
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL AND value IS NOT NULL),
+      |m AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+      |         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx,
+      |         sum(y * y)::BIGINT AS syy
+      |  FROM e GROUP BY event_type),
+      |d AS (
+      |  SELECT event_type, n,
+      |         (n * sxy - sx * sy)::BIGINT AS covn,
+      |         (n * sxx - sx * sx)::BIGINT AS varxn,
+      |         (n * syy - sy * sy)::BIGINT AS varyn,
+      |         sx, sy
+      |  FROM m)
+      |SELECT event_type, n,
+      |  CASE WHEN varxn > 0 AND varyn > 0 THEN
+      |    floor((covn::DOUBLE / sqrt(varxn::DOUBLE * varyn::DOUBLE))
+      |          * 1000000.0::DOUBLE)::BIGINT END AS corr_q6,
+      |  CASE WHEN varxn > 0 THEN
+      |    floor((covn::DOUBLE / varxn::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+      |  END AS slope_q6,
+      |  CASE WHEN varxn > 0 THEN
+      |    floor(((sy::DOUBLE - (covn::DOUBLE / varxn::DOUBLE) * sx::DOUBLE)
+      |           / n::DOUBLE) * 1000000.0::DOUBLE)::BIGINT
+      |  END AS intercept_q6
+      |FROM d ORDER BY event_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_corr_ols", corrOls, Some(corrOlsSql)),
     QueryDef("ext_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("ext_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("ext_tokenize_ids", tokenizeIds, Some(tokenizeIdsSql)),

@@ -69,4 +69,66 @@ class MetricsSpec extends SparkSpec {
         s"bloomed=${bloomed.bytesWritten}B plain=${plain.bytesWritten}B")
     }
   }
+
+  test("segmentDedup's aggregate winner pick beats the window formulation on a hot segment") {
+    Metrics.withoutAqe(spark) {
+      // corpus-hot boilerplate: ONE segment repeated in 20k docs across
+      // 16 partitions — the map-side-combined min(struct) ships one
+      // partial per partition; a window over the segment ships every
+      // occurrence to one reducer
+      val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+      val docs = (1L to 20000L).map(i => (i, s"$boiler unique$i"))
+        .toDF("doc_id", "text").repartition(16).cache()
+      docs.count()
+
+      // naive: same segments, winner via a per-segment window
+      val segs = docs
+        .select($"doc_id", graft.ext.TextStats.tokens($"text").as("_t"))
+        .select($"doc_id", posexplode(transform(
+          sequence(lit(0), (floor((size($"_t") + 7) / lit(8)) - 1).cast("int")),
+          i => array_join(slice($"_t", i * 8 + 1, lit(8)), " ")))
+          .as(Seq("seg_idx", "seg")))
+      // the winner pass as segmentDedup runs it: ONE map-side-combined
+      // aggregate — this is the stage the window formulation replaces
+      val aggWinner = Metrics.shuffleWrite(
+        segs.groupBy($"seg")
+          .agg(min(struct($"doc_id", $"seg_idx")).as("w")))
+      val w = Window.partitionBy($"seg").orderBy($"doc_id", $"seg_idx")
+      def windowQuery = segs.withColumn("rn", row_number().over(w))
+        .where($"rn" === 1)
+      // Spark's WindowGroupLimit rule map-side prunes rank-1 filters too
+      // (same finding as the top-k test) — the honest comparison is
+      // three-way: agg, window+rule, window with the rule disabled
+      val windowPruned = Metrics.shuffleWrite(windowQuery)
+      val limitKey = "spark.sql.optimizer.windowGroupLimitThreshold"
+      val prev = spark.conf.get(limitKey)
+      spark.conf.set(limitKey, "-1")
+      val windowNaive =
+        try Metrics.shuffleWrite(windowQuery)
+        finally spark.conf.set(limitKey, prev)
+      docs.unpersist()
+
+      // every doc has 2 segments (boiler + unique tail): without the
+      // prune, the window ships all 40k occurrence rows — and the hot
+      // segment's 20k land on ONE reducer (the skew cliff)
+      assert(windowNaive.recordsWritten >= 40000L,
+        s"unpruned window ships every occurrence, got ${windowNaive.recordsWritten}")
+      // the map-side-combined aggregate caps the winner exchange at
+      // ~one partial per (segment, partition): the hot segment
+      // contributes ≤ 16 partials instead of 20 000 occurrence rows
+      // ≤ 20 000 unique-segment partials (irreducible — they appear
+      // once) + ≤ 16 combined partials for the hot one + 1
+      assert(aggWinner.recordsWritten <= 20001L + 16,
+        s"agg winner pass, got ${aggWinner.recordsWritten}")
+      assert(aggWinner.recordsWritten < windowNaive.recordsWritten,
+        s"agg=${aggWinner.recordsWritten} naive=${windowNaive.recordsWritten}")
+      // Spark's WindowGroupLimit rule recovers the same cap for the
+      // bare rank-1 filter (same honest finding as the top-k test) —
+      // but segmentDedup still needs the aggregate: rank-1 yields
+      // occurrence rows, not the min-(doc,idx) winner struct feeding
+      // reassembly, and the aggregate composes with other aggs
+      assert(windowPruned.recordsWritten <= 20001L + 16 * 16,
+        s"pruned window, got ${windowPruned.recordsWritten}")
+    }
+  }
 }

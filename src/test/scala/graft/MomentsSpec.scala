@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.Moments
+
+/** Co-moment statistics goldens: hand-computed exact values, degenerate
+  * variance guards, and bit-reproducibility across partitionings (the
+  * property Spark's own double-reducing `corr` does not have). */
+class MomentsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("perfect line: corr exactly 1, slope/intercept exact") {
+    val df = Seq((1L, 2L * 1 + 3), (2L, 2L * 2 + 3), (3L, 2L * 3 + 3),
+      (4L, 2L * 4 + 3)).map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val r = Moments.corrOls(df, "g", "x", "y").head
+    assert(r.getLong(1) === 4L)
+    assert(r.getLong(2) === 1000000L) // corr = 1.0 exactly
+    assert(r.getLong(3) === 2000000L) // slope = 2.0
+    assert(r.getLong(4) === 3000000L) // intercept = 3.0
+  }
+
+  test("anti-correlated and degenerate groups") {
+    val rows =
+      (1L to 5L).map(x => ("anti", x, 100L - 10L * x)) ++
+        (1L to 4L).map(_ => ("constx", 7L, 3L)) ++ // zero x-variance
+        (1L to 4L).map(x => ("consty", x, 5L)) // zero y-variance
+    val out = Moments.corrOls(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((Option(r.get(2)), Option(r.get(3)), Option(r.get(4))))).toMap
+    assert(out("anti")._1 === Some(-1000000L))
+    assert(out("anti")._2 === Some(-10000000L))
+    assert(out("constx") === ((None, None, None)))
+    // constant y: corr undefined (null) but the fit is the flat line y=5
+    assert(out("consty")._1 === None)
+    assert(out("consty")._2 === Some(0L))
+    assert(out("consty")._3 === Some(5000000L))
+  }
+
+  test("bit-identical across partitionings (exact integer co-moments)") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 5000).map(_ =>
+      ("g" + rnd.nextInt(4), rnd.nextInt(24).toLong, rnd.nextInt(500).toLong))
+    val a = Moments.corrOls(rows.toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val b = Moments.corrOls(rows.toDF("g", "x", "y").repartition(17), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(a === b)
+  }
+}
