@@ -112,9 +112,58 @@ object Frequency {
       ps: Seq[Double]): DataFrame = {
     require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
       s"quantile probabilities must lie in (0, 1], got $ps")
+    val labels = quantileLabels(ps)
+    val cum = groupCumulative(df, groupCol, valueCol)
+    val aggs = ps.zip(labels).map { case (p, lbl) =>
+      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_v"))).as(lbl)
+    }
+    cum.groupBy(col("_g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** INTERPOLATED per-group quantiles (`quantile_cont` /
+    * `percentile_cont` semantics: `h = (n−1)·p`, result =
+    * `v⌊h⌋ + (v⌈h⌉ − v⌊h⌋)·(h − ⌊h⌋)` over the sorted multiset) — the
+    * continuous twin of [[exactQuantiles]], same distributed-selection
+    * machinery, same oracle-exactness contract: both order statistics
+    * come from the one cumulative pass (`min(v WHERE cum ≥ k)` at
+    * k = ⌊h⌋+1 and ⌈h⌉+1), and the interpolation is one fixed chain of
+    * IEEE ops per group. */
+  def exactQuantilesCont(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"quantile probabilities must lie in [0, 1], got $ps")
+    val labels = quantileLabels(ps)
+    val cum = groupCumulative(df, groupCol, valueCol)
+    val aggs = ps.zip(labels).flatMap { case (p, lbl) =>
+      val h = lit(p) * (col("_n") - 1).cast("double")
+      Seq(
+        min(when(col("_cum") >= floor(h) + 1, col("_v"))).as(s"_lo_$lbl"),
+        min(when(col("_cum") >= ceil(h) + 1, col("_v"))).as(s"_hi_$lbl"))
+    }
+    val grouped = cum.groupBy(col("_g").as(groupCol), col("_n"))
+      .agg(aggs.head, aggs.tail: _*)
+    val outs = ps.zip(labels).map { case (p, lbl) =>
+      val h = lit(p) * (col("_n") - 1).cast("double")
+      (col(s"_lo_$lbl") +
+        (col(s"_hi_$lbl") - col(s"_lo_$lbl")) * (h - floor(h))).as(lbl)
+    }
+    grouped.select(col(groupCol) +: outs: _*)
+  }
+
+  private def quantileLabels(ps: Seq[Double]): Seq[String] = {
     val labels = ps.map(p => "p" + math.round(p * 100))
     require(labels.distinct.size == labels.size,
       s"probabilities collide at integer-percent labels: $labels")
+    labels
+  }
+
+  /** Phases 1–4 of the distributed-selection quantile machinery (see
+    * [[exactQuantiles]]'s scaladoc): returns the `(_g, _v, _cum, _n)`
+    * frame — per distinct (group, value), the running cumulative count
+    * and the group's total — built with ONE row-scale exchange and a
+    * bounded (P + G entries) driver collect. */
+  private def groupCumulative(df: DataFrame, groupCol: String,
+      valueCol: String): DataFrame = {
     val sess = df.sparkSession
     import sess.implicits.newProductEncoder
     val nPart = math.max(1, sess.sessionState.conf.numShufflePartitions)
@@ -154,10 +203,7 @@ object Frequency {
         (g, v, run, bGrand.value(g))
       }
     }.toDF("_g", "_v", "_cum", "_n")
-    val aggs = ps.zip(labels).map { case (p, lbl) =>
-      min(when(col("_cum") >= ceil(lit(p) * col("_n")), col("_v"))).as(lbl)
-    }
-    cum.groupBy(col("_g").as(groupCol)).agg(aggs.head, aggs.tail: _*)
+    cum
   }
 
   /** Winsorization (outlier clipping) of `valueCol` at exact per-group

@@ -115,6 +115,38 @@ object Journeys {
         floor(lit(10000.0) * $"n" / $"_t").cast("long").as("p_bp"))
   }
 
+  /** Batch sessionization with session ORDINALS: gaps-and-islands per
+    * key — a new session starts at the first event and wherever the
+    * gap to the previous event exceeds `gapSeconds`; sessions are
+    * numbered 1, 2, … per key in time order and summarized (count,
+    * start/end epoch seconds, duration). The per-session-identity
+    * complement of the `session_window` AGGREGATION (st2): that one
+    * returns windows, this one returns each key's session timeline.
+    *
+    * Scale shape: one hash exchange on the key for the lag/cumsum
+    * window (narrow within each key's sorted slice), then a map-side
+    * combined per-(key, session) aggregate. Epochs are integer seconds
+    * (`unix_micros div 1e6`), exact cross-engine. */
+  def sessions(events: DataFrame, gapSeconds: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
+    val w = Window.partitionBy(col(userCol)).orderBy($"es", col(tieCol))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col(userCol), col(tieCol),
+        expr(s"unix_micros($tsCol) div 1000000").as("es"))
+      .withColumn("_new",
+        when($"es" - lag($"es", 1).over(w) <= gapSeconds, lit(0L))
+          .otherwise(lit(1L))) // first row: NULL comparison → new session
+      .withColumn("session_idx", sum($"_new").over(wRun))
+      .groupBy(col(userCol), $"session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min($"es").as("start_es"), max($"es").as("end_es"))
+      .withColumn("duration_s", $"end_es" - $"start_es")
+  }
+
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

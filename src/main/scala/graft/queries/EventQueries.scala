@@ -132,9 +132,40 @@ object EventQueries extends QueryGroup {
       |FROM c JOIN t USING (from_type)
       |ORDER BY from_type, to_type""".stripMargin
 
+  /** Sessionization with ordinals: 30-minute-gap sessions per user,
+    * numbered in time order, with count/start/end/duration — the
+    * session-timeline complement of st2's session_window aggregation. */
+  def sessions(spark: SparkSession, dir: String): DataFrame =
+    Journeys.sessions(
+        load(spark, dir, "events").where(col("user_id") % 25 === 0),
+        gapSeconds = 1800L)
+      .orderBy(col("user_id"), col("session_idx"))
+
+  private val sessionsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es
+      |  FROM events WHERE user_id % 25 = 0),
+      |f AS (
+      |  SELECT user_id, event_id, es,
+      |         CASE WHEN es - lag(es) OVER w <= 1800 THEN 0 ELSE 1 END AS nw
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY es, event_id)),
+      |s AS (
+      |  SELECT user_id, es,
+      |         sum(nw) OVER (PARTITION BY user_id ORDER BY es, event_id
+      |                       ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM f)
+      |SELECT user_id, session_idx::BIGINT AS session_idx,
+      |       count(*)::BIGINT AS n_events,
+      |       min(es)::BIGINT AS start_es, max(es)::BIGINT AS end_es,
+      |       (max(es) - min(es))::BIGINT AS duration_s
+      |FROM s GROUP BY user_id, session_idx
+      |ORDER BY user_id, session_idx""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ev1_funnel", funnel, Some(funnelSql)),
     QueryDef("ev2_retention", retention, Some(retentionSql)),
     QueryDef("ev3_gap_fill", gapFill, Some(gapFillSql)),
-    QueryDef("ev4_transitions", transitions, Some(transitionsSql)))
+    QueryDef("ev4_transitions", transitions, Some(transitionsSql)),
+    QueryDef("ev5_sessions", sessions, Some(sessionsSql)))
 }

@@ -248,7 +248,27 @@ object RetrievalQueries extends QueryGroup {
       |  END AS intercept_q6
       |FROM d ORDER BY event_type""".stripMargin
 
+  /** Interpolated per-type value percentiles (percentile_cont
+    * semantics) via the distributed-selection machinery — checked
+    * against DuckDB's NATIVE quantile_cont, an independent
+    * implementation of the same definition. */
+  def quantileCont(spark: SparkSession, dir: String): DataFrame =
+    Frequency.exactQuantilesCont(
+        load(spark, dir, "events").select($"event_type", $"value"),
+        "event_type", "value", Seq(0.5, 0.9))
+      .select($"event_type", round($"p50", 4).as("p50"),
+        round($"p90", 4).as("p90"))
+      .orderBy($"event_type")
+
+  private val quantileContSql =
+    """SELECT event_type,
+      |       round(quantile_cont(value, 0.5), 4) AS p50,
+      |       round(quantile_cont(value, 0.9), 4) AS p90
+      |FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_quantile_cont", quantileCont, Some(quantileContSql)),
     QueryDef("ext_corr_ols", corrOls, Some(corrOlsSql)),
     QueryDef("ext_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("ext_bm25_topk", bm25TopK, Some(bm25TopKSql)),

@@ -137,6 +137,24 @@ class FrequencySpec extends SparkSpec {
     assert(estM === estN)
   }
 
+  test("exactQuantilesCont: interpolation, boundaries, ties, n=1 — hand-computed") {
+    // group a: sorted 10, 20, 30, 40 (n=4): p50 → h=1.5 → 20 + 0.5·10 = 25
+    //   p25 → h=0.75 → 10 + 0.75·10 = 17.5 ; p0 → min ; p100 → max
+    val a = Seq(40L, 10L, 30L, 20L).map(("a", _))
+    val b = Seq(7L) // n=1: every percentile is the value
+    val df = (a ++ b.map(("b", _))).toDF("g", "v")
+    val out = Frequency.exactQuantilesCont(df, "g", "v",
+        Seq(0.0, 0.25, 0.5, 1.0))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out("a") === ((10.0, 17.5, 25.0, 40.0)))
+    assert(out("b") === ((7.0, 7.0, 7.0, 7.0)))
+    // duplicated values interpolate across equal order statistics
+    val ties = Seq(1L, 2L, 2L, 3L).map(("t", _)).toDF("g", "v")
+    val p50 = Frequency.exactQuantilesCont(ties, "g", "v", Seq(0.5)).head.getDouble(1)
+    assert(p50 === 2.0) // h=1.5: v2=2, v3=2
+  }
+
   test("globalRank: rank()-with-ties semantics, no single-partition exchange, no Window") {
     val vals = Seq(5L, 3L, 3L, 9L, 1L, 9L, 9L, 2L).toDF("v")
     val out = Frequency.globalRank(vals, "v")

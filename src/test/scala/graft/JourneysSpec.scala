@@ -73,6 +73,26 @@ class JourneysSpec extends SparkSpec {
       ("click", "view") -> ((1L, 10000L))))
   }
 
+  test("sessions: gap splits, ordinals in time order, boundary gap stays in-session") {
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val ev = Seq(
+      (1L, ts(0), 1L, "view"), // session 1
+      (1L, ts(1800), 2L, "click"), // exactly the gap → SAME session
+      (1L, ts(1800 + 1801), 3L, "view"), // 1801 s gap → session 2
+      (1L, ts(1800 + 1801 + 10), 4L, "click"),
+      (2L, ts(50), 5L, "view")) // separate key
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Journeys.sessions(ev, gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(5)))).toMap
+    val base = 1700000000L
+    assert(out((1L, 1L)) === ((2L, 1800L))) // 2 events, 1800 s long
+    assert(out((1L, 2L)) === ((2L, 10L)))
+    assert(out((2L, 1L)) === ((1L, 0L)))
+    assert(out.size === 3)
+    assert(Journeys.sessions(ev, 1800L).where(col("start_es") === base).count() === 1)
+  }
+
   test("transitions: same-timestamp order resolves by the tie column") {
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = Seq(
