@@ -62,4 +62,62 @@ object AsofJoin {
         (tsCol +: rPayload).map(c =>
           col("_match").getField(c).as(rightPrefix + c)): _*)
   }
+
+  /** NEAREST as-of join: for each left row, the right row minimizing
+    * |r.ts − l.ts| within ±`maxGapSeconds`, per key — sensor/series
+    * alignment where "latest before" is the wrong bias. Same union +
+    * window formulation as [[asofBackward]], still ONE keyed shuffle
+    * and zero join operators: the one sorted pass carries BOTH the
+    * trailing `last(ignoreNulls)` (previous right row) and the leading
+    * `first(ignoreNulls)` (next right row) over the same partitioning,
+    * then each left row picks the nearer candidate (ties → the earlier
+    * one, the merge_asof convention). Candidates beyond the gap are
+    * nulled — a bounded tolerance is what keeps "nearest" meaningful
+    * on sparse feeds.
+    *
+    * Equal timestamps match exactly (distance 0 beats any other); the
+    * right-row ordering/null-key rules of [[asofBackward]] carry over. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, maxGapSeconds: Long,
+      rightPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    require(maxGapSeconds >= 0, s"maxGapSeconds must be >= 0, got $maxGapSeconds")
+    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val rStruct = struct((col(tsCol).as(tsCol) +: rPayload.map(c => col(c).as(c))): _*)
+    val rTagged = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) ++ Seq(col(tsCol).as("_ts"), rStruct.as("_r")): _*)
+      .withColumn("_side", lit(0))
+    val lCols = left.columns.toSeq
+    val lTagged = left
+      .select(keys.map(col) ++ Seq(col(tsCol).as("_ts"),
+        struct(lCols.map(col): _*).as("_l")): _*)
+      .withColumn("_side", lit(1))
+    val unioned = lTagged
+      .withColumn("_r", lit(null).cast(rTagged.schema("_r").dataType))
+      .unionByName(rTagged
+        .withColumn("_l", lit(null).cast(lTagged.schema("_l").dataType)))
+    val ord = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side"), col("_r"))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def gapOk(c: org.apache.spark.sql.Column) =
+      abs(unix_micros(c.getField(tsCol)) - unix_micros(col("_ts"))) <=
+        maxGapSeconds * 1000000L
+    val picked = unioned
+      .withColumn("_prev", last(col("_r"), ignoreNulls = true).over(wPrev))
+      .withColumn("_next", first(col("_r"), ignoreNulls = true).over(wNext))
+      .where(col("_side") === 1)
+      .withColumn("_pOk", col("_prev").isNotNull && gapOk(col("_prev")))
+      .withColumn("_nOk", col("_next").isNotNull && gapOk(col("_next")))
+      .withColumn("_match",
+        when(col("_pOk") && (!col("_nOk") ||
+          unix_micros(col("_ts")) - unix_micros(col("_prev").getField(tsCol)) <=
+            unix_micros(col("_next").getField(tsCol)) - unix_micros(col("_ts"))),
+          col("_prev"))
+          .when(col("_nOk"), col("_next")))
+    picked.select(lCols.map(c => col("_l").getField(c).as(c)) ++
+      (tsCol +: rPayload).map(c =>
+        col("_match").getField(c).as(rightPrefix + c)): _*)
+  }
 }

@@ -319,7 +319,69 @@ object WindowQueries extends QueryGroup {
       |FROM a JOIN b ON a.s <= b.e2 AND b.s2 <= a.e
       |ORDER BY incident_id, click_id""".stripMargin
 
+  /** J21 — NEAREST as-of join: each error matched to its nearest click
+    * within ±5 minutes per user (|Δt| minimized, ties → earlier). One
+    * keyed shuffle, zero join operators; the oracle composes DuckDB's
+    * native backward and forward ASOF joins and picks the nearer — an
+    * independent formulation. */
+  def asofNearestQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val errs = ev.where($"event_type" === "error" && $"user_id" % 10 === 0)
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"event_id".as("click_id"))
+    graft.ops.AsofJoin.asofNearest(errs, clicks, Seq("user_id"), "ts",
+        maxGapSeconds = 300L)
+      .select($"event_id", $"user_id", $"r_click_id", $"r_ts")
+      .orderBy($"event_id")
+  }
+
+  private val asofNearestSql =
+    """WITH l AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+      |  WHERE event_type = 'error' AND user_id % 10 = 0),
+      |r AS (
+      |  SELECT user_id AS r_uid, event_id AS click_id,
+      |         CAST(ts AS TIMESTAMP) AS cts
+      |  FROM events WHERE event_type = 'click'),
+      |b AS (
+      |  SELECT l.event_id, l.user_id, l.ts, r.click_id AS b_id, r.cts AS b_ts
+      |  FROM l ASOF LEFT JOIN r ON l.user_id = r.r_uid AND l.ts >= r.cts),
+      |f AS (
+      |  SELECT l.event_id, r.click_id AS f_id, r.cts AS f_ts
+      |  FROM l ASOF LEFT JOIN r ON l.user_id = r.r_uid AND l.ts <= r.cts),
+      |j AS (SELECT b.event_id, b.user_id, b.ts, b.b_id, b.b_ts, f.f_id, f.f_ts
+      |      FROM b JOIN f USING (event_id)),
+      |p AS (
+      |  SELECT event_id, user_id,
+      |    CASE
+      |      WHEN b_ts IS NOT NULL
+      |           AND epoch_us(ts) - epoch_us(b_ts) <= 300000000
+      |           AND (f_ts IS NULL
+      |                OR epoch_us(f_ts) - epoch_us(ts) > 300000000
+      |                OR epoch_us(ts) - epoch_us(b_ts)
+      |                   <= epoch_us(f_ts) - epoch_us(ts))
+      |      THEN b_id
+      |      WHEN f_ts IS NOT NULL
+      |           AND epoch_us(f_ts) - epoch_us(ts) <= 300000000
+      |      THEN f_id END AS r_click_id,
+      |    CASE
+      |      WHEN b_ts IS NOT NULL
+      |           AND epoch_us(ts) - epoch_us(b_ts) <= 300000000
+      |           AND (f_ts IS NULL
+      |                OR epoch_us(f_ts) - epoch_us(ts) > 300000000
+      |                OR epoch_us(ts) - epoch_us(b_ts)
+      |                   <= epoch_us(f_ts) - epoch_us(ts))
+      |      THEN b_ts
+      |      WHEN f_ts IS NOT NULL
+      |           AND epoch_us(f_ts) - epoch_us(ts) <= 300000000
+      |      THEN f_ts END AS r_ts
+      |  FROM j)
+      |SELECT event_id, user_id, r_click_id, r_ts
+      |FROM p ORDER BY event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("j21_asof_nearest", asofNearestQ, Some(asofNearestSql)),
     QueryDef("j20_interval_overlap", intervalOverlapQ, Some(intervalOverlapSql)),
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),

@@ -50,6 +50,37 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("b") === None) // SQL equi-join semantics: null != null
   }
 
+  test("asofNearest: nearer side wins, ties go backward, gap bounds, equal-ts exact") {
+    val left = Seq(
+      (1L, 10L, ts(100)), // prev at 90 (Δ10) vs next at 130 (Δ30) → prev
+      (1L, 11L, ts(128)), // prev at 90 (Δ38) vs next at 130 (Δ2) → next
+      (1L, 12L, ts(150)), // prev 130 (Δ20) vs next 170 (Δ20): tie → prev
+      (1L, 13L, ts(500)), // nothing within ±60 s → null
+      (2L, 20L, ts(40)), // key isolation: only key-2 rights considered
+      (3L, 30L, ts(55)) // equal-ts right → distance 0
+    ).toDF("k", "lid", "ts")
+    val right = Seq(
+      (1L, 90L, ts(90)), (1L, 91L, ts(130)), (1L, 92L, ts(170)),
+      (2L, 93L, ts(39)), (3L, 94L, ts(55)))
+      .toDF("k", "rid", "ts")
+    val out = AsofJoin.asofNearest(left, right, Seq("k"), "ts", 60L)
+      .collect().map(r => r.getLong(1) -> Option(r.get(4)).map(_.asInstanceOf[Long]))
+      .toMap
+    assert(out === Map(10L -> Some(90L), 11L -> Some(91L), 12L -> Some(91L),
+      13L -> None, 20L -> Some(93L), 30L -> Some(94L)))
+  }
+
+  test("asofNearest plan: still one keyed exchange, zero join operators") {
+    val left = spark.range(50).select($"id".as("k"),
+      timestamp_micros($"id" * 1000000).as("ts"), $"id".as("v"))
+    val right = spark.range(50).select(($"id" % 5).as("k"),
+      timestamp_micros($"id" * 700000).as("ts"), $"id".as("px"))
+    val plan = AsofJoin.asofNearest(left, right, Seq("k"), "ts", 30L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1, plan)
+  }
+
   test("plan: one keyed exchange, no join operator, no candidate pairs") {
     val left = spark.range(100).select($"id".as("k"),
       timestamp_micros($"id" * 1000000).as("ts"), $"id".as("v"))

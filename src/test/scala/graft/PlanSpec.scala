@@ -172,4 +172,32 @@ class PlanSpec extends SparkSpec {
     val equi = fileKeys.join(probes, col("file_key") === col("norm_key"))
     assert(planOf(equi).contains("HashJoin") && !planOf(equi).contains("NestedLoop"))
   }
+
+  test("corrOls is ONE shuffle: a single hash exchange on the group key") {
+    import spark.implicits._
+    val df = Seq(("a", 1L, 2L), ("a", 2L, 4L), ("b", 1L, 1L))
+      .toDF("g", "x", "y")
+    val plan = planOf(graft.ops.Moments.corrOls(df, "g", "x", "y"))
+    assert(plan.split("Exchange").length - 1 === 1, plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
+  test("mixKlDrift: term join shuffles, source/corpus totals broadcast") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.TextStats.mixKlDrift(docs))
+    // srcTot (source-cardinality) and globTot (1 row) ride broadcasts
+    assert(plan.split("BroadcastHashJoin").length - 1 >= 1, plan)
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.split("BroadcastHashJoin").length - 1 >= 2, plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("gapFill: every exchange hashes on the key family, none single-partition") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val plan = planOf(graft.ops.Resample.gapFill(ev, 3600L))
+    assert(!plan.contains("SinglePartition"), plan)
+    // the carry-forward is a running window WITHIN key slices - no
+    // rangepartitioning (global sort) anywhere
+    assert(!plan.contains("rangepartitioning"), plan)
+  }
 }
