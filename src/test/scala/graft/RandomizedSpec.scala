@@ -79,4 +79,62 @@ class RandomizedSpec extends AnyFunSuite {
       assert(got === naiveComponents(n, edges), s"graph n=$n m=$m")
     }
   }
+
+  // --- naive segment dedup: sequential first-occurrence scan ---
+  private def naiveSegmentDedup(docs: Seq[(Long, String)], segLen: Int)
+      : Map[Long, (Long, Long, String)] = {
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    docs.sortBy(_._1).map { case (id, text) =>
+      val toks = text.toLowerCase.split("\\s+", -1).toSeq
+      val segs = toks.grouped(segLen).map(_.mkString(" ")).toSeq
+      val kept = segs.filter(s => seen.add(s))
+      id -> ((segs.size.toLong, kept.size.toLong, kept.mkString(" ")))
+    }.toMap
+  }
+
+  test("segmentDedup == sequential first-occurrence reference on random corpora") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(41)
+    val vocab = (1 to 6).map(i => s"w$i") // tiny vocab → heavy collisions
+    val docs = (1L to 60L).map { id =>
+      val n = rnd.nextInt(30) + 1
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val got = Dedup.segmentDedup(docs.toDF("doc_id", "text"), segLen = 4)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got === naiveSegmentDedup(docs, 4))
+  }
+
+  // --- naive gap fill: per-key sequential grid walk ---
+  test("gapFill == sequential per-key reference on random sparse series") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val events = (1 to 400).map { i =>
+      val user = rnd.nextInt(6).toLong
+      val sec = rnd.nextInt(50000).toLong
+      (user, new java.sql.Timestamp(sec * 1000L), i.toLong, rnd.nextInt(1000) / 10.0)
+    }
+    val got = graft.ops.Resample.gapFill(
+        events.toDF("user_id", "ts", "event_id", "value"), 3600L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(4))))
+      .toMap
+    val want = events.groupBy(_._1).flatMap { case (u, evs) =>
+      val byBucket = evs.groupBy(e => e._2.getTime / 1000L / 3600L)
+      val (mn, mx) = (byBucket.keys.min, byBucket.keys.max)
+      var lastVal: Option[Long] = None
+      (mn to mx).map { b =>
+        val obs = byBucket.get(b).map { es =>
+          val last = es.maxBy(e => (e._2.getTime, e._3))
+          (es.size.toLong, math.floor(last._4 * 10000.0).toLong)
+        }
+        obs.foreach { case (_, v) => lastVal = Some(v) }
+        (u, b) -> ((obs.map(_._1).getOrElse(0L), obs.map(_._2), lastVal.get))
+      }
+    }
+    assert(got === want)
+  }
 }
