@@ -124,4 +124,55 @@ object Geo {
           .when(open, geoStr)
           .otherwise(existing))
   }
+
+  /** Spatial RADIUS join — all (left, right) pairs within `radiusDeg`
+    * in coordinate space — via GRID BUCKETING, the 2-D analogue of
+    * [[RangeJoin]]'s interval quantization: Spark plans a bare distance
+    * predicate as a nested loop (O(|L|·|R|)); bucketing makes it an
+    * equi join.
+    *
+    *  - each LEFT point owns its single cell `(⌊lon/r⌋, ⌊lat/r⌋)`;
+    *  - each RIGHT point explodes to its 3×3 cell NEIGHBORHOOD;
+    *  - hash-join on the cell, then the exact distance filter.
+    *
+    * COMPLETE (a pair within r differs by ≤ 1 cell per axis, so the
+    * right copy in the left point's cell exists) and DUPLICATE-FREE
+    * without a distinct (the left point has ONE cell; the right side's
+    * nine copies land in nine distinct cells, so each qualifying pair
+    * meets exactly once). Cost: 9 exploded rows per right point —
+    * constant fan-out, not data-dependent.
+    *
+    * The distance is squared EUCLIDEAN in degrees, emitted as
+    * `dist2_q6 = ⌊10⁶·((Δlat)² + (Δlon)²)⌋` — pure +/−/× on doubles,
+    * bit-deterministic in any engine (no trig: a haversine refinement
+    * is a drop-in predicate swap at the filter, but libm sin/cos are
+    * not cross-engine bit-stable, so the oracle-checked form stays
+    * algebraic; at production the filter's last mile can afford the
+    * approximation of its choice). Callers pre-normalize longitude
+    * wrap-around (±180°) if their domain needs it. */
+  def radiusJoin(left: DataFrame, right: DataFrame,
+      latL: String, lonL: String, latR: String, lonR: String,
+      radiusDeg: Double): DataFrame = {
+    require(radiusDeg > 0.0, s"radiusDeg must be > 0, got $radiusDeg")
+    val shared = left.columns.toSet.intersect(right.columns.toSet)
+    require(shared.isEmpty,
+      s"left and right must not share column names, both have: $shared")
+    val r = lit(radiusDeg)
+    val l = left
+      .withColumn("_cx", floor(col(lonL) / r))
+      .withColumn("_cy", floor(col(latL) / r))
+    val rt = right
+      .withColumn("_dx", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("_dy", explode(array(lit(-1), lit(0), lit(1))))
+      .withColumn("_cx", floor(col(lonR) / r) + col("_dx"))
+      .withColumn("_cy", floor(col(latR) / r) + col("_dy"))
+      .drop("_dx", "_dy")
+    val dlat = col(latL) - col(latR)
+    val dlon = col(lonL) - col(lonR)
+    l.join(rt, Seq("_cx", "_cy"))
+      .where(dlat * dlat + dlon * dlon <= r * r)
+      .withColumn("dist2_q6",
+        floor((dlat * dlat + dlon * dlon) * lit(1000000.0)).cast("long"))
+      .drop("_cx", "_cy")
+  }
 }

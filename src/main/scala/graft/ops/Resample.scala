@@ -71,4 +71,36 @@ object Resample {
         $"last_q4",
         last($"last_q4", ignoreNulls = true).over(w).as("filled_q4"))
   }
+
+  /** Time-weighted average per key (the irregular-series mean a plain
+    * AVG gets wrong: a value that HELD for an hour must weigh 60× one
+    * that held for a minute): step-function integral of the q4 value
+    * over each key's own [first, last] span, divided by the span —
+    * `twa_q4 = (Σ vᵢ·(tᵢ₊₁ − tᵢ)) div (t_last − t_first)`, ALL integer
+    * arithmetic (epoch seconds × q4 longs, floor division), so the
+    * result is engine-exact. Keys whose span is zero (a single event,
+    * or all events in one second) emit a null twa rather than a
+    * division blow-up.
+    *
+    * Scale shape: one key-hash exchange for the `lead` window (narrow
+    * within each key's sorted slice), then a map-side-combined
+    * per-key aggregate. */
+  def timeWeightedAvg(events: DataFrame, keyCol: String = "user_id",
+      tsCol: String = "ts", valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy($"_k").orderBy($"es", col(tieCol))
+    events
+      .select(col(keyCol).as("_k"),
+        expr(s"unix_micros($tsCol) div 1000000").as("es"),
+        col(tieCol),
+        floor(col(valueCol) * lit(10000.0)).cast("long").as("_v_q4"))
+      .withColumn("_dt", lead($"es", 1).over(w) - $"es") // null on last
+      .groupBy($"_k")
+      .agg(count(lit(1)).as("n_events"),
+        min($"es").as("start_es"), max($"es").as("end_es"),
+        sum($"_v_q4" * $"_dt").as("_num"))
+      .select($"_k".as(keyCol), $"n_events", $"start_es", $"end_es",
+        when($"end_es" > $"start_es",
+          expr("_num div (end_es - start_es)")).as("twa_q4"))
+  }
 }

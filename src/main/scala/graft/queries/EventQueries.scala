@@ -162,10 +162,36 @@ object EventQueries extends QueryGroup {
       |FROM s GROUP BY user_id, session_idx
       |ORDER BY user_id, session_idx""".stripMargin
 
+  /** Time-weighted average value per user — the irregular-series mean
+    * where each value is weighted by how long it HELD (step-function
+    * integral over the user's own span), in all-integer q4 arithmetic. */
+  def twa(spark: SparkSession, dir: String): DataFrame =
+    Resample.timeWeightedAvg(load(spark, dir, "events"))
+      .orderBy(col("user_id"))
+
+  private val twaSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS es,
+      |         floor(value * 10000.0::DOUBLE)::BIGINT AS v_q4
+      |  FROM events),
+      |d AS (
+      |  SELECT user_id, es, v_q4,
+      |         lead(es) OVER (PARTITION BY user_id
+      |           ORDER BY es, event_id) - es AS dt
+      |  FROM e)
+      |SELECT user_id, count(*)::BIGINT AS n_events,
+      |       min(es)::BIGINT AS start_es, max(es)::BIGINT AS end_es,
+      |       CASE WHEN max(es) > min(es)
+      |            THEN sum(v_q4 * dt) // (max(es) - min(es)) END::BIGINT
+      |         AS twa_q4
+      |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ev1_funnel", funnel, Some(funnelSql)),
     QueryDef("ev2_retention", retention, Some(retentionSql)),
     QueryDef("ev3_gap_fill", gapFill, Some(gapFillSql)),
     QueryDef("ev4_transitions", transitions, Some(transitionsSql)),
-    QueryDef("ev5_sessions", sessions, Some(sessionsSql)))
+    QueryDef("ev5_sessions", sessions, Some(sessionsSql)),
+    QueryDef("ev6_twa", twa, Some(twaSql)))
 }

@@ -86,6 +86,62 @@ object GeoQueries extends QueryGroup {
        |       THEN '${Geo.HiddenMessage}' END AS description
        |FROM flags ORDER BY sample_name""".stripMargin
 
+  /** J22 — spatial radius join: customers × suppliers within 2° in a
+    * deterministic md5-derived coordinate space (the derivation is part
+    * of the query so any engine reproduces it). Grid-bucketed equi
+    * join — never a nested loop (GeoSpec pins the plan); the oracle is
+    * the naive cross-join filter. */
+  def radiusJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    def coord(key: org.apache.spark.sql.Column, salt: String,
+        span: Double, off: Double) =
+      (pmod(conv(substring(md5(concat(key.cast("string"), lit(salt))
+          .cast("binary")), 1, 8), 16, 10).cast("long"), lit(10000L))
+        .cast("double") / lit(10000.0)) * lit(span) - lit(off)
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey"),
+        coord(col("c_custkey"), "_lat", 140.0, 70.0).as("c_lat"),
+        coord(col("c_custkey"), "_lon", 360.0, 180.0).as("c_lon"))
+    val supp = graft.Tables.load(spark, dir, "supplier")
+      .select(col("s_suppkey"),
+        coord(col("s_suppkey"), "_slat", 140.0, 70.0).as("s_lat"),
+        coord(col("s_suppkey"), "_slon", 360.0, 180.0).as("s_lon"))
+    Geo.radiusJoin(cust, supp, "c_lat", "c_lon", "s_lat", "s_lon",
+        radiusDeg = 2.0)
+      .select(col("c_custkey"), col("s_suppkey"), col("dist2_q6"))
+      .orderBy(col("c_custkey"), col("s_suppkey"))
+  }
+
+  private val radiusJoinSql =
+    """WITH c AS (
+      |  SELECT c_custkey,
+      |    ((('0x' || substr(md5(c_custkey::VARCHAR || '_lat'), 1, 8))::BIGINT
+      |      % 10000)::DOUBLE / 10000.0::DOUBLE) * 140.0::DOUBLE
+      |      - 70.0::DOUBLE AS c_lat,
+      |    ((('0x' || substr(md5(c_custkey::VARCHAR || '_lon'), 1, 8))::BIGINT
+      |      % 10000)::DOUBLE / 10000.0::DOUBLE) * 360.0::DOUBLE
+      |      - 180.0::DOUBLE AS c_lon
+      |  FROM customer),
+      |s AS (
+      |  SELECT s_suppkey,
+      |    ((('0x' || substr(md5(s_suppkey::VARCHAR || '_slat'), 1, 8))::BIGINT
+      |      % 10000)::DOUBLE / 10000.0::DOUBLE) * 140.0::DOUBLE
+      |      - 70.0::DOUBLE AS s_lat,
+      |    ((('0x' || substr(md5(s_suppkey::VARCHAR || '_slon'), 1, 8))::BIGINT
+      |      % 10000)::DOUBLE / 10000.0::DOUBLE) * 360.0::DOUBLE
+      |      - 180.0::DOUBLE AS s_lon
+      |  FROM supplier)
+      |SELECT c.c_custkey, s.s_suppkey,
+      |  floor(((c.c_lat - s.s_lat) * (c.c_lat - s.s_lat)
+      |         + (c.c_lon - s.s_lon) * (c.c_lon - s.s_lon))
+      |        * 1000000.0::DOUBLE)::BIGINT AS dist2_q6
+      |FROM c CROSS JOIN s
+      |WHERE (c.c_lat - s.s_lat) * (c.c_lat - s.s_lat)
+      |      + (c.c_lon - s.s_lon) * (c.c_lon - s.s_lon)
+      |      <= 2.0::DOUBLE * 2.0::DOUBLE
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
-    QueryDef("f21_geo_mask", geoMask, Some(geoMaskSql)))
+    QueryDef("f21_geo_mask", geoMask, Some(geoMaskSql)),
+    QueryDef("j22_radius_join", radiusJoinQ, Some(radiusJoinSql)))
 }

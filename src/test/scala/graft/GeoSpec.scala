@@ -104,4 +104,34 @@ class GeoSpec extends SparkSpec {
     assert(s5.getAs[String]("lat_lon") === "not provided")
     assert(s5.getAs[String]("geo_loc_name") === "not provided")
   }
+
+  test("radiusJoin ≡ naive cross-join filter on random points; duplicate-free") {
+    val rnd = new scala.util.Random(19)
+    val a = (1L to 150L).map(i =>
+      (i, rnd.nextDouble() * 60 - 30, rnd.nextDouble() * 60 - 30))
+      .toDF("a_id", "a_lat", "a_lon")
+    val b = (1L to 120L).map(i =>
+      (i, rnd.nextDouble() * 60 - 30, rnd.nextDouble() * 60 - 30))
+      .toDF("b_id", "b_lat", "b_lon")
+    val got = Geo.radiusJoin(a, b, "a_lat", "a_lon", "b_lat", "b_lon", 3.0)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = a.crossJoin(b)
+      .where(($"a_lat" - $"b_lat") * ($"a_lat" - $"b_lat") +
+        ($"a_lon" - $"b_lon") * ($"a_lon" - $"b_lon") <= 9.0)
+      .select($"a_id", $"b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === got.distinct.length, "each pair exactly once")
+    assert(got.toSet === want.toSet)
+    assert(got.length === want.length)
+  }
+
+  test("radiusJoin plan: hash join on the grid cell, never a nested loop") {
+    val a = spark.range(20).select($"id".as("a_id"),
+      ($"id" * 1.5).as("a_lat"), ($"id" * 0.7).as("a_lon"))
+    val b = spark.range(20).select($"id".as("b_id"),
+      ($"id" * 1.1).as("b_lat"), ($"id" * 0.9).as("b_lon"))
+    val plan = Geo.radiusJoin(a, b, "a_lat", "a_lon", "b_lat", "b_lon", 2.0)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"), plan)
+    assert(plan.contains("HashJoin"), plan)
+  }
 }

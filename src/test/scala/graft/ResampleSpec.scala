@@ -47,6 +47,34 @@ class ResampleSpec extends SparkSpec {
     assert(out.head.getLong(4) === 30000L)
   }
 
+  test("timeWeightedAvg: step-integral weighting, zero-span null, exact integers") {
+    val ev = Seq(
+      // user 1: v=10 holds 100 s, v=20 holds 300 s, last value ignored
+      // twa = (100000*100 + 200000*300) / 400 = 175000 (17.5 in q4)
+      (1L, ts("2024-01-01 00:00:00"), 1L, 10.0),
+      (1L, ts("2024-01-01 00:01:40"), 2L, 20.0),
+      (1L, ts("2024-01-01 00:06:40"), 3L, 99.0),
+      (2L, ts("2024-01-01 05:00:00"), 4L, 7.0) // single event: span 0
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.timeWeightedAvg(ev).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    assert(out(1L) === ((3L, Some(175000L))))
+    assert(out(2L) === ((1L, None)))
+  }
+
+  test("timeWeightedAvg differs from plain avg exactly when holds are unequal") {
+    // v=0 for 9 s then v=100 for 1 s: plain avg of observations = 50;
+    // twa = (0*9 + 100e4*1)/10 = 100000 (10.0) - the held-time answer
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 0.0),
+      (1L, ts("2024-01-01 00:00:09"), 2L, 100.0),
+      (1L, ts("2024-01-01 00:00:10"), 3L, 0.0)
+    ).toDF("user_id", "ts", "event_id", "value")
+    val r = Resample.timeWeightedAvg(ev).head
+    assert(r.getLong(4) === 100000L)
+  }
+
   test("grids are per-key: a quiet key never inherits another key's span") {
     val ev = Seq(
       (1L, ts("2024-01-01 00:10:00"), 1L, 1.0),
