@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryGroup, Tables}
+
+/** Classic decision-support query shapes (TPC-H Q3/Q6/Q18 adapted to
+  * the driver tables' columns) — the standard benchmark surface next to
+  * the reference-derived queries, exercising the planner paths a
+  * warehouse workload leans on:
+  *  - Q3: selective dim filter → broadcast, fact shuffles once, global
+  *    top-k as TakeOrderedAndProject;
+  *  - Q6: pure scan-aggregate whose predicates ALL push into the
+  *    parquet reader (the pushdown litmus);
+  *  - Q18: HAVING-style semi-join back onto the fact (the group-filter
+  *    then rejoin shape).
+  * Oracles are the same ANSI SQL in DuckDB verbatim — these queries ARE
+  * SQL, the value of the test is the plan each engine picks. */
+object TpchQueries extends QueryGroup {
+
+  import Tables.load
+
+  /** Q3 — shipping priority: top-10 unshipped-revenue orders for one
+    * market segment. */
+  def q3(spark: SparkSession, dir: String): DataFrame = {
+    val cust = load(spark, dir, "customer")
+      .where($"c_mktsegment" === "BUILDING").select($"c_custkey")
+    val ord = load(spark, dir, "orders")
+      .where($"o_orderdate" < "1998-01-01")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_orderpriority")
+    val li = load(spark, dir, "lineitem")
+      .where($"l_shipdate" > "1998-01-01")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+        .as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"revenue", $"o_orderdate", $"o_orderpriority")
+  }
+
+  private val q3Sql =
+    """SELECT l_orderkey,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate < '1998-01-01' AND l_shipdate > '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q6 — forecasting revenue change: one scan, every predicate pushed
+    * to the reader, one global aggregate. */
+  def q6(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .where($"l_shipdate" >= "1995-01-01" && $"l_shipdate" < "1996-01-01" &&
+        $"l_discount".between(0.02, 0.06) && $"l_quantity" < 24)
+      .agg(round(sum($"l_extendedprice" * $"l_discount"), 2).as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  private val q6Sql =
+    """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      |       count(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= '1995-01-01' AND l_shipdate < '1996-01-01'
+      |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 24""".stripMargin
+
+  /** Q18 — large-volume customers: orders whose total quantity exceeds
+    * 300, with the customer attached. The big-side HAVING filter runs
+    * BEFORE the joins (group-filter then rejoin). */
+  def q18(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+    val big = li.groupBy($"l_orderkey")
+      .agg(sum($"l_quantity").as("total_qty"))
+      .where($"total_qty" > 300)
+    val ord = load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate", $"o_totalprice")
+    val cust = load(spark, dir, "customer").select($"c_custkey", $"c_name")
+    big.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .select($"c_name", $"c_custkey", $"o_orderkey", $"o_orderdate",
+        round($"o_totalprice", 2).as("totalprice"),
+        round($"total_qty", 2).as("total_qty"))
+      .orderBy($"totalprice".desc, $"o_orderkey")
+      .limit(100)
+  }
+
+  private val q18Sql =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+      |       round(o_totalprice, 2) AS totalprice,
+      |       round(total_qty, 2) AS total_qty
+      |FROM (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(l_quantity) > 300) t
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
+    QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
+    QueryDef("q18_large_orders", q18, Some(q18Sql)))
+}

@@ -192,6 +192,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("q6 scan-aggregate: every predicate pushes into the parquet reader") {
+    val plan = TpchQueries.q6(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("PushedFilters:"), plan)
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate") ||
+      plan.contains("LessThan(l_shipdate"), plan)
+    assert(plan.contains("LessThan(l_quantity"), plan)
+    // only the columns the aggregate needs are read
+    assert(!plan.contains("l_orderkey"), plan)
+  }
+
+  test("q3/q18: selective dims broadcast, global top-k is TakeOrderedAndProject") {
+    val p3 = planOf(TpchQueries.q3(spark, sfDir))
+    assert(p3.contains("BroadcastHashJoin"), p3)
+    assert(p3.contains("TakeOrderedAndProject"), p3)
+    val p18 = planOf(TpchQueries.q18(spark, sfDir))
+    assert(p18.contains("TakeOrderedAndProject"), p18)
+    assert(p18.contains("BroadcastHashJoin"), p18)
+  }
+
   test("gapFill: every exchange hashes on the key family, none single-partition") {
     val ev = Tables.load(spark, sfDir, "events")
     val plan = planOf(graft.ops.Resample.gapFill(ev, 3600L))
