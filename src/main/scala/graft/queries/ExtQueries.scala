@@ -960,7 +960,28 @@ object ExtQueries extends QueryGroup {
       .withColumn("reasons", array_join($"reasons", ","))
       .orderBy($"doc_id")
 
-  private val textFilterSql = {
+  /** Filter-attrition funnel: for every corpus-filter rule, the docs
+    * and tokens it flags, next to `_total` and `_kept` rows — the data
+    * audit table a curation run publishes (rule attribution sums can
+    * exceed `_total − _kept`: docs may trip several rules). */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val f = TextStats.filterCorpus(load(spark, dir, "documents"))
+    val perRule = f.select($"n_tokens", explode($"reasons").as("rule"))
+      .groupBy($"rule")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+    val summary = f
+      .agg(count(lit(1)).as("_td"), sum($"n_tokens").as("_tt"),
+        sum(when($"keep", 1L).otherwise(0L)).as("_kd"),
+        sum(when($"keep", $"n_tokens").otherwise(0L)).as("_kt"))
+      .select(explode(array(
+        struct(lit("_total").as("rule"), $"_td".as("n_docs"), $"_tt".as("n_tokens")),
+        struct(lit("_kept").as("rule"), $"_kd".as("n_docs"), $"_kt".as("n_tokens"))))
+        .as("_r"))
+      .select($"_r.rule", $"_r.n_docs", $"_r.n_tokens")
+    perRule.unionByName(summary).orderBy($"rule")
+  }
+
+  private def filterChainAnd(finalSelect: String) = {
     def gramsSql(n: Int) =
       s"""CASE WHEN len(ws) >= $n
          |  THEN list_transform(range(1, len(ws) - ${n - 2}),
@@ -1014,12 +1035,30 @@ object ExtQueries extends QueryGroup {
        |  SELECT *, list_sort(list_filter($reasonsList,
        |    x -> x IS NOT NULL)) AS reasons
        |  FROM metrics)
-       |SELECT doc_id, n_tokens, quality_q4, lang_pred, top2_char_frac_q4,
-       |       dup5_frac_q4,
-       |       coalesce(array_to_string(reasons, ','), '') AS reasons,
-       |       len(reasons) = 0 AS keep
-       |FROM reasoned ORDER BY doc_id""".stripMargin
+       |$finalSelect""".stripMargin
   }
+
+  private val textFilterSql = filterChainAnd(
+    """SELECT doc_id, n_tokens, quality_q4, lang_pred, top2_char_frac_q4,
+      |       dup5_frac_q4,
+      |       coalesce(array_to_string(reasons, ','), '') AS reasons,
+      |       len(reasons) = 0 AS keep
+      |FROM reasoned ORDER BY doc_id""".stripMargin)
+
+  private val filterFunnelSql = filterChainAnd(
+    """SELECT rule, n_docs, n_tokens FROM (
+      |  SELECT rule, count(*)::BIGINT AS n_docs,
+      |         sum(n_tokens)::BIGINT AS n_tokens
+      |  FROM (SELECT unnest(reasons) AS rule, n_tokens FROM reasoned)
+      |  GROUP BY rule
+      |  UNION ALL
+      |  SELECT '_total', count(*)::BIGINT, sum(n_tokens)::BIGINT
+      |  FROM reasoned
+      |  UNION ALL
+      |  SELECT '_kept', count(*)::BIGINT,
+      |         coalesce(sum(n_tokens), 0)::BIGINT
+      |  FROM reasoned WHERE len(reasons) = 0)
+      |ORDER BY rule""".stripMargin)
 
   /** Corpus-frequency bigram LM score per document (quantized
     * conditional P(w2|w1) average — all-integer arithmetic, so the
@@ -1846,6 +1885,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_heavy_distinct", heavyDistinct, Some(heavyDistinctSql)),
     QueryDef("ext_quantile_exact", quantileExact, Some(quantileExactSql)),
     QueryDef("ext_text_filter", textFilter, Some(textFilterSql)),
+    QueryDef("ext_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("ext_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
     QueryDef("ext_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("ext_collocations", collocations, Some(collocationsSql)),
