@@ -710,6 +710,63 @@ object Dedup {
     * (spans per doc are few by construction — they're maximal), the
     * join is a broadcast-or-hash equi join on doc_id, and the rebuild
     * is narrow per-row HOF work over an attribute token column. */
+  /** Boilerplate removal by corpus document frequency — the CCNet /
+    * RefinedWeb curation shape that [[segmentDedup]] deliberately is
+    * NOT: a segment repeated across ≥ `minDf` DISTINCT documents
+    * (navigation chrome, cookie banners, license blocks) is removed
+    * from EVERY document including the first occurrence, while
+    * segments merely duplicated inside fewer docs survive untouched.
+    * `segmentDedup` keeps one global copy of everything; this drops
+    * the corpus-hot set entirely — the two compose (boilerplate first,
+    * then first-occurrence dedup of the remainder).
+    *
+    * Returns one row per input doc: `(doc_id, n_seg, n_removed,
+    * text_clean)` — cardinality-preserving like [[removeSpans]]; a doc
+    * that was pure boilerplate comes back with empty text, not a
+    * dropped row.
+    *
+    * Scale shape: df-per-segment is two map-side-combinable hash
+    * aggregates — (seg, doc) collapse (so a segment repeated 1000×
+    * inside one doc ships one partial row per partition), then a count
+    * per segment thresholded to the HOT set. The hot set is what
+    * broadcasts: occurrences anti-join it in place, so the data-scale
+    * side never reshuffles for the filter (if a pathological corpus
+    * makes the hot set exceed the broadcast cap, drop the hint and the
+    * same plan degrades to a shuffled anti join — semantics identical).
+    * Reassembly is the [[segmentDedup]] rebuild aggregate. `base` is
+    * the persist barrier; the segment explode is recomputed narrowly
+    * from it rather than persisting token-scale occurrence rows twice. */
+  def boilerplateFilter(docs: DataFrame, segLen: Int = 8, minDf: Long = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    require(minDf >= 2, s"minDf must be >= 2, got $minDf")
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextStats.tokens(col(textCol)).as("_toks"))
+      .withColumn("_nseg",
+        floor((size($"_toks") + lit(segLen - 1)) / lit(segLen)).cast("long"))
+      .persistScoped // read twice: segment explode + per-doc totals
+    val occ = base.select($"doc_id",
+      posexplode(transform(sequence(lit(0), ($"_nseg" - 1).cast("int")),
+        i => array_join(slice($"_toks", i * segLen + 1, lit(segLen)), " ")))
+        .as(Seq("seg_idx", "seg")))
+      .persistScoped // read twice: df pass + anti-join filter pass
+    val hot = occ.groupBy($"seg", $"doc_id").agg(count(lit(1)).as("_o"))
+      .groupBy($"seg").agg(count(lit(1)).as("_df"))
+      .where($"_df" >= minDf)
+      .select($"seg")
+    val kept = occ.join(broadcast(hot), Seq("seg"), "left_anti")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct($"seg_idx", $"seg"))),
+          s => s.getField("seg"))).as("text_clean"))
+    base.select($"doc_id", $"_nseg".as("n_seg"))
+      .join(kept, Seq("doc_id"), "left")
+      .select($"doc_id", $"n_seg",
+        ($"n_seg" - coalesce($"n_kept", lit(0L))).as("n_removed"),
+        coalesce($"text_clean", lit("")).as("text_clean"))
+  }
+
   def removeSpans(docs: DataFrame, spans: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sp = spans

@@ -1675,6 +1675,35 @@ object ExtQueries extends QueryGroup {
        |       coalesce(k.text_dedup, '') AS text_dedup
        |FROM b LEFT JOIN k USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
+  /** Boilerplate removal by document frequency (CCNet/RefinedWeb
+    * curation shape): every 8-token segment occurring in ≥ 3 DISTINCT
+    * docs is cut from ALL of them — including the first occurrence,
+    * which [[dedupSegments]] would keep. At every SF the organic
+    * segment collisions of the 31-word vocabulary give the threshold
+    * real work (17–128 hot segments) while most docs stay whole. */
+  def boilerplate(spark: SparkSession, dir: String): DataFrame =
+    Dedup.boilerplateFilter(load(spark, dir, "documents"),
+        segLen = 8, minDf = 3)
+      .orderBy($"doc_id")
+
+  private val boilerplateSql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |b AS (SELECT doc_id, toks, (len(toks) + 7) // 8 AS n_seg FROM d),
+       |o0 AS (SELECT doc_id, toks, unnest(range(0, n_seg)) AS i FROM b),
+       |o AS (SELECT doc_id, i AS seg_idx,
+       |             array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+       |      FROM o0),
+       |hot AS (SELECT seg FROM (
+       |          SELECT seg, count(DISTINCT doc_id) AS df FROM o GROUP BY seg)
+       |        WHERE df >= 3),
+       |k AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+       |             string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean
+       |      FROM o ANTI JOIN hot USING (seg) GROUP BY doc_id)
+       |SELECT b.doc_id, b.n_seg::BIGINT AS n_seg,
+       |       (b.n_seg - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+       |       coalesce(k.text_clean, '') AS text_clean
+       |FROM b LEFT JOIN k USING (doc_id) ORDER BY b.doc_id""".stripMargin
+
   /** Johnson–Lindenstrauss ±1 random projection of the embeddings to
     * 16 components as exact q6 integer sums (order-independent,
     * cross-engine bit-identical); the sign matrix is md5-derived at
@@ -1857,6 +1886,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),
     QueryDef("ext_text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef("ext_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
+    QueryDef("ext_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("ext_sim_rp", simRandomProject, Some(simRandomProjectSql)),
     QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),

@@ -326,4 +326,36 @@ class DedupSpec extends SparkSpec {
     assert((out.getLong(1), out.getLong(2), out.getString(3)) ===
       ((2L, 1L, seg)))
   }
+
+  test("boilerplateFilter: corpus-hot segments die EVERYWHERE incl. first occurrence") {
+    import spark.implicits._
+    val boiler = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3"), // first occurrence dies too
+      (2L, boiler),              // pure boilerplate -> empty, row kept
+      (3L, (1 to 8).map(i => s"c$i").mkString(" ") + s" $boiler d1"),
+      (4L, "plain unique text here")
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.boilerplateFilter(docs, segLen = 8, minDf = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((2L, 1L, "u1 u2 u3")))
+    assert(out(2L) === ((1L, 1L, "")))
+    assert(out(3L) === ((3L, 1L,
+      (1 to 8).map(i => s"c$i").mkString(" ") + " d1")))
+    assert(out(4L) === ((1L, 0L, "plain unique text here")))
+    assert(out.size === 4)
+  }
+
+  test("boilerplateFilter: within-doc repetition does NOT reach the df threshold") {
+    import spark.implicits._
+    val seg = (1 to 8).map(i => s"w$i").mkString(" ")
+    // the segment occurs 3x but only in 2 DISTINCT docs -> df = 2 < 3
+    val docs = Seq((1L, s"$seg $seg"), (2L, seg))
+      .toDF("doc_id", "text")
+    val out = graft.ext.Dedup.boilerplateFilter(docs, segLen = 8, minDf = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) === s"$seg $seg") // all copies survive
+    assert(out(2L) === seg)
+  }
 }
