@@ -373,6 +373,54 @@ object Frequency {
           lit(math.max(1L, n - 1).toDouble)).cast("long"))
   }
 
+  /** Equi-DEPTH histogram of `valueCol` in `k` buckets — the
+    * equal-frequency complement of a9's equal-width histogram and the
+    * shape an optimizer's column statistics / a data-profiler's
+    * distribution summary want (each bucket holds ≈ n/k rows, so the
+    * bucket boundaries ARE the distribution; equal-width buckets on a
+    * skewed column put everything in one bar).
+    *
+    * Bucket boundaries are the exact `quantile_disc` order statistics
+    * at i/k (i = 1..k−1) from the SAME distributed-selection machinery
+    * as [[exactQuantiles]] — no global sort, no single-reducer window.
+    * A value v lands in bucket `1 + |{i : v > b_i}|`; ties at a
+    * boundary stay in the lower bucket, so heavy ties legally overfill
+    * a bucket (and may leave another empty — empty buckets are absent
+    * rows, identically in the oracle). Returns `(bucket, lo, hi,
+    * n_rows)` with lo/hi the actual min/max value present per bucket.
+    *
+    * Scale shape: boundaries come off one cumulative pass whose driver
+    * materialization is k−1 doubles (the bounded-collect pattern of the
+    * IVF centroids); bucketing then runs over the DISTINCT-value count
+    * frame — one map-side-combined aggregate, never a row rescan — with
+    * the boundaries inlined as literals (narrow). */
+  def equiDepthHistogram(df: DataFrame, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2 && k <= 1000, s"need 2 <= k <= 1000 buckets, got $k")
+    val cum = groupCumulative(df.withColumn("_g1", lit("all")), "_g1", valueCol)
+    val bAggs = (1 until k).map { i =>
+      min(when(col("_cum") >= ceil(lit(i.toDouble / k) * col("_n")), col("_v")))
+        .as(s"_b$i")
+    }
+    val head = cum.groupBy().agg(bAggs.head, bAggs.tail: _*).collect()
+    if (head.isEmpty || head(0).isNullAt(0)) {
+      // empty input: no rows, right schema
+      val sess = df.sparkSession
+      import sess.implicits.newProductEncoder
+      return sess.emptyDataset[(Int, Double, Double, Long)]
+        .toDF("bucket", "lo", "hi", "n_rows")
+    }
+    val bs = (1 until k).map(i => head(0).getAs[Double](s"_b$i"))
+    val bucket = (lit(1) +: bs.map(b => when(col("_v") > lit(b), 1).otherwise(0)))
+      .reduce(_ + _)
+    df.where(col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("double").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .select(bucket.cast("int").as("bucket"), col("_v"), col("_c"))
+      .groupBy(col("bucket"))
+      .agg(min(col("_v")).as("lo"), max(col("_v")).as("hi"),
+        sum(col("_c")).as("n_rows"))
+  }
+
   def heavyHitters(df: DataFrame, keyCol: String, minCount: Long): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
     val sess = df.sparkSession

@@ -1765,6 +1765,29 @@ object ExtQueries extends QueryGroup {
        |       (est.est - tr.true_cnt)::BIGINT AS overcount
        |FROM tr JOIN est USING (k) ORDER BY key""".stripMargin
 
+  /** Equi-depth histogram of o_totalprice in 8 buckets: boundaries are
+    * exact quantile_disc order statistics from the distributed-selection
+    * machinery; DuckDB rebuilds them with its NATIVE quantile_disc list
+    * form — an independent implementation of the same order statistic,
+    * so the hash match pins boundary semantics, not a replay. */
+  def histogramEqDepth(spark: SparkSession, dir: String): DataFrame =
+    Frequency.equiDepthHistogram(load(spark, dir, "orders"),
+        "o_totalprice", k = 8)
+      .orderBy($"bucket")
+
+  private val histogramEqDepthSql = {
+    val ps = (1 until 8).map(i => i.toDouble / 8).mkString("[", ", ", "]")
+    s"""WITH v AS (SELECT o_totalprice::DOUBLE AS v FROM orders
+       |           WHERE o_totalprice IS NOT NULL),
+       |q AS (SELECT quantile_disc(v, $ps) AS bs FROM v),
+       |b AS (SELECT v.v,
+       |        (1 + list_sum(list_transform(q.bs,
+       |           b -> CASE WHEN v.v > b THEN 1 ELSE 0 END)))::INT AS bucket
+       |      FROM v CROSS JOIN q)
+       |SELECT bucket, min(v) AS lo, max(v) AS hi, count(*)::BIGINT AS n_rows
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
+  }
+
   /** EXACT global rank + percentile (basis points) of every distinct
     * o_totalprice in a deterministic order subset — via the
     * distributed-selection prefix machinery, NOT `Window.orderBy(value)`
@@ -1883,6 +1906,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_expectations", expectationsQ, Some(expectationsSql)),
     QueryDef("ext_sketch_cms", sketchCms, Some(sketchCmsSql)),
     QueryDef("ext_global_rank", globalRankQ, Some(globalRankSql)),
+    QueryDef("ext_histogram_eqdepth", histogramEqDepth, Some(histogramEqDepthSql)),
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),
     QueryDef("ext_text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef("ext_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),

@@ -169,4 +169,33 @@ class FrequencySpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("equiDepthHistogram: quantile_disc boundaries, ties stay low, k=2 hand case") {
+    // 1..10, k=2: boundary = quantile_disc(0.5) = 5 -> buckets of 5 and 5
+    val out = Frequency.equiDepthHistogram(
+        (1L to 10L).toDF("v"), "v", k = 2)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(out === Map(1 -> ((1.0, 5.0, 5L)), 2 -> ((6.0, 10.0, 5L))))
+  }
+
+  test("equiDepthHistogram: heavy ties overfill the low bucket; empty buckets absent") {
+    // eight 1s and two 9s, k=4: boundaries (p25,p50,p75) = (1,1,1) ->
+    // every 1 lands in bucket 1, the 9s skip to bucket 4; 2 and 3 empty
+    val df = (Seq.fill(8)(1L) ++ Seq(9L, 9L)).toDF("v")
+    val out = Frequency.equiDepthHistogram(df, "v", k = 4)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(out === Map(1 -> 8L, 4 -> 2L))
+  }
+
+  test("equiDepthHistogram: null values drop; empty input yields an empty frame") {
+    val df = Seq(Some(4L), None, Some(8L)).toDF("v")
+    val out = Frequency.equiDepthHistogram(df, "v", k = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(3)).toMap
+    assert(out === Map(1 -> 1L, 2 -> 1L))
+    val empty = Frequency.equiDepthHistogram(
+      Seq.empty[Option[Long]].toDF("v"), "v", k = 3)
+    assert(empty.columns.toSeq === Seq("bucket", "lo", "hi", "n_rows"))
+    assert(empty.count() === 0L)
+  }
 }
