@@ -103,4 +103,47 @@ object Resample {
         when($"end_es" > $"start_es",
           expr("_num div (end_es - start_es)")).as("twa_q4"))
   }
+
+  /** Trailing-window anomaly flags per key: an observation is anomalous
+    * when it deviates from its OWN recent history — the last `window`
+    * observations strictly before it — by more than `k` standard
+    * deviations, with at least `minObs` rows of history required (the
+    * live-monitoring twin of [[graft.ext.Frequency.madOutliers]], which
+    * judges against the whole group).
+    *
+    * The test is `dev² > k²·var` cross-multiplied to co-moment form:
+    * `(v·n − s)² > k²·(n·ss − s²)` over the window's exact integer
+    * count/sum/sum-of-squares of the q4 value. The co-moments are exact
+    * BIGINT (bounded by window size × q4 domain); only the two final
+    * squared terms — which can exceed 63 bits — evaluate in DOUBLE, one
+    * fixed IEEE multiply-and-compare per row from identical integer
+    * inputs, so the flag is engine-reproducible (the corrOls contract:
+    * integers everywhere, floats only in the final formula).
+    *
+    * Scale shape: one key-hash exchange for the window; all three
+    * co-moments ride the SAME frame spec, narrow within each key's
+    * sorted slice. Returns every input row with `(v_q4, w_n, w_sum_q4,
+    * is_anomaly)` attached. */
+  def anomalies(events: DataFrame, window: Int = 20, minObs: Int = 5,
+      k: Int = 3, keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value", tieCol: String = "event_id"): DataFrame = {
+    require(window >= 1 && minObs >= 2 && k >= 1,
+      s"need window >= 1, minObs >= 2, k >= 1; got $window/$minObs/$k")
+    val w = Window.partitionBy($"_k").orderBy($"_us", col(tieCol))
+      .rowsBetween(-window, -1)
+    val n = count($"v_q4").over(w)
+    val s = sum($"v_q4").over(w)
+    val ss = sum($"v_q4" * $"v_q4").over(w)
+    val dev = ($"v_q4" * $"w_n" - $"w_s").cast("double")
+    val spread = ($"w_n" * $"w_ss" - $"w_s" * $"w_s").cast("double")
+    events
+      .select(col(keyCol).as("_k"),
+        expr(s"unix_micros($tsCol)").as("_us"), col(tieCol),
+        floor(col(valueCol) * lit(10000.0)).cast("long").as("v_q4"))
+      .withColumn("w_n", n).withColumn("w_s", s).withColumn("w_ss", ss)
+      .select($"_k".as(keyCol), col(tieCol), $"v_q4",
+        $"w_n", coalesce($"w_s", lit(0L)).as("w_sum_q4"),
+        coalesce($"w_n" >= minObs && dev * dev > lit(k.toDouble * k) * spread,
+          lit(false)).as("is_anomaly"))
+  }
 }

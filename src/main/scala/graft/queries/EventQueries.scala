@@ -187,11 +187,41 @@ object EventQueries extends QueryGroup {
       |         AS twa_q4
       |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin
 
+  /** Trailing-window anomaly detection: each event judged against its
+    * user's last 20 observations (≥ 5 required), flagged beyond 3
+    * standard deviations — exact integer co-moments, floats only in
+    * the final squared comparison (the corrOls determinism contract). */
+  def anomaly(spark: SparkSession, dir: String): DataFrame =
+    Resample.anomalies(load(spark, dir, "events"),
+        window = 20, minObs = 5, k = 3)
+      .orderBy(col("event_id"))
+
+  private val anomalySql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         floor(value * 10000.0::DOUBLE)::BIGINT AS v_q4
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, event_id, v_q4,
+      |         count(v_q4) OVER tw AS n,
+      |         sum(v_q4) OVER tw AS s,
+      |         sum(v_q4 * v_q4) OVER tw AS ss
+      |  FROM e WINDOW tw AS (PARTITION BY user_id ORDER BY us, event_id
+      |                       ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+      |SELECT user_id, event_id, v_q4, n::BIGINT AS w_n,
+      |       coalesce(s, 0)::BIGINT AS w_sum_q4,
+      |       coalesce(n >= 5 AND
+      |         (v_q4 * n - s)::DOUBLE * (v_q4 * n - s)::DOUBLE
+      |           > 9.0::DOUBLE * (n * ss - s * s)::DOUBLE,
+      |         FALSE) AS is_anomaly
+      |FROM w ORDER BY event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ev1_funnel", funnel, Some(funnelSql)),
     QueryDef("ev2_retention", retention, Some(retentionSql)),
     QueryDef("ev3_gap_fill", gapFill, Some(gapFillSql)),
     QueryDef("ev4_transitions", transitions, Some(transitionsSql)),
     QueryDef("ev5_sessions", sessions, Some(sessionsSql)),
-    QueryDef("ev6_twa", twa, Some(twaSql)))
+    QueryDef("ev6_twa", twa, Some(twaSql)),
+    QueryDef("ev7_anomaly", anomaly, Some(anomalySql)))
 }

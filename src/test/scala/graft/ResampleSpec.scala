@@ -87,4 +87,36 @@ class ResampleSpec extends SparkSpec {
     assert(byKey(1L) === 97L) // inclusive [first, last] hour span
     assert(byKey(2L) === 1L) // NOT 97 - no global calendar cross join
   }
+
+  test("anomalies: hand-computed dev^2 vs k^2*var, minObs gate, zero-variance history") {
+    // history [10,20,10,20,10] (mean 14): v=20 -> dev^2(900) <= 9*var(600)=5400
+    // -> calm; v=50 -> (250-70)^2=32400 > 5400 -> anomaly. q4 scaling is
+    // exactly invariant (both sides scale by 1e8).
+    def mk(i: Int, v: Double) =
+      (1L, ts(f"2024-01-01 00:${i}%02d:00"), i.toLong, v)
+    val hist = Seq(10.0, 20.0, 10.0, 20.0, 10.0).zipWithIndex
+      .map { case (v, i) => mk(i + 1, v) }
+    val ev = (hist :+ mk(6, 20.0) :+ mk(7, 50.0))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.anomalies(ev, window = 20, minObs = 5, k = 3)
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(3), r.getBoolean(5)))).toMap
+    // rows 1..5 have < 5 observations of history -> gated false
+    (1L to 5L).foreach(i => assert(out(i) === ((i - 1, false)), s"row $i"))
+    assert(out(6L) === ((5L, false)))  // within 3 sigma of its history
+    // row 7's window now holds 6 obs incl. the 20: n=6, s=90, ss=1500
+    // dev=(300-90)=210 -> 44100 ; 9*(6*1500-8100)=8100 -> anomaly
+    assert(out(7L) === ((6L, true)))
+  }
+
+  test("anomalies: zero-variance history flags ANY deviation, equal value stays calm") {
+    def mk(i: Int, v: Double) =
+      (7L, ts(f"2024-01-01 01:${i}%02d:00"), 100L + i, v)
+    val ev = ((1 to 5).map(i => mk(i, 10.0)) :+ mk(6, 10.0) :+ mk(7, 10.01))
+      .toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.anomalies(ev, window = 20, minObs = 5, k = 3)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(5)).toMap
+    assert(out(106L) === false) // v == history: dev = 0, var = 0 -> calm
+    assert(out(107L) === true)  // any nonzero dev beats zero variance
+  }
 }
