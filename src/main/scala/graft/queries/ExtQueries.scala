@@ -691,6 +691,43 @@ object ExtQueries extends QueryGroup {
        |SELECT id, r AS rank FROM it4 ORDER BY id""".stripMargin
   }
 
+  /** 2-core of the same near-dup graph as PageRank/LPA: iterative
+    * peeling until every survivor keeps ≥ 2 similar neighbors — the
+    * dense-kernel selector (components finds reachability, LPA the
+    * groups, k-core the density floor). The oracle peels via ONE
+    * recursive CTE whose window functions re-derive both endpoint
+    * degrees per round — an independent formulation (no survivor-set
+    * joins), run past the fixpoint so the final iteration IS the core. */
+  def kcore(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    graft.ops.KCore.run(edges, k = 2, maxIter = 30)
+      .orderBy($"node")
+  }
+
+  private val kcoreSql =
+    s"""WITH RECURSIVE pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |ae(iter, src, dst) AS (
+       |  SELECT 0, src, dst FROM edges WHERE src != dst
+       |  UNION ALL
+       |  SELECT iter + 1, src, dst FROM (
+       |    SELECT iter, src, dst,
+       |           count(*) OVER (PARTITION BY iter, src) AS dsrc,
+       |           count(*) OVER (PARTITION BY iter, dst) AS ddst
+       |    FROM ae WHERE iter < 30)
+       |  WHERE dsrc >= 2 AND ddst >= 2)
+       |SELECT src AS node, count(*)::BIGINT AS deg
+       |FROM ae WHERE iter = 30 GROUP BY src ORDER BY node""".stripMargin
+
   /** Label-propagation communities over the same near-dup graph as
     * PageRank (3 deterministic synchronous rounds, most-frequent
     * neighbor label, min tie-break): components finds reachability,
@@ -1948,6 +1985,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("ext_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),
+    QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
