@@ -569,6 +569,113 @@ object Similarity {
     * chain, no exchange anywhere — projecting 100 TB is a scan. Input
     * vectors shorter than `inDim` simply use their own length (zip_with
     * pads with nulls which the sum treats as absent). */
+  /** Product-quantization codebooks (Jégou et al., PAMI 2011): the
+    * vector space splits into `m` contiguous subspaces and each gets a
+    * `codebookSize`-entry codebook; a vector's PQ code is the m-tuple
+    * of nearest codebook entries, compressing dim floats to m small
+    * ints (64-d → 4 bytes here) while keeping distances approximable
+    * per subspace (ADC).
+    *
+    * Codebooks here are SEEDED — the first `codebookSize` corpus
+    * vectors by id, split into subvectors — the same oracle-reproducible
+    * deterministic-quantizer pattern as [[ivfCentroids]] (a k-means
+    * refinement would slot in exactly like [[ivfCentroidsKmeans]] does
+    * for IVF, at the price of oracle-exactness). Everything is q6
+    * fixed-point: components floor to `⌊10⁶·x⌋` longs, so subspace
+    * distances are EXACT integer sums — order-independent and
+    * bit-identical in any engine (the randomProject contract), with no
+    * normalization step to manufacture NaNs.
+    *
+    * ONE bounded collect (codebookSize full vectors); returns
+    * `cbs(j)(c)` = code c's q6 subvector in subspace j. */
+  def pqCodebooks(corpus: DataFrame, m: Int = 4, codebookSize: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): Array[Array[Array[Long]]] = {
+    require(m >= 1 && dim % m == 0, s"dim=$dim must divide into m=$m subspaces")
+    require(codebookSize >= 1, s"codebookSize must be >= 1, got $codebookSize")
+    val sub = dim / m
+    val seeds = corpus.orderBy(col(idCol)).limit(codebookSize)
+      .select(col(vecCol)).collect()
+      .map(r => r.getSeq[Any](0).map {
+        case f: Float => math.floor(f.toDouble * 1e6).toLong
+        case d: Double => math.floor(d * 1e6).toLong
+        case n: Number => math.floor(n.doubleValue() * 1e6).toLong
+      }.toArray)
+    require(seeds.nonEmpty, "empty corpus: no codebook seeds")
+    seeds.foreach(v => require(v.length == dim,
+      s"vector length ${v.length} != dim $dim"))
+    Array.tabulate(m)(j => seeds.map(_.slice(j * sub, (j + 1) * sub)))
+  }
+
+  /** Assign PQ codes against [[pqCodebooks]]: per subspace the argmin
+    * of the EXACT integer squared distance (ties → the lowest code, the
+    * first-occurrence semantics of `array_position(_, array_min(_))`).
+    * Returns `(idCol, codes array<int>, dist)` with `dist` the total
+    * squared quantization error in q6² units.
+    *
+    * Scale shape: codebooks ride the plan as literals (m·codebookSize·
+    * sub longs — the inlined-centroid pattern), the q6 vector
+    * materializes ONCE as an attribute column, and each distance is a
+    * flat codegen arithmetic chain over `element_at` reads — fully
+    * narrow, zero shuffle, whole-stage codegen end to end. */
+  def productQuantize(corpus: DataFrame, m: Int = 4, codebookSize: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      dim: Int = 64): DataFrame = {
+    val cbs = pqCodebooks(corpus, m, codebookSize, idCol, vecCol, dim)
+    val sub = dim / m
+    val withQ = corpus.withColumn("_q",
+      transform(col(vecCol), x => floor(x.cast("double") * lit(1000000.0)).cast("long")))
+    val (codeCols, distCols) = cbs.zipWithIndex.map { case (cb, j) =>
+      val dists = array(cb.map { c =>
+        c.indices.map { i =>
+          val d = element_at(col("_q"), j * sub + i + 1) - lit(c(i))
+          d * d
+        }.reduce(_ + _)
+      }.toIndexedSeq: _*)
+      val best = array_min(dists)
+      ((array_position(dists, best) - 1).cast("int"), best)
+    }.unzip
+    withQ.select(col(idCol),
+      array(codeCols.toIndexedSeq: _*).as("codes"),
+      distCols.reduce(_ + _).as("dist"))
+  }
+
+  /** ADC (asymmetric distance computation) top-k over PQ codes: each
+    * query precomputes its m × codebookSize lookup table of exact q6²
+    * subspace distances, and a candidate's approximate distance is the
+    * sum of m table entries selected by its code — the classic
+    * PQ-search shape where the corpus side touches only its codes,
+    * never the vectors. Queries broadcast (the [[bruteForceTopK]]
+    * pattern); ranking ties break on vec_id. */
+  def pqTopK(queries: DataFrame, codes: DataFrame,
+      cbs: Array[Array[Array[Long]]], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val m = cbs.length
+    val sub = cbs.head.head.length
+    val q = queries.select(col(idCol).as("query_id"),
+      transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(1000000.0)).cast("long")).as("_q"))
+    val adc = (0 until m).map { j =>
+      val entry = element_at(col("codes"), j + 1)
+      // chained lookup: code value selects its precomputed distance
+      cbs(j).indices.foldLeft(lit(Long.MaxValue)) { (acc, c) =>
+        val d = cbs(j)(c).indices.map { i =>
+          val t = element_at(col("_q"), j * sub + i + 1) - lit(cbs(j)(c)(i))
+          t * t
+        }.reduce(_ + _)
+        when(entry === c, d).otherwise(acc)
+      }
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist"), col("vec_id"))
+    broadcast(q).crossJoin(codes.select(col(idCol).as("vec_id"), col("codes")))
+      .select(col("query_id"), col("vec_id"), adc.as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= k)
+  }
+
   def randomProject(emb: DataFrame, outDim: Int = 16, inDim: Int = 64,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(outDim >= 1, s"outDim must be >= 1, got $outDim")

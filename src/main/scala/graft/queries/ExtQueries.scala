@@ -1684,6 +1684,47 @@ object ExtQueries extends QueryGroup {
       |            ELSE 0 END AS sample_rate_hz
       |FROM b ORDER BY asset_id""".stripMargin
 
+  /** Product quantization of the embeddings (4 subspaces × 16 codes,
+    * seeded codebooks = first 16 vectors by id): codes + total q6²
+    * quantization error, all-integer so DuckDB rebuilds the codebook
+    * RELATIONALLY and matches element-for-element — the ivf-oracle
+    * pattern applied to vector compression. */
+  def simPq(spark: SparkSession, dir: String): DataFrame =
+    Similarity.productQuantize(load(spark, dir, "embeddings"))
+      .select($"vec_id", array_join($"codes", ",").as("codes_csv"), $"dist")
+      .orderBy($"vec_id")
+
+  private val simPqSql = {
+    val sub = 16
+    def dj(j: Int) =
+      s"""list_sum(list_transform(range(1, ${sub + 1}),
+         |    i -> (q.qv[${j * sub} + i] - cb.qv[${j * sub} + i])
+         |       * (q.qv[${j * sub} + i] - cb.qv[${j * sub} + i]))) AS d$j""".stripMargin
+    def arg(j: Int) =
+      s"""a$j AS (SELECT vec_id, code, d$j,
+         |  row_number() OVER (PARTITION BY vec_id ORDER BY d$j, code) AS rn
+         |  FROM d)""".stripMargin
+    s"""WITH q AS (
+       |  SELECT vec_id, list_transform(embedding,
+       |    x -> floor(x::DOUBLE * 1000000.0)::BIGINT) AS qv FROM embeddings),
+       |cb AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, qv
+       |  FROM (SELECT vec_id, qv FROM q ORDER BY vec_id LIMIT 16)),
+       |d AS (SELECT q.vec_id, cb.code,
+       |  ${(0 until 4).map(dj).mkString(",\n  ")}
+       |      FROM q CROSS JOIN cb),
+       |${(0 until 4).map(arg).mkString(",\n")}
+       |SELECT a0.vec_id,
+       |  a0.code::VARCHAR || ',' || a1.code::VARCHAR || ',' ||
+       |  a2.code::VARCHAR || ',' || a3.code::VARCHAR AS codes_csv,
+       |  (a0.d0 + a1.d1 + a2.d2 + a3.d3)::BIGINT AS dist
+       |FROM (SELECT * FROM a0 WHERE rn = 1) a0
+       |JOIN (SELECT * FROM a1 WHERE rn = 1) a1 USING (vec_id)
+       |JOIN (SELECT * FROM a2 WHERE rn = 1) a2 USING (vec_id)
+       |JOIN (SELECT * FROM a3 WHERE rn = 1) a3 USING (vec_id)
+       |ORDER BY a0.vec_id""".stripMargin
+  }
+
   /** Segment-level global dedup (C4/CCNet paragraph granularity): the
     * corpus cut into 8-token segments, every repeated segment keeping
     * only its globally first occurrence, docs rebuilt from survivors.
@@ -1954,6 +1995,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_ivf_ann", simIvf, Some(simIvfSql)),
     QueryDef("ext_sim_ivf_kmeans", simIvfKmeans, Some(simIvfKmeansSql)),
     QueryDef("ext_sim_quantize", simQuantize, Some(simQuantizeSql)),
+    QueryDef("ext_sim_pq", simPq, Some(simPqSql)),
     QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),

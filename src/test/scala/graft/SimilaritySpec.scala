@@ -256,4 +256,65 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(errs === 0, s"$errs of 60 projected nearest neighbors crossed clusters")
   }
+
+  test("productQuantize: seed vectors get zero error; codes stay in range") {
+    import spark.implicits._
+    val out = Similarity.productQuantize(emb)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Int](1), r.getLong(2))).sortBy(_._1)
+    assert(out.nonEmpty)
+    out.foreach { case (id, codes, dist) =>
+      assert(codes.length === 4 && codes.forall(c => c >= 0 && c < 16), s"id $id")
+      assert(dist >= 0L, s"id $id")
+    }
+    // the codebook IS the first 16 vectors by id: they quantize to
+    // themselves (or an identical entry) with exactly zero error
+    out.take(16).foreach { case (id, _, dist) =>
+      assert(dist === 0L, s"seed vector $id must have zero quantization error")
+    }
+    // and somebody outside the seed set has nonzero error, or the
+    // fixture would prove nothing
+    assert(out.drop(16).exists(_._3 > 0L))
+  }
+
+  test("productQuantize: argmin ties break to the LOWEST code index") {
+    import spark.implicits._
+    // vectors 0 and 1 are IDENTICAL -> codebook entries 0 and 1 are
+    // duplicates; every assignment that hits them must pick code 0
+    val base = Array.fill(8)(1.0f)
+    val emb2 = Seq(
+      (0L, base), (1L, base),
+      (2L, base.map(_ * 1.001f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.productQuantize(emb2, m = 2, codebookSize = 2, dim = 8)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(out(0L) === Seq(0, 0))
+    assert(out(1L) === Seq(0, 0))
+    assert(out(2L) === Seq(0, 0))
+  }
+
+  test("pqTopK: ADC ranking recalls brute-force neighbors on clustered data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(29)
+    val centers = Array.fill(4, 64)(rnd.nextGaussian() * 5.0)
+    val vecs = (0 until 80).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.2).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    // seeded codebooks on the clustered corpus: the first 16 vectors
+    // cover all 4 clusters (ids 0..15 round-robin the centers)
+    val cbs = Similarity.pqCodebooks(corpus)
+    val codes = Similarity.productQuantize(corpus)
+    val queries = corpus.where($"vec_id" < 4)
+    val got = Similarity.pqTopK(queries, codes, cbs, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (q, a) => q -> a.map(_._2).toSet }
+    // ADC distance is cluster-resolving: every query's top-10 stays in
+    // its own cluster (self included)
+    got.foreach { case (q, ids) =>
+      val wrong = ids.count(_ % 4 != q % 4)
+      assert(wrong === 0, s"query $q pulled $wrong cross-cluster ids: $ids")
+    }
+  }
 }
