@@ -99,7 +99,46 @@ object TpchQueries extends QueryGroup {
       |JOIN customer ON o_custkey = c_custkey
       |ORDER BY totalprice DESC, o_orderkey LIMIT 100""".stripMargin
 
+  /** Q1 — pricing summary report: the canonical full-scan grouped
+    * aggregate (tiny group count, everything map-side combinable —
+    * the partial-aggregation litmus the way Q6 is the pushdown one).
+    * Double sums are rounded on BOTH sides (engine summation order
+    * differs); averages derive from exact sums ÷ exact counts. */
+  def q1(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "lineitem")
+      .where($"l_shipdate" <= "1998-09-02")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        round(sum($"l_quantity"), 2).as("sum_qty"),
+        round(sum($"l_extendedprice"), 2).as("sum_base_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")), 2)
+          .as("sum_disc_price"),
+        round(sum($"l_extendedprice" * (lit(1.0) - $"l_discount")
+          * (lit(1.0) + $"l_tax")), 2).as("sum_charge"),
+        round(avg($"l_quantity"), 4).as("avg_qty"),
+        round(avg($"l_extendedprice"), 4).as("avg_price"),
+        round(avg($"l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  private val q1Sql =
+    """SELECT l_returnflag, l_linestatus,
+      |       round(sum(l_quantity), 2) AS sum_qty,
+      |       round(sum(l_extendedprice), 2) AS sum_base_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+      |       round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)), 2)
+      |         AS sum_charge,
+      |       round(avg(l_quantity), 4) AS avg_qty,
+      |       round(avg(l_extendedprice), 4) AS avg_price,
+      |       round(avg(l_discount), 4) AS avg_disc,
+      |       count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
     QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
     QueryDef("q18_large_orders", q18, Some(q18Sql)))

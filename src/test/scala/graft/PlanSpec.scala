@@ -203,6 +203,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_orderkey"), plan)
   }
 
+  test("q1 pricing summary: partial aggregation, shipdate pushed, columns pruned") {
+    val plan = TpchQueries.q1(spark, sfDir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    // two HashAggregate phases: all eight aggregates combine map-side
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan)
+    // the join keys the query never touches must not be read
+    assert(!plan.contains("l_orderkey"), plan)
+    assert(!plan.contains("l_partkey"), plan)
+  }
+
   test("q3/q18: selective dims broadcast, global top-k is TakeOrderedAndProject") {
     val p3 = planOf(TpchQueries.q3(spark, sfDir))
     assert(p3.contains("BroadcastHashJoin"), p3)
