@@ -154,6 +154,52 @@ object StreamingIngest {
     * Contract difference from [[dedupWithState]]: that one keeps a
     * PERMANENT per-user ledger (exactly the reference's processed-file
     * ledger); this one trades permanence for bounded state. */
+  case class KeyedValueEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+  case class RingState(vals: Seq[Long])
+  case class AnomalyFlag(user_id: Long, event_id: Long, v_q4: Long,
+      w_n: Long, w_sum_q4: Long, is_anomaly: Boolean)
+
+  /** Stateful streaming twin of [[graft.ops.Resample.anomalies]]: each
+    * key's state is a RING BUFFER of its last `window` q4 values — O(1)
+    * bounded state per key (like [[transitionsStream]]'s last-event
+    * state, never the key's history) — and each arriving event is
+    * flagged against the exact same integer co-moment test
+    * (`(v·n − s)² > k²·(n·ss − s²)`, floats only in the final squared
+    * compare) before joining the buffer. Intra-batch rows sort by
+    * (ts, event_id) first, so a chronologically-fed stream reproduces
+    * the batch operator row for row (parity spec-pinned). */
+  def anomaliesStream(events: org.apache.spark.sql.Dataset[KeyedValueEvent],
+      window: Int = 20, minObs: Int = 5, k: Int = 3)
+      : org.apache.spark.sql.Dataset[AnomalyFlag] = {
+    require(window >= 1 && minObs >= 2 && k >= 1,
+      s"need window >= 1, minObs >= 2, k >= 1; got $window/$minObs/$k")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[RingState, AnomalyFlag](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[KeyedValueEvent], state: GroupState[RingState]) =>
+          val sorted = rows.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+          var buf = state.getOption.map(_.vals).getOrElse(Seq.empty)
+          val out = sorted.map { e =>
+            val v = math.floor(e.value * 10000.0).toLong
+            val n = buf.length.toLong
+            val s = buf.sum
+            val ss = buf.iterator.map(x => x * x).sum
+            val dev = (v * n - s).toDouble
+            val spread = (n * ss - s * s).toDouble
+            val flag = n >= minObs && dev * dev > (k.toDouble * k) * spread
+            buf = (buf :+ v).takeRight(window)
+            AnomalyFlag(uid, e.event_id, v, n, s, flag)
+          }
+          state.update(RingState(buf))
+          out.iterator
+      }
+  }
+
   def dedupWithinWatermark(events: DataFrame,
       watermark: String = "10 minutes",
       idCols: Seq[String] = Seq("event_id")): DataFrame =

@@ -330,6 +330,45 @@ class StreamingSpec extends SparkSpec {
       (1L, "click", "purchase"), (1L, "view", "click"), (2L, "view", "click")))
   }
 
+  test("anomaliesStream: multi-batch ring-buffer flags equal the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.KeyedValueEvent
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val rnd = new scala.util.Random(31)
+    // two keys, 30 events each: calm history with planted spikes; fed
+    // chronologically across three batches, batch 1 shuffled internally
+    val all = (0 until 60).map { i =>
+      val uid = (i % 2 + 1).toLong
+      val base = if (uid == 1L) 10.0 else 50.0
+      val v = if (i == 40 || i == 41) base * 8 // spikes land mid-stream
+              else base + rnd.nextInt(3) * 0.5
+      KeyedValueEvent(uid, i.toLong, ts(i.toLong * 10), v)
+    }
+    val batches = Seq(
+      rnd.shuffle(all.take(20)), all.slice(20, 40), all.drop(40))
+    val input = MemoryStream[KeyedValueEvent]
+    val q = StreamingIngest.anomaliesStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("anomalies_stream").start()
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    val streamed = spark.table("anomalies_stream")
+      .as[StreamingIngest.AnomalyFlag].collect()
+      .map(a => a.event_id -> ((a.v_q4, a.w_n, a.w_sum_q4, a.is_anomaly)))
+      .toMap
+    val batch = graft.ops.Resample.anomalies(
+        all.toDF("user_id", "event_id", "ts", "value"))
+      .collect().map(r => r.getLong(1) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    assert(streamed === batch)
+    assert(streamed.values.exists(_._4), "planted spikes must flag")
+    assert(streamed(40L)._4 && streamed(41L)._4)
+  }
+
   test("partition-scoped merge sink: only batch-touched partitions are rewritten") {
     import spark.implicits._
     val landing = tmpDir("graft-landing3")
