@@ -311,6 +311,23 @@ object Frequency {
       .groupBy($"key")
       .agg(min(coalesce($"cnt", lit(0L))).as("est"))
 
+  /** Equi-join cardinality estimate from two [[countMinSketch]]
+    * relations (Alon-Matias-Szegedy inner product over CM rows,
+    * Cormode & Muthukrishnan §4.2): `est = min_j Σ_c A(j,c)·B(j,c)`.
+    * The true size of `A ⋈ B` on the sketched key is `Σ_k fA(k)·fB(k)`;
+    * every hash row's inner product equals that plus nonnegative
+    * collision terms, so the estimate is ONE-SIDED (`est ≥ true`), the
+    * same guarantee as the point estimate. This is the
+    * optimizer-statistics shape: join sizes priced from two
+    * `depth × width` relations — KBs — without touching either input
+    * again (and sketches of separately-ingested corpora merge by
+    * re-aggregation first). Returns one row `(est)`. */
+  def cmsJoinSize(a: DataFrame, b: DataFrame): DataFrame =
+    a.select($"j", $"c", $"cnt".as("_ca"))
+      .join(b.select($"j", $"c", $"cnt".as("_cb")), Seq("j", "c"))
+      .groupBy($"j").agg(sum($"_ca" * $"_cb").as("_ip"))
+      .agg(min($"_ip").as("est"))
+
   /** Hash row `j`'s cell for `key`: first 32 md5 bits of `"j_key"`
     * mod width — the same md5 pseudo-randomness basis as the sampling
     * layer, reproducible in any engine. */

@@ -1866,6 +1866,40 @@ object ExtQueries extends QueryGroup {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Join-size estimation from two count-min sketches (the
+    * optimizer-statistics shape): est = min_j Σ_c A(j,c)·B(j,c) over
+    * the lineitem.l_partkey × part.p_partkey sketches, with the exact
+    * join size alongside — `est ≥ true` by construction (collision
+    * terms are nonnegative), and the 64-cell width keeps the
+    * overestimate REAL at every SF. */
+  def sketchJoinSize(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem").select($"l_partkey".as("k"))
+    val pt = load(spark, dir, "part").select($"p_partkey".as("k"))
+    val sa = Frequency.countMinSketch(li, "k", depth = 4, width = 64)
+    val sb = Frequency.countMinSketch(pt, "k", depth = 4, width = 64)
+    val truth = li.join(pt, Seq("k")).agg(count(lit(1)).as("true_sz"))
+    Frequency.cmsJoinSize(sa, sb).crossJoin(truth)
+      .select($"est", $"true_sz", ($"est" - $"true_sz").as("overcount"))
+  }
+
+  private val sketchJoinSizeSql =
+    """WITH js AS (SELECT unnest(range(0, 4)) AS j),
+      |ca AS (
+      |  SELECT j, ('0x' || substr(md5(j::VARCHAR || '_' || l_partkey::VARCHAR), 1, 8))::BIGINT % 64 AS c,
+      |         count(*) AS cnt
+      |  FROM lineitem CROSS JOIN js GROUP BY j, c),
+      |cb AS (
+      |  SELECT j, ('0x' || substr(md5(j::VARCHAR || '_' || p_partkey::VARCHAR), 1, 8))::BIGINT % 64 AS c,
+      |         count(*) AS cnt
+      |  FROM part CROSS JOIN js GROUP BY j, c),
+      |ip AS (SELECT ca.j, sum(ca.cnt * cb.cnt) AS ip
+      |       FROM ca JOIN cb USING (j, c) GROUP BY ca.j),
+      |est AS (SELECT min(ip)::BIGINT AS est FROM ip),
+      |tr AS (SELECT count(*)::BIGINT AS true_sz
+      |       FROM lineitem JOIN part ON l_partkey = p_partkey)
+      |SELECT est.est, tr.true_sz, (est.est - tr.true_sz)::BIGINT AS overcount
+      |FROM est CROSS JOIN tr""".stripMargin
+
   /** EXACT global rank + percentile (basis points) of every distinct
     * o_totalprice in a deterministic order subset — via the
     * distributed-selection prefix machinery, NOT `Window.orderBy(value)`
@@ -1983,6 +2017,7 @@ object ExtQueries extends QueryGroup {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ext_expectations", expectationsQ, Some(expectationsSql)),
     QueryDef("ext_sketch_cms", sketchCms, Some(sketchCmsSql)),
+    QueryDef("ext_sketch_join_size", sketchJoinSize, Some(sketchJoinSizeSql)),
     QueryDef("ext_global_rank", globalRankQ, Some(globalRankSql)),
     QueryDef("ext_histogram_eqdepth", histogramEqDepth, Some(histogramEqDepthSql)),
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),

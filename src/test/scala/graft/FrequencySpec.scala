@@ -170,6 +170,23 @@ class FrequencySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("cmsJoinSize: one-sided bound always, exact when the sketch out-widths the keys") {
+    val a = (1 to 100).map(i => s"k${i % 10}").toDF("k")   // 10 keys x 10
+    val b = (1 to 30).map(i => s"k${i % 3}").toDF("k")     // keys k0..k2 x 10
+    val truth = a.join(b, Seq("k")).count()                // 3 x 10 x 10 = 300
+    assert(truth === 300L)
+    // narrow sketch: collisions force est >= true
+    val estNarrow = Frequency.cmsJoinSize(
+      Frequency.countMinSketch(a, "k", 4, 4),
+      Frequency.countMinSketch(b, "k", 4, 4)).head.getLong(0)
+    assert(estNarrow >= truth)
+    // wide sketch: 512 cells for 10 keys -> near-certainly collision-free
+    val estWide = Frequency.cmsJoinSize(
+      Frequency.countMinSketch(a, "k", 4, 512),
+      Frequency.countMinSketch(b, "k", 4, 512)).head.getLong(0)
+    assert(estWide === truth)
+  }
+
   test("equiDepthHistogram: quantile_disc boundaries, ties stay low, k=2 hand case") {
     // 1..10, k=2: boundary = quantile_disc(0.5) = 5 -> buckets of 5 and 5
     val out = Frequency.equiDepthHistogram(
