@@ -932,21 +932,61 @@ object ExtQueries extends QueryGroup {
     TextStats.classifierScore(load(spark, dir, "documents"))
       .orderBy($"doc_id")
 
-  private val qualityClassifierSql = {
+  /** Shared CTE chain re-deriving the hashing-trick classifier score as
+    * `sc(doc_id, n_tokens, score_bp)` — the classifier and band-prune
+    * oracles both replay the ONE model application. */
+  private val classifierScoreCte = {
     val md5u32 = (s: String) => s"(('0x' || substr(md5($s), 1, 8))::BIGINT)"
     val weight =
       s"(${md5u32(s"(${md5u32("w")} % 4096)::VARCHAR")} % 2001) - 1000"
-    s"""WITH t AS (
+    s"""t AS (
        |  SELECT doc_id, $toksSql AS ws FROM documents),
        |s AS (
        |  SELECT doc_id, len(ws)::BIGINT AS n_tokens,
        |         list_sum(list_transform(ws, w -> $weight))::BIGINT AS raw
-       |  FROM t)
-       |SELECT doc_id, n_tokens,
-       |       (10000 * (raw + 1000 * n_tokens)) // (2000 * n_tokens) AS score_bp,
-       |       ((10000 * (raw + 1000 * n_tokens)) // (2000 * n_tokens)) >= 5000 AS keep
-       |FROM s ORDER BY doc_id""".stripMargin
+       |  FROM t),
+       |sc AS (
+       |  SELECT doc_id, n_tokens,
+       |         (10000 * (raw + 1000 * n_tokens)) // (2000 * n_tokens) AS score_bp
+       |  FROM s)""".stripMargin
   }
+
+  private val qualityClassifierSql =
+    s"""WITH $classifierScoreCte
+       |SELECT doc_id, n_tokens, score_bp, score_bp >= 5000 AS keep
+       |FROM sc ORDER BY doc_id""".stripMargin
+
+  /** Quality-band pruning — keep each language's middle [p10, p90] of
+    * the classifier score: the fixed-threshold `keep` flag cuts an
+    * absolute floor, while the BAND also drops the suspiciously-perfect
+    * tail (template/boilerplate text scores unnaturally high — DCLM/
+    * FineWeb prune both ends). Bounds come from the distributed-
+    * selection quantiles (group-cardinality frame, broadcasts back);
+    * the doc side never reshuffles. */
+  def pruneBand(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val scored = TextStats.classifierScore(docs)
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+    val bounds = Frequency.exactQuantiles(scored, "lang", "score_bp",
+        Seq(0.1, 0.9))
+      .withColumnRenamed("lang", "_bg")
+    scored.join(broadcast(bounds), $"lang" === $"_bg")
+      .select($"doc_id", $"lang", $"score_bp",
+        $"p10".cast("long").as("lo_bp"), $"p90".cast("long").as("hi_bp"),
+        ($"score_bp" >= $"p10" && $"score_bp" <= $"p90").as("keep_band"))
+      .orderBy($"doc_id")
+  }
+
+  private val pruneBandSql =
+    s"""WITH $classifierScoreCte,
+       |l AS (SELECT sc.doc_id, d.lang, sc.score_bp
+       |      FROM sc JOIN documents d USING (doc_id)),
+       |b AS (SELECT lang, quantile_disc(score_bp, 0.1)::BIGINT AS lo_bp,
+       |             quantile_disc(score_bp, 0.9)::BIGINT AS hi_bp
+       |      FROM l GROUP BY lang)
+       |SELECT l.doc_id, l.lang, l.score_bp, b.lo_bp, b.hi_bp,
+       |       (l.score_bp >= b.lo_bp AND l.score_bp <= b.hi_bp) AS keep_band
+       |FROM l JOIN b USING (lang) ORDER BY l.doc_id""".stripMargin
 
   /** Model-weighted sampling: per-row keep probability ∝ the
     * classifier score ([[TextStats.classifierScore]]) — the sample
@@ -2055,6 +2095,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_text_filter", textFilter, Some(textFilterSql)),
     QueryDef("ext_filter_funnel", filterFunnel, Some(filterFunnelSql)),
     QueryDef("ext_quality_classifier", qualityClassifier, Some(qualityClassifierSql)),
+    QueryDef("ext_prune_band", pruneBand, Some(pruneBandSql)),
     QueryDef("ext_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("ext_collocations", collocations, Some(collocationsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
