@@ -73,11 +73,11 @@ object CacheScope {
     }
   }
 
-  /** The single persist point for ext operators: MEMORY_AND_DISK, and
-    * registration with the innermost active scope when one exists —
-    * outside any scope the behavior is the documented session-lifetime
-    * contract, unchanged. */
-  private[ext] def persist(df: DataFrame): DataFrame = {
+  /** The single persist point for ext operators (and the query layer's
+    * composition barriers): MEMORY_AND_DISK, and registration with the
+    * innermost active scope when one exists — outside any scope the
+    * behavior is the documented session-lifetime contract, unchanged. */
+  private[graft] def persist(df: DataFrame): DataFrame = {
     val p = df.persist(StorageLevel.MEMORY_AND_DISK)
     active.get().headOption.foreach(_.track(p))
     p

@@ -12,7 +12,7 @@ package object ext {
   /** The one persist spelling ext operators use: MEMORY_AND_DISK plus
     * registration with the caller's [[CacheScope]] when one is active
     * (session-lifetime otherwise — see the contract in [[CacheScope]]). */
-  private[ext] implicit class ScopedPersist(private val df: DataFrame) extends AnyVal {
+  private[graft] implicit class ScopedPersist(private val df: DataFrame) extends AnyVal {
     def persistScoped: DataFrame = CacheScope.persist(df)
   }
 }

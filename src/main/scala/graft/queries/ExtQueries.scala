@@ -1042,7 +1042,16 @@ object ExtQueries extends QueryGroup {
     * audit table a curation run publishes (rule attribution sums can
     * exceed `_total − _kept`: docs may trip several rules). */
   def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ScopedPersist
+    // The barrier is load-bearing: the funnel PRUNES the cascade's
+    // output down to (n_tokens, reasons, keep), which drops every
+    // metric to a single reference — CollapseProject then inlines the
+    // whole chain and wordNgrams receives a DERIVED token array, the
+    // documented per-gram re-tokenize hazard (measured 12 s at sf0.1
+    // vs 1.5 s for the cascade itself). Materializing filterCorpus
+    // once makes the metrics attributes for both fan-out branches.
     val f = TextStats.filterCorpus(load(spark, dir, "documents"))
+      .persistScoped
     val perRule = f.select($"n_tokens", explode($"reasons").as("rule"))
       .groupBy($"rule")
       .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
