@@ -311,6 +311,46 @@ object Frequency {
       .groupBy($"key")
       .agg(min(coalesce($"cnt", lit(0L))).as("est"))
 
+  /** Mergeable fixed-grid quantile sketch: `(b, cnt)` with
+    * `b = ⌊value ∕ width⌋` — ONE map-side-combined aggregate whose
+    * exchange carries at most (domain ∕ width) rows per partition, the
+    * quantile sibling of [[countMinSketch]] (merge = union +
+    * re-aggregate, counts are sums). Unlike [[exactQuantiles]] this
+    * never ships distinct values: the state is bounded by the GRID, so
+    * streaming accumulation and cross-corpus merging are O(grid) —
+    * the trade is a one-sided estimate error ≤ `width`. */
+  def gridQuantileSketch(df: DataFrame, valueCol: String,
+      width: Double): DataFrame = {
+    require(width > 0.0, s"width must be > 0, got $width")
+    df.where(col(valueCol).isNotNull)
+      .groupBy(floor(col(valueCol).cast("double") / width).cast("long").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Estimate quantiles from a [[gridQuantileSketch]]: the p-quantile
+    * estimate is the UPPER EDGE `(b_p + 1)·width` of the first bucket
+    * whose cumulative count reaches ⌈p·n⌉ — so `true ≤ est ≤ true +
+    * width`, the one-sided bound the sketch trades for its fixed
+    * footprint (spec-pinned). The running sum is a window over the
+    * SKETCH relation — grid-bounded KBs, not data-scale, which is why
+    * the single-partition window [[globalRank]] exists to avoid is
+    * legal here. Returns one row of `p<NN>` estimate columns. */
+  def gridQuantileEstimate(sketch: DataFrame, width: Double,
+      ps: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(width > 0.0, s"width must be > 0, got $width")
+    val labels = quantileLabels(ps)
+    val cum = sketch
+      .withColumn("_cum", sum($"cnt").over(
+        Window.orderBy($"b").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("_n", sum($"cnt").over(
+        Window.partitionBy(lit(1))))
+    val aggs = ps.zip(labels).map { case (p, lbl) =>
+      min(when($"_cum" >= ceil(lit(p) * $"_n"), ($"b" + 1) * width)).as(lbl)
+    }
+    cum.agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Equi-join cardinality estimate from two [[countMinSketch]]
     * relations (Alon-Matias-Szegedy inner product over CM rows,
     * Cormode & Muthukrishnan §4.2): `est = min_j Σ_c A(j,c)·B(j,c)`.

@@ -1915,6 +1915,41 @@ object ExtQueries extends QueryGroup {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Grid quantile sketch probed at p50/p90/p99 with the exact
+    * quantiles alongside: `true ≤ est ≤ true + width` visible per
+    * column — the mergeable fixed-footprint quantile path next to the
+    * exact distributed-selection one. */
+  def sketchQuantile(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events").select($"value")
+    val sk = Frequency.gridQuantileSketch(ev, "value", width = 5.0)
+    val est = Frequency.gridQuantileEstimate(sk, 5.0, Seq(0.5, 0.9, 0.99))
+      .select($"p50".as("est_p50"), $"p90".as("est_p90"), $"p99".as("est_p99"))
+    val truth = Frequency.exactQuantiles(
+        ev.withColumn("_g", lit("all")), "_g", "value", Seq(0.5, 0.9, 0.99))
+      .select($"p50".as("true_p50"), $"p90".as("true_p90"), $"p99".as("true_p99"))
+    est.crossJoin(truth)
+      .select($"est_p50", $"true_p50", $"est_p90", $"true_p90",
+        $"est_p99", $"true_p99")
+  }
+
+  private val sketchQuantileSql =
+    """WITH v AS (SELECT value::DOUBLE AS v FROM events WHERE value IS NOT NULL),
+      |s AS (SELECT floor(v / 5.0)::BIGINT AS b, count(*) AS cnt
+      |      FROM v GROUP BY b),
+      |c AS (SELECT b, cnt, sum(cnt) OVER (ORDER BY b) AS cum,
+      |             sum(cnt) OVER () AS n FROM s),
+      |est AS (SELECT
+      |  min(CASE WHEN cum >= ceil(0.5 * n) THEN (b + 1) * 5.0 END) AS est_p50,
+      |  min(CASE WHEN cum >= ceil(0.9 * n) THEN (b + 1) * 5.0 END) AS est_p90,
+      |  min(CASE WHEN cum >= ceil(0.99 * n) THEN (b + 1) * 5.0 END) AS est_p99
+      |  FROM c),
+      |tr AS (SELECT quantile_disc(v, 0.5) AS true_p50,
+      |              quantile_disc(v, 0.9) AS true_p90,
+      |              quantile_disc(v, 0.99) AS true_p99 FROM v)
+      |SELECT est.est_p50, tr.true_p50, est.est_p90, tr.true_p90,
+      |       est.est_p99, tr.true_p99
+      |FROM est CROSS JOIN tr""".stripMargin
+
   /** Join-size estimation from two count-min sketches (the
     * optimizer-statistics shape): est = min_j Σ_c A(j,c)·B(j,c) over
     * the lineitem.l_partkey × part.p_partkey sketches, with the exact
@@ -2067,6 +2102,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_expectations", expectationsQ, Some(expectationsSql)),
     QueryDef("ext_sketch_cms", sketchCms, Some(sketchCmsSql)),
     QueryDef("ext_sketch_join_size", sketchJoinSize, Some(sketchJoinSizeSql)),
+    QueryDef("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
     QueryDef("ext_global_rank", globalRankQ, Some(globalRankSql)),
     QueryDef("ext_histogram_eqdepth", histogramEqDepth, Some(histogramEqDepthSql)),
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),

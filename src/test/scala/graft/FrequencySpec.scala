@@ -170,6 +170,30 @@ class FrequencySpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("gridQuantileSketch: true <= est <= true + width on random data; sketches merge") {
+    val rnd = new scala.util.Random(37)
+    val xs = (1 to 500).map(_ => rnd.nextDouble() * 100.0)
+    val df = xs.toDF("v")
+    val w = 4.0
+    val ps = Seq(0.5, 0.9, 0.99)
+    val est = Frequency.gridQuantileEstimate(
+      Frequency.gridQuantileSketch(df, "v", w), w, ps).head
+    val sorted = xs.sorted
+    ps.zipWithIndex.foreach { case (p, i) =>
+      val truth = sorted(math.ceil(p * xs.size).toInt - 1)
+      val e = est.getDouble(i)
+      assert(e >= truth && e <= truth + w, s"p=$p est=$e true=$truth")
+    }
+    // merge law: sketch(A ++ B) == re-aggregate(sketch(A) union sketch(B))
+    val (a, b) = xs.splitAt(200)
+    val merged = Frequency.gridQuantileSketch(a.toDF("v"), "v", w)
+      .unionByName(Frequency.gridQuantileSketch(b.toDF("v"), "v", w))
+      .groupBy($"b").agg(sum($"cnt").as("cnt"))
+    val whole = Frequency.gridQuantileSketch(df, "v", w)
+    assert(merged.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq ===
+      whole.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq)
+  }
+
   test("cmsJoinSize: one-sided bound always, exact when the sketch out-widths the keys") {
     val a = (1 to 100).map(i => s"k${i % 10}").toDF("k")   // 10 keys x 10
     val b = (1 to 30).map(i => s"k${i % 3}").toDF("k")     // keys k0..k2 x 10
