@@ -187,7 +187,9 @@ object MergeQueries extends QueryGroup {
       .orderBy($"c_custkey", $"valid_from")
   }
 
-  private val scd2MergeSql =
+  /** Shared CTE chain producing the merged SCD2 history as `merged` —
+    * the merge and as-of oracles replay the ONE outcome derivation. */
+  private val scd2MergedCte =
     """WITH hist AS (
       |  SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
       |         TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
@@ -221,13 +223,44 @@ object MergeQueries extends QueryGroup {
       |  FROM ch c LEFT JOIN hist h USING (c_custkey)
       |  WHERE h.c_custkey IS NULL
       |     OR h.c_mktsegment IS DISTINCT FROM c.c_mktsegment
-      |     OR h.acctbal IS DISTINCT FROM c.acctbal)
-      |SELECT * FROM closed UNION ALL SELECT * FROM kept
-      |UNION ALL SELECT * FROM opened
-      |ORDER BY c_custkey, valid_from""".stripMargin
+      |     OR h.acctbal IS DISTINCT FROM c.acctbal),
+      |merged AS (
+      |  SELECT * FROM closed UNION ALL SELECT * FROM kept
+      |  UNION ALL SELECT * FROM opened)""".stripMargin
+
+  private val scd2MergeSql =
+    s"""$scd2MergedCte
+       |SELECT * FROM merged ORDER BY c_custkey, valid_from""".stripMargin
+
+  /** As-of reconstruction over the merged SCD2 history: the slice
+    * valid at a timestamp — one row per key, the pre-change version at
+    * 2024-03-01 and the post-change one at 2024-07-01, labeled. */
+  def scd2AsOf(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.ScopedPersist
+    val merged = scd2Merge(spark, dir).persistScoped // sliced twice
+    def slice(ts: String) =
+      graft.ops.Scd2.asOf(merged, lit(ts).cast("timestamp"))
+        .withColumn("as_of", lit(ts))
+    slice("2024-03-01 00:00:00")
+      .unionByName(slice("2024-07-01 00:00:00"))
+      .orderBy($"as_of", $"c_custkey", $"valid_from")
+  }
+
+  private val scd2AsOfSql = {
+    def slice(ts: String) =
+      s"""SELECT *, '$ts' AS as_of FROM merged
+         |WHERE valid_from <= TIMESTAMP '$ts'
+         |  AND (valid_to IS NULL OR valid_to > TIMESTAMP '$ts')""".stripMargin
+    s"""$scd2MergedCte
+       |${slice("2024-03-01 00:00:00")}
+       |UNION ALL
+       |${slice("2024-07-01 00:00:00")}
+       |ORDER BY as_of, c_custkey, valid_from""".stripMargin
+  }
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s15_scd2_merge", scd2Merge, Some(scd2MergeSql)),
+    QueryDef("s16_scd2_asof", scd2AsOf, Some(scd2AsOfSql)),
     QueryDef("s10a_merge_set", mergeSet, Some(mergeSetSql)),
     QueryDef("s10b_merge_setoninsert", mergeSetOnInsert, Some(mergeSetOnInsertSql)),
     QueryDef("s11_append_rows", appendRows, Some(appendRowsSql)),
