@@ -474,6 +474,33 @@ object TextStats {
     * bigram count, two vocabulary-sized margin aggregates broadcast
     * back onto it, global top-k as TakeOrderedAndProject — the corpus
     * is read once, nothing big shuffles. */
+  /** Windowed co-occurrence (skip-gram) pair counts — the word2vec /
+    * windowed-PMI training-data extraction next to [[collocations]]'
+    * adjacent-only pairs: every ordered pair (w_i, w_j) with
+    * `1 ≤ j − i ≤ window` counts once, top-k by count with a full
+    * deterministic tie order. The pair explode is NARROW (n·window
+    * rows per doc off one attribute token array — the inner slice
+    * reads an attribute, so no re-tokenization), the count is ONE
+    * map-side-combined aggregate over a vocabulary²-bounded key space,
+    * and the cut is TakeOrderedAndProject — no global sort. Empty
+    * tokens (the empty-doc sentinel) are excluded from both sides. */
+  def skipgrams(docs: DataFrame, window: Int = 3, k: Int = 20,
+      minCount: Long = 2, textCol: String = "text"): DataFrame = {
+    require(window >= 1 && k >= 1 && minCount >= 1,
+      s"need window/k/minCount >= 1, got $window/$k/$minCount")
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .select(explode(flatten(transform(col("_toks"), (w, i) =>
+        transform(slice(col("_toks"), i + 2, lit(window)),
+          w2 => struct(w.as("w1"), w2.as("w2")))))).as("p"))
+      .select($"p.w1".as("w1"), $"p.w2".as("w2"))
+      .where($"w1" =!= "" && $"w2" =!= "")
+      .groupBy($"w1", $"w2").agg(count(lit(1L)).as("cnt"))
+      .where($"cnt" >= minCount)
+      .orderBy($"cnt".desc, $"w1", $"w2")
+      .limit(k)
+  }
+
   def collocations(docs: DataFrame, k: Int, minCount: Long = 5,
       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

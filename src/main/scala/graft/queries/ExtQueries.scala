@@ -1915,6 +1915,24 @@ object ExtQueries extends QueryGroup {
        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+  /** Windowed skip-gram pair counts (distance ≤ 3), top-20 — the
+    * word2vec/windowed-PMI extraction; the oracle re-derives the pair
+    * explode with inclusive list slicing. */
+  def skipgramsQ(spark: SparkSession, dir: String): DataFrame =
+    TextStats.skipgrams(load(spark, dir, "documents"),
+      window = 3, k = 20, minCount = 2)
+
+  private val skipgramsSql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |p0 AS (SELECT ws, unnest(range(1, len(ws) + 1)) AS i FROM d),
+       |p AS (SELECT ws[i] AS w1,
+       |             unnest(ws[(i+1):least(i+3, len(ws))]) AS w2
+       |      FROM p0),
+       |c AS (SELECT w1, w2, count(*)::BIGINT AS cnt FROM p
+       |      WHERE w1 != '' AND w2 != '' GROUP BY w1, w2)
+       |SELECT w1, w2, cnt FROM c WHERE cnt >= 2
+       |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin
+
   /** Grid quantile sketch probed at p50/p90/p99 with the exact
     * quantiles alongside: `true ≤ est ≤ true + width` visible per
     * column — the mergeable fixed-footprint quantile path next to the
@@ -2143,6 +2161,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_prune_band", pruneBand, Some(pruneBandSql)),
     QueryDef("ext_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("ext_collocations", collocations, Some(collocationsSql)),
+    QueryDef("ext_skipgrams", skipgramsQ, Some(skipgramsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),

@@ -309,6 +309,26 @@ class TextStatsSpec extends SparkSpec {
     assert(covered === words.toSet)
   }
 
+  test("skipgrams: exact windowed pair set on a hand doc; window=1 degrades to bigrams") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val w3 = TextStats.skipgrams(docs, window = 3, k = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w3 === Set(("a", "b"), ("a", "c"), ("a", "d"),
+      ("b", "c"), ("b", "d"), ("c", "d")))
+    val w1 = TextStats.skipgrams(docs, window = 1, k = 10, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(w1 === Set(("a", "b"), ("b", "c"), ("c", "d")))
+  }
+
+  test("skipgrams: counts accumulate across docs; minCount and top-k tie order hold") {
+    import spark.implicits._
+    val docs = Seq((1L, "x y"), (2L, "x y"), (3L, "x z")).toDF("doc_id", "text")
+    val out = TextStats.skipgrams(docs, window = 2, k = 5, minCount = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("x", "y", 2L))) // (x,z) dies at minCount
+  }
+
   test("collocations: lift ranks a planted sticky pair above frequent-but-independent") {
     // 'x y' always adjacent (perfect association); 'the'/'of' frequent but
     // independently placed -> high margins, low lift
