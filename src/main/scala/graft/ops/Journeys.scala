@@ -85,6 +85,37 @@ object Journeys {
       .withColumn("cohort_week", $"cohort_week".cast("timestamp"))
   }
 
+  /** Rolling `windowDays`-day distinct active users per day (the
+    * DAU/WAU/MAU family): for each day `d` in the data's span, how many
+    * distinct users had ≥ 1 event in `[d − windowDays + 1, d]`. Days
+    * ride as INTEGER epoch-day numbers (`unix_micros div 86400·10⁶`) so
+    * the arithmetic is engine-exact.
+    *
+    * Scale shape — rolling distinct cannot partial-aggregate across
+    * window positions (distinct is not additive), so the classic shape
+    * is: (1) dedupe to one (user, day) row — a map-side-combinable
+    * aggregate that collapses raw event volume up front; (2) each
+    * active day contributes to its `windowDays` window-END days — a
+    * constant-factor narrow explode of the DEDUPED frame, not the
+    * events; (3) one distinct count per window-end day. Output days are
+    * clipped to the observed span (no phantom ramp-out windows past the
+    * last event). */
+  def rollingActives(events: DataFrame, windowDays: Int = 7,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    val ud = events
+      .select(col(userCol).as("_u"),
+        expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("_d"))
+      .distinct()
+    val maxDay = ud.agg(max($"_d").as("_mx"))
+    ud.select($"_u",
+        explode(sequence($"_d", $"_d" + lit(windowDays - 1))).as("day_end"))
+      .crossJoin(broadcast(maxDay))
+      .where($"day_end" <= $"_mx")
+      .groupBy($"day_end")
+      .agg(countDistinct($"_u").as("n_active"))
+  }
+
   /** Markov transition matrix over event types: for every ordered
     * adjacent pair of a user's events ((ts, tie) order), the count of
     * `from_type → to_type` steps and the row-normalized probability in

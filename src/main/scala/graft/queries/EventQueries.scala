@@ -216,7 +216,25 @@ object EventQueries extends QueryGroup {
       |         FALSE) AS is_anomaly
       |FROM w ORDER BY event_id""".stripMargin
 
+  /** Rolling 7-day distinct active users per day (WAU): integer
+    * epoch-day windows, deduped (user, day) explode, span-clipped. */
+  def rollingActives(spark: SparkSession, dir: String): DataFrame =
+    Journeys.rollingActives(load(spark, dir, "events"), windowDays = 7)
+      .orderBy(col("day_end"))
+
+  private val rollingActivesSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      |  FROM events),
+      |mx AS (SELECT max(d) AS mx FROM ud),
+      |w AS (SELECT user_id, d + unnest(range(0, 7)) AS day_end FROM ud)
+      |SELECT w.day_end, count(DISTINCT w.user_id)::BIGINT AS n_active
+      |FROM w CROSS JOIN mx WHERE w.day_end <= mx.mx
+      |GROUP BY w.day_end ORDER BY w.day_end""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev8_rolling_actives", rollingActives, Some(rollingActivesSql)),
     QueryDef("ev1_funnel", funnel, Some(funnelSql)),
     QueryDef("ev2_retention", retention, Some(retentionSql)),
     QueryDef("ev3_gap_fill", gapFill, Some(gapFillSql)),

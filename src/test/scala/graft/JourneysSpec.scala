@@ -93,6 +93,22 @@ class JourneysSpec extends SparkSpec {
     assert(Journeys.sessions(ev, 1800L).where(col("start_es") === base).count() === 1)
   }
 
+  test("rollingActives: window membership, within-day dedupe, span clipping") {
+    // epoch day of 2026-01-01 is fixed; users: u1 active day0+day2,
+    // u2 active day0 (twice - must dedupe), u3 day3 (the last day)
+    val events = Seq(
+      (1L, ts("2026-01-01 09:00:00")), (1L, ts("2026-01-03 09:00:00")),
+      (2L, ts("2026-01-01 08:00:00")), (2L, ts("2026-01-01 22:00:00")),
+      (3L, ts("2026-01-04 12:00:00"))
+    ).toDF("user_id", "ts")
+    val d0 = java.time.LocalDate.of(2026, 1, 1).toEpochDay
+    val out = Journeys.rollingActives(events, windowDays = 2)
+      .collect().map(r => (r.getLong(0) - d0) -> r.getLong(1)).toMap
+    // day0: {u1,u2}; day1: window {day0,day1} -> {u1,u2}; day2: {u1};
+    // day3: window {day2,day3} -> {u1,u3}; day4 clipped (past last day)
+    assert(out === Map(0L -> 2L, 1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
   test("transitions: same-timestamp order resolves by the tie column") {
     val t = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val events = Seq(
