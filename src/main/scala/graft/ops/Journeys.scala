@@ -85,6 +85,30 @@ object Journeys {
       .withColumn("cohort_week", $"cohort_week".cast("timestamp"))
   }
 
+  /** Week-over-week change report: per ISO week the event count, q4
+    * value total, and the deltas vs the PREVIOUS week — absolute and in
+    * basis points. The `lag` window is global-ordered but over a
+    * CALENDAR-cardinality frame (one row per week — the grid-sketch
+    * justification, not a data-scale single-partition sort; the heavy
+    * lifting is the map-side-combined weekly aggregate before it).
+    * `pct_bp` is `floor(10⁴·Δ/prev)` evaluated as ONE IEEE
+    * divide-then-floor in both engines — integer `div` would truncate
+    * toward zero on negative deltas in Spark but floor in DuckDB. */
+  def weekOverWeek(events: DataFrame, tsCol: String = "ts",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy($"week")
+    events
+      .groupBy(date_trunc("week", col(tsCol)).as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col(valueCol) * lit(10000.0)).cast("long")).as("value_q4"))
+      .withColumn("prev_n", lag($"n_events", 1).over(w))
+      .select($"week", $"n_events", $"value_q4",
+        ($"n_events" - $"prev_n").as("delta_n"),
+        floor(lit(10000.0) * ($"n_events" - $"prev_n") / $"prev_n")
+          .cast("long").as("pct_bp"))
+  }
+
   /** Rolling `windowDays`-day distinct active users per day (the
     * DAU/WAU/MAU family): for each day `d` in the data's span, how many
     * distinct users had ≥ 1 event in `[d − windowDays + 1, d]`. Days

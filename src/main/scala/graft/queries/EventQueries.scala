@@ -233,8 +233,31 @@ object EventQueries extends QueryGroup {
       |FROM w CROSS JOIN mx WHERE w.day_end <= mx.mx
       |GROUP BY w.day_end ORDER BY w.day_end""".stripMargin
 
+  /** Week-over-week traffic/value change report with basis-point
+    * deltas (floor of one IEEE divide — sign-correct cross-engine). */
+  def weekOverWeek(spark: SparkSession, dir: String): DataFrame =
+    Journeys.weekOverWeek(load(spark, dir, "events"))
+      .orderBy(col("week"))
+
+  private val weekOverWeekSql =
+    """WITH wk AS (
+      |  SELECT date_trunc('week', CAST(ts AS TIMESTAMP)) AS week,
+      |         count(*)::BIGINT AS n_events,
+      |         sum(floor(value * 10000.0::DOUBLE)::BIGINT)::BIGINT AS value_q4
+      |  FROM events GROUP BY 1),
+      |d AS (
+      |  SELECT week, n_events, value_q4,
+      |         lag(n_events) OVER (ORDER BY week) AS prev_n
+      |  FROM wk)
+      |SELECT week, n_events, value_q4,
+      |       (n_events - prev_n)::BIGINT AS delta_n,
+      |       floor(10000.0::DOUBLE * (n_events - prev_n) / prev_n)::BIGINT
+      |         AS pct_bp
+      |FROM d ORDER BY week""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ev8_rolling_actives", rollingActives, Some(rollingActivesSql)),
+    QueryDef("ev9_wow_change", weekOverWeek, Some(weekOverWeekSql)),
     QueryDef("ev1_funnel", funnel, Some(funnelSql)),
     QueryDef("ev2_retention", retention, Some(retentionSql)),
     QueryDef("ev3_gap_fill", gapFill, Some(gapFillSql)),
