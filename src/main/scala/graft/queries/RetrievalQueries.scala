@@ -207,6 +207,40 @@ object RetrievalQueries extends QueryGroup {
     * floor) against hour-of-day, per event type — exact integer
     * co-moments (order-independent long sums), floating point only in
     * the final per-group formula the oracle spells identically. */
+  /** Tokenizer coverage audit: per source, total pieces, OOV pieces,
+    * and the OOV rate in basis points against a top-24 vocabulary —
+    * the "does this tokenizer fit this corpus slice" report run before
+    * committing a vocab. Composes the bounded vocab build + narrow
+    * encode with one rollup; exact integer arithmetic end to end. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Vocab.encode(docs, Vocab.buildVocab(docs, size = 24))
+      .join(docs.select($"doc_id", $"source"), Seq("doc_id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_pieces").as("n_pieces"),
+        sum($"n_oov").as("n_oov"))
+      .withColumn("oov_bp", expr("(10000 * n_oov) div n_pieces"))
+      .orderBy($"source")
+  }
+
+  private val vocabCoverageSql =
+    s"""WITH pc AS (
+       |  SELECT doc_id, unnest($piecesSql) AS piece FROM documents),
+       |cnt AS (SELECT piece, count(*) AS n FROM pc GROUP BY piece),
+       |v AS (SELECT piece FROM (
+       |        SELECT piece, row_number() OVER (ORDER BY n DESC, piece) AS id
+       |        FROM cnt) WHERE id <= 24),
+       |c AS (SELECT pc.doc_id, count(*) AS np,
+       |             sum(CASE WHEN v.piece IS NULL THEN 1 ELSE 0 END) AS no
+       |      FROM pc LEFT JOIN v USING (piece) GROUP BY pc.doc_id)
+       |SELECT d.source, count(*)::BIGINT AS n_docs,
+       |       sum(coalesce(c.np, 0))::BIGINT AS n_pieces,
+       |       sum(coalesce(c.no, 0))::BIGINT AS n_oov,
+       |       ((10000 * sum(coalesce(c.no, 0)))
+       |          // sum(coalesce(c.np, 0)))::BIGINT AS oov_bp
+       |FROM documents d LEFT JOIN c USING (doc_id)
+       |GROUP BY d.source ORDER BY d.source""".stripMargin
+
   def corrOls(spark: SparkSession, dir: String): DataFrame = {
     val ev = load(spark, dir, "events")
       .select($"event_type",
@@ -273,6 +307,7 @@ object RetrievalQueries extends QueryGroup {
     QueryDef("ext_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("ext_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("ext_tokenize_ids", tokenizeIds, Some(tokenizeIdsSql)),
+    QueryDef("ext_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("ext_winsorize", winsorize, Some(winsorizeSql)),
     QueryDef("ext_phrase_search", phraseSearch, Some(phraseSearchSql)),
     QueryDef("ext_outlier_mad", outlierMad, Some(outlierMadSql)))
