@@ -453,6 +453,37 @@ object ExtQueries extends QueryGroup {
   private val langPredCase = langs.map(l => s"WHEN s_$l = best AND best > 0 THEN '$l'")
     .mkString("CASE ", " ", " ELSE 'und' END")
 
+  /** Language-ID evaluation: the confusion matrix of predicted vs
+    * labeled language with per-cell share of the label's row in basis
+    * points — the accuracy report run before trusting the lang column
+    * downstream (stratified sampling, per-lang quality bands). One
+    * |langs|²-bounded aggregate; the broadcast row totals are the
+    * transition-matrix shape. */
+  def langConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val d = load(spark, dir, "documents")
+      .select($"lang", TextStats.langId(TextStats.tokens($"text")).as("lang_pred"))
+    val cells = d.groupBy($"lang", $"lang_pred").agg(count(lit(1)).as("n"))
+    val totals = d.groupBy($"lang").agg(count(lit(1)).as("_t"))
+    cells.join(broadcast(totals), Seq("lang"))
+      .select($"lang", $"lang_pred", $"n",
+        expr("(10000 * n) div _t").as("share_bp"))
+      .orderBy($"lang", $"lang_pred")
+  }
+
+  private val langConfusionSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, $toksSql AS ws FROM documents),
+       |scored AS (SELECT doc_id, lang, $langScoreExprs FROM w),
+       |p AS (SELECT lang, $langBestSql AS best, * FROM scored),
+       |pred AS (SELECT lang, $langPredCase AS lang_pred FROM p),
+       |cells AS (SELECT lang, lang_pred, count(*)::BIGINT AS n
+       |          FROM pred GROUP BY lang, lang_pred),
+       |t AS (SELECT lang, count(*) AS tt FROM pred GROUP BY lang)
+       |SELECT c.lang, c.lang_pred, c.n,
+       |       ((10000 * c.n) // t.tt)::BIGINT AS share_bp
+       |FROM cells c JOIN t USING (lang)
+       |ORDER BY c.lang, c.lang_pred""".stripMargin
+
   private val textStatsSql = {
     val scoreExprs = langScoreExprs
     val best = langBestSql
@@ -2148,6 +2179,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
+    QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
     QueryDef("ext_text_lm", textLm, Some(textLmSql)),
     QueryDef("ext_vocab_pairs", vocabPairs, Some(vocabPairsSql)),
