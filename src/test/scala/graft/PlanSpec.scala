@@ -203,6 +203,39 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_orderkey"), plan)
   }
 
+  test("skipgrams: top-k is TakeOrderedAndProject over a partial-combined pair count") {
+    val plan = planOf(graft.ext.TextStats.skipgrams(
+      Tables.load(spark, sfDir, "documents"), window = 3, k = 20))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan) // partial + final
+    assert(!plan.contains("Sort "), plan) // never a global sort
+  }
+
+  test("boilerplateFilter: the hot set broadcasts; occurrences anti-join in place") {
+    val df = graft.ext.Dedup.boilerplateFilter(
+      Tables.load(spark, sfDir, "documents"), segLen = 8, minDf = 3)
+    df.count() // AQE finalizes the join strategy
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    spark.catalog.clearCache()
+  }
+
+  test("rollingActives: pure aggregates - no Window, dedupe below the explode") {
+    val plan = planOf(graft.ops.Journeys.rollingActives(
+      Tables.load(spark, sfDir, "events"), windowDays = 7))
+    assert(!plan.contains("Window"), plan)
+    // the (user, day) dedupe aggregate feeds the Generate (explode), so
+    // the window expansion runs over the DEDUPED frame, not raw events
+    assert(plan.indexOf("Generate explode") >= 0, plan)
+    assert(plan.indexOf("HashAggregate", plan.indexOf("Generate explode")) >= 0, plan)
+  }
+
+  test("productQuantize is fully narrow: no exchange in the assignment scan") {
+    val plan = planOf(graft.ext.Similarity.productQuantize(
+      Tables.load(spark, sfDir, "embeddings")))
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("q1 pricing summary: partial aggregation, shipdate pushed, columns pruned") {
     val plan = TpchQueries.q1(spark, sfDir).queryExecution
       .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
