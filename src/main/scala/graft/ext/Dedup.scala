@@ -693,6 +693,60 @@ object Dedup {
         coalesce($"text_dedup", lit("")).as("text_dedup"))
   }
 
+  /** Incremental dedup of a NEW batch against an EXISTING corpus — the
+    * daily-crawl-increment shape: for every new document, (a) whether
+    * its exact content hash already exists in the corpus, and (b) what
+    * fraction of its `segLen`-token segments the corpus already
+    * contains (containment in basis points) — the asymmetric overlap
+    * signal symmetric Jaccard misses when a new doc is a quoted SUBSET
+    * of an old one. Returns one row per new doc: `(doc_id, n_seg,
+    * n_shared, contain_bp, is_exact_dup)`; the caller thresholds
+    * `contain_bp` for near-dup policy.
+    *
+    * Scale shape: the corpus side reduces to its DISTINCT digests and
+    * DISTINCT segments once (map-side-combinable); the exact check is a
+    * semi-join on the 16-byte digest and containment is one segment
+    * equi-join (the decontaminate shape — bucketed by segment text,
+    * no pairwise work), followed by a per-new-doc count. Only the new
+    * batch — typically orders of magnitude smaller than the corpus —
+    * ever re-aggregates. */
+  def incrementalDedup(corpus: DataFrame, newDocs: DataFrame,
+      segLen: Int = 8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    def segs(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), TextStats.tokens(col(textCol)).as("_toks"))
+      .withColumn("_nseg",
+        floor((size($"_toks") + lit(segLen - 1)) / lit(segLen)).cast("long"))
+      .select($"doc_id", $"_nseg",
+        explode(transform(sequence(lit(0), ($"_nseg" - 1).cast("int")),
+          i => array_join(slice($"_toks", i * segLen + 1, lit(segLen)), " ")))
+          .as("seg"))
+    val corpusSegs = segs(corpus).select($"seg").distinct()
+    val corpusDigests = corpus
+      .select(contentHash(col(textCol)).as("_h")).distinct()
+    val newSegs = segs(newDocs)
+      // distinct within the doc: containment counts DISTINCT segments
+      .dropDuplicates("doc_id", "seg")
+      .persistScoped // read twice: totals + shared counts
+    val totals = newSegs.groupBy($"doc_id")
+      .agg(first($"_nseg").as("n_seg"), count(lit(1)).as("_n_distinct"))
+    val shared = newSegs
+      .join(corpusSegs, Seq("seg"), "left_semi")
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+    val exact = newDocs
+      .select(col(idCol).as("doc_id"), contentHash(col(textCol)).as("_h"))
+      .join(corpusDigests.withColumn("_dup", lit(true)), Seq("_h"), "left")
+      .select($"doc_id", coalesce($"_dup", lit(false)).as("is_exact_dup"))
+    totals
+      .join(shared, Seq("doc_id"), "left")
+      .join(exact, Seq("doc_id"))
+      .select($"doc_id", $"n_seg",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        expr("(10000 * coalesce(n_shared, 0L)) div _n_distinct").as("contain_bp"),
+        $"is_exact_dup")
+  }
+
   /** The REMOVE half of ExactSubstr dedup: rebuild each doc's text with
     * the tokens covered by its given spans dropped. WHICH docs lose
     * WHICH spans is the caller's policy (e.g. filter [[duplicateSpans]]

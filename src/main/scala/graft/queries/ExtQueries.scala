@@ -1833,6 +1833,60 @@ object ExtQueries extends QueryGroup {
        |       coalesce(k.text_dedup, '') AS text_dedup
        |FROM b LEFT JOIN k USING (doc_id) ORDER BY b.doc_id""".stripMargin
 
+  /** Incremental dedup of a synthetic "new crawl batch" against the
+    * corpus: verbatim copies (exact dups), 16-token truncations (full
+    * containment, NOT exact — the quoted-subset case symmetric Jaccard
+    * misses), and suffix-extended docs (partial containment). */
+  def dedupIncrement(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val copies = docs.where($"doc_id" < 20)
+      .select(($"doc_id" + 100000).as("doc_id"), $"text")
+    val truncs = docs.where($"doc_id" % 7 === 3)
+      .select(($"doc_id" + 200000).as("doc_id"),
+        array_join(slice(TextStats.tokens($"text"), 1, 16), " ").as("text"))
+    val extended = docs.where($"doc_id" % 11 === 5)
+      .select(($"doc_id" + 300000).as("doc_id"),
+        concat($"text", lit(" zz9 zz9 zz9")).as("text"))
+    Dedup.incrementalDedup(docs,
+        copies.unionByName(truncs).unionByName(extended), segLen = 8)
+      .orderBy($"doc_id")
+  }
+
+  private val dedupIncrementSql =
+    s"""WITH nb AS (
+       |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 20
+       |  UNION ALL
+       |  SELECT doc_id + 200000, array_to_string(($toksSql)[1:16], ' ')
+       |  FROM documents WHERE doc_id % 7 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 300000, text || ' zz9 zz9 zz9'
+       |  FROM documents WHERE doc_id % 11 = 5),
+       |cseg0 AS (SELECT $toksSql AS toks FROM documents),
+       |cseg1 AS (SELECT toks, unnest(range(0, (len(toks) + 7) // 8)) AS i FROM cseg0),
+       |cseg AS (SELECT DISTINCT array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+       |         FROM cseg1),
+       |cdig AS (SELECT DISTINCT md5(text) AS h FROM documents),
+       |ns0 AS (SELECT doc_id, $toksSql AS toks FROM nb),
+       |ns1 AS (SELECT doc_id, toks, (len(toks) + 7) // 8 AS n_seg,
+       |               unnest(range(0, (len(toks) + 7) // 8)) AS i FROM ns0),
+       |ns AS (SELECT DISTINCT doc_id, n_seg,
+       |              array_to_string(toks[(i*8+1):(i*8+8)], ' ') AS seg
+       |       FROM ns1),
+       |tot AS (SELECT doc_id, any_value(n_seg) AS n_seg,
+       |               count(*) AS n_distinct FROM ns GROUP BY doc_id),
+       |sh AS (SELECT ns.doc_id, count(*) AS n_shared
+       |       FROM ns SEMI JOIN cseg USING (seg) GROUP BY ns.doc_id),
+       |ex AS (SELECT nb.doc_id,
+       |              (cdig.h IS NOT NULL) AS is_exact_dup
+       |       FROM nb LEFT JOIN cdig ON md5(nb.text) = cdig.h)
+       |SELECT t.doc_id, t.n_seg::BIGINT AS n_seg,
+       |       coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+       |       ((10000 * coalesce(sh.n_shared, 0)) // t.n_distinct)::BIGINT
+       |         AS contain_bp,
+       |       ex.is_exact_dup
+       |FROM tot t LEFT JOIN sh USING (doc_id) JOIN ex USING (doc_id)
+       |ORDER BY t.doc_id""".stripMargin
+
   /** Boilerplate removal by document frequency (CCNet/RefinedWeb
     * curation shape): every 8-token segment occurring in ≥ 3 DISTINCT
     * docs is cut from ALL of them — including the first occurrence,
@@ -2158,6 +2212,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef("ext_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
     QueryDef("ext_boilerplate", boilerplate, Some(boilerplateSql)),
+    QueryDef("ext_dedup_increment", dedupIncrement, Some(dedupIncrementSql)),
     QueryDef("ext_sim_rp", simRandomProject, Some(simRandomProjectSql)),
     QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),

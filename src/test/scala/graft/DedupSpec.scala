@@ -347,6 +347,27 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("incrementalDedup: exact copy, quoted subset, extension, and novel doc") {
+    import spark.implicits._
+    val base = (1 to 16).map(i => s"w$i").mkString(" ") // exactly 2 segments
+    val corpus = Seq((1L, base), (2L, "other stuff entirely here"))
+      .toDF("doc_id", "text")
+    val fresh = Seq(
+      (10L, base),                                        // verbatim copy
+      (11L, (1 to 8).map(i => s"w$i").mkString(" ")),     // first segment only
+      (12L, base + " " + (1 to 8).map(i => s"x$i").mkString(" ")), // extended
+      (13L, (1 to 8).map(i => s"q$i").mkString(" "))      // novel
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Dedup.incrementalDedup(corpus, fresh, segLen = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    assert(out(10L) === ((2L, 2L, 10000L, true)))
+    assert(out(11L) === ((1L, 1L, 10000L, false))) // contained, NOT exact
+    assert(out(12L) === ((3L, 2L, 6666L, false)))  // 2 of 3 segments shared
+    assert(out(13L) === ((1L, 0L, 0L, false)))
+    assert(out.size === 4)
+  }
+
   test("boilerplateFilter: within-doc repetition does NOT reach the df threshold") {
     import spark.implicits._
     val seg = (1 to 8).map(i => s"w$i").mkString(" ")
