@@ -508,6 +508,66 @@ object Dedup {
 
   def simhash16(toks: Column): Column = simhash16FromHashes(tokenHashes(toks))
 
+  /** Per-token hashes under an independent salt (prepended to the token
+    * before md5), for multi-block SimHash signatures. Salt 0 is NOT
+    * [[tokenHashes]] — block sigs are always salted so the four blocks
+    * are independent projections. */
+  def saltedTokenHashes(toks: Column, salt: Int): Column =
+    transform(toks, w =>
+      conv(substring(md5(concat(lit(s"s$salt"), w).cast("binary")), 1, 8),
+        16, 10).cast("long"))
+
+  /** SimHash NEAR-duplicate pairs: all (id_a < id_b) whose 64-bit
+    * signatures differ in at most `k` bits (Charikar STOC'02 signatures;
+    * Manku/Jain/Das Sarma WWW'07 search structure).
+    *
+    * The 64-bit signature is four independent 16-bit SimHash blocks
+    * (salted token hashes), and the candidate index is the PIGEONHOLE
+    * multi-index over exactly those blocks: a pair at Hamming distance
+    * ≤ 3 over 64 bits must agree EXACTLY on at least one of the four
+    * 16-bit blocks, so an equi self-join on (block_idx, block_value)
+    * is a provably COMPLETE candidate generator for k ≤ 3 — the
+    * all-pairs comparison never exists, same guarantee structure as
+    * [[ngramJaccard]]'s prefix filter. Candidates are then verified
+    * exactly: Σ_blocks bit_count(a XOR b) ≤ k.
+    *
+    * Scale shape: signatures are narrow per-row kernel work (one md5
+    * pass per salt); the only shuffle is the 4-key-per-doc bucket
+    * self-join. Block values are 16-bit here to stay oracle-checkable —
+    * a 100-TB deployment widens each block (the standard layout is
+    * 64-bit blocks of a 256-bit sig), which only SHRINKS buckets; the
+    * plan is unchanged. Empty/degenerate corpora with many identical
+    * signatures collapse into exact-dup buckets first (run [[exact]]
+    * before this, as [[minhashLsh]] documents). */
+  def simhashNear(docs: DataFrame, k: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(k >= 0 && k <= 3,
+      s"pigeonhole over 4 blocks is complete only for k in [0,3], got $k")
+    val toksC = TextStats.tokens(col(textCol))
+    val sigs = docs.select(
+        col(idCol) +:
+        (0 until 4).map(s =>
+          simhash16FromHashes(saltedTokenHashes(toksC, s)).as(s"sig$s")): _*)
+      .persistScoped // both sides of the block self-join read this frame
+    val sigCols = (0 until 4).map(i => $"sig$i")
+    val blocks = sigs.select(
+      col(idCol) +: sigCols :+
+        posexplode(array(sigCols: _*)).as(Seq("blk", "bval")): _*)
+    val a = blocks.toDF(blocks.columns.map(_ + "_a"): _*)
+    val b = blocks.toDF(blocks.columns.map(_ + "_b"): _*)
+    val idA = col(idCol + "_a")
+    val idB = col(idCol + "_b")
+    val hamming = (0 until 4).map(i =>
+      bit_count($"sig${i}_a".bitwiseXOR($"sig${i}_b")).cast("long"))
+      .reduce(_ + _)
+    a.join(b, $"blk_a" === $"blk_b" && $"bval_a" === $"bval_b" && idA < idB)
+      .select((idA.as("id_a") :: idB.as("id_b") :: Nil) ++
+        (0 until 4).flatMap(i => Seq($"sig${i}_a", $"sig${i}_b")): _*)
+      .distinct() // a pair agreeing on several blocks appears once
+      .select($"id_a", $"id_b", hamming.as("hamming"))
+      .filter($"hamming" <= k)
+  }
+
   /** Word-set Jaccard near-dup via PREFIX FILTERING (the All-Pairs /
     * PPJoin family: Bayardo et al. WWW'07, Xiao et al. WWW'08), blocked
     * per lang: candidates are pairs sharing a token in their

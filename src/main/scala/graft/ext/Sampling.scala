@@ -250,4 +250,61 @@ object Sampling {
       .withColumn("pos", row_number().over(w).cast("long") - 1L)
       .drop("_h")
   }
+
+  /** DSIR-shaped data selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every RAW document by how much more likely its hashed-bigram bag
+    * is under a TARGET domain sample than under the raw corpus — the
+    * standard "select web data that looks like Wikipedia" curation
+    * signal — in exact integer arithmetic.
+    *
+    * Features are bigrams hashed into `nBuckets` buckets, both
+    * distributions add-1 smoothed; the paper's per-feature log-ratio is
+    * replaced by the quantized LINEAR bucket ratio
+    * q_b = ⌊10⁶·(ct_b+1)(Nr+B) ∕ ((cr_b+1)(Nt+B))⌋ and a doc scores the
+    * MEAN ratio over its bigrams ⌊Σq ∕ n⌋ — order-preserving per bucket
+    * and exact in any engine (the [[TextStats.lmScore]] determinism
+    * pattern). Resampling composes downstream: threshold `dsir_q6` or
+    * feed it to [[weightedSample]]; selection stays a narrow filter.
+    *
+    * Scale shape: bucket counts are one map-side-combined aggregate per
+    * side over the exploded grams, producing ≤ `nBuckets` rows — a
+    * BOUNDED driver materialization (the [[mixtureRates]] /
+    * ivfCentroids pattern) turned into exact BigInt ratios inlined as a
+    * literal lookup map, so scoring is a narrow `element_at` per gram
+    * plus one doc-keyed aggregate. Document text shuffles nowhere; only
+    * (doc_id, bucket) pairs reach the per-doc sum. Docs with < 2 tokens
+    * have no features and score (0, 0) — filter or backstop upstream. */
+  def dsirScores(raw: DataFrame, target: DataFrame, nBuckets: Int = 64,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 65536,
+      s"nBuckets must be in [2, 65536], got $nBuckets")
+    def gramBuckets(df: DataFrame) = df
+      .select(col(idCol),
+        explode(TextStats.wordNgrams(TextStats.tokens(col(textCol)), 2)).as("g"))
+      .select(col(idCol),
+        pmod(conv(substring(md5($"g".cast("binary")), 1, 8), 16, 10)
+          .cast("long"), lit(nBuckets.toLong)).as("b"))
+    val rawG = gramBuckets(raw)
+    val cr = rawG.groupBy($"b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ct = gramBuckets(target).groupBy($"b").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (nr, nt) = (cr.values.map(BigInt(_)).sum, ct.values.map(BigInt(_)).sum)
+    val b = BigInt(nBuckets)
+    val q = (0L until nBuckets.toLong).map { i =>
+      val num = BigInt(1000000) * (BigInt(ct.getOrElse(i, 0L)) + 1) * (nr + b)
+      val den = (BigInt(cr.getOrElse(i, 0L)) + 1) * (nt + b)
+      i -> (num / den).toLong
+    }
+    val qMap = map(q.flatMap { case (i, v) => Seq(lit(i), lit(v)) }: _*)
+    val perDoc = rawG.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(element_at(qMap, $"b")).as("s"))
+    raw.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce($"n_grams", lit(0L)).as("n_grams"),
+        coalesce(expr("s div n_grams"), lit(0L)).as("dsir_q6"))
+  }
 }

@@ -199,6 +199,44 @@ object ExtQueries extends QueryGroup {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  /** SimHash near-dup pairs at Hamming distance ≤ 3 over a 64-bit
+    * (4×16-bit-block) signature; pigeonhole block index generates
+    * candidates. Oracle replays the block join — complete for k ≤ 3,
+    * so the two forms are value-identical. */
+  def dedupSimhashNear(spark: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNear(load(spark, dir, "documents"), 3)
+      .orderBy($"id_a", $"id_b")
+
+  private val dedupSimhashNearSql = {
+    def sig(salt: Int) = {
+      val h = s"(('0x' || substr(md5('s$salt' || w), 1, 8))::BIGINT)"
+      (0 until 16).map { j =>
+        s"(CASE WHEN list_sum(list_transform(ws, w -> ((($h >> $j) & 1) * 2 - 1))) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString(" +\n  ")
+    }
+    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |s AS (SELECT doc_id, ${sig(0)} AS sig0, ${sig(1)} AS sig1,
+       |             ${sig(2)} AS sig2, ${sig(3)} AS sig3 FROM w),
+       |blk AS (
+       |  SELECT doc_id, sig0, sig1, sig2, sig3, 0 AS blk, sig0 AS bval FROM s
+       |  UNION ALL SELECT doc_id, sig0, sig1, sig2, sig3, 1, sig1 FROM s
+       |  UNION ALL SELECT doc_id, sig0, sig1, sig2, sig3, 2, sig2 FROM s
+       |  UNION ALL SELECT doc_id, sig0, sig1, sig2, sig3, 3, sig3 FROM s),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |         a.sig0 AS a0, a.sig1 AS a1, a.sig2 AS a2, a.sig3 AS a3,
+       |         b.sig0 AS b0, b.sig1 AS b1, b.sig2 AS b2, b.sig3 AS b3
+       |  FROM blk a JOIN blk b
+       |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, hamming FROM (
+       |  SELECT id_a, id_b,
+       |         (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+       |          bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)))::BIGINT AS hamming
+       |  FROM cand)
+       |WHERE hamming <= 3
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** Word-set Jaccard near-dup via prefix filtering (lang-blocked). The
     * oracle is the NAIVE all-pairs form: prefix filtering is provably
     * complete, so the scalable plan must produce the identical result. */
@@ -1331,6 +1369,46 @@ object ExtQueries extends QueryGroup {
       .select($"doc_id", $"source").orderBy($"doc_id")
   }
 
+  /** DSIR importance scores for every document against the English
+    * subcorpus as the target domain (hashed-bigram ratio, 64 buckets,
+    * exact integer quantization). */
+  def sampleDsir(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Sampling.dsirScores(docs, docs.filter($"lang" === "en"), nBuckets = 64)
+      .orderBy($"doc_id")
+  }
+
+  private val sampleDsirSql =
+    s"""WITH w AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
+       |bg AS (
+       |  SELECT doc_id, lang, unnest(
+       |    CASE WHEN len(ws) >= 2
+       |         THEN list_transform(range(1, len(ws)),
+       |                i -> ws[i] || ' ' || ws[i + 1])
+       |         ELSE []::VARCHAR[] END) AS g
+       |  FROM w),
+       |bk AS (
+       |  SELECT doc_id, lang,
+       |         (('0x' || substr(md5(g), 1, 8))::BIGINT % 64) AS b
+       |  FROM bg),
+       |cnt AS (
+       |  SELECT b, count(*)::HUGEINT AS cr,
+       |         (count(*) FILTER (WHERE lang = 'en'))::HUGEINT AS ct
+       |  FROM bk GROUP BY b),
+       |tot AS (SELECT sum(cr) AS nr, sum(ct) AS nt FROM cnt),
+       |q AS (
+       |  SELECT b, ((1000000 * (ct + 1) * (nr + 64)) //
+       |             ((cr + 1) * (nt + 64)))::BIGINT AS q
+       |  FROM cnt CROSS JOIN tot),
+       |per AS (
+       |  SELECT bk.doc_id, count(*)::BIGINT AS n, sum(q.q)::BIGINT AS s
+       |  FROM bk JOIN q USING (b) GROUP BY bk.doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(p.n, 0)::BIGINT AS n_grams,
+       |       coalesce(p.s // p.n, 0)::BIGINT AS dsir_q6
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY doc_id""".stripMargin
+
   /** Exact integer re-derivation of `Sampling.mixtureRates(alpha=0.5)`
     * as CTEs ending in `rates(source, bp)` — shared by the mixture
     * sample and mix-report oracles. */
@@ -2224,6 +2302,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
+    QueryDef("ext_dedup_simhash_near", dedupSimhashNear, Some(dedupSimhashNearSql)),
     QueryDef("ext_dedup_spans", dedupSpans, Some(dedupSpansSql)),
     QueryDef("ext_dedup_despan", dedupDespan, Some(dedupDespanSql)),
     QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
@@ -2264,6 +2343,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),
     QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("ext_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
+    QueryDef("ext_sample_dsir", sampleDsir, Some(sampleDsirSql)),
     QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),
     QueryDef("ext_sample_cap", sampleCap, Some(sampleCapSql)),
     QueryDef("ext_mix_report", mixReport, Some(mixReportSql)),

@@ -368,6 +368,48 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("simhashNear: pigeonhole block index is complete vs naive all-pairs, incl. hamming-0 identicals") {
+    import org.apache.spark.sql.functions._
+    // 40 docs in 8 families of 5: family members share a 10-token base and
+    // differ by 0-2 appended tokens, so distances cluster near 0 within a
+    // family and large across families.
+    val docs = (0 until 40).map { i =>
+      val fam = i % 8
+      val base = (1 to 10).map(j => s"f${fam}w$j").mkString(" ")
+      val extra = (i / 8) match {
+        case 0 => ""
+        case 1 => "" // a verbatim duplicate of variant 0 -> hamming 0
+        case k => s" extra${fam}_$k tail${fam}_${k % 2}"
+      }
+      (i.toLong, base + extra)
+    }.toDF("doc_id", "text")
+
+    val got = Dedup.simhashNear(docs, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    // naive baseline from the same public signature pieces
+    val toks = graft.ext.TextStats.tokens(col("text"))
+    val sigs = docs.select(col("doc_id") +: (0 until 4).map(s =>
+      Dedup.simhash16FromHashes(Dedup.saltedTokenHashes(toks, s))
+        .as(s"sig$s")): _*)
+    val a = sigs.toDF("id_a", "a0", "a1", "a2", "a3")
+    val b = sigs.toDF("id_b", "b0", "b1", "b2", "b3")
+    val naive = a.crossJoin(b).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", (0 until 4).map(i =>
+        bit_count(col(s"a$i").bitwiseXOR(col(s"b$i"))).cast("long"))
+        .reduce(_ + _))
+      .filter(col("hamming") <= 3)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("hamming")).toMap
+
+    assert(got === naive)
+    // the verbatim duplicates (i and i+8 for i in 0..7) must be hamming 0
+    (0 until 8).foreach { fam =>
+      assert(got((fam.toLong, (fam + 8).toLong)) === 0L)
+    }
+    intercept[IllegalArgumentException](Dedup.simhashNear(docs, 4))
+  }
+
   test("boilerplateFilter: within-doc repetition does NOT reach the df threshold") {
     import spark.implicits._
     val seg = (1 to 8).map(i => s"w$i").mkString(" ")

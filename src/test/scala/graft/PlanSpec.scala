@@ -264,4 +264,13 @@ class PlanSpec extends SparkSpec {
     // rangepartitioning (global sort) anywhere
     assert(!plan.contains("rangepartitioning"), plan)
   }
+
+  test("simhashNear: candidates come from the block equi-join, never a product") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.Dedup.simhashNear(docs, 3))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    // the self-join keys on (blk, bval) - an equi hash/sort-merge join
+    assert(plan.contains("blk"), plan)
+  }
 }

@@ -258,4 +258,48 @@ class SamplingSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
+
+  test("dsirScores equals an independent driver-side replay; target-like docs outrank off-domain") {
+    // 3 "wiki-like" docs, 3 "web-like" docs, one single-token doc
+    val docs = Seq(
+      (1L, "the free encyclopedia article about science and history"),
+      (2L, "the encyclopedia article about history and the free science"),
+      (3L, "an encyclopedia article concerning free science topics"),
+      (4L, "buy cheap pills online now best casino deals click here"),
+      (5L, "click here now for cheap casino deals and pills online"),
+      (6L, "best online casino click now cheap deals here pills buy"),
+      (7L, "solo")).toDF("doc_id", "text")
+    val target = docs.filter($"doc_id" <= 3L)
+    val out = Sampling.dsirScores(docs, target, nBuckets = 32)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    // independent replay: plain Scala maps over the same md5 bucketing
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def grams(t: String) = {
+      val ws = t.toLowerCase.split("\\s+").toSeq
+      if (ws.length < 2) Seq.empty
+      else ws.sliding(2).map(_.mkString(" ")).toSeq
+    }
+    def bucket(g: String) = java.lang.Long.parseLong(md5hex(g).take(8), 16) % 32
+    val all = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val rawB = all.toSeq.flatMap { case (id, t) => grams(t).map(g => id -> bucket(g)) }
+    val tgtB = all.filter(_._1 <= 3L).toSeq.flatMap { case (_, t) => grams(t).map(bucket) }
+    val cr = rawB.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val ct = tgtB.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val (nr, nt) = (BigInt(rawB.size), BigInt(tgtB.size))
+    def q(b: Long) = (BigInt(1000000) * (BigInt(ct.getOrElse(b, 0L)) + 1) * (nr + 32) /
+      ((BigInt(cr.getOrElse(b, 0L)) + 1) * (nt + 32))).toLong
+    val want = all.map { case (id, _) =>
+      val bs = rawB.filter(_._1 == id).map(_._2)
+      id -> ((bs.size.toLong,
+        if (bs.isEmpty) 0L else bs.map(q).sum / bs.size))
+    }
+    assert(out === want)
+    // domain separation: every target-like doc outranks every off-domain doc
+    val wiki = (1L to 3L).map(out(_)._2).min
+    val web = (4L to 6L).map(out(_)._2).max
+    assert(wiki > web, s"wiki min $wiki should exceed web max $web")
+    assert(out(7L) === ((0L, 0L))) // no bigrams -> zero score, row kept
+  }
 }
