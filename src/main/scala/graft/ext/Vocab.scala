@@ -40,6 +40,74 @@ object Vocab {
       .toMap
   }
 
+  /** BPE merge training (Sennrich et al., ACL 2016): run `rounds`
+    * merge iterations over the corpus and return the learned merge
+    * table — (round, lhs, rhs, n) per iteration, the exact artifact a
+    * BPE tokenizer ships. [[TextStats.vocabPairs]] ranks ONE round's
+    * statistic; this trains the merge sequence.
+    *
+    * Works the way real trainers do: on the DISTINCT-WORD frequency
+    * table, not the corpus — one corpus scan builds (word, cnt), and
+    * every round after that touches only the vocabulary-bounded word
+    * table (millions of rows at 100 TB, vs the corpus' trillions).
+    * Each round = one map-side-combined pair count + a
+    * TakeOrderedAndProject top-1 (a 1-row bounded driver
+    * materialization — the tie-break is (count DESC, pair ASC), so the
+    * cut is deterministic), then a NARROW greedy left-to-right merge
+    * fold over each word's symbol array — no shuffle in the apply
+    * step, and words reduced to one symbol drop out (they can never
+    * pair again). Rounds persist so lineage stays flat.
+    *
+    * `wordPattern` keeps training on ASCII-safe words by default
+    * (cross-engine substring semantics on multi-byte text differ;
+    * the operator itself is agnostic). Stops early if the corpus runs
+    * out of pairs. */
+  def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text",
+      wordPattern: String = "^[a-z]+$"): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"rounds must be in [1, 64], got $rounds")
+    val spark = docs.sparkSession
+    var cur = docs
+      .select(explode(TextStats.tokens(col(textCol))).as("w"))
+      .filter($"w".rlike(wordPattern) && length($"w") >= 2)
+      .groupBy($"w").agg(count(lit(1)).as("cnt"))
+      .select($"cnt",
+        transform(sequence(lit(1), length($"w")), i => $"w".substr(i, lit(1)))
+          .as("syms"))
+      .persistScoped
+    val out = Seq.newBuilder[(Long, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val top = cur
+        .select($"cnt", explode(
+          transform(sequence(lit(1), size($"syms") - 1),
+            i => struct(element_at($"syms", i).as("l"),
+              element_at($"syms", i + 1).as("r")))).as("p"))
+        .groupBy($"p.l", $"p.r").agg(sum($"cnt").as("n"))
+        .orderBy($"n".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, rr, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((r.toLong, l, rr, n))
+        // greedy left-to-right merge: a fold that replaces a trailing
+        // `l` followed by `r` with the merged symbol — consumption of
+        // the left element makes overlapping matches (l == r runs)
+        // resolve exactly as sequential BPE does
+        cur = cur.select($"cnt",
+          aggregate($"syms", typedLit(Array.empty[String]),
+            (acc, s) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(rr),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
+              .otherwise(concat(acc, array(s)))).as("syms"))
+          .filter(size($"syms") >= 2)
+          .persistScoped
+      }
+    }
+    spark.createDataFrame(out.result())
+      .toDF("round", "lhs", "rhs", "n")
+  }
+
   /** Encode each document against `vocab`: ordered token ids (OOV → 0).
     * Returns doc_id, `n_pieces`, `n_oov`, and `ids_csv` — the first
     * `headIds` ids as a csv string (the bounded preview shape the

@@ -1250,6 +1250,53 @@ object ExtQueries extends QueryGroup {
   def vocabPairs(spark: SparkSession, dir: String): DataFrame =
     TextStats.vocabPairs(load(spark, dir, "documents"), 50)
 
+  /** Six BPE merge-training rounds over the ASCII word table: the
+    * learned merge sequence (round, lhs, rhs, n). The oracle unrolls
+    * each round as CTEs and applies the merge with an islands-greedy
+    * window formulation — an independent derivation of the operator's
+    * left-to-right fold (the two agree because a merged symbol can
+    * never re-match its own left side, and same-symbol runs resolve to
+    * even offsets either way). */
+  def bpeMergesQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Vocab.bpeMerges(load(spark, dir, "documents"), rounds = 6)
+
+  private val bpeMergesSql = {
+    def round(r: Int) =
+      s"""px$r AS (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM s${r - 1}),
+         |p$r AS (SELECT syms[i] AS l, syms[i+1] AS r2, sum(cnt)::BIGINT AS n
+         |        FROM px$r GROUP BY 1, 2),
+         |sel$r AS (SELECT l, r2, n FROM p$r ORDER BY n DESC, l, r2 LIMIT 1),
+         |u$r AS (SELECT w, cnt, syms, unnest(range(1, len(syms) + 1)) AS pos FROM s${r - 1}),
+         |t$r AS (SELECT w, cnt, pos, syms[pos] AS s,
+         |        coalesce(syms[pos] = sel.l AND pos < len(syms)
+         |                 AND syms[pos + 1] = sel.r2, FALSE) AS m
+         |        FROM u$r CROSS JOIN sel$r sel),
+         |i$r AS (SELECT *, pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) AS isl
+         |        FROM t$r),
+         |k$r AS (SELECT *, m AND ((pos - min(pos) OVER (PARTITION BY w, m, isl)) % 2 = 0) AS keep
+         |        FROM i$r),
+         |a$r AS (SELECT w, cnt, pos,
+         |        CASE WHEN keep THEN sel.l || sel.r2 ELSE s END AS s2,
+         |        lag(keep) OVER (PARTITION BY w ORDER BY pos) AS ab
+         |        FROM k$r CROSS JOIN sel$r sel),
+         |s$r AS (SELECT w, cnt, list(s2 ORDER BY pos) AS syms FROM a$r
+         |        WHERE NOT coalesce(ab, FALSE) GROUP BY w, cnt
+         |        HAVING len(list(s2 ORDER BY pos)) >= 2)""".stripMargin
+    val rounds = (1 to 6).map(round).mkString(",\n")
+    val union = (1 to 6)
+      .map(r => s"SELECT $r::BIGINT AS round, l AS lhs, r2 AS rhs, n FROM sel$r")
+      .mkString("\n UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT unnest($toksSql) AS w FROM documents)
+       |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND length(w) >= 2 GROUP BY w),
+       |s0 AS (SELECT w, cnt,
+       |       list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+       |       FROM w0),
+       |$rounds
+       |$union ORDER BY round""".stripMargin
+  }
+
   private val vocabPairsSql =
     s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
        |bg AS (
@@ -2317,6 +2364,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
     QueryDef("ext_text_lm", textLm, Some(textLmSql)),
     QueryDef("ext_vocab_pairs", vocabPairs, Some(vocabPairsSql)),
+    QueryDef("ext_bpe_merges", bpeMergesQ, Some(bpeMergesSql)),
     QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("ext_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("ext_heavy_distinct", heavyDistinct, Some(heavyDistinctSql)),

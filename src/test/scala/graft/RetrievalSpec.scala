@@ -90,6 +90,52 @@ class RetrievalSpec extends SparkSpec {
     assert(Vocab.buildVocab(d, size = 1) === Map("alpha" -> 1))
   }
 
+  test("bpeMerges equals a sequential reference trainer, incl. same-symbol runs") {
+    // classic BPE fixture + an "aaaa" run word to pin greedy semantics
+    val d = docs(
+      1L -> "low low low lower lower lowest",
+      2L -> "new newer newest new new newer",
+      3L -> "aaaa aa aaaa aaaa")
+    val got = Vocab.bpeMerges(d, rounds = 6)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toList
+
+    // independent sequential reference on the same word-frequency table
+    val words = scala.collection.mutable.Map[List[String], Long]()
+    d.collect().foreach(_.getString(1).split("\\s+").filter(w =>
+      w.matches("^[a-z]+$") && w.length >= 2).foreach { w =>
+      val k = w.map(_.toString).toList
+      words(k) = words.getOrElse(k, 0L) + 1L
+    })
+    def applyMerge(syms: List[String], l: String, r: String): List[String] = {
+      val buf = scala.collection.mutable.ListBuffer[String]()
+      var s = syms
+      while (s.nonEmpty) {
+        if (s.length >= 2 && s.head == l && s(1) == r) { buf += l + r; s = s.drop(2) }
+        else { buf += s.head; s = s.tail }
+      }
+      buf.toList
+    }
+    var cur = words.toMap
+    val want = (1 to 6).flatMap { round =>
+      val pairs = scala.collection.mutable.Map[(String, String), Long]()
+      cur.foreach { case (syms, cnt) =>
+        syms.sliding(2).filter(_.length == 2).foreach { p =>
+          pairs((p(0), p(1))) = pairs.getOrElse((p(0), p(1)), 0L) + cnt
+        }
+      }
+      if (pairs.isEmpty) None
+      else {
+        val ((l, r), n) = pairs.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+        cur = cur.toSeq.map { case (syms, cnt) => (applyMerge(syms, l, r), cnt) }
+          .filter(_._1.length >= 2)
+          .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+        Some((round.toLong, l, r, n))
+      }
+    }.toList
+    assert(got === want)
+    assert(got.size === 6) // the fixture does not exhaust in 6 rounds
+  }
+
   test("winsorize: exact bounds, clipping, and flags per group") {
     val d = (1L to 100L).map(i => (i, "g", i)) // values 1..100
       .toDF("doc_id", "grp", "v")
