@@ -62,6 +62,18 @@ object Vocab {
     * (cross-engine substring semantics on multi-byte text differ;
     * the operator itself is agnostic). Stops early if the corpus runs
     * out of pairs. */
+  /** Greedy left-to-right application of ONE merge to a symbol array:
+    * a fold that replaces a trailing `l` followed by `r` with the
+    * merged symbol — consumption of the left element makes overlapping
+    * matches (l == r runs) resolve exactly as sequential BPE does. */
+  private def mergeFold(syms: org.apache.spark.sql.Column,
+      l: String, r: String): org.apache.spark.sql.Column =
+    aggregate(syms, typedLit(Array.empty[String]),
+      (acc, s) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(s))))
+
   def bpeMerges(docs: DataFrame, rounds: Int, textCol: String = "text",
       wordPattern: String = "^[a-z]+$"): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
@@ -90,22 +102,56 @@ object Vocab {
       else {
         val (l, rr, n) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         out += ((r.toLong, l, rr, n))
-        // greedy left-to-right merge: a fold that replaces a trailing
-        // `l` followed by `r` with the merged symbol — consumption of
-        // the left element makes overlapping matches (l == r runs)
-        // resolve exactly as sequential BPE does
-        cur = cur.select($"cnt",
-          aggregate($"syms", typedLit(Array.empty[String]),
-            (acc, s) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(l) && s === lit(rr),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + rr))))
-              .otherwise(concat(acc, array(s)))).as("syms"))
+        cur = cur.select($"cnt", mergeFold($"syms", l, rr).as("syms"))
           .filter(size($"syms") >= 2)
           .persistScoped
       }
     }
     spark.createDataFrame(out.result())
       .toDF("round", "lhs", "rhs", "n")
+  }
+
+  /** Apply a learned BPE merge sequence (from [[bpeMerges]]) to every
+    * document — the tokenize-at-scale half of the train→apply pair.
+    * Returns one row per doc: `(doc_id, n_words, n_pieces,
+    * pieces_csv)` with the first `headPieces` pieces in document order
+    * as a csv preview (the bounded output shape the driver's
+    * comparator can hash; library callers re-derive the full piece
+    * array from the same dictionary).
+    *
+    * DICTIONARY-APPLY shape — the only way this scales: merges fold
+    * over the DISTINCT word table (vocabulary-bounded), never per
+    * occurrence, and documents pick up their pieces through one equi
+    * join on the word. The fold chain is narrow (k nested folds in one
+    * projection); words not matching `wordPattern` pass through as a
+    * single piece (the byte-fallback analogue). */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)],
+      headPieces: Int = 32, idCol: String = "doc_id",
+      textCol: String = "text",
+      wordPattern: String = "^[a-z]+$"): DataFrame = {
+    require(merges.nonEmpty, "merges must not be empty")
+    require(headPieces >= 1, s"headPieces must be >= 1, got $headPieces")
+    val docWords = docs.select(col(idCol),
+      posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "w")))
+    val syms0 = transform(sequence(lit(1), length($"w")),
+      i => $"w".substr(i, lit(1)))
+    val dict = docWords.filter($"w".rlike(wordPattern))
+      .select($"w").distinct()
+      .select($"w",
+        merges.foldLeft(syms0) { case (s, (l, r)) => mergeFold(s, l, r) }
+          .as("pieces"))
+    docWords.join(dict, Seq("w"), "left")
+      .select(col(idCol), $"pos",
+        coalesce($"pieces", array($"w")).as("pieces"))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(size($"pieces")).as("n_pieces"),
+        array_join(
+          slice(flatten(transform(
+            array_sort(collect_list(struct($"pos", $"pieces"))),
+            s => s.getField("pieces"))), 1, headPieces), ",")
+          .as("pieces_csv"))
   }
 
   /** Encode each document against `vocab`: ordered token ids (OOV → 0).

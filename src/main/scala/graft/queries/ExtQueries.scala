@@ -1260,6 +1260,18 @@ object ExtQueries extends QueryGroup {
   def bpeMergesQ(spark: SparkSession, dir: String): DataFrame =
     graft.ext.Vocab.bpeMerges(load(spark, dir, "documents"), rounds = 6)
 
+  /** Train 6 BPE merges, then tokenize every document with them — the
+    * full train→apply pair. The oracle re-trains relationally and
+    * applies the merges to the distinct-word dictionary with the same
+    * islands-greedy windows, then joins docs back on the word. */
+  def bpeEncodeQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val merges = graft.ext.Vocab.bpeMerges(docs, rounds = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ext.Vocab.bpeEncode(docs, merges, headPieces = 32)
+      .orderBy($"doc_id")
+  }
+
   private val bpeMergesSql = {
     def round(r: Int) =
       s"""px$r AS (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM s${r - 1}),
@@ -1286,15 +1298,83 @@ object ExtQueries extends QueryGroup {
     val union = (1 to 6)
       .map(r => s"SELECT $r::BIGINT AS round, l AS lhs, r2 AS rhs, n FROM sel$r")
       .mkString("\n UNION ALL ")
-    s"""WITH w0 AS (
+    s"""WITH $bpeTrainCtes,
+       |$rounds
+       |$union ORDER BY round""".stripMargin
+  }
+
+  /** Shared training head: word counts + initial char symbols. The
+    * per-round CTEs (p/sel/apply) are generated by the two queries. */
+  private val bpeTrainCtes =
+    s"""w0 AS (
        |  SELECT w, count(*)::BIGINT AS cnt FROM (
        |    SELECT unnest($toksSql) AS w FROM documents)
        |  WHERE regexp_matches(w, '^[a-z]+${"$"}') AND length(w) >= 2 GROUP BY w),
        |s0 AS (SELECT w, cnt,
        |       list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
-       |       FROM w0),
-       |$rounds
-       |$union ORDER BY round""".stripMargin
+       |       FROM w0)""".stripMargin
+
+  private val bpeEncodeSql = {
+    // training rounds (same as bpeMergesSql)
+    def trainRound(r: Int) =
+      s"""px$r AS (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM s${r - 1}),
+         |p$r AS (SELECT syms[i] AS l, syms[i+1] AS r2, sum(cnt)::BIGINT AS n
+         |        FROM px$r GROUP BY 1, 2),
+         |sel$r AS (SELECT l, r2, n FROM p$r ORDER BY n DESC, l, r2 LIMIT 1),
+         |u$r AS (SELECT w, cnt, syms, unnest(range(1, len(syms) + 1)) AS pos FROM s${r - 1}),
+         |t$r AS (SELECT w, cnt, pos, syms[pos] AS s,
+         |        coalesce(syms[pos] = sel.l AND pos < len(syms)
+         |                 AND syms[pos + 1] = sel.r2, FALSE) AS m
+         |        FROM u$r CROSS JOIN sel$r sel),
+         |i$r AS (SELECT *, pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) AS isl
+         |        FROM t$r),
+         |k$r AS (SELECT *, m AND ((pos - min(pos) OVER (PARTITION BY w, m, isl)) % 2 = 0) AS keep
+         |        FROM i$r),
+         |a$r AS (SELECT w, cnt, pos,
+         |        CASE WHEN keep THEN sel.l || sel.r2 ELSE s END AS s2,
+         |        lag(keep) OVER (PARTITION BY w ORDER BY pos) AS ab
+         |        FROM k$r CROSS JOIN sel$r sel),
+         |s$r AS (SELECT w, cnt, list(s2 ORDER BY pos) AS syms FROM a$r
+         |        WHERE NOT coalesce(ab, FALSE) GROUP BY w, cnt
+         |        HAVING len(list(s2 ORDER BY pos)) >= 2)""".stripMargin
+    // dictionary apply rounds: every pattern-matching word, no HAVING drop
+    def applyRound(r: Int) =
+      s"""eu$r AS (SELECT w, syms, unnest(range(1, len(syms) + 1)) AS pos FROM e${r - 1}),
+         |et$r AS (SELECT w, pos, syms[pos] AS s,
+         |         coalesce(syms[pos] = sel.l AND pos < len(syms)
+         |                  AND syms[pos + 1] = sel.r2, FALSE) AS m
+         |         FROM eu$r CROSS JOIN sel$r sel),
+         |ei$r AS (SELECT *, pos - row_number() OVER (PARTITION BY w, m ORDER BY pos) AS isl
+         |         FROM et$r),
+         |ek$r AS (SELECT *, m AND ((pos - min(pos) OVER (PARTITION BY w, m, isl)) % 2 = 0) AS keep
+         |         FROM ei$r),
+         |ea$r AS (SELECT w, pos,
+         |         CASE WHEN keep THEN sel.l || sel.r2 ELSE s END AS s2,
+         |         lag(keep) OVER (PARTITION BY w ORDER BY pos) AS ab
+         |         FROM ek$r CROSS JOIN sel$r sel),
+         |e$r AS (SELECT w, list(s2 ORDER BY pos) AS syms FROM ea$r
+         |        WHERE NOT coalesce(ab, FALSE) GROUP BY w)""".stripMargin
+    val train = (1 to 6).map(trainRound).mkString(",\n")
+    val apply = (1 to 6).map(applyRound).mkString(",\n")
+    s"""WITH $bpeTrainCtes,
+       |$train,
+       |d0 AS (SELECT DISTINCT w FROM (SELECT unnest($toksSql) AS w FROM documents)
+       |       WHERE regexp_matches(w, '^[a-z]+${"$"}')),
+       |e0 AS (SELECT w,
+       |       list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
+       |       FROM d0),
+       |$apply,
+       |dw AS (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS pos
+       |       FROM (SELECT doc_id, $toksSql AS ws FROM documents)),
+       |dw2 AS (SELECT doc_id, pos, ws[pos] AS w FROM dw),
+       |dj AS (SELECT dw2.doc_id, dw2.pos,
+       |       coalesce(e6.syms, [dw2.w]) AS pieces
+       |       FROM dw2 LEFT JOIN e6 ON dw2.w = e6.w)
+       |SELECT doc_id, count(*)::BIGINT AS n_words,
+       |       sum(len(pieces))::BIGINT AS n_pieces,
+       |       array_to_string(list_slice(flatten(list(pieces ORDER BY pos)), 1, 32), ',')
+       |         AS pieces_csv
+       |FROM dj GROUP BY doc_id ORDER BY doc_id""".stripMargin
   }
 
   private val vocabPairsSql =
@@ -2365,6 +2445,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_text_lm", textLm, Some(textLmSql)),
     QueryDef("ext_vocab_pairs", vocabPairs, Some(vocabPairsSql)),
     QueryDef("ext_bpe_merges", bpeMergesQ, Some(bpeMergesSql)),
+    QueryDef("ext_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
     QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("ext_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("ext_heavy_distinct", heavyDistinct, Some(heavyDistinctSql)),

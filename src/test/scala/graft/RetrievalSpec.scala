@@ -136,6 +136,20 @@ class RetrievalSpec extends SparkSpec {
     assert(got.size === 6) // the fixture does not exhaust in 6 rounds
   }
 
+  test("bpeEncode: dictionary apply matches per-word sequential merges, order preserved") {
+    val d = docs(
+      1L -> "lower lowest x9 aaaa",
+      2L -> "low aaaa")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("a", "a"))
+    val out = Vocab.bpeEncode(d, merges, headPieces = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // lower -> [low,e,r], lowest -> [low,e,s,t], x9 passes whole,
+    // aaaa -> [aa,aa] (greedy run)
+    assert(out(1L) === ((4L, 10L, "low,e,r,low,e")))    // preview clips at 5
+    assert(out(2L) === ((2L, 3L, "low,aa,aa")))
+  }
+
   test("winsorize: exact bounds, clipping, and flags per group") {
     val d = (1L to 100L).map(i => (i, "g", i)) // values 1..100
       .toDF("doc_id", "grp", "v")
