@@ -137,9 +137,97 @@ object TpchQueries extends QueryGroup {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Q5 — local supplier volume: revenue per nation where customer and
+    * supplier share the nation, one region, one order year. The widest
+    * join tree in the pack (6 tables): nation/region broadcast, the
+    * fact chain shuffles on its natural keys, and the same-nation
+    * predicate rides the customer join as a composite key. */
+  def q5(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", $"l_extendedprice", $"l_discount")
+    val ord = load(spark, dir, "orders")
+      .where($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1997-01-01")
+      .select($"o_orderkey", $"o_custkey")
+    val supp = load(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val cust = load(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val nat = load(spark, dir, "nation").select($"n_nationkey", $"n_name", $"n_regionkey")
+    val reg = load(spark, dir, "region").where($"r_name" === "ASIA")
+      .select($"r_regionkey")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(cust, $"o_custkey" === $"c_custkey" &&
+        $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(nat), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .withColumn("cents", round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long")))
+      .groupBy($"n_name")
+      // exact integer cents×percent, half-up rounded IN INTEGER math:
+      // double summation order differs between engines, and round()
+      // of a .xx5 tie diverges too (Spark rounds the shortest decimal
+      // rendering, DuckDB the binary value) — so no double touches
+      // anything until one final /100.0 of an exact integer
+      .agg((expr("(sum(cents) + 50) div 100") / 100.0).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+  }
+
+  private val q5Sql =
+    """SELECT n_name,
+      |       ((sum((round(l_extendedprice * 100))::BIGINT *
+      |             (100 - (round(l_discount * 100))::BIGINT)) + 50) // 100)
+      |         / 100.0 AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Q10 — returned item reporting: top-20 customers by revenue lost to
+    * returns in one quarter. Group-by-customer over the filtered fact;
+    * nation broadcasts, customer joins hash-wise on its key. */
+  def q10(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .where($"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_extendedprice", $"l_discount")
+    val ord = load(spark, dir, "orders")
+      .where($"o_orderdate" >= "1996-01-01" && $"o_orderdate" < "1996-04-01")
+      .select($"o_orderkey", $"o_custkey")
+    val cust = load(spark, dir, "customer")
+      .select($"c_custkey", $"c_name", $"c_acctbal", $"c_nationkey")
+    val nat = load(spark, dir, "nation").select($"n_nationkey", $"n_name")
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(nat), $"c_nationkey" === $"n_nationkey")
+      .withColumn("cents", round($"l_extendedprice" * 100).cast("long") *
+        (lit(100L) - round($"l_discount" * 100).cast("long")))
+      .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
+      .agg((expr("(sum(cents) + 50) div 100") / 100.0).as("revenue"))
+      .select($"c_custkey", $"c_name", $"revenue",
+        round($"c_acctbal", 2).as("acctbal"), $"n_name")
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  private val q10Sql =
+    """SELECT c_custkey, c_name,
+      |       ((sum((round(l_extendedprice * 100))::BIGINT *
+      |             (100 - (round(l_discount * 100))::BIGINT)) + 50) // 100)
+      |         / 100.0 AS revenue,
+      |       round(c_acctbal, 2) AS acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
+    QueryDef("q5_local_supplier", q5, Some(q5Sql)),
     QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
+    QueryDef("q10_returned_items", q10, Some(q10Sql)),
     QueryDef("q18_large_orders", q18, Some(q18Sql)))
 }

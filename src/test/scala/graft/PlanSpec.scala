@@ -256,6 +256,17 @@ class PlanSpec extends SparkSpec {
     assert(p18.contains("BroadcastHashJoin"), p18)
   }
 
+  test("q5/q10: six-way join tree stays equi (no product), tiny dims broadcast") {
+    val p5 = planOf(TpchQueries.q5(spark, sfDir))
+    assert(!p5.contains("CartesianProduct") &&
+      !p5.contains("BroadcastNestedLoopJoin"), p5)
+    assert(p5.split("BroadcastHashJoin").length - 1 >= 2, p5) // nation + region
+    val p10 = planOf(TpchQueries.q10(spark, sfDir))
+    assert(!p10.contains("CartesianProduct") &&
+      !p10.contains("BroadcastNestedLoopJoin"), p10)
+    assert(p10.contains("TakeOrderedAndProject"), p10)
+  }
+
   test("gapFill: every exchange hashes on the key family, none single-partition") {
     val ev = Tables.load(spark, sfDir, "events")
     val plan = planOf(graft.ops.Resample.gapFill(ev, 3600L))
