@@ -282,6 +282,45 @@ object RetrievalQueries extends QueryGroup {
       |  END AS intercept_q6
       |FROM d ORDER BY event_type""".stripMargin
 
+  /** Per-returnflag Gram moments for a 3-feature price model
+    * (quantity, discount bp, tax bp → whole-unit price): the exact
+    * integer distributed half of normal-equation regression. The
+    * driver-side solve is [[graft.ops.Moments.ridgeFit]] (spec-gated;
+    * floats can't hash cross-engine, moments can). */
+  def olsMoments(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem").select(
+      $"l_returnflag",
+      $"l_quantity".cast("long").as("qty"),
+      round($"l_discount" * 10000).cast("long").as("disc_bp"),
+      round($"l_tax" * 10000).cast("long").as("tax_bp"),
+      round($"l_extendedprice").cast("long").as("price"))
+    graft.ops.Moments.gramMoments(li, "l_returnflag",
+        Seq("qty", "disc_bp", "tax_bp"), "price")
+      .orderBy($"l_returnflag")
+  }
+
+  private val olsMomentsSql =
+    """WITH e AS (
+      |  SELECT l_returnflag,
+      |         l_quantity::BIGINT AS x0,
+      |         (round(l_discount * 10000))::BIGINT AS x1,
+      |         (round(l_tax * 10000))::BIGINT AS x2,
+      |         (round(l_extendedprice))::BIGINT AS y
+      |  FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+      |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL
+      |    AND l_extendedprice IS NOT NULL)
+      |SELECT l_returnflag, count(*)::BIGINT AS n,
+      |       sum(x0)::BIGINT AS sx0, sum(x1)::BIGINT AS sx1,
+      |       sum(x2)::BIGINT AS sx2,
+      |       sum(x0 * x0)::BIGINT AS g0_0, sum(x0 * x1)::BIGINT AS g0_1,
+      |       sum(x0 * x2)::BIGINT AS g0_2, sum(x1 * x1)::BIGINT AS g1_1,
+      |       sum(x1 * x2)::BIGINT AS g1_2, sum(x2 * x2)::BIGINT AS g2_2,
+      |       sum(x0 * y)::BIGINT AS sxy0, sum(x1 * y)::BIGINT AS sxy1,
+      |       sum(x2 * y)::BIGINT AS sxy2,
+      |       sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy
+      |FROM e GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Interpolated per-type value percentiles (percentile_cont
     * semantics) via the distributed-selection machinery — checked
     * against DuckDB's NATIVE quantile_cont, an independent
@@ -304,6 +343,7 @@ object RetrievalQueries extends QueryGroup {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("ext_quantile_cont", quantileCont, Some(quantileContSql)),
     QueryDef("ext_corr_ols", corrOls, Some(corrOlsSql)),
+    QueryDef("ext_ols_moments", olsMoments, Some(olsMomentsSql)),
     QueryDef("ext_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("ext_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("ext_tokenize_ids", tokenizeIds, Some(tokenizeIdsSql)),

@@ -46,4 +46,32 @@ class MomentsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
     assert(a === b)
   }
+
+  test("gramMoments + ridgeFit recover an exact planted multi-feature model") {
+    // y = 7 + 2*x0 - 3*x1 + x2 on a deterministic integer grid
+    val rows = for {
+      x0 <- 0L to 5L; x1 <- 0L to 4L; x2 <- 0L to 3L
+    } yield ("g", x0, x1, x2, 7L + 2 * x0 - 3 * x1 + x2)
+    val df = rows.toDF("g", "x0", "x1", "x2", "y")
+    val m = Moments.gramMoments(df, "g", Seq("x0", "x1", "x2"), "y")
+    // exact integer moments: spot-check against direct sums
+    val r = m.head
+    assert(r.getAs[Long]("n") === rows.size.toLong)
+    assert(r.getAs[Long]("sy") === rows.map(_._5).sum)
+    assert(r.getAs[Long]("g0_1") === rows.map(t => t._2 * t._3).sum)
+    assert(r.getAs[Long]("sxy2") === rows.map(t => t._4 * t._5).sum)
+    val beta = Moments.ridgeFit(m, "g", d = 3)("g")
+    val want = Array(7.0, 2.0, -3.0, 1.0)
+    beta.zip(want).foreach { case (b, w) =>
+      assert(math.abs(b - w) < 1e-9, s"beta ${beta.toSeq} vs ${want.toSeq}")
+    }
+    // ridge shrinks coefficients toward zero (intercept unpenalized)
+    val shrunk = Moments.ridgeFit(m, "g", d = 3, lambda = 1000.0)("g")
+    assert((1 to 3).forall(i => math.abs(shrunk(i)) < math.abs(want(i))))
+    // singular system (constant feature everywhere + collinear) -> absent
+    val bad = (1L to 6L).map(i => ("g", 2L, 4L, i))
+      .toDF("g", "x0", "x1", "y")
+    val mb = Moments.gramMoments(bad, "g", Seq("x0", "x1"), "y")
+    assert(Moments.ridgeFit(mb, "g", d = 2).isEmpty)
+  }
 }
