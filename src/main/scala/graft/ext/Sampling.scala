@@ -251,6 +251,54 @@ object Sampling {
       .drop("_h")
   }
 
+  /** Greedy token-budget corpus selection: rank documents by
+    * (score DESC, id ASC) and keep them while the running token total
+    * BEFORE the doc is under `budgetTokens` — "take the best docs
+    * until the budget runs out", the curation step that turns a scored
+    * corpus into a fixed-size training set (the last doc may overshoot
+    * the budget; cutting mid-doc is [[packSequences]]' job).
+    *
+    * Scale shape: the naive form is a global `Window.orderBy` —
+    * single-partition, dead at scale. This is the [[packSequences]] /
+    * globalRank machinery instead: range-partition on the rank key, a
+    * one-row-per-partition totals collect (bounded), then a narrow
+    * per-partition running sum seeded with exact offsets. No global
+    * sort exchange, no single task. Returns
+    * `(id, score, n_tokens, cum_before)` for the selected docs. */
+  def budgetSelect(docs: DataFrame, budgetTokens: Long,
+      scoreCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    val sess = docs.sparkSession
+    import sess.implicits.newProductEncoder
+    val nPart = math.max(1, sess.sessionState.conf.numShufflePartitions)
+    val ranged = docs
+      .select(col(idCol).cast("long").as("_id"),
+        col(scoreCol).cast("long").as("_s"),
+        TextStats.tokenCount(TextStats.tokens(col(textCol))).cast("long").as("_n"))
+      .repartitionByRange(nPart, col("_s").desc, col("_id"))
+      .sortWithinPartitions(col("_s").desc, col("_id"))
+      .persistScoped
+      .as[(Long, Long, Long)]
+    val totals = ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.get().partitionId()
+      var s = 0L
+      it.foreach(s += _._3)
+      Iterator.single((pid, s))
+    }.collect().toMap
+    val offsets = (0 until nPart).scanLeft(0L)(_ + totals.getOrElse(_, 0L)).toArray
+    val bOff = sess.sparkContext.broadcast(offsets)
+    ranged.mapPartitions { it =>
+      val pid = org.apache.spark.TaskContext.get().partitionId()
+      var run = bOff.value(pid)
+      it.flatMap { case (id, s, n) =>
+        val exclusive = run
+        run += n
+        if (exclusive < budgetTokens) Some((id, s, n, exclusive)) else None
+      }
+    }.toDF(idCol, "score", "n_tokens", "cum_before")
+  }
+
   /** DSIR-shaped data selection (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every RAW document by how much more likely its hashed-bigram bag

@@ -1496,6 +1496,34 @@ object ExtQueries extends QueryGroup {
       .select($"doc_id", $"source").orderBy($"doc_id")
   }
 
+  /** Greedy token-budget selection: keep the best-scoring docs (by
+    * distinct-token ratio) while the running token total stays under
+    * 20k. Oracle is the single-window form; the operator must produce
+    * the identical greedy prefix without a global sort. */
+  def budgetSelectQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val toks = TextStats.tokens($"text")
+    val scored = docs.select($"doc_id", $"text",
+        size(array_distinct(toks)).cast("long").as("_d"),
+        size(toks).cast("long").as("_n"))
+      .select($"doc_id", $"text", expr("(10000 * _d) div _n").as("score"))
+    Sampling.budgetSelect(scored, 20000L, "score")
+      .orderBy($"doc_id")
+  }
+
+  private val budgetSelectSql =
+    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+       |s AS (SELECT doc_id,
+       |      ((10000 * len(list_distinct(ws))) // len(ws))::BIGINT AS score,
+       |      len(ws)::BIGINT AS n_tokens FROM w),
+       |c AS (SELECT doc_id, score, n_tokens,
+       |      coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |        AS cum_before
+       |      FROM s)
+       |SELECT doc_id, score, n_tokens, cum_before FROM c
+       |WHERE cum_before < 20000 ORDER BY doc_id""".stripMargin
+
   /** DSIR importance scores for every document against the English
     * subcorpus as the target domain (hashed-bigram ratio, 64 buckets,
     * exact integer quantization). */
@@ -2473,6 +2501,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sample_stratified", sampleStratified, Some(sampleStratifiedSql)),
     QueryDef("ext_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
     QueryDef("ext_sample_dsir", sampleDsir, Some(sampleDsirSql)),
+    QueryDef("ext_budget_select", budgetSelectQ, Some(budgetSelectSql)),
     QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),
     QueryDef("ext_sample_cap", sampleCap, Some(sampleCapSql)),
     QueryDef("ext_mix_report", mixReport, Some(mixReportSql)),

@@ -259,6 +259,36 @@ class SamplingSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("budgetSelect: greedy prefix equals the window form; crossing doc kept, no single-task plan") {
+    // scores engineered with ties; token counts = word counts
+    val docs = (1L to 200L).map { i =>
+      val n = 1 + (i % 7).toInt
+      (i, (1 to n).map(j => s"w${i}_$j").mkString(" "), (i % 5) * 100L)
+    }.toDF("doc_id", "text", "score")
+    val budget = 150L
+    val out = Sampling.budgetSelect(docs, budget, "score")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+
+    // driver-side reference: sort by (score desc, id), running exclusive sum
+    val ref = docs.collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getString(1).split("\\s+").length.toLong))
+      .sortBy { case (id, s, _) => (-s, id) }
+    var run = 0L
+    val want = ref.flatMap { case (id, s, n) =>
+      val ex = run; run += n
+      if (ex < budget) Some(id -> ((s, n, ex))) else None
+    }.toMap
+    assert(out === want)
+    // the boundary doc overshoots but is included (cum_before < budget)
+    val last = want.maxBy(_._2._3)
+    assert(last._2._3 < budget && last._2._3 + last._2._2 >= budget)
+    // scale shape: no Window operator, no single-partition exchange
+    val plan = Sampling.budgetSelect(docs, budget, "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("dsirScores equals an independent driver-side replay; target-like docs outrank off-domain") {
     // 3 "wiki-like" docs, 3 "web-like" docs, one single-token doc
     val docs = Seq(
