@@ -440,6 +440,44 @@ object Similarity {
       .where($"cos_q4" >= math.floor(threshold * 10000).toLong)
   }
 
+  /** Contrastive (anchor, positive, negative) TRIPLET generation — the
+    * training-pair miner for embedding-model fine-tuning: positives
+    * are [[cosineNearDup]] pairs (cosine ≥ threshold inside the label
+    * block, anchor = the smaller id), and each anchor draws ONE
+    * deterministic negative of a DIFFERENT label from its md5 hash
+    * bucket, chosen by arg-min over a per-(anchor, candidate) md5 salt
+    * — a reproducible stand-in for "random negative" that any engine
+    * replays bit-for-bit (the [[Sampling.hashBucket]] discipline).
+    *
+    * Scale shape: negatives never do all-pairs work — candidates are
+    * one equi self-join on the `nBuckets`-ary hash bucket (≈ n/B rows
+    * per probe) reduced by an associative min aggregate; positives
+    * inherit cosineNearDup's blocking. Anchors whose bucket holds no
+    * other-label vector drop out (raise `nBuckets`' inverse — fewer
+    * buckets, fuller probes — if that matters). */
+  def contrastiveTriplets(embeddings: DataFrame, threshold: Double,
+      nBuckets: Int = 16): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val pos = cosineNearDup(embeddings, threshold)
+    val nz = embeddings.select($"vec_id", $"label")
+      .where(dot($"embedding", $"embedding") > 0)
+    def bucket(id: Column): Column =
+      pmod(conv(substring(md5(id.cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long"), lit(nBuckets.toLong))
+    val anchors = pos.select($"id_a", $"label").distinct()
+    val cand = nz.select($"vec_id".as("neg_id"), $"label".as("_neg_label"),
+      bucket($"vec_id").as("_b"))
+    val negs = anchors
+      .join(cand, bucket($"id_a") === $"_b" && $"_neg_label" =!= $"label")
+      .groupBy($"id_a")
+      .agg(min_by($"neg_id",
+        md5(concat($"id_a".cast("string"), lit("|"),
+          $"neg_id".cast("string")).cast("binary"))).as("neg_id"))
+    pos.join(negs, Seq("id_a"))
+      .select($"id_a".as("anchor_id"), $"id_b".as("pos_id"),
+        $"neg_id", $"label", $"cos_q4")
+  }
+
   /** Embedding near-dup, LSH-bucketed (the 100-TB path next to the
     * label-blocked [[cosineNearDup]]): `nTables` independent sign-bit
     * hash tables (seeded hyperplanes, seed 42+t per table); two vectors

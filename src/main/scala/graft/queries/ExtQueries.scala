@@ -279,6 +279,37 @@ object ExtQueries extends QueryGroup {
        |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Contrastive triplets: near-dup positives + one deterministic
+    * other-label negative per anchor from its md5 hash bucket. */
+  def simTriplets(spark: SparkSession, dir: String): DataFrame =
+    Similarity.contrastiveTriplets(load(spark, dir, "embeddings"), 0.3,
+        nBuckets = 16)
+      .orderBy($"anchor_id", $"pos_id")
+
+  private val simTripletsSql =
+    s"""WITH pos AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS label,
+       |         CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS cos_q4
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |anch AS (SELECT DISTINCT id_a, label FROM pos),
+       |cand AS (
+       |  SELECT vec_id AS neg_id, label AS neg_label,
+       |         (('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 16) AS b
+       |  FROM $nzSql),
+       |negs AS (
+       |  SELECT id_a,
+       |         arg_min(neg_id, md5(id_a::VARCHAR || '|' || neg_id::VARCHAR)) AS neg_id
+       |  FROM anch JOIN cand
+       |    ON (('0x' || substr(md5(id_a::VARCHAR), 1, 8))::BIGINT % 16) = b
+       |   AND neg_label <> anch.label
+       |  GROUP BY id_a)
+       |SELECT pos.id_a AS anchor_id, pos.id_b AS pos_id, negs.neg_id,
+       |       pos.label, pos.cos_q4
+       |FROM pos JOIN negs USING (id_a)
+       |ORDER BY anchor_id, pos_id""".stripMargin
+
   /** Embedding near-dup, LSH-bucketed (the scale path: no metadata
     * blocking column, no all-pairs — multi-table sign-bit buckets,
     * exact cosine verify; candidates = bucket collision in ANY table). */
@@ -2467,6 +2498,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     QueryDef("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
+    QueryDef("ext_sim_triplets", simTriplets, Some(simTripletsSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),

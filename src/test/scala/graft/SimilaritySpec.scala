@@ -217,6 +217,35 @@ class SimilaritySpec extends SparkSpec {
     assert(two === 1)
   }
 
+  test("contrastiveTriplets: positives = cosineNearDup, negatives other-label from the anchor's bucket, deterministic") {
+    val t = Similarity.contrastiveTriplets(emb, 0.3, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    assert(t.nonEmpty)
+    // positives agree with cosineNearDup for every anchored pair
+    val pos = Similarity.cosineNearDup(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    t.foreach { case (a, p, _, _, c) => assert(pos((a, p)) === c) }
+    val labels = emb.collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(h, 16) % 16
+    }
+    t.foreach { case (a, _, n, lbl, _) =>
+      assert(labels(a) === lbl)
+      assert(labels(n) !== lbl)          // negative is another label
+      assert(bucket(n) === bucket(a))    // drawn from the anchor's bucket
+    }
+    // bit-identical on rerun
+    val t2 = Similarity.contrastiveTriplets(emb, 0.3, nBuckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4)))
+    assert(t.sortBy(x => (x._1, x._2)).toSeq === t2.sortBy(x => (x._1, x._2)).toSeq)
+  }
+
   test("randomProject: exact integer components against the sign matrix, narrow plan") {
     import spark.implicits._
     val emb = Seq((1L, Array(0.5f, -1.25f)), (2L, Array(0.0f, 0.0f)))
