@@ -607,6 +607,45 @@ object TextStats {
     * map-side-combined aggregate, and the flag joins back on the gram
     * — co-partitioned with the df aggregate's own partitioning, so
     * the gram frame shuffles once. */
+  /** Per-document character-distribution diversity — the
+    * gibberish/repetition quality signal family, in EXACT integer
+    * arithmetic: `(doc_id, n_chars, n_distinct_chars, top_share_bp,
+    * simpson_bp)` where top_share_bp = ⌊10⁴·max c ∕ n⌋ (a run of one
+    * character → 10000) and simpson_bp = ⌊10⁴·Σc(c−1) ∕ (n(n−1))⌋ —
+    * the Gini–Simpson collision probability, the rational-arithmetic
+    * stand-in for Shannon entropy (whose log2 is NOT bit-reproducible
+    * across libm builds: a 1-ulp log difference flips a floor at
+    * scale, so entropy can't sit behind a cross-engine hash gate;
+    * collision probability carries the same repetitiveness ordering
+    * exactly). Docs with < 2 chars report simpson_bp = 0.
+    *
+    * Scale shape: one (doc, char) hash aggregate (alphabet-bounded
+    * per doc) and one doc-keyed reduction — the gram-op shuffle
+    * footprint, text itself moves once. */
+  def charDiversity(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val chars = when(length(t) === 0, typedLit(Array.empty[String]))
+      .otherwise(transform(sequence(lit(1), length(t)), i => t.substr(i, lit(1))))
+    val counts = docs
+      .select(col(idCol).as("doc_id"), explode(chars).as("ch"))
+      .groupBy($"doc_id", $"ch").agg(count(lit(1)).as("c"))
+    val perDoc = counts.groupBy($"doc_id")
+      .agg(sum($"c").as("n"),
+        count(lit(1)).as("n_distinct_chars"),
+        max($"c").as("_maxc"),
+        sum($"c" * ($"c" - 1)).as("_coll"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n", lit(0L)).as("n_chars"),
+        coalesce($"n_distinct_chars", lit(0L)).as("n_distinct_chars"),
+        coalesce(expr("(10000 * _maxc) div n"), lit(0L)).as("top_share_bp"),
+        coalesce(when($"n" >= 2,
+          expr("(10000 * _coll) div (n * (n - 1))")), lit(0L))
+          .as("simpson_bp"))
+  }
+
   def ngramNovelty(docs: DataFrame, n: Int = 3, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")

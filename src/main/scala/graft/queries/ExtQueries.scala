@@ -2397,6 +2397,31 @@ object ExtQueries extends QueryGroup {
        |FROM sc JOIN gc USING (term) JOIN st USING (src) CROSS JOIN gt
        |GROUP BY sc.src ORDER BY source""".stripMargin
 
+  /** Character-distribution diversity per document: exact-integer
+    * Gini–Simpson collision probability + top-char share (the
+    * log-free gibberish/repetition signal). */
+  def charDiversityQ(spark: SparkSession, dir: String): DataFrame =
+    TextStats.charDiversity(load(spark, dir, "documents"))
+      .orderBy($"doc_id")
+
+  private val charDiversitySql =
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+      |ch AS (SELECT doc_id,
+      |       unnest(list_transform(range(1, length(t) + 1),
+      |                i -> substr(t, i, 1))) AS ch
+      |       FROM d),
+      |c AS (SELECT doc_id, ch, count(*)::BIGINT AS c FROM ch GROUP BY doc_id, ch),
+      |p AS (SELECT doc_id, sum(c)::BIGINT AS n, count(*)::BIGINT AS nd,
+      |      max(c)::BIGINT AS mx, sum(c * (c - 1))::BIGINT AS coll
+      |      FROM c GROUP BY doc_id)
+      |SELECT d.doc_id, coalesce(p.n, 0)::BIGINT AS n_chars,
+      |       coalesce(p.nd, 0)::BIGINT AS n_distinct_chars,
+      |       coalesce((10000 * p.mx) // p.n, 0)::BIGINT AS top_share_bp,
+      |       coalesce(CASE WHEN p.n >= 2
+      |                THEN (10000 * p.coll) // (p.n * (p.n - 1)) END, 0)::BIGINT
+      |         AS simpson_bp
+      |FROM d LEFT JOIN p USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   /** Word-3-gram novelty per document: fraction (basis points) of a
     * doc's distinct 3-grams occurring in no other document. */
   def textNovelty(spark: SparkSession, dir: String): DataFrame =
@@ -2474,6 +2499,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_histogram_eqdepth", histogramEqDepth, Some(histogramEqDepthSql)),
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),
     QueryDef("ext_text_novelty", textNovelty, Some(textNoveltySql)),
+    QueryDef("ext_char_diversity", charDiversityQ, Some(charDiversitySql)),
     QueryDef("ext_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
     QueryDef("ext_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("ext_dedup_increment", dedupIncrement, Some(dedupIncrementSql)),

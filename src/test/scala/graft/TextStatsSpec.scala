@@ -411,4 +411,22 @@ class TextStatsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(out(1L) === 10000L)
   }
+
+  test("charDiversity: hand-computed shares and collision probabilities, empty/null rows kept") {
+    val docs = Seq(
+      (1L, "aaa"),            // one char: top 10000, simpson 10000
+      (2L, "abab"),           // c=(2,2): top 5000, simpson 4/12 -> 3333
+      (3L, "abcd"),           // all distinct: simpson 0, top 2500
+      (4L, ""),               // empty -> all zeros
+      (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = graft.ext.TextStats.charDiversity(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, 1L, 10000L, 10000L)))
+    assert(out(2L) === ((4L, 2L, 5000L, 3333L)))
+    assert(out(3L) === ((4L, 4L, 2500L, 0L)))
+    assert(out(4L) === ((0L, 0L, 0L, 0L)))
+    assert(out(5L) === ((0L, 0L, 0L, 0L)))
+  }
 }
