@@ -22,6 +22,15 @@ object Sinks {
       .csv(path)
   }
 
+  /** JSONL corpus export (the [[Sources.readJsonl]] counterpart):
+    * partitioned by default — a training corpus export is data-scale,
+    * one file per task is the shape downstream shard loaders want. */
+  def writeJsonl(df: DataFrame, path: String,
+      single: Boolean = false): Unit = {
+    val out = if (single) df.coalesce(1) else df
+    out.write.mode("overwrite").json(path)
+  }
+
   /** Table swap: write to `<path>.tmp`, rename the live table aside to
     * `<path>.old`, rename tmp into place, delete `.old` LAST. Readers
     * never observe a half-written table, and no crash point loses the

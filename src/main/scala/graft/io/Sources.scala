@@ -77,4 +77,39 @@ object Sources {
   def readSpeciesProjects(spark: SparkSession, path: String): DataFrame =
     spark.read.option("header", "true").csv(path)
       .toDF("project_id", "genus", "genus_species")
+
+  /** JSONL corpus ingestion with corrupt-line QUARANTINE — the format
+    * LLM training corpora actually ship in. The schema is EXPLICIT
+    * (never inferred: inference is a second full scan and a schema
+    * lottery at 100 TB), the read is PERMISSIVE, and any malformed
+    * line lands verbatim in `_corrupt_record` instead of failing the
+    * job — split it off with [[splitCorrupt]] and route it to a
+    * quarantine sink, so one truncated shard never kills an ingest. */
+  def readJsonl(spark: SparkSession, path: String,
+      schema: StructType): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not predeclare _corrupt_record")
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(path)
+  }
+
+  /** Split a [[readJsonl]] frame into (clean rows without the marker
+    * column, quarantined raw lines). The parsed frame is persisted
+    * first — Spark refuses to filter raw file scans on the internal
+    * corrupt column alone (SPARK-21610), and the barrier also stops
+    * the two branches re-parsing the corpus twice; it follows the
+    * [[graft.ext.CacheScope]] contract like every ext operator. */
+  def splitCorrupt(df: DataFrame): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.functions.col
+    import graft.ext.ScopedPersist
+    val parsed = df.persistScoped
+    val clean = parsed.where(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val bad = parsed.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (clean, bad)
+  }
 }

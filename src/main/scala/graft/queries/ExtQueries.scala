@@ -1335,8 +1335,10 @@ object ExtQueries extends QueryGroup {
   }
 
   /** Shared training head: word counts + initial char symbols. The
-    * per-round CTEs (p/sel/apply) are generated by the two queries. */
-  private val bpeTrainCtes =
+    * per-round CTEs (p/sel/apply) are generated by the two queries.
+    * A `def`, not a `val`: bpeMergesSql initializes BEFORE this point
+    * in the object body and a val would interpolate as null. */
+  private def bpeTrainCtes =
     s"""w0 AS (
        |  SELECT w, count(*)::BIGINT AS cnt FROM (
        |    SELECT unnest($toksSql) AS w FROM documents)
