@@ -276,6 +276,25 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"), plan)
   }
 
+  test("parquet aggregate pushdown: whole-file MIN/MAX/COUNT answer from footers only") {
+    // needs the v2 parquet source: v1 (the default route) has no
+    // aggregate pushdown path at all
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val plan = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(min(col("l_orderkey")), max(col("l_orderkey")), count(lit(1)))
+        .queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // footer statistics serve the aggregate - zero row groups decoded
+      assert(plan.contains("PushedAggregation") &&
+        plan.contains("MIN(l_orderkey)"), plan)
+    } finally {
+      spark.conf.set("spark.sql.parquet.aggregatePushdown", "false")
+      spark.conf.unset("spark.sql.sources.useV1SourceList")
+    }
+  }
+
   test("simhashNear: candidates come from the block equi-join, never a product") {
     val docs = Tables.load(spark, sfDir, "documents")
     val plan = planOf(graft.ext.Dedup.simhashNear(docs, 3))
