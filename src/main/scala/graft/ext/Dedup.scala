@@ -807,6 +807,42 @@ object Dedup {
         $"is_exact_dup")
   }
 
+  /** Per-source curation dashboard: the numbers a dataset card reports
+    * before training — docs, exact-duplicate count/rate (docs beyond
+    * the first per content digest) and segment-level duplication
+    * (copies beyond the first per distinct `segLen`-token segment,
+    * WITHIN the source). One digest aggregate + one segment aggregate,
+    * both map-side combined; text never shuffles (digests and segment
+    * hashes do). */
+  def dedupReport(docs: DataFrame, segLen: Int = 8,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    val exact = docs
+      .select(col(srcCol).as("source"), contentHash(col(textCol)).as("_h"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"_h").as("_n_uniq"))
+      .select($"source", $"n_docs",
+        ($"n_docs" - $"_n_uniq").as("n_exact_dups"),
+        expr("(10000 * (n_docs - _n_uniq)) div n_docs").as("exact_dup_bp"))
+    val segs = docs
+      .select(col(srcCol).as("source"),
+        TextStats.tokens(col(textCol)).as("_toks"))
+      .select($"source", explode(
+        transform(sequence(lit(0),
+          (floor((size($"_toks") + lit(segLen - 1)) / lit(segLen)) - 1).cast("int")),
+          i => array_join(slice($"_toks", i * segLen + 1, lit(segLen)), " ")))
+          .as("seg"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_segments"),
+        countDistinct($"seg").as("_n_seg_uniq"))
+      .select($"source", $"n_segments",
+        ($"n_segments" - $"_n_seg_uniq").as("n_seg_dups"),
+        expr("(10000 * (n_segments - _n_seg_uniq)) div n_segments")
+          .as("seg_dup_bp"))
+    exact.join(segs, Seq("source"))
+  }
+
   /** The REMOVE half of ExactSubstr dedup: rebuild each doc's text with
     * the tokens covered by its given spans dropped. WHICH docs lose
     * WHICH spans is the caller's policy (e.g. filter [[duplicateSpans]]

@@ -199,6 +199,28 @@ object ExtQueries extends QueryGroup {
        |FROM w ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-source curation dashboard: exact-dup and within-source
+    * segment-duplication rates. */
+  def dedupReportQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.dedupReport(load(spark, dir, "documents"), segLen = 8)
+      .orderBy($"source")
+
+  private val dedupReportSql =
+    s"""WITH e AS (SELECT source, md5(text) AS h FROM documents),
+       |ex AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |       count(DISTINCT h)::BIGINT AS u FROM e GROUP BY source),
+       |w AS (SELECT source, $toksSql AS ws FROM documents),
+       |sg AS (SELECT source, unnest(list_transform(range(0, (len(ws) + 7) // 8),
+       |         i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' '))) AS seg
+       |       FROM w),
+       |s2 AS (SELECT source, count(*)::BIGINT AS n_segments,
+       |       count(DISTINCT seg)::BIGINT AS su FROM sg GROUP BY source)
+       |SELECT ex.source, n_docs, (n_docs - u)::BIGINT AS n_exact_dups,
+       |       ((10000 * (n_docs - u)) // n_docs)::BIGINT AS exact_dup_bp,
+       |       n_segments, (n_segments - su)::BIGINT AS n_seg_dups,
+       |       ((10000 * (n_segments - su)) // n_segments)::BIGINT AS seg_dup_bp
+       |FROM ex JOIN s2 USING (source) ORDER BY ex.source""".stripMargin
+
   /** SimHash near-dup pairs at Hamming distance ≤ 3 over a 64-bit
     * (4×16-bit-block) signature; pigeonhole block index generates
     * candidates. Oracle replays the block join — complete for k ≤ 3,
@@ -2505,6 +2527,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
     QueryDef("ext_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("ext_dedup_increment", dedupIncrement, Some(dedupIncrementSql)),
+    QueryDef("ext_dedup_report", dedupReportQ, Some(dedupReportSql)),
     QueryDef("ext_sim_rp", simRandomProject, Some(simRandomProjectSql)),
     QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),

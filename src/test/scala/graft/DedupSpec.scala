@@ -410,6 +410,23 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.simhashNear(docs, 4))
   }
 
+  test("dedupReport: planted exact dups and repeated segments count per source") {
+    import spark.implicits._
+    val seg = (1 to 8).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      ("a", "one two three"), ("a", "one two three"),   // 1 exact dup
+      ("a", "unique text here"),
+      ("b", s"$seg x"), ("b", s"$seg y")                // shared segment, no exact dup
+    ).toDF("source", "text")
+    val out = Dedup.dedupReport(docs, segLen = 8)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    // a: 3 docs, 1 exact dup (3333 bp); 3 segments, 1 seg dup
+    assert(out("a") === ((3L, 1L, 3333L, 3L, 1L, 3333L)))
+    // b: 2 docs, 0 exact dups; 4 segments ("w1..w8" + tail each), 1 dup
+    assert(out("b") === ((2L, 0L, 0L, 4L, 1L, 2500L)))
+  }
+
   test("boilerplateFilter: within-doc repetition does NOT reach the df threshold") {
     import spark.implicits._
     val seg = (1 to 8).map(i => s"w$i").mkString(" ")
