@@ -544,10 +544,14 @@ object Dedup {
     require(k >= 0 && k <= 3,
       s"pigeonhole over 4 blocks is complete only for k in [0,3], got $k")
     val toksC = TextStats.tokens(col(textCol))
-    val sigs = docs.select(
-        col(idCol) +:
-        (0 until 4).map(s =>
-          simhash16FromHashes(saltedTokenHashes(toksC, s)).as(s"sig$s")): _*)
+    // one-pass kernel, not the 4×16 interpreted bit-sum HOFs (which cost
+    // 25 s at sf0.1 when CollapseProject re-inlined the hash transform);
+    // kernel ≡ declarative chain pinned in DedupSpec
+    val sigs = docs
+      .select(col(idCol),
+        graft.functions.SimhashBlocks(toksC, 4).as("_sigs"))
+      .select(col(idCol) +:
+        (0 until 4).map(i => element_at($"_sigs", i + 1).as(s"sig$i")): _*)
       .persistScoped // both sides of the block self-join read this frame
     val sigCols = (0 until 4).map(i => $"sig$i")
     val blocks = sigs.select(

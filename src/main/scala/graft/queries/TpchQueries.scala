@@ -223,11 +223,77 @@ object TpchQueries extends QueryGroup {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Q14 — promotion effect: share of one month's revenue from PROMO
+    * parts, as an exact-integer basis-point ratio (the double ratio of
+    * two engine-ordered float sums can't hash; cents can). */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .where($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-02-01")
+      .select($"l_partkey",
+        (round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("cents"))
+    val part = load(spark, dir, "part").select($"p_partkey", $"p_type")
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .agg(
+        sum(when($"p_type" === "PROMO", $"cents").otherwise(0L)).as("promo_c"),
+        sum($"cents").as("total_c"))
+      .select(
+        expr("(promo_c + 50) div 100").as("promo_cents"),
+        expr("(total_c + 50) div 100").as("total_cents"),
+        expr("(10000 * promo_c) div total_c").as("promo_bp"))
+  }
+
+  private val q14Sql =
+    """WITH j AS (
+      |  SELECT (round(l_extendedprice * 100))::BIGINT *
+      |         (100 - (round(l_discount * 100))::BIGINT) AS cents, p_type
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-02-01'),
+      |s AS (SELECT sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS promo_c,
+      |             sum(cents) AS total_c FROM j)
+      |SELECT ((promo_c + 50) // 100)::BIGINT AS promo_cents,
+      |       ((total_c + 50) // 100)::BIGINT AS total_cents,
+      |       ((10000 * promo_c) // total_c)::BIGINT AS promo_bp
+      |FROM s""".stripMargin
+
+  /** Q19 — discounted revenue under an OR-of-ANDs predicate across the
+    * part join (brand × size × quantity bands): the disjunctive
+    * join-filter shape planners must keep equi. */
+  def q19(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select($"l_partkey", $"l_quantity",
+        (round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("cents"))
+    val part = load(spark, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_size")
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .where(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(1, 20)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(10, 30) &&
+          $"l_quantity".between(10, 30)))
+      .agg(count(lit(1)).as("n_lines"),
+        (expr("(sum(cents) + 50) div 100") / 100.0).as("revenue"))
+  }
+
+  private val q19Sql =
+    """SELECT count(*) AS n_lines,
+      |       ((sum((round(l_extendedprice * 100))::BIGINT *
+      |             (100 - (round(l_discount * 100))::BIGINT)) + 50) // 100)
+      |         / 100.0 AS revenue
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 1 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 10 AND 30
+      |       AND l_quantity BETWEEN 10 AND 30)""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("q1_pricing_summary", q1, Some(q1Sql)),
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
     QueryDef("q5_local_supplier", q5, Some(q5Sql)),
     QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
     QueryDef("q10_returned_items", q10, Some(q10Sql)),
-    QueryDef("q18_large_orders", q18, Some(q18Sql)))
+    QueryDef("q14_promo_effect", q14, Some(q14Sql)),
+    QueryDef("q18_large_orders", q18, Some(q18Sql)),
+    QueryDef("q19_brand_bands", q19, Some(q19Sql)))
 }

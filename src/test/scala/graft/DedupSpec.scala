@@ -368,6 +368,23 @@ class DedupSpec extends SparkSpec {
     assert(out.size === 4)
   }
 
+  test("SimhashBlocks kernel ≡ declarative salted bit-sum chain on randomized docs") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 120L).map { i =>
+      (i, (0 until (i % 13).toInt + 1)
+        .map(j => s"tok${(i * 31 + j * 7) % 41}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = graft.ext.TextStats.tokens(col("text"))
+    val kernel = docs.select(col("doc_id"),
+        graft.functions.SimhashBlocks(toks, 4).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val decl = docs.select(col("doc_id") +: (0 until 4).map(s =>
+        Dedup.simhash16FromHashes(Dedup.saltedTokenHashes(toks, s)).as(s"b$s")): _*)
+      .collect().map(r => r.getLong(0) ->
+        Seq(r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(kernel === decl)
+  }
+
   test("simhashNear: pigeonhole block index is complete vs naive all-pairs, incl. hamming-0 identicals") {
     import org.apache.spark.sql.functions._
     // 40 docs in 8 families of 5: family members share a 10-token base and
