@@ -299,6 +299,31 @@ object Sampling {
     }.toDF(idCol, "score", "n_tokens", "cum_before")
   }
 
+  /** Per-group greedy token-budget selection — [[budgetSelect]] with an
+    * independent budget per group (per-language / per-source quotas,
+    * the "balanced corpus under a global token cap" curation step).
+    * Here a plain partitioned window IS the scale-correct plan: the
+    * running sum partitions by the group key, so there is no global
+    * order and no single task — the machinery [[budgetSelect]] needs
+    * to avoid `Window.orderBy` is only required when the rank order is
+    * GLOBAL. */
+  def budgetSelectPerGroup(docs: DataFrame, budgetTokens: Long,
+      groupCol: String, scoreCol: String, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs
+      .select(col(groupCol), col(idCol).cast("long").as(idCol),
+        col(scoreCol).cast("long").as(scoreCol),
+        TextStats.tokenCount(TextStats.tokens(col(textCol)))
+          .cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .where($"cum_before" < budgetTokens)
+  }
+
   /** DSIR-shaped data selection (Xie et al., "Data Selection for
     * Language Models via Importance Resampling", NeurIPS 2023): score
     * every RAW document by how much more likely its hashed-bigram bag

@@ -1579,6 +1579,34 @@ object ExtQueries extends QueryGroup {
        |SELECT doc_id, score, n_tokens, cum_before FROM c
        |WHERE cum_before < 20000 ORDER BY doc_id""".stripMargin
 
+  /** Per-language token-budget selection: an independent 4k-token
+    * quota per lang, best distinct-ratio docs first. */
+  def budgetSelectLangQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val toks = TextStats.tokens($"text")
+    val scored = docs.select($"doc_id", $"lang", $"text",
+        size(array_distinct(toks)).cast("long").as("_d"),
+        size(toks).cast("long").as("_n"))
+      .select($"doc_id", $"lang", $"text", expr("(10000 * _d) div _n").as("score"))
+    Sampling.budgetSelectPerGroup(scored, 4000L, "lang", "score")
+      .select($"lang", $"doc_id", $"score", $"n_tokens", $"cum_before")
+      .orderBy($"lang", $"doc_id")
+  }
+
+  private val budgetSelectLangSql =
+    s"""WITH w AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
+       |s AS (SELECT doc_id, lang,
+       |      ((10000 * len(list_distinct(ws))) // len(ws))::BIGINT AS score,
+       |      len(ws)::BIGINT AS n_tokens FROM w),
+       |c AS (SELECT lang, doc_id, score, n_tokens,
+       |      coalesce(sum(n_tokens) OVER (PARTITION BY lang
+       |        ORDER BY score DESC, doc_id
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |        AS cum_before
+       |      FROM s)
+       |SELECT lang, doc_id, score, n_tokens, cum_before FROM c
+       |WHERE cum_before < 4000 ORDER BY lang, doc_id""".stripMargin
+
   /** DSIR importance scores for every document against the English
     * subcorpus as the target domain (hashed-bigram ratio, 64 buckets,
     * exact integer quantization). */
@@ -2585,6 +2613,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sample_mixture", sampleMixture, Some(sampleMixtureSql)),
     QueryDef("ext_sample_dsir", sampleDsir, Some(sampleDsirSql)),
     QueryDef("ext_budget_select", budgetSelectQ, Some(budgetSelectSql)),
+    QueryDef("ext_budget_lang", budgetSelectLangQ, Some(budgetSelectLangSql)),
     QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),
     QueryDef("ext_sample_cap", sampleCap, Some(sampleCapSql)),
     QueryDef("ext_mix_report", mixReport, Some(mixReportSql)),

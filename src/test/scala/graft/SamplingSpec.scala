@@ -289,6 +289,21 @@ class SamplingSpec extends SparkSpec {
     assert(!plan.contains("SinglePartition"), plan)
   }
 
+  test("budgetSelectPerGroup: independent quota per group, no single-partition exchange") {
+    val docs = Seq(
+      ("en", 1L, "a b c", 300L), ("en", 2L, "d e", 200L), ("en", 3L, "f", 100L),
+      ("fr", 4L, "g h i j", 500L), ("fr", 5L, "k l", 400L))
+      .toDF("lang", "doc_id", "text", "score")
+    val out = Sampling.budgetSelectPerGroup(docs, 4L, "lang", "score")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cum_before")).toMap
+    // en: doc1 (3 toks, cum 0) then doc2 (cum 3 < 4) then doc3 (cum 5 stops)
+    // fr: doc4 (4 toks, cum 0) then doc5 (cum 4 = budget stops)
+    assert(out === Map(1L -> 0L, 2L -> 3L, 4L -> 0L))
+    val plan = Sampling.budgetSelectPerGroup(docs, 4L, "lang", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+
   test("dsirScores equals an independent driver-side replay; target-like docs outrank off-domain") {
     // 3 "wiki-like" docs, 3 "web-like" docs, one single-token doc
     val docs = Seq(
