@@ -847,6 +847,48 @@ object Dedup {
     exact.join(segs, Seq("source"))
   }
 
+  /** Cross-source containment matrix: for every ordered source pair
+    * (a, b), the share of a's DISTINCT `segLen`-token segments that
+    * also occur in b — "how much of crawl A is already inside crawl B",
+    * the pairwise generalization of [[incrementalDedup]]'s containment
+    * signal and the question a curation team asks before paying to
+    * dedup two corpora against each other. Asymmetric by design.
+    *
+    * Scale shape: each source reduces to its distinct segment set
+    * first (one map-side-combined aggregate — hot boilerplate ships
+    * once per partition), the pair counts come from ONE segment
+    * equi-join over those reduced sets, and the output is
+    * |sources|² rows. Text never shuffles; distinct segments do. */
+  def sourceOverlap(docs: DataFrame, segLen: Int = 8,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(segLen >= 1, s"segLen must be >= 1, got $segLen")
+    val segs = docs
+      .select(col(srcCol).as("source"),
+        TextStats.tokens(col(textCol)).as("_toks"))
+      .select($"source", explode(
+        transform(sequence(lit(0),
+          (floor((size($"_toks") + lit(segLen - 1)) / lit(segLen)) - 1).cast("int")),
+          i => array_join(slice($"_toks", i * segLen + 1, lit(segLen)), " ")))
+          .as("seg"))
+      .distinct()
+      .persistScoped // totals + both sides of the pair join
+    val totals = segs.groupBy($"source").agg(count(lit(1)).as("n_segs"))
+    val shared = segs.toDF("src_a", "seg")
+      .join(segs.toDF("src_b", "seg"), Seq("seg"))
+      .where($"src_a" =!= $"src_b")
+      .groupBy($"src_a", $"src_b").agg(count(lit(1)).as("n_shared"))
+    // full ordered-pair grid (|sources|² is dashboard-sized), so pairs
+    // sharing nothing still show an explicit zero row
+    totals.toDF("src_a", "n_segs_a")
+      .crossJoin(totals.select($"source".as("src_b")))
+      .where($"src_a" =!= $"src_b")
+      .join(shared, Seq("src_a", "src_b"), "left")
+      .select($"src_a", $"src_b", $"n_segs_a",
+        coalesce($"n_shared", lit(0L)).as("n_shared"),
+        coalesce(expr("(10000 * n_shared) div n_segs_a"), lit(0L))
+          .as("contain_bp"))
+  }
+
   /** The REMOVE half of ExactSubstr dedup: rebuild each doc's text with
     * the tokens covered by its given spans dropped. WHICH docs lose
     * WHICH spans is the caller's policy (e.g. filter [[duplicateSpans]]

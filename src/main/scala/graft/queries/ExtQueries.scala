@@ -221,6 +221,32 @@ object ExtQueries extends QueryGroup {
        |       ((10000 * (n_segments - su)) // n_segments)::BIGINT AS seg_dup_bp
        |FROM ex JOIN s2 USING (source) ORDER BY ex.source""".stripMargin
 
+  /** Cross-source containment matrix over 8-token segments. */
+  def sourceOverlapQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.sourceOverlap(load(spark, dir, "documents"), segLen = 8)
+      .orderBy($"src_a", $"src_b")
+
+  private val sourceOverlapSql =
+    s"""WITH w AS (SELECT source, $toksSql AS ws FROM documents),
+       |sg AS (SELECT DISTINCT source, seg FROM (
+       |  SELECT source, unnest(list_transform(range(0, (len(ws) + 7) // 8),
+       |           i -> array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' '))) AS seg
+       |  FROM w)),
+       |t AS (SELECT source, count(*)::BIGINT AS n_segs FROM sg GROUP BY source),
+       |sh AS (SELECT a.source AS src_a, b.source AS src_b,
+       |       count(*)::BIGINT AS n_shared
+       |       FROM sg a JOIN sg b ON a.seg = b.seg AND a.source <> b.source
+       |       GROUP BY 1, 2)
+       |SELECT ta.source AS src_a, tb.source AS src_b,
+       |       ta.n_segs AS n_segs_a,
+       |       coalesce(sh.n_shared, 0)::BIGINT AS n_shared,
+       |       coalesce((10000 * sh.n_shared) // ta.n_segs, 0)::BIGINT
+       |         AS contain_bp
+       |FROM t ta CROSS JOIN t tb
+       |LEFT JOIN sh ON sh.src_a = ta.source AND sh.src_b = tb.source
+       |WHERE ta.source <> tb.source
+       |ORDER BY src_a, src_b""".stripMargin
+
   /** SimHash near-dup pairs at Hamming distance ≤ 3 over a 64-bit
     * (4×16-bit-block) signature; pigeonhole block index generates
     * candidates. Oracle replays the block join — complete for k ≤ 3,
@@ -2556,6 +2582,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("ext_dedup_increment", dedupIncrement, Some(dedupIncrementSql)),
     QueryDef("ext_dedup_report", dedupReportQ, Some(dedupReportSql)),
+    QueryDef("ext_source_overlap", sourceOverlapQ, Some(sourceOverlapSql)),
     QueryDef("ext_sim_rp", simRandomProject, Some(simRandomProjectSql)),
     QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),

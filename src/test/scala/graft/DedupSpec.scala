@@ -444,6 +444,24 @@ class DedupSpec extends SparkSpec {
     assert(out("b") === ((2L, 0L, 0L, 4L, 1L, 2500L)))
   }
 
+  test("sourceOverlap: asymmetric containment with explicit zero rows") {
+    import spark.implicits._
+    val seg1 = (1 to 8).map(i => s"w$i").mkString(" ")
+    val seg2 = (1 to 8).map(i => s"x$i").mkString(" ")
+    val docs = Seq(
+      ("a", seg1),                       // a: 1 distinct segment
+      ("b", s"$seg1 $seg2"),             // b: 2, shares seg1 with a
+      ("c", "totally different words")   // c: 1, shares nothing
+    ).toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, segLen = 8)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("a", "b")) === ((1L, 1L, 10000L))) // all of a is inside b
+    assert(out(("b", "a")) === ((2L, 1L, 5000L)))  // half of b is inside a
+    assert(out(("a", "c")) === ((1L, 0L, 0L)))     // explicit zero row
+    assert(out.size === 6)                          // full ordered grid
+  }
+
   test("boilerplateFilter: within-doc repetition does NOT reach the df threshold") {
     import spark.implicits._
     val seg = (1 to 8).map(i => s"w$i").mkString(" ")
