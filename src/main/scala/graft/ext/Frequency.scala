@@ -497,4 +497,44 @@ object Frequency {
       .agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= minCount)
   }
+
+  /** EXACT two-sample Kolmogorov–Smirnov distance per group — the
+    * distribution-drift monitor ("did this feature's distribution move
+    * between last week's crawl and this week's") as an integer
+    * statistic: D = max_v |F₁(v) − F₂(v)| is computed as
+    * max |c₁·n₂ − c₂·n₁| over the merged distinct-value grid, so
+    * nothing floats until the final basis-point division —
+    * order-independent and cross-engine hashable, unlike a p-value.
+    * Rows split into sample 1 (where `firstSample`) vs sample 2.
+    *
+    * Scale shape: one (group, value) hash aggregate collapses
+    * duplicates map-side, then ONE partitioned cumulative window per
+    * group — no global sort, no single task (the [[winsorize]]
+    * shuffle footprint). Groups missing either sample drop out (KS is
+    * undefined). Counts must satisfy n₁·n₂ < 2⁶³ (quantize upstream
+    * at extreme scale — the [[graft.ops.Moments]] contract). */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String,
+      firstSample: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"), col(valueCol).as("_v"),
+        when(firstSample, 1L).otherwise(0L).as("_in1"))
+    val pv = base.groupBy($"_g", $"_v")
+      .agg(sum($"_in1").as("_d1"), sum(lit(1L) - $"_in1").as("_d2"))
+    val w = Window.partitionBy($"_g").orderBy($"_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"_g")
+    pv
+      .withColumn("_c1", sum($"_d1").over(w))
+      .withColumn("_c2", sum($"_d2").over(w))
+      .withColumn("_n1", sum($"_d1").over(wTot))
+      .withColumn("_n2", sum($"_d2").over(wTot))
+      .groupBy($"_g")
+      .agg(first($"_n1").as("n1"), first($"_n2").as("n2"),
+        max(abs($"_c1" * $"_n2" - $"_c2" * $"_n1")).as("_dmax"))
+      .where($"n1" > 0 && $"n2" > 0)
+      .select($"_g".as(groupCol), $"n1", $"n2",
+        expr("(10000 * _dmax) div (n1 * n2)").as("ks_bp"))
+  }
 }

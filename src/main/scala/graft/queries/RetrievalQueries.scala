@@ -321,6 +321,34 @@ object RetrievalQueries extends QueryGroup {
       |       sum(y)::BIGINT AS sy, sum(y * y)::BIGINT AS syy
       |FROM e GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Exact two-sample KS drift per event type: value distribution of
+    * the first half of January vs the second, as an integer basis-point
+    * statistic. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    Frequency.ksDrift(ev, "event_type", "value", ev("ts") < "2024-01-16")
+      .orderBy($"event_type")
+  }
+
+  private val ksDriftSql =
+    """WITH e AS (
+      |  SELECT event_type AS g, value AS v,
+      |         CASE WHEN ts < '2024-01-16' THEN 1 ELSE 0 END AS in1
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |pv AS (SELECT g, v, sum(in1)::BIGINT AS d1,
+      |       sum(1 - in1)::BIGINT AS d2 FROM e GROUP BY g, v),
+      |c AS (SELECT g, v,
+      |      sum(d1) OVER (PARTITION BY g ORDER BY v) AS c1,
+      |      sum(d2) OVER (PARTITION BY g ORDER BY v) AS c2,
+      |      sum(d1) OVER (PARTITION BY g) AS n1,
+      |      sum(d2) OVER (PARTITION BY g) AS n2
+      |      FROM pv)
+      |SELECT g AS event_type, n1::BIGINT AS n1, n2::BIGINT AS n2,
+      |       ((10000 * max(abs(c1 * n2 - c2 * n1))) // (n1 * n2))::BIGINT
+      |         AS ks_bp
+      |FROM c WHERE n1 > 0 AND n2 > 0
+      |GROUP BY g, n1, n2 ORDER BY event_type""".stripMargin
+
   /** Interpolated per-type value percentiles (percentile_cont
     * semantics) via the distributed-selection machinery — checked
     * against DuckDB's NATIVE quantile_cont, an independent
@@ -344,6 +372,7 @@ object RetrievalQueries extends QueryGroup {
     QueryDef("ext_quantile_cont", quantileCont, Some(quantileContSql)),
     QueryDef("ext_corr_ols", corrOls, Some(corrOlsSql)),
     QueryDef("ext_ols_moments", olsMoments, Some(olsMomentsSql)),
+    QueryDef("ext_ks_drift", ksDrift, Some(ksDriftSql)),
     QueryDef("ext_inverted_index", invertedIndex, Some(invertedIndexSql)),
     QueryDef("ext_bm25_topk", bm25TopK, Some(bm25TopKSql)),
     QueryDef("ext_tokenize_ids", tokenizeIds, Some(tokenizeIdsSql)),

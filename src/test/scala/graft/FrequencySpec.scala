@@ -239,4 +239,26 @@ class FrequencySpec extends SparkSpec {
     assert(empty.columns.toSeq === Seq("bucket", "lo", "hi", "n_rows"))
     assert(empty.count() === 0L)
   }
+
+  test("ksDrift: identical samples 0, disjoint near 10000, hand case exact, one-sample groups drop") {
+    val rows =
+      // identical distributions -> D = 0
+      (1 to 50).flatMap(v => Seq(("same", v.toLong, true), ("same", v.toLong, false))) ++
+      // disjoint supports -> D = 1 -> 10000 bp
+      (1 to 20).map(v => ("apart", v.toLong, true)) ++
+      (21 to 40).map(v => ("apart", v.toLong, false)) ++
+      // hand case: s1 = {1,2,3,4}, s2 = {3,4,5,6}:
+      //   at v=2: |2*4 - 0*4| = 8 -> D = 8/16 = 5000 bp
+      (1 to 4).map(v => ("hand", v.toLong, true)) ++
+      (3 to 6).map(v => ("hand", v.toLong, false)) ++
+      // only one sample present -> dropped
+      (1 to 5).map(v => ("solo", v.toLong, true))
+    val df = rows.toDF("g", "v", "first")
+    val out = Frequency.ksDrift(df, "g", "v", col("first"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("same") === ((50L, 50L, 0L)))
+    assert(out("apart") === ((20L, 20L, 10000L)))
+    assert(out("hand") === ((4L, 4L, 5000L)))
+    assert(!out.contains("solo"))
+  }
 }
