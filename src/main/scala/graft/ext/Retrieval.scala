@@ -167,4 +167,26 @@ object Retrieval {
       .groupBy($"phrase_id", $"doc_id")
       .agg(count(lit(1)).as("n_occ"))
   }
+
+  /** Banned-phrase blocklist screening — the NSFW / policy-phrase
+    * curation gate: every document gets `(n_hits, blocked)` against a
+    * literal phrase list, cardinality-preserving so the caller decides
+    * drop vs quarantine vs audit. Built on [[phraseSearch]], so the
+    * blocklist BROADCASTS and the corpus never reshuffles for the
+    * screen; exact consecutive-token matches, not substring matches
+    * ("class" never blocks on "ass"). */
+  def blocklistFilter(corpus: DataFrame, banned: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(banned.nonEmpty, "banned phrase list must not be empty")
+    val spark = corpus.sparkSession
+    val phrases = spark
+      .createDataFrame(banned.zipWithIndex.map { case (p, i) => (i.toLong, p) })
+      .toDF("phrase_id", "phrase")
+    val hits = phraseSearch(corpus, phrases, idCol, textCol)
+      .groupBy($"doc_id").agg(sum($"n_occ").as("n_hits"))
+    corpus.select(col(idCol).as("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select($"doc_id", coalesce($"n_hits", lit(0L)).as("n_hits"),
+        (coalesce($"n_hits", lit(0L)) > 0).as("blocked"))
+  }
 }

@@ -170,6 +170,28 @@ object RetrievalQueries extends QueryGroup {
        |SELECT phrase_id, doc_id, n_occ FROM m WHERE n_occ > 0
        |ORDER BY phrase_id, doc_id""".stripMargin
 
+  /** Blocklist screening: every doc scored against three banned
+    * bigrams; cardinality-preserving (n_hits, blocked) report. */
+  def blocklistQ(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.blocklistFilter(load(spark, dir, "documents"),
+        Seq("table hash", "big order", "slow key"))
+      .orderBy($"doc_id")
+
+  private val blocklistSql =
+    s"""WITH p AS (SELECT * FROM (VALUES
+       |    (['table', 'hash']), (['big', 'order']), (['slow', 'key']))
+       |    AS t(ptoks)),
+       |d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |m AS (
+       |  SELECT d.doc_id,
+       |         sum(len(list_filter(range(1, len(d.toks) + 1),
+       |             s -> d.toks[s:(s + len(p.ptoks) - 1)] = p.ptoks)))::BIGINT
+       |           AS n_hits
+       |  FROM p CROSS JOIN d GROUP BY d.doc_id)
+       |SELECT d.doc_id, coalesce(m.n_hits, 0)::BIGINT AS n_hits,
+       |       coalesce(m.n_hits, 0) > 0 AS blocked
+       |FROM d LEFT JOIN m USING (doc_id) ORDER BY d.doc_id""".stripMargin
+
   /** Median/MAD robust outlier detection on events.value (as exact q4
     * fixed point) per event type, emitting only the flagged rows — two
     * distributed-selection quantile passes, group-sized frames
@@ -379,5 +401,6 @@ object RetrievalQueries extends QueryGroup {
     QueryDef("ext_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("ext_winsorize", winsorize, Some(winsorizeSql)),
     QueryDef("ext_phrase_search", phraseSearch, Some(phraseSearchSql)),
+    QueryDef("ext_blocklist", blocklistQ, Some(blocklistSql)),
     QueryDef("ext_outlier_mad", outlierMad, Some(outlierMadSql)))
 }

@@ -150,6 +150,20 @@ class RetrievalSpec extends SparkSpec {
     assert(out(2L) === ((2L, 3L, "low,aa,aa")))
   }
 
+  test("blocklistFilter: exact consecutive matches only, cardinality preserved") {
+    val d = docs(
+      1L -> "the quick brown fox",
+      2L -> "quick brown quick brown",
+      3L -> "brown quick",          // reversed -> no match
+      4L -> "quickbrown together")  // no substring matches
+    val out = Retrieval.blocklistFilter(d, Seq("quick brown"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(out === Map(
+      1L -> ((1L, true)), 2L -> ((2L, true)),
+      3L -> ((0L, false)), 4L -> ((0L, false))))
+    intercept[IllegalArgumentException](Retrieval.blocklistFilter(d, Seq.empty))
+  }
+
   test("winsorize: exact bounds, clipping, and flags per group") {
     val d = (1L to 100L).map(i => (i, "g", i)) // values 1..100
       .toDF("doc_id", "grp", "v")
