@@ -394,6 +394,58 @@ object TextStats {
         coalesce(expr("s div n_bigrams"), lit(0L)).as("lm_q6"))
   }
 
+  /** Bigram LM scoring with STUPID BACKOFF (Brants et al., EMNLP 2007
+    * — the web-scale LM smoothing that needs no discount tuning):
+    * train conditional bigram stats on the `isTrain` subcorpus, score
+    * EVERY document — including out-of-domain ones full of unseen
+    * bigrams, which [[lmScore]] (self-trained, no backoff) cannot
+    * rank. Per bigram (w₁,w₂): seen → ⌊10⁶·c₂(w₁w₂) ∕ c₁(w₁)⌋;
+    * unseen → backoff ⌊0.4·10⁶·ct(w₂) ∕ N⌋ (train unigram prob of the
+    * CONTINUATION, 0.4 = the paper's fixed α as the exact ratio
+    * 400000/10⁶); both words unseen → 0. Doc score = mean over its
+    * bigrams — all integer arithmetic, the [[lmScore]] determinism
+    * pattern.
+    *
+    * Scale shape: two train-side map-side-combined counts (bigram +
+    * unigram), then the corpus grams take one equi join per table and
+    * one doc-keyed aggregate — the vocabulary shuffles, the text does
+    * not. */
+  def lmScoreBackoff(docs: DataFrame, isTrain: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val train = docs.where(isTrain)
+    val tb = train
+      .select(explode(wordNgrams(tokens(col(textCol)), 2)).as("g"))
+      .groupBy($"g").agg(count(lit(1)).as("_c2"))
+    val tuAll = train
+      .select(explode(tokens(col(textCol))).as("w"))
+    val tu = tuAll.groupBy($"w").agg(count(lit(1)).as("_c1w"))
+    val n = tuAll.count() // exact scalar; one map-side-combined count
+    val c1 = tb
+      .select(substring_index($"g", " ", 1).as("w1"), $"_c2")
+      .groupBy($"w1").agg(sum($"_c2").as("_c1"))
+    val grams = docs
+      .select(col(idCol), explode(wordNgrams(tokens(col(textCol)), 2)).as("g"))
+    val scored = grams
+      .join(tb, Seq("g"), "left")
+      .join(c1, substring_index(grams("g"), " ", 1) === c1("w1"), "left")
+      .join(tu, substring_index(grams("g"), " ", -1) === tu("w"), "left")
+      .select(col(idCol),
+        when($"_c2".isNotNull, expr("(1000000 * _c2) div _c1"))
+          .otherwise(coalesce(expr(s"(400000 * _c1w) div ${math.max(n, 1L)}"),
+            lit(0L))).as("_q"),
+        $"_c2".isNull.as("_backoff"))
+    docs.select(col(idCol))
+      .join(scored.groupBy(col(idCol))
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(when($"_backoff", 1L).otherwise(0L)).as("n_backoff"),
+            sum($"_q").as("_s")),
+        Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+        coalesce($"n_backoff", lit(0L)).as("n_backoff"),
+        coalesce(expr("_s div n_bigrams"), lit(0L)).as("lm_q6"))
+  }
+
   /** Top-k adjacent-token-pair frequencies — the statistic one BPE
     * training step ranks (count DESC, gram ASC tie-break, so the cut is
     * deterministic). Global top-k plans as TakeOrderedAndProject over a

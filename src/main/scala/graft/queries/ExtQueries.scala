@@ -1324,6 +1324,55 @@ object ExtQueries extends QueryGroup {
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Stupid-backoff bigram LM: train on the en subcorpus, score every
+    * document — off-domain docs rank via the unigram backoff path. */
+  def textLmBackoff(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    TextStats.lmScoreBackoff(docs, $"lang" === "en")
+      .orderBy($"doc_id")
+  }
+
+  private val textLmBackoffSql =
+    s"""WITH w AS (SELECT doc_id, lang, $toksSql AS ws FROM documents),
+       |tbg AS (
+       |  SELECT unnest(CASE WHEN len(ws) >= 2
+       |           THEN list_transform(range(1, len(ws)),
+       |                  i -> ws[i] || ' ' || ws[i + 1])
+       |           ELSE []::VARCHAR[] END) AS g
+       |  FROM w WHERE lang = 'en'),
+       |tb AS (SELECT g, count(*)::BIGINT AS c2 FROM tbg GROUP BY g),
+       |tuw AS (SELECT unnest(ws) AS w2 FROM w WHERE lang = 'en'),
+       |tu AS (SELECT w2, count(*)::BIGINT AS c1w FROM tuw GROUP BY w2),
+       |nt AS (SELECT count(*)::BIGINT AS n FROM tuw),
+       |c1 AS (SELECT split_part(g, ' ', 1) AS w1, sum(c2)::BIGINT AS c1
+       |       FROM tb GROUP BY 1),
+       |bg AS (
+       |  SELECT doc_id, unnest(CASE WHEN len(ws) >= 2
+       |           THEN list_transform(range(1, len(ws)),
+       |                  i -> ws[i] || ' ' || ws[i + 1])
+       |           ELSE []::VARCHAR[] END) AS g
+       |  FROM w),
+       |q AS (
+       |  SELECT bg.doc_id,
+       |         CASE WHEN tb.c2 IS NOT NULL THEN (1000000 * tb.c2) // c1.c1
+       |              ELSE coalesce((400000 * tu.c1w) // nt.n, 0) END AS q,
+       |         (tb.c2 IS NULL) AS backoff
+       |  FROM bg LEFT JOIN tb USING (g)
+       |  LEFT JOIN c1 ON split_part(bg.g, ' ', 1) = c1.w1
+       |  LEFT JOIN tu ON split_part(bg.g, ' ', 2) = tu.w2
+       |  CROSS JOIN nt),
+       |per AS (
+       |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+       |         sum(CASE WHEN backoff THEN 1 ELSE 0 END)::BIGINT AS n_backoff,
+       |         sum(q)::BIGINT AS s
+       |  FROM q GROUP BY doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       |       coalesce(p.n_backoff, 0)::BIGINT AS n_backoff,
+       |       coalesce(p.s // p.n_bigrams, 0)::BIGINT AS lm_q6
+       |FROM documents d LEFT JOIN per p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   /** Top-50 adjacent-token pairs by corpus frequency (one BPE training
     * step's ranked statistic; deterministic count-then-gram tie-break). */
   def vocabPairs(spark: SparkSession, dir: String): DataFrame =
@@ -2609,6 +2658,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
     QueryDef("ext_text_lm", textLm, Some(textLmSql)),
+    QueryDef("ext_text_lm_backoff", textLmBackoff, Some(textLmBackoffSql)),
     QueryDef("ext_vocab_pairs", vocabPairs, Some(vocabPairsSql)),
     QueryDef("ext_bpe_merges", bpeMergesQ, Some(bpeMergesSql)),
     QueryDef("ext_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),

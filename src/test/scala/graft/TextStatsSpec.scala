@@ -412,6 +412,22 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1L) === 10000L)
   }
 
+  test("lmScoreBackoff: seen path, unigram backoff, double-unseen zero, short doc kept") {
+    val docs = Seq(
+      (1L, "en", "a b a b"),  // train: c2(a b)=2, c2(b a)=1; c1(a)=2, c1(b)=1; N=4
+      (2L, "fr", "z a"),      // unseen bigram, seen continuation -> 400000*2/4
+      (3L, "fr", "z q"),      // both unseen -> 0
+      (4L, "fr", "a"))        // no bigrams -> zeros
+      .toDF("doc_id", "lang", "text")
+    val out = graft.ext.TextStats.lmScoreBackoff(docs, col("lang") === "en")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((3L, 0L, 1000000L))) // every train bigram has p=1
+    assert(out(2L) === ((1L, 1L, 200000L)))
+    assert(out(3L) === ((1L, 1L, 0L)))
+    assert(out(4L) === ((0L, 0L, 0L)))
+  }
+
   test("charDiversity: hand-computed shares and collision probabilities, empty/null rows kept") {
     val docs = Seq(
       (1L, "aaa"),            // one char: top 10000, simpson 10000
