@@ -1444,7 +1444,34 @@ object ExtQueries extends QueryGroup {
        |       list_transform(range(1, length(w) + 1), i -> substr(w, i, 1)) AS syms
        |       FROM w0)""".stripMargin
 
-  private val bpeEncodeSql = {
+  /** Tokenizer fertility by language: pieces-per-word after applying
+    * the corpus-trained merges — the multilingual-fairness metric
+    * (a language whose words shatter into many pieces pays more
+    * sequence length per sentence). */
+  def bpeFertilityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val merges = graft.ext.Vocab.bpeMerges(docs, rounds = 6)
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.ext.Vocab.bpeEncode(docs, merges, headPieces = 32)
+      .join(docs.select($"doc_id", $"lang"), Seq("doc_id"))
+      .groupBy($"lang")
+      .agg(sum($"n_words").as("n_words"), sum($"n_pieces").as("n_pieces"))
+      .select($"lang", $"n_words", $"n_pieces",
+        expr("(10000 * n_pieces) div n_words").as("fertility_bp"))
+      .orderBy($"lang")
+  }
+
+  private def bpeFertilitySql =
+    s"""$bpeApplyWith
+       |SELECT d2.lang, count(*)::BIGINT AS n_words,
+       |       sum(len(dj.pieces))::BIGINT AS n_pieces,
+       |       ((10000 * sum(len(dj.pieces))) // count(*))::BIGINT AS fertility_bp
+       |FROM dj JOIN documents d2 USING (doc_id)
+       |GROUP BY d2.lang ORDER BY d2.lang""".stripMargin
+
+  /** Everything through `dj` (doc word positions → applied pieces) —
+    * shared by the encode and fertility oracles. A def (init-order). */
+  private def bpeApplyWith = {
     // training rounds (same as bpeMergesSql)
     def trainRound(r: Int) =
       s"""px$r AS (SELECT cnt, syms, unnest(range(1, len(syms))) AS i FROM s${r - 1}),
@@ -1499,13 +1526,16 @@ object ExtQueries extends QueryGroup {
        |dw2 AS (SELECT doc_id, pos, ws[pos] AS w FROM dw),
        |dj AS (SELECT dw2.doc_id, dw2.pos,
        |       coalesce(e6.syms, [dw2.w]) AS pieces
-       |       FROM dw2 LEFT JOIN e6 ON dw2.w = e6.w)
+       |       FROM dw2 LEFT JOIN e6 ON dw2.w = e6.w)""".stripMargin
+  }
+
+  private def bpeEncodeSql =
+    s"""$bpeApplyWith
        |SELECT doc_id, count(*)::BIGINT AS n_words,
        |       sum(len(pieces))::BIGINT AS n_pieces,
        |       array_to_string(list_slice(flatten(list(pieces ORDER BY pos)), 1, 32), ',')
        |         AS pieces_csv
        |FROM dj GROUP BY doc_id ORDER BY doc_id""".stripMargin
-  }
 
   private val vocabPairsSql =
     s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
@@ -2662,6 +2692,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_vocab_pairs", vocabPairs, Some(vocabPairsSql)),
     QueryDef("ext_bpe_merges", bpeMergesQ, Some(bpeMergesSql)),
     QueryDef("ext_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),
+    QueryDef("ext_bpe_fertility", bpeFertilityQ, Some(bpeFertilitySql)),
     QueryDef("ext_text_repetition", textRepetition, Some(textRepetitionSql)),
     QueryDef("ext_heavy_hitters", heavyHitters, Some(heavyHittersSql)),
     QueryDef("ext_heavy_distinct", heavyDistinct, Some(heavyDistinctSql)),
