@@ -2145,6 +2145,29 @@ object ExtQueries extends QueryGroup {
     Sampling.packSequences(load(spark, dir, "documents"), 2000L)
       .orderBy($"doc_id")
 
+  /** Packing-efficiency report: per training sequence, how many docs
+    * landed in it and how far its token fill deviates from the 2000
+    * budget (docs straddle greedily, so fills over- or under-shoot by
+    * up to one doc — the padding/truncation cost a trainer pays). */
+  def packReportQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.packSequences(load(spark, dir, "documents"), 2000L)
+      .groupBy($"seq_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"))
+      .select($"seq_id", $"n_docs", $"n_tokens",
+        ($"n_tokens" - lit(2000L)).as("fill_delta"))
+      .orderBy($"seq_id")
+
+  private val packReportSql =
+    s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents),
+       |p AS (SELECT doc_id, n_tokens,
+       |      ((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+       |        - n_tokens) // 2000)::BIGINT AS seq_id
+       |      FROM w)
+       |SELECT seq_id, count(*)::BIGINT AS n_docs,
+       |       sum(n_tokens)::BIGINT AS n_tokens,
+       |       (sum(n_tokens) - 2000)::BIGINT AS fill_delta
+       |FROM p GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
   private val packSeqsSql =
     s"""WITH w AS (SELECT doc_id, len($toksSql)::BIGINT AS n_tokens FROM documents)
        |SELECT doc_id, n_tokens,
@@ -2726,5 +2749,6 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sample_cap", sampleCap, Some(sampleCapSql)),
     QueryDef("ext_mix_report", mixReport, Some(mixReportSql)),
     QueryDef("ext_pack_sequences", packSeqs, Some(packSeqsSql)),
+    QueryDef("ext_pack_report", packReportQ, Some(packReportSql)),
     QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)))
 }
