@@ -240,6 +240,32 @@ class FrequencySpec extends SparkSpec {
     assert(empty.count() === 0L)
   }
 
+  test("ksDrift == naive driver-side KS on seeded random samples") {
+    val rnd = new scala.util.Random(1234)
+    val rows = (1 to 2000).map { _ =>
+      val g = s"g${rnd.nextInt(4)}"
+      // shifted distributions per sample so D is non-trivial
+      val first = rnd.nextBoolean()
+      val v = (if (first) rnd.nextInt(100) else rnd.nextInt(100) + rnd.nextInt(30)).toLong
+      (g, v, first)
+    }
+    val out = Frequency.ksDrift(rows.toDF("g", "v", "first"), "g", "v", col("first"))
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      val s1 = rs.filter(_._3).map(_._2)
+      val s2 = rs.filterNot(_._3).map(_._2)
+      if (s1.isEmpty || s2.isEmpty) None
+      else {
+        val grid = (s1 ++ s2).distinct.sorted
+        val dmax = grid.map { v =>
+          math.abs(s1.count(_ <= v).toLong * s2.size - s2.count(_ <= v).toLong * s1.size)
+        }.max
+        Some(g -> (10000L * dmax / (s1.size.toLong * s2.size)))
+      }
+    }
+    assert(out === want)
+  }
+
   test("ksDrift: identical samples 0, disjoint near 10000, hand case exact, one-sample groups drop") {
     val rows =
       // identical distributions -> D = 0
