@@ -446,6 +446,37 @@ object TextStats {
         coalesce(expr("_s div n_bigrams"), lit(0L)).as("lm_q6"))
   }
 
+  /** Emerging/receding terms between two corpus snapshots: for every
+    * token, its frequency share (basis points of all tokens) in the
+    * `isFirst` sample vs the rest, ranked by absolute share delta —
+    * "what changed between last crawl and this one" at the vocabulary
+    * level, the term-resolution companion to the distribution-level
+    * [[mixKlDrift]] / KS monitors. All integer: share_bp = ⌊10⁴·c ∕ N⌋
+    * per era, delta = late − early.
+    *
+    * Scale shape: one (term, era) map-side-combined count, a tiny
+    * 2-row totals aggregate broadcast as literals-via-join, and a
+    * TakeOrdered top-k — no full sort. */
+  def termDrift(docs: DataFrame, isFirst: Column, k: Int,
+      textCol: String = "text"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val toksE = docs
+      .select(when(isFirst, 1L).otherwise(0L).as("_in1"),
+        explode(tokens(col(textCol))).as("w"))
+      .where($"w" =!= "")
+    val counts = toksE.groupBy($"w")
+      .agg(sum($"_in1").as("_c1"), sum(lit(1L) - $"_in1").as("_c2"))
+    val totals = counts.agg(sum($"_c1").as("_n1"), sum($"_c2").as("_n2"))
+    counts.crossJoin(broadcast(totals))
+      .where($"_n1" > 0 && $"_n2" > 0)
+      .select($"w",
+        expr("(10000 * _c1) div _n1").as("early_bp"),
+        expr("(10000 * _c2) div _n2").as("late_bp"))
+      .withColumn("delta_bp", $"late_bp" - $"early_bp")
+      .orderBy(abs($"delta_bp").desc, $"w".asc)
+      .limit(k)
+  }
+
   /** Top-k adjacent-token-pair frequencies — the statistic one BPE
     * training step ranks (count DESC, gram ASC tie-break, so the cut is
     * deterministic). Global top-k plans as TakeOrderedAndProject over a

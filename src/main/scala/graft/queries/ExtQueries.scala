@@ -1324,6 +1324,27 @@ object ExtQueries extends QueryGroup {
        |FROM documents d LEFT JOIN per p USING (doc_id)
        |ORDER BY doc_id""".stripMargin
 
+  /** Top-40 emerging/receding terms between the even-id and odd-id
+    * document snapshots, by absolute frequency-share delta. */
+  def termDriftQ(spark: SparkSession, dir: String): DataFrame =
+    TextStats.termDrift(load(spark, dir, "documents"),
+      $"doc_id" % 2 === 0, k = 40)
+
+  private val termDriftSql =
+    s"""WITH t AS (
+       |  SELECT CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS in1,
+       |         unnest($toksSql) AS w
+       |  FROM documents),
+       |c AS (SELECT w, sum(in1)::BIGINT AS c1, sum(1 - in1)::BIGINT AS c2
+       |      FROM t WHERE w <> '' GROUP BY w),
+       |tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c)
+       |SELECT w, ((10000 * c1) // n1)::BIGINT AS early_bp,
+       |       ((10000 * c2) // n2)::BIGINT AS late_bp,
+       |       ((10000 * c2) // n2 - (10000 * c1) // n1)::BIGINT AS delta_bp
+       |FROM c CROSS JOIN tot WHERE n1 > 0 AND n2 > 0
+       |ORDER BY abs((10000 * c2) // n2 - (10000 * c1) // n1) DESC, w
+       |LIMIT 40""".stripMargin
+
   /** Stupid-backoff bigram LM: train on the en subcorpus, score every
     * document — off-domain docs rank via the unigram backoff path. */
   def textLmBackoff(spark: SparkSession, dir: String): DataFrame = {
@@ -2712,6 +2733,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
     QueryDef("ext_text_lm", textLm, Some(textLmSql)),
     QueryDef("ext_text_lm_backoff", textLmBackoff, Some(textLmBackoffSql)),
+    QueryDef("ext_term_drift", termDriftQ, Some(termDriftSql)),
     QueryDef("ext_vocab_pairs", vocabPairs, Some(vocabPairsSql)),
     QueryDef("ext_bpe_merges", bpeMergesQ, Some(bpeMergesSql)),
     QueryDef("ext_bpe_encode", bpeEncodeQ, Some(bpeEncodeSql)),

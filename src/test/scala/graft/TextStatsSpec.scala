@@ -412,6 +412,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out(1L) === 10000L)
   }
 
+  test("termDrift: planted emerging term tops the ranking; top-k plans as TakeOrdered") {
+    val docs = Seq(
+      (1L, "stable stable stable filler"),
+      (2L, "stable stable stable newterm newterm newterm"))
+      .toDF("doc_id", "text")
+    // snapshot 1 = doc_id % 2 == 0 -> doc 2; snapshot 2 -> doc 1
+    val df = graft.ext.TextStats.termDrift(docs, col("doc_id") % 2 === 0, k = 3)
+    val out = df.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // newterm: early 3/6=5000bp, late 0 -> delta -5000
+    assert(out("newterm") === ((5000L, 0L, -5000L)))
+    // filler: early 0, late 1/4=2500bp -> delta +2500
+    assert(out("filler") === ((0L, 2500L, 2500L)))
+    assert(df.queryExecution.executedPlan.toString
+      .contains("TakeOrderedAndProject"))
+  }
+
   test("lmScoreBackoff: seen path, unigram backoff, double-unseen zero, short doc kept") {
     val docs = Seq(
       (1L, "en", "a b a b"),  // train: c2(a b)=2, c2(b a)=1; c1(a)=2, c1(b)=1; N=4
