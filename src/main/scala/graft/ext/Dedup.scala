@@ -811,6 +811,63 @@ object Dedup {
         $"is_exact_dup")
   }
 
+  /** ASYMMETRIC containment join — quote detection: all pairs (a, b)
+    * where ≥ `thresholdBp`/10⁴ of a's DISTINCT tokens also occur in b
+    * (a from `left`, b from `right`, a ≠ b). The signal symmetric
+    * Jaccard structurally misses: a short doc quoted verbatim inside
+    * a long one has containment 1.0 but Jaccard ≈ |a|∕|b| ≈ 0.
+    *
+    * Candidate generation is a COMPLETE prefix filter adapted to
+    * containment (the PPJoin family): order a's tokens rarest-first
+    * (by right-corpus frequency) and keep the (|a| − ⌈t·|a|⌉ + 1)-
+    * prefix — a pair with |a∩b| ≥ ⌈t·|a|⌉ has fewer non-prefix
+    * elements in a than that, so some SHARED token is in the prefix;
+    * b is probed on its FULL token set (required for containment —
+    * only the probing side's prefix can be bounded). Verification is
+    * exact set intersection on the candidate pairs only.
+    *
+    * Scale shape: rarest-first prefixes keep the a-side buckets tiny;
+    * the b-side posting list of a rare token is short by definition.
+    * The adversarial case — a probe doc made ENTIRELY of corpus-hot
+    * tokens — degrades to that token's posting list, which is why the
+    * probing side is the place for a small/filtered frame (the
+    * decontaminate/bm25 probe contract). Integer threshold math
+    * throughout (⌈t·n⌉ = (bp·n + 9999) div 10⁴). */
+  def containmentJoin(left: DataFrame, right: DataFrame,
+      thresholdBp: Int = 9000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(thresholdBp >= 1 && thresholdBp <= 10000,
+      s"thresholdBp must be in [1, 10000], got $thresholdBp")
+    import org.apache.spark.sql.expressions.Window
+    def sets(df: DataFrame, name: String) = df.select(
+      col(idCol).as(name), array_distinct(TextStats.tokens(col(textCol))).as("_s"))
+    val rightSets = sets(right, "id_b").persistScoped
+    val rightToks = rightSets
+      .select($"id_b", explode($"_s").as("w"))
+      .persistScoped // frequency table + candidate probe both read this
+    val freq = rightToks.groupBy($"w").agg(count(lit(1)).as("_df"))
+    val leftSets = sets(left, "id_a").persistScoped
+    val w = Window.partitionBy($"id_a").orderBy($"_df".asc, $"w".asc)
+    val leftPrefix = leftSets
+      .select($"id_a", size($"_s").as("_na"), explode($"_s").as("w"))
+      .join(freq, Seq("w"), "left")
+      .withColumn("_df", coalesce($"_df", lit(0L)))
+      .withColumn("_rk", row_number().over(w))
+      .where($"_rk" <= $"_na" -
+        expr(s"($thresholdBp * _na + 9999) div 10000") + 1)
+    val cand = leftPrefix.select($"id_a", $"w")
+      .join(rightToks, Seq("w"))
+      .where($"id_a" =!= $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    cand
+      .join(leftSets, Seq("id_a"))
+      .join(rightSets.toDF("id_b", "_sb"), Seq("id_b"))
+      .select($"id_a", $"id_b", size($"_s").cast("long").as("n_a"),
+        size(array_intersect($"_s", $"_sb")).cast("long").as("overlap"))
+      .where(lit(10000L) * $"overlap" >= lit(thresholdBp.toLong) * $"n_a")
+      .withColumn("contain_bp", expr("(10000 * overlap) div n_a"))
+  }
+
   /** Per-source curation dashboard: the numbers a dataset card reports
     * before training — docs, exact-duplicate count/rate (docs beyond
     * the first per content digest) and segment-level duplication

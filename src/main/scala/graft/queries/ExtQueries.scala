@@ -221,6 +221,27 @@ object ExtQueries extends QueryGroup {
        |       ((10000 * (n_segments - su)) // n_segments)::BIGINT AS seg_dup_bp
        |FROM ex JOIN s2 USING (source) ORDER BY ex.source""".stripMargin
 
+  /** Quote detection: which corpus docs contain ≥ 90% of each probe
+    * doc's distinct tokens. Oracle is the naive probe×corpus form —
+    * the prefix filter is complete, so results are identical. */
+  def containmentQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Dedup.containmentJoin(docs.where($"doc_id" % 100 === 1), docs, 9000)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val containmentSql =
+    s"""WITH p AS (SELECT doc_id, list_distinct($toksSql) AS s FROM documents)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       len(a.s)::BIGINT AS n_a,
+       |       len(list_intersect(a.s, b.s))::BIGINT AS overlap,
+       |       ((10000 * len(list_intersect(a.s, b.s))) // len(a.s))::BIGINT
+       |         AS contain_bp
+       |FROM p a JOIN p b ON a.doc_id <> b.doc_id
+       |WHERE a.doc_id % 100 = 1
+       |  AND 10000 * len(list_intersect(a.s, b.s)) >= 9000 * len(a.s)
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Cross-source containment matrix over 8-token segments. */
   def sourceOverlapQ(spark: SparkSession, dir: String): DataFrame =
     Dedup.sourceOverlap(load(spark, dir, "documents"), segLen = 8)
@@ -2706,6 +2727,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_increment", dedupIncrement, Some(dedupIncrementSql)),
     QueryDef("ext_dedup_report", dedupReportQ, Some(dedupReportSql)),
     QueryDef("ext_source_overlap", sourceOverlapQ, Some(sourceOverlapSql)),
+    QueryDef("ext_containment", containmentQ, Some(containmentSql)),
     QueryDef("ext_sim_rp", simRandomProject, Some(simRandomProjectSql)),
     QueryDef("ext_multimodal_meta", multimodalMeta, Some(multimodalMetaSql)),
     QueryDef("ext_sim_lsh_ann", simLsh, Some(simLshSql)),

@@ -444,6 +444,31 @@ class DedupSpec extends SparkSpec {
     assert(out("b") === ((2L, 0L, 0L, 4L, 1L, 2500L)))
   }
 
+  test("containmentJoin: prefix filter is complete vs naive; catches the quote Jaccard misses") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 60L).map { i =>
+      val base = (1 to (i % 9 + 3).toInt).map(j => s"w${(i + j) % 17}")
+      (i, base.mkString(" "))
+    } :+ (100L, "w1 w2 w3") :+                    // short probe...
+      (101L, (1 to 40).map(j => s"w$j").mkString(" ")) // ...quoted in a long doc
+    val df = docs.toDF("doc_id", "text")
+    val got = Dedup.containmentJoin(df, df, 9000)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(4)).toMap
+    // naive reference over distinct token sets
+    val sets = docs.map { case (id, t) => id -> t.split(" ").distinct.toSet }.toMap
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      ov = (sa & sb).size
+      if 10000L * ov >= 9000L * sa.size
+    } yield (a, b) -> (10000L * ov / sa.size)).toMap
+    assert(got === want)
+    // the quote case: containment(100 -> 101) = 10000, Jaccard tiny
+    assert(got((100L, 101L)) === 10000L)
+    val jac = 10000L * (sets(100L) & sets(101L)).size /
+      (sets(100L) | sets(101L)).size
+    assert(jac < 1000L)
+  }
+
   test("sourceOverlap: asymmetric containment with explicit zero rows") {
     import spark.implicits._
     val seg1 = (1 to 8).map(i => s"w$i").mkString(" ")
