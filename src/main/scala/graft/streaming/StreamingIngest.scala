@@ -103,6 +103,64 @@ object StreamingIngest {
       }
   }
 
+  /** State for [[heavyHittersStream]]: the bounded Space-Saving counter
+    * table (item → (count, overestimate-error)). */
+  case class SpaceSavingState(counters: Map[String, (Long, Long)], processed: Long)
+  /** `n_processed` is the group's monotone total at emission time — an
+    * Update-mode sink retains rows from earlier batches (including
+    * later-EVICTED items), so "the final counter table" = the rows
+    * carrying the group's max n_processed. */
+  case class HeavyHitter(group_id: Long, item: String, count: Long,
+    err: Long, n_processed: Long)
+
+  /** Streaming heavy hitters with BOUNDED state: the Space-Saving
+    * algorithm (Metwally et al., ICDT 2005) per group key. Each group
+    * keeps at most `capacity` counters; an unseen item arriving at a
+    * full table EVICTS the minimum counter and inherits its count + 1
+    * with that count recorded as the overestimate error — the classic
+    * guarantees hold (count ≥ true count; count − err ≤ true count;
+    * any item with true frequency > N∕capacity is IN the table), so
+    * state stays O(capacity) per group forever while an exact
+    * streaming count grows with the distinct-item count — the thing
+    * that kills long-running jobs. Emits the full counter table each
+    * batch (Update semantics downstream pick top-k).
+    *
+    * When `capacity` ≥ distinct items per group the algorithm is
+    * EXACT — the batch≡stream parity spec pins that path; eviction
+    * bounds are spec'd separately. */
+  def heavyHittersStream(events: org.apache.spark.sql.Dataset[KeyedTypedEvent],
+      capacity: Int): org.apache.spark.sql.Dataset[HeavyHitter] = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SpaceSavingState, HeavyHitter](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[KeyedTypedEvent], state: GroupState[SpaceSavingState]) =>
+          val st0 = state.getOption.getOrElse(SpaceSavingState(Map.empty, 0L))
+          var c = st0.counters
+          var np = st0.processed
+          // deterministic fold order inside the batch
+          rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+            val item = e.event_type
+            np += 1
+            c.get(item) match {
+              case Some((n, err)) => c = c.updated(item, (n + 1, err))
+              case None if c.size < capacity => c = c.updated(item, (1L, 0L))
+              case None =>
+                // evict the min counter (ties: lexicographically smallest
+                // item — deterministic, any victim preserves the bounds)
+                val (vic, (vn, _)) = c.minBy { case (k, (n, _)) => (n, k) }
+                c = (c - vic).updated(item, (vn + 1, vn))
+            }
+          }
+          state.update(SpaceSavingState(c, np))
+          c.iterator.map { case (item, (n, err)) =>
+            HeavyHitter(uid, item, n, err, np)
+          }
+      }
+  }
+
   /** State for [[transitionsStream]]: each key remembers only its LAST
     * event — O(1) state per key forever, the cheapest stateful shape. */
   case class LastSeen(tsMicros: Long, eventId: Long, eventType: String)

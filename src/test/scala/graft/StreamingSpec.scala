@@ -330,6 +330,56 @@ class StreamingSpec extends SparkSpec {
       (1L, "click", "purchase"), (1L, "view", "click"), (2L, "view", "click")))
   }
 
+  test("heavyHittersStream: exact when capacity suffices; eviction keeps Space-Saving bounds") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.KeyedTypedEvent
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // one group (user 1), skewed item stream split across two batches
+    val items = Seq.fill(8)("a") ++ Seq.fill(5)("b") ++ Seq.fill(3)("c") ++
+      Seq("d", "e", "d")
+    val evs = items.zipWithIndex.map { case (it, i) =>
+      KeyedTypedEvent(1L, i.toLong, ts(i.toLong), it)
+    }
+    val (b1, b2) = evs.splitAt(9)
+
+    def run(cap: Int, name: String): Map[String, (Long, Long)] = {
+      val input = MemoryStream[KeyedTypedEvent]
+      val q = StreamingIngest.heavyHittersStream(input.toDS(), cap)
+        .writeStream.outputMode(OutputMode.Update())
+        .format("memory").queryName(name).start()
+      try {
+        input.addData(b1: _*); q.processAllAvailable()
+        input.addData(b2: _*); q.processAllAvailable()
+      } finally q.stop()
+      // final counter table = rows at the group's max n_processed
+      // (Update-mode sinks retain earlier batches' rows, incl. evictees)
+      val all = spark.table(name).as[StreamingIngest.HeavyHitter].collect()
+      val last = all.map(_.n_processed).max
+      all.filter(_.n_processed == last)
+        .map(h => h.item -> ((h.count, h.err))).toMap
+    }
+
+    // capacity >= distinct items -> EXACT counts, zero error
+    val exact = run(8, "hh_exact")
+    val truth = items.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(exact.map { case (k, (n, _)) => k -> n } === truth)
+    assert(exact.values.forall(_._2 == 0L))
+
+    // capacity 3 -> bounded state; Space-Saving guarantees hold
+    val tight = run(3, "hh_tight")
+    assert(tight.size === 3)
+    tight.foreach { case (it, (n, err)) =>
+      val t = truth.getOrElse(it, 0L)
+      assert(n >= t, s"$it count $n under true $t")
+      assert(n - err <= t, s"$it lower bound ${n - err} over true $t")
+    }
+    // the heavy item survives eviction (freq > N/capacity)
+    assert(tight.contains("a") && tight("a")._1 >= truth("a"))
+  }
+
   test("anomaliesStream: multi-batch ring-buffer flags equal the batch operator") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
