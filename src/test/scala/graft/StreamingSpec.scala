@@ -330,6 +330,33 @@ class StreamingSpec extends SparkSpec {
       (1L, "click", "purchase"), (1L, "view", "click"), (2L, "view", "click")))
   }
 
+  test("grid quantile sketch maintains EXACTLY under streaming aggregation (mergeable relation)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val vals = (1 to 500).map(i => (i * 37 % 99).toDouble + (i % 7) * 0.25)
+    val (b1, b2) = vals.splitAt(230)
+    val input = MemoryStream[Double]
+    // the sketch IS a streaming aggregation: bucket counts in Update mode
+    val q = graft.ext.Frequency.gridQuantileSketch(input.toDF().toDF("v"), "v", 5.0)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("sketch_stream").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // Update mode emits a bucket row per batch it changed in; the last
+    // (max cnt — counts are monotone) row per bucket is current
+    val streamed = spark.table("sketch_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (b, rs) => b -> rs.map(_._2).max }
+    val batch = graft.ext.Frequency.gridQuantileSketch(
+        vals.toDF("v"), "v", 5.0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed === batch)
+  }
+
   test("heavyHittersStream: exact when capacity suffices; eviction keeps Space-Saving bounds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
