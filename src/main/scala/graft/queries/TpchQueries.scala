@@ -223,6 +223,114 @@ object TpchQueries extends QueryGroup {
       |GROUP BY c_custkey, c_name, c_acctbal, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** Q7 — volume shipping: bilateral trade revenue between two nations
+    * by ship year, the two-role nation join (supplier's nation vs
+    * customer's nation joined independently). Exact integer cents. */
+  def q7(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_suppkey", year($"l_shipdate").as("l_year"),
+        (round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("cents"))
+    val supp = load(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val n1 = load(spark, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val ord = load(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+    val cust = load(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val n2 = load(spark, dir, "nation")
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    li.join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .where(($"supp_nation" === "NATION_3" && $"cust_nation" === "NATION_7") ||
+        ($"supp_nation" === "NATION_7" && $"cust_nation" === "NATION_3"))
+      .groupBy($"supp_nation", $"cust_nation", $"l_year")
+      .agg((expr("(sum(cents) + 50) div 100") / 100.0).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  private val q7Sql =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       year(l_shipdate) AS l_year,
+      |       ((sum((round(l_extendedprice * 100))::BIGINT *
+      |             (100 - (round(l_discount * 100))::BIGINT)) + 50) // 100)
+      |         / 100.0 AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q8 — market share: the share of one supplier nation in a region's
+    * PROMO-part revenue per order year, as an exact basis-point ratio
+    * (two float sums' ratio can't hash — cents can). */
+  def q8(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey",
+        (round($"l_extendedprice" * 100).cast("long") *
+          (lit(100L) - round($"l_discount" * 100).cast("long"))).as("cents"))
+    val part = load(spark, dir, "part").where($"p_type" === "PROMO")
+      .select($"p_partkey")
+    val supp = load(spark, dir, "supplier").select($"s_suppkey", $"s_nationkey")
+    val n1 = load(spark, dir, "nation")
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val ord = load(spark, dir, "orders")
+      .select($"o_orderkey", $"o_custkey", year($"o_orderdate").as("o_year"))
+    val cust = load(spark, dir, "customer").select($"c_custkey", $"c_nationkey")
+    val n2 = load(spark, dir, "nation")
+      .select($"n_nationkey".as("c_nk"), $"n_regionkey")
+    val reg = load(spark, dir, "region").where($"r_name" === "ASIA")
+      .select($"r_regionkey")
+    li.join(part, $"l_partkey" === $"p_partkey")
+      .join(supp, $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(n1), $"s_nationkey" === $"s_nk")
+      .join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(cust, $"o_custkey" === $"c_custkey")
+      .join(broadcast(n2), $"c_nationkey" === $"c_nk")
+      .join(broadcast(reg), $"n_regionkey" === $"r_regionkey")
+      .groupBy($"o_year")
+      .agg(
+        sum(when($"supp_nation" === "NATION_5", $"cents").otherwise(0L))
+          .as("nat_c"),
+        sum($"cents").as("tot_c"))
+      .select($"o_year",
+        expr("(nat_c + 50) div 100").as("nation_cents"),
+        expr("(tot_c + 50) div 100").as("total_cents"),
+        expr("(10000 * nat_c) div tot_c").as("share_bp"))
+      .orderBy($"o_year")
+  }
+
+  private val q8Sql =
+    """WITH j AS (
+      |  SELECT year(o_orderdate) AS o_year,
+      |         (round(l_extendedprice * 100))::BIGINT *
+      |         (100 - (round(l_discount * 100))::BIGINT) AS cents,
+      |         n1.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  JOIN region ON n2.n_regionkey = r_regionkey
+      |  WHERE p_type = 'PROMO' AND r_name = 'ASIA'),
+      |s AS (
+      |  SELECT o_year,
+      |         sum(CASE WHEN supp_nation = 'NATION_5' THEN cents ELSE 0 END)
+      |           AS nat_c,
+      |         sum(cents) AS tot_c
+      |  FROM j GROUP BY o_year)
+      |SELECT o_year, ((nat_c + 50) // 100)::BIGINT AS nation_cents,
+      |       ((tot_c + 50) // 100)::BIGINT AS total_cents,
+      |       ((10000 * nat_c) // tot_c)::BIGINT AS share_bp
+      |FROM s ORDER BY o_year""".stripMargin
+
   /** Q14 — promotion effect: share of one month's revenue from PROMO
     * parts, as an exact-integer basis-point ratio (the double ratio of
     * two engine-ordered float sums can't hash; cents can). */
@@ -292,6 +400,8 @@ object TpchQueries extends QueryGroup {
     QueryDef("q3_shipping_priority", q3, Some(q3Sql)),
     QueryDef("q5_local_supplier", q5, Some(q5Sql)),
     QueryDef("q6_forecast_revenue", q6, Some(q6Sql)),
+    QueryDef("q7_nation_volume", q7, Some(q7Sql)),
+    QueryDef("q8_market_share", q8, Some(q8Sql)),
     QueryDef("q10_returned_items", q10, Some(q10Sql)),
     QueryDef("q14_promo_effect", q14, Some(q14Sql)),
     QueryDef("q18_large_orders", q18, Some(q18Sql)),

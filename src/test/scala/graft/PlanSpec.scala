@@ -267,6 +267,15 @@ class PlanSpec extends SparkSpec {
     assert(p10.contains("TakeOrderedAndProject"), p10)
   }
 
+  test("q7/q8: two-role nation joins stay equi; every dimension hop broadcasts") {
+    Seq(TpchQueries.q7(spark, sfDir), TpchQueries.q8(spark, sfDir)).foreach { q =>
+      val p = planOf(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
+    }
+  }
+
   test("gapFill: every exchange hashes on the key family, none single-partition") {
     val ev = Tables.load(spark, sfDir, "events")
     val plan = planOf(graft.ops.Resample.gapFill(ev, 3600L))
