@@ -255,7 +255,37 @@ object EventQueries extends QueryGroup {
       |         AS pct_bp
       |FROM d ORDER BY week""".stripMargin
 
+  /** Per-user time-to-convert: first 'purchase' strictly after the
+    * first 'view', as an exact microsecond delta (attribution /
+    * conversion-latency cohort table; integer epoch micros so the
+    * delta hashes cross-engine — epoch seconds would float). */
+  def conversionTime(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fv"))
+    val buys = ev.where(col("event_type") === "purchase")
+      .join(views, Seq("user_id"))
+      .where(col("ts") > col("fv"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("fp"), first(col("fv")).as("fv"))
+    buys.select(col("user_id"),
+        (unix_micros(col("fp")) - unix_micros(col("fv"))).as("delta_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val conversionTimeSql =
+    """WITH v AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS fv
+      |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+      |p AS (
+      |  SELECT e.user_id, min(CAST(e.ts AS TIMESTAMP)) AS fp, min(v.fv) AS fv
+      |  FROM events e JOIN v ON e.user_id = v.user_id
+      |  WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > v.fv
+      |  GROUP BY e.user_id)
+      |SELECT user_id, (epoch_us(fp) - epoch_us(fv))::BIGINT AS delta_us
+      |FROM p ORDER BY user_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev10_conversion_time", conversionTime, Some(conversionTimeSql)),
     QueryDef("ev8_rolling_actives", rollingActives, Some(rollingActivesSql)),
     QueryDef("ev9_wow_change", weekOverWeek, Some(weekOverWeekSql)),
     QueryDef("ev1_funnel", funnel, Some(funnelSql)),
