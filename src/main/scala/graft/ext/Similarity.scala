@@ -440,6 +440,46 @@ object Similarity {
       .where($"cos_q4" >= math.floor(threshold * 10000).toLong)
   }
 
+  /** Embedding outlier pruning — flag the vectors farthest from their
+    * LABEL CENTROID (the "prune far-from-class-center examples"
+    * curation step, the pruning half of SemDeDup-style pipelines), in
+    * EXACT integer arithmetic: with q3-quantized components v and the
+    * label's component SUM s over n rows, n²·d²(v, s∕n) expands to
+    * n²·Σv² − 2n·(v·s) + Σs² — every term an exact long, so ranking
+    * and the prune cut are cross-engine reproducible (a float mean
+    * centroid would not hash). `pruneBp` flags the top fraction per
+    * label by that exact distance (ties → larger vec_id pruned first —
+    * deterministic).
+    *
+    * Scale shape: one map-side-combined per-label SUM aggregate
+    * (64-component array, label-cardinality rows) broadcast back, a
+    * narrow distance projection, and one per-label rank window. Counts
+    * must satisfy n²·Σv² < 2⁶³ — quantize coarser at extreme scale
+    * (the [[graft.ops.Moments]] contract). */
+  def centroidPrune(embeddings: DataFrame, pruneBp: Int = 1000,
+      dim: Int = 64): DataFrame = {
+    require(pruneBp >= 0 && pruneBp <= 10000,
+      s"pruneBp must be in [0, 10000], got $pruneBp")
+    import org.apache.spark.sql.expressions.Window
+    val q = embeddings
+      .where(dot($"embedding", $"embedding") > 0)
+      .select($"vec_id", $"label",
+        transform($"embedding", v => floor(v * 1000).cast("long")).as("_v"))
+    val sums = q.groupBy($"label")
+      .agg(count(lit(1)).as("_n"),
+        array((0 until dim).map(i =>
+          sum(element_at($"_v", i + 1))): _*).as("_s"))
+    val d2 = q.join(sums, Seq("label"))
+      .select($"vec_id", $"label", $"_n",
+        (aggregate(zip_with($"_v", $"_v", _ * _), lit(0L), _ + _) * $"_n" * $"_n" -
+          lit(2L) * $"_n" * aggregate(zip_with($"_v", $"_s", _ * _), lit(0L), _ + _) +
+          aggregate(zip_with($"_s", $"_s", _ * _), lit(0L), _ + _)).as("d2n2"))
+    val w = Window.partitionBy($"label").orderBy($"d2n2".desc, $"vec_id".desc)
+    d2.withColumn("_rk", row_number().over(w))
+      .withColumn("prune", lit(10000L) * $"_rk" <= lit(pruneBp.toLong) * $"_n")
+      .select($"vec_id", $"label", $"d2n2", $"prune")
+  }
+
   /** Contrastive (anchor, positive, negative) TRIPLET generation — the
     * training-pair miner for embedding-model fine-tuning: positives
     * are [[cosineNearDup]] pairs (cosine ≥ threshold inside the label

@@ -348,6 +348,36 @@ object ExtQueries extends QueryGroup {
        |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Centroid-distance pruning: flag the 10% of vectors farthest from
+    * their label centroid, exact integer distance ranking. */
+  def embedPrune(spark: SparkSession, dir: String): DataFrame =
+    Similarity.centroidPrune(load(spark, dir, "embeddings"), pruneBp = 1000)
+      .orderBy($"vec_id")
+
+  private val embedPruneSql =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> (floor(x * 1000))::BIGINT) AS v
+       |  FROM $nzSql),
+       |e AS (SELECT label, unnest(v) AS c, generate_subscripts(v, 1) AS i FROM q),
+       |sc AS (SELECT label, i, sum(c)::BIGINT AS si FROM e GROUP BY label, i),
+       |sl AS (SELECT label, list(si ORDER BY i) AS s FROM sc GROUP BY label),
+       |nn AS (SELECT label, count(*)::BIGINT AS n FROM q GROUP BY label),
+       |d AS (
+       |  SELECT q.vec_id, q.label, nn.n,
+       |         (list_sum(list_transform(range(1, 65), i -> v[i] * v[i]))::BIGINT
+       |            * nn.n * nn.n
+       |          - 2 * nn.n *
+       |            list_sum(list_transform(range(1, 65), i -> v[i] * sl.s[i]))::BIGINT
+       |          + list_sum(list_transform(range(1, 65), i -> sl.s[i] * sl.s[i]))::BIGINT)
+       |           AS d2n2
+       |  FROM q JOIN sl USING (label) JOIN nn USING (label)),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY label
+       |        ORDER BY d2n2 DESC, vec_id DESC) AS rk FROM d)
+       |SELECT vec_id, label, d2n2, (10000 * rk <= 1000 * n) AS prune
+       |FROM r ORDER BY vec_id""".stripMargin
+
   /** Contrastive triplets: near-dup positives + one deterministic
     * other-label negative per anchor from its md5 hash bucket. */
   def simTriplets(spark: SparkSession, dir: String): DataFrame =
@@ -2750,6 +2780,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_sim_triplets", simTriplets, Some(simTripletsSql)),
+    QueryDef("ext_embed_prune", embedPrune, Some(embedPruneSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),

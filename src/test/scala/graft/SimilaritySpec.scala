@@ -217,6 +217,33 @@ class SimilaritySpec extends SparkSpec {
     assert(two === 1)
   }
 
+  test("centroidPrune: planted far outlier pruned, exact integer distance, zero-vector excluded") {
+    import spark.implicits._
+    val rows = Seq(
+      // label 0: 9 tight vectors + one far outlier (vec 10)
+      (1L to 9L).map(i => (i, Array(1.0f, 1.0f, 0f, 0f), 0)),
+      Seq((10L, Array(50.0f, -50.0f, 0f, 0f), 0)),
+      // label 1: 4 tight, one zero vector (excluded entirely)
+      (11L to 14L).map(i => (i, Array(-1.0f, 2.0f, 0f, 0f), 1)),
+      Seq((15L, Array(0f, 0f, 0f, 0f), 1))
+    ).flatten.toDF("vec_id", "embedding", "label")
+    val out = Similarity.centroidPrune(rows, pruneBp = 1000, dim = 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    assert(!out.contains(15L))                   // zero vector excluded
+    assert(out(10L)._2)                          // the outlier is pruned
+    assert((1L to 9L).forall(i => !out(i)._2))   // 10% of 10 = exactly 1
+    assert((11L to 14L).count(i => out(i)._2) === 0) // 10% of 4 -> none
+    // exact distance: label 1 identical vectors -> d2n2 = 0
+    assert((11L to 14L).forall(i => out(i)._1 === 0L))
+    // label 0 tight members: v=q(1,1)= (1000,1000); s=(9*1000+50000, 9*1000-50000)
+    val s = Seq(9000L + 50000L, 9000L - 50000L)
+    val n = 10L
+    val vv = 1000L * 1000L * 2
+    val vs = 1000L * s(0) + 1000L * s(1)
+    val ss = s(0) * s(0) + s(1) * s(1)
+    assert(out(1L)._1 === vv * n * n - 2 * n * vs + ss)
+  }
+
   test("contrastiveTriplets: positives = cosineNearDup, negatives other-label from the anchor's bucket, deterministic") {
     val t = Similarity.contrastiveTriplets(emb, 0.3, nBuckets = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
