@@ -267,6 +267,52 @@ class PlanSpec extends SparkSpec {
     assert(p10.contains("TakeOrderedAndProject"), p10)
   }
 
+  test("q2/q4/q13/q17: decorrelated classics keep hash joins and partitioned windows") {
+    val p2 = planOf(TpchQueries.q2(spark, sfDir))
+    assert(!p2.contains("CartesianProduct") &&
+      !p2.contains("BroadcastNestedLoopJoin"), p2)
+    assert(p2.contains("Window"), p2) // per-part min is a window, not a rejoin
+    val p4 = planOf(TpchQueries.q4(spark, sfDir))
+    assert(p4.contains("LeftSemi"), p4) // EXISTS → semi join
+    // the non-equi date condition rides the orderkey hash join as a
+    // residual — it must NOT demote the join to a nested loop
+    assert(!p4.contains("BroadcastNestedLoopJoin") &&
+      !p4.contains("CartesianProduct"), p4)
+    val p13 = planOf(TpchQueries.q13(spark, sfDir))
+    assert(p13.contains("LeftOuter"), p13) // the zero bucket survives
+    val p17 = planOf(TpchQueries.q17(spark, sfDir))
+    assert(p17.contains("Window"), p17) // correlated avg → one shuffle
+    assert(!p17.contains("rangepartitioning"), p17) // never a global sort
+    assert(p17.contains("BroadcastHashJoin"), p17) // brand filter broadcasts
+  }
+
+  test("q9/q16/q20/q21 + scalar trio: anti joins broadcast, one-shuffle decorrelations hold") {
+    val p9 = planOf(TpchQueries.q9(spark, sfDir))
+    assert(p9.split("BroadcastHashJoin").length - 1 >= 3, p9)
+    val p16 = planOf(TpchQueries.q16(spark, sfDir))
+    assert(p16.contains("LeftAnti") && p16.contains("BroadcastHashJoin"), p16)
+    val p20 = planOf(TpchQueries.q20(spark, sfDir))
+    // per-part total is a partitioned window; the only range partition
+    // is the final presentation sort, never a single-task stage
+    assert(p20.contains("Window") && !p20.contains("SinglePartition"), p20)
+    val p21 = planOf(TpchQueries.q21(spark, sfDir))
+    assert(!p21.contains("CartesianProduct") &&
+      !p21.contains("BroadcastNestedLoopJoin"), p21)
+    assert(p21.contains("TakeOrderedAndProject"), p21)
+    // q15/q11/q22: the decorrelated scalar is a ONE-ROW broadcast (a
+    // broadcast nested loop there is the point, not a smell), and the
+    // twice-read reduced frame persists so the fact scans once
+    Seq(TpchQueries.q15(spark, sfDir), TpchQueries.q11(spark, sfDir),
+        TpchQueries.q22(spark, sfDir)).foreach { q =>
+      val p = planOf(q)
+      assert(p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(p.contains("InMemoryTableScan"), p) // the persist barrier
+    }
+    spark.catalog.clearCache()
+  }
+
   test("q7/q8: two-role nation joins stay equi; every dimension hop broadcasts") {
     Seq(TpchQueries.q7(spark, sfDir), TpchQueries.q8(spark, sfDir)).foreach { q =>
       val p = planOf(q)
