@@ -440,6 +440,28 @@ object Similarity {
       .where($"cos_q4" >= math.floor(threshold * 10000).toLong)
   }
 
+  /** ANN recall evaluation — recall@k of an approximate top-k result
+    * against the exact (brute-force) top-k, per query, as exact basis
+    * points (⌊10⁴·|approx ∩ exact|∕k⌋). The acceptance gate run before
+    * trusting a bucketed index (LSH/IVF) at scale: both inputs are
+    * `(q_id, n_id, …)` frames as produced by [[bruteForceTopK]] /
+    * [[lshTopK]] / [[ivfTopK]].
+    *
+    * Scale shape: one equi-join on (q_id, n_id) — both frames are
+    * already k·|queries| rows, tiny next to the corpus — then a
+    * query-keyed count. Queries the approximate index missed entirely
+    * still appear (recall 0) via the left join from the exact side. */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    exact.select($"q_id", $"n_id")
+      .join(approx.select($"q_id", $"n_id", lit(1L).as("_hit")),
+        Seq("q_id", "n_id"), "left_outer")
+      .groupBy($"q_id")
+      .agg(sum(coalesce($"_hit", lit(0L))).as("hits"))
+      .select($"q_id", $"hits",
+        expr(s"(10000 * hits) div $k").as("recall_bp"))
+  }
+
   /** Embedding outlier pruning — flag the vectors farthest from their
     * LABEL CENTROID (the "prune far-from-class-center examples"
     * curation step, the pruning half of SemDeDup-style pipelines), in

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryGroup, Tables}
-import graft.ext.{Contamination, Dedup, Frequency, Sampling, Similarity, TextStats}
+import graft.ext.{Association, Contamination, Dedup, Frequency, Sampling, Similarity, TextStats}
 
 /** Extended LLM-data-pipeline operators (SURVEY §7.9) as oracle-checked
   * queries over `documents` / `embeddings`: dedup (exact, MinHash-LSH,
@@ -347,6 +347,75 @@ object ExtQueries extends QueryGroup {
        |  ON a.label = b.label AND a.vec_id < b.vec_id
        |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
+
+  /** ANN recall@5: the LSH index's per-query recall against brute-force
+    * ground truth, exact basis points — the eval harness a bucketed
+    * index must pass before it replaces the exact path at scale. */
+  def simRecall(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val q = emb.where($"vec_id" < 10)
+    Similarity.recallAtK(
+      Similarity.lshTopK(q, emb, 5, nPlanes = 4, dim = 64),
+      Similarity.bruteForceTopK(q, emb, 5), 5)
+      .orderBy($"q_id")
+  }
+
+  private val simRecallSql = {
+    val bucket = lshBucketSql("embedding", Similarity.hyperplanes(64, 4))
+    s"""WITH be AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |bf_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM bf_scored) WHERE rank <= 5),
+       |lsh_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM be q JOIN be c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |lsh AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM lsh_scored) WHERE rank <= 5)
+       |SELECT bf.q_id, (count(lsh.n_id))::BIGINT AS hits,
+       |       ((10000 * count(lsh.n_id)) // 5)::BIGINT AS recall_bp
+       |FROM bf LEFT JOIN lsh ON bf.q_id = lsh.q_id AND bf.n_id = lsh.n_id
+       |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin
+  }
+
+  /** Brand-affinity association rules: which part brands co-occur in
+    * the same order, with exact integer support/confidence/lift. */
+  def assocRulesQ(spark: SparkSession, dir: String): DataFrame = {
+    val li = load(spark, dir, "lineitem").select($"l_orderkey", $"l_partkey")
+    val part = load(spark, dir, "part").select($"p_partkey", $"p_brand")
+    val items = li.join(broadcast(part), $"l_partkey" === $"p_partkey")
+    Association.assocRules(items, "l_orderkey", "p_brand",
+        minPairSupport = 50L)
+      .orderBy($"a", $"b")
+  }
+
+  private val assocRulesSql =
+    """WITH it AS (
+      |  SELECT DISTINCT l_orderkey AS bk, p_brand AS i
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |n AS (SELECT count(DISTINCT bk) AS nb FROM it),
+      |s AS (SELECT i, count(*) AS c FROM it GROUP BY i),
+      |p AS (SELECT i1.i AS a, i2.i AS b, count(*) AS c_ab
+      |      FROM it i1 JOIN it i2 ON i1.bk = i2.bk AND i1.i < i2.i
+      |      GROUP BY 1, 2)
+      |SELECT a, b, c_ab, sa.c AS c_a, sb.c AS c_b,
+      |       (10000 * c_ab) // sa.c AS conf_ab_bp,
+      |       (10000 * c_ab) // sb.c AS conf_ba_bp,
+      |       (10000 * c_ab * nb) // (sa.c * sb.c) AS lift_bp
+      |FROM p JOIN s sa ON p.a = sa.i JOIN s sb ON p.b = sb.i CROSS JOIN n
+      |WHERE c_ab >= 50 ORDER BY a, b""".stripMargin
 
   /** Centroid-distance pruning: flag the 10% of vectors farthest from
     * their label centroid, exact integer distance ranking. */
@@ -2781,6 +2850,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
     QueryDef("ext_sim_triplets", simTriplets, Some(simTripletsSql)),
     QueryDef("ext_embed_prune", embedPrune, Some(embedPruneSql)),
+    QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
+    QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),

@@ -244,6 +244,28 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L)._1 === vv * n * n - 2 * n * vs + ss)
   }
 
+  test("recallAtK: self-recall is 10000, partial overlap exact, missed query scores 0") {
+    import spark.implicits._
+    val exact = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 21L), (2L, 22L), (2L, 23L),
+      (3L, 30L), (3L, 31L), (3L, 32L), (3L, 33L)
+    ).toDF("q_id", "n_id")
+    // q1: full overlap; q2: 1 of 4 (2500 bp); q3: the index returned nothing
+    val approx = Seq(
+      (1L, 10L), (1L, 11L), (1L, 12L), (1L, 13L),
+      (2L, 20L), (2L, 99L), (2L, 98L), (2L, 97L)
+    ).toDF("q_id", "n_id")
+    val out = Similarity.recallAtK(approx, exact, 4)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) === ((4L, 10000L)))
+    assert(out(2L) === ((1L, 2500L)))
+    assert(out(3L) === ((0L, 0L)))
+    // extra approx neighbors the truth lacks never inflate recall
+    assert(Similarity.recallAtK(exact, exact, 4).collect()
+      .forall(_.getLong(2) === 10000L))
+  }
+
   test("contrastiveTriplets: positives = cosineNearDup, negatives other-label from the anchor's bucket, deterministic") {
     val t = Similarity.contrastiveTriplets(emb, 0.3, nBuckets = 16)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
