@@ -202,6 +202,52 @@ object Journeys {
       .withColumn("duration_s", $"end_es" - $"start_es")
   }
 
+  /** Last-touch attribution: each conversion's value is credited to the
+    * user's most recent touch event (by `(ts, event_id)`) within the
+    * lookback window, or to `'direct'` when no touch qualifies — the
+    * marketing-attribution classic, and the same carry-forward shape as
+    * the as-of join: ONE hash exchange on the user plus an ordered
+    * window, never a per-conversion probe join (the naive EXISTS form
+    * re-scans the touch stream per conversion).
+    *
+    * Touches sort BEFORE conversions at an equal timestamp (a touch at
+    * the conversion's exact instant counts). Values are exact cents;
+    * the readable double is one final division.
+    *
+    * Output: one row per conversion — `(event_id, channel, cents)` —
+    * ready for the tiny per-channel rollup. */
+  def lastTouchAttribution(events: DataFrame, touchTypes: Seq[String],
+      convType: String, lookbackSeconds: Long,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id",
+      valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(lookbackSeconds >= 1,
+      s"lookbackSeconds must be >= 1, got $lookbackSeconds")
+    val touches = events.where(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol), col(idCol), lit(0).as("_k"),
+        expr(s"unix_micros($tsCol)").as("_us"),
+        col(typeCol).as("_ch"), lit(null).cast("long").as("cents"))
+    val convs = events.where(col(typeCol) === convType)
+      .select(col(userCol), col(idCol), lit(1).as("_k"),
+        expr(s"unix_micros($tsCol)").as("_us"),
+        lit(null).cast("string").as("_ch"),
+        round(col(valueCol) * 100).cast("long").as("cents"))
+    val w = Window.partitionBy(col(userCol))
+      .orderBy($"_us", $"_k", col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    touches.unionByName(convs)
+      .withColumn("_last_ch", last($"_ch", ignoreNulls = true).over(w))
+      .withColumn("_last_us",
+        last(when($"_ch".isNotNull, $"_us"), ignoreNulls = true).over(w))
+      .where($"_k" === 1)
+      .select(col(idCol),
+        when($"_last_us".isNotNull &&
+          $"_us" - $"_last_us" <= lookbackSeconds * 1000000L, $"_last_ch")
+          .otherwise(lit("direct")).as("channel"),
+        $"cents")
+  }
+
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -284,7 +284,45 @@ object EventQueries extends QueryGroup {
       |SELECT user_id, (epoch_us(fp) - epoch_us(fv))::BIGINT AS delta_us
       |FROM p ORDER BY user_id""".stripMargin
 
+  /** EV11 — last-touch attribution: each purchase's value credited to
+    * the user's most recent click/view within 7 days (else 'direct'),
+    * rolled up per channel. The Spark side is the as-of carry-forward
+    * (one user shuffle, ordered window); the oracle keeps the naive
+    * correlated LIMIT-1 probe, independently checking the rewrite. */
+  def attribution(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Journeys.lastTouchAttribution(load(spark, dir, "events"),
+        Seq("click", "view"), "purchase", lookbackSeconds = 7L * 86400)
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(col("cents")).as("attributed_cents"))
+      .select(col("channel"), col("n_purchases"), col("attributed_cents"),
+        (col("attributed_cents") / 100.0).as("attributed_revenue"))
+      .orderBy(col("channel"))
+
+  private val attributionSql =
+    """WITH p AS (
+      |  SELECT event_id, user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+      |         (round(value * 100))::BIGINT AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |t AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events WHERE event_type IN ('click', 'view')),
+      |lt AS (
+      |  SELECT p.event_id, p.cents,
+      |         (SELECT t.event_type FROM t
+      |          WHERE t.user_id = p.user_id AND t.us <= p.us
+      |            AND p.us - t.us <= 604800000000::BIGINT
+      |          ORDER BY t.us DESC, t.event_id DESC LIMIT 1) AS ch
+      |  FROM p)
+      |SELECT coalesce(ch, 'direct') AS channel,
+      |       count(*) AS n_purchases,
+      |       (sum(cents))::BIGINT AS attributed_cents,
+      |       (sum(cents))::BIGINT / 100.0 AS attributed_revenue
+      |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev11_attribution", attribution, Some(attributionSql)),
     QueryDef("ev10_conversion_time", conversionTime, Some(conversionTimeSql)),
     QueryDef("ev8_rolling_actives", rollingActives, Some(rollingActivesSql)),
     QueryDef("ev9_wow_change", weekOverWeek, Some(weekOverWeekSql)),

@@ -757,6 +757,51 @@ object ExtQueries extends QueryGroup {
        |FROM stats ORDER BY doc_id""".stripMargin
   }
 
+  /** Per-language quality percentile normalization: each doc's quality
+    * score as an exact-bp percentile WITHIN its predicted language —
+    * the language-fair thresholding step (an absolute quality cut
+    * over-prunes low-resource languages whose scores skew low). One
+    * doc-cardinality shuffle on lang_pred; the rank and count are
+    * partitioned windows, never a global sort. */
+  def qualityPctile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = TextStats.analyze(load(spark, dir, "documents"))
+      .select($"doc_id", $"lang_pred", $"quality_q4")
+    val w = Window.partitionBy($"lang_pred").orderBy($"quality_q4", $"doc_id")
+    val n = Window.partitionBy($"lang_pred")
+    q.withColumn("_rnk", row_number().over(w))
+      .withColumn("_n", count(lit(1)).over(n))
+      .select($"doc_id", $"lang_pred", $"quality_q4",
+        expr("(10000 * (_rnk - 1)) div greatest(_n - 1, 1)").as("pctile_bp"))
+      .orderBy($"doc_id")
+  }
+
+  private val qualityPctileSql = {
+    val enStop = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, text, $toksSql AS ws FROM documents),
+       |scored AS (SELECT doc_id, text, ws, $langScoreExprs FROM w),
+       |wb AS (SELECT *, $langBestSql AS best FROM scored),
+       |pred AS (SELECT doc_id, text, ws, s_en,
+       |           $langPredCase AS lang_pred FROM wb),
+       |qs AS (SELECT doc_id, lang_pred,
+       |  list_sum(list_transform(ws, w -> length(w)))::BIGINT AS s,
+       |  greatest(len(ws), 1)::BIGINT AS n,
+       |  s_en::BIGINT AS c,
+       |  greatest(length(text), 1)::BIGINT AS l,
+       |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p
+       |  FROM pred),
+       |q AS (SELECT doc_id, lang_pred, $q4Sql AS quality_q4 FROM qs),
+       |r AS (SELECT *,
+       |        row_number() OVER (PARTITION BY lang_pred
+       |          ORDER BY quality_q4, doc_id) AS rnk,
+       |        count(*) OVER (PARTITION BY lang_pred) AS nn
+       |      FROM q)
+       |SELECT doc_id, lang_pred, quality_q4,
+       |       ((10000 * (rnk - 1)) // greatest(nn - 1, 1))::BIGINT AS pctile_bp
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
   /** Exact heavy hitters over lineitem part keys WITHOUT a full-keyspace
     * shuffle: per-partition local counts emit candidates (pigeonhole
     * superset), then only candidate keys are exactly counted. The oracle
@@ -2852,6 +2897,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_embed_prune", embedPrune, Some(embedPruneSql)),
     QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
     QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
+    QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),

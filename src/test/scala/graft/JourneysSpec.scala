@@ -118,4 +118,32 @@ class JourneysSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(out === Set(("a", "b"), ("b", "c"))) // event_id order: a b c
   }
+
+  test("lastTouchAttribution: latest touch wins, same-instant touch counts, lookback expiry and no-touch go direct") {
+    val events = Seq(
+      // user 1: view then click then purchase — click (latest) wins
+      (10L, 1L, ts("2026-01-01 10:00:00"), "view", 0.0),
+      (11L, 1L, ts("2026-01-01 11:00:00"), "click", 0.0),
+      (12L, 1L, ts("2026-01-01 12:00:00"), "purchase", 5.00),
+      // user 1 second purchase: same click still in window
+      (13L, 1L, ts("2026-01-02 12:00:00"), "purchase", 2.50),
+      // user 2: touch at the purchase's exact instant counts
+      (20L, 2L, ts("2026-01-01 10:00:00"), "view", 0.0),
+      (21L, 2L, ts("2026-01-01 10:00:00"), "purchase", 1.00),
+      // user 3: touch outside the 1-hour lookback → direct
+      (30L, 3L, ts("2026-01-01 08:00:00"), "click", 0.0),
+      (31L, 3L, ts("2026-01-01 10:00:00"), "purchase", 4.00),
+      // user 4: no touch at all → direct
+      (40L, 4L, ts("2026-01-01 10:00:00"), "purchase", 8.00))
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = Journeys.lastTouchAttribution(events, Seq("click", "view"),
+        "purchase", lookbackSeconds = 3600)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(12L) === (("click", 500L)))
+    assert(out(13L) === (("direct", 250L))) // click was 25h earlier
+    assert(out(21L) === (("view", 100L)))
+    assert(out(30L + 1L) === (("direct", 400L)))
+    assert(out(40L) === (("direct", 800L)))
+    assert(out.size === 5) // one row per conversion, touches never leak
+  }
 }
