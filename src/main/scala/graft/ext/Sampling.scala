@@ -380,4 +380,38 @@ object Sampling {
         coalesce($"n_grams", lit(0L)).as("n_grams"),
         coalesce(expr("s div n_grams"), lit(0L)).as("dsir_q6"))
   }
+
+  /** 2-D Pareto frontier (skyline): rows not dominated under
+    * (maximize `maxCol`, minimize `minCol`) — multi-objective doc
+    * selection ("highest quality at every length budget") where a
+    * single weighted score would hide the trade-off curve. Dominance is
+    * the standard one: d' dominates d iff d' is ≥ in both objectives
+    * and strictly better in at least one; incomparable ties (equal on
+    * both) all survive.
+    *
+    * Scale shape: the naive skyline is the O(n²) NOT-EXISTS self-join
+    * (what the oracle runs). Here: one map-side-combined aggregate to
+    * (maxCol → min minCol) — bounded by the QUANTIZED score domain, so
+    * ≤ ~10⁴ rows — then a running strict-prefix min over that bounded
+    * frame (the one deliberate single-partition stage, same contract as
+    * the ≤nCells centroid collects), and a broadcast join back. Rows
+    * never self-join. */
+  def paretoFrontier(df: DataFrame, maxCol: String, minCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perQ = df
+      .where(col(maxCol).isNotNull && col(minCol).isNotNull)
+      .groupBy(col(maxCol).as("_q")).agg(min(col(minCol)).as("_mt"))
+    // strict-prefix min over quality DESC: frontier quality levels are
+    // exactly those whose best minCol beats every higher-quality level
+    val w = Window.orderBy($"_q".desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perQ
+      .withColumn("_pm", min($"_mt").over(w))
+      .where($"_pm".isNull || $"_mt" < $"_pm")
+      .select($"_q", $"_mt")
+    df.join(broadcast(frontier),
+        col(maxCol) === $"_q" && col(minCol) === $"_mt")
+      .select(col(idCol), col(maxCol), col(minCol))
+  }
 }

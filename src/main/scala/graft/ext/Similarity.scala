@@ -440,6 +440,30 @@ object Similarity {
       .where($"cos_q4" >= math.floor(threshold * 10000).toLong)
   }
 
+  /** Reciprocal-rank fusion of several retriever rankings — the
+    * standard hybrid-retrieval combiner (Cormack et al. SIGIR'09):
+    * score(d) = Σ_r 1∕(κ + rank_r(d)), here as the EXACT integer
+    * ⌊10⁸∕(κ + rank)⌋ summed per (query, doc) so the fused order
+    * hash-gates cross-engine. Documents missing from a ranking simply
+    * contribute nothing (the defining robustness of RRF).
+    *
+    * Scale shape: inputs are k·|queries|-row frames; one union +
+    * (q_id, n_id) aggregate, then a per-query rank window. Tiny next
+    * to any retriever that produced them. */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, kappa: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(k >= 1 && kappa >= 0, s"bad k=$k / kappa=$kappa")
+    import org.apache.spark.sql.expressions.Window
+    val scored = rankings.map(
+      _.select($"q_id", $"n_id",
+        expr(s"100000000 div ($kappa + rank)").as("_s")))
+      .reduce(_ unionByName _)
+    val w = Window.partitionBy($"q_id").orderBy($"rrf_score".desc, $"n_id")
+    scored.groupBy($"q_id", $"n_id").agg(sum($"_s").as("rrf_score"))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+  }
+
   /** ANN recall evaluation — recall@k of an approximate top-k result
     * against the exact (brute-force) top-k, per query, as exact basis
     * points (⌊10⁴·|approx ∩ exact|∕k⌋). The acceptance gate run before

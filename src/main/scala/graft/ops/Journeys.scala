@@ -248,6 +248,39 @@ object Journeys {
         $"cents")
   }
 
+  /** Half-life-decayed popularity: Σ value·2^(−age∕halfLife) per group
+    * — the trending/popularity score — computed EXACTLY: age quantizes
+    * to whole half-lives and the decay is an integer right-shift of the
+    * value in cents (⌊cents∕2^w⌋), so the score hash-gates cross-engine
+    * where a float exp() never could. The reference instant is the
+    * data's max timestamp (deterministic for the gate; production
+    * passes now()).
+    *
+    * Scale shape: the reference is a one-row broadcast; decay+sum is a
+    * single map-side-combined aggregate over a narrow projection. The
+    * reference scan is a second pass over one column — at scale,
+    * callers pass `refUs` explicitly and it disappears. */
+  def decayedPopularity(events: DataFrame, halfLifeSeconds: Long,
+      groupCol: String = "event_type", tsCol: String = "ts",
+      valueCol: String = "value", refUs: Option[Long] = None): DataFrame = {
+    require(halfLifeSeconds >= 1,
+      s"halfLifeSeconds must be >= 1, got $halfLifeSeconds")
+    val base = events.select(col(groupCol),
+      expr(s"unix_micros($tsCol)").as("_us"),
+      round(col(valueCol) * 100).cast("long").as("_cents"))
+    val withRef = refUs match {
+      case Some(r) => base.withColumn("_ref", lit(r))
+      case None => base.crossJoin(
+        broadcast(events.agg(max(expr(s"unix_micros($tsCol)")).as("_ref"))))
+    }
+    withRef
+      .withColumn("_w", least(lit(62L),
+        expr(s"(_ref - _us) div ${halfLifeSeconds * 1000000L}")))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("shiftright(_cents, cast(_w AS INT))")).as("decayed_cents"))
+  }
+
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -321,7 +321,30 @@ object EventQueries extends QueryGroup {
       |       (sum(cents))::BIGINT / 100.0 AS attributed_revenue
       |FROM lt GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** EV12 — half-life-decayed popularity per event type: exponential
+    * decay as an exact integer right-shift per whole week of age (a
+    * float exp() cannot hash-gate), referenced to the data's max
+    * timestamp. */
+  def decayedPopularity(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Journeys.decayedPopularity(load(spark, dir, "events"),
+        halfLifeSeconds = 7L * 86400)
+      .orderBy(col("event_type"))
+
+  private val decayedPopularitySql =
+    """WITH r AS (
+      |  SELECT max(epoch_us(CAST(ts AS TIMESTAMP))) AS ref FROM events),
+      |e AS (
+      |  SELECT event_type, (round(value * 100))::BIGINT AS cents,
+      |         least(62, (r.ref - epoch_us(CAST(ts AS TIMESTAMP)))
+      |                     // 604800000000::BIGINT) AS w
+      |  FROM events, r)
+      |SELECT event_type, count(*) AS n_events,
+      |       (sum(cents >> w::INTEGER))::BIGINT AS decayed_cents
+      |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev12_decayed_popularity", decayedPopularity,
+      Some(decayedPopularitySql)),
     QueryDef("ev11_attribution", attribution, Some(attributionSql)),
     QueryDef("ev10_conversion_time", conversionTime, Some(conversionTimeSql)),
     QueryDef("ev8_rolling_actives", rollingActives, Some(rollingActivesSql)),

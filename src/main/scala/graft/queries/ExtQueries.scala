@@ -802,6 +802,109 @@ object ExtQueries extends QueryGroup {
        |FROM r ORDER BY doc_id""".stripMargin
   }
 
+  /** Pareto-frontier document selection: docs not dominated under
+    * (maximize quality, minimize tokens) — the trade-off curve a single
+    * weighted score hides. Spark runs the bounded-domain skyline (one
+    * aggregate + strict-prefix min); the oracle runs the O(n²)
+    * NOT-EXISTS dominance directly, independently checking it. */
+  def paretoDocs(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextStats.analyze(load(spark, dir, "documents"))
+      .select($"doc_id", $"quality_q4", $"n_tokens")
+    Sampling.paretoFrontier(q, "quality_q4", "n_tokens", "doc_id")
+      .select($"doc_id", $"quality_q4", $"n_tokens")
+      .orderBy($"doc_id")
+  }
+
+  private val paretoDocsSql = {
+    val enStop = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, text, $toksSql AS ws FROM documents),
+       |scored AS (SELECT doc_id, text, ws, s_en FROM (
+       |  SELECT doc_id, text, ws,
+       |         len(list_filter(ws, x -> x IN ($enStop))) AS s_en FROM w)),
+       |qs AS (SELECT doc_id, len(ws) AS n_tokens,
+       |  list_sum(list_transform(ws, x -> length(x)))::BIGINT AS s,
+       |  greatest(len(ws), 1)::BIGINT AS n,
+       |  s_en::BIGINT AS c,
+       |  greatest(length(text), 1)::BIGINT AS l,
+       |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p
+       |  FROM scored),
+       |q AS (SELECT doc_id, ($q4Sql)::BIGINT AS quality_q4, n_tokens FROM qs)
+       |SELECT d.doc_id, d.quality_q4, d.n_tokens
+       |FROM q d
+       |WHERE NOT EXISTS (SELECT 1 FROM q o WHERE
+       |   (o.quality_q4 > d.quality_q4 AND o.n_tokens <= d.n_tokens) OR
+       |   (o.quality_q4 >= d.quality_q4 AND o.n_tokens < d.n_tokens))
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** Hybrid-retrieval rank fusion: RRF of the LSH and IVF retrievers'
+    * top-5, exact integer ⌊10⁸∕(60+rank)⌋ scores. */
+  def simRrf(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val q = emb.where($"vec_id" < 10)
+    Similarity.rrfFuse(Seq(
+        Similarity.lshTopK(q, emb, 5, nPlanes = 4, dim = 64),
+        Similarity.ivfTopK(q, emb, 5, nCells = 16, nProbe = 4)), k = 5)
+      .orderBy($"q_id", $"rank")
+  }
+
+  private val simRrfSql = {
+    val bucket = lshBucketSql("embedding", Similarity.hyperplanes(64, 4))
+    val dotc = (v: String) => s"list_dot_product($v::DOUBLE[], c.c_vec)"
+    s"""WITH lsh_be AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |lsh_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM lsh_be q JOIN lsh_be c
+       |    ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |lsh_topk AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM lsh_scored) WHERE rank <= 5),
+       |ivf_cents AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> x / sqrt(list_dot_product(embedding::DOUBLE[],
+       |                                          embedding::DOUBLE[]))) AS c_vec
+       |  FROM (SELECT vec_id, embedding FROM embeddings
+       |        WHERE list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+       |        ORDER BY vec_id LIMIT 16)),
+       |ivf_cassign AS (
+       |  SELECT e.vec_id AS n_id, e.embedding AS n_vec, c.cell,
+       |         row_number() OVER (PARTITION BY e.vec_id
+       |           ORDER BY ${dotc("e.embedding")} DESC, c.cell) AS rn
+       |  FROM embeddings e CROSS JOIN ivf_cents c),
+       |ivf_corpus AS (SELECT n_id, n_vec, cell FROM ivf_cassign WHERE rn = 1),
+       |ivf_qassign AS (
+       |  SELECT q.vec_id AS q_id, q.embedding AS q_vec, c.cell,
+       |         row_number() OVER (PARTITION BY q.vec_id
+       |           ORDER BY ${dotc("q.embedding")} DESC, c.cell) AS pr
+       |  FROM embeddings q CROSS JOIN ivf_cents c WHERE q.vec_id < 10),
+       |ivf_probes AS (SELECT q_id, q_vec, cell FROM ivf_qassign WHERE pr <= 4),
+       |ivf_scored AS (
+       |  SELECT p.q_id, n.n_id, ${cosSql("p.q_vec", "n.n_vec")} AS cos
+       |  FROM ivf_probes p JOIN ivf_corpus n USING (cell) WHERE p.q_id != n.n_id),
+       |ivf_topk AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM ivf_scored) WHERE rank <= 5),
+       |u AS (
+       |  SELECT q_id, n_id, 100000000 // (60 + rank) AS s FROM lsh_topk
+       |  UNION ALL
+       |  SELECT q_id, n_id, 100000000 // (60 + rank) AS s FROM ivf_topk),
+       |g AS (SELECT q_id, n_id, (sum(s))::BIGINT AS rrf_score
+       |      FROM u GROUP BY 1, 2)
+       |SELECT q_id, n_id, rrf_score, rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY q_id
+       |           ORDER BY rrf_score DESC, n_id) AS rank FROM g)
+       |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
+  }
+
   /** Exact heavy hitters over lineitem part keys WITHOUT a full-keyspace
     * shuffle: per-partition local counts emit candidates (pigeonhole
     * superset), then only candidate keys are exactly counted. The oracle
@@ -2898,6 +3001,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
     QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
+    QueryDef("ext_pareto_docs", paretoDocs, Some(paretoDocsSql)),
+    QueryDef("ext_sim_rrf", simRrf, Some(simRrfSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),

@@ -146,4 +146,26 @@ class JourneysSpec extends SparkSpec {
     assert(out(40L) === (("direct", 800L)))
     assert(out.size === 5) // one row per conversion, touches never leak
   }
+
+  test("decayedPopularity: exact right-shift halving per whole half-life, shift capped") {
+    val events = Seq(
+      // ref = max ts = 2026-01-29 00:00:00
+      (1L, 1L, ts("2026-01-29 00:00:00"), "view", 4.00),  // age 0 → 400
+      (2L, 1L, ts("2026-01-22 00:00:00"), "view", 4.00),  // 1 half-life → 200
+      (3L, 1L, ts("2026-01-15 00:00:00"), "view", 4.00),  // 2 → 100
+      (4L, 1L, ts("2026-01-21 23:59:59"), "click", 8.00), // 1.000002 → >>1 = 400
+      (5L, 1L, ts("2026-01-28 00:00:01"), "click", 8.00)) // 0.99… → >>0 = 800
+      .toDF("event_id", "user_id", "ts", "event_type", "value")
+    val out = graft.ops.Journeys
+      .decayedPopularity(events, halfLifeSeconds = 7L * 86400)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("view") === ((3L, 700L)))
+    assert(out("click") === ((2L, 1200L)))
+    // explicit reference instant: everything ages one more half-life
+    val ref2 = java.sql.Timestamp.valueOf("2026-02-05 00:00:00").getTime * 1000L
+    val shifted = graft.ops.Journeys
+      .decayedPopularity(events, 7L * 86400, refUs = Some(ref2))
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(shifted("view") === 350L)
+  }
 }

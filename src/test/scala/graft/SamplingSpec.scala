@@ -347,4 +347,27 @@ class SamplingSpec extends SparkSpec {
     assert(wiki > web, s"wiki min $wiki should exceed web max $web")
     assert(out(7L) === ((0L, 0L))) // no bigrams -> zero score, row kept
   }
+
+  test("paretoFrontier: dominance exact, equal-on-both ties survive, nulls dropped") {
+    // (id, quality, tokens) — maximize quality, minimize tokens
+    val rows = Seq(
+      (1L, 90L, 100L),  // frontier (best quality)
+      (2L, 90L, 200L),  // dominated by 1 (same q, more tokens)
+      (3L, 80L, 50L),   // frontier (fewer tokens than everything above)
+      (4L, 80L, 50L),   // equal on both to 3 → survives too
+      (5L, 70L, 60L),   // dominated by 3 (less q, more tokens)
+      (6L, 60L, 40L),   // frontier
+      (7L, 95L, 100L)   // frontier: same tokens as 1 but higher quality → 1 dies
+    )
+    val df = spark.createDataFrame(rows).toDF("id", "q", "t")
+    val out = Sampling.paretoFrontier(df, "q", "t", "id")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(7L, 3L, 4L, 6L))
+    // naive O(n²) dominance replay must agree exactly
+    val naive = rows.filter { case (_, q, t) =>
+      !rows.exists { case (_, q2, t2) =>
+        (q2 > q && t2 <= t) || (q2 >= q && t2 < t) }
+    }.map(_._1).toSet
+    assert(out === naive)
+  }
 }

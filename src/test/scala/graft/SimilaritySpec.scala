@@ -244,6 +244,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(1L)._1 === vv * n * n - 2 * n * vs + ss)
   }
 
+  test("rrfFuse: exact integer scores, consensus outranks single-list wins, missing docs contribute nothing") {
+    import spark.implicits._
+    val r1 = Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3))
+      .toDF("q_id", "n_id", "rank")
+    val r2 = Seq((1L, 101L, 1), (1L, 103L, 2), (1L, 100L, 3))
+      .toDF("q_id", "n_id", "rank")
+    val out = Similarity.rrfFuse(Seq(r1, r2), k = 4)
+      .collect().map(r => r.getLong(1) -> ((r.getLong(2), r.getInt(3)))).toMap
+    // 100: 10^8/61 + 10^8/63 = 1639344 + 1587301 = 3226645
+    // 101: 10^8/62 + 10^8/61 = 1612903 + 1639344 = 3252247
+    // 102: 10^8/63 = 1587301 ; 103: 10^8/62 = 1612903
+    assert(out(101L) === ((3252247L, 1))) // in both lists → wins
+    assert(out(100L) === ((3226645L, 2)))
+    assert(out(103L) === ((1612903L, 3)))
+    assert(out(102L) === ((1587301L, 4)))
+  }
+
   test("recallAtK: self-recall is 10000, partial overlap exact, missed query scores 0") {
     import spark.implicits._
     val exact = Seq(
