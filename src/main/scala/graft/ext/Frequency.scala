@@ -537,4 +537,46 @@ object Frequency {
       .select($"_g".as(groupCol), $"n1", $"n2",
         expr("(10000 * _dmax) div (n1 * n2)").as("ks_bp"))
   }
+
+  /** Key-skew report — the "measure your skew BEFORE you join/group on
+    * this key" tool: key count, row count, hottest-key count and share,
+    * and the EXACT Gini coefficient of the per-key row distribution in
+    * basis points (0 = perfectly even, →10⁴ = one key owns everything).
+    * Gini is the standard skew summary a max∕avg ratio understates —
+    * and it decides salting/AQE-skew handling at 100 TB.
+    *
+    * Exact integer Gini from the sorted-rank identity
+    * G = (2·Σᵢ i·cᵢ − (n+1)·S)∕(n·S) (keys rank-ordered ascending by
+    * count): ranks never materialize per key — keys with equal count c
+    * occupy a consecutive rank run, so the run contributes
+    * c·(f·K₋ + f(f+1)∕2) computed on the COUNT-OF-COUNTS frame, which
+    * is bounded by the number of distinct count values. The cumulative
+    * K₋ comes from the same two-phase distributed prefix-sum machinery
+    * as [[exactQuantiles]] — no global sort, no single-task window.
+    * Contract (same as [[graft.ops.Moments]]): 2·Σ i·cᵢ must fit a
+    * long — quantize or shard first at extreme key cardinality.
+    *
+    * Returns one row: (n_keys, n_rows, max_count, top_share_bp,
+    * gini_bp). */
+  def skewReport(df: DataFrame, keyCol: String): DataFrame = {
+    val kc = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("_c"))
+      .persistScoped // read twice: count-of-counts + the prefix sums
+    val cc = kc.groupBy($"_c").agg(count(lit(1)).as("_f"))
+    // (_v = count value as double, _cum = #keys with count ≤ v, _n = #keys)
+    val cum = groupCumulative(kc.withColumn("_g1", lit("all")), "_g1", "_c")
+    cum.join(cc, cum("_v") === cc("_c").cast("double"))
+      .select($"_v".cast("long").as("_cv"), $"_f", $"_cum", $"_n")
+      .agg(
+        max($"_n").as("n_keys"),
+        sum($"_cv" * $"_f").as("n_rows"),
+        max($"_cv").as("max_count"),
+        // NB: `div`, not `/` — Column./ on longs silently yields double
+        sum(expr("_cv * ((_cum - _f) * _f + (_f * (_f + 1)) div 2)"))
+          .as("_g2"))
+      .select($"n_keys", $"n_rows", $"max_count",
+        expr("(10000 * max_count) div n_rows").as("top_share_bp"),
+        expr("(10000 * (2 * _g2 - (n_keys + 1) * n_rows))" +
+          " div (n_keys * n_rows)").as("gini_bp"))
+  }
 }

@@ -281,6 +281,34 @@ object Journeys {
         sum(expr("shiftright(_cents, cast(_w AS INT))")).as("decayed_cents"))
   }
 
+  /** Top-k frequent event PATHS (length-`pathLen` sliding windows over
+    * each user's time-ordered event-type sequence) — the sequential-
+    * pattern cousin of [[transitions]] (bigrams): which 3-step journeys
+    * dominate. One hash aggregate builds the per-user sorted sequence
+    * (ties break by event id — deterministic), the window explode is a
+    * narrow in-row HOF, the path count map-side combines, and the
+    * global top-k is a TakeOrdered, never a full sort. */
+  def frequentPaths(events: DataFrame, pathLen: Int = 3, k: Int = 20,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    require(pathLen >= 2, s"pathLen must be >= 2, got $pathLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    events
+      .select(col(userCol).as("_u"),
+        struct(expr(s"unix_micros($tsCol)").as("_us"), col(idCol).as("_id"),
+          col(typeCol).as("_t")).as("_e"))
+      .groupBy($"_u").agg(sort_array(collect_list($"_e")).as("_seq"))
+      .select(explode(expr(
+        s"""CASE WHEN size(_seq) >= $pathLen THEN
+           |  transform(sequence(0, size(_seq) - $pathLen),
+           |    i -> concat_ws('>', transform(sequence(i, i + ${pathLen - 1}),
+           |                                  j -> _seq[j]._t)))
+           |ELSE array() END""".stripMargin)).as("path"))
+      .groupBy($"path").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"path")
+      .limit(k)
+  }
+
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -342,7 +342,28 @@ object EventQueries extends QueryGroup {
       |       (sum(cents >> w::INTEGER))::BIGINT AS decayed_cents
       |FROM e GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** EV13 — top-20 frequent 3-step journeys across users. */
+  def frequentPaths(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Journeys.frequentPaths(load(spark, dir, "events"),
+      pathLen = 3, k = 20)
+
+  private val frequentPathsSql =
+    """WITH s AS (
+      |  SELECT user_id,
+      |         list(event_type ORDER BY epoch_us(CAST(ts AS TIMESTAMP)),
+      |              event_id) AS seq
+      |  FROM events GROUP BY user_id),
+      |p AS (
+      |  SELECT unnest(CASE WHEN len(seq) >= 3 THEN
+      |           list_transform(range(1, len(seq) - 1),
+      |             i -> seq[i] || '>' || seq[i+1] || '>' || seq[i+2])
+      |         ELSE []::VARCHAR[] END) AS path
+      |  FROM s)
+      |SELECT path, count(*) AS n FROM p
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev13_frequent_paths", frequentPaths, Some(frequentPathsSql)),
     QueryDef("ev12_decayed_popularity", decayedPopularity,
       Some(decayedPopularitySql)),
     QueryDef("ev11_attribution", attribution, Some(attributionSql)),

@@ -905,6 +905,28 @@ object ExtQueries extends QueryGroup {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Key-skew report over lineitem's part key: exact Gini + hottest-key
+    * share — the pre-join skew measurement. */
+  def skewReport(spark: SparkSession, dir: String): DataFrame =
+    Frequency.skewReport(load(spark, dir, "lineitem"), "l_partkey")
+
+  private val skewReportSql =
+    """WITH kc AS (SELECT l_partkey, count(*) AS c
+      |            FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+      |cc AS (SELECT c, count(*) AS f FROM kc GROUP BY 1),
+      |w AS (SELECT c, f, (sum(f) OVER (ORDER BY c))::BIGINT AS cum FROM cc),
+      |s AS (SELECT
+      |  (SELECT count(*) FROM kc)::BIGINT AS n,
+      |  (SELECT (sum(c))::BIGINT FROM kc) AS srows,
+      |  (SELECT (max(c))::BIGINT FROM kc) AS maxc,
+      |  (SELECT (sum(c * ((cum - f) * f + (f * (f + 1)) // 2)))::BIGINT
+      |   FROM w) AS g2)
+      |SELECT n AS n_keys, srows AS n_rows, maxc AS max_count,
+      |       ((10000 * maxc) // srows)::BIGINT AS top_share_bp,
+      |       ((10000 * (2 * g2 - (n + 1) * srows)) // (n * srows))::BIGINT
+      |         AS gini_bp
+      |FROM s""".stripMargin
+
   /** Exact heavy hitters over lineitem part keys WITHOUT a full-keyspace
     * shuffle: per-partition local counts emit candidates (pigeonhole
     * superset), then only candidate keys are exactly counted. The oracle
@@ -3003,6 +3025,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
     QueryDef("ext_pareto_docs", paretoDocs, Some(paretoDocsSql)),
     QueryDef("ext_sim_rrf", simRrf, Some(simRrfSql)),
+    QueryDef("ext_skew_report", skewReport, Some(skewReportSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),

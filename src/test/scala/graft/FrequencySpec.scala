@@ -287,4 +287,30 @@ class FrequencySpec extends SparkSpec {
     assert(out("hand") === ((4L, 4L, 5000L)))
     assert(!out.contains("solo"))
   }
+
+  test("skewReport: hand-computed Gini, uniform keys score 0, naive parity") {
+    import spark.implicits._
+    // counts ascending [1, 1, 2]: n=3, S=4, Σ i·cᵢ = 1+2+6 = 9
+    // gini = (2·9 − 4·4)/(3·4) = 2/12 → 1666 bp; top share 2/4 → 5000
+    val rows = Seq("a", "b", "c", "c").map(Tuple1(_)).toDF("k")
+    val r = Frequency.skewReport(rows, "k").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) === ((3L, 4L, 2L, 5000L, 1666L)))
+    // perfectly uniform distribution → gini exactly 0
+    val even = (1 to 8).flatMap(i => Seq.fill(5)(s"k$i")).map(Tuple1(_))
+      .toDF("k")
+    assert(Frequency.skewReport(even, "k").collect().head.getLong(4) === 0L)
+    // randomized naive parity: gini from explicitly materialized ranks
+    val counts = Seq(7L, 1L, 1L, 3L, 5L, 1L, 2L)
+    val df = counts.zipWithIndex
+      .flatMap { case (c, i) => Seq.fill(c.toInt)(s"key$i") }
+      .map(Tuple1(_)).toDF("k")
+    val got = Frequency.skewReport(df, "k").collect().head.getLong(4)
+    val sorted = counts.sorted
+    val n = sorted.size.toLong
+    val s = sorted.sum
+    val g2 = sorted.zipWithIndex.map { case (c, i) => (i + 1) * c }.sum
+    val want = 10000L * (2 * g2 - (n + 1) * s) / (n * s)
+    assert(got === want)
+  }
 }

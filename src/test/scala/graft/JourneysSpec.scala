@@ -168,4 +168,35 @@ class JourneysSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(shifted("view") === 350L)
   }
+
+  test("frequentPaths: time-ordered trigrams, short sequences excluded, deterministic tiebreak") {
+    val events = Seq(
+      // user 1: view > click > purchase > view  (two trigrams)
+      (1L, 1L, ts("2026-01-01 10:00:00"), "view"),
+      (2L, 1L, ts("2026-01-01 11:00:00"), "click"),
+      (3L, 1L, ts("2026-01-01 12:00:00"), "purchase"),
+      (4L, 1L, ts("2026-01-01 13:00:00"), "view"),
+      // user 2: same first journey
+      (5L, 2L, ts("2026-01-02 10:00:00"), "view"),
+      (6L, 2L, ts("2026-01-02 11:00:00"), "click"),
+      (7L, 2L, ts("2026-01-02 12:00:00"), "purchase"),
+      // user 3: too short — contributes nothing
+      (8L, 3L, ts("2026-01-03 10:00:00"), "view"),
+      (9L, 3L, ts("2026-01-03 11:00:00"), "click"),
+      // user 4: simultaneous events order by event_id
+      (10L, 4L, ts("2026-01-04 10:00:00"), "signup"),
+      (11L, 4L, ts("2026-01-04 10:00:00"), "view"),
+      (12L, 4L, ts("2026-01-04 10:00:00"), "click"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val out = graft.ops.Journeys.frequentPaths(events, pathLen = 3, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    assert(out.head === ("view>click>purchase", 2L))
+    assert(out.toMap === Map(
+      "view>click>purchase" -> 2L,
+      "click>purchase>view" -> 1L,
+      "signup>view>click" -> 1L))
+    // ties rank alphabetically after the count
+    assert(out.map(_._1).drop(1) ===
+      Seq("click>purchase>view", "signup>view>click"))
+  }
 }
