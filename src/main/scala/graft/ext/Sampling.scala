@@ -381,6 +381,63 @@ object Sampling {
         coalesce(expr("s div n_grams"), lit(0L)).as("dsir_q6"))
   }
 
+  /** Poisson(1) bootstrap cumulative thresholds as exact u32 literals:
+    * a row's resample weight is how many thresholds its md5-u32 draw
+    * clears (P(w=k) = e⁻¹∕k!, capped at 7). Both engines see the same
+    * integer constants, so every resample is bit-reproducible. */
+  private[graft] val BootstrapCum: Seq[Long] = {
+    val p = (0 to 6).scanLeft(0.0) { case (acc, k) =>
+      acc + math.exp(-1.0) / (1 to k).product }.drop(1)
+    p.map(c => math.floor(c * 4294967296.0).toLong)
+  }
+
+  /** Bootstrap confidence interval for the per-group MEAN of a money
+    * column — error bars on any pipeline metric without distributional
+    * assumptions, deterministic enough to sit behind the hash gate:
+    * resample b gives row i the Poisson(1) weight drawn from
+    * md5(id‖b) (the online/Poisson bootstrap — Oza & Russell '01), so
+    * every "random" draw is a pure function of the data. Means are
+    * exact integer q4 ratios (⌊10⁴·Σwv∕Σw⌋); the CI is the empirical
+    * [lo, hi] order statistic of the B means (picked in-row from a
+    * B-length sorted array — never a window).
+    *
+    * Scale shape: the ×B explode is pipeline-local (narrow) and the
+    * per-(group, b) partial sums map-side combine, so the shuffle is
+    * |groups|·B rows, not B copies of the data. */
+  def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String, b: Int = 100, loIdx: Int = 5, hiIdx: Int = 95)
+      : DataFrame = {
+    require(b >= 10 && b <= 1000, s"need 10 <= b <= 1000 resamples, got $b")
+    require(loIdx >= 1 && hiIdx <= b && loIdx <= hiIdx,
+      s"bad order statistics lo=$loIdx hi=$hiIdx for b=$b")
+    val thr = BootstrapCum.map(_.toString).mkString("array(", "L, ", "L)")
+    val base = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        col(idCol).cast("string").as("_id"),
+        round(col(valueCol) * 100).cast("long").as("_cents"))
+      .persistScoped // read twice: the point estimate + the resamples
+    val actual = base.groupBy($"_g")
+      .agg(expr("(10000 * sum(_cents)) div count(1)").as("mean_q4"),
+        count(lit(1)).as("n_rows"))
+    val means = base
+      .select($"_g", $"_id", $"_cents",
+        explode(expr(s"sequence(1, $b)")).as("_b"))
+      .withColumn("_u", conv(substring(
+        md5(concat($"_id", lit("_"), $"_b".cast("string")).cast("binary")),
+        1, 8), 16, 10).cast("long"))
+      .withColumn("_w", expr(s"size(filter($thr, t -> _u >= t))").cast("long"))
+      .groupBy($"_g", $"_b")
+      .agg(sum($"_w" * $"_cents").as("_wv"), sum($"_w").as("_sw"))
+      .where($"_sw" > 0L)
+      .select($"_g", expr("(10000 * _wv) div _sw").as("_m"))
+    means.groupBy($"_g")
+      .agg(sort_array(collect_list($"_m")).as("_ms"))
+      .join(actual, Seq("_g"))
+      .select($"_g".as(groupCol), $"n_rows", $"mean_q4",
+        element_at($"_ms", loIdx).as("lo_q4"),
+        element_at($"_ms", hiIdx).as("hi_q4"))
+  }
+
   /** 2-D Pareto frontier (skyline): rows not dominated under
     * (maximize `maxCol`, minimize `minCol`) — multi-objective doc
     * selection ("highest quality at every length budget") where a

@@ -905,6 +905,43 @@ object ExtQueries extends QueryGroup {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Bootstrap 90% CI on the mean purchase value per event type:
+    * md5-seeded Poisson resampling, exact integer q4 means. */
+  def bootstrapCiQ(spark: SparkSession, dir: String): DataFrame =
+    Sampling.bootstrapCi(load(spark, dir, "events"),
+        "event_type", "event_id", "value", b = 100)
+      .orderBy($"event_type")
+
+  private val bootstrapCiSql = {
+    // thresholds rendered from the SAME Scala constant — never retyped
+    val thr = Sampling.BootstrapCum.mkString("[", ", ", "]")
+    s"""WITH base AS (
+       |  SELECT event_type AS g, event_id::VARCHAR AS id,
+       |         (round(value * 100))::BIGINT AS cents
+       |  FROM events WHERE value IS NOT NULL),
+       |actual AS (
+       |  SELECT g, ((10000 * (sum(cents))::BIGINT) // count(*))::BIGINT
+       |           AS mean_q4,
+       |         count(*) AS n_rows
+       |  FROM base GROUP BY g),
+       |ex AS (
+       |  SELECT g, cents, r.b,
+       |         ('0x' || substr(md5(id || '_' || r.b::VARCHAR), 1, 8))::BIGINT
+       |           AS u
+       |  FROM base, range(1, 101) r(b)),
+       |wts AS (
+       |  SELECT g, b,
+       |         (sum(len(list_filter($thr, t -> u >= t)) * cents))::BIGINT AS wv,
+       |         (sum(len(list_filter($thr, t -> u >= t))))::BIGINT AS sw
+       |  FROM ex GROUP BY g, b HAVING sw > 0),
+       |means AS (SELECT g, ((10000 * wv) // sw)::BIGINT AS m FROM wts),
+       |ci AS (SELECT g, list(m ORDER BY m) AS ms FROM means GROUP BY g)
+       |SELECT a.g AS event_type, a.n_rows, a.mean_q4,
+       |       ci.ms[5] AS lo_q4, ci.ms[95] AS hi_q4
+       |FROM actual a JOIN ci ON a.g = ci.g
+       |ORDER BY event_type""".stripMargin
+  }
+
   /** Key-skew report over lineitem's part key: exact Gini + hottest-key
     * share — the pre-join skew measurement. */
   def skewReport(spark: SparkSession, dir: String): DataFrame =
@@ -3026,6 +3063,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_pareto_docs", paretoDocs, Some(paretoDocsSql)),
     QueryDef("ext_sim_rrf", simRrf, Some(simRrfSql)),
     QueryDef("ext_skew_report", skewReport, Some(skewReportSql)),
+    QueryDef("ext_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),

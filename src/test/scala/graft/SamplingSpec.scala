@@ -348,6 +348,28 @@ class SamplingSpec extends SparkSpec {
     assert(out(7L) === ((0L, 0L))) // no bigrams -> zero score, row kept
   }
 
+  test("bootstrapCi: deterministic reruns, exact point estimate, constant data collapses the interval") {
+    import spark.implicits._
+    val rows = (1L to 200L).map(i => ("a", i, (i % 7 + 1).toDouble)) ++
+      (1L to 150L).map(i => ("b", i + 1000L, 3.0)) // constant-valued group
+    val df = rows.toDF("g", "id", "v")
+    val out = Sampling.bootstrapCi(df, "g", "id", "v", b = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // exact point estimate: Σcents over n, q4
+    val aCents = (1L to 200L).map(i => (i % 7 + 1) * 100).sum
+    assert(out("a")._2 === 10000L * aCents / 200L)
+    // constant group: every resample mean is exactly 300 cents → q4 3000000
+    assert(out("b") === ((150L, 3000000L, 3000000L, 3000000L)))
+    // interval brackets sanely and reruns are bit-identical
+    assert(out("a")._3 <= out("a")._2 + 500 && out("a")._4 >= out("a")._2 - 500)
+    assert(out("a")._3 <= out("a")._4)
+    val again = Sampling.bootstrapCi(df, "g", "id", "v", b = 100)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(again === out)
+  }
+
   test("paretoFrontier: dominance exact, equal-on-both ties survive, nulls dropped") {
     // (id, quality, tokens) — maximize quality, minimize tokens
     val rows = Seq(
