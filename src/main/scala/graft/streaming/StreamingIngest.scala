@@ -212,6 +212,53 @@ object StreamingIngest {
     * Contract difference from [[dedupWithState]]: that one keeps a
     * PERMANENT per-user ledger (exactly the reference's processed-file
     * ledger); this one trades permanence for bounded state. */
+  case class AttrEvent(user_id: Long, event_id: Long,
+      ts: java.sql.Timestamp, event_type: String, value: Double)
+  case class TouchState(usMicros: Long, eventId: Long, channel: String)
+  case class Attributed(event_id: Long, channel: String, cents: Long)
+
+  /** Stateful streaming twin of
+    * [[graft.ops.Journeys.lastTouchAttribution]]: per-user state is the
+    * LAST TOUCH only — O(1) per key, never the user's history (the same
+    * bounded-state discipline as [[transitionsStream]]). Each arriving
+    * conversion is credited to the remembered touch when it falls
+    * inside the lookback, else 'direct'; touches merely refresh the
+    * state. Intra-batch rows sort by (ts, touch-before-conversion,
+    * event_id), so a chronologically-fed stream reproduces the batch
+    * operator row for row (parity spec-pinned). */
+  def attributionStream(events: org.apache.spark.sql.Dataset[AttrEvent],
+      touchTypes: Set[String], convType: String, lookbackSeconds: Long)
+      : org.apache.spark.sql.Dataset[Attributed] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    val lookbackUs = lookbackSeconds * 1000000L
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[TouchState, Attributed](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, rows: Iterator[AttrEvent], state: GroupState[TouchState]) =>
+          val sorted = rows.toSeq.sortBy(e =>
+            (micros(e.ts), if (touchTypes(e.event_type)) 0 else 1, e.event_id))
+          val out = scala.collection.mutable.ArrayBuffer[Attributed]()
+          var last = state.getOption
+          sorted.foreach { e =>
+            if (touchTypes(e.event_type))
+              last = Some(TouchState(micros(e.ts), e.event_id, e.event_type))
+            else if (e.event_type == convType) {
+              val ch = last match {
+                case Some(t) if micros(e.ts) - t.usMicros <= lookbackUs =>
+                  t.channel
+                case _ => "direct"
+              }
+              out += Attributed(e.event_id, ch, math.round(e.value * 100))
+            }
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+  }
+
   case class KeyedValueEvent(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, value: Double)
   case class RingState(vals: Seq[Long])

@@ -289,6 +289,47 @@ class StreamingSpec extends SparkSpec {
     assert(rows.find(e => e.user_id == 1 && e.event_id == 12).get.seq === 3L)
   }
 
+  test("attributionStream: multi-batch last-touch credits equal the batch operator") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.AttrEvent
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // lookback 60 s; batch split lands BETWEEN a touch and its conversion
+    val b1 = Seq(
+      AttrEvent(1L, 2L, ts(20), "click", 0.0),
+      AttrEvent(1L, 1L, ts(10), "view", 0.0), // out of order inside batch
+      AttrEvent(2L, 3L, ts(15), "view", 0.0),
+      AttrEvent(3L, 4L, ts(15), "purchase", 8.00)) // no touch → direct
+    val b2 = Seq(
+      AttrEvent(1L, 5L, ts(45), "purchase", 5.00),  // batch-1 click credits
+      AttrEvent(2L, 6L, ts(90), "purchase", 2.00),  // view aged out → direct
+      AttrEvent(1L, 7L, ts(50), "view", 0.0),
+      AttrEvent(1L, 8L, ts(55), "purchase", 1.00))  // same-batch view credits
+    val input = MemoryStream[AttrEvent]
+    val q = StreamingIngest.attributionStream(input.toDS(),
+        Set("click", "view"), "purchase", lookbackSeconds = 60)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("attribution_stream").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attribution_stream")
+      .as[StreamingIngest.Attributed].collect()
+      .map(a => a.event_id -> ((a.channel, a.cents))).toMap
+    assert(streamed === Map(
+      4L -> (("direct", 800L)), 5L -> (("click", 500L)),
+      6L -> (("direct", 200L)), 8L -> (("view", 100L))))
+    // row-for-row parity with the batch operator over the union
+    val batch = graft.ops.Journeys.lastTouchAttribution(
+        (b1 ++ b2).toDF(), Seq("click", "view"), "purchase",
+        lookbackSeconds = 60)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(streamed === batch)
+  }
+
   test("transitionsStream: multi-batch stateful pairs equal the batch transition extraction") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
