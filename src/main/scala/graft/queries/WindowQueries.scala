@@ -380,12 +380,39 @@ object WindowQueries extends QueryGroup {
       |SELECT event_id, user_id, r_click_id, r_ts
       |FROM p ORDER BY event_id""".stripMargin
 
+  /** W7 — distribution-position analytics: quartile bucket (ntile) and
+    * exact percent_rank of each order's price within its priority
+    * class. Both are single partitioned-window functions (the window
+    * partitions on the group key — every partition does its share, no
+    * global sort); percent_rank's (rank−1)∕(n−1) divides the same exact
+    * integers in both engines. */
+  def ntilePctRank(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice", $"o_orderkey")
+    load(spark, dir, "orders")
+      .withColumn("quartile", ntile(4).over(w))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .select($"o_orderkey", $"o_orderpriority", $"quartile",
+        round($"pct_rank", 6).as("pct_rank"))
+      .orderBy($"o_orderkey")
+  }
+
+  private val ntilePctRankSql =
+    """SELECT o_orderkey, o_orderpriority,
+      |       ntile(4) OVER w AS quartile,
+      |       round(percent_rank() OVER w, 6) AS pct_rank
+      |FROM orders
+      |WINDOW w AS (PARTITION BY o_orderpriority
+      |             ORDER BY o_totalprice, o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j21_asof_nearest", asofNearestQ, Some(asofNearestSql)),
     QueryDef("j20_interval_overlap", intervalOverlapQ, Some(intervalOverlapSql)),
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
     QueryDef("w6_range_trailing", rangeTrailing, Some(rangeTrailingSql)),
+    QueryDef("w7_ntile_pctrank", ntilePctRank, Some(ntilePctRankSql)),
     QueryDef("w5_topk_groups", topKGroups, Some(topKGroupsSql)),
     QueryDef("j17_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("j18_range_join", rangeJoin, Some(rangeJoinSql)),
