@@ -407,31 +407,53 @@ object Sampling {
   def bootstrapCi(df: DataFrame, groupCol: String, idCol: String,
       valueCol: String, b: Int = 100, loIdx: Int = 5, hiIdx: Int = 95)
       : DataFrame = {
-    require(b >= 10 && b <= 1000, s"need 10 <= b <= 1000 resamples, got $b")
     require(loIdx >= 1 && hiIdx <= b && loIdx <= hiIdx,
       s"bad order statistics lo=$loIdx hi=$hiIdx for b=$b")
-    val sess = df.sparkSession
-    import sess.implicits.newProductEncoder
-    val base = df.where(col(valueCol).isNotNull)
-      .select(col(groupCol).cast("string").as("_g"),
-        col(idCol).cast("string").as("_id"),
-        round(col(valueCol) * 100).cast("long").as("_cents"))
-      .persistScoped // read twice: the point estimate + the resamples
+    val base = bootstrapBase(df, groupCol, idCol, valueCol)
     val actual = base.groupBy($"_g")
       .agg(expr("(10000 * sum(_cents)) div count(1)").as("mean_q4"),
         count(lit(1)).as("n_rows"))
-    // Per-partition kernel: every row's B weights come straight off the
-    // md5 DIGEST BYTES (draw j of md5 k reads bytes 4j..4j+3 unsigned
-    // big-endian — bit-identical to the hex-substring the oracle takes)
-    // and accumulate into per-(group, resample) partial sums, so the
-    // shuffle is |groups|·B rows per partition — the ×B row explode,
-    // its 20M string expressions, and its combine hashmap of 20M keys
-    // never exist (measured 82 s → ~4 s at sf0.1). mapPartitions is
-    // the point here: the kernel IS a hand-rolled partial-aggregation
-    // buffer, the same license as the prefix-sum phases.
+    val means = bootstrapMeans(base, b)
+    means.groupBy($"_g")
+      .agg(sort_array(collect_list($"_m")).as("_ms"))
+      .join(actual, Seq("_g"))
+      .select($"_g".as(groupCol), $"n_rows", $"mean_q4",
+        element_at($"_ms", loIdx).as("lo_q4"),
+        element_at($"_ms", hiIdx).as("hi_q4"))
+  }
+
+  /** Normalized `(_g, _id, _cents)` resampling base — persisted because
+    * every bootstrap consumer reads it at least twice. The group key is
+    * compared AS STRING (the kernel's map key). */
+  private def bootstrapBase(df: DataFrame, groupCol: String, idCol: String,
+      valueCol: String): DataFrame =
+    df.where(col(valueCol).isNotNull)
+      .select(col(groupCol).cast("string").as("_g"),
+        col(idCol).cast("string").as("_id"),
+        round(col(valueCol) * 100).cast("long").as("_cents"))
+      .persistScoped
+
+  /** Per-(group, resample) bootstrap MEANS `(_g, _b, _m)` in exact q4
+    * integers — the reusable core under [[bootstrapCi]] and the lift-CI
+    * composition.
+    *
+    * Per-partition kernel: every row's B weights come straight off the
+    * md5 DIGEST BYTES (draw j of md5 k reads bytes 4j..4j+3 unsigned
+    * big-endian — bit-identical to the hex-substring an oracle takes)
+    * and accumulate into per-(group, resample) partial sums, so the
+    * shuffle is |groups|·B rows per partition — the ×B row explode,
+    * its 20M string expressions, and its combine hashmap of 20M keys
+    * never exist (measured 82 s → ~4 s at sf0.1). mapPartitions is
+    * the point here: the kernel IS a hand-rolled partial-aggregation
+    * buffer, the same license as the prefix-sum phases. */
+  private[graft] def bootstrapMeans(base: DataFrame, b: Int): DataFrame = {
+    require(b >= 10 && b <= 1000, s"need 10 <= b <= 1000 resamples, got $b")
+    val sess = base.sparkSession
+    import sess.implicits.newProductEncoder
     val nB = b
     val thr = BootstrapCum.toArray
-    val parts = base.as[(String, String, Long)].mapPartitions { it =>
+    val parts = base.select($"_g", $"_id", $"_cents")
+      .as[(String, String, Long)].mapPartitions { it =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val acc = scala.collection.mutable.HashMap
         .empty[String, (Array[Long], Array[Long])]
@@ -461,17 +483,42 @@ object Sampling {
         (0 until nB).iterator.map(i => (g, i + 1, wv(i), sw(i)))
       }
     }.toDF("_g", "_b", "_wv", "_sw")
-    val means = parts
+    parts
       .groupBy($"_g", $"_b")
       .agg(sum($"_wv").as("_wv"), sum($"_sw").as("_sw"))
       .where($"_sw" > 0L)
-      .select($"_g", expr("(10000 * _wv) div _sw").as("_m"))
-    means.groupBy($"_g")
-      .agg(sort_array(collect_list($"_m")).as("_ms"))
-      .join(actual, Seq("_g"))
-      .select($"_g".as(groupCol), $"n_rows", $"mean_q4",
-        element_at($"_ms", loIdx).as("lo_q4"),
-        element_at($"_ms", hiIdx).as("hi_q4"))
+      .select($"_g", $"_b", expr("(10000 * _wv) div _sw").as("_m"))
+  }
+
+  /** Bootstrap CI on an A/B LIFT: resample means per arm from the SAME
+    * md5 draws, pair them per resample index, and take order statistics
+    * of the differences — the experiment readout that reports an
+    * interval on the effect, not just a z². Arms are the two values of
+    * `armCol` (compared as strings); positive lift = arm1 − arm0. */
+  def bootstrapLiftCi(df: DataFrame, armCol: String, idCol: String,
+      valueCol: String, arm0: String, arm1: String, b: Int = 100,
+      loIdx: Int = 5, hiIdx: Int = 95): DataFrame = {
+    require(loIdx >= 1 && hiIdx <= b && loIdx <= hiIdx,
+      s"bad order statistics lo=$loIdx hi=$hiIdx for b=$b")
+    val base = bootstrapBase(df, armCol, idCol, valueCol)
+      .where($"_g".isin(arm0, arm1))
+    val actual = base.groupBy($"_g")
+      .agg(expr("(10000 * sum(_cents)) div count(1)").as("_mean"))
+    val actualLift = actual.where($"_g" === arm1).select($"_mean".as("_m1"))
+      .crossJoin(actual.where($"_g" === arm0).select($"_mean".as("_m0")))
+      .select(($"_m1" - $"_m0").as("lift_q4"))
+    val means = bootstrapMeans(base, b)
+    val diffs = means.where($"_g" === arm1)
+      .select($"_b", $"_m".as("_ma"))
+      .join(means.where($"_g" === arm0).select($"_b", $"_m".as("_mb")),
+        Seq("_b"))
+      .select(($"_ma" - $"_mb").as("_d"))
+    diffs.agg(sort_array(collect_list($"_d")).as("_ds"),
+        count(lit(1)).as("n_resamples"))
+      .crossJoin(actualLift)
+      .select($"lift_q4", $"n_resamples",
+        element_at($"_ds", loIdx).as("lift_lo_q4"),
+        element_at($"_ds", hiIdx).as("lift_hi_q4"))
   }
 
   /** 2-D Pareto frontier (skyline): rows not dominated under

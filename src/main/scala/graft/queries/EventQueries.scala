@@ -412,7 +412,63 @@ object EventQueries extends QueryGroup {
       |        (1.0::DOUBLE / n0::DOUBLE + 1.0::DOUBLE / n1::DOUBLE)) AS z2
       |FROM a""".stripMargin
 
+  /** EV15 — bootstrap CI on the A/B lift: the interval on the effect
+    * (conversion-rate difference), from arm-paired md5-deterministic
+    * resamples. Completes ev14's z² with the error bar a real readout
+    * reports. */
+  def abLiftCi(spark: SparkSession, dir: String): DataFrame = {
+    val per = load(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(when(sum(when(col("event_type") === "purchase", 1L)
+        .otherwise(0L)) >= 14L, 1.0).otherwise(0.0).as("conv"))
+      .select((col("user_id") % 2).as("arm"), col("user_id"), col("conv"))
+    graft.ext.Sampling.bootstrapLiftCi(per, "arm", "user_id", "conv",
+      arm0 = "0", arm1 = "1", b = 100)
+  }
+
+  private val abLiftCiSql = {
+    val wCase = graft.ext.Sampling.BootstrapCum.zipWithIndex
+      .map { case (t, i) => s"WHEN u < $t THEN $i" }
+      .mkString("CASE ", " ", s" ELSE ${graft.ext.Sampling.BootstrapCum.size} END")
+    s"""WITH per AS (
+       |  SELECT user_id % 2 AS arm, user_id,
+       |         CASE WHEN sum(CASE WHEN event_type = 'purchase'
+       |                            THEN 1 ELSE 0 END) >= 14
+       |              THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY user_id),
+       |base AS (
+       |  SELECT arm::VARCHAR AS g, user_id::VARCHAR AS id,
+       |         (conv * 100)::BIGINT AS cents
+       |  FROM per),
+       |actual AS (
+       |  SELECT g, ((10000 * (sum(cents))::BIGINT) // count(*))::BIGINT AS m
+       |  FROM base GROUP BY g),
+       |al AS (SELECT (SELECT m FROM actual WHERE g = '1') -
+       |              (SELECT m FROM actual WHERE g = '0') AS lift_q4),
+       |ex AS (
+       |  SELECT g, cents, r.b,
+       |         ('0x' || substr(md5(id || '_' || ((r.b + 3) // 4)::VARCHAR),
+       |                         (1 + 8 * ((r.b - 1) % 4))::INTEGER,
+       |                         8))::BIGINT AS u
+       |  FROM base, range(1, 101) r(b)),
+       |wts AS (
+       |  SELECT g, b, (sum(($wCase) * cents))::BIGINT AS wv,
+       |         (sum($wCase))::BIGINT AS sw
+       |  FROM ex GROUP BY g, b HAVING sw > 0),
+       |means AS (SELECT g, b, ((10000 * wv) // sw)::BIGINT AS m FROM wts),
+       |d AS (
+       |  SELECT a.m - c.m AS d
+       |  FROM means a JOIN means c ON a.b = c.b
+       |  WHERE a.g = '1' AND c.g = '0'),
+       |ds AS (SELECT list(d ORDER BY d) AS l, count(*) AS n_resamples
+       |       FROM d)
+       |SELECT al.lift_q4, ds.n_resamples,
+       |       ds.l[5] AS lift_lo_q4, ds.l[95] AS lift_hi_q4
+       |FROM ds, al""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev15_ab_lift_ci", abLiftCi, Some(abLiftCiSql)),
     QueryDef("ev14_ab_test", abTest, Some(abTestSql)),
     QueryDef("ev13_frequent_paths", frequentPaths, Some(frequentPathsSql)),
     QueryDef("ev12_decayed_popularity", decayedPopularity,

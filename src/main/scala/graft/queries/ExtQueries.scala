@@ -905,6 +905,50 @@ object ExtQueries extends QueryGroup {
        |WHERE rank <= 5 ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Quality→accuracy calibration: per quality decile, how often the
+    * language-ID agrees with the label — the "does this quality signal
+    * actually predict anything" reliability check run before a score
+    * gates sampling. Exact integer deciles and accuracy bp; one
+    * doc-keyed join + one 10-row aggregate. */
+  def qualityCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val q = TextStats.analyze(docs)
+      .select($"doc_id", $"lang_pred", $"quality_q4")
+    docs.select($"doc_id", $"lang").join(q, Seq("doc_id"))
+      .select(least(expr("quality_q4 div 1000"), lit(9L)).as("decile"),
+        when($"lang_pred" === $"lang", 1L).otherwise(0L).as("ok"))
+      .groupBy($"decile")
+      .agg(count(lit(1)).as("n_docs"), sum($"ok").as("n_correct"))
+      .select($"decile", $"n_docs", $"n_correct",
+        expr("(10000 * n_correct) div n_docs").as("acc_bp"))
+      .orderBy($"decile")
+  }
+
+  private val qualityCalibrationSql = {
+    val enStop = TextStats.stopwords("en").map(w => s"'$w'").mkString(", ")
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, text, $toksSql AS ws FROM documents),
+       |scored AS (SELECT doc_id, lang, text, ws, $langScoreExprs FROM w),
+       |wb AS (SELECT *, $langBestSql AS best FROM scored),
+       |pred AS (SELECT doc_id, lang, text, ws, s_en,
+       |           $langPredCase AS lang_pred FROM wb),
+       |qs AS (SELECT doc_id, lang, lang_pred,
+       |  list_sum(list_transform(ws, x -> length(x)))::BIGINT AS s,
+       |  greatest(len(ws), 1)::BIGINT AS n,
+       |  s_en::BIGINT AS c,
+       |  greatest(length(text), 1)::BIGINT AS l,
+       |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p
+       |  FROM pred),
+       |q AS (SELECT doc_id, lang, lang_pred, $q4Sql AS quality_q4 FROM qs)
+       |SELECT least(quality_q4 // 1000, 9) AS decile,
+       |       count(*) AS n_docs,
+       |       (sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END))::BIGINT
+       |         AS n_correct,
+       |       ((10000 * sum(CASE WHEN lang_pred = lang THEN 1 ELSE 0 END))
+       |          // count(*))::BIGINT AS acc_bp
+       |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** Bootstrap 90% CI on the mean purchase value per event type:
     * md5-seeded Poisson resampling, exact integer q4 means. */
   def bootstrapCiQ(spark: SparkSession, dir: String): DataFrame =
@@ -3067,6 +3111,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_rrf", simRrf, Some(simRrfSql)),
     QueryDef("ext_skew_report", skewReport, Some(skewReportSql)),
     QueryDef("ext_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)),
+    QueryDef("ext_quality_calibration", qualityCalibration,
+      Some(qualityCalibrationSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),

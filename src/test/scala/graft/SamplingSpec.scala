@@ -370,6 +370,24 @@ class SamplingSpec extends SparkSpec {
     assert(again === out)
   }
 
+  test("bootstrapLiftCi: sign-correct lift, constant arms collapse the interval, deterministic") {
+    import spark.implicits._
+    // arm 1 pays 5.00 always, arm 0 pays 2.00 always → lift exactly +3.00
+    val rows = (1L to 120L).map(i => ("0", i, 2.00)) ++
+      (1L to 130L).map(i => ("1", i + 500L, 5.00))
+    val df = rows.toDF("arm", "id", "v")
+    val out = Sampling.bootstrapLiftCi(df, "arm", "id", "v", "0", "1",
+      b = 100).collect().head
+    // constant values: every resample mean is exact → every diff equal
+    assert(out.getLong(0) === 5000000L - 2000000L) // lift_q4
+    assert(out.getLong(1) === 100L)                // all resamples paired
+    assert(out.getLong(2) === 3000000L)            // lo = hi = point lift
+    assert(out.getLong(3) === 3000000L)
+    val again = Sampling.bootstrapLiftCi(df, "arm", "id", "v", "0", "1",
+      b = 100).collect().head
+    assert(again.toSeq === out.toSeq)
+  }
+
   test("paretoFrontier: dominance exact, equal-on-both ties survive, nulls dropped") {
     // (id, quality, tokens) — maximize quality, minimize tokens
     val rows = Seq(
