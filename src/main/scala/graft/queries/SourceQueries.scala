@@ -25,6 +25,31 @@ object SourceQueries extends QueryGroup {
        |              all_varchar=true)
        |ORDER BY "*sample_name"""".stripMargin
 
+  /** S1 — NATIVE .xlsx round trip against the relational oracle: the
+    * nation dimension exports through the sheet sink (driver-side —
+    * spreadsheets are metadata-sized) and scans back through the
+    * dependency-free zip+StAX reader; values must survive bit-exact.
+    * The oracle reads the same rows straight from the parquet, so the
+    * gate covers BOTH the writer and the reader. */
+  def xlsxRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val nation = graft.Tables.load(spark, dir, "nation")
+      .orderBy($"n_nationkey").collect()
+    val tmpDir = java.nio.file.Files.createTempDirectory("graft_s1").toFile
+    graft.io.Xlsx.writeXlsx(new java.io.File(tmpDir, "nation.xlsx"),
+      Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
+        nation.map(r => Seq(r.get(0).toString, r.getString(1),
+          r.get(2).toString)))
+    graft.io.Xlsx.readXlsx(spark, tmpDir.getAbsolutePath)
+      .select($"n_nationkey".cast("int").as("n_nationkey"), $"n_name",
+        $"n_regionkey".cast("int").as("n_regionkey"))
+      .orderBy($"n_nationkey")
+  }
+
+  private val xlsxRoundTripSql =
+    """SELECT n_nationkey, n_name, n_regionkey
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
-    QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)))
+    QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)),
+    QueryDef("s1_xlsx_roundtrip", xlsxRoundTrip, Some(xlsxRoundTripSql)))
 }
