@@ -94,4 +94,166 @@ object Multimodal {
       .select(col("asset_id"),
         explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
   }
+
+  // ----- REAL JVM codec (round 7): images and audio decode with ZERO
+  // external dependencies — `javax.imageio` ships PNG/BMP/GIF/JPEG and
+  // `javax.sound.sampled` ships WAV/PCM in every JDK. Only VIDEO keeps
+  // the honest stub (no JVM-built-in video codec exists). -----
+
+  /** Decoded row with a quarantine column: a corrupt payload NEVER
+    * fails the job — it lands with `error` set (the JSONL-quarantine
+    * discipline applied to media). */
+  case class MediaDecoded(asset_id: Long, kind: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Long, sample_rate_hz: Int,
+      error: String)
+
+  /** Per-asset 64-bit average-hash (aHash): 8×8 nearest-neighbor
+    * grayscale thumbnail, bit i set iff pixel i's gray EXCEEDS the
+    * integer mean — the standard perceptual fingerprint for image
+    * near-dup at corpus scale. Deterministic: integer grayscale
+    * (299r+587g+114b)/1000, floor sampling coordinates, strict
+    * compare. */
+  case class ImageHash(asset_id: Long, ahash: Long)
+
+  final class JvmCodec {
+    import java.io.ByteArrayInputStream
+
+    def decode(a: MediaAsset): MediaDecoded = {
+      val n = a.payload.length
+      a.kind match {
+        case "image" =>
+          try {
+            val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(a.payload))
+            if (img == null)
+              MediaDecoded(a.asset_id, a.kind, n, 0, 0, 0, 0, "undecodable image")
+            else
+              MediaDecoded(a.asset_id, a.kind, n, img.getWidth, img.getHeight, 1, 0, null)
+          } catch { case e: Exception =>
+            MediaDecoded(a.asset_id, a.kind, n, 0, 0, 0, 0, s"image: ${e.getMessage}")
+          }
+        case "audio" =>
+          try {
+            val in = javax.sound.sampled.AudioSystem
+              .getAudioInputStream(new ByteArrayInputStream(a.payload))
+            try {
+              val f = in.getFormat
+              MediaDecoded(a.asset_id, a.kind, n, 0, 0, in.getFrameLength,
+                math.round(f.getSampleRate), null)
+            } finally in.close()
+          } catch { case e: Exception =>
+            MediaDecoded(a.asset_id, a.kind, n, 0, 0, 0, 0, s"audio: ${e.getMessage}")
+          }
+        case other =>
+          MediaDecoded(a.asset_id, other, n, 0, 0, 0, 0,
+            s"no JVM codec for kind '$other'")
+      }
+    }
+
+    /** 8×8 grayscale thumbnail as 64 ints in [0, 255] — nearest-neighbor
+      * sampling (floor coords), integer luma. Also the 64-dim thumbnail
+      * feature vector for the embedding operators. */
+    def thumbnail8(img: java.awt.image.BufferedImage): Array[Int] = {
+      val out = new Array[Int](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val sx = x * img.getWidth / 8
+          val sy = y * img.getHeight / 8
+          val rgb = img.getRGB(sx, sy)
+          val gray = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+            114 * (rgb & 0xff)) / 1000
+          out(y * 8 + x) = gray
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    def aHash(a: MediaAsset): Option[ImageHash] =
+      try {
+        val img = javax.imageio.ImageIO.read(
+          new ByteArrayInputStream(a.payload))
+        if (img == null || img.getWidth < 8 || img.getHeight < 8) None
+        else {
+          val t = thumbnail8(img)
+          val mean = t.sum / 64
+          var h = 0L
+          var i = 0
+          while (i < 64) { if (t(i) > mean) h |= (1L << i); i += 1 }
+          Some(ImageHash(a.asset_id, h))
+        }
+      } catch { case _: Exception => None }
+
+    /** WAV frame-sample: every `stride`-th PCM frame's first channel as
+      * a float in [−1, 1] (16-bit signed little-endian assumed — the
+      * canonical WAV PCM layout). */
+    def sampleAudio(a: MediaAsset, stride: Int): Array[Float] =
+      try {
+        val in = javax.sound.sampled.AudioSystem
+          .getAudioInputStream(new ByteArrayInputStream(a.payload))
+        try {
+          val f = in.getFormat
+          val frameSize = f.getFrameSize
+          val bytes = in.readAllBytes()
+          val n = bytes.length / frameSize
+          val out = scala.collection.mutable.ArrayBuffer.empty[Float]
+          var i = 0
+          while (i < n) {
+            val off = i * frameSize
+            val s = ((bytes(off + 1) << 8) | (bytes(off) & 0xff)).toShort
+            out += s / 32768f
+            i += stride
+          }
+          out.toArray
+        } finally in.close()
+      } catch { case _: Exception => Array.empty[Float] }
+  }
+
+  /** Real decode stage — same per-partition lifecycle as the stub path
+    * ([[decode]]), but through the JDK codecs; corrupt payloads
+    * quarantine instead of failing. Narrow, zero shuffle. */
+  def decodeJvm(assets: Dataset[MediaAsset]): Dataset[MediaDecoded] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      val codec = new JvmCodec
+      it.map(codec.decode)
+    }
+  }
+
+  /** Perceptual-hash image near-dup — the production image-dedup shape
+    * on pure JDK decode: aHash per image (narrow), then the
+    * simhash-style BANDED candidate join (four 16-bit bands of the
+    * 64-bit hash; two images within Hamming distance d share ≥ one
+    * band whenever d ≤ 3 — pigeonhole over 4 bands), exact popcount
+    * verify on candidates only. Never an all-pairs product. */
+  def imageNearDup(assets: Dataset[MediaAsset], maxHamming: Int = 3)
+      : DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4-band LSH guarantees completeness only for maxHamming <= 3, got $maxHamming")
+    import assets.sparkSession.implicits.newProductEncoder
+    val hashes = assets.mapPartitions { it =>
+      val codec = new JvmCodec
+      it.flatMap(codec.aHash)
+    }.toDF("asset_id", "ahash").persistScoped
+    val bands = hashes.select(col("asset_id"), col("ahash"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          (shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL)))
+            .as("key"))): _*)).as("bk"))
+      .select(col("asset_id"), col("ahash"), col("bk.band").as("band"),
+        col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.asset_id") < col("b.asset_id"))
+      .select(col("a.asset_id").as("id_a"), col("b.asset_id").as("id_b"),
+        col("a.ahash").as("ha"), col("b.ahash").as("hb"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }
