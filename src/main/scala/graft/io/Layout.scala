@@ -53,6 +53,32 @@ object Layout {
       .bucketBy(nBuckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
 
+  /** Parquet BLOOM FILTERS on point-lookup columns: each row group
+    * carries a bloom of the column's values, so an equality predicate
+    * skips row groups whose bloom rejects the key WITHOUT decoding the
+    * column — the layout lever for needle-in-haystack lookups on a
+    * 100-TB table where min/max statistics are useless (high-cardinality
+    * unsorted ids span every row group's range). `ndv` sizes the filter
+    * (expected distinct values per row group — overshooting just costs
+    * bytes, undershooting costs false positives).
+    *
+    * Dictionary encoding is DISABLED on the bloom columns: parquet-mr
+    * silently skips the bloom when a column stays fully
+    * dictionary-encoded (the dictionary already filters exactly), so a
+    * small test table would "lose" its bloom — and a column you
+    * declared here is one whose cardinality defeats dictionaries at
+    * real scale anyway. Declaring it makes the layout deterministic. */
+  def writeWithBloom(df: DataFrame, path: String, bloomCols: Seq[String],
+      ndv: Long = 100000L): Unit = {
+    require(bloomCols.nonEmpty, "need at least one bloom column")
+    val w = bloomCols.foldLeft(df.write.mode("overwrite")) { (wr, c) =>
+      wr.option(s"parquet.bloom.filter.enabled#$c", "true")
+        .option(s"parquet.bloom.filter.expected.ndv#$c", ndv.toString)
+        .option(s"parquet.enable.dictionary#$c", "false")
+    }
+    w.parquet(path)
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈totalBytes / targetBytes⌉ files. The operational pressure-valve
     * every long-lived 100-TB table needs — streaming sinks, partitioned

@@ -68,4 +68,34 @@ class IoFormatsSpec extends SparkSpec {
     assert(plan.contains("PushedFilters:") && plan.contains("lang"), plan)
     assert(!plan.contains("n_chars"), plan) // pruned column never read
   }
+
+  test("parquet bloom filters: present in the footer for the declared column only; point lookup stays exact") {
+    val dir = Files.createTempDirectory("bloom").toString
+    val df = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_quantity")
+    graft.io.Layout.writeWithBloom(df, dir, Seq("l_partkey"), ndv = 1000L)
+    // footer audit through parquet-mr (on the classpath with Spark)
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val file = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(file.getAbsolutePath), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val part = cols.find(_.getPath.toDotString == "l_partkey").get
+      val order = cols.find(_.getPath.toDotString == "l_orderkey").get
+      assert(part.getBloomFilterOffset > 0, "bloom missing on l_partkey")
+      assert(order.getBloomFilterOffset <= 0,
+        "bloom unexpectedly written for an undeclared column")
+    } finally reader.close()
+    // the lookup answers exactly as the unfiltered source
+    val key = df.select(min($"l_partkey")).head.getLong(0)
+    val got = spark.read.parquet(dir).where($"l_partkey" === key).count()
+    val want = df.where($"l_partkey" === key).count()
+    assert(got === want && want > 0)
+  }
 }
