@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{min, round}
 import graft.{QueryDef, QueryGroup}
 import graft.io.Sources
 
@@ -49,7 +50,34 @@ object SourceQueries extends QueryGroup {
     """SELECT n_nationkey, n_name, n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
 
+  /** S17 — bloom-layout round trip: lineitem re-written through
+    * [[graft.io.Layout.writeWithBloom]] on the part key, then a point
+    * lookup against the bloom-bearing copy must answer exactly as the
+    * oracle over the original parquet. The key is the SMALLEST part
+    * key, derived from the data (deterministic at any SF). */
+  def bloomRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s17").toFile
+    graft.io.Layout.writeWithBloom(li, tmp.getAbsolutePath,
+      Seq("l_partkey"), ndv = 200000L)
+    val key = li.agg(min($"l_partkey")).head.getLong(0)
+    spark.read.parquet(tmp.getAbsolutePath)
+      .where($"l_partkey" === key)
+      .select($"l_orderkey", $"l_partkey", $"l_linenumber",
+        round($"l_quantity", 2).as("quantity"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val bloomRoundTripSql =
+    """SELECT l_orderkey, l_partkey, l_linenumber,
+      |       round(l_quantity, 2) AS quantity
+      |FROM lineitem
+      |WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)),
-    QueryDef("s1_xlsx_roundtrip", xlsxRoundTrip, Some(xlsxRoundTripSql)))
+    QueryDef("s1_xlsx_roundtrip", xlsxRoundTrip, Some(xlsxRoundTripSql)),
+    QueryDef("s17_bloom_roundtrip", bloomRoundTrip, Some(bloomRoundTripSql)))
 }
