@@ -49,6 +49,59 @@ class PlanAuditSpec extends SparkSpec {
     ("ev10_conversion_time", EventQueries.conversionTime(spark, sfDir),
       "global orderBy presentation sort"))
 
+  // fifth wave — same blanket contract
+  private lazy val auditedFifth: Seq[(String, DataFrame, String)] = Seq(
+    ("ext_embed_prune", ExtQueries.embedPrune(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_sim_recall", ExtQueries.simRecall(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_assoc_rules", ExtQueries.assocRulesQ(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_quality_pctile", ExtQueries.qualityPctile(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_pareto_docs", ExtQueries.paretoDocs(spark, sfDir),
+      "bounded-domain prefix-min over ≤10⁴ quantized scores + presentation sort"),
+    ("ext_sim_rrf", ExtQueries.simRrf(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_skew_report", ExtQueries.skewReport(spark, sfDir),
+      "one-row summary"),
+    ("ext_bootstrap_ci", ExtQueries.bootstrapCiQ(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_quality_calibration", ExtQueries.qualityCalibration(spark, sfDir),
+      "10-row decile table, presentation sort"),
+    ("ev11_attribution", EventQueries.attribution(spark, sfDir),
+      "channel-cardinality rollup, presentation sort"),
+    ("ev12_decayed_popularity", EventQueries.decayedPopularity(spark, sfDir),
+      "event-type-cardinality rollup, presentation sort"),
+    ("ev13_frequent_paths", EventQueries.frequentPaths(spark, sfDir),
+      "TakeOrdered top-k"),
+    ("ev14_ab_test", EventQueries.abTest(spark, sfDir), "one-row summary"),
+    ("ev15_ab_lift_ci", EventQueries.abLiftCi(spark, sfDir),
+      "one-row summary"),
+    ("w7_ntile_pctrank", WindowQueries.ntilePctRank(spark, sfDir),
+      "global orderBy presentation sort"))
+
+  test("fifth-wave queries: no cartesian product, no unhinted nested loop") {
+    auditedFifth.foreach { case (name, df, _) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // one-row scalar broadcasts legitimately plan as broadcast
+      // nested loops — anything else must justify itself
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("Broadcast"), s"$name:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("fifth-wave queries: single-partition exchanges only where a bounded/global stage is the point") {
+    auditedFifth.foreach { case (name, df, reason) =>
+      val p = plan(df)
+      if (p.contains("SinglePartition"))
+        assert(reason.nonEmpty, s"$name has an UNEXPLAINED SinglePartition:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("fourth-wave queries: no cartesian product, no unhinted nested loop") {
     audited.foreach { case (name, df, _) =>
       val p = plan(df)
