@@ -467,7 +467,74 @@ object EventQueries extends QueryGroup {
        |FROM ds, al""".stripMargin
   }
 
+  /** EV16 — funnel drop-off rates: per stage, users reaching it, share
+    * of the population, and conversion from the previous stage — the
+    * rollup every funnel dashboard shows. The windows here run over a
+    * ≤|stages|+1-row frame (bounded by the funnel definition), so the
+    * deliberate single-partition stage is stage-count-sized. */
+  def funnelDropoff(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // one-DAY funnel window: over the table's full history every chain
+    // completes and the curve degenerates to one row
+    val dayEvents = load(spark, dir, "events")
+      .where(col("ts") >= "2024-01-05" && col("ts") < "2024-01-06")
+    val byStage = Journeys.funnel(dayEvents,
+        Seq("view", "click", "purchase"))
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_exact"))
+    val wCum = Window.orderBy(col("stage").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wLag = Window.orderBy(col("stage"))
+    byStage
+      .withColumn("n_reached", sum(col("n_exact")).over(wCum))
+      .crossJoin(broadcast(byStage.agg(sum(col("n_exact")).as("n_total"))))
+      .withColumn("reach_bp", expr("(10000 * n_reached) div n_total"))
+      .withColumn("conv_bp", coalesce(
+        expr("(10000 * n_reached) div (lag(n_reached) over (order by stage))"),
+        lit(10000L)))
+      .select(col("stage"), col("n_exact"), col("n_reached"),
+        col("reach_bp"), col("conv_bp"))
+      .orderBy(col("stage"))
+  }
+
+  private val funnelDropoffSql =
+    """WITH ev AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_type
+      |  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+      |    AND CAST(ts AS TIMESTAMP) >= '2024-01-05'
+      |    AND CAST(ts AS TIMESTAMP) < '2024-01-06'),
+      |s1 AS (SELECT user_id, min(ts) AS t1 FROM ev
+      |       WHERE event_type = 'view' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(e.ts) AS t2 FROM ev e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(e.ts) AS t3 FROM ev e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1),
+      |u AS (SELECT DISTINCT user_id FROM ev),
+      |f AS (
+      |  SELECT u.user_id,
+      |    (CASE WHEN s1.t1 IS NOT NULL THEN 1 ELSE 0 END +
+      |     CASE WHEN s2.t2 IS NOT NULL THEN 1 ELSE 0 END +
+      |     CASE WHEN s3.t3 IS NOT NULL THEN 1 ELSE 0 END) AS stage
+      |  FROM u
+      |  LEFT JOIN s1 ON u.user_id = s1.user_id
+      |  LEFT JOIN s2 ON u.user_id = s2.user_id
+      |  LEFT JOIN s3 ON u.user_id = s3.user_id),
+      |st AS (SELECT stage, count(*) AS n_exact FROM f GROUP BY 1),
+      |r AS (SELECT stage, n_exact,
+      |        (sum(n_exact) OVER (ORDER BY stage DESC
+      |           ROWS UNBOUNDED PRECEDING))::BIGINT AS n_reached
+      |      FROM st),
+      |t AS (SELECT (sum(n_exact))::BIGINT AS n_total FROM st)
+      |SELECT stage, n_exact, n_reached,
+      |       ((10000 * n_reached) // n_total)::BIGINT AS reach_bp,
+      |       coalesce(((10000 * n_reached) //
+      |           (lag(n_reached) OVER (ORDER BY stage)))::BIGINT, 10000)
+      |         AS conv_bp
+      |FROM r, t ORDER BY stage""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev16_funnel_dropoff", funnelDropoff, Some(funnelDropoffSql)),
     QueryDef("ev15_ab_lift_ci", abLiftCi, Some(abLiftCiSql)),
     QueryDef("ev14_ab_test", abTest, Some(abTestSql)),
     QueryDef("ev13_frequent_paths", frequentPaths, Some(frequentPathsSql)),

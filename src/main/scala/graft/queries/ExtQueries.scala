@@ -533,6 +533,30 @@ object ExtQueries extends QueryGroup {
        |SELECT id AS vec_id, component_id, id = component_id AS is_canonical
        |FROM lab ORDER BY vec_id""".stripMargin
 
+  /** Cluster-size histogram over the near-dup components — the dedup
+    * IMPACT dashboard (how much of the corpus sits in clusters of each
+    * size, and therefore how much a keep-one-per-cluster pass removes).
+    * Two cascaded bounded aggregates over the component labels. */
+  def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    Dedup.resolveComponents(emb, pairs, idCol = "vec_id")
+      .groupBy($"component_id").agg(count(lit(1)).as("sz"))
+      .groupBy($"sz").agg(count(lit(1)).as("n_components"))
+      .select($"sz", $"n_components",
+        ($"sz" * $"n_components").as("n_docs"),
+        (($"sz" - 1L) * $"n_components").as("n_removable"))
+      .orderBy($"sz")
+  }
+
+  private val dedupClusterStatsSql =
+    s"""WITH RECURSIVE $componentsCte,
+       |cs AS (SELECT component_id, count(*) AS sz FROM lab GROUP BY 1)
+       |SELECT sz, count(*) AS n_components,
+       |       (sz * count(*))::BIGINT AS n_docs,
+       |       ((sz - 1) * count(*))::BIGINT AS n_removable
+       |FROM cs GROUP BY sz ORDER BY sz""".stripMargin
+
   /** Leakage-safe train/val/test split: split assignment keyed on the
     * near-dup COMPONENT id, not the document id, so near-duplicates can
     * never straddle train and eval (the contamination mode a plain
@@ -3113,6 +3137,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_bootstrap_ci", bootstrapCiQ, Some(bootstrapCiSql)),
     QueryDef("ext_quality_calibration", qualityCalibration,
       Some(qualityCalibrationSql)),
+    QueryDef("ext_dedup_cluster_stats", dedupClusterStats,
+      Some(dedupClusterStatsSql)),
     QueryDef("ext_text_stats", textStats, Some(textStatsSql)),
     QueryDef("ext_lang_confusion", langConfusion, Some(langConfusionSql)),
     QueryDef("ext_token_pieces", tokenPieces, Some(tokenPiecesSql)),
