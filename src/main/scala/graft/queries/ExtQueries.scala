@@ -1274,6 +1274,55 @@ object ExtQueries extends QueryGroup {
        |SELECT src AS node, count(*)::BIGINT AS deg
        |FROM ae WHERE iter = 30 GROUP BY src ORDER BY node""".stripMargin
 
+  /** Multi-source BFS over the shared near-dup graph: minimum hop
+    * distance from the seed set (every ~97th vector — a deterministic
+    * "flagged documents" stand-in) out to radius 3 — the
+    * contamination-spread / blast-radius query (components answers
+    * "connected at all", BFS answers "how close"). The oracle expands
+    * level by level as chained CTEs, each level NOT-EXISTS-pruned
+    * against all previous levels — the visited-set semantics written
+    * independently of the Spark frontier loop. */
+  def bfsHops(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    val seeds = emb
+      .where(Similarity.dot($"embedding", $"embedding") > 0 &&
+        $"vec_id" % 97 === 0)
+      .select($"vec_id".as("node"))
+    graft.ops.Bfs.run(edges, seeds, maxHops = 3)
+      .orderBy($"node")
+  }
+
+  private val bfsHopsSql = {
+    def level(cur: String, prev: Seq[String]) = {
+      val pruned = prev.map(p =>
+        s"NOT EXISTS (SELECT 1 FROM $p WHERE $p.node = e.dst)").mkString("\n    AND ")
+      s"""$cur AS (
+         |  SELECT DISTINCT e.dst AS node
+         |  FROM edges e JOIN ${prev.last} ON e.src = ${prev.last}.node
+         |  WHERE $pruned)""".stripMargin
+    }
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |h0 AS (SELECT vec_id AS node FROM $nzSql WHERE vec_id % 97 = 0),
+       |${level("h1", Seq("h0"))},
+       |${level("h2", Seq("h0", "h1"))},
+       |${level("h3", Seq("h0", "h1", "h2"))}
+       |SELECT node, 0::BIGINT AS hops FROM h0
+       |UNION ALL SELECT node, 1::BIGINT FROM h1
+       |UNION ALL SELECT node, 2::BIGINT FROM h2
+       |UNION ALL SELECT node, 3::BIGINT FROM h3
+       |ORDER BY node""".stripMargin
+  }
+
   /** Label-propagation communities over the same near-dup graph as
     * PageRank (3 deterministic synchronous rounds, most-frequent
     * neighbor label, min tie-break): components finds reachability,
@@ -3166,6 +3215,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
+    QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
