@@ -44,6 +44,39 @@ object Similarity {
       .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
   }
 
+  /** Mutual-kNN graph from a scored candidate pair list — the standard
+    * pre-clustering graph (hubness-resistant: an edge survives only if
+    * EACH endpoint ranks the other in its own top-k, so a hub that is
+    * everyone's neighbor but reciprocates none keeps no edges). Input is
+    * the repo's canonical scored-pair shape — (id_a, id_b, cos_q4) with
+    * id_a < id_b, one row per unordered pair — produced by any candidate
+    * generator: exact within-block ([[cosineNearDup]]) for the gated
+    * query, [[cosineNearDupLsh]] buckets at 100-TB scale (the graph
+    * operator itself is generator-agnostic).
+    *
+    * Scale shape: one union symmetrization (narrow) + ONE node-keyed
+    * window for per-node ranks + ONE canonical-pair aggregate whose
+    * `count = 2` test IS the mutuality check — two shuffle families
+    * total, no self-join of the ranked edge list (the oracle verifies
+    * via that independent join formulation instead). Ranks are
+    * deterministic: ties broken by neighbor id. */
+  def mutualKnn(scoredPairs: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val sym = scoredPairs.select($"id_a".as("src"), $"id_b".as("dst"), $"cos_q4")
+      .unionByName(
+        scoredPairs.select($"id_b".as("src"), $"id_a".as("dst"), $"cos_q4"))
+    val w = Window.partitionBy($"src").orderBy($"cos_q4".desc, $"dst")
+    val knn = sym.withColumn("rn", row_number().over(w)).where($"rn" <= k)
+    knn.groupBy(least($"src", $"dst").as("id_a"),
+        greatest($"src", $"dst").as("id_b"))
+      .agg(count(lit(1)).as("_n"), max($"cos_q4").as("cos_q4"),
+        // cast to long: Spark row_number is INT where DuckDB's is BIGINT
+        min(when($"src" < $"dst", $"rn")).cast("long").as("rank_ab"),
+        min(when($"src" > $"dst", $"rn")).cast("long").as("rank_ba"))
+      .where($"_n" === 2)
+      .select($"id_a", $"id_b", $"cos_q4", $"rank_ab", $"rank_ba")
+  }
+
   /** Mode-free 4-decimal quantization: floor(x·10⁴) is bit-deterministic
     * across engines given identical doubles, unlike round() whose
     * half-way behavior differs (Spark exact-decimal HALF_UP vs DuckDB

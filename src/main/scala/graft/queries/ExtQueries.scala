@@ -390,6 +390,43 @@ object ExtQueries extends QueryGroup {
        |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin
   }
 
+  /** Mutual-kNN graph over the label blocks: an edge survives only if
+    * each endpoint ranks the other in its own top-5 — the
+    * hubness-resistant pre-clustering graph. The Spark side checks
+    * mutuality with a canonical-pair count-of-directions aggregate; the
+    * oracle uses the INDEPENDENT self-join formulation (knn a JOIN knn b
+    * on reversed endpoints). */
+  def knnGraphQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    // threshold -1 ⇒ every within-label pair is a candidate: the block
+    // is the candidate universe; mutualKnn does the narrowing
+    val pairs = Similarity.cosineNearDup(emb, -1.0)
+      .select($"id_a", $"id_b", $"cos_q4")
+    Similarity.mutualKnn(pairs, k = 5)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  private val knnGraphSql =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS cos_q4
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id),
+       |sym AS (
+       |  SELECT id_a AS src, id_b AS dst, cos_q4 FROM pairs
+       |  UNION ALL SELECT id_b, id_a, cos_q4 FROM pairs),
+       |knn AS (
+       |  SELECT src, dst, cos_q4, rn FROM (
+       |    SELECT src, dst, cos_q4,
+       |           row_number() OVER (PARTITION BY src
+       |             ORDER BY cos_q4 DESC, dst) AS rn
+       |    FROM sym) WHERE rn <= 5)
+       |SELECT a.src AS id_a, a.dst AS id_b, a.cos_q4,
+       |       a.rn AS rank_ab, b.rn AS rank_ba
+       |FROM knn a JOIN knn b ON a.src = b.dst AND a.dst = b.src
+       |WHERE a.src < a.dst
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Brand-affinity association rules: which part brands co-occur in
     * the same order, with exact integer support/confidence/lift. */
   def assocRulesQ(spark: SparkSession, dir: String): DataFrame = {
@@ -3216,6 +3253,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
+    QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),

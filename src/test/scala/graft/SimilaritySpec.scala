@@ -412,4 +412,56 @@ class SimilaritySpec extends SparkSpec {
       assert(wrong === 0, s"query $q pulled $wrong cross-cluster ids: $ids")
     }
   }
+
+  private def mutual(pairs: Seq[(Long, Long, Long)], k: Int) = {
+    import spark.implicits._
+    Similarity.mutualKnn(pairs.toDF("id_a", "id_b", "cos_q4"), k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+  }
+
+  test("mutualKnn: a one-way neighbor edge is dropped (hub resistance)") {
+    // k=1: node 3's best is 1, but 1's best is 2 (and vice versa) —
+    // only the reciprocal (1,2) survives
+    val out = mutual(Seq((1L, 2L, 9000L), (1L, 3L, 8000L), (2L, 3L, 5000L)), k = 1)
+    assert(out === Map((1L, 2L) -> (9000L, 1L, 1L)))
+  }
+
+  test("mutualKnn: rank columns are per-endpoint and may differ") {
+    // node 1 ranks 2 first; node 2 ranks 3 first and 1 second
+    val out = mutual(Seq((1L, 2L, 9000L), (1L, 3L, 1000L), (2L, 3L, 9500L)), k = 2)
+    assert(out((1L, 2L)) === ((9000L, 1L, 2L)))
+    assert(out((2L, 3L)) === ((9500L, 1L, 1L)))
+    assert(out((1L, 3L)) === ((1000L, 2L, 2L)))
+  }
+
+  test("mutualKnn: ties in cos_q4 break by neighbor id on BOTH endpoints") {
+    // node 1 sees 2 and 3 at the same score: 2 outranks 3 by id
+    val out = mutual(Seq((1L, 2L, 7000L), (1L, 3L, 7000L), (2L, 3L, 7000L)), k = 1)
+    assert(out.keySet === Set((1L, 2L)))
+  }
+
+  test("mutualKnn parity with a sequential reference on random pairs") {
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val pairs = (1 to 150).map { _ =>
+        val a = rnd.nextInt(25).toLong
+        val b = rnd.nextInt(25).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+        .map { case (a, b) => (a, b, rnd.nextInt(10000).toLong) }
+      val k = 3
+      val got = mutual(pairs, k).keySet
+      // reference: per-node sorted neighbor list, reciprocal top-k
+      val sym = pairs.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      val topk = sym.groupBy(_._1).map { case (n, es) =>
+        n -> es.sortBy(e => (-e._3, e._2)).take(k).map(_._2).toSet
+      }
+      val want = pairs.collect {
+        case (a, b, _) if topk(a).contains(b) && topk(b).contains(a) => (a, b)
+      }.toSet
+      assert(got === want, s"trial $trial")
+    }
+  }
 }
