@@ -44,6 +44,62 @@ object Similarity {
       .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
   }
 
+  /** Per-cluster quality report — exact-integer cohesion / separation
+    * over a labeled embedding table (labels = clusters: k-means cells,
+    * SemDeDup communities, or supervised classes): per label the size,
+    * the mean squared distance to the cluster's QUANTIZED centroid
+    * (cohesion), the nearest other centroid with its squared distance
+    * (separation), and the Davies–Bouldin-style ratio
+    * (cohesion_a + cohesion_nn) / separation in basis points — the
+    * "are my clusters real" gate after any clustering step.
+    *
+    * Determinism contract: components quantize to q3 integers SHIFTED
+    * POSITIVE (+1000, cancels in every difference) so all sums are
+    * order-independent longs and every division is positive integer
+    * division — no float accumulation anywhere, the centroidPrune
+    * pattern. The centroid itself is the QUANTIZED mean (componentwise
+    * `s div n`), a defined, engine-portable statistic.
+    *
+    * Scale shape: one label-keyed aggregate for centroids (map-side
+    * combined; |labels| rows), centroids BROADCAST back for the
+    * per-vector distances (the big table never shuffles twice), and an
+    * all-pairs join of the tiny centroid table for separation — at any
+    * corpus size the only full-data costs are one scan + one hash
+    * aggregate. */
+  def clusterQuality(embeddings: DataFrame, dim: Int = 64): DataFrame = {
+    val q = embeddings.where(dot($"embedding", $"embedding") > 0)
+      .select($"vec_id", $"label",
+        transform($"embedding",
+          v => (floor(v * 1000) + 1000).cast("long")).as("_v"))
+    val cent = q.groupBy($"label")
+      .agg(count(lit(1)).as("n"),
+        array((0 until dim).map(i => sum(element_at($"_v", i + 1))): _*).as("_s"))
+      .select($"label", $"n", expr("transform(_s, x -> x div n)").as("_c"))
+    val msd = q.join(broadcast(cent), Seq("label"))
+      .select($"label", $"n",
+        aggregate(zip_with($"_v", $"_c", (a, b) => (a - b) * (a - b)),
+          lit(0L), _ + _).as("_d2"))
+      .groupBy($"label")
+      .agg(max($"n").as("n"), sum($"_d2").as("_sd2"))
+      .select($"label", $"n", expr("_sd2 div n").as("msd_q6"))
+    val other = cent.select($"label".as("_lb"), $"_c".as("_cb"))
+    val nn = cent.join(other, $"label" =!= $"_lb")
+      .select($"label",
+        struct(
+          aggregate(zip_with($"_c", $"_cb", (x, y) => (x - y) * (x - y)),
+            lit(0L), _ + _).as("d2"),
+          $"_lb".as("lb")).as("_p"))
+      .groupBy($"label").agg(min($"_p").as("_m"))
+      .select($"label", $"_m.lb".as("nn_label"), $"_m.d2".as("nn_d2_q6"))
+    val nnMsd = msd.select($"label".as("nn_label"), $"msd_q6".as("_nn_msd"))
+    msd.join(nn, Seq("label"))
+      .join(nnMsd, Seq("nn_label"))
+      .select($"label", $"n", $"msd_q6", $"nn_label", $"nn_d2_q6",
+        when($"nn_d2_q6" === 0L, lit(null).cast("long"))
+          .otherwise(expr("(10000 * (msd_q6 + _nn_msd)) div nn_d2_q6"))
+          .as("db_bp"))
+  }
+
   /** Mutual-kNN graph from a scored candidate pair list — the standard
     * pre-clustering graph (hubness-resistant: an edge survives only if
     * EACH endpoint ranks the other in its own top-k, so a hub that is

@@ -484,6 +484,50 @@ object ExtQueries extends QueryGroup {
        |SELECT vec_id, label, d2n2, (10000 * rk <= 1000 * n) AS prune
        |FROM r ORDER BY vec_id""".stripMargin
 
+  /** Cluster-quality report over the label partition: exact-integer
+    * cohesion (mean squared distance to the quantized centroid),
+    * nearest-centroid separation, and the Davies–Bouldin-style ratio —
+    * the "are my clusters real" gate. The oracle re-derives centroids
+    * and distances RELATIONALLY (unnest + per-dim aggregates) where the
+    * Spark side stays in array kernels. */
+  def clusterQualityQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.clusterQuality(load(spark, dir, "embeddings"))
+      .orderBy($"label")
+
+  private val clusterQualitySql =
+    s"""WITH q AS (
+       |  SELECT vec_id, label,
+       |         list_transform(embedding::DOUBLE[],
+       |           x -> (floor(x * 1000))::BIGINT + 1000) AS v
+       |  FROM $nzSql),
+       |e AS (SELECT label, vec_id, unnest(v) AS c,
+       |             generate_subscripts(v, 1) AS i FROM q),
+       |cent AS (SELECT label, i,
+       |                (sum(c)::BIGINT // count(*)::BIGINT) AS ci
+       |         FROM e GROUP BY label, i),
+       |nsz AS (SELECT label, count(*)::BIGINT AS n FROM q GROUP BY label),
+       |d AS (SELECT e.label, (e.c - cent.ci) * (e.c - cent.ci) AS d2
+       |      FROM e JOIN cent ON e.label = cent.label AND e.i = cent.i),
+       |msd AS (SELECT d.label, nsz.n,
+       |               (sum(d.d2)::BIGINT // nsz.n) AS msd_q6
+       |        FROM d JOIN nsz ON d.label = nsz.label
+       |        GROUP BY d.label, nsz.n),
+       |cd AS (SELECT a.label AS la, b.label AS lb,
+       |              sum((a.ci - b.ci) * (a.ci - b.ci))::BIGINT AS d2
+       |       FROM cent a JOIN cent b ON a.i = b.i AND a.label != b.label
+       |       GROUP BY a.label, b.label),
+       |nn AS (SELECT la AS label, lb AS nn_label, d2 AS nn_d2_q6 FROM (
+       |         SELECT la, lb, d2,
+       |                row_number() OVER (PARTITION BY la ORDER BY d2, lb) AS rn
+       |         FROM cd) WHERE rn = 1)
+       |SELECT m.label, m.n, m.msd_q6, nn.nn_label, nn.nn_d2_q6,
+       |       CASE WHEN nn.nn_d2_q6 = 0 THEN NULL
+       |            ELSE (10000 * (m.msd_q6 + m2.msd_q6)) // nn.nn_d2_q6
+       |       END AS db_bp
+       |FROM msd m JOIN nn ON m.label = nn.label
+       |JOIN msd m2 ON m2.label = nn.nn_label
+       |ORDER BY m.label""".stripMargin
+
   /** Contrastive triplets: near-dup positives + one deterministic
     * other-label negative per anchor from its md5 hash bucket. */
   def simTriplets(spark: SparkSession, dir: String): DataFrame =
@@ -3254,6 +3298,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
+    QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),

@@ -413,6 +413,49 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("clusterQuality: hand-computed cohesion/separation on 2-D clusters") {
+    import spark.implicits._
+    // 0.25 is float-exact (0.2f would floor to -201 via its double
+    // widening). A: (1,0),(1,0.25) → shifted q3 (2000,1000),(2000,1250),
+    // centroid (2000,1125), d² = 125² = 15625 each → msd 15625.
+    // B mirrored. Centroid distance 2000² + 250² = 4 062 500.
+    // db = 10000·(15625+15625)//4062500 = 76 for both.
+    val emb = Seq(
+      (1L, "A", Array(1.0f, 0.0f)), (2L, "A", Array(1.0f, 0.25f)),
+      (3L, "B", Array(-1.0f, 0.0f)), (4L, "B", Array(-1.0f, -0.25f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.clusterQuality(emb, dim = 2)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4), r.getLong(5)))
+      .toMap
+    assert(out("A") === ((2L, 15625L, "B", 4062500L, 76L)))
+    assert(out("B") === ((2L, 15625L, "A", 4062500L, 76L)))
+  }
+
+  test("clusterQuality: identical centroids yield null db_bp, not a crash") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, "A", Array(1.0f, 1.0f)), (2L, "B", Array(1.0f, 1.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val rows = Similarity.clusterQuality(emb, dim = 2).collect()
+    assert(rows.length === 2)
+    rows.foreach { r =>
+      assert(r.getLong(4) === 0L)   // nn_d2_q6
+      assert(r.isNullAt(5))         // db_bp guarded
+    }
+  }
+
+  test("clusterQuality: zero-norm vectors are excluded before the centroid") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, "A", Array(1.0f, 0.0f)), (2L, "A", Array(0.0f, 0.0f)),
+      (3L, "B", Array(-1.0f, 0.0f)))
+      .toDF("vec_id", "label", "embedding")
+    val out = Similarity.clusterQuality(emb, dim = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("A" -> 1L, "B" -> 1L))
+  }
+
   private def mutual(pairs: Seq[(Long, Long, Long)], k: Int) = {
     import spark.implicits._
     Similarity.mutualKnn(pairs.toDF("id_a", "id_b", "cos_q4"), k)
