@@ -1,0 +1,68 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** k-anonymity release with a generalization ladder (Sweeney 2002;
+  * Mondrian-style level ladders, LeFevre ICDE'06) — the privacy gate a
+  * training-data release pipeline runs before user-derived metadata
+  * leaves the boundary: every released row's quasi-identifier (QI)
+  * combination must be shared by ≥ k rows. Rather than suppressing
+  * every small group outright, each row takes the FIRST ladder level
+  * (most specific first) at which its generalized QI group reaches k;
+  * rows safe at no level are suppressed (`gen_level = -1`, every QI
+  * masked to `*`).
+  *
+  * `levels` is the ladder: each entry maps the SAME QI output names to
+  * progressively coarser expressions (e.g. exact size bucket → decade
+  * bucket → column dropped to `*`). QI values are compared as strings
+  * with nulls coalesced to `∅` — a null QI is a value class of its own
+  * (two null-lang rows ARE the same lang for re-identification), and
+  * the sentinel keeps them joinable where a raw null key would silently
+  * drop the row from its own group count.
+  *
+  * Scale shape: one wide projection computes every level's QI in a
+  * single scan; each level's group census is ONE map-side-combined
+  * aggregate whose result is |distinct QI_level| rows — by construction
+  * orders of magnitude smaller than the data — and joins back
+  * BROADCAST, so the fact table itself never shuffles: at any corpus
+  * size the full-data cost is one scan plus L broadcast hash joins.
+  * The level choice and masking are then narrow CASE chains.
+  */
+object Anonymize {
+
+  def kAnonymity(df: DataFrame, keyCol: String,
+      levels: Seq[Seq[(String, Column)]], k: Long): DataFrame = {
+    require(levels.nonEmpty, "need at least one generalization level")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val qiNames = levels.head.map(_._1)
+    require(levels.forall(_.map(_._1) == qiNames),
+      "every level must name the same QI columns in the same order")
+
+    val withQi = df.select(
+      col(keyCol) +: levels.zipWithIndex.flatMap { case (lv, i) =>
+        lv.map { case (n, c) =>
+          coalesce(c.cast("string"), lit("∅")).as(s"_${n}_$i")
+        }
+      }: _*)
+
+    var cur = withQi
+    levels.indices.foreach { i =>
+      val cols = qiNames.map(n => s"_${n}_$i")
+      val counts = withQi.groupBy(cols.map(col): _*)
+        .agg(count(lit(1)).as(s"_n_$i"))
+      cur = cur.join(broadcast(counts), cols)
+    }
+    // first (most specific) level whose group reaches k, else suppressed
+    val level = levels.indices.foldRight(lit(-1L): Column) { case (i, els) =>
+      when(col(s"_n_$i") >= k, lit(i.toLong)).otherwise(els)
+    }
+    val leveled = cur.withColumn("gen_level", level)
+    val qiCols = qiNames.map { n =>
+      levels.indices.foldRight(lit("*"): Column) { case (i, els) =>
+        when(col("gen_level") === i, col(s"_${n}_$i")).otherwise(els)
+      }.as(s"gen_$n")
+    }
+    leveled.select(col(keyCol) +: qiCols :+ col("gen_level"): _*)
+  }
+}

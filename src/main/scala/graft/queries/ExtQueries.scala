@@ -484,6 +484,53 @@ object ExtQueries extends QueryGroup {
        |SELECT vec_id, label, d2n2, (10000 * rk <= 1000 * n) AS prune
        |FROM r ORDER BY vec_id""".stripMargin
 
+  /** k-anonymity release of document metadata: every released row's
+    * (lang, source, size-bucket) combination is shared by ≥ 5 rows,
+    * each row taking the most specific ladder level that reaches k —
+    * exact bucket → decade bucket → source dropped — else suppressed
+    * to `*`. Local recoding: anonymity is measured against the full
+    * population's coarsened counts. */
+  def kAnonymityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    graft.ops.Anonymize.kAnonymity(docs, "doc_id", Seq(
+      Seq("lang" -> $"lang", "source" -> $"source",
+        "chars" -> (expr("n_chars div 100") * 100)),
+      Seq("lang" -> $"lang", "source" -> $"source",
+        "chars" -> (expr("n_chars div 1000") * 1000)),
+      Seq("lang" -> $"lang", "source" -> lit("*"),
+        "chars" -> (expr("n_chars div 1000") * 1000))), k = 5)
+      .orderBy($"doc_id")
+  }
+
+  private val kAnonymitySql =
+    """WITH q AS (
+      |  SELECT doc_id,
+      |         coalesce(lang, '∅') AS a0, coalesce(source, '∅') AS b0,
+      |         coalesce(((n_chars // 100) * 100)::VARCHAR, '∅') AS c0,
+      |         coalesce(lang, '∅') AS a1, coalesce(source, '∅') AS b1,
+      |         coalesce(((n_chars // 1000) * 1000)::VARCHAR, '∅') AS c1,
+      |         coalesce(lang, '∅') AS a2, '*' AS b2,
+      |         coalesce(((n_chars // 1000) * 1000)::VARCHAR, '∅') AS c2
+      |  FROM documents),
+      |n0 AS (SELECT a0, b0, c0, count(*) AS n FROM q GROUP BY 1, 2, 3),
+      |n1 AS (SELECT a1, b1, c1, count(*) AS n FROM q GROUP BY 1, 2, 3),
+      |n2 AS (SELECT a2, b2, c2, count(*) AS n FROM q GROUP BY 1, 2, 3),
+      |l AS (
+      |  SELECT q.*,
+      |         (CASE WHEN n0.n >= 5 THEN 0 WHEN n1.n >= 5 THEN 1
+      |               WHEN n2.n >= 5 THEN 2 ELSE -1 END)::BIGINT AS gen_level
+      |  FROM q JOIN n0 USING (a0, b0, c0) JOIN n1 USING (a1, b1, c1)
+      |         JOIN n2 USING (a2, b2, c2))
+      |SELECT doc_id,
+      |  CASE gen_level WHEN 0 THEN a0 WHEN 1 THEN a1 WHEN 2 THEN a2
+      |       ELSE '*' END AS gen_lang,
+      |  CASE gen_level WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2
+      |       ELSE '*' END AS gen_source,
+      |  CASE gen_level WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
+      |       ELSE '*' END AS gen_chars,
+      |  gen_level
+      |FROM l ORDER BY doc_id""".stripMargin
+
   /** Cluster-quality report over the label partition: exact-integer
     * cohesion (mean squared distance to the quantized centroid),
     * nearest-centroid separation, and the Davies–Bouldin-style ratio —
@@ -3299,6 +3346,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
+    QueryDef("ext_k_anonymity", kAnonymityQ, Some(kAnonymitySql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),

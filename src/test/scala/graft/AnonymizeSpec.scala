@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Anonymize
+
+/** k-anonymity goldens: ladder fall-through, suppression, the null
+  * value class, and the release invariant on random data — the oracle
+  * only replays one fixed ladder on one table. */
+class AnonymizeSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def ladder2 = Seq(
+    Seq("city" -> col("city"), "age" -> (expr("age div 10") * 10)),
+    Seq("city" -> lit("*"), "age" -> (expr("age div 10") * 10)))
+
+  test("rows take the FIRST level that reaches k; small groups fall through") {
+    // (NY, 30s) has 3 rows → safe at level 0 with k=3.
+    // (SF, 30s) has 1 row → falls to level 1 where (*, 30s) counts 4.
+    val df = Seq((1L, "NY", 31L), (2L, "NY", 32L), (3L, "NY", 33L),
+      (4L, "SF", 35L)).toDF("id", "city", "age")
+    val out = Anonymize.kAnonymity(df, "id", ladder2, k = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getString(2), r.getLong(3))).toMap
+    assert(out(1L) === (("NY", "30", 0L)))
+    assert(out(4L) === (("*", "30", 1L)))
+  }
+
+  test("rows safe at no level are suppressed with every QI masked") {
+    // k=3 but only 2 rows exist in total: nothing can ever reach k
+    val df = Seq((1L, "NY", 31L), (2L, "SF", 75L)).toDF("id", "city", "age")
+    val out = Anonymize.kAnonymity(df, "id", ladder2, k = 3)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.forall(_ === (("*", "*", -1L))))
+  }
+
+  test("null QI values form their own value class via the sentinel") {
+    val df = Seq((1L, null.asInstanceOf[String], 31L),
+      (2L, null.asInstanceOf[String], 32L),
+      (3L, null.asInstanceOf[String], 39L)).toDF("id", "city", "age")
+    val out = Anonymize.kAnonymity(df, "id", ladder2, k = 3)
+      .collect().map(r => (r.getString(1), r.getLong(3)))
+    // all three share (null-city, 30s): released together at level 0
+    assert(out.forall(_ === (("∅", 0L))))
+  }
+
+  test("k = 1 releases everything at level 0") {
+    val df = Seq((1L, "NY", 31L), (2L, "SF", 75L)).toDF("id", "city", "age")
+    val out = Anonymize.kAnonymity(df, "id", ladder2, k = 1).collect()
+    assert(out.forall(_.getLong(3) === 0L))
+  }
+
+  test("release invariant on random data: every released row's coarsened " +
+      "group has >= k members") {
+    val rnd = new scala.util.Random(53)
+    val rows = (1 to 300).map(i =>
+      (i.toLong, s"c${rnd.nextInt(6)}", rnd.nextInt(90).toLong))
+    val df = rows.toDF("id", "city", "age")
+    val k = 7
+    val out = Anonymize.kAnonymity(df, "id", ladder2, k)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // reference census per level over the full population
+    val l0 = rows.groupBy(r => (r._2, r._3 / 10 * 10)).view.mapValues(_.size).toMap
+    val l1 = rows.groupBy(r => r._3 / 10 * 10).view.mapValues(_.size).toMap
+    out.foreach { case (id, city, age, lvl) =>
+      val src = rows.find(_._1 == id).get
+      lvl match {
+        case 0L =>
+          assert(city === src._2 && age === (src._3 / 10 * 10).toString)
+          assert(l0((src._2, src._3 / 10 * 10)) >= k)
+        case 1L =>
+          assert(city === "*" && age === (src._3 / 10 * 10).toString)
+          assert(l0((src._2, src._3 / 10 * 10)) < k)
+          assert(l1(src._3 / 10 * 10) >= k)
+        case -1L =>
+          assert(city === "*" && age === "*")
+          assert(l1(src._3 / 10 * 10) < k)
+        case other => fail(s"unexpected level $other")
+      }
+    }
+  }
+}
