@@ -1451,6 +1451,59 @@ object ExtQueries extends QueryGroup {
        |ORDER BY node""".stripMargin
   }
 
+  /** Personalized PageRank from the SAME seed set as [[bfsHops]] over
+    * the same near-dup graph, edges weighted by cos_q4: BFS answers
+    * "how many hops from the flagged documents", PPR answers "how much
+    * weighted influence reaches me" — teleport returns only to seeds,
+    * transitions are weight-proportional, all arithmetic integer. The
+    * oracle unrolls the 3 iterations as chained CTEs. */
+  def pprQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3)
+      .select($"id_a", $"id_b", $"cos_q4")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"), $"cos_q4".as("w"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst"), $"cos_q4".as("w")))
+    val seeds = emb
+      .where(Similarity.dot($"embedding", $"embedding") > 0 &&
+        $"vec_id" % 97 === 0)
+      .select($"vec_id".as("node"))
+    graft.ops.PersonalizedPageRank.run(edges, seeds, iterations = 3)
+      .orderBy($"id")
+  }
+
+  private val pprSql = {
+    def round(prev: String, cur: String) =
+      s"""c$cur AS (
+         |  SELECT e.dst, sum((r.r * e.w) // w.wtot) AS cs
+         |  FROM $prev r JOIN w ON r.id = w.src JOIN edges e ON e.src = r.id
+         |  WHERE r.r > 0 GROUP BY e.dst),
+         |$cur AS (
+         |  SELECT id, r FROM (
+         |    SELECT coalesce(c.dst, s.node) AS id,
+         |           ((CASE WHEN s.node IS NOT NULL THEN b.base ELSE 0 END
+         |             + (8500 * coalesce(c.cs, 0)) // 10000))::BIGINT AS r
+         |    FROM c$cur c FULL OUTER JOIN seeds s ON c.dst = s.node
+         |    CROSS JOIN b) WHERE r > 0)""".stripMargin
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS w
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst, w FROM pairs
+       |  UNION ALL SELECT id_b, id_a, w FROM pairs),
+       |seeds AS (SELECT vec_id AS node FROM $nzSql WHERE vec_id % 97 = 0),
+       |w AS (SELECT src, sum(w)::BIGINT AS wtot FROM edges WHERE w > 0 GROUP BY src),
+       |b AS (SELECT ((10000 - 8500) * (1000000000 // count(*))) // 10000 AS base,
+       |             (1000000000 // count(*))::BIGINT AS r0 FROM seeds),
+       |l0 AS (SELECT node AS id, b.r0 AS r FROM seeds CROSS JOIN b),
+       |${round("l0", "l1")},
+       |${round("l1", "l2")},
+       |${round("l2", "l3")}
+       |SELECT id, r AS rank FROM l3 ORDER BY id""".stripMargin
+  }
+
   /** Label-propagation communities over the same near-dup graph as
     * PageRank (3 deterministic synchronous rounds, most-frequent
     * neighbor label, min tie-break): components finds reachability,
@@ -3347,6 +3400,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     QueryDef("ext_k_anonymity", kAnonymityQ, Some(kAnonymitySql)),
+    QueryDef("ext_ppr", pprQ, Some(pprSql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
