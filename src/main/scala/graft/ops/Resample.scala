@@ -146,4 +146,59 @@ object Resample {
         coalesce($"w_n" >= minObs && dev * dev > lit(k.toDouble * k) * spread,
           lit(false)).as("is_anomaly"))
   }
+
+  /** Lag-k autocorrelation of each group's DAILY COUNT series — the
+    * seasonality detector (is traffic weekly-periodic? did the crawl
+    * cadence drift?) next to [[anomalies]] (pointwise) and the KS/KL
+    * drift monitors (distributional). Sample autocorrelation
+    *   r_k = Σ_{d≤n−k}(c_d − c̄)(c_{d+k} − c̄) ∕ Σ_d(c_d − c̄)²
+    * in EXACT integers, multiplied through by n²: dev_d = n·c_d − S,
+    * numerator·n² = Σ dev_d·dev_{d+k}, denominator·n² = n²Q − n·S².
+    * Deviations are signed; plain truncating integer division is
+    * IDENTICAL in Spark (`div`) and DuckDB (`//`) on negatives (both
+    * truncate toward zero — verified; only *rounding* division
+    * diverges), so `r_bp = (10000·num) div den` hash-gates.
+    *
+    * The series is DENSE: each group's [min, max] observed-day span is
+    * gap-filled with zero counts (autocorrelation over a sparse series
+    * would silently stitch non-adjacent days together). A group shorter
+    * than the lag simply has no (group, lag) row; a constant series has
+    * den = 0 → null r_bp.
+    *
+    * Scale shape: raw events collapse to one row per (group, day) in a
+    * map-side-combined aggregate FIRST — a year is ≤ 366 rows per group
+    * no matter the corpus size — so the grid explode, the per-group
+    * stats broadcast, and the lag self-join (equi on (group, probe-day))
+    * all run on frames of series size, not event size. */
+  def autocorrelation(events: DataFrame, maxLag: Int = 7,
+      groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
+    val dayUs = 86400L * 1000000L
+    val daily = events
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+      .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
+    val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"g", explode(sequence($"d0", $"d1")).as("d"))
+    val series = grid.join(daily, Seq("g", "d"), "left")
+      .select($"g", $"d", coalesce($"c", lit(0L)).as("c"))
+    val stats = series.groupBy($"g").agg(count(lit(1)).as("n"),
+      sum($"c").as("s"), sum($"c" * $"c").as("q"))
+    val dev = series.join(broadcast(stats), Seq("g"))
+      .select($"g", $"d", ($"n" * $"c" - $"s").as("dev"), $"n",
+        ($"n" * $"n" * $"q" - $"n" * $"s" * $"s").as("den"))
+    val probes = dev
+      .select($"g", $"d", $"dev", $"n", $"den",
+        explode(array((1 to maxLag).map(l => lit(l.toLong)): _*)).as("lag"))
+      .select($"g", $"lag", ($"d" + $"lag").as("d_b"),
+        $"dev".as("dev_a"), $"n", $"den")
+    val rhs = dev.select($"g", $"d".as("d_b"), $"dev".as("dev_b"))
+    probes.join(rhs, Seq("g", "d_b"))
+      .groupBy($"g", $"lag")
+      .agg(max($"n").as("n_days"), count(lit(1)).as("n_pairs"),
+        sum($"dev_a" * $"dev_b").as("_num"), max($"den").as("_den"))
+      .select($"g".as(groupCol), $"lag", $"n_days", $"n_pairs",
+        when($"_den" === 0L, lit(null).cast("long"))
+          .otherwise(expr("(10000 * _num) div _den")).as("r_bp"))
+  }
 }

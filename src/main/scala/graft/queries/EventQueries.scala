@@ -196,6 +196,45 @@ object EventQueries extends QueryGroup {
         window = 20, minObs = 5, k = 3)
       .orderBy(col("event_id"))
 
+  /** Seasonality readout: lag-1..7 autocorrelation of each event
+    * type's dense daily-count series in exact basis points — weekly
+    * periodicity shows as a lag-7 peak. Signed deviations divide with
+    * plain truncating integer division (identical in both engines;
+    * only rounding division diverges on negatives). */
+  def autocorr(spark: SparkSession, dir: String): DataFrame =
+    Resample.autocorrelation(load(spark, dir, "events"), maxLag = 7)
+      .orderBy(col("event_type"), col("lag"))
+
+  private val autocorrSql =
+    """WITH dc AS (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g, unnest(range(d0, d1 + 1)) AS d
+      |  FROM (SELECT g, min(d) AS d0, max(d) AS d1 FROM dc GROUP BY g)),
+      |ser AS (
+      |  SELECT grid.g, grid.d, coalesce(dc.c, 0)::BIGINT AS c
+      |  FROM grid LEFT JOIN dc ON grid.g = dc.g AND grid.d = dc.d),
+      |st AS (SELECT g, count(*)::BIGINT AS n, sum(c)::BIGINT AS s,
+      |              sum(c * c)::BIGINT AS q
+      |       FROM ser GROUP BY g),
+      |dev AS (
+      |  SELECT ser.g, ser.d, st.n * ser.c - st.s AS dev, st.n,
+      |         (st.n * st.n * st.q - st.n * st.s * st.s)::BIGINT AS den
+      |  FROM ser JOIN st ON ser.g = st.g),
+      |pr AS (
+      |  SELECT a.g, lg.lag, a.n, a.den, a.dev AS da, b.dev AS db
+      |  FROM dev a
+      |  CROSS JOIN (SELECT unnest(range(1, 8)) AS lag) lg
+      |  JOIN dev b ON a.g = b.g AND b.d = a.d + lg.lag)
+      |SELECT g AS event_type, lag::BIGINT AS lag,
+      |       max(n)::BIGINT AS n_days, count(*)::BIGINT AS n_pairs,
+      |       CASE WHEN max(den) = 0 THEN NULL
+      |            ELSE (10000 * sum(da * db)) // max(den) END::BIGINT AS r_bp
+      |FROM pr GROUP BY g, lag ORDER BY event_type, lag""".stripMargin
+
   private val anomalySql =
     """WITH e AS (
       |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
@@ -550,5 +589,6 @@ object EventQueries extends QueryGroup {
     QueryDef("ev4_transitions", transitions, Some(transitionsSql)),
     QueryDef("ev5_sessions", sessions, Some(sessionsSql)),
     QueryDef("ev6_twa", twa, Some(twaSql)),
-    QueryDef("ev7_anomaly", anomaly, Some(anomalySql)))
+    QueryDef("ev7_anomaly", anomaly, Some(anomalySql)),
+    QueryDef("ev17_autocorr", autocorr, Some(autocorrSql)))
 }

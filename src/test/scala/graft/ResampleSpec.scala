@@ -119,4 +119,42 @@ class ResampleSpec extends SparkSpec {
     assert(out(106L) === false) // v == history: dev = 0, var = 0 -> calm
     assert(out(107L) === true)  // any nonzero dev beats zero variance
   }
+
+  private def dayEvents(counts: Seq[(String, Int, Int)]) =
+    counts.flatMap { case (g, day, n) =>
+      (1 to n).map(i => (g, ts(f"2024-01-${day + 1}%02d 0$i:00:00"), 0L, 0.0))
+    }.toDF("event_type", "ts", "user_id", "value")
+
+  test("autocorrelation: alternating series is negative at odd lags, " +
+      "positive at even — hand-computed") {
+    // counts [2,4,2,4]: n=4, S=12, Q=40, den = 16·40 − 4·144 = 64,
+    // dev = [−4,4,−4,4]; lag1 Σ=−48 → −7500 bp; lag2 Σ=32 → 5000;
+    // lag3 Σ=−16 → −2500 (truncating div on negatives, both engines)
+    val ev = dayEvents(Seq(("a", 0, 2), ("a", 1, 4), ("a", 2, 2), ("a", 3, 4)))
+    val out = Resample.autocorrelation(ev, maxLag = 3)
+      .collect().map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out(1L) === ((4L, 3L, -7500L)))
+    assert(out(2L) === ((4L, 2L, 5000L)))
+    assert(out(3L) === ((4L, 1L, -2500L)))
+  }
+
+  test("autocorrelation: missing days count as ZERO, not skipped") {
+    // observed days 0 and 2 only → dense series [1,0,1]: n=3, S=2, Q=2,
+    // den = 9·2 − 3·4 = 6, dev = [1,−2,1]; lag1 Σ=−4 → −6666; lag2 → 1666
+    val ev = dayEvents(Seq(("a", 0, 1), ("a", 2, 1)))
+    val out = Resample.autocorrelation(ev, maxLag = 2)
+      .collect().map(r => r.getLong(1) -> r.getLong(4)).toMap
+    assert(out === Map(1L -> -6666L, 2L -> 1666L))
+  }
+
+  test("autocorrelation: constant series has zero variance -> null r_bp; " +
+      "series shorter than the lag has no row") {
+    val ev = dayEvents(Seq(("a", 0, 3), ("a", 1, 3), ("b", 0, 1)))
+    val rows = Resample.autocorrelation(ev, maxLag = 3).collect()
+    val a = rows.filter(_.getString(0) == "a")
+    assert(a.map(_.getLong(1)).toSet === Set(1L)) // only lag 1 has pairs
+    assert(a.forall(_.isNullAt(4)))               // den = 0 -> null
+    assert(!rows.exists(_.getString(0) == "b"))   // 1-day series: no pairs
+  }
 }
