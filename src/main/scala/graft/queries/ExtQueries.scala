@@ -1650,6 +1650,38 @@ object ExtQueries extends QueryGroup {
   /** Table profiling (ANALYZE shape): per-column rows/nulls/ndv/min/max
     * in one aggregate pass; the oracle is a UNION ALL of independent
     * per-column aggregates. */
+  /** Functional-dependency / key audit across two tables: is doc_id a
+    * key, does lang determine source, is o_orderkey a key, does a
+    * customer pin an order status — the assumptions dedup keys and
+    * dimension joins silently make, checked exactly. */
+  def fdCheckQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val orders = load(spark, dir, "orders")
+    graft.ops.Profile.fdCheck(docs, Seq(
+        ("doc_id_key", Seq("doc_id"), Seq("text", "lang", "source")),
+        ("lang_to_source", Seq("lang"), Seq("source"))))
+      .unionByName(graft.ops.Profile.fdCheck(orders, Seq(
+        ("order_key", Seq("o_orderkey"), Seq("o_custkey", "o_totalprice")),
+        ("cust_to_status", Seq("o_custkey"), Seq("o_orderstatus")))))
+      .orderBy($"rule")
+  }
+
+  private val fdCheckSql = {
+    def one(name: String, table: String, det: String, dep: String) =
+      s"""SELECT '$name' AS rule, count(*)::BIGINT AS n_groups,
+         |  coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)::BIGINT AS n_viol_groups,
+         |  coalesce(sum(CASE WHEN nd > 1 THEN rws END), 0)::BIGINT AS n_viol_rows,
+         |  coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0) = 0 AS holds
+         |FROM (SELECT $det, count(DISTINCT $dep) AS nd, count(*) AS rws
+         |      FROM $table GROUP BY $det)""".stripMargin
+    Seq(
+      one("doc_id_key", "documents", "doc_id", "(text, lang, source)"),
+      one("lang_to_source", "documents", "lang", "(source)"),
+      one("order_key", "orders", "o_orderkey", "(o_custkey, o_totalprice)"),
+      one("cust_to_status", "orders", "o_custkey", "(o_orderstatus)"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY rule")
+  }
+
   def profileTable(spark: SparkSession, dir: String): DataFrame =
     graft.ops.Profile.profile(load(spark, dir, "orders"),
         Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
@@ -3392,6 +3424,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_skipgrams", skipgramsQ, Some(skipgramsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
+    QueryDef("ext_fd_check", fdCheckQ, Some(fdCheckSql)),
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("ext_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),

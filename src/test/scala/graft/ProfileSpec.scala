@@ -31,4 +31,38 @@ class ProfileSpec extends SparkSpec {
       assert(r.getString(4) != null && r.getString(5) != null)
     }
   }
+
+  private def fd(rows: Seq[(java.lang.Long, String, String)],
+      rules: Seq[(String, Seq[String], Seq[String])]) = {
+    import spark.implicits._
+    graft.ops.Profile.fdCheck(rows.toDF("id", "a", "b"), rules)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+  }
+
+  test("fdCheck: a holding FD, a violated FD, and exact violation counts") {
+    // a→b: group x maps to {p, q} (3 rows, violating); y maps to {p} only
+    val rows = Seq[(java.lang.Long, String, String)](
+      (1L, "x", "p"), (2L, "x", "p"), (3L, "x", "q"), (4L, "y", "p"))
+    val out = fd(rows, Seq(
+      ("id_key", Seq("id"), Seq("a", "b")),
+      ("a_to_b", Seq("a"), Seq("b"))))
+    assert(out("id_key") === ((4L, 0L, 0L, true)))
+    assert(out("a_to_b") === ((2L, 1L, 3L, false)))
+  }
+
+  test("fdCheck: null dependents are ONE value class; null determinants group") {
+    // group x maps to {null} twice -> agrees, holds; null det maps to {p, q}
+    val rows = Seq[(java.lang.Long, String, String)](
+      (1L, "x", null), (2L, "x", null), (3L, null, "p"), (4L, null, "q"))
+    val out = fd(rows, Seq(("a_to_b", Seq("a"), Seq("b"))))
+    assert(out("a_to_b") === ((2L, 1L, 2L, false)))
+  }
+
+  test("fdCheck: empty table holds every rule with zero counters") {
+    val out = fd(Seq.empty, Seq(("a_to_b", Seq("a"), Seq("b"))))
+    assert(out("a_to_b") === ((0L, 0L, 0L, true)))
+  }
 }
