@@ -1,0 +1,146 @@
+package graft.io
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned snapshot table — the lakehouse-lite sink (the commit-log
+  * core of Delta/Iceberg, reduced to what plain parquet + atomic rename
+  * can guarantee): every write is an isolated VERSION, readers see only
+  * COMMITTED versions, and any past snapshot stays readable (time
+  * travel). This is the missing piece between [[Sinks.atomicParquetSwap]]
+  * (atomic but history-free) and a real table format, and what a
+  * 100-TB ingest actually needs from its landing tables: concurrent
+  * writers cannot corrupt, readers never see partial data, yesterday's
+  * snapshot is reproducible.
+  *
+  * Layout:
+  * {{{
+  *   path/v=3/...parquet            — one directory per version
+  *   path/_commits/3.json           — single-line commit record
+  * }}}
+  * The COMMIT LOG is authoritative: a version exists iff its commit
+  * file exists. The writer protocol is
+  *   1. next = latest committed + 1
+  *   2. write data to `v=<next>` (overwrite — clobbers debris of a
+  *      crashed attempt at the same version, which is invisible anyway)
+  *   3. write `_commits/_tmp_<next>` then RENAME to `<next>.json`
+  * Rename-to-existing FAILS on Hadoop filesystems, so step 3 is the
+  * optimistic-concurrency point: of two racing writers one commits, the
+  * other throws and retries on a fresh version. A crash before step 3
+  * leaves an orphan data dir that readers never see and the next writer
+  * reclaims.
+  *
+  * `append` versions stack on the previous snapshot; `overwrite` starts
+  * a new base. A snapshot at version V = the latest overwrite ≤ V plus
+  * every append in between, read as a multi-directory parquet scan with
+  * schema merge (append-time column evolution reads back as nulls on
+  * old versions). Commit records are parsed driver-side — the log is
+  * |versions| tiny files, a bounded driver materialization by design
+  * (same contract as Delta's log replay).
+  */
+object SnapshotTable {
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def commitDir(path: String) = new Path(path, "_commits")
+
+  private final case class Commit(version: Long, action: String, rows: Long)
+
+  private def commits(spark: SparkSession, path: String): Seq[Commit] = {
+    val f = fs(spark)
+    val dir = commitDir(path)
+    if (!f.exists(dir)) return Seq.empty
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.matches("[0-9]+\\.json"))
+      .map { name =>
+        val in = f.open(new Path(dir, name))
+        val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+                   finally in.close()
+        def field(k: String) =
+          s""""$k":([0-9]+|"[a-z]+")""".r.findFirstMatchIn(body)
+            .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
+            .getOrElse(throw new IllegalStateException(
+              s"corrupt commit record $name: $body"))
+        Commit(field("version").toLong, field("action"), field("rows").toLong)
+      }
+      .sortBy(_.version)
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Option[Long] =
+    commits(spark, path).lastOption.map(_.version)
+
+  /** Write `df` as the next version. Returns the committed version.
+    * Throws if a concurrent writer committed the same version first —
+    * the caller retries (the data dir it wrote is orphaned debris the
+    * winning chain never reads and a later attempt reclaims). */
+  def write(df: DataFrame, path: String, mode: String = "append"): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"mode must be append|overwrite, got $mode")
+    val spark = df.sparkSession
+    val f = fs(spark)
+    val next = latestVersion(spark, path).getOrElse(0L) + 1L
+    val dataDir = new Path(path, s"v=$next")
+    df.write.mode("overwrite").parquet(dataDir.toString)
+    // footer-driven count of what was actually written (no extra
+    // materialization of df, which may be expensive lineage)
+    val rows = spark.read.parquet(dataDir.toString).count()
+    commit(spark, path, next, mode, rows)
+    next
+  }
+
+  /** The atomic commit step (separated so the race can be tested):
+    * stage the record, then rename-without-overwrite onto the final
+    * name. A concurrent writer that already committed this version
+    * makes the rename refuse — we throw and the caller retries. */
+  private[graft] def commit(spark: SparkSession, path: String,
+      version: Long, mode: String, rows: Long): Unit = {
+    val f = fs(spark)
+    val dir = commitDir(path)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s"_tmp_$version")
+    val out = f.create(tmp, true)
+    try out.write(
+      s"""{"version":$version,"action":"$mode","rows":$rows}\n"""
+        .getBytes("UTF-8"))
+    finally out.close()
+    val fin = new Path(dir, s"$version.json")
+    // FileContext.rename (no Rename.OVERWRITE) refuses an existing
+    // destination — FileSystem.rename on the local FS silently
+    // overwrites, which would let a losing writer clobber the winner
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+      fin.toUri, spark.sparkContext.hadoopConfiguration)
+    try fc.rename(fc.makeQualified(tmp), fc.makeQualified(fin))
+    catch { case e: java.io.IOException =>
+      f.delete(tmp, false)
+      throw new java.io.IOException(
+        s"concurrent commit lost the race for version $version of $path", e)
+    }
+  }
+
+  /** Read the snapshot as of `asOf` (default: latest committed). */
+  def read(spark: SparkSession, path: String,
+      asOf: Option[Long] = None): DataFrame = {
+    val all = commits(spark, path)
+    require(all.nonEmpty, s"no committed versions at $path")
+    val upTo = asOf match {
+      case Some(v) =>
+        require(all.exists(_.version == v),
+          s"version $v was never committed at $path")
+        all.filter(_.version <= v)
+      case None => all
+    }
+    val baseIdx = upTo.lastIndexWhere(_.action == "overwrite")
+    val chain = if (baseIdx < 0) upTo else upTo.drop(baseIdx)
+    val dirs = chain.map(c => s"$path/v=${c.version}")
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** The commit log as a frame: (version, action, rows). */
+  def history(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    commits(spark, path).map(c => (c.version, c.action, c.rows))
+      .toDF("version", "action", "rows")
+  }
+}

@@ -76,7 +76,28 @@ object SourceQueries extends QueryGroup {
       |WHERE l_partkey = (SELECT min(l_partkey) FROM lineitem)
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** S18 — snapshot-table round trip: documents land as an overwrite
+    * base plus an append version, read back as the latest committed
+    * snapshot — the gate covers version resolution, the commit log, and
+    * the multi-directory read against the plain relational oracle. */
+  def snapshotRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"lang", $"n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s18").toString
+    graft.io.SnapshotTable.write(docs.where($"doc_id" < 100),
+      tmp, "overwrite")
+    graft.io.SnapshotTable.write(
+      docs.where($"doc_id" >= 100 && $"doc_id" < 200), tmp, "append")
+    graft.io.SnapshotTable.read(spark, tmp)
+      .orderBy($"doc_id")
+  }
+
+  private val snapshotRoundTripSql =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("s18_snapshot_roundtrip", snapshotRoundTrip, Some(snapshotRoundTripSql)),
     QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)),
     QueryDef("s1_xlsx_roundtrip", xlsxRoundTrip, Some(xlsxRoundTripSql)),
     QueryDef("s17_bloom_roundtrip", bloomRoundTrip, Some(bloomRoundTripSql)))

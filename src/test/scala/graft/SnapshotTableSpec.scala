@@ -1,0 +1,84 @@
+package graft
+
+import java.nio.file.Files
+import graft.io.SnapshotTable
+
+/** Snapshot-table contract: committed-only visibility, append chains,
+  * overwrite bases, time travel, commit-race loss, orphan reclaim, and
+  * append-time schema evolution. */
+class SnapshotTableSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def tmpDir() =
+    Files.createTempDirectory("graft-snap").toString
+
+  private def ids(path: String, asOf: Option[Long] = None): Set[Long] =
+    SnapshotTable.read(spark, path, asOf)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("append chain stacks; overwrite resets the base; time travel sees both") {
+    val p = tmpDir()
+    assert(SnapshotTable.write(Seq(1L, 2L).toDF("id"), p, "overwrite") === 1L)
+    assert(SnapshotTable.write(Seq(3L).toDF("id"), p, "append") === 2L)
+    assert(SnapshotTable.write(Seq(4L).toDF("id"), p, "append") === 3L)
+    assert(ids(p) === Set(1L, 2L, 3L, 4L))
+    assert(ids(p, Some(2L)) === Set(1L, 2L, 3L))
+    assert(SnapshotTable.write(Seq(9L).toDF("id"), p, "overwrite") === 4L)
+    assert(ids(p) === Set(9L))
+    assert(ids(p, Some(3L)) === Set(1L, 2L, 3L, 4L)) // history intact
+    val hist = SnapshotTable.history(spark, p)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(hist.toSeq === Seq((1L, "overwrite", 2L), (2L, "append", 1L),
+      (3L, "append", 1L), (4L, "overwrite", 1L)))
+  }
+
+  test("an uncommitted data directory is invisible and its version reclaimed") {
+    val p = tmpDir()
+    SnapshotTable.write(Seq(1L).toDF("id"), p, "overwrite")
+    // simulate a crash between data write and commit: v=2 dir, no record
+    Seq(99L).toDF("id").write.parquet(s"$p/v=2")
+    assert(SnapshotTable.latestVersion(spark, p) === Some(1L))
+    assert(ids(p) === Set(1L))
+    // next writer claims version 2, clobbering the debris
+    assert(SnapshotTable.write(Seq(2L).toDF("id"), p, "append") === 2L)
+    assert(ids(p) === Set(1L, 2L))
+  }
+
+  test("losing the commit race throws instead of corrupting the log") {
+    val p = tmpDir()
+    SnapshotTable.write(Seq(1L).toDF("id"), p, "overwrite")
+    // a "concurrent writer" commits version 2 AFTER our writer read the
+    // log (so both claim version 2); our commit step must then refuse
+    val f = new java.io.File(s"$p/_commits/2.json")
+    val w = new java.io.PrintWriter(f)
+    w.write("""{"version":2,"action":"append","rows":0}"""); w.close()
+    val e = intercept[java.io.IOException](
+      SnapshotTable.commit(spark, p, 2L, "append", 7L))
+    assert(e.getMessage.contains("version 2"))
+    // the winner's record survives untouched (rows = 0, not 7)
+    val hist = SnapshotTable.history(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(hist(2L) === 0L)
+    assert(SnapshotTable.latestVersion(spark, p) === Some(2L))
+  }
+
+  test("append-time schema evolution merges; old versions read new column as null") {
+    val p = tmpDir()
+    SnapshotTable.write(Seq(1L).toDF("id"), p, "overwrite")
+    SnapshotTable.write(Seq((2L, "en")).toDF("id", "lang"), p, "append")
+    val out = SnapshotTable.read(spark, p)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.toSeq === Seq((1L, null), (2L, "en")))
+  }
+
+  test("reading an empty or never-committed table fails loudly") {
+    val p = tmpDir()
+    val e = intercept[IllegalArgumentException](SnapshotTable.read(spark, p))
+    assert(e.getMessage.contains("no committed versions"))
+    val e2 = intercept[IllegalArgumentException](
+      { SnapshotTable.write(Seq(1L).toDF("id"), p, "overwrite")
+        SnapshotTable.read(spark, p, Some(5L)) })
+    assert(e2.getMessage.contains("never committed"))
+  }
+}
