@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Minimum spanning forest by Borůvka's method — the graph-summarization
+  * operator that completes the family (components = reachability, MST =
+  * the CHEAPEST skeleton of each component): on a near-dup graph with
+  * distance weights the MSF is the single-linkage dendrogram backbone
+  * (cutting it at a threshold IS single-linkage clustering), and the
+  * lightest way to visualize/estimate cluster structure without all
+  * pairs.
+  *
+  * Edges carry a STRICT deterministic total order (w, a, b) — with it
+  * the MSF is unique (the tie-broken Kruskal forest), which is what
+  * makes the operator hash-gateable across engines.
+  *
+  * Borůvka round (the distributed-friendly MST: every component acts at
+  * once, no global sort, no sequential union-find):
+  *   1. relabel edges by current component; drop intra-component edges
+  *   2. every component selects its MINIMUM incident edge (by the total
+  *      order) — ≤ one edge per component, so ≤ n−1 forest edges total
+  *   3. selected edges merge components: connected components over the
+  *      contracted (component-id) graph via [[graft.ext.Dedup.resolveComponents]]
+  *      — the selected graph's chains can be Θ(components) long (a path
+  *      with increasing weights makes every pointer face left), so the
+  *      merge needs a real CC pass, not one hash-min step
+  * Components at least halve per round ⇒ ≤ log₂(n) rounds; the guard
+  * THROWS at `maxRounds` rather than returning a partial forest.
+  *
+  * Scale shape: per round two hash joins to relabel (edge list never
+  * grows, cross-component edges only SHRINK), one component-keyed
+  * window top-1 (partial-ordered, no global sort), and a CC pass over
+  * the CONTRACTED graph (component-count-sized, geometrically
+  * shrinking — the cheap side of the round). Forest and mapping frames
+  * persist per round, flat lineage. */
+object Msf {
+
+  /** @param edges canonical undirected weighted edges (a, b, w) with
+    *              a < b, one row per edge, Long node ids, w > 0
+    * @return the unique tie-broken MSF as (a, b, w) */
+  def run(edges: DataFrame, maxRounds: Int = 20): DataFrame = {
+    require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges.select($"a", $"b", $"w").where($"a" < $"b")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select($"a".as("n")).unionByName(e.select($"b".as("n")))
+      .distinct()
+    var comp = nodes.select($"n", $"n".as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    comp.count()
+    var forest = e.limit(0)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val ca = comp.select($"n".as("_na"), $"c".as("ca"))
+      val cb = comp.select($"n".as("_nb"), $"c".as("cb"))
+      val rel = e.join(ca, $"a" === $"_na").join(cb, $"b" === $"_nb")
+        .where($"ca" =!= $"cb")
+        .select($"a", $"b", $"w", $"ca", $"cb")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (rel.isEmpty) {
+        rel.unpersist()
+        done = true
+      } else {
+        if (rounds >= maxRounds)
+          throw new IllegalStateException(
+            s"Borůvka did not converge in $maxRounds rounds — " +
+              "refusing to return a partial forest")
+        val tch = rel.select($"ca".as("tc"), $"w", $"a", $"b", $"ca", $"cb")
+          .unionByName(
+            rel.select($"cb".as("tc"), $"w", $"a", $"b", $"ca", $"cb"))
+        val win = Window.partitionBy($"tc").orderBy($"w", $"a", $"b")
+        val sel = tch.withColumn("_rn", row_number().over(win))
+          .where($"_rn" === 1)
+          .select($"a", $"b", $"w", $"ca", $"cb").distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val grown = forest.unionByName(sel.select($"a", $"b", $"w"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        grown.count()
+        forest.unpersist()
+        forest = grown
+        // merge the contracted graph: selected edges over component ids
+        val merged = graft.ext.Dedup.resolveComponents(
+          sel.select($"ca".as("cid")).unionByName(sel.select($"cb".as("cid"))),
+          sel.select($"ca".as("id_a"), $"cb".as("id_b")), idCol = "cid")
+        val newComp = comp
+          .join(merged.select($"cid".as("_oc"), $"component_id".as("_nc")),
+            comp("c") === $"_oc", "left")
+          .select($"n", coalesce($"_nc", $"c").as("c"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        newComp.count()
+        comp.unpersist()
+        sel.unpersist()
+        rel.unpersist()
+        comp = newComp
+        rounds += 1
+      }
+    }
+    comp.unpersist()
+    // forest stays persisted (caller-owns-cache-scope, the KCore
+    // contract); e can release once the forest is materialized
+    e.unpersist()
+    forest
+  }
+}

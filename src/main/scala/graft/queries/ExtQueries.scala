@@ -1451,6 +1451,65 @@ object ExtQueries extends QueryGroup {
        |ORDER BY node""".stripMargin
   }
 
+  /** Minimum spanning forest of the near-dup graph with DISTANCE
+    * weights (10000 − cos_q4): the single-linkage dendrogram backbone —
+    * cutting it at a threshold IS single-linkage clustering. Unique
+    * under the strict (w, a, b) total order. The oracle unrolls 12
+    * Borůvka rounds (components at least halve per round; extra rounds
+    * are idempotent), each round's component merge a recursive
+    * label-closure CTE — fully independent of the Spark loop's
+    * resolveComponents machinery. */
+  def msfQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3)
+      .select($"id_a".as("a"), $"id_b".as("b"),
+        (lit(10000L) - $"cos_q4").as("w"))
+    graft.ops.Msf.run(pairs).orderBy($"a", $"b")
+  }
+
+  private val msfSql = {
+    def round(i: Int) = {
+      val p = s"comp${i - 1}"
+      s"""rel$i AS (
+         |  SELECT e.a, e.b, e.w, x.c AS ca, y.c AS cb
+         |  FROM edges0 e JOIN $p x ON e.a = x.n JOIN $p y ON e.b = y.n
+         |  WHERE x.c != y.c),
+         |tch$i AS (
+         |  SELECT ca AS tc, w, a, b, ca, cb FROM rel$i
+         |  UNION ALL SELECT cb, w, a, b, ca, cb FROM rel$i),
+         |sel$i AS MATERIALIZED (
+         |  SELECT DISTINCT a, b, w, ca, cb FROM (
+         |    SELECT tc, w, a, b, ca, cb,
+         |           row_number() OVER (PARTITION BY tc ORDER BY w, a, b) AS rn
+         |    FROM tch$i) WHERE rn = 1),
+         |se$i AS (
+         |  SELECT ca AS x, cb AS y FROM sel$i
+         |  UNION ALL SELECT cb, ca FROM sel$i),
+         |cl$i(n, l) AS (
+         |  SELECT x, x FROM se$i
+         |  UNION
+         |  SELECT se.y, c.l FROM cl$i c JOIN se$i se ON se.x = c.n),
+         |nl$i AS (SELECT n, min(l) AS l FROM cl$i GROUP BY n),
+         |comp$i AS MATERIALIZED (
+         |  SELECT p.n, coalesce(nl.l, p.c) AS c
+         |  FROM $p p LEFT JOIN nl$i nl ON p.c = nl.n)""".stripMargin
+    }
+    val rounds = (1 to 12).map(round).mkString(",\n")
+    val forest = (1 to 12)
+      .map(i => s"SELECT a, b, w FROM sel$i").mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE edges0 AS MATERIALIZED (
+       |  SELECT a.vec_id AS a, b.vec_id AS b,
+       |         10000 - CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS w
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |nodes AS (SELECT DISTINCT n FROM (
+       |  SELECT a AS n FROM edges0 UNION ALL SELECT b FROM edges0)),
+       |comp0 AS (SELECT n, n AS c FROM nodes),
+       |$rounds
+       |SELECT a, b, w FROM ($forest) ORDER BY a, b""".stripMargin
+  }
+
   /** Personalized PageRank from the SAME seed set as [[bfsHops]] over
     * the same near-dup graph, edges weighted by cos_q4: BFS answers
     * "how many hops from the flagged documents", PPR answers "how much
@@ -3434,6 +3493,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     QueryDef("ext_k_anonymity", kAnonymityQ, Some(kAnonymitySql)),
     QueryDef("ext_ppr", pprQ, Some(pprSql)),
+    QueryDef("ext_msf", msfQ, Some(msfSql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
