@@ -30,6 +30,9 @@ object LocalSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.artifact.isolation.enabled", "false")
+      // custom SQL functions + the SimilarityPruning optimizer rule —
+      // the same config-only install a cluster deployment would use
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
       // Plan STRINGS are rendered per AQE stage materialization even with

@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer seam: length prefilters implied by fuzzy predicates
+    // (see SimilarityPruning) — runs in the operator-optimization batch
+    ext.injectOptimizerRule(_ => SimilarityPruning)
     ext.injectFunction((
       FunctionIdentifier("dms_to_decimal"),
       info("dms_to_decimal",

@@ -317,7 +317,33 @@ object JoinQueries extends QueryGroup {
       |WHERE o.o_orderpriority = '1-URGENT' AND o.o_totalprice > 150000
       |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin
 
+  /** J24 — thresholded fuzzy-match join: mod-blocked candidates, kept
+    * when the name edit distance is ≤ 7 (the block key aligns the
+    * numeric suffixes; "Customer#"→"Supplier#" costs 6, so the
+    * threshold admits ≤ 1 extra digit edit). The [[graft.plans.SimilarityPruning]]
+    * rule auto-injects `abs(len−len) <= 7` ahead of the DP kernel —
+    * PlanSpec pins the rewrite; here names are equal-length so the
+    * gate checks pure correctness. */
+  def fuzzyMatchJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer").select($"c_custkey", $"c_name")
+    val s = load(spark, dir, "supplier").select($"s_suppkey", $"s_name")
+    c.join(s, $"c_custkey" % 100 === $"s_suppkey" % 100)
+      .where(levenshtein($"c_name", $"s_name") <= 7)
+      .select($"c_custkey", $"s_suppkey",
+        levenshtein($"c_name", $"s_name").cast("long").as("dist"))
+      .orderBy($"c_custkey", $"s_suppkey")
+  }
+
+  private val fuzzyMatchJoinSql =
+    """SELECT c_custkey, s_suppkey,
+      |       levenshtein(c_name, s_name)::BIGINT AS dist
+      |FROM customer c JOIN supplier s
+      |  ON c.c_custkey % 100 = s.s_suppkey % 100
+      |WHERE levenshtein(c_name, s_name) <= 7
+      |ORDER BY c_custkey, s_suppkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("j24_fuzzy_match_join", fuzzyMatchJoin, Some(fuzzyMatchJoinSql)),
     QueryDef("j19_bloom_join", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
     QueryDef("j1_two_tier_lookup", twoTierLookup, Some(twoTierLookupSql)),
     QueryDef("j2_dim_lookup", dimLookup, Some(dimLookupSql)),
