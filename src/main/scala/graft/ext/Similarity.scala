@@ -172,6 +172,36 @@ object Similarity {
       .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
   }
 
+  /** Multi-probe LSH top-k (Lv et al. VLDB'07): each query probes its
+    * OWN bucket plus every bucket at Hamming distance 1 (one flipped
+    * sign bit) — nPlanes+1 probes. Recovers most of the recall that
+    * extra hash TABLES would buy without replicating the corpus index:
+    * at 100 TB the index is one narrow projection built once, and only
+    * the tiny query side fans out ×(nPlanes+1). A corpus vector lives
+    * in exactly one bucket and a query's probe buckets are distinct, so
+    * candidates need no dedup. Same output shape as [[lshTopK]]; recall
+    * uplift vs single-probe is pinned in SimilaritySpec and measured by
+    * [[recallAtK]] in the gated query. */
+  def lshTopKMultiProbe(queries: DataFrame, corpus: DataFrame, k: Int,
+      nPlanes: Int = 8, dim: Int = 64, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val planes = hyperplanes(dim, nPlanes)
+    val flips = array((lit(0L) +: (0 until nPlanes).map(i => lit(1L << i))): _*)
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("q_vec"),
+        lshBucket(col(vecCol), planes).as("_b0"), explode(flips).as("_f"))
+      .select($"q_id", $"q_vec", $"_b0".bitwiseXOR($"_f").as("bucket"))
+    val c = corpus.select(col(idCol).as("n_id"), col(vecCol).as("n_vec"),
+      lshBucket(col(vecCol), planes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", cosine($"q_vec", $"n_vec").as("cos"))
+    val w = Window.partitionBy($"q_id").orderBy(desc("cos"), $"n_id")
+    scored.withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
+  }
+
   /** IVF-style ANN (the second scale path next to [[lshTopK]]): corpus
     * vectors are partitioned into `nCells` Voronoi cells around coarse
     * centroids; a query probes only its `nProbe` nearest cells.

@@ -45,7 +45,8 @@ object SnapshotTable {
 
   private def commitDir(path: String) = new Path(path, "_commits")
 
-  private final case class Commit(version: Long, action: String, rows: Long)
+  private final case class Commit(version: Long, action: String, rows: Long,
+      batchId: Long = -1L)
 
   private def commits(spark: SparkSession, path: String): Seq[Commit] = {
     val f = fs(spark)
@@ -58,12 +59,14 @@ object SnapshotTable {
         val in = f.open(new Path(dir, name))
         val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
                    finally in.close()
-        def field(k: String) =
-          s""""$k":([0-9]+|"[a-z]+")""".r.findFirstMatchIn(body)
+        def fieldOpt(k: String) =
+          s""""$k":(-?[0-9]+|"[a-z]+")""".r.findFirstMatchIn(body)
             .map(_.group(1).stripPrefix("\"").stripSuffix("\""))
-            .getOrElse(throw new IllegalStateException(
-              s"corrupt commit record $name: $body"))
-        Commit(field("version").toLong, field("action"), field("rows").toLong)
+        def field(k: String) = fieldOpt(k)
+          .getOrElse(throw new IllegalStateException(
+            s"corrupt commit record $name: $body"))
+        Commit(field("version").toLong, field("action"), field("rows").toLong,
+          fieldOpt("batch").map(_.toLong).getOrElse(-1L))
       }
       .sortBy(_.version)
   }
@@ -75,34 +78,58 @@ object SnapshotTable {
     * Throws if a concurrent writer committed the same version first —
     * the caller retries (the data dir it wrote is orphaned debris the
     * winning chain never reads and a later attempt reclaims). */
-  def write(df: DataFrame, path: String, mode: String = "append"): Long = {
+  def write(df: DataFrame, path: String, mode: String = "append"): Long =
+    write(df, path, mode, batchId = -1L)
+
+  private def write(df: DataFrame, path: String, mode: String,
+      batchId: Long): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got $mode")
     val spark = df.sparkSession
-    val f = fs(spark)
     val next = latestVersion(spark, path).getOrElse(0L) + 1L
     val dataDir = new Path(path, s"v=$next")
     df.write.mode("overwrite").parquet(dataDir.toString)
     // footer-driven count of what was actually written (no extra
     // materialization of df, which may be expensive lineage)
     val rows = spark.read.parquet(dataDir.toString).count()
-    commit(spark, path, next, mode, rows)
+    commit(spark, path, next, mode, rows, batchId)
     next
   }
+
+  /** Idempotent streaming append for `foreachBatch`: a batch id already
+    * in the commit log is SKIPPED, so Structured Streaming's replay of
+    * the last uncommitted micro-batch after a restart cannot double-
+    * write — the commit log doubles as the sink's transaction log
+    * (exactly-once landing on top of at-least-once delivery). */
+  def appendBatch(df: DataFrame, path: String, batchId: Long): Option[Long] = {
+    if (commits(df.sparkSession, path).exists(_.batchId == batchId)) None
+    else Some(write(df, path, "append", batchId))
+  }
+
+  /** foreachBatch-ready writer: `stream` lands as one snapshot version
+    * per micro-batch with replay-safe batch ids. */
+  def appendStream(stream: DataFrame, path: String,
+      checkpoint: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (df: DataFrame, bid: Long) =>
+        appendBatch(df, path, bid); ()
+      }
 
   /** The atomic commit step (separated so the race can be tested):
     * stage the record, then rename-without-overwrite onto the final
     * name. A concurrent writer that already committed this version
     * makes the rename refuse — we throw and the caller retries. */
   private[graft] def commit(spark: SparkSession, path: String,
-      version: Long, mode: String, rows: Long): Unit = {
+      version: Long, mode: String, rows: Long, batchId: Long = -1L): Unit = {
     val f = fs(spark)
     val dir = commitDir(path)
     f.mkdirs(dir)
     val tmp = new Path(dir, s"_tmp_$version")
     val out = f.create(tmp, true)
     try out.write(
-      s"""{"version":$version,"action":"$mode","rows":$rows}\n"""
+      s"""{"version":$version,"action":"$mode","rows":$rows,"batch":$batchId}\n"""
         .getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(dir, s"$version.json")

@@ -427,6 +427,52 @@ object ExtQueries extends QueryGroup {
        |WHERE a.src < a.dst
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Multi-probe LSH recall@5 for the same queries/planes as
+    * [[simRecall]]: each query also probes the nPlanes Hamming-1
+    * buckets — the recall uplift extra tables would buy without
+    * replicating the corpus index. */
+  def simMultiprobe(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val q = emb.where($"vec_id" < 10)
+    Similarity.recallAtK(
+      Similarity.lshTopKMultiProbe(q, emb, 5, nPlanes = 4, dim = 64),
+      Similarity.bruteForceTopK(q, emb, 5), 5)
+      .orderBy($"q_id")
+  }
+
+  private val simMultiprobeSql = {
+    val bucket = lshBucketSql("embedding", Similarity.hyperplanes(64, 4))
+    s"""WITH be AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |bf_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |bf AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM bf_scored) WHERE rank <= 5),
+       |qp AS (
+       |  SELECT vec_id, embedding, xor(bucket, f.f) AS bucket
+       |  FROM be CROSS JOIN (SELECT unnest([0, 1, 2, 4, 8]) AS f) f
+       |  WHERE vec_id < 10),
+       |mp_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM qp q JOIN be c ON q.bucket = c.bucket AND q.vec_id != c.vec_id),
+       |mp AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM mp_scored) WHERE rank <= 5)
+       |SELECT bf.q_id, (count(mp.n_id))::BIGINT AS hits,
+       |       ((10000 * count(mp.n_id)) // 5)::BIGINT AS recall_bp
+       |FROM bf LEFT JOIN mp ON bf.q_id = mp.q_id AND bf.n_id = mp.n_id
+       |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin
+  }
+
   /** Brand-affinity association rules: which part brands co-occur in
     * the same order, with exact integer support/confidence/lift. */
   def assocRulesQ(spark: SparkSession, dir: String): DataFrame = {
@@ -3494,6 +3540,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_k_anonymity", kAnonymityQ, Some(kAnonymitySql)),
     QueryDef("ext_ppr", pprQ, Some(pprSql)),
     QueryDef("ext_msf", msfQ, Some(msfSql)),
+    QueryDef("ext_sim_multiprobe", simMultiprobe, Some(simMultiprobeSql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),

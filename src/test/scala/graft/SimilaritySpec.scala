@@ -456,6 +456,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Map("A" -> 1L, "B" -> 1L))
   }
 
+  test("multi-probe LSH: recall >= single-probe, candidates deduplicated") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(71)
+    val centers = Array.fill(6, 64)(rnd.nextGaussian() * 3.0)
+    val vecs = (0 until 120).map { i =>
+      val c = centers(i % 6)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.5).toFloat))
+    }
+    val corpus = vecs.toDF("vec_id", "embedding")
+    val q = corpus.where($"vec_id" < 8)
+    val bf = Similarity.bruteForceTopK(q, corpus, 5)
+    def totalRecall(approx: org.apache.spark.sql.DataFrame): Long =
+      Similarity.recallAtK(approx, bf, 5)
+        .agg(org.apache.spark.sql.functions.sum($"hits")).head.getLong(0)
+    val single = totalRecall(Similarity.lshTopK(q, corpus, 5, nPlanes = 6))
+    val multi = totalRecall(
+      Similarity.lshTopKMultiProbe(q, corpus, 5, nPlanes = 6))
+    assert(multi >= single, s"multi=$multi < single=$single")
+    // no duplicate (q, n) candidate rows survive to the ranking
+    val mp = Similarity.lshTopKMultiProbe(q, corpus, 5, nPlanes = 6)
+      .select($"q_id", $"n_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(mp.distinct.length === mp.length)
+  }
+
   private def mutual(pairs: Seq[(Long, Long, Long)], k: Int) = {
     import spark.implicits._
     Similarity.mutualKnn(pairs.toDF("id_a", "id_b", "cos_q4"), k)

@@ -72,6 +72,33 @@ class SnapshotTableSpec extends SparkSpec {
     assert(out.toSeq === Seq((1L, null), (2L, "en")))
   }
 
+  test("appendBatch is idempotent per batch id (streaming replay safety)") {
+    val p = tmpDir()
+    assert(SnapshotTable.appendBatch(Seq(1L).toDF("id"), p, 0L).isDefined)
+    assert(SnapshotTable.appendBatch(Seq(2L).toDF("id"), p, 1L).isDefined)
+    // a restarted stream re-delivers batch 1: must be a no-op
+    assert(SnapshotTable.appendBatch(Seq(2L).toDF("id"), p, 1L).isEmpty)
+    assert(ids(p) === Set(1L, 2L))
+    assert(SnapshotTable.history(spark, p).count() === 2L)
+  }
+
+  test("appendStream lands one committed version per micro-batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val p = tmpDir()
+    val ckpt = tmpDir()
+    val input = MemoryStream[Long]
+    val q = SnapshotTable.appendStream(input.toDF().toDF("id"), p, ckpt).start()
+    try {
+      input.addData(1L, 2L)
+      q.processAllAvailable()
+      input.addData(3L)
+      q.processAllAvailable()
+      assert(ids(p) === Set(1L, 2L, 3L))
+      assert(SnapshotTable.history(spark, p).count() === 2L)
+    } finally q.stop()
+  }
+
   test("reading an empty or never-committed table fails loudly") {
     val p = tmpDir()
     val e = intercept[IllegalArgumentException](SnapshotTable.read(spark, p))
