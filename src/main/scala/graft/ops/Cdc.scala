@@ -1,0 +1,37 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** CDC apply-changes — materialize the LATEST STATE of a keyed entity
+  * table from an ordered change stream (op = upsert | delete): the
+  * "APPLY CHANGES INTO" half of every CDC pipeline, next to
+  * [[Scd2.merge]] (which keeps the history; this keeps the now).
+  *
+  * The winner per key is ONE `max(struct(seq…, op, payload…))`
+  * aggregate — associative/commutative and map-side combinable, so raw
+  * change volume collapses inside each input partition before the
+  * single key shuffle (the Resample last-observation-wins pattern); a
+  * row_number window over the raw stream would ship EVERY change to
+  * the reducers. A delete wins like any other change and then drops
+  * its key from the output (tombstone applied, not retained).
+  * `seqCols` must totally order each key's changes (put a unique tie
+  * column last); payload/op columns after the tie never influence the
+  * comparison.
+  */
+object Cdc {
+
+  def applyChanges(changes: DataFrame, keyCols: Seq[String],
+      seqCols: Seq[String], opCol: String, payloadCols: Seq[String],
+      deleteOp: String = "delete"): DataFrame = {
+    require(keyCols.nonEmpty && seqCols.nonEmpty && payloadCols.nonEmpty,
+      "applyChanges needs key, sequence, and payload columns")
+    val winner = changes.groupBy(keyCols.map(col): _*)
+      .agg(
+        max(struct((seqCols ++ (opCol +: payloadCols)).map(col): _*)).as("_w"),
+        count(lit(1)).as("n_changes"))
+    winner.where(col(s"_w.$opCol") =!= deleteOp)
+      .select(keyCols.map(col) ++
+        payloadCols.map(c => col(s"_w.$c").as(c)) :+ col("n_changes"): _*)
+  }
+}

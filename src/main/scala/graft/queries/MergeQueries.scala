@@ -258,7 +258,42 @@ object MergeQueries extends QueryGroup {
        |ORDER BY as_of, c_custkey, valid_from""".stripMargin
   }
 
+  /** S19 — CDC apply: events as a change stream over user profiles
+    * ('error' = account tombstone, everything else upserts the value);
+    * output is the LATEST surviving state per user. The Spark side is
+    * one map-side-combined max(struct) aggregate; the oracle uses the
+    * INDEPENDENT window formulation. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val changes = Tables.load(spark, dir, "events")
+      .select($"user_id",
+        expr("unix_micros(ts)").as("us"), $"event_id",
+        when($"event_type" === "error", "delete").otherwise("upsert").as("op"),
+        floor($"value" * 10000.0).cast("long").as("v_q4"),
+        $"event_type".as("last_type"))
+    graft.ops.Cdc.applyChanges(changes, Seq("user_id"),
+        Seq("us", "event_id"), "op", Seq("v_q4", "last_type"))
+      .orderBy($"user_id")
+  }
+
+  private val cdcApplySql =
+    """WITH ch AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us, event_id,
+      |         CASE WHEN event_type = 'error' THEN 'delete'
+      |              ELSE 'upsert' END AS op,
+      |         floor(value * 10000.0::DOUBLE)::BIGINT AS v_q4,
+      |         event_type AS last_type
+      |  FROM events),
+      |r AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id
+      |           ORDER BY us DESC, event_id DESC) AS rn,
+      |         count(*) OVER (PARTITION BY user_id) AS n_changes
+      |  FROM ch)
+      |SELECT user_id, v_q4, last_type, n_changes::BIGINT AS n_changes
+      |FROM r WHERE rn = 1 AND op != 'delete'
+      |ORDER BY user_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("s19_cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("s15_scd2_merge", scd2Merge, Some(scd2MergeSql)),
     QueryDef("s16_scd2_asof", scd2AsOf, Some(scd2AsOfSql)),
     QueryDef("s10a_merge_set", mergeSet, Some(mergeSetSql)),

@@ -1,0 +1,44 @@
+package graft
+
+import graft.ops.Cdc
+
+/** CDC apply goldens: last-writer-wins, tombstones, resurrection after
+  * delete, and the sequence tie order — the oracle only replays one
+  * fixed stream via the window formulation. */
+class CdcSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def apply(rows: Seq[(Long, Long, Long, String, String)]) =
+    Cdc.applyChanges(rows.toDF("k", "seq", "tie", "op", "payload"),
+        Seq("k"), Seq("seq", "tie"), "op", Seq("payload"))
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+
+  test("last writer wins; a trailing delete removes the key") {
+    val out = apply(Seq(
+      (1L, 1L, 0L, "upsert", "a"), (1L, 2L, 0L, "upsert", "b"),
+      (2L, 1L, 0L, "upsert", "x"), (2L, 2L, 0L, "delete", "-")))
+    assert(out === Map(1L -> (("b", 2L))))
+  }
+
+  test("an upsert AFTER a delete resurrects the key") {
+    val out = apply(Seq(
+      (1L, 1L, 0L, "upsert", "a"), (1L, 2L, 0L, "delete", "-"),
+      (1L, 3L, 0L, "upsert", "c")))
+    assert(out === Map(1L -> (("c", 3L))))
+  }
+
+  test("equal primary sequence breaks by the tie column") {
+    val out = apply(Seq(
+      (1L, 5L, 1L, "upsert", "first"), (1L, 5L, 2L, "upsert", "second")))
+    assert(out === Map(1L -> (("second", 2L))))
+  }
+
+  test("n_changes counts every change, deletes included") {
+    val out = apply(Seq(
+      (1L, 1L, 0L, "delete", "-"), (1L, 2L, 0L, "upsert", "a"),
+      (1L, 3L, 0L, "delete", "-"), (1L, 4L, 0L, "upsert", "b")))
+    assert(out === Map(1L -> (("b", 4L))))
+  }
+}
