@@ -126,6 +126,36 @@ object TextStats {
       regexp_replace(t, p, tag)
     }
 
+  /** Typed span extraction TABLE — the structured complement of
+    * [[redact]]: one row per maskable span (doc, kind, ordinal, span),
+    * extracted on the progressively-redacted text so an inner pattern
+    * never re-fires inside an outer match (the same cascade
+    * [[redactionCount]] audits in aggregate; this keeps the spans —
+    * the PII-review / link-graph / contact-mining input table).
+    * Narrow plan: regexp_extract_all + posexplode per kind, one union,
+    * zero shuffle — scan-speed at any corpus size. */
+  def extractSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val start = docs.select(col(idCol), col(textCol).as("_t"))
+    val (staged, matchCols) =
+      redactionPatterns.zipWithIndex.foldLeft((start, Seq.empty[String])) {
+        case ((df, cols), ((p, tag), i)) =>
+          val c = s"_m$i"
+          // mask with the SAME tag redact() uses — the tag text is part
+          // of what later patterns see, so any other placeholder (e.g.
+          // one containing digits) would change their matches
+          (df.withColumn(c, regexp_extract_all($"_t", lit(p), lit(0)))
+            .withColumn("_t", regexp_replace($"_t", p, tag)),
+            cols :+ c)
+      }
+    redactionPatterns.zip(matchCols).map { case ((_, tag), c) =>
+      staged.select(col(idCol), lit(tag).as("kind"),
+        posexplode(col(c)).as(Seq("_ord", "span")))
+    }.reduce(_ unionByName _)
+      .select(col(idCol), $"kind", ($"_ord" + 1).cast("long").as("ordinal"),
+        $"span")
+  }
+
   /** Number of spans the redaction pass would mask (audit metric). */
   def redactionCount(text: Column): Column = {
     // count on the progressively-redacted text, like redact() itself:

@@ -2703,6 +2703,49 @@ object ExtQueries extends QueryGroup {
        |FROM e ORDER BY doc_id""".stripMargin
   }
 
+  /** Typed span extraction over the same PII-enriched documents as
+    * [[textRedact]]: one row per maskable span with its kind and
+    * in-kind ordinal — redact audits in aggregate, this keeps the
+    * spans. Oracle unnests regexp_extract_all over the identical
+    * cascade. */
+  def textExtract(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val enriched = docs.select($"doc_id",
+      when($"doc_id" % 7 === 0,
+          concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+            lit("@example.com or https://data.example.org/dl?id="),
+            $"doc_id".cast("string"),
+            lit(" call +1-555-012-3456 from 10.0.0."),
+            ($"doc_id" % 256).cast("string"),
+            lit(" ref "), lpad($"doc_id".cast("string"), 9, "0")))
+        .otherwise($"text").as("text"))
+    TextStats.extractSpans(enriched)
+      .orderBy($"doc_id", $"kind", $"ordinal")
+  }
+
+  private val textExtractSql = {
+    val subs = TextStats.redactionPatterns
+    val arms = subs.zipWithIndex.map { case ((p, tag), i) =>
+      val masked = subs.take(i).foldLeft("text") { case (t, (pp, tt)) =>
+        s"regexp_replace($t, '$pp', '$tt', 'g')"
+      }
+      s"""SELECT doc_id, '$tag' AS kind,
+         |       generate_subscripts(m, 1)::BIGINT AS ordinal,
+         |       unnest(m) AS span
+         |FROM (SELECT doc_id, regexp_extract_all($masked, '$p') AS m FROM e)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN
+       |      text || ' contact user' || doc_id ||
+       |      '@example.com or https://data.example.org/dl?id=' || doc_id ||
+       |      ' call +1-555-012-3456 from 10.0.0.' || (doc_id % 256) ||
+       |      ' ref ' || lpad(doc_id::VARCHAR, 9, '0')
+       |    ELSE text END AS text
+       |  FROM documents)
+       |SELECT * FROM ($arms) ORDER BY doc_id, kind, ordinal""".stripMargin
+  }
+
   /** TF-IDF top-3 terms per document. */
   def tfidfTop(spark: SparkSession, dir: String): DataFrame =
     TextStats.tfidf(load(spark, dir, "documents"), 3)
@@ -3545,6 +3588,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
+    QueryDef("ext_text_extract", textExtract, Some(textExtractSql)),
     QueryDef("ext_sample_split", sampleSplit, Some(sampleSplitSql)),
     QueryDef("ext_split_leakage_safe", splitLeakageSafe, Some(splitLeakageSafeSql)),
     QueryDef("ext_sample_weighted", sampleWeighted, Some(sampleWeightedSql)),

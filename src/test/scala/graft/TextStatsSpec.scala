@@ -462,4 +462,27 @@ class TextStatsSpec extends SparkSpec {
     assert(out(4L) === ((0L, 0L, 0L, 0L)))
     assert(out(5L) === ((0L, 0L, 0L, 0L)))
   }
+
+  test("extractSpans: typed spans with in-kind ordinals, cascade-shielded") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "visit https://x.co/a mail a.b@c.org then d@e.fr " +
+        "from 10.0.0.1 call 555-123-4567 ref 1234567"),
+      // digits inside the URL are the URL's, not a <NUM> span
+      (2L, "see https://x.co/123456789 ref 654321"),
+      (3L, "nothing here")).toDF("doc_id", "text")
+    val out = TextStats.extractSpans(docs)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out === Set(
+      (1L, "<URL>", 1L, "https://x.co/a"),
+      (1L, "<EMAIL>", 1L, "a.b@c.org"),
+      (1L, "<EMAIL>", 2L, "d@e.fr"),
+      (1L, "<IP>", 1L, "10.0.0.1"),
+      (1L, "<PHONE>", 1L, "555-123-4567"),
+      (1L, "<NUM>", 1L, "1234567"),
+      (2L, "<URL>", 1L, "https://x.co/123456789"),
+      (2L, "<NUM>", 1L, "654321")))
+  }
 }
