@@ -309,6 +309,54 @@ object Journeys {
       .limit(k)
   }
 
+  /** Next-event prediction accuracy of the first-order Markov model —
+    * the evaluation loop that turns [[transitions]] from a descriptive
+    * table into a validated model: train on the FIRST half of the time
+    * range (split at the exact integer midpoint of the observed epoch
+    * span — a temporal holdout, never a random one: consecutive events
+    * are autocorrelated and a random split would leak), predict each
+    * eval-period transition as the argmax next type, score per
+    * from-type in exact basis points. Pairs CROSSING the split are
+    * dropped (they straddle train and eval). An eval from-type unseen
+    * in training predicts nothing and scores 0 — visible, not skipped.
+    *
+    * Scale shape: one user-keyed window for pairs (the transitions
+    * shuffle), a tiny (type × type) train aggregate broadcast back, and
+    * one final type-keyed rollup. The epoch bounds are a one-row
+    * aggregate broadcast as a scalar (the q15 pattern). */
+  def nextEventAccuracy(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts", typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = events.select(col(userCol), col(tieCol), col(typeCol),
+      expr(s"unix_micros($tsCol)").as("_us"))
+    // order by the derived epoch (ts itself is projected away above)
+    val w = Window.partitionBy(col(userCol)).orderBy($"_us", col(tieCol))
+    val pairs = base
+      .withColumn("_next", lead(col(typeCol), 1).over(w))
+      .withColumn("_next_us", lead($"_us", 1).over(w))
+      .where($"_next".isNotNull)
+    val bounds = base.agg(min($"_us").as("_lo"), max($"_us").as("_hi"))
+      .select(expr("(_lo + _hi) div 2").as("_sp"))
+    val tagged = pairs.crossJoin(broadcast(bounds))
+    val train = tagged.where($"_us" < $"_sp" && $"_next_us" < $"_sp")
+      .groupBy(col(typeCol).as("from_type"), $"_next".as("to_type"))
+      .agg(count(lit(1)).as("_n"))
+    val model = train
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy($"from_type").orderBy($"_n".desc, $"to_type")))
+      .where($"_rk" === 1)
+      .select($"from_type", $"to_type".as("_pred"))
+    tagged.where($"_us" >= $"_sp" && $"_next_us" >= $"_sp")
+      .select(col(typeCol).as("from_type"), $"_next")
+      .join(broadcast(model), Seq("from_type"), "left")
+      .groupBy($"from_type")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when($"_next" === $"_pred", 1L).otherwise(0L)).as("n_correct"))
+      .select($"from_type", $"n_eval", $"n_correct",
+        expr("(10000 * n_correct) div n_eval").as("acc_bp"))
+  }
+
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

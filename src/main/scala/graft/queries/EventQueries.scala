@@ -196,6 +196,40 @@ object EventQueries extends QueryGroup {
         window = 20, minObs = 5, k = 3)
       .orderBy(col("event_id"))
 
+  /** Markov next-event accuracy: train the argmax transition model on
+    * the first half of the time range (temporal holdout — random
+    * splits leak on autocorrelated streams), score second-half
+    * transitions per from-type in exact bp. */
+  def markovEval(spark: SparkSession, dir: String): DataFrame =
+    Journeys.nextEventAccuracy(load(spark, dir, "events"))
+      .orderBy(col("from_type"))
+
+  private val markovEvalSql =
+    """WITH b AS (
+      |  SELECT user_id, event_id, event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) AS us
+      |  FROM events),
+      |sp AS (SELECT (min(us) + max(us)) // 2 AS sp FROM b),
+      |p AS (
+      |  SELECT user_id, event_type AS ft, us,
+      |         lead(event_type) OVER w AS nt, lead(us) OVER w AS nus
+      |  FROM b WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |pp AS (SELECT * FROM p CROSS JOIN sp WHERE nt IS NOT NULL),
+      |tr AS (SELECT ft, nt, count(*) AS n FROM pp
+      |       WHERE us < sp AND nus < sp GROUP BY ft, nt),
+      |model AS (
+      |  SELECT ft, nt AS pred FROM (
+      |    SELECT ft, nt, row_number() OVER (PARTITION BY ft
+      |             ORDER BY n DESC, nt) AS rk FROM tr) WHERE rk = 1),
+      |ev AS (SELECT ft, nt FROM pp WHERE us >= sp AND nus >= sp)
+      |SELECT ev.ft AS from_type, count(*)::BIGINT AS n_eval,
+      |       coalesce(sum(CASE WHEN ev.nt = m.pred THEN 1 END), 0)::BIGINT
+      |         AS n_correct,
+      |       ((10000 * coalesce(sum(CASE WHEN ev.nt = m.pred THEN 1 END), 0))
+      |         // count(*))::BIGINT AS acc_bp
+      |FROM ev LEFT JOIN model m ON ev.ft = m.ft
+      |GROUP BY ev.ft ORDER BY from_type""".stripMargin
+
   /** Seasonality readout: lag-1..7 autocorrelation of each event
     * type's dense daily-count series in exact basis points — weekly
     * periodicity shows as a lag-7 peak. Signed deviations divide with
@@ -590,5 +624,6 @@ object EventQueries extends QueryGroup {
     QueryDef("ev5_sessions", sessions, Some(sessionsSql)),
     QueryDef("ev6_twa", twa, Some(twaSql)),
     QueryDef("ev7_anomaly", anomaly, Some(anomalySql)),
-    QueryDef("ev17_autocorr", autocorr, Some(autocorrSql)))
+    QueryDef("ev17_autocorr", autocorr, Some(autocorrSql)),
+    QueryDef("ev19_markov_eval", markovEval, Some(markovEvalSql)))
 }

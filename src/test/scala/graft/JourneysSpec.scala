@@ -199,4 +199,28 @@ class JourneysSpec extends SparkSpec {
     assert(out.map(_._1).drop(1) ===
       Seq("click>purchase>view", "signup>view>click"))
   }
+
+  test("nextEventAccuracy: temporal holdout, boundary pairs dropped, " +
+      "unseen from-types score zero") {
+    val t = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // span [0s, 100s] -> split at 50s. Train (user a): view->click x2,
+    // click->view x1; the (30s,60s) pair crosses the split and drops.
+    val ev = Seq(
+      ("a", 0L, 1L, "view"), ("a", 10L, 2L, "click"),
+      ("a", 20L, 3L, "view"), ("a", 30L, 4L, "click"),
+      ("a", 60L, 5L, "view"), ("a", 70L, 6L, "click"),
+      ("a", 80L, 7L, "purchase"),
+      ("b", 55L, 8L, "error"), ("b", 65L, 9L, "signup"),
+      ("b", 100L, 10L, "view"))
+      .map { case (u, s, id, ty) => (u, t(s), id, ty) }
+      .toDF("user_id", "ts", "event_id", "event_type")
+    val out = Journeys.nextEventAccuracy(ev)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out === Map(
+      "view" -> ((1L, 1L, 10000L)),   // model(view)=click, eval hit
+      "click" -> ((1L, 0L, 0L)),      // model(click)=view, eval was purchase
+      "error" -> ((1L, 0L, 0L)),      // unseen in train: no prediction
+      "signup" -> ((1L, 0L, 0L))))    // unseen in train
+  }
 }
