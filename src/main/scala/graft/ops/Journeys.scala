@@ -357,6 +357,46 @@ object Journeys {
         expr("(10000 * n_correct) div n_eval").as("acc_bp"))
   }
 
+  /** Event-time lateness audit — the watermark-sizing report: with
+    * arrival order approximated by the monotone ingest id, each event's
+    * lateness is (running max event-time seen so far) − (its own
+    * event-time); the per-band shares answer "what watermark delay
+    * would have kept X % of events" BEFORE committing a streaming job
+    * to one (`withWatermark` drops late rows silently — this is the
+    * batch dry-run). Bands are exponential (on-time, ≤1 m, ≤10 m,
+    * ≤1 h, >1 h) in exact integer µs.
+    *
+    * Scale shape: one type-keyed ordered window (running max is a
+    * narrow running aggregate within each partition's sorted slice) +
+    * one (type, band) map-side-combined rollup. */
+  def latenessAudit(events: DataFrame, typeCol: String = "event_type",
+      tsCol: String = "ts", arrivalCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(typeCol)).orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val m = 1000000L
+    val lateness = events
+      .select(col(typeCol), col(arrivalCol),
+        expr(s"unix_micros($tsCol)").as("_us"))
+      .withColumn("_late", max($"_us").over(w) - $"_us")
+    val banded = lateness.select(col(typeCol),
+      when($"_late" === 0L, lit(0L))
+        .when($"_late" <= 60L * m, lit(1L))
+        .when($"_late" <= 600L * m, lit(2L))
+        .when($"_late" <= 3600L * m, lit(3L))
+        .otherwise(lit(4L)).as("band_rank"))
+    val counts = banded.groupBy(col(typeCol), $"band_rank")
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.groupBy(col(typeCol)).agg(sum($"n").as("_t"))
+    counts.join(broadcast(tot), Seq(typeCol))
+      .select(col(typeCol), $"band_rank",
+        element_at(
+          array(lit("on-time"), lit("<=1m"), lit("<=10m"), lit("<=1h"),
+            lit(">1h")),
+          ($"band_rank" + 1).cast("int")).as("band"),
+        $"n", expr("(10000 * n) div _t").as("share_bp"))
+  }
+
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -196,6 +196,40 @@ object EventQueries extends QueryGroup {
         window = 20, minObs = 5, k = 3)
       .orderBy(col("event_id"))
 
+  /** Watermark-sizing dry run: per event type, the share of events at
+    * each lateness band (running-max event time vs own event time in
+    * ingest order) — what `withWatermark` would silently drop at each
+    * candidate delay. */
+  def latenessAudit(spark: SparkSession, dir: String): DataFrame =
+    Journeys.latenessAudit(load(spark, dir, "events"))
+      .orderBy(col("event_type"), col("band_rank"))
+
+  private val latenessAuditSql =
+    """WITH l AS (
+      |  SELECT event_type,
+      |         max(epoch_us(CAST(ts AS TIMESTAMP))) OVER w
+      |           - epoch_us(CAST(ts AS TIMESTAMP)) AS late
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY event_type ORDER BY event_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |b AS (
+      |  SELECT event_type,
+      |         CASE WHEN late = 0 THEN 0
+      |              WHEN late <= 60000000 THEN 1
+      |              WHEN late <= 600000000 THEN 2
+      |              WHEN late <= 3600000000::BIGINT THEN 3
+      |              ELSE 4 END AS band_rank
+      |  FROM l),
+      |c AS (SELECT event_type, band_rank, count(*) AS n
+      |      FROM b GROUP BY 1, 2),
+      |t AS (SELECT event_type, sum(n) AS tot FROM c GROUP BY 1)
+      |SELECT c.event_type, c.band_rank::BIGINT AS band_rank,
+      |       (['on-time', '<=1m', '<=10m', '<=1h', '>1h'])[c.band_rank + 1]
+      |         AS band,
+      |       c.n::BIGINT AS n, ((10000 * c.n) // t.tot)::BIGINT AS share_bp
+      |FROM c JOIN t ON c.event_type = t.event_type
+      |ORDER BY c.event_type, band_rank""".stripMargin
+
   /** Markov next-event accuracy: train the argmax transition model on
     * the first half of the time range (temporal holdout — random
     * splits leak on autocorrelated streams), score second-half
@@ -625,5 +659,6 @@ object EventQueries extends QueryGroup {
     QueryDef("ev6_twa", twa, Some(twaSql)),
     QueryDef("ev7_anomaly", anomaly, Some(anomalySql)),
     QueryDef("ev17_autocorr", autocorr, Some(autocorrSql)),
+    QueryDef("ev18_lateness_audit", latenessAudit, Some(latenessAuditSql)),
     QueryDef("ev19_markov_eval", markovEval, Some(markovEvalSql)))
 }

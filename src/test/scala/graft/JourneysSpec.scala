@@ -223,4 +223,21 @@ class JourneysSpec extends SparkSpec {
       "error" -> ((1L, 0L, 0L)),      // unseen in train: no prediction
       "signup" -> ((1L, 0L, 0L))))    // unseen in train
   }
+
+  test("latenessAudit: lateness measured against the running max, banded") {
+    val t = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // arrival order 1..5; event-times: 100s, 40s (60s late -> <=1m),
+    // 101s (new max, on-time), 41s (60s+1? -> 101-41=60s no: 60s is <=1m)
+    val ev = Seq(
+      (1L, t(100), "a"), (2L, t(40), "a"), (3L, t(101), "a"),
+      (4L, t(3700), "a"), (5L, t(95), "a")) // 5th: 3700-95 = 3605s -> >1h
+      .toDF("event_id", "ts", "event_type")
+    val out = Journeys.latenessAudit(ev)
+      .collect().map(r => r.getLong(1) -> (r.getString(2), r.getLong(3), r.getLong(4)))
+      .toMap
+    assert(out === Map(
+      0L -> (("on-time", 3L, 6000L)),  // arrivals 1, 3, 4 set new maxima
+      1L -> (("<=1m", 1L, 2000L)),     // arrival 2: 60s late
+      4L -> ((">1h", 1L, 2000L))))     // arrival 5: 3605s late
+  }
 }
