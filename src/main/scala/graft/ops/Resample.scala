@@ -170,6 +170,50 @@ object Resample {
     * no matter the corpus size — so the grid explode, the per-group
     * stats broadcast, and the lag self-join (equi on (group, probe-day))
     * all run on frames of series size, not event size. */
+  /** CUSUM changepoint detection over each group's dense daily-count
+    * series — "WHEN did the level shift" next to [[autocorrelation]]
+    * ("is it periodic") and the KS drift monitor ("did the distribution
+    * move"): with dev_d = n·c_d − S (the n-scaled deviation used across
+    * the integer-stats ops), the cumulative sum K_t = Σ_{d≤t} dev_d =
+    * n·S_t − t·S peaks in absolute value at the most likely single
+    * changepoint (CUSUM / binary-segmentation step 1, Page 1954). The
+    * mean shift across the cut is EXACTLY K_t ∕ (t·(n−t)) per day —
+    * emitted as signed q4 with truncating division (identical in both
+    * engines). The last index is excluded (K_n ≡ 0); ties take the
+    * earliest day. Groups with < 2 days have no row.
+    *
+    * Scale shape: identical to autocorrelation — events collapse to
+    * (group, day) first; one group-keyed ordered window for the prefix
+    * sum + one argmax window, both at series size. */
+  def changepoint(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = events
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+      .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
+    val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"g", explode(sequence($"d0", $"d1")).as("d"))
+    val series = grid.join(daily, Seq("g", "d"), "left")
+      .select($"g", $"d", coalesce($"c", lit(0L)).as("c"))
+    val stats = series.groupBy($"g").agg(count(lit(1)).as("n"),
+      sum($"c").as("s"))
+    val wPrefix = Window.partitionBy($"g").orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wRank = Window.partitionBy($"g").orderBy($"_kabs".desc, $"d")
+    series.join(broadcast(stats), Seq("g"))
+      .withColumn("_t", count(lit(1)).over(wPrefix))
+      .withColumn("_st", sum($"c").over(wPrefix))
+      .withColumn("_k", $"n" * $"_st" - $"_t" * $"s")
+      .where($"_t" < $"n") // K_n is identically 0
+      .withColumn("_kabs", abs($"_k"))
+      .withColumn("_rk", row_number().over(wRank))
+      .where($"_rk" === 1)
+      .select($"g".as(groupCol), $"n".as("n_days"), $"d".as("cp_day"),
+        $"_kabs".as("k_abs"),
+        expr("(10000 * _k) div (_t * (n - _t))").as("shift_q4"))
+  }
+
   def autocorrelation(events: DataFrame, maxLag: Int = 7,
       groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")

@@ -196,6 +196,44 @@ object EventQueries extends QueryGroup {
         window = 20, minObs = 5, k = 3)
       .orderBy(col("event_id"))
 
+  /** CUSUM changepoint per event type: the day where the cumulative
+    * n-scaled deviation peaks — the most likely single level shift in
+    * the daily volume, with the exact per-day mean shift in signed q4. */
+  def changepointQ(spark: SparkSession, dir: String): DataFrame =
+    Resample.changepoint(load(spark, dir, "events"))
+      .orderBy(col("event_type"))
+
+  private val changepointSql =
+    """WITH dc AS (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g, unnest(range(d0, d1 + 1)) AS d
+      |  FROM (SELECT g, min(d) AS d0, max(d) AS d1 FROM dc GROUP BY g)),
+      |ser AS (
+      |  SELECT grid.g, grid.d, coalesce(dc.c, 0)::BIGINT AS c
+      |  FROM grid LEFT JOIN dc ON grid.g = dc.g AND grid.d = dc.d),
+      |st AS (SELECT g, count(*)::BIGINT AS n, sum(c)::BIGINT AS s
+      |       FROM ser GROUP BY g),
+      |k AS (
+      |  SELECT ser.g, ser.d, st.n, st.s,
+      |         row_number() OVER w AS t,
+      |         (st.n * sum(ser.c) OVER w
+      |            - row_number() OVER w * st.s)::BIGINT AS kt
+      |  FROM ser JOIN st ON ser.g = st.g
+      |  WINDOW w AS (PARTITION BY ser.g ORDER BY ser.d
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+      |r AS (
+      |  SELECT *, abs(kt) AS kabs,
+      |         row_number() OVER (PARTITION BY g
+      |           ORDER BY abs(kt) DESC, d) AS rk
+      |  FROM k WHERE t < n)
+      |SELECT g AS event_type, n AS n_days, d AS cp_day, kabs AS k_abs,
+      |       ((10000 * kt) // (t * (n - t)))::BIGINT AS shift_q4
+      |FROM r WHERE rk = 1 ORDER BY event_type""".stripMargin
+
   /** Watermark-sizing dry run: per event type, the share of events at
     * each lateness band (running-max event time vs own event time in
     * ingest order) — what `withWatermark` would silently drop at each
@@ -660,5 +698,6 @@ object EventQueries extends QueryGroup {
     QueryDef("ev7_anomaly", anomaly, Some(anomalySql)),
     QueryDef("ev17_autocorr", autocorr, Some(autocorrSql)),
     QueryDef("ev18_lateness_audit", latenessAudit, Some(latenessAuditSql)),
+    QueryDef("ev20_changepoint", changepointQ, Some(changepointSql)),
     QueryDef("ev19_markov_eval", markovEval, Some(markovEvalSql)))
 }

@@ -148,6 +148,33 @@ class ResampleSpec extends SparkSpec {
     assert(out === Map(1L -> -6666L, 2L -> 1666L))
   }
 
+  test("changepoint: level shift located exactly, shift magnitude exact") {
+    // counts [10,10,10,2,2]: n=5, S=34, dev=5c−34 = [16,16,16,−24,−24],
+    // K = [16,32,48,24]; peak at t=3 → cp = 3rd day, shift =
+    // K/(t(n−t)) = 48/6 = 8 = meanL−meanR = 10−2 exactly.
+    val ev = dayEvents(Seq(("a", 0, 10), ("a", 1, 10), ("a", 2, 10),
+      ("a", 3, 2), ("a", 4, 2)))
+    val out = Resample.changepoint(ev).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val d0 = out("a")._2 // cp epoch day
+    assert(out("a")._1 === 5L)
+    assert(out("a")._3 === 48L)
+    assert(out("a")._4 === 80000L)
+    // the cp day is the THIRD day of the span
+    val firstDay = java.time.LocalDate.parse("2024-01-01").toEpochDay
+    assert(d0 === firstDay + 2)
+  }
+
+  test("changepoint: upward shift is negative shift_q4; 1-day series absent") {
+    // [2,10]: dev = [−8, 8], K1 = −8 → shift = −8/(1·1) = −8
+    val ev = dayEvents(Seq(("a", 0, 2), ("a", 1, 10), ("b", 0, 3)))
+    val rows = Resample.changepoint(ev).collect()
+    val a = rows.filter(_.getString(0) == "a").head
+    assert(a.getLong(3) === 8L && a.getLong(4) === -80000L)
+    assert(!rows.exists(_.getString(0) == "b"))
+  }
+
   test("autocorrelation: constant series has zero variance -> null r_bp; " +
       "series shorter than the lag has no row") {
     val ev = dayEvents(Seq(("a", 0, 3), ("a", 1, 3), ("b", 0, 1)))
