@@ -955,6 +955,52 @@ object ExtQueries extends QueryGroup {
        |FROM stats ORDER BY doc_id""".stripMargin
   }
 
+  /** Leave-one-source-out ablation: for each source, the EXACT change
+    * in corpus mean quality if that source were dropped —
+    * delta = (n_s·T − N·sum_s) ∕ (N·(N−n_s)) in q8 (q4 score ×10⁴),
+    * positive ⇒ the corpus improves without the source. The data-mixing
+    * readout that ranks sources by marginal value before re-weighting. */
+  def sourceAblation(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val q = TextStats.analyze(docs).select($"doc_id", $"quality_q4")
+    val bySrc = docs
+      .select($"doc_id", coalesce($"source", lit("∅")).as("source"))
+      .join(q, "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"), sum($"quality_q4").as("_sum"))
+    val tot = bySrc.agg(sum($"n_docs").as("_N"), sum($"_sum").as("_T"))
+    bySrc.crossJoin(broadcast(tot))
+      .select($"source", $"n_docs",
+        expr("_sum div n_docs").as("mean_q4"),
+        when($"n_docs" === $"_N", lit(null).cast("long"))
+          .otherwise(expr(
+            "(10000 * (n_docs * _T - _N * _sum)) div (_N * (_N - n_docs))"))
+          .as("loo_delta_q8"))
+      .orderBy($"source")
+  }
+
+  private val sourceAblationSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, text, source, $toksSql AS ws FROM documents),
+       |scored AS (SELECT doc_id, text, source, ws, $langScoreExprs FROM w),
+       |qs AS (SELECT doc_id, coalesce(source, '∅') AS source,
+       |  list_sum(list_transform(ws, x -> length(x)))::BIGINT AS s,
+       |  greatest(len(ws), 1)::BIGINT AS n,
+       |  s_en::BIGINT AS c,
+       |  greatest(length(text), 1)::BIGINT AS l,
+       |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p
+       |  FROM scored),
+       |q AS (SELECT doc_id, source, $q4Sql AS quality_q4 FROM qs),
+       |g AS (SELECT source, count(*)::BIGINT AS n_docs,
+       |             sum(quality_q4)::BIGINT AS sm
+       |      FROM q GROUP BY source),
+       |t AS (SELECT sum(n_docs)::BIGINT AS nn, sum(sm)::BIGINT AS tt FROM g)
+       |SELECT source, n_docs, (sm // n_docs)::BIGINT AS mean_q4,
+       |       CASE WHEN n_docs = nn THEN NULL
+       |            ELSE (10000 * (n_docs * tt - nn * sm))
+       |                   // (nn * (nn - n_docs)) END::BIGINT AS loo_delta_q8
+       |FROM g CROSS JOIN t ORDER BY source""".stripMargin
+
   /** Per-language quality percentile normalization: each doc's quality
     * score as an exact-bp percentile WITHIN its predicted language —
     * the language-fair thresholding step (an absolute quality cut
@@ -3541,6 +3587,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
     QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
+    QueryDef("ext_source_ablation", sourceAblation, Some(sourceAblationSql)),
     QueryDef("ext_pareto_docs", paretoDocs, Some(paretoDocsSql)),
     QueryDef("ext_sim_rrf", simRrf, Some(simRrfSql)),
     QueryDef("ext_skew_report", skewReport, Some(skewReportSql)),
