@@ -549,6 +549,41 @@ object TextStats {
         array_join(col("_chunk"), " ").as("chunk_text"))
   }
 
+  /** Chunk-level language consistency — CCNet runs lang-ID per
+    * PARAGRAPH precisely because document-level ID hides code-switching
+    * and boilerplate contamination; a "mixed" doc poisons monolingual
+    * training shards. Each doc splits into non-overlapping
+    * `chunkSize`-token windows, every chunk gets the deterministic
+    * stopword-argmax [[langId]], and the doc reports its chunk count,
+    * distinct chunk languages, the majority language (ties to the
+    * lexicographically first), the majority share in exact bp, and the
+    * mixed flag (share < `minShareBp`). Chunks are sliced from the
+    * TOKEN ARRAY directly (never re-tokenized text — the documented
+    * derived-array hazard). An empty doc is one 'und' chunk.
+    *
+    * Scale shape: narrow chunk explode + one (doc, lang) and one doc
+    * aggregate, both map-side combinable; argmax by min(struct). */
+  def mixedLanguage(docs: DataFrame, chunkSize: Int = 32,
+      minShareBp: Long = 8000L, textCol: String = "text"): DataFrame = {
+    require(chunkSize > 0, s"chunkSize must be > 0, got $chunkSize")
+    require(minShareBp >= 0 && minShareBp <= 10000, s"bad bp $minShareBp")
+    val chunks = docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_cid", explode(sequence(lit(0),
+        expr(s"cast(greatest(size(_toks) - 1, 0) div $chunkSize as int)"))))
+      .select(col("doc_id"),
+        langId(slice(col("_toks"), col("_cid") * chunkSize + 1,
+          lit(chunkSize))).as("_lg"))
+    chunks.groupBy($"doc_id", $"_lg").agg(count(lit(1)).as("_c"))
+      .groupBy($"doc_id")
+      .agg(sum($"_c").as("n_chunks"), count(lit(1)).as("n_langs"),
+        min(struct((-$"_c").as("nc"), $"_lg".as("lg"))).as("_m"))
+      .select($"doc_id", $"n_chunks", $"n_langs",
+        $"_m.lg".as("major_lang"),
+        expr("(10000 * -_m.nc) div n_chunks").as("major_share_bp"))
+      .withColumn("is_mixed", $"major_share_bp" < minShareBp)
+  }
+
   /** Model-based quality scoring — the classifier-filter stage of a
     * pretraining pipeline (fastText-style as in CCNet/GPT-3/DCLM): each
     * document scored by a hashing-trick linear model in one narrow

@@ -955,6 +955,38 @@ object ExtQueries extends QueryGroup {
        |FROM stats ORDER BY doc_id""".stripMargin
   }
 
+  /** Chunk-level language consistency: per doc, the majority chunk
+    * language, its exact-bp share, and the mixed flag — CCNet's
+    * paragraph-level lang-ID reshaped to fixed token windows. */
+  def langMixed(spark: SparkSession, dir: String): DataFrame =
+    TextStats.mixedLanguage(load(spark, dir, "documents"), chunkSize = 32)
+      .orderBy($"doc_id")
+
+  private val langMixedSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS ws0 FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |         ws0[cid * 32 + 1 : cid * 32 + 32] AS ws
+       |  FROM (SELECT doc_id, ws0, unnest(generate_series(0,
+       |          greatest(len(ws0) - 1, 0) // 32)) AS cid FROM t)),
+       |scored AS (SELECT doc_id, $langScoreExprs FROM c),
+       |wb AS (SELECT *, $langBestSql AS best FROM scored),
+       |lg AS (SELECT doc_id, $langPredCase AS lg FROM wb),
+       |cnt AS (SELECT doc_id, lg, count(*) AS c FROM lg GROUP BY 1, 2),
+       |top AS (
+       |  SELECT doc_id, lg, c,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY c DESC, lg) AS rn,
+       |         sum(c) OVER (PARTITION BY doc_id) AS nch,
+       |         count(*) OVER (PARTITION BY doc_id) AS nl
+       |  FROM cnt)
+       |SELECT doc_id, nch::BIGINT AS n_chunks, nl::BIGINT AS n_langs,
+       |       lg AS major_lang,
+       |       ((10000 * c) // nch)::BIGINT AS major_share_bp,
+       |       ((10000 * c) // nch) < 8000 AS is_mixed
+       |FROM top WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
   /** Leave-one-source-out ablation: for each source, the EXACT change
     * in corpus mean quality if that source were dropped —
     * delta = (n_s·T − N·sum_s) ∕ (N·(N−n_s)) in q8 (q4 score ×10⁴),
@@ -3588,6 +3620,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
     QueryDef("ext_source_ablation", sourceAblation, Some(sourceAblationSql)),
+    QueryDef("ext_lang_mixed", langMixed, Some(langMixedSql)),
     QueryDef("ext_pareto_docs", paretoDocs, Some(paretoDocsSql)),
     QueryDef("ext_sim_rrf", simRrf, Some(simRrfSql)),
     QueryDef("ext_skew_report", skewReport, Some(skewReportSql)),

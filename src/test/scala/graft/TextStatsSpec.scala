@@ -463,6 +463,23 @@ class TextStatsSpec extends SparkSpec {
     assert(out(5L) === ((0L, 0L, 0L, 0L)))
   }
 
+  test("mixedLanguage: majority share, tie-break, und for empty docs") {
+    import spark.implicits._
+    // chunkSize 4: doc 1 = two en chunks; doc 2 = one en + one fr chunk
+    // (50% share -> mixed at the 80% default); doc 3 empty -> 1 und chunk
+    val docs = Seq(
+      (1L, "the a of and the a of and"),
+      (2L, "the a of and le la de et"),
+      (3L, "")).toDF("doc_id", "text")
+    val out = TextStats.mixedLanguage(docs, chunkSize = 4)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4),
+          r.getBoolean(5))).toMap
+    assert(out(1L) === ((2L, 1L, "en", 10000L, false)))
+    assert(out(2L) === ((2L, 2L, "en", 5000L, true))) // tie: en < fr
+    assert(out(3L) === ((1L, 1L, "und", 10000L, false)))
+  }
+
   test("extractSpans: typed spans with in-kind ordinals, cascade-shielded") {
     import spark.implicits._
     val docs = Seq(
