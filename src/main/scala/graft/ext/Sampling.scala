@@ -554,4 +554,51 @@ object Sampling {
         col(maxCol) === $"_q" && col(minCol) === $"_mt")
       .select(col(idCol), col(maxCol), col(minCol))
   }
+
+  /** Two-dimensional mix raking (iterative proportional fitting,
+    * Deming–Stephan 1940): re-weight the (dimA × dimB) cell grid so
+    * BOTH marginals approach uniform targets — the data-mixing step
+    * [[mixtureRates]] can't do (temperature-α fixes ONE dimension;
+    * balancing lang AND source simultaneously needs IPF). Each round
+    * scales rows to the dimA target then columns to the dimB target;
+    * weights live in q4 longs with truncating division, so the whole
+    * trajectory is a defined integer procedure both engines replay
+    * bit-for-bit (convergence is within integer drift of classic IPF).
+    *
+    * Output per cell: `n_docs`, the final `w_q4` mass, and `rate_bp` —
+    * the per-doc sampling/up-weighting rate that realizes the mix
+    * (> 10000 = upsample). Null dims are a value class via `∅`.
+    *
+    * Scale shape: cells form via ONE map-side-combined aggregate (at
+    * domain × lang cardinality this is the only full-data pass);
+    * every round then touches only cell-cardinality frames, with the
+    * marginal totals joined back BROADCAST — at millions of cells the
+    * rounds are a few small hash joins, never a full-data shuffle. */
+  def rakeWeights(rows: DataFrame, dimA: String = "lang",
+      dimB: String = "source", rounds: Int = 3): DataFrame = {
+    require(rounds >= 1, s"rounds must be >= 1, got $rounds")
+    val cells = rows
+      .select(coalesce(col(dimA).cast("string"), lit("∅")).as("a"),
+        coalesce(col(dimB).cast("string"), lit("∅")).as("b"))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("c"))
+      .persistScoped
+    val tot = cells.agg(sum($"c").as("_n"),
+        countDistinct($"a").as("_na"), countDistinct($"b").as("_nb"))
+      .select(expr("(_n * 10000) div _na").as("_ta"),
+        expr("(_n * 10000) div _nb").as("_tb"))
+    var w = cells.crossJoin(broadcast(tot))
+      .select($"a", $"b", $"c", $"_ta", $"_tb", ($"c" * 10000L).as("w"))
+    for (_ <- 1 to rounds) {
+      val rt = w.groupBy($"a").agg(sum($"w").as("_rt"))
+      w = w.join(broadcast(rt), "a")
+        .select($"a", $"b", $"c", $"_ta", $"_tb",
+          expr("(w * _ta) div _rt").as("w"))
+      val ct = w.groupBy($"b").agg(sum($"w").as("_ct"))
+      w = w.join(broadcast(ct), "b")
+        .select($"a", $"b", $"c", $"_ta", $"_tb",
+          expr("(w * _tb) div _ct").as("w"))
+    }
+    w.select($"a".as(dimA), $"b".as(dimB), $"c".as("n_docs"),
+      $"w".as("w_q4"), expr("(10000 * w) div (c * 10000)").as("rate_bp"))
+  }
 }

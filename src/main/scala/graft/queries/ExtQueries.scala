@@ -955,6 +955,43 @@ object ExtQueries extends QueryGroup {
        |FROM stats ORDER BY doc_id""".stripMargin
   }
 
+  /** 2-D mix raking (IPF): re-weight the lang × source cell grid so
+    * both marginals approach uniform — the simultaneous-balance step
+    * temperature mixing can't do. 3 integer rounds, oracle unrolled. */
+  def mixRaking(spark: SparkSession, dir: String): DataFrame =
+    Sampling.rakeWeights(load(spark, dir, "documents"), "lang", "source",
+        rounds = 3)
+      .orderBy($"lang", $"source")
+
+  private val mixRakingSql = {
+    def round(i: Int, prev: String) =
+      s"""ra$i AS MATERIALIZED (
+         |  SELECT w.a, w.b, w.c, ((w.w * t.ta) // g.rt)::BIGINT AS w
+         |  FROM $prev w CROSS JOIN tot t
+         |  JOIN (SELECT a, sum(w)::BIGINT AS rt FROM $prev GROUP BY a) g
+         |    ON w.a = g.a),
+         |rb$i AS MATERIALIZED (
+         |  SELECT w.a, w.b, w.c, ((w.w * t.tb) // g.ct)::BIGINT AS w
+         |  FROM ra$i w CROSS JOIN tot t
+         |  JOIN (SELECT b, sum(w)::BIGINT AS ct FROM ra$i GROUP BY b) g
+         |    ON w.b = g.b)""".stripMargin
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT coalesce(lang, '∅') AS a, coalesce(source, '∅') AS b,
+       |         count(*)::BIGINT AS c
+       |  FROM documents GROUP BY 1, 2),
+       |tot AS MATERIALIZED (
+       |  SELECT ((sum(c)::BIGINT * 10000) // count(DISTINCT a))::BIGINT AS ta,
+       |         ((sum(c)::BIGINT * 10000) // count(DISTINCT b))::BIGINT AS tb
+       |  FROM cells),
+       |w0 AS (SELECT a, b, c, (c * 10000)::BIGINT AS w FROM cells),
+       |${round(1, "w0")},
+       |${round(2, "rb1")},
+       |${round(3, "rb2")}
+       |SELECT a AS lang, b AS source, c AS n_docs, w AS w_q4,
+       |       ((10000 * w) // (c * 10000))::BIGINT AS rate_bp
+       |FROM rb3 ORDER BY lang, source""".stripMargin
+  }
+
   /** Chunk-level language consistency: per doc, the majority chunk
     * language, its exact-bp share, and the mixed flag — CCNet's
     * paragraph-level lang-ID reshaped to fixed token windows. */
@@ -3621,6 +3658,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
     QueryDef("ext_source_ablation", sourceAblation, Some(sourceAblationSql)),
     QueryDef("ext_lang_mixed", langMixed, Some(langMixedSql)),
+    QueryDef("ext_mix_raking", mixRaking, Some(mixRakingSql)),
     QueryDef("ext_pareto_docs", paretoDocs, Some(paretoDocsSql)),
     QueryDef("ext_sim_rrf", simRrf, Some(simRrfSql)),
     QueryDef("ext_skew_report", skewReport, Some(skewReportSql)),

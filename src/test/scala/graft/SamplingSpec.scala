@@ -410,4 +410,36 @@ class SamplingSpec extends SparkSpec {
     }.map(_._1).toSet
     assert(out === naive)
   }
+
+  private def rakeRows(counts: Seq[(String, String, Int)]) =
+    counts.flatMap { case (a, b, n) => Seq.fill(n)((a, b)) }
+      .toDF("lang", "source")
+
+  test("rakeWeights: one hand-computed IPF round") {
+    // counts x/p=30 x/q=10 y/p=10 y/q=10: N=60, targets 300000 q4 each.
+    // row step: (225000, 75000, 150000, 150000);
+    // col step: (180000, 100000, 120000, 200000).
+    val out = graft.ext.Sampling.rakeWeights(
+        rakeRows(Seq(("x", "p", 30), ("x", "q", 10),
+          ("y", "p", 10), ("y", "q", 10))), rounds = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(out(("x", "p")) === ((30L, 180000L, 6000L)))
+    assert(out(("x", "q")) === ((10L, 100000L, 10000L)))
+    assert(out(("y", "p")) === ((10L, 120000L, 12000L)))
+    assert(out(("y", "q")) === ((10L, 200000L, 20000L)))
+  }
+
+  test("rakeWeights: three rounds pull BOTH marginals near uniform") {
+    val out = graft.ext.Sampling.rakeWeights(
+        rakeRows(Seq(("x", "p", 40), ("x", "q", 5),
+          ("y", "p", 10), ("y", "q", 25))), rounds = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(3)))
+    val target = 80L * 10000L / 2L
+    def off(tot: Long) = math.abs(tot - target).toDouble / target
+    val rowTot = out.groupBy(_._1).values.map(_.map(_._3).sum)
+    val colTot = out.groupBy(_._2).values.map(_.map(_._3).sum)
+    rowTot.foreach(t => assert(off(t) < 0.02, s"row $t vs $target"))
+    colTot.foreach(t => assert(off(t) < 0.02, s"col $t vs $target"))
+  }
 }
