@@ -96,7 +96,33 @@ object SourceQueries extends QueryGroup {
     """SELECT doc_id, lang, n_chars FROM documents
       |WHERE doc_id < 200 ORDER BY doc_id""".stripMargin
 
+  /** S20 — incremental aggregate maintenance: orders land in two
+    * snapshot versions, the per-custkey count/sum state refreshes
+    * after EACH append (the second refresh folds only the delta), and
+    * the final state must equal the plain one-shot aggregate. */
+  def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
+    val orders = graft.Tables.load(spark, dir, "orders")
+      .select($"o_custkey", $"o_orderkey")
+    val src = java.nio.file.Files.createTempDirectory("graft_s20src").toString
+    val st = java.nio.file.Files.createTempDirectory("graft_s20st").toString
+    graft.io.SnapshotTable.write(orders.where($"o_orderkey" % 2 === 0),
+      src, "overwrite")
+    graft.io.SnapshotTable.refreshAgg(spark, src, st,
+      Seq("o_custkey"), "o_orderkey")
+    graft.io.SnapshotTable.write(orders.where($"o_orderkey" % 2 === 1),
+      src, "append")
+    graft.io.SnapshotTable.refreshAgg(spark, src, st,
+      Seq("o_custkey"), "o_orderkey")
+    graft.io.SnapshotTable.read(spark, st).orderBy($"o_custkey")
+  }
+
+  private val incrementalAggSql =
+    """SELECT o_custkey, count(*)::BIGINT AS n,
+      |       sum(o_orderkey)::BIGINT AS total
+      |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("s20_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("s18_snapshot_roundtrip", snapshotRoundTrip, Some(snapshotRoundTripSql)),
     QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)),
     QueryDef("s1_xlsx_roundtrip", xlsxRoundTrip, Some(xlsxRoundTripSql)),

@@ -99,6 +99,38 @@ class SnapshotTableSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  private def state(p: String) =
+    SnapshotTable.read(spark, p)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+  test("refreshAgg folds ONLY the delta: old version files are never re-read") {
+    val src = tmpDir(); val st = tmpDir()
+    SnapshotTable.write(Seq(("a", 1L), ("b", 2L)).toDF("k", "v"), src, "overwrite")
+    assert(SnapshotTable.refreshAgg(spark, src, st, Seq("k"), "v") === 1L)
+    assert(state(st) === Map("a" -> ((1L, 1L)), "b" -> ((1L, 2L))))
+    // DESTROY version 1's data files: an incremental refresh that
+    // touched them would now fail or change results
+    val v1 = new java.io.File(s"$src/v=1")
+    v1.listFiles.foreach(_.delete())
+    SnapshotTable.write(Seq(("a", 10L)).toDF("k", "v"), src, "append")
+    assert(SnapshotTable.refreshAgg(spark, src, st, Seq("k"), "v") === 2L)
+    assert(state(st) === Map("a" -> ((2L, 11L)), "b" -> ((1L, 2L))))
+    // no new source versions: refresh is a watermark no-op
+    val versions = SnapshotTable.history(spark, st).count()
+    assert(SnapshotTable.refreshAgg(spark, src, st, Seq("k"), "v") === 2L)
+    assert(SnapshotTable.history(spark, st).count() === versions)
+  }
+
+  test("refreshAgg rebuilds from the new base after an overwrite") {
+    val src = tmpDir(); val st = tmpDir()
+    SnapshotTable.write(Seq(("a", 1L)).toDF("k", "v"), src, "overwrite")
+    SnapshotTable.refreshAgg(spark, src, st, Seq("k"), "v")
+    SnapshotTable.write(Seq(("z", 7L), ("z", 3L)).toDF("k", "v"), src, "overwrite")
+    SnapshotTable.refreshAgg(spark, src, st, Seq("k"), "v")
+    assert(state(st) === Map("z" -> ((2L, 10L)))) // 'a' gone with the base
+  }
+
   test("reading an empty or never-committed table fails loudly") {
     val p = tmpDir()
     val e = intercept[IllegalArgumentException](SnapshotTable.read(spark, p))
