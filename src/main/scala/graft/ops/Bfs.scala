@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 /** Multi-source BFS hop distance — the reachability-with-depth operator
   * next to the existing graph family (components = reachability only,
@@ -26,7 +25,7 @@ import org.apache.spark.storage.StorageLevel
   * frontier-side dedup, and one anti-join against the visited set —
   * cost tracks the frontier size, which on bounded-degree graphs rises
   * then COLLAPSES (most BFS work is 2-3 hops on near-dup graphs), never
-  * the full node set per round. The visited set is persisted per round
+  * the full node set per round. The visited set is CHECKPOINT-truncated per round
   * (flat lineage — no exponential plan growth across rounds, the
   * PageRank/KCore contract) and rounds are bounded by `maxHops`, so the
   * loop needs no convergence guard: the hop budget IS the bound. On a
@@ -49,10 +48,15 @@ object Bfs {
     val spark = edges.sparkSession
     import spark.implicits._
 
-    val e = edges.select($"src", $"dst").where($"src" =!= $"dst")
-    var visited = seeds.select(seeds.columns.head).toDF("node").distinct()
-      .select($"node", lit(0L).as("hops"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // loop barriers, not plain persists: `visited` is referenced twice
+    // per hop (anti-join + union), so the logical plan doubles per
+    // round without truncation (Iterate.loopBarrier), and the edge
+    // list's expensive upstream must materialize once, not per hop
+    val e = Iterate.loopBarrier(
+      edges.select($"src", $"dst").where($"src" =!= $"dst"))
+    var visited = Iterate.loopBarrier(
+      seeds.select(seeds.columns.head).toDF("node").distinct()
+        .select($"node", lit(0L).as("hops")))
     var frontier = visited.select($"node")
     var hop = 0
     var frontierEmpty = visited.isEmpty
@@ -60,28 +64,17 @@ object Bfs {
       hop += 1
       // dedup BEFORE the anti-join: a frontier node with fan-in f would
       // otherwise probe the visited set f times
-      val next = e.join(frontier, e("src") === frontier("node"))
-        .select(e("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .select($"node", lit(hop.toLong).as("hops"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val next = Iterate.loopBarrier(
+        e.join(frontier, e("src") === frontier("node"))
+          .select(e("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .select($"node", lit(hop.toLong).as("hops")))
       frontierEmpty = next.isEmpty
-      if (frontierEmpty) {
-        next.unpersist()
-      } else {
-        val grown = visited.unionByName(next)
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        grown.count() // materialize so the old rounds can release
-        visited.unpersist()
-        next.unpersist()
-        visited = grown
-        // read the NEW frontier back out of the persisted union (not
-        // the unpersisted `next`, whose lineage would re-run the join)
-        frontier = grown.where($"hops" === hop).select($"node")
+      if (!frontierEmpty) {
+        visited = Iterate.loopBarrier(visited.unionByName(next))
+        frontier = next.select($"node")
       }
     }
-    // stays persisted: the returned frame reads it lazily (the
-    // caller-owns-cache-scope contract shared with KCore)
     visited
   }
 }

@@ -34,8 +34,8 @@ import org.apache.spark.storage.StorageLevel
   * grows, cross-component edges only SHRINK), one component-keyed
   * window top-1 (partial-ordered, no global sort), and a CC pass over
   * the CONTRACTED graph (component-count-sized, geometrically
-  * shrinking — the cheap side of the round). Forest and mapping frames
-  * persist per round, flat lineage. */
+  * shrinking — the cheap side of the round). Forest and mapping frames are
+  * checkpoint-truncated per round (flat lineage AND flat plans). */
 object Msf {
 
   /** @param edges canonical undirected weighted edges (a, b, w) with
@@ -50,9 +50,10 @@ object Msf {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select($"a".as("n")).unionByName(e.select($"b".as("n")))
       .distinct()
-    var comp = nodes.select($"n", $"n".as("c"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    comp.count()
+    // comp is referenced TWICE per round (both edge endpoints), so it
+    // must be a checkpoint barrier, not a plain persist — the logical
+    // plan otherwise doubles per round (see Iterate.loopBarrier)
+    var comp = Iterate.loopBarrier(nodes.select($"n", $"n".as("c")))
     var forest = e.limit(0)
     var rounds = 0
     var done = false
@@ -79,31 +80,21 @@ object Msf {
           .where($"_rn" === 1)
           .select($"a", $"b", $"w", $"ca", $"cb").distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
-        val grown = forest.unionByName(sel.select($"a", $"b", $"w"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        grown.count()
-        forest.unpersist()
-        forest = grown
+        forest = Iterate.loopBarrier(
+          forest.unionByName(sel.select($"a", $"b", $"w")))
         // merge the contracted graph: selected edges over component ids
         val merged = graft.ext.Dedup.resolveComponents(
           sel.select($"ca".as("cid")).unionByName(sel.select($"cb".as("cid"))),
           sel.select($"ca".as("id_a"), $"cb".as("id_b")), idCol = "cid")
-        val newComp = comp
+        comp = Iterate.loopBarrier(comp
           .join(merged.select($"cid".as("_oc"), $"component_id".as("_nc")),
             comp("c") === $"_oc", "left")
-          .select($"n", coalesce($"_nc", $"c").as("c"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        newComp.count()
-        comp.unpersist()
+          .select($"n", coalesce($"_nc", $"c").as("c")))
         sel.unpersist()
         rel.unpersist()
-        comp = newComp
         rounds += 1
       }
     }
-    comp.unpersist()
-    // forest stays persisted (caller-owns-cache-scope, the KCore
-    // contract); e can release once the forest is materialized
     e.unpersist()
     forest
   }

@@ -42,7 +42,10 @@ object PersonalizedPageRank {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // read every iteration — persist so an expensive upstream (the
+    // near-dup self-join) materializes once instead of once per round
     val e = edges.select($"src", $"dst", $"w").where($"w" > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val wtot = e.groupBy($"src").agg(sum($"w").as("wtot"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val s = seeds.select(seeds.columns.head).toDF("id").distinct()
@@ -77,6 +80,7 @@ object PersonalizedPageRank {
     }
     if (prev != null) prev.unpersist()
     wtot.unpersist()
+    e.unpersist()
     val out = ranks.select($"id", $"r".as("rank"))
     s.unpersist()
     out

@@ -1671,6 +1671,50 @@ object ExtQueries extends QueryGroup {
        |SELECT a, b, w FROM ($forest) ORDER BY a, b""".stripMargin
   }
 
+  /** Weighted shortest semantic distance from the SAME seed set as
+    * [[bfsHops]]/[[pprQ]], distance = 10000 − cos_q4 per edge: the
+    * third blast-radius reading (hops, mass, now cheapest weighted
+    * path). The oracle unrolls 12 relaxation rounds — idempotent past
+    * the fixpoint; the Spark side THROWS if the true diameter exceeds
+    * its bound, so a too-shallow unroll fails loudly, never silently. */
+  def ssspQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3)
+      .select($"id_a", $"id_b", (lit(10000L) - $"cos_q4").as("w"))
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"), $"w")
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst"), $"w"))
+    val seeds = emb
+      .where(Similarity.dot($"embedding", $"embedding") > 0 &&
+        $"vec_id" % 97 === 0)
+      .select($"vec_id".as("node"))
+    graft.ops.Sssp.run(edges, seeds, maxRounds = 30)
+      .orderBy($"node")
+  }
+
+  private val ssspSql = {
+    def round(i: Int) =
+      s"""d$i AS MATERIALIZED (
+         |  SELECT n, min(d) AS d FROM (
+         |    SELECT n, d FROM d${i - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS n, p.d + e.w AS d
+         |    FROM d${i - 1} p JOIN edges e ON e.src = p.n)
+         |  GROUP BY n)""".stripMargin
+    s"""WITH pr AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       |         10000 - CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000) AS BIGINT) AS w
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst, w FROM pr
+       |  UNION ALL SELECT id_b, id_a, w FROM pr),
+       |d0 AS (SELECT vec_id AS n, 0::BIGINT AS d FROM $nzSql
+       |       WHERE vec_id % 97 = 0),
+       |${(1 to 30).map(round).mkString(",\n")}
+       |SELECT n AS node, d::BIGINT AS dist FROM d30 ORDER BY node""".stripMargin
+  }
+
   /** Personalized PageRank from the SAME seed set as [[bfsHops]] over
     * the same near-dup graph, edges weighted by cos_q4: BFS answers
     * "how many hops from the flagged documents", PPR answers "how much
@@ -3700,6 +3744,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     QueryDef("ext_k_anonymity", kAnonymityQ, Some(kAnonymitySql)),
     QueryDef("ext_ppr", pprQ, Some(pprSql)),
+    QueryDef("ext_sssp", ssspQ, Some(ssspSql)),
     QueryDef("ext_msf", msfQ, Some(msfSql)),
     QueryDef("ext_sim_multiprobe", simMultiprobe, Some(simMultiprobeSql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
