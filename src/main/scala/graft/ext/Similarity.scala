@@ -44,6 +44,64 @@ object Similarity {
       .select($"q_id", $"n_id", $"rank", floorQ4($"cos").as("cos_q4"))
   }
 
+  /** Top principal component by QUANTIZED POWER ITERATION — the
+    * embedding-space readout behind whitening, anisotropy checks ("is
+    * the space collapsing to one direction"), and outlier axes. The
+    * whole trajectory is a DEFINED integer procedure both engines
+    * replay bit-for-bit:
+    *  - components quantize to signed q3; the co-moment matrix
+    *    C = n·Σxᵢxⱼ − Σxᵢ·Σxⱼ (n²-scaled covariance) is exact in longs;
+    *  - C prescales by div 2²⁰ (headroom: the later u·10⁴ rescale must
+    *    stay inside a long — ~6 significant digits is far beyond what
+    *    direction recovery needs);
+    *  - `iters` rounds of u = C·v, v' = (u·10⁴) div max|u| keep v in
+    *    q4; signed truncating division is identical cross-engine;
+    *  - the sign convention pins the component whose |value| is
+    *    largest (lowest dim on ties) to be POSITIVE — eigenvectors are
+    *    sign-ambiguous, a convention makes the output a function.
+    *
+    * Scale shape: the only corpus-sized work is the product pass
+    * (narrow double-posexplode → one (i,j) map-side-combined aggregate
+    * of dim² cells); every round then runs on dim²/dim-row frames. At
+    * 100 TB the product pass is the one full scan — the same cost
+    * profile as any exact second-moment computation. */
+  def topComponent(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = embeddings.sparkSession
+    val q = embeddings.where(dot($"embedding", $"embedding") > 0)
+      .select(transform($"embedding",
+        x => floor(x * 1000).cast("long")).as("_v"))
+      .persistScoped // read by the sums pass AND the product pass
+    val sums = q.agg(count(lit(1)).as("n"),
+      array((0 until dim).map(i => sum(element_at($"_v", i + 1))): _*).as("s"))
+    val pr = q.select(posexplode($"_v").as(Seq("i0", "xi")), $"_v")
+      .select($"i0", $"xi", posexplode($"_v").as(Seq("j0", "xj")))
+      .groupBy($"i0", $"j0").agg(sum($"xi" * $"xj").as("p"))
+    val cov = pr.crossJoin(broadcast(sums))
+      .select(($"i0" + 1).cast("long").as("i"), ($"j0" + 1).cast("long").as("j"),
+        expr("""(n * p - element_at(s, cast(i0 + 1 as int))
+                       * element_at(s, cast(j0 + 1 as int))) div 1048576""")
+          .as("c"))
+    val covB = graft.ops.Iterate.loopBarrier(cov) // read every round
+    var v = spark.range(1, dim + 1)
+      .select($"id".as("dim"), lit(10000L).as("x"))
+    for (_ <- 1 to iters) {
+      val u = covB.join(v, covB("j") === v("dim"))
+        .groupBy($"i").agg(sum($"c" * $"x").as("u"))
+      v = graft.ops.Iterate.loopBarrier(
+        u.crossJoin(broadcast(u.agg(max(abs($"u")).as("m"))))
+          .select($"i".as("dim"),
+            when($"m" === 0L, lit(0L))
+              .otherwise(expr("(u * 10000) div m")).as("x")))
+    }
+    val pin = v.agg(min(struct((-abs($"x")).as("na"), $"dim".as("dim"),
+        $"x".as("xv"))).as("_k"))
+      .select($"_k.xv".as("xk"))
+    v.crossJoin(broadcast(pin))
+      .select($"dim", when($"xk" < 0, -$"x").otherwise($"x").as("comp_q4"))
+  }
+
   /** Per-cluster quality report — exact-integer cohesion / separation
     * over a labeled embedding table (labels = clusters: k-means cells,
     * SemDeDup communities, or supervised classes): per label the size,

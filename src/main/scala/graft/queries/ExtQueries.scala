@@ -577,6 +577,45 @@ object ExtQueries extends QueryGroup {
       |  gen_level
       |FROM l ORDER BY doc_id""".stripMargin
 
+  /** Top principal component of the embedding space via quantized
+    * power iteration — the anisotropy/whitening readout; the oracle
+    * replays the exact integer trajectory (co-moment matrix, prescale,
+    * three normalize-divide rounds, sign pin). */
+  def embedPca(spark: SparkSession, dir: String): DataFrame =
+    Similarity.topComponent(load(spark, dir, "embeddings"))
+      .orderBy($"dim")
+
+  private val embedPcaSql = {
+    def round(k: Int) =
+      s"""u$k AS (SELECT c.i, sum(c.c * v.x)::BIGINT AS u
+         |        FROM cov c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
+         |m$k AS (SELECT max(abs(u))::BIGINT AS m FROM u$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, (CASE WHEN m = 0 THEN 0
+         |             ELSE (u * 10000) // m END)::BIGINT AS x
+         |  FROM u$k CROSS JOIN m$k)""".stripMargin
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |           x -> (floor(x * 1000))::BIGINT) AS v
+       |  FROM $nzSql),
+       |st AS (SELECT count(*)::BIGINT AS n FROM q),
+       |sums AS (SELECT i.i AS i, sum(v[i.i])::BIGINT AS s
+       |         FROM q, range(1, 65) i(i) GROUP BY 1),
+       |prod AS (SELECT i.i AS i, j.j AS j, sum(v[i.i] * v[j.j])::BIGINT AS p
+       |         FROM q, range(1, 65) i(i), range(1, 65) j(j) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT p.i, p.j, ((st.n * p.p - si.s * sj.s) // 1048576)::BIGINT AS c
+       |  FROM prod p CROSS JOIN st
+       |  JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j),
+       |v0 AS (SELECT unnest(range(1, 65))::BIGINT AS i, 10000::BIGINT AS x),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |pin AS (SELECT x AS xk FROM (
+       |  SELECT x, row_number() OVER (ORDER BY abs(x) DESC, i) AS rk FROM v3)
+       |  WHERE rk = 1)
+       |SELECT i AS dim, (CASE WHEN xk < 0 THEN -x ELSE x END)::BIGINT AS comp_q4
+       |FROM v3 CROSS JOIN pin ORDER BY dim""".stripMargin
+  }
+
   /** Cluster-quality report over the label partition: exact-integer
     * cohesion (mean squared distance to the quantized centroid),
     * nearest-centroid separation, and the Davies–Bouldin-style ratio —
@@ -3742,6 +3781,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
+    QueryDef("ext_embed_pca", embedPca, Some(embedPcaSql)),
     QueryDef("ext_k_anonymity", kAnonymityQ, Some(kAnonymitySql)),
     QueryDef("ext_ppr", pprQ, Some(pprSql)),
     QueryDef("ext_sssp", ssspQ, Some(ssspSql)),

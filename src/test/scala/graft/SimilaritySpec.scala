@@ -456,6 +456,30 @@ class SimilaritySpec extends SparkSpec {
     assert(out === Map("A" -> 1L, "B" -> 1L))
   }
 
+  test("topComponent recovers a planted dominant direction, sign-pinned") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(79)
+    // variance concentrated on axis 2: the component must align with it
+    val vecs = (0 until 60).map { i =>
+      val main = (if (i % 2 == 0) 1f else -1f) * (3f + rnd.nextFloat())
+      (i.toLong, Array(rnd.nextFloat() * 0.1f, main,
+        rnd.nextFloat() * 0.1f, rnd.nextFloat() * 0.1f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.topComponent(emb, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(2L) === 10000L, s"dominant axis not pinned positive: $out")
+    Seq(1L, 3L, 4L).foreach(d =>
+      assert(math.abs(out(d)) < 2000L, s"axis $d too large: $out"))
+    // eigenvector sign ambiguity: negating every input yields the SAME
+    // output under the sign convention
+    val neg = vecs.map { case (id, v) => (id, v.map(-_)) }
+      .toDF("vec_id", "embedding")
+    val out2 = Similarity.topComponent(neg, dim = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 === out)
+  }
+
   test("multi-probe LSH: recall >= single-probe, candidates deduplicated") {
     import spark.implicits._
     val rnd = new scala.util.Random(71)
