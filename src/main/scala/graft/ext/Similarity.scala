@@ -67,6 +67,19 @@ object Similarity {
     * profile as any exact second-moment computation. */
   def topComponent(embeddings: DataFrame, dim: Int = 64,
       iters: Int = 3): DataFrame = {
+    val (_, v) = powerIterate(embeddings, dim, iters)
+    val pin = v.agg(min(struct((-abs($"x")).as("na"), $"dim".as("dim"),
+        $"x".as("xv"))).as("_k"))
+      .select($"_k.xv".as("xk"))
+    v.crossJoin(broadcast(pin))
+      .select($"dim", when($"xk" < 0, -$"x").otherwise($"x").as("comp_q4"))
+  }
+
+  /** Shared core of [[topComponent]] / [[anisotropy]]: the prescaled
+    * co-moment matrix (checkpoint-barriered — read every round) and the
+    * q4 iterate after `iters` rounds. */
+  private def powerIterate(embeddings: DataFrame, dim: Int,
+      iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val spark = embeddings.sparkSession
     val q = embeddings.where(dot($"embedding", $"embedding") > 0)
@@ -95,11 +108,31 @@ object Similarity {
             when($"m" === 0L, lit(0L))
               .otherwise(expr("(u * 10000) div m")).as("x")))
     }
-    val pin = v.agg(min(struct((-abs($"x")).as("na"), $"dim".as("dim"),
-        $"x".as("xv"))).as("_k"))
-      .select($"_k.xv".as("xk"))
-    v.crossJoin(broadcast(pin))
-      .select($"dim", when($"xk" < 0, -$"x").otherwise($"x").as("comp_q4"))
+    (covB, v)
+  }
+
+  /** Anisotropy readout — the share of total variance the TOP component
+    * captures, as `var_share_bp = (10⁴·λ₁) div trace` with
+    * `λ₁ = (vᵀCv) div (vᵀv)` the integer Rayleigh quotient of the
+    * converged iterate over the prescaled co-moment matrix: near 10⁴/d
+    * the space is isotropic; near 10⁴ it has collapsed to one direction
+    * (the classic representation-collapse symptom). Division order is
+    * deliberate: λ first, then the bp scale — `10⁴·vᵀCv` would overflow
+    * a long while each staged quotient fits. */
+  def anisotropy(embeddings: DataFrame, dim: Int = 64,
+      iters: Int = 3): DataFrame = {
+    val (cov, v) = powerIterate(embeddings, dim, iters)
+    val va = v.select($"dim".as("_i"), $"x".as("_xi"))
+    val vb = v.select($"dim".as("_j"), $"x".as("_xj"))
+    val quad = cov.join(va, cov("i") === $"_i").join(vb, cov("j") === $"_j")
+      .agg(sum($"c" * $"_xi" * $"_xj").as("_num"))
+    val den = v.agg(sum($"x" * $"x").as("_den"))
+    val trace = cov.where($"i" === $"j").agg(sum($"c").as("_tr"))
+    quad.crossJoin(broadcast(den)).crossJoin(broadcast(trace))
+      .select(expr("_num div _den").as("lambda1_pre"), $"_tr".as("trace_pre"),
+        when($"_tr" === 0L, lit(null).cast("long"))
+          .otherwise(expr("(10000 * (_num div _den)) div _tr"))
+          .as("var_share_bp"))
   }
 
   /** Per-cluster quality report — exact-integer cohesion / separation

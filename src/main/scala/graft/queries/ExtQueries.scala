@@ -616,6 +616,47 @@ object ExtQueries extends QueryGroup {
        |FROM v3 CROSS JOIN pin ORDER BY dim""".stripMargin
   }
 
+  /** Anisotropy of the embedding space: the exact-integer share of
+    * variance on the top component (Rayleigh quotient over the
+    * prescaled co-moment matrix ÷ trace) — 10⁴/d = isotropic, 10⁴ =
+    * collapsed to one direction. */
+  def embedAnisotropy(spark: SparkSession, dir: String): DataFrame =
+    Similarity.anisotropy(load(spark, dir, "embeddings"))
+
+  private val embedAnisotropySql = {
+    def round(k: Int) =
+      s"""u$k AS (SELECT c.i, sum(c.c * v.x)::BIGINT AS u
+         |        FROM cov c JOIN v${k - 1} v ON c.j = v.i GROUP BY c.i),
+         |m$k AS (SELECT max(abs(u))::BIGINT AS m FROM u$k),
+         |v$k AS MATERIALIZED (
+         |  SELECT i, (CASE WHEN m = 0 THEN 0
+         |             ELSE (u * 10000) // m END)::BIGINT AS x
+         |  FROM u$k CROSS JOIN m$k)""".stripMargin
+    s"""WITH q AS MATERIALIZED (
+       |  SELECT list_transform(embedding::DOUBLE[],
+       |           x -> (floor(x * 1000))::BIGINT) AS v
+       |  FROM $nzSql),
+       |st AS (SELECT count(*)::BIGINT AS n FROM q),
+       |sums AS (SELECT i.i AS i, sum(v[i.i])::BIGINT AS s
+       |         FROM q, range(1, 65) i(i) GROUP BY 1),
+       |prod AS (SELECT i.i AS i, j.j AS j, sum(v[i.i] * v[j.j])::BIGINT AS p
+       |         FROM q, range(1, 65) i(i), range(1, 65) j(j) GROUP BY 1, 2),
+       |cov AS MATERIALIZED (
+       |  SELECT p.i, p.j, ((st.n * p.p - si.s * sj.s) // 1048576)::BIGINT AS c
+       |  FROM prod p CROSS JOIN st
+       |  JOIN sums si ON si.i = p.i JOIN sums sj ON sj.i = p.j),
+       |v0 AS (SELECT unnest(range(1, 65))::BIGINT AS i, 10000::BIGINT AS x),
+       |${(1 to 3).map(round).mkString(",\n")},
+       |num AS (SELECT sum(c.c * a.x * b.x)::BIGINT AS num
+       |        FROM cov c JOIN v3 a ON c.i = a.i JOIN v3 b ON c.j = b.i),
+       |den AS (SELECT sum(x * x)::BIGINT AS den FROM v3),
+       |tr AS (SELECT sum(c)::BIGINT AS tr FROM cov WHERE i = j)
+       |SELECT (num // den)::BIGINT AS lambda1_pre, tr AS trace_pre,
+       |       (CASE WHEN tr = 0 THEN NULL
+       |        ELSE (10000 * (num // den)) // tr END)::BIGINT AS var_share_bp
+       |FROM num CROSS JOIN den CROSS JOIN tr""".stripMargin
+  }
+
   /** Cluster-quality report over the label partition: exact-integer
     * cohesion (mean squared distance to the quantized centroid),
     * nearest-centroid separation, and the Davies–Bouldin-style ratio —
@@ -3782,6 +3823,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     QueryDef("ext_embed_pca", embedPca, Some(embedPcaSql)),
+    QueryDef("ext_embed_anisotropy", embedAnisotropy, Some(embedAnisotropySql)),
     QueryDef("ext_k_anonymity", kAnonymityQ, Some(kAnonymitySql)),
     QueryDef("ext_ppr", pprQ, Some(pprSql)),
     QueryDef("ext_sssp", ssspQ, Some(ssspSql)),

@@ -480,6 +480,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out2 === out)
   }
 
+  test("anisotropy: a one-direction space scores near 10000, an isotropic " +
+      "one near 10000/d") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(83)
+    val collapsed = (0 until 50).map { i =>
+      val m = (if (i % 2 == 0) 1f else -1f) * (2f + rnd.nextFloat())
+      (i.toLong, Array(m, m * 0.98f, m * 1.02f, m * 0.99f))
+    }.toDF("vec_id", "embedding")
+    val cShare = Similarity.anisotropy(collapsed, dim = 4)
+      .head.getLong(2)
+    assert(cShare > 9000L, s"collapsed share $cShare")
+    val iso = (0 until 400).map { i =>
+      (i.toLong, Array.tabulate(4)(d =>
+        (if ((i >> d) % 2 == 0) 1f else -1f) + rnd.nextFloat() * 0.01f))
+    }.toDF("vec_id", "embedding")
+    val iShare = Similarity.anisotropy(iso, dim = 4).head.getLong(2)
+    assert(iShare < 4000L, s"isotropic share $iShare")
+  }
+
   test("multi-probe LSH: recall >= single-probe, candidates deduplicated") {
     import spark.implicits._
     val rnd = new scala.util.Random(71)
