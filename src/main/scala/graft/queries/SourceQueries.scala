@@ -121,7 +121,51 @@ object SourceQueries extends QueryGroup {
       |       sum(o_orderkey)::BIGINT AS total
       |FROM orders GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
 
+  /** SQL-surface end-to-end: one `spark.sql` statement over temp views
+    * using the config-injected `zvalue` SQL function (the
+    * GraftExtensions seam live in the GATE, not just in specs) plus
+    * CTE + window + join — the "SQL-only user" path a thrift-server
+    * deployment exercises. The oracle rebuilds zvalue with shift/mask
+    * arithmetic. */
+  def sqlSurface(spark: SparkSession, dir: String): DataFrame = {
+    graft.Tables.load(spark, dir, "orders").createOrReplaceTempView("g_orders")
+    graft.Tables.load(spark, dir, "customer").createOrReplaceTempView("g_customer")
+    spark.sql(
+      """WITH z AS (
+        |  SELECT o_custkey, o_orderkey,
+        |         zvalue(o_orderkey & 65535, o_custkey & 65535, 16) AS z
+        |  FROM g_orders),
+        |r AS (
+        |  SELECT o_custkey, o_orderkey, z,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY z DESC, o_orderkey) AS rn
+        |  FROM z)
+        |SELECT c.c_custkey, c.c_mktsegment, r.o_orderkey, r.z
+        |FROM r JOIN g_customer c ON r.o_custkey = c.c_custkey
+        |WHERE r.rn = 1
+        |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  private val sqlSurfaceSql =
+    """WITH z AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         list_sum(list_transform(range(0, 16), i ->
+      |           ((((o_orderkey & 65535) >> i) & 1) << (2*i))
+      |           + ((((o_custkey & 65535) >> i) & 1) << (2*i + 1))
+      |         ))::BIGINT AS z
+      |  FROM orders),
+      |r AS (
+      |  SELECT o_custkey, o_orderkey, z,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY z DESC, o_orderkey) AS rn
+      |  FROM z)
+      |SELECT c.c_custkey, c.c_mktsegment, r.o_orderkey, r.z
+      |FROM r JOIN customer c ON r.o_custkey = c.c_custkey
+      |WHERE r.rn = 1
+      |ORDER BY c.c_custkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("sql1_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     QueryDef("s20_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("s18_snapshot_roundtrip", snapshotRoundTrip, Some(snapshotRoundTripSql)),
     QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)),
