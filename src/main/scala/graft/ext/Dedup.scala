@@ -214,6 +214,56 @@ object Dedup {
     out
   }
 
+  /** MinHash calibration — how well does the signature ESTIMATE the
+    * true Jaccard it stands in for? For every LSH candidate pair the
+    * k-component match count is binned (n_match ∈ 1..k; the estimator
+    * is n_match∕k ≈ J) and the bin reports the exact true-Jaccard
+    * profile: pair count, mean/min/max true Jaccard in q4. This is the
+    * eval gate for the (k, r) banding choice — if the mean true Jaccard
+    * at the banding's implied threshold is far from n_match∕k, the
+    * signature is too short for the corpus (the retrieval-side twin of
+    * [[graft.ext.Similarity.recallAtK]]).
+    *
+    * Scale shape: identical to [[minhashLsh]] (one codegen kernel pass,
+    * band-bucket candidates, verify join) plus a k-row rollup — the
+    * calibration table costs one aggregate more than the dedup itself.
+    * mean_true_q4 is truncating integer division (Σ div n), exact in
+    * both engines. */
+  def minhashCalibration(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val k = 6; val r = 2
+    val base = docs
+      .select(col(idCol),
+        graft.functions.ShingleMinhash(
+          TextStats.tokens(col(textCol)), 3, k).as("_m"))
+      .select(col(idCol), col("_m.sset").as("sset"), col("_m.sig").as("sig"),
+        bandArray(col("_m.sig"), k, r).as("bands"))
+      .persistScoped // band self-join + both verify sides read this
+    val exploded = base
+      .select(col(idCol), explode(col("bands")).as("b"))
+      .select(col(idCol), col("b.band_idx").as("band_idx"),
+        col("b.band_val").as("band_val"))
+    val cands = exploded.toDF("id_a", "band_idx", "band_val")
+      .join(exploded.toDF("id_b", "band_idx", "band_val"),
+        Seq("band_idx", "band_val"))
+      .where($"id_a" < $"id_b")
+      .select($"id_a", $"id_b").distinct()
+    val sides = base.select(col(idCol).as("sid"), $"sset", $"sig")
+    val nMatch = (0 until k).map(i =>
+        when($"sig_a".getItem(i) === $"sig_b".getItem(i), 1L).otherwise(0L))
+      .reduce(_ + _)
+    cands
+      .join(sides.toDF("id_a", "set_a", "sig_a"), Seq("id_a"))
+      .join(sides.toDF("id_b", "set_b", "sig_b"), Seq("id_b"))
+      .select(nMatch.as("n_match"),
+        Similarity.floorQ4(jaccard($"set_a", $"set_b")).as("true_q4"))
+      .groupBy($"n_match")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("sum(true_q4) div count(1)").as("mean_true_q4"),
+        min($"true_q4").as("min_true_q4"),
+        max($"true_q4").as("max_true_q4"))
+  }
+
   /** Dedup RESOLUTION: near-dup pairs → connected components → one
     * canonical document per cluster (min id — deterministic).
     *

@@ -816,4 +816,113 @@ object TextStats {
           .otherwise(floor(lit(10000.0) * $"n_exclusive" / $"n_grams")
             .cast("long")).as("novelty_bp"))
   }
+
+  /** Pairwise source-vocabulary similarity: squared cosine between each
+    * pair of per-source unigram frequency vectors, in exact basis points
+    * — "which sources carry the same distribution" (redundant-source
+    * detection for data mixing; the vector-space companion to the
+    * segment-containment [[graft.ext.Dedup.sourceOverlap]] and the
+    * per-source-vs-corpus [[mixKlDrift]]).
+    *
+    * Squared cosine keeps the statistic RATIONAL (plain cosine needs a
+    * square root, which is not bit-reproducible across engines):
+    * `cos2_bp = ⌊10⁴·(Σaᵢbᵢ)² ∕ (Σaᵢ²·Σbᵢ²)⌋` over term shares
+    * quantized to q6 (`⌊10⁶·count∕total⌋`, zero-share terms dropped).
+    * Quantized shares make every magnitude CORPUS-SIZE-INDEPENDENT:
+    * Σs² ≤ 10¹², so (Σab)² ≤ 10²⁴ and 10⁴·(Σab)² ≤ 10²⁸ — inside
+    * decimal(38,0) at any corpus size; the `div` is Spark's
+    * IntegralDivide over decimals ≡ DuckDB `//` over HUGEINT.
+    *
+    * Scale shape: one (source, term) map-side-combined count, totals
+    * broadcast back, one term-keyed self-join of the share vectors
+    * (bucket per term = docs-with-that-term across ≤|S| sources), one
+    * pair aggregate, norms broadcast. No all-pairs product over rows
+    * ever exists; the output is |S|·(|S|−1)∕2 rows. */
+  def sourceCosine(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val cnt = docs
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("w"))
+      .where($"w" =!= "")
+      .groupBy($"src", $"w").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy($"src").agg(sum($"c").as("n"))
+    val sh = cnt.join(broadcast(tot), Seq("src"))
+      .select($"src", $"w", expr("(1000000 * c) div n").as("s"))
+      .where($"s" > 0L)
+      .persistScoped // read three times: two join sides + norms
+    val norms = sh.groupBy($"src").agg(sum($"s" * $"s").as("n2"))
+    sh.toDF("src_a", "w", "s_a")
+      .join(sh.toDF("src_b", "w", "s_b"), Seq("w"))
+      .where($"src_a" < $"src_b")
+      .groupBy($"src_a", $"src_b")
+      .agg(count(lit(1)).as("n_common"), sum($"s_a" * $"s_b").as("_sab"))
+      .join(broadcast(norms.toDF("src_a", "_na")), Seq("src_a"))
+      .join(broadcast(norms.toDF("src_b", "_nb")), Seq("src_b"))
+      .select($"src_a", $"src_b", $"n_common",
+        expr("""(cast(10000 as decimal(38,0)) *
+                 cast(_sab as decimal(38,0)) * cast(_sab as decimal(38,0)))
+                div (cast(_na as decimal(38,0)) * cast(_nb as decimal(38,0)))
+             """).as("cos2_bp"))
+  }
+
+  /** Keyness — the top-k most DISTINCTIVE terms per source, ranked by
+    * frequency lift over the corpus: `lift_bp = ⌊10⁴·ss ∕ max(sg,1)⌋`
+    * where ss = the term's q6 share within the source and sg = its q6
+    * share corpus-wide (both ⌊10⁶·count∕total⌋ — staged quantization
+    * keeps every product ≤ 10¹⁶ regardless of corpus size). `minCount`
+    * suppresses one-off noise terms; ties break lexicographically so
+    * the cut is deterministic.
+    *
+    * Scale shape: the mixKlDrift aggregate family — one (source, term)
+    * map-side-combined count read twice (per-source and global rollups
+    * derive from it, never a second corpus pass), totals broadcast, and
+    * a per-source top-k window (WindowGroupLimit pushes the rank cut
+    * below the sort). */
+  def keyness(docs: DataFrame, k: Int = 5, minCount: Long = 5,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    val srcCnt = docs
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("w"))
+      .where($"w" =!= "")
+      .groupBy($"src", $"w").agg(count(lit(1)).as("c"))
+      .persistScoped // read twice: per-source shares + global rollup
+    val srcTot = srcCnt.groupBy($"src").agg(sum($"c").as("st"))
+    val globCnt = srcCnt.groupBy($"w").agg(sum($"c").as("gc"))
+    val globTot = srcCnt.agg(sum($"c").as("gt"))
+    val lifted = srcCnt
+      .where($"c" >= minCount)
+      .join(broadcast(srcTot), Seq("src"))
+      .join(globCnt, Seq("w"))
+      .crossJoin(broadcast(globTot))
+      .select($"src", $"w", $"c",
+        expr("(10000 * ((1000000 * c) div st)) div greatest((1000000 * gc) div gt, 1)")
+          .as("lift_bp"))
+    lifted
+      .withColumn("rank",
+        row_number().over(Window.partitionBy($"src")
+          .orderBy($"lift_bp".desc, $"w".asc)).cast("long"))
+      .where($"rank" <= k)
+      .select($"src".as("source"), $"rank", $"w".as("term"),
+        $"c".as("n"), $"lift_bp")
+  }
+
+  /** Corpus length profile: per source × log₂ token-length bucket, the
+    * doc count, token mass, and bucket bounds — the readout that sizes
+    * sequence packing / truncation policy ("how much of source X is
+    * long-tail documents"). The bucket is the BIT LENGTH of the token
+    * count (`length(bin(n))`, = ⌊log₂ n⌋+1 for n ≥ 1; empty docs take
+    * bucket 0) — exact integer log-bucketing both engines spell
+    * identically, no float log₂ anywhere. */
+  def lengthProfile(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val n = size(filter(tokens(col(textCol)), w => w =!= ""))
+    docs
+      .select(col(srcCol).as("source"), n.cast("long").as("_n"))
+      .select($"source", $"_n",
+        when($"_n" === 0L, lit(0L))
+          .otherwise(length(bin($"_n")).cast("long")).as("bucket"))
+      .groupBy($"source", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"_n").as("n_tokens"),
+        min($"_n").as("min_len"), max($"_n").as("max_len"))
+  }
 }

@@ -214,6 +214,56 @@ object Resample {
         expr("(10000 * _k) div (_t * (n - _t))").as("shift_q4"))
   }
 
+  /** Seasonal-naive forecast backtest — per group, predict each of the
+    * last `horizon` days of the dense daily-count series with the count
+    * observed `season` days earlier (the lag-7 "same weekday last week"
+    * baseline every real forecaster is judged against), and report the
+    * holdout error profile:
+    *  - `n_eval`    — evaluated days (horizon days with a lag-`season`
+    *                  ancestor inside the series),
+    *  - `mae_q4`    — ⌊10⁴·Σ|actual−forecast| ∕ n⌋,
+    *  - `bias_q4`   — 10⁴·Σ(actual−forecast) div n, toward-zero
+    *                  truncating division (verified identical in Spark
+    *                  `div` and DuckDB `//` on negatives — the ev17
+    *                  autocorrelation contract),
+    *  - `smape_bp`  — mean of per-day ⌊10⁴·|e| ∕ (a+f)⌋ (0 when a+f=0),
+    *                  the scale-free miss rate.
+    *
+    * Scale shape: raw events collapse to one row per (group, day) in a
+    * map-side-combined count FIRST; the forecast join is a self-join of
+    * that day-grained series on the same (group, day) key family; the
+    * readout is one group aggregate. Nothing downstream of the first
+    * aggregate sees event volume. All integer. */
+  def seasonalBacktest(events: DataFrame, season: Int = 7,
+      horizon: Int = 14, groupCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val dayUs = 86400L * 1000000L
+    val daily = events
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+      .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
+    val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"g", $"d0", $"d1", explode(sequence($"d0", $"d1")).as("d"))
+    val series = grid.join(daily, Seq("g", "d"), "left")
+      .select($"g", $"d", $"d0", $"d1", coalesce($"c", lit(0L)).as("c"))
+    val fc = series.select($"g", ($"d" + season).as("d"), $"c".as("f"))
+    val eval0 = series
+      .where($"d" > $"d1" - horizon && $"d" - season >= $"d0")
+      .join(fc, Seq("g", "d"))
+      .select($"g", ($"c" - $"f").as("e"), $"c", $"f",
+        when($"c" + $"f" === 0L, lit(0L))
+          .otherwise(expr("(10000 * abs(c - f)) div (c + f)")).as("sm"))
+    eval0.groupBy($"g")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs($"e")).as("_ae"), sum($"e").as("_se"), sum($"sm").as("_sm"))
+      .select($"g".as(groupCol), $"n_eval",
+        expr("(10000 * _ae) div n_eval").as("mae_q4"),
+        expr("(10000 * _se) div n_eval").as("bias_q4"),
+        expr("_sm div n_eval").as("smape_bp"))
+  }
+
   def autocorrelation(events: DataFrame, maxLag: Int = 7,
       groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")

@@ -307,6 +307,38 @@ object EventQueries extends QueryGroup {
     * periodicity shows as a lag-7 peak. Signed deviations divide with
     * plain truncating integer division (identical in both engines;
     * only rounding division diverges on negatives). */
+  /** Seasonal-naive (lag-7) daily-count forecast backtest per event
+    * type: MAE / bias / sMAPE over the last 14 days of each series. */
+  def forecastBacktest(spark: SparkSession, dir: String): DataFrame =
+    Resample.seasonalBacktest(load(spark, dir, "events"),
+        season = 7, horizon = 14)
+      .orderBy(col("event_type"))
+
+  private val forecastBacktestSql =
+    """WITH dc AS (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT g, min(d) AS d0, max(d) AS d1 FROM dc GROUP BY g),
+      |grid AS (SELECT g, d0, d1, unnest(range(d0, d1 + 1)) AS d FROM sp),
+      |ser AS (
+      |  SELECT grid.g, grid.d, grid.d0, grid.d1,
+      |         coalesce(dc.c, 0)::BIGINT AS c
+      |  FROM grid LEFT JOIN dc ON grid.g = dc.g AND grid.d = dc.d),
+      |ev AS (
+      |  SELECT a.g, a.c, b.c AS f,
+      |         CASE WHEN a.c + b.c = 0 THEN 0
+      |              ELSE (10000 * abs(a.c - b.c)) // (a.c + b.c)
+      |         END AS sm
+      |  FROM ser a JOIN ser b ON a.g = b.g AND b.d = a.d - 7
+      |  WHERE a.d > a.d1 - 14 AND a.d - 7 >= a.d0)
+      |SELECT g AS event_type, count(*)::BIGINT AS n_eval,
+      |       ((10000 * sum(abs(c - f))) // count(*))::BIGINT AS mae_q4,
+      |       ((10000 * sum(c - f)) // count(*))::BIGINT AS bias_q4,
+      |       (sum(sm) // count(*))::BIGINT AS smape_bp
+      |FROM ev GROUP BY g ORDER BY event_type""".stripMargin
+
   def autocorr(spark: SparkSession, dir: String): DataFrame =
     Resample.autocorrelation(load(spark, dir, "events"), maxLag = 7)
       .orderBy(col("event_type"), col("lag"))
@@ -699,5 +731,7 @@ object EventQueries extends QueryGroup {
     QueryDef("ev17_autocorr", autocorr, Some(autocorrSql)),
     QueryDef("ev18_lateness_audit", latenessAudit, Some(latenessAuditSql)),
     QueryDef("ev20_changepoint", changepointQ, Some(changepointSql)),
-    QueryDef("ev19_markov_eval", markovEval, Some(markovEvalSql)))
+    QueryDef("ev19_markov_eval", markovEval, Some(markovEvalSql)),
+    QueryDef("ev21_forecast_backtest", forecastBacktest,
+      Some(forecastBacktestSql)))
 }

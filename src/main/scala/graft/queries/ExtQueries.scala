@@ -67,12 +67,15 @@ object ExtQueries extends QueryGroup {
     Dedup.minhashLsh(load(spark, dir, "documents"), 0.5)
       .orderBy($"id_a", $"id_b")
 
-  private val dedupMinhashSql = {
+  /** CTE chain ending in `sigs` / `cand` / `sets` — MinHash signatures,
+    * LSH band candidates, and distinct shingle sets; shared by the
+    * near-dup query and the signature-calibration query. */
+  private val minhashChainSql = {
     import graft.ext.Dedup.{MinhashPrime, MinhashSalts}
     val sigs = MinhashSalts.zipWithIndex.map { case ((a, b), i) =>
       s"list_min(list_transform(hs, x -> (x * $a + $b) % $MinhashPrime)) AS sig_${i + 1}"
     }.mkString(",\n  ")
-    s"""WITH w AS (
+    s"""w AS (
        |  SELECT doc_id, ${shinglesSql(toksSql)} AS sh FROM documents),
        |h AS (
        |  SELECT doc_id,
@@ -89,7 +92,11 @@ object ExtQueries extends QueryGroup {
        |  FROM bands a JOIN bands b
        |    ON (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2) AND a.doc_id < b.doc_id),
        |sets AS (
-       |  SELECT doc_id, list_distinct(${shinglesSql(toksSql)}) AS ss FROM documents),
+       |  SELECT doc_id, list_distinct(${shinglesSql(toksSql)}) AS ss FROM documents)""".stripMargin
+  }
+
+  private val dedupMinhashSql =
+    s"""WITH $minhashChainSql,
        |scored AS (
        |  SELECT c.id_a, c.id_b,
        |         CAST(floor(len(list_intersect(sa.ss, sb.ss))::DOUBLE /
@@ -98,7 +105,6 @@ object ExtQueries extends QueryGroup {
        |              JOIN sets sb ON c.id_b = sb.doc_id)
        |SELECT id_a, id_b, jaccard_q4 FROM scored WHERE jaccard_q4 >= 5000
        |ORDER BY id_a, id_b""".stripMargin
-  }
 
   /** Exact-substring duplicate spans (Lee et al. 2021 ExactSubstr shape)
     * over the dup-injected corpus: word 5-grams occurring ≥ 2× chain
@@ -276,14 +282,17 @@ object ExtQueries extends QueryGroup {
     Dedup.simhashNear(load(spark, dir, "documents"), 3)
       .orderBy($"id_a", $"id_b")
 
-  private val dedupSimhashNearSql = {
+  /** CTE chain ending in `shpairs(id_a, id_b, hamming)` — the Hamming
+    * ≤ 3 SimHash pair set; shared by the near-dup query and the
+    * modularity query (which scores a partition over these edges). */
+  private val simhashPairsChainSql = {
     def sig(salt: Int) = {
       val h = s"(('0x' || substr(md5('s$salt' || w), 1, 8))::BIGINT)"
       (0 until 16).map { j =>
         s"(CASE WHEN list_sum(list_transform(ws, w -> ((($h >> $j) & 1) * 2 - 1))) > 0 THEN ${1L << j} ELSE 0 END)"
       }.mkString(" +\n  ")
     }
-    s"""WITH w AS (SELECT doc_id, $toksSql AS ws FROM documents),
+    s"""w AS (SELECT doc_id, $toksSql AS ws FROM documents),
        |s AS (SELECT doc_id, ${sig(0)} AS sig0, ${sig(1)} AS sig1,
        |             ${sig(2)} AS sig2, ${sig(3)} AS sig3 FROM w),
        |blk AS (
@@ -296,15 +305,20 @@ object ExtQueries extends QueryGroup {
        |         a.sig0 AS a0, a.sig1 AS a1, a.sig2 AS a2, a.sig3 AS a3,
        |         b.sig0 AS b0, b.sig1 AS b1, b.sig2 AS b2, b.sig3 AS b3
        |  FROM blk a JOIN blk b
-       |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
-       |SELECT id_a, id_b, hamming FROM (
-       |  SELECT id_a, id_b,
-       |         (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
-       |          bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)))::BIGINT AS hamming
-       |  FROM cand)
-       |WHERE hamming <= 3
-       |ORDER BY id_a, id_b""".stripMargin
+       |    ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id),
+       |shpairs AS (
+       |  SELECT id_a, id_b, hamming FROM (
+       |    SELECT id_a, id_b,
+       |           (bit_count(xor(a0, b0)) + bit_count(xor(a1, b1)) +
+       |            bit_count(xor(a2, b2)) + bit_count(xor(a3, b3)))::BIGINT AS hamming
+       |    FROM cand)
+       |  WHERE hamming <= 3)""".stripMargin
   }
+
+  private val dedupSimhashNearSql =
+    s"""WITH $simhashPairsChainSql
+       |SELECT id_a, id_b, hamming FROM shpairs
+       |ORDER BY id_a, id_b""".stripMargin
 
   /** Word-set Jaccard near-dup via prefix filtering (lang-blocked). The
     * oracle is the NAIVE all-pairs form: prefix filtering is provably
@@ -3847,5 +3861,139 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_mix_report", mixReport, Some(mixReportSql)),
     QueryDef("ext_pack_sequences", packSeqs, Some(packSeqsSql)),
     QueryDef("ext_pack_report", packReportQ, Some(packReportSql)),
-    QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)))
+    QueryDef("ext_decontaminate", decontaminate, Some(decontaminateSql)),
+    QueryDef("ext_source_cosine", sourceCosineQ, Some(sourceCosineSql)),
+    QueryDef("ext_keyness", keynessQ, Some(keynessSql)),
+    QueryDef("ext_length_profile", lengthProfileQ, Some(lengthProfileSql)),
+    QueryDef("ext_modularity", modularityQ, Some(modularitySql)),
+    QueryDef("ext_minhash_calibration", minhashCalibrationQ,
+      Some(minhashCalibrationSql)))
+
+  /** Pairwise source-vocabulary squared cosine (q6 shares, exact bp). */
+  def sourceCosineQ(spark: SparkSession, dir: String): DataFrame =
+    TextStats.sourceCosine(load(spark, dir, "documents"))
+      .orderBy($"src_a", $"src_b")
+
+  private val sourceCosineSql =
+    s"""WITH t AS (SELECT source AS src, unnest($toksSql) AS w FROM documents),
+       |c AS (SELECT src, w, count(*)::BIGINT AS c FROM t
+       |      WHERE w <> '' GROUP BY 1, 2),
+       |tot AS (SELECT src, sum(c)::BIGINT AS n FROM c GROUP BY src),
+       |sh AS (SELECT c.src, c.w, ((1000000 * c.c) // t.n)::BIGINT AS s
+       |       FROM c JOIN tot t ON c.src = t.src
+       |       WHERE (1000000 * c.c) // t.n > 0),
+       |nr AS (SELECT src, sum(s * s)::HUGEINT AS n2 FROM sh GROUP BY src),
+       |p AS (SELECT a.src AS sa, b.src AS sb, count(*)::BIGINT AS nc,
+       |             sum(a.s * b.s)::HUGEINT AS sab
+       |      FROM sh a JOIN sh b ON a.w = b.w AND a.src < b.src
+       |      GROUP BY 1, 2)
+       |SELECT p.sa AS src_a, p.sb AS src_b, p.nc AS n_common,
+       |       ((10000::HUGEINT * p.sab * p.sab) // (na.n2 * nb.n2))::BIGINT
+       |         AS cos2_bp
+       |FROM p JOIN nr na ON na.src = p.sa JOIN nr nb ON nb.src = p.sb
+       |ORDER BY src_a, src_b""".stripMargin
+
+  /** Top-5 distinctive terms per source by q6-share lift (min count 5). */
+  def keynessQ(spark: SparkSession, dir: String): DataFrame =
+    TextStats.keyness(load(spark, dir, "documents"), k = 5, minCount = 5)
+      .orderBy($"source", $"rank")
+
+  private val keynessSql =
+    s"""WITH t AS (SELECT source AS src, unnest($toksSql) AS w FROM documents),
+       |c AS (SELECT src, w, count(*)::BIGINT AS c FROM t
+       |      WHERE w <> '' GROUP BY 1, 2),
+       |st AS (SELECT src, sum(c)::BIGINT AS st FROM c GROUP BY src),
+       |gc AS (SELECT w, sum(c)::BIGINT AS gc FROM c GROUP BY w),
+       |gt AS (SELECT sum(c)::BIGINT AS gt FROM c),
+       |l AS (SELECT c.src, c.w, c.c,
+       |        ((10000 * ((1000000 * c.c) // st.st)) //
+       |         greatest((1000000 * gc.gc) // gt.gt, 1))::BIGINT AS lift_bp
+       |      FROM c JOIN st ON c.src = st.src
+       |                JOIN gc ON c.w = gc.w CROSS JOIN gt
+       |      WHERE c.c >= 5)
+       |SELECT src AS source, rank::BIGINT AS rank, w AS term,
+       |       c AS n, lift_bp
+       |FROM (SELECT *, row_number() OVER (PARTITION BY src
+       |        ORDER BY lift_bp DESC, w) AS rank FROM l)
+       |WHERE rank <= 5 ORDER BY source, rank""".stripMargin
+
+  /** Per source × log2 token-length bucket corpus profile. */
+  def lengthProfileQ(spark: SparkSession, dir: String): DataFrame =
+    TextStats.lengthProfile(load(spark, dir, "documents"))
+      .orderBy($"source", $"bucket")
+
+  private val lengthProfileSql =
+    s"""WITH n AS (
+       |  SELECT source,
+       |         len(list_filter($toksSql, w -> w <> ''))::BIGINT AS n
+       |  FROM documents)
+       |SELECT source,
+       |       (CASE WHEN n = 0 THEN 0 ELSE length(bin(n)) END)::BIGINT
+       |         AS bucket,
+       |       count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS n_tokens,
+       |       min(n)::BIGINT AS min_len, max(n)::BIGINT AS max_len
+       |FROM n GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+
+  /** Modularity of the source partition over the SimHash near-dup graph
+    * — "do near-dup edges concentrate within sources". */
+  def modularityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    graft.ops.Modularity.modularity(
+        Dedup.simhashNear(docs, 3),
+        docs.select($"doc_id".as("id"), $"source".as("label")))
+      .orderBy($"label")
+  }
+
+  private val modularitySql =
+    s"""WITH $simhashPairsChainSql,
+       |lab AS (SELECT doc_id AS id, source AS label FROM documents),
+       |m AS (SELECT count(*)::BIGINT AS m FROM shpairs),
+       |deg AS (SELECT id, count(*)::BIGINT AS d FROM (
+       |          SELECT id_a AS id FROM shpairs
+       |          UNION ALL SELECT id_b FROM shpairs) GROUP BY id),
+       |dl AS (SELECT l.label, count(*)::BIGINT AS n_nodes,
+       |              sum(deg.d)::BIGINT AS d_tot
+       |       FROM deg JOIN lab l ON deg.id = l.id GROUP BY 1),
+       |ei AS (SELECT la.label, count(*)::BIGINT AS e_in
+       |       FROM shpairs p JOIN lab la ON p.id_a = la.id
+       |                      JOIN lab lb ON p.id_b = lb.id
+       |       WHERE la.label = lb.label GROUP BY 1)
+       |SELECT l.label AS label, coalesce(dl.n_nodes, 0)::BIGINT AS n_nodes,
+       |       coalesce(ei.e_in, 0)::BIGINT AS e_in,
+       |       coalesce(dl.d_tot, 0)::BIGINT AS d_tot,
+       |       ((10000::HUGEINT *
+       |         (4::HUGEINT * m.m * coalesce(ei.e_in, 0) -
+       |          coalesce(dl.d_tot, 0)::HUGEINT * coalesce(dl.d_tot, 0)))
+       |        // (4::HUGEINT * m.m * m.m))::BIGINT AS q_bp
+       |FROM (SELECT DISTINCT label FROM lab) l
+       |LEFT JOIN dl ON dl.label = l.label
+       |LEFT JOIN ei ON ei.label = l.label
+       |CROSS JOIN m
+       |ORDER BY label""".stripMargin
+
+  /** MinHash signature calibration: per component-match count, the
+    * exact true-Jaccard profile of the LSH candidate pairs. */
+  def minhashCalibrationQ(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashCalibration(load(spark, dir, "documents"))
+      .orderBy($"n_match")
+
+  private val minhashCalibrationSql = {
+    val nMatch = (1 to 6).map(i =>
+      s"(CASE WHEN sa.sig_$i = sb.sig_$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $minhashChainSql,
+       |est AS (
+       |  SELECT ($nMatch)::BIGINT AS n_match,
+       |         CAST(floor(len(list_intersect(ta.ss, tb.ss))::DOUBLE /
+       |               len(list_distinct(list_concat(ta.ss, tb.ss))) * 10000)
+       |           AS BIGINT) AS true_q4
+       |  FROM cand c JOIN sigs sa ON c.id_a = sa.doc_id
+       |              JOIN sigs sb ON c.id_b = sb.doc_id
+       |              JOIN sets ta ON c.id_a = ta.doc_id
+       |              JOIN sets tb ON c.id_b = tb.doc_id)
+       |SELECT n_match, count(*)::BIGINT AS n_pairs,
+       |       (sum(true_q4) // count(*))::BIGINT AS mean_true_q4,
+       |       min(true_q4)::BIGINT AS min_true_q4,
+       |       max(true_q4)::BIGINT AS max_true_q4
+       |FROM est GROUP BY n_match ORDER BY n_match""".stripMargin
+  }
 }

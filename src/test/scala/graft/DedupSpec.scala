@@ -69,6 +69,28 @@ class DedupSpec extends SparkSpec {
     assert(capped === Set((10L, 11L)))
   }
 
+  test("minhashCalibration: exact duplicates land in the n_match=6 bin at " +
+      "true_q4=10000; bins cover every LSH candidate exactly once") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta"), // dup of 1
+      (3L, "alpha beta gamma delta epsilon zeta eta iota"),  // near-dup
+      (4L, "totally different content about ships and harbors and tides"))
+      .toDF("doc_id", "text")
+    val cal = Dedup.minhashCalibration(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // identical docs agree on all 6 components with true jaccard 10000
+    val (_, mean6, min6, max6) = cal(6L)
+    assert(min6 <= mean6 && mean6 <= max6)
+    assert(max6 === 10000L)
+    // a band candidate shares >= one band = >= 2 components
+    assert(cal.keySet.forall(m => m >= 2L && m <= 6L))
+    // bins partition the candidate set
+    val nCands = Dedup.lshCandidates(Dedup.withMinhashBands(docs)).count()
+    assert(cal.values.map(_._1).sum === nCands)
+  }
+
   test("ShingleMinhash kernel ≡ declarative HOF chain (sset + all k sigs)") {
     import org.apache.spark.sql.functions._
     import graft.ext.TextStats

@@ -175,6 +175,33 @@ class ResampleSpec extends SparkSpec {
     assert(!rows.exists(_.getString(0) == "b"))
   }
 
+  test("seasonalBacktest: hand-computed MAE/bias/sMAPE on a periodic " +
+      "series; gap days forecast as zero counts") {
+    // type x: 14 days, count(d) = (d mod 3) + 1; season 7, horizon 3 →
+    // eval d ∈ {11,12,13}: e = c(d)−c(d−7) = (3−2, 1−3, 2−1) = (1,−2,1)
+    // mae = 40000 div 3 = 13333; bias = 0; smape per day =
+    // (10⁴·1/5, 10⁴·2/4, 10⁴·1/3) = (2000, 5000, 3333) → 10333 div 3
+    val x = (0 to 13).map(d => ("x", d, (d % 3) + 1))
+    // type y: observed only on day 0 (2 events) and day 9 (1) — the
+    // dense grid must zero-fill days 1..8; eval d ∈ {7,8,9}:
+    // e = (0−2, 0−0, 1−0); mae = 30000 div 3; bias = −10⁴ div 3;
+    // smape = (10000, 0, 10000) → 20000 div 3
+    val y = Seq(("y", 0, 2), ("y", 9, 1))
+    val out = Resample.seasonalBacktest(dayEvents(x ++ y),
+        season = 7, horizon = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(out.toSeq === Seq(
+      ("x", 3L, 13333L, 0L, 3444L),
+      ("y", 3L, 10000L, -3333L, 6666L)))
+  }
+
+  test("seasonalBacktest: series shorter than the season emits no row") {
+    val ev = dayEvents(Seq(("a", 0, 2), ("a", 3, 1)))
+    assert(Resample.seasonalBacktest(ev, season = 7, horizon = 3)
+      .collect().isEmpty)
+  }
+
   test("autocorrelation: constant series has zero variance -> null r_bp; " +
       "series shorter than the lag has no row") {
     val ev = dayEvents(Seq(("a", 0, 3), ("a", 1, 3), ("b", 0, 1)))

@@ -502,4 +502,53 @@ class TextStatsSpec extends SparkSpec {
       (2L, "<URL>", 1L, "https://x.co/123456789"),
       (2L, "<NUM>", 1L, "654321")))
   }
+
+  test("sourceCosine: identical distributions score 10000, disjoint " +
+      "vocabularies emit NO pair row, mixtures land between") {
+    val docs = Seq(
+      ("A", "a a b"), ("B", "a a b"),      // identical share vectors
+      ("C", "c c c"),                      // disjoint from A/B
+      ("D", "a b c")                       // overlaps everything
+    ).toDF("source", "text")
+    val out = TextStats.sourceCosine(docs)
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(out(("A", "B")) === ((2L, 10000L)))
+    assert(!out.contains(("A", "C"))) // no shared term -> cos = 0, absent
+    val (nAD, cosAD) = out(("A", "D"))
+    assert(nAD === 2L && cosAD > 0L && cosAD < 10000L)
+  }
+
+  test("keyness: source-exclusive term tops its source; minCount " +
+      "suppresses rare terms; ties break lexicographically") {
+    val docs = Seq(
+      // 'zebra' x5 only in A (passes minCount=5); 'rare' x4 filtered
+      ("A", "zebra zebra zebra zebra zebra rare rare rare rare"),
+      ("B", "common common common common common common common common common"),
+      ("A", "common common common common common common common common common"))
+      .toDF("source", "text")
+    val out = TextStats.keyness(docs, k = 2, minCount = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    val aTop = out.filter(_._1 == "A").sortBy(_._2).map(_._3)
+    assert(aTop.head === "zebra")
+    assert(!out.exists(_._3 == "rare"))
+  }
+
+  test("lengthProfile: bit-length buckets with the empty doc in bucket 0") {
+    val docs = Seq(
+      ("S", ""),                    // 0 tokens  -> bucket 0
+      ("S", "a"),                   // 1 token   -> bucket 1
+      ("S", "a b"), ("S", "a b c"), // 2,3       -> bucket 2
+      ("S", "a b c d"),             // 4         -> bucket 3
+      ("S", "a b c d e f g h")      // 8         -> bucket 4
+    ).toDF("source", "text")
+    val out = TextStats.lengthProfile(docs)
+      .collect().map(r => (r.getLong(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out(0L) === ((1L, 0L, 0L, 0L)))
+    assert(out(1L) === ((1L, 1L, 1L, 1L)))
+    assert(out(2L) === ((2L, 5L, 2L, 3L)))
+    assert(out(3L) === ((1L, 4L, 4L, 4L)))
+    assert(out(4L) === ((1L, 8L, 8L, 8L)))
+  }
 }
