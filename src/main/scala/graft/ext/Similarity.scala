@@ -1024,4 +1024,29 @@ object Similarity {
     emb.select(col(idCol),
       array_join(array(projCols.toIndexedSeq: _*), ",").as("proj_csv"))
   }
+
+  /** Per-cluster label purity — given any (cluster, label) assignment
+    * (LSH buckets vs semantic labels, k-means cells vs sources, …), each
+    * cluster's size, majority label, and exact majority share in basis
+    * points. The external-validity companion to the internal
+    * [[clusterQuality]] geometry report: purity says whether the
+    * partition agrees with ground truth, not whether it is compact.
+    *
+    * The majority pick is a `max(struct(count, label))` — associative,
+    * map-side combinable, ties broken toward the LARGER label string
+    * (deterministic; both engines order structs fieldwise). One
+    * (cluster, label) aggregate then a cluster-sized rollup — no window
+    * over rows, nothing corpus-sized past the first aggregate. */
+  def labelPurity(assign: DataFrame, clusterCol: String = "cluster",
+      labelCol: String = "label"): DataFrame = {
+    val cl = assign
+      .select(col(clusterCol).as("cluster"), col(labelCol).as("label"))
+      .groupBy($"cluster", $"label").agg(count(lit(1)).as("c"))
+    cl.groupBy($"cluster")
+      .agg(sum($"c").as("n"), max(struct($"c", $"label")).as("_top"))
+      .select($"cluster", $"n",
+        $"_top.label".as("majority_label"),
+        $"_top.c".as("n_majority"),
+        expr("(10000 * _top.c) div n").as("purity_bp"))
+  }
 }

@@ -96,6 +96,25 @@ object Sources {
       .json(path)
   }
 
+  /** CSV ingestion with corrupt-row quarantine — the CSV twin of
+    * [[readJsonl]]: explicit schema (no inference scan), PERMISSIVE
+    * parse, malformed rows land verbatim in `_corrupt_record` instead
+    * of failing the job. Spark's PERMISSIVE CSV semantics (pinned in
+    * IoFormatsSpec): a field that fails its declared type nulls the
+    * WHOLE row's typed columns and records the raw line; fields of a
+    * clean row parse normally. Split with [[splitCorrupt]]. */
+  def readCsvQuarantine(spark: SparkSession, path: String,
+      schema: StructType, header: Boolean = true): DataFrame = {
+    require(!schema.fieldNames.contains("_corrupt_record"),
+      "schema must not predeclare _corrupt_record")
+    spark.read
+      .schema(schema.add(StructField("_corrupt_record", StringType, nullable = true)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .option("header", header.toString)
+      .csv(path)
+  }
+
   /** Split a [[readJsonl]] frame into (clean rows without the marker
     * column, quarantined raw lines). The parsed frame is persisted
     * first — Spark refuses to filter raw file scans on the internal

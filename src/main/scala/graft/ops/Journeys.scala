@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.ext.ScopedPersist
 
 /** Event-sequence analytics over the events stream (bonus operators —
   * the reference has no event-journey surface, but any engine fed an
@@ -395,6 +396,53 @@ object Journeys {
             lit(">1h")),
           ($"band_rank" + 1).cast("int")).as("band"),
         $"n", expr("(10000 * n) div _t").as("share_bp"))
+  }
+
+  /** RFM segmentation — per user: Recency (days since last event,
+    * relative to the corpus' latest day), Frequency (event count), and
+    * Monetary (q4 sum of `purchaseType` event values), each binned into
+    * exact population quartiles, plus the composite segment string
+    * ("R1F4M4"; bin 1 = lowest raw value, so R1 = most recent).
+    *
+    * Bins derive from [[graft.ext.Frequency.globalRank]]'s exact
+    * rank/percentile (ties share their group's first rank, so equal
+    * metric values ALWAYS share a bin):
+    * `bin = min(4, (pct_bp·4) div 10⁴ + 1)` — never the naive
+    * `ntile() OVER (ORDER BY metric)`, whose Spark plan funnels every
+    * user through one task at scale. Three rank passes over the
+    * user-sized aggregate + three joins back on the metric value; event
+    * volume is gone after the first aggregate. */
+  def rfm(events: DataFrame, purchaseType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val perUser = events
+      .select(col(userCol).as("user_id"),
+        expr(s"unix_micros($tsCol) div $dayUs").as("_d"),
+        col(typeCol).as("_t"),
+        floor(col(valueCol) * 10000).cast("long").as("_v4"))
+      .groupBy($"user_id")
+      .agg(max($"_d").as("_lastd"), count(lit(1)).as("f"),
+        sum(when($"_t" === purchaseType, $"_v4").otherwise(0L)).as("m_q4"))
+    val maxD = perUser.agg(max($"_lastd").as("_mx"))
+    val base = perUser.crossJoin(broadcast(maxD))
+      .select($"user_id", ($"_mx" - $"_lastd").as("r_days"), $"f", $"m_q4")
+      .persistScoped // three rank passes + the final join all read this
+    def bins(metric: String) =
+      graft.ext.Frequency.globalRank(base, metric)
+        .select($"value",
+          least(lit(4L), expr("(pct_bp * 4) div 10000 + 1")).as("bin"))
+    val rBins = bins("r_days").toDF("_r_v", "r_bin")
+    val fBins = bins("f").toDF("_f_v", "f_bin")
+    val mBins = bins("m_q4").toDF("_m_v", "m_bin")
+    base
+      .join(rBins, $"r_days".cast("double") === $"_r_v")
+      .join(fBins, $"f".cast("double") === $"_f_v")
+      .join(mBins, $"m_q4".cast("double") === $"_m_v")
+      .select($"user_id", $"r_days", $"f", $"m_q4",
+        $"r_bin", $"f_bin", $"m_bin",
+        concat(lit("R"), $"r_bin", lit("F"), $"f_bin", lit("M"), $"m_bin")
+          .as("segment"))
   }
 
   private implicit class Dollar(private val sc: StringContext) {

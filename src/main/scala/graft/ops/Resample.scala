@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.ext.ColInterpolator
+import graft.ext.{ColInterpolator, ScopedPersist}
 
 /** Time-series regularization: resample an irregular event stream onto a
   * fixed per-key time grid with forward-fill — the standard feature-store
@@ -262,6 +262,47 @@ object Resample {
         expr("(10000 * _ae) div n_eval").as("mae_q4"),
         expr("(10000 * _se) div n_eval").as("bias_q4"),
         expr("_sm div n_eval").as("smape_bp"))
+  }
+
+  /** Theil–Sen robust trend per group: the MEDIAN of all pairwise
+    * slopes of the dense daily-count series — the slope estimator that
+    * shrugs off the outlier days a least-squares fit chases
+    * ([[graft.ops.Moments.corrOls]] is the parametric twin). Slopes are
+    * quantized to q6 (`slope_q6 = (10⁶·(c₂−c₁)) div (d₂−d₁)`, toward-
+    * zero truncation, identical in both engines) and the median is the
+    * LOWER median (order statistic ⌈n∕2⌉) so the result is an exact
+    * order statistic, never an average of two.
+    *
+    * Scale shape: events collapse to (group, day) counts first; the
+    * pairwise slope set is days²-per-group — SERIES-sized, not
+    * corpus-sized (3 years of days ≈ 600k pairs per group; longer
+    * horizons first downsample to weekly buckets). The median is a
+    * per-group window over that bounded pair set. */
+  def theilSen(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val daily = events
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+      .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
+    val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"g", explode(sequence($"d0", $"d1")).as("d"))
+    val series = grid.join(daily, Seq("g", "d"), "left")
+      .select($"g", $"d", coalesce($"c", lit(0L)).as("c"))
+      .persistScoped // both sides of the pair join read this
+    val slopes = series.toDF("g", "d_a", "c_a")
+      .join(series.toDF("g", "d_b", "c_b"), Seq("g"))
+      .where($"d_b" > $"d_a")
+      .select($"g",
+        expr("(1000000 * (c_b - c_a)) div (d_b - d_a)").as("s"))
+    val w = Window.partitionBy($"g").orderBy($"s")
+    slopes
+      .select($"g", $"s",
+        row_number().over(w).cast("long").as("_rn"),
+        count(lit(1)).over(Window.partitionBy($"g")).as("n_pairs"))
+      .where($"_rn" === expr("(n_pairs + 1) div 2"))
+      .select($"g".as(groupCol), $"n_pairs", $"s".as("slope_q6"))
   }
 
   def autocorrelation(events: DataFrame, maxLag: Int = 7,

@@ -733,5 +733,68 @@ object EventQueries extends QueryGroup {
     QueryDef("ev20_changepoint", changepointQ, Some(changepointSql)),
     QueryDef("ev19_markov_eval", markovEval, Some(markovEvalSql)),
     QueryDef("ev21_forecast_backtest", forecastBacktest,
-      Some(forecastBacktestSql)))
+      Some(forecastBacktestSql)),
+    QueryDef("ev22_rfm", rfm, Some(rfmSql)),
+    QueryDef("ev23_trend_theilsen", trendTheilSen, Some(trendTheilSenSql)))
+
+  /** RFM user segmentation with exact population-quartile bins. */
+  def rfm(spark: SparkSession, dir: String): DataFrame =
+    Journeys.rfm(load(spark, dir, "events"))
+      .orderBy(col("user_id"))
+
+  private val rfmSql =
+    """WITH pu AS (
+      |  SELECT user_id,
+      |         max(epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000) AS lastd,
+      |         count(*)::BIGINT AS f,
+      |         sum(CASE WHEN event_type = 'purchase'
+      |                  THEN floor(value * 10000)::BIGINT
+      |                  ELSE 0 END)::BIGINT AS m_q4
+      |  FROM events GROUP BY user_id),
+      |mx AS (SELECT max(lastd) AS mx FROM pu),
+      |base AS (SELECT user_id, (mx.mx - pu.lastd)::BIGINT AS r_days,
+      |                f, m_q4
+      |         FROM pu CROSS JOIN mx),
+      |rk AS (SELECT user_id, r_days, f, m_q4,
+      |         rank() OVER (ORDER BY r_days) AS rr,
+      |         rank() OVER (ORDER BY f) AS rf,
+      |         rank() OVER (ORDER BY m_q4) AS rm,
+      |         count(*) OVER () AS n
+      |       FROM base),
+      |b AS (SELECT user_id, r_days, f, m_q4,
+      |        least(4, (floor(10000.0::DOUBLE * (rr - 1) /
+      |          greatest(n - 1, 1))::BIGINT * 4) // 10000 + 1)::BIGINT AS r_bin,
+      |        least(4, (floor(10000.0::DOUBLE * (rf - 1) /
+      |          greatest(n - 1, 1))::BIGINT * 4) // 10000 + 1)::BIGINT AS f_bin,
+      |        least(4, (floor(10000.0::DOUBLE * (rm - 1) /
+      |          greatest(n - 1, 1))::BIGINT * 4) // 10000 + 1)::BIGINT AS m_bin
+      |      FROM rk)
+      |SELECT user_id, r_days, f, m_q4, r_bin, f_bin, m_bin,
+      |       'R' || r_bin || 'F' || f_bin || 'M' || m_bin AS segment
+      |FROM b ORDER BY user_id""".stripMargin
+
+  /** Theil–Sen robust daily-count trend per event type. */
+  def trendTheilSen(spark: SparkSession, dir: String): DataFrame =
+    Resample.theilSen(load(spark, dir, "events"))
+      .orderBy(col("event_type"))
+
+  private val trendTheilSenSql =
+    """WITH dc AS (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g, unnest(range(d0, d1 + 1)) AS d
+      |  FROM (SELECT g, min(d) AS d0, max(d) AS d1 FROM dc GROUP BY g)),
+      |ser AS (
+      |  SELECT grid.g, grid.d, coalesce(dc.c, 0)::BIGINT AS c
+      |  FROM grid LEFT JOIN dc ON grid.g = dc.g AND grid.d = dc.d),
+      |sl AS (
+      |  SELECT a.g, ((1000000 * (b.c - a.c)) // (b.d - a.d))::BIGINT AS s
+      |  FROM ser a JOIN ser b ON a.g = b.g AND b.d > a.d),
+      |r AS (SELECT g, s, row_number() OVER (PARTITION BY g ORDER BY s) AS rn,
+      |             count(*) OVER (PARTITION BY g) AS n FROM sl)
+      |SELECT g AS event_type, n::BIGINT AS n_pairs, s AS slope_q6
+      |FROM r WHERE rn = (n + 1) // 2 ORDER BY event_type""".stripMargin
 }

@@ -3867,7 +3867,33 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_length_profile", lengthProfileQ, Some(lengthProfileSql)),
     QueryDef("ext_modularity", modularityQ, Some(modularitySql)),
     QueryDef("ext_minhash_calibration", minhashCalibrationQ,
-      Some(minhashCalibrationSql)))
+      Some(minhashCalibrationSql)),
+    QueryDef("ext_cluster_purity", clusterPurityQ, Some(clusterPuritySql)))
+
+  /** Label purity of the sign-LSH buckets vs the embeddings' semantic
+    * labels — does the hash partition respect ground truth. */
+  def clusterPurityQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    Similarity.labelPurity(
+        emb.select(
+          Similarity.lshBucket($"embedding",
+            Similarity.hyperplanes(64, 4)).as("cluster"),
+          $"label"))
+      .orderBy($"cluster")
+  }
+
+  private val clusterPuritySql = {
+    val bucket = lshBucketSql("embedding", Similarity.hyperplanes(64, 4))
+    s"""WITH a AS (SELECT $bucket AS cluster, label FROM embeddings),
+       |cl AS (SELECT cluster, label, count(*)::BIGINT AS c
+       |       FROM a GROUP BY 1, 2),
+       |p AS (SELECT cluster, sum(c)::BIGINT AS n,
+       |             max(struct_pack(c := c, l := label)) AS top
+       |      FROM cl GROUP BY cluster)
+       |SELECT cluster::BIGINT AS cluster, n, top.l AS majority_label,
+       |       top.c AS n_majority, ((10000 * top.c) // n)::BIGINT AS purity_bp
+       |FROM p ORDER BY cluster""".stripMargin
+  }
 
   /** Pairwise source-vocabulary squared cosine (q6 shares, exact bp). */
   def sourceCosineQ(spark: SparkSession, dir: String): DataFrame =

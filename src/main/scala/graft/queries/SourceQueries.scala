@@ -164,8 +164,42 @@ object SourceQueries extends QueryGroup {
       |WHERE r.rn = 1
       |ORDER BY c.c_custkey""".stripMargin
 
+  private val corruptCsvPath =
+    "/root/repo/src/test/resources/fixtures/ledger_corrupt.csv"
+
+  /** S21 — PERMISSIVE CSV with corrupt-row quarantine: a field that
+    * fails its declared type nulls out while the raw line lands in the
+    * quarantine column; clean fields of the same row still parse
+    * (Spark's PERMISSIVE contract, pinned in IoFormatsSpec). The oracle
+    * re-derives corruption from the raw text with the same integer
+    * grammar. */
+  def csvQuarantine(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("name", StringType)))
+    Sources.readCsvQuarantine(spark, corruptCsvPath, schema)
+      .select($"id", $"qty", $"name",
+        $"_corrupt_record".isNotNull.as("is_corrupt"),
+        coalesce($"_corrupt_record", lit("")).as("raw"))
+      .orderBy($"id")
+  }
+
+  private val csvQuarantineSql =
+    s"""SELECT id::BIGINT AS id,
+       |       CASE WHEN regexp_matches(qty, '^-?[0-9]+$$')
+       |            THEN qty::BIGINT END AS qty,
+       |       name,
+       |       NOT regexp_matches(qty, '^-?[0-9]+$$') AS is_corrupt,
+       |       CASE WHEN regexp_matches(qty, '^-?[0-9]+$$') THEN ''
+       |            ELSE id || ',' || qty || ',' || name END AS raw
+       |FROM read_csv('$corruptCsvPath', header=true, all_varchar=true)
+       |ORDER BY id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("sql1_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
+    QueryDef("s21_csv_quarantine", csvQuarantine, Some(csvQuarantineSql)),
     QueryDef("s20_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("s18_snapshot_roundtrip", snapshotRoundTrip, Some(snapshotRoundTripSql)),
     QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)),

@@ -44,6 +44,28 @@ class IoFormatsSpec extends SparkSpec {
         docSchema.add("_corrupt_record", StringType)))
   }
 
+  test("readCsvQuarantine: a malformed FIELD nulls out, the row's clean " +
+      "fields still parse, and the raw line lands in quarantine") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("qty", LongType),
+      StructField("name", StringType)))
+    val df = Sources.readCsvQuarantine(spark,
+      "/root/repo/src/test/resources/fixtures/ledger_corrupt.csv", schema)
+    val rows = df.collect().map(r => (r.getLong(0),
+      Option(r.get(1)).map(_.asInstanceOf[Long]), r.getString(2),
+      Option(r.getString(3)))).toSet
+    assert(rows === Set(
+      (1L, Some(10L), "alpha", None),
+      (2L, None, "beta", Some("2,xx,beta")),
+      (3L, Some(30L), "gamma", None),
+      (4L, None, "delta", Some("4,12.5,delta")),
+      (5L, Some(50L), "epsilon", None),
+      (6L, None, "zeta", Some("6,fifty,zeta")),
+      (7L, Some(70L), "eta", None)))
+    val (clean, bad) = Sources.splitCorrupt(df)
+    assert(clean.count() === 4L && bad.count() === 3L)
+  }
+
   test("JSONL round-trip preserves values; ORC round-trip preserves schema and pushes predicates") {
     val docs = Tables.load(spark, sfDir, "documents").limit(50).cache()
     val base = Files.createTempDirectory("fmt").toFile.getAbsolutePath

@@ -240,4 +240,34 @@ class JourneysSpec extends SparkSpec {
       1L -> (("<=1m", 1L, 2000L)),     // arrival 2: 60s late
       4L -> ((">1h", 1L, 2000L))))     // arrival 5: 3605s late
   }
+
+  private def rfmEvents(rows: Seq[(Long, Int, String, Double)]) =
+    rows.map { case (u, day, t, v) =>
+      (u, ts(f"2024-01-${day + 1}%02d 01:00:00"), t, v)
+    }.toDF("user_id", "ts", "event_type", "value")
+
+  test("rfm: four strictly ordered users land in bins 1..4 on every axis") {
+    // u1 oldest/least/no purchase ... u4 freshest/most/biggest spender
+    val ev = rfmEvents(Seq(
+      (1L, 0, "view", 1.0),
+      (2L, 0, "view", 0.0), (2L, 1, "purchase", 5.0),
+      (3L, 0, "view", 0.0), (3L, 1, "view", 0.0), (3L, 2, "purchase", 10.0),
+      (4L, 0, "view", 0.0), (4L, 1, "view", 0.0), (4L, 2, "view", 0.0),
+      (4L, 3, "purchase", 20.0)))
+    val out = Journeys.rfm(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(7)))).toMap
+    assert(out(1L) === ((3L, 1L, 0L, "R4F1M1")))
+    assert(out(2L) === ((2L, 2L, 50000L, "R3F2M2")))
+    assert(out(3L) === ((1L, 3L, 100000L, "R2F3M3")))
+    assert(out(4L) === ((0L, 4L, 200000L, "R1F4M4")))
+  }
+
+  test("rfm: identical metrics share a bin (ties share the group's " +
+      "first rank)") {
+    val ev = rfmEvents((1L to 4L).flatMap(u => Seq(
+      (u, 0, "view", 0.0), (u, 1, "purchase", 3.0))))
+    val segs = Journeys.rfm(ev).collect().map(_.getString(7)).toSet
+    assert(segs === Set("R1F1M1"))
+  }
 }

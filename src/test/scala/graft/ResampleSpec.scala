@@ -202,6 +202,20 @@ class ResampleSpec extends SparkSpec {
       .collect().isEmpty)
   }
 
+  test("theilSen: outlier day does not move the median slope; gap days " +
+      "enter the series as zeros") {
+    // counts [1,2,3,4,9]: 10 pairwise slopes, six of them 10⁶ — the
+    // lower median (rank 5 of 10) is 10⁶ no matter how wild day 4 is
+    val a = Seq(("a", 0, 1), ("a", 1, 2), ("a", 2, 3), ("a", 3, 4), ("a", 4, 9))
+    // b: days [1,0,1] after zero-fill -> slopes (−10⁶, 0, 10⁶), median 0
+    val b = Seq(("b", 0, 1), ("b", 2, 1))
+    val ev = dayEvents(a ++ b)
+    val rows = Resample.theilSen(ev).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows("a") === ((10L, 1000000L)))
+    assert(rows("b") === ((3L, 0L)))
+  }
+
   test("autocorrelation: constant series has zero variance -> null r_bp; " +
       "series shorter than the lag has no row") {
     val ev = dayEvents(Seq(("a", 0, 3), ("a", 1, 3), ("b", 0, 1)))

@@ -574,4 +574,20 @@ class SimilaritySpec extends SparkSpec {
       assert(got === want, s"trial $trial")
     }
   }
+
+  test("labelPurity: exact majority share; label ties break toward the " +
+      "larger label") {
+    import spark.implicits._
+    val assign = Seq(
+      (1L, "a"), (1L, "a"), (1L, "b"),   // majority a, 2/3
+      (2L, "a"), (2L, "b"),              // tie -> larger label b
+      (3L, "z")                          // singleton, pure
+    ).toDF("cluster", "label")
+    val out = Similarity.labelPurity(assign).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L) === ((3L, "a", 2L, 6666L)))
+    assert(out(2L) === ((2L, "b", 1L, 5000L)))
+    assert(out(3L) === ((1L, "z", 1L, 10000L)))
+  }
 }
