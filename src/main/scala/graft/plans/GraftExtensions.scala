@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer seam: length prefilters implied by fuzzy predicates
     // (see SimilarityPruning) — runs in the operator-optimization batch
     ext.injectOptimizerRule(_ => SimilarityPruning)
+    // planner seam: the whole-operator extension (custom LogicalPlan →
+    // custom physical merge operator) for the native as-of join
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dms_to_decimal"),
       info("dms_to_decimal",

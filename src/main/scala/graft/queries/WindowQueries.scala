@@ -225,6 +225,33 @@ object WindowQueries extends QueryGroup {
       |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** The NATIVE as-of join (custom LogicalPlan + Strategy + physical
+    * merge operator — the whole-operator extension rung) on the same
+    * inputs as j17: identical semantics through a completely different
+    * execution path, hash-matched against DuckDB's native ASOF JOIN.
+    * The left side filters to high-value errors so the two asof rows
+    * differ and a copy-paste of either would fail its oracle. */
+  def asofNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val errors = ev.where($"event_type" === "error" && $"value" >= 10.0)
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts", $"value")
+    graft.plans.AsofJoinNative.asofBackward(errors, clicks, Seq("user_id"),
+        "ts", rightPrefix = "click_")
+      .orderBy($"event_id")
+  }
+
+  private val asofNativeSql =
+    """WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events WHERE event_type = 'error' AND value >= 10.0),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'click')
+      |SELECT e.event_id, e.user_id, e.ts, e.value,
+      |       c.ts AS click_ts, c.value AS click_value
+      |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts
+      |ORDER BY e.event_id""".stripMargin
+
   /** Pure range join (no equi key): clicks falling inside 10-minute
     * incident windows opened by high-value errors. The Spark side is the
     * bucket-equi formulation (hash join, no nested loop — plan pinned in
@@ -415,6 +442,7 @@ object WindowQueries extends QueryGroup {
     QueryDef("w7_ntile_pctrank", ntilePctRank, Some(ntilePctRankSql)),
     QueryDef("w5_topk_groups", topKGroups, Some(topKGroupsSql)),
     QueryDef("j17_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("j26_asof_native", asofNative, Some(asofNativeSql)),
     QueryDef("j18_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     QueryDef("st2_session_window", sessionWindow, Some(sessionWindowSql)),
