@@ -86,6 +86,72 @@ object Journeys {
       .withColumn("cohort_week", $"cohort_week".cast("timestamp"))
   }
 
+  /** Cohort LTV: cumulative q4 purchase value per (first-event cohort
+    * week × week offset) — the money companion to [[retention]]'s user
+    * counts: "how much has the January cohort spent by week 4". Offsets
+    * with no purchases still emit rows (zero increment, carried
+    * cumulative) so every cohort's curve is dense up to its last active
+    * week. The cumulative window runs over the (cohort, offset) rollup —
+    * calendar-cardinality, never event-cardinality. */
+  def cohortLtv(events: DataFrame, purchaseType: String = "purchase",
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val firsts = events.groupBy(col(userCol))
+      .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
+    val offsets = events
+      .select(col(userCol), col(tsCol), col(typeCol),
+        floor(col(valueCol) * 10000).cast("long").as("_v4"))
+      .join(firsts, Seq(userCol))
+      .select($"cohort_week",
+        (datediff(col(tsCol).cast("date"), $"cohort_week") / 7)
+          .cast("long").as("week_offset"),
+        when(col(typeCol) === purchaseType, lit(1L)).otherwise(0L).as("_p"),
+        when(col(typeCol) === purchaseType, $"_v4").otherwise(0L).as("_pv"))
+      .groupBy($"cohort_week", $"week_offset")
+      .agg(sum($"_p").as("n_purchases"), sum($"_pv").as("_wk_q4"))
+    // dense offsets 0..max per cohort (cohort-cardinality grid)
+    val grid = offsets.groupBy($"cohort_week")
+      .agg(max($"week_offset").as("_mx"))
+      .select($"cohort_week", explode(sequence(lit(0L), $"_mx")).as("week_offset"))
+    val w = Window.partitionBy($"cohort_week").orderBy($"week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.join(offsets, Seq("cohort_week", "week_offset"), "left")
+      .select($"cohort_week", $"week_offset",
+        coalesce($"n_purchases", lit(0L)).as("n_purchases"),
+        coalesce($"_wk_q4", lit(0L)).as("_wk_q4"))
+      .withColumn("ltv_q4", sum($"_wk_q4").over(w))
+      .drop("_wk_q4")
+      .withColumn("cohort_week", $"cohort_week".cast("timestamp"))
+  }
+
+  /** Total ACTIVE time per user: each event opens a `windowSeconds`
+    * activity interval; overlapping/adjacent intervals merge (interval
+    * UNION, the gaps-and-islands form) and the covered seconds sum
+    * exactly — the session-free activity clock ("9 events in one burst
+    * ≠ 9× the time"). One user-keyed window over (ts-sorted) events:
+    * a new island starts where an event's start exceeds the running
+    * max end of everything before it. Exact integer epoch seconds. */
+  def activeTime(events: DataFrame, windowSeconds: Long = 300L,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
+    val byUser = Window.partitionBy(col(userCol)).orderBy($"_s")
+    val prev = byUser.rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col(userCol), expr(s"unix_micros($tsCol) div 1000000").as("_s"))
+      .select(col(userCol), $"_s", ($"_s" + windowSeconds).as("_e"))
+      .withColumn("_newisl",
+        when(max($"_e").over(prev).isNull ||
+          $"_s" > max($"_e").over(prev), 1L).otherwise(0L))
+      .withColumn("_isl", sum($"_newisl").over(byUser))
+      .groupBy(col(userCol), $"_isl")
+      .agg(min($"_s").as("_is"), max($"_e").as("_ie"))
+      .groupBy(col(userCol))
+      .agg(count(lit(1)).as("n_bursts"),
+        sum($"_ie" - $"_is").as("active_seconds"))
+  }
+
   /** Week-over-week change report: per ISO week the event count, q4
     * value total, and the deltas vs the PREVIOUS week — absolute and in
     * basis points. The `lag` window is global-ordered but over a

@@ -81,4 +81,46 @@ object Profile {
           $"n_viol_rows", ($"n_viol_groups" === 0L).as("holds"))
     }.reduce(_ unionByName _)
   }
+
+  /** Benford's-law expected first-digit shares, basis points of
+    * ⌊10⁴·log₁₀(1 + 1∕d)⌋ — fixed literals so both engines compare
+    * against the identical reference (no float log at query time). */
+  val BenfordBp: Seq[Long] =
+    Seq(3010L, 1760L, 1249L, 969L, 791L, 669L, 579L, 511L, 457L)
+
+  /** Benford first-digit audit of a positive numeric column — the
+    * fabricated-data / unit-mixing smoke test every financial or count
+    * column should pass. The value is quantized to integer `cents =
+    * ⌊100·x⌋` and the first digit extracted via the DECIMAL STRING
+    * length (`d = cents div 10^(len−1)`) — pure integer arithmetic both
+    * engines spell identically, no log₁₀ at the boundary values where
+    * float `floor(log10(x))` flips early. Non-positive and null values
+    * are excluded (Benford is defined on positive magnitudes); digits
+    * with no observations emit n = 0 rows so the output is always 9
+    * rows.
+    *
+    * Output per digit 1..9: observations, observed share (bp), the
+    * Benford expectation (bp), and the signed deviation. One map-side
+    * combined 9-group aggregate — scan-speed at any size. */
+  def benford(df: DataFrame, valueCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val cents = expr(s"cast(floor($valueCol * 100) as bigint)")
+    val counts = df
+      .where(col(valueCol).isNotNull && cents >= 1)
+      .select(cents.as("_c"))
+      .select(expr(
+        "_c div cast(pow(10, length(cast(_c as string)) - 1) as bigint)")
+        .as("digit"))
+      .groupBy($"digit").agg(count(lit(1)).as("n"))
+    val digits = BenfordBp.zipWithIndex
+      .map { case (bp, i) => (i + 1L, bp) }.toDF("digit", "benford_bp")
+    val tot = counts.agg(sum($"n").as("_t"))
+    digits.join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(tot))
+      .select($"digit", coalesce($"n", lit(0L)).as("n"),
+        expr("(10000 * coalesce(n, 0)) div _t").as("share_bp"),
+        $"benford_bp")
+      .withColumn("dev_bp", $"share_bp" - $"benford_bp")
+  }
 }

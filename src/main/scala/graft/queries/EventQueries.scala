@@ -735,7 +735,71 @@ object EventQueries extends QueryGroup {
     QueryDef("ev21_forecast_backtest", forecastBacktest,
       Some(forecastBacktestSql)),
     QueryDef("ev22_rfm", rfm, Some(rfmSql)),
-    QueryDef("ev23_trend_theilsen", trendTheilSen, Some(trendTheilSenSql)))
+    QueryDef("ev23_trend_theilsen", trendTheilSen, Some(trendTheilSenSql)),
+    QueryDef("ev24_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
+    QueryDef("ev25_active_time", activeTime, Some(activeTimeSql)))
+
+  /** Cumulative q4 purchase value per cohort week × week offset. */
+  def cohortLtv(spark: SparkSession, dir: String): DataFrame =
+    Journeys.cohortLtv(load(spark, dir, "events"))
+      .orderBy(col("cohort_week"), col("week_offset"))
+
+  private val cohortLtvSql =
+    """WITH f AS (
+      |  SELECT user_id,
+      |         date_trunc('week', min(CAST(ts AS TIMESTAMP)))::DATE AS cw
+      |  FROM events GROUP BY user_id),
+      |o AS (
+      |  SELECT f.cw,
+      |         date_diff('day', f.cw, CAST(e.ts AS TIMESTAMP)::DATE) // 7 AS wo,
+      |         CASE WHEN e.event_type = 'purchase' THEN 1 ELSE 0 END AS p,
+      |         CASE WHEN e.event_type = 'purchase'
+      |              THEN floor(e.value * 10000)::BIGINT ELSE 0 END AS pv
+      |  FROM events e JOIN f USING (user_id)),
+      |a AS (SELECT cw, wo, sum(p)::BIGINT AS n_purchases,
+      |             sum(pv)::BIGINT AS wk
+      |      FROM o GROUP BY 1, 2),
+      |g AS (SELECT cw, unnest(range(0, mx + 1)) AS wo
+      |      FROM (SELECT cw, max(wo) AS mx FROM a GROUP BY cw)),
+      |d AS (SELECT g.cw, g.wo,
+      |             coalesce(a.n_purchases, 0)::BIGINT AS n_purchases,
+      |             coalesce(a.wk, 0)::BIGINT AS wk
+      |      FROM g LEFT JOIN a ON g.cw = a.cw AND g.wo = a.wo)
+      |SELECT cw::TIMESTAMP AS cohort_week, wo::BIGINT AS week_offset,
+      |       n_purchases,
+      |       sum(wk) OVER (PARTITION BY cw ORDER BY wo
+      |                     ROWS UNBOUNDED PRECEDING)::BIGINT AS ltv_q4
+      |FROM d ORDER BY cohort_week, week_offset""".stripMargin
+
+  /** Interval-union active time per user (5-minute activity windows). */
+  def activeTime(spark: SparkSession, dir: String): DataFrame =
+    Journeys.activeTime(load(spark, dir, "events"), windowSeconds = 300L)
+      .orderBy(col("user_id"))
+
+  private val activeTimeSql =
+    """WITH e AS (
+      |  SELECT user_id,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s
+      |  FROM events),
+      |i AS (
+      |  SELECT user_id, s, s + 300 AS e2,
+      |         CASE WHEN max(s + 300) OVER (PARTITION BY user_id ORDER BY s
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |                IS NULL
+      |              OR s > max(s + 300) OVER (PARTITION BY user_id
+      |                ORDER BY s
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |              THEN 1 ELSE 0 END AS ni
+      |  FROM e),
+      |j AS (SELECT user_id, s, e2,
+      |             sum(ni) OVER (PARTITION BY user_id ORDER BY s
+      |                           ROWS UNBOUNDED PRECEDING) AS isl
+      |      FROM i),
+      |k AS (SELECT user_id, isl, min(s) AS s0, max(e2) AS e0
+      |      FROM j GROUP BY 1, 2)
+      |SELECT user_id, count(*)::BIGINT AS n_bursts,
+      |       sum(e0 - s0)::BIGINT AS active_seconds
+      |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin
 
   /** RFM user segmentation with exact population-quartile bins. */
   def rfm(spark: SparkSession, dir: String): DataFrame =

@@ -3868,7 +3868,37 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_modularity", modularityQ, Some(modularitySql)),
     QueryDef("ext_minhash_calibration", minhashCalibrationQ,
       Some(minhashCalibrationSql)),
-    QueryDef("ext_cluster_purity", clusterPurityQ, Some(clusterPuritySql)))
+    QueryDef("ext_cluster_purity", clusterPurityQ, Some(clusterPuritySql)),
+    QueryDef("ext_benford_audit", benfordQ, Some(benfordSql)))
+
+  /** Benford first-digit audit of order totals — the fabricated-data
+    * smoke test; first digit via integer string-length arithmetic. */
+  def benfordQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.benford(load(spark, dir, "orders"), "o_totalprice")
+      .orderBy($"digit")
+
+  private val benfordSql = {
+    val expect = graft.ops.Profile.BenfordBp.zipWithIndex
+      .map { case (bp, i) => s"(${i + 1}, $bp)" }.mkString(", ")
+    s"""WITH c AS (
+       |  SELECT floor(o_totalprice * 100)::BIGINT AS c
+       |  FROM orders
+       |  WHERE o_totalprice IS NOT NULL
+       |    AND floor(o_totalprice * 100)::BIGINT >= 1),
+       |d AS (
+       |  SELECT c // pow(10, length(c::VARCHAR) - 1)::BIGINT AS digit
+       |  FROM c),
+       |n AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+       |e(digit, benford_bp) AS (VALUES $expect),
+       |t AS (SELECT sum(n)::BIGINT AS t FROM n)
+       |SELECT e.digit::BIGINT AS digit, coalesce(n.n, 0)::BIGINT AS n,
+       |       ((10000 * coalesce(n.n, 0)) // t.t)::BIGINT AS share_bp,
+       |       e.benford_bp::BIGINT AS benford_bp,
+       |       ((10000 * coalesce(n.n, 0)) // t.t - e.benford_bp)::BIGINT
+       |         AS dev_bp
+       |FROM e LEFT JOIN n ON e.digit = n.digit CROSS JOIN t
+       |ORDER BY digit""".stripMargin
+  }
 
   /** Label purity of the sign-LSH buckets vs the embeddings' semantic
     * labels — does the hash partition respect ground truth. */

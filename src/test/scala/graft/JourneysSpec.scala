@@ -270,4 +270,31 @@ class JourneysSpec extends SparkSpec {
     val segs = Journeys.rfm(ev).collect().map(_.getString(7)).toSet
     assert(segs === Set("R1F1M1"))
   }
+
+  test("cohortLtv: cumulative purchase value with dense offsets; " +
+      "non-purchase events join the cohort but add no value") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "purchase", 5.0),
+      (1L, ts("2024-01-15 10:00:00"), "purchase", 2.0), // offset 2
+      (2L, ts("2024-01-03 10:00:00"), "view", 9.0)      // same cohort week
+    ).toDF("user_id", "ts", "event_type", "value")
+    val out = Journeys.cohortLtv(ev).orderBy("week_offset").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((0L, 1L, 50000L), (1L, 0L, 50000L),
+      (2L, 1L, 70000L)))
+  }
+
+  test("activeTime: overlapping windows merge, gaps split bursts") {
+    val base = ts("2024-01-01 00:00:00")
+    def at(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
+    val ev = Seq(
+      (1L, at(0)), (1L, at(100)), (1L, at(700)), // [0,400] + [700,1000]
+      (2L, at(50))                               // single 300s burst
+    ).toDF("user_id", "ts")
+    val out = Journeys.activeTime(ev, windowSeconds = 300L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(1L) === ((2L, 700L)))
+    assert(out(2L) === ((1L, 300L)))
+  }
 }

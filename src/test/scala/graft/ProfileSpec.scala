@@ -65,4 +65,21 @@ class ProfileSpec extends SparkSpec {
     val out = fd(Seq.empty, Seq(("a_to_b", Seq("a"), Seq("b"))))
     assert(out("a_to_b") === ((0L, 0L, 0L, true)))
   }
+
+  test("benford: first digits extracted from cents, non-positive and " +
+      "null excluded, absent digits emit zero rows") {
+    import spark.implicits._
+    // cents: 123 (d=1), 950 (d=9), 10000 (d=1), 205 (d=2); the sub-cent
+    // positive (0.004 -> 0 cents), the negative, and the null all drop
+    val vals = Seq(Some(1.23), Some(9.50), Some(100.00), Some(2.05),
+      Some(0.004), Some(-5.0), None).toDF("v")
+    val out = graft.ops.Profile.benford(vals, "v")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(4)))).toMap
+    assert(out.keySet === (1L to 9L).toSet)
+    assert(out(1L)._1 === 2L && out(2L)._1 === 1L && out(9L)._1 === 1L)
+    assert(out(3L)._1 === 0L)
+    assert(out(1L)._2 === 5000L)                 // 2 of 4
+    assert(out(1L)._3 === 5000L - 3010L)         // dev vs Benford
+  }
 }
