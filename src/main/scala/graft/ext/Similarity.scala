@@ -1025,6 +1025,51 @@ object Similarity {
       array_join(array(projCols.toIndexedSeq: _*), ",").as("proj_csv"))
   }
 
+  /** Leave-one-out kNN label evaluation over LSH buckets: every vector
+    * is classified by the majority label of its k nearest cosine
+    * neighbors WITHIN its sign-LSH bucket, and per true label the exact
+    * accuracy lands in basis points — the label-noise / separability
+    * readout ("are the labels learnable from the geometry") that
+    * complements [[labelPurity]] (bucket-level agreement) and
+    * [[recallAtK]] (retrieval quality). Vectors alone in their bucket
+    * have no neighbors and count as misclassified (pred = null) — at
+    * scale that is the honest "index too sparse here" signal, not an
+    * exclusion.
+    *
+    * Determinism: neighbors rank by (floor-q4 cosine DESC, id ASC);
+    * vote ties break toward the larger label (the [[labelPurity]]
+    * struct-max convention). Candidates only form within a bucket —
+    * the all-pairs product never exists (the 100-TB shape; brute-force
+    * would be the oracle's job, not the engine's). */
+  def knnLabelEval(emb: DataFrame, k: Int = 3, nPlanes: Int = 4,
+      dim: Int = 64): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val planes = hyperplanes(dim, nPlanes)
+    val be = emb
+      .where(dot($"embedding", $"embedding") > 0)
+      .select($"vec_id", $"label", $"embedding",
+        lshBucket($"embedding", planes).as("bucket"))
+      .persistScoped // both sides of the bucket self-join read this
+    val votes = be.toDF("a_id", "a_label", "a_emb", "bucket")
+      .join(be.toDF("b_id", "b_label", "b_emb", "bucket"), Seq("bucket"))
+      .where($"a_id" =!= $"b_id")
+      .select($"a_id", $"a_label", $"b_id", $"b_label",
+        floorQ4(cosine($"a_emb", $"b_emb")).as("cos_q4"))
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy($"a_id").orderBy($"cos_q4".desc, $"b_id".asc)))
+      .where($"_rn" <= k)
+      .groupBy($"a_id", $"a_label", $"b_label")
+      .agg(count(lit(1)).as("_c"))
+    val pred = votes.groupBy($"a_id", $"a_label")
+      .agg(max(struct($"_c", $"b_label")).getField("b_label").as("_pred"))
+    be.select($"vec_id".as("a_id"), $"label".as("a_label"))
+      .join(pred, Seq("a_id", "a_label"), "left")
+      .groupBy($"a_label".as("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when($"_pred" === $"a_label", 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_bp", expr("(10000 * n_correct) div n"))
+  }
+
   /** Per-cluster label purity — given any (cluster, label) assignment
     * (LSH buckets vs semantic labels, k-means cells vs sources, …), each
     * cluster's size, majority label, and exact majority share in basis

@@ -237,6 +237,43 @@ object Journeys {
         floor(lit(10000.0) * $"n" / $"_t").cast("long").as("p_bp"))
   }
 
+  /** Stationary distribution of the event-type Markov chain: unrolled
+    * integer power iteration π ← π·P over the [[transitions]] matrix —
+    * the long-run "where does a user's attention settle" readout that
+    * complements the one-step transition table. π rides in q8
+    * (start = ⌊10⁸∕k⌋ uniform over the from-states), each step is
+    * `π'(j) = Σᵢ (π(i)·p_bp(i,j)) div 10⁴` — floor losses mean the mass
+    * decays by ≤ a few ulps per step, identically in both engines, so
+    * the result is a defined exact statistic rather than a float
+    * fixpoint. States that never transition OUT (only ever terminal)
+    * are not part of the chain; states never transitioned INTO report 0.
+    *
+    * Scale shape: the corpus collapses to the k²-row transition matrix
+    * first (one user-keyed window + one aggregate — all [[transitions]]
+    * cost); the iteration then runs on state-cardinality frames. */
+  def stationaryDistribution(events: DataFrame, iters: Int = 3,
+      userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val t = transitions(events, userCol, tsCol, typeCol, tieCol)
+      .select($"from_type", $"to_type", $"p_bp")
+      .persistScoped // each iteration joins this matrix
+    val states = t.select($"from_type".as("state")).distinct().persistScoped
+    val k = states.agg(count(lit(1)).as("_k"))
+    var pi = states.crossJoin(broadcast(k))
+      .select($"state", expr("100000000 div _k").as("pi_q8"))
+    for (_ <- 1 to iters) {
+      val next = pi.toDF("from_type", "pi_q8")
+        .join(t, Seq("from_type"))
+        .select($"to_type".as("state"),
+          expr("(pi_q8 * p_bp) div 10000").as("_m"))
+        .groupBy($"state").agg(sum($"_m").as("_pi"))
+      pi = states.join(next, Seq("state"), "left")
+        .select($"state", coalesce($"_pi", lit(0L)).as("pi_q8"))
+    }
+    pi.select($"state".as(typeCol), $"pi_q8")
+  }
+
   /** Batch sessionization with session ORDINALS: gaps-and-islands per
     * key — a new session starts at the first event and wherever the
     * gap to the previous event exceeds `gapSeconds`; sessions are

@@ -737,7 +737,46 @@ object EventQueries extends QueryGroup {
     QueryDef("ev22_rfm", rfm, Some(rfmSql)),
     QueryDef("ev23_trend_theilsen", trendTheilSen, Some(trendTheilSenSql)),
     QueryDef("ev24_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
-    QueryDef("ev25_active_time", activeTime, Some(activeTimeSql)))
+    QueryDef("ev25_active_time", activeTime, Some(activeTimeSql)),
+    QueryDef("ev26_stationary", stationary, Some(stationarySql)))
+
+  /** Stationary distribution of the event-type Markov chain (3 unrolled
+    * integer power-iteration steps, q8). */
+  def stationary(spark: SparkSession, dir: String): DataFrame =
+    Journeys.stationaryDistribution(load(spark, dir, "events"), iters = 3)
+      .orderBy(col("event_type"))
+
+  private val stationarySql = {
+    def step(i: Int) =
+      s"""pi${i}n AS (
+         |  SELECT tp.to_type AS state,
+         |         sum((pi${i - 1}.pi * tp.p_bp) // 10000)::BIGINT AS pi
+         |  FROM pi${i - 1} JOIN tp ON pi${i - 1}.state = tp.from_type
+         |  GROUP BY 1),
+         |pi$i AS (SELECT st.state, coalesce(pi${i}n.pi, 0)::BIGINT AS pi
+         |         FROM st LEFT JOIN pi${i}n USING (state))""".stripMargin
+    s"""WITH p AS (
+       |  SELECT user_id, event_type,
+       |         lead(event_type) OVER (PARTITION BY user_id
+       |           ORDER BY ts, event_id) AS next_type
+       |  FROM events),
+       |c AS (SELECT event_type AS from_type, next_type AS to_type,
+       |             count(*) AS n
+       |      FROM p WHERE next_type IS NOT NULL GROUP BY 1, 2),
+       |t AS (SELECT from_type, sum(n) AS tt FROM c GROUP BY 1),
+       |tp AS (SELECT c.from_type, c.to_type,
+       |              floor(10000.0::DOUBLE * c.n / t.tt)::BIGINT AS p_bp
+       |       FROM c JOIN t USING (from_type)),
+       |st AS (SELECT DISTINCT from_type AS state FROM tp),
+       |kk AS (SELECT count(*)::BIGINT AS k FROM st),
+       |pi0 AS (SELECT state, (100000000 // kk.k)::BIGINT AS pi
+       |        FROM st CROSS JOIN kk),
+       |${step(1)},
+       |${step(2)},
+       |${step(3)}
+       |SELECT state AS event_type, pi AS pi_q8
+       |FROM pi3 ORDER BY event_type""".stripMargin
+  }
 
   /** Cumulative q4 purchase value per cohort week × week offset. */
   def cohortLtv(spark: SparkSession, dir: String): DataFrame =

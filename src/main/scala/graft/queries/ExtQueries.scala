@@ -3869,7 +3869,43 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_minhash_calibration", minhashCalibrationQ,
       Some(minhashCalibrationSql)),
     QueryDef("ext_cluster_purity", clusterPurityQ, Some(clusterPuritySql)),
-    QueryDef("ext_benford_audit", benfordQ, Some(benfordSql)))
+    QueryDef("ext_benford_audit", benfordQ, Some(benfordSql)),
+    QueryDef("ext_knn_eval", knnEvalQ, Some(knnEvalSql)))
+
+  /** Leave-one-out 3-NN label accuracy within LSH buckets. */
+  def knnEvalQ(spark: SparkSession, dir: String): DataFrame =
+    Similarity.knnLabelEval(load(spark, dir, "embeddings"), k = 3)
+      .orderBy($"label")
+
+  private val knnEvalSql = {
+    val bucket = lshBucketSql("embedding", Similarity.hyperplanes(64, 4))
+    s"""WITH be AS (
+       |  SELECT vec_id, label, embedding, $bucket AS bucket FROM $nzSql t),
+       |pr AS (
+       |  SELECT a.vec_id AS a_id, a.label AS a_label, b.vec_id AS b_id,
+       |         b.label AS b_label,
+       |         CAST(floor(${cosSql("a.embedding", "b.embedding")} * 10000)
+       |           AS BIGINT) AS cos_q4
+       |  FROM be a JOIN be b
+       |    ON a.bucket = b.bucket AND a.vec_id != b.vec_id),
+       |rk AS (SELECT a_id, a_label, b_label,
+       |         row_number() OVER (PARTITION BY a_id
+       |           ORDER BY cos_q4 DESC, b_id) AS rn
+       |       FROM pr),
+       |v AS (SELECT a_id, a_label, b_label, count(*)::BIGINT AS c
+       |      FROM rk WHERE rn <= 3 GROUP BY 1, 2, 3),
+       |pm AS (SELECT a_id, a_label,
+       |              max(struct_pack(c := c, l := b_label)) AS top
+       |       FROM v GROUP BY 1, 2),
+       |pd AS (SELECT a_id, a_label, top.l AS pred FROM pm)
+       |SELECT be.label AS label, count(*)::BIGINT AS n,
+       |       sum(CASE WHEN pd.pred = be.label THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_correct,
+       |       ((10000 * sum(CASE WHEN pd.pred = be.label THEN 1 ELSE 0 END))
+       |        // count(*))::BIGINT AS acc_bp
+       |FROM be LEFT JOIN pd ON be.vec_id = pd.a_id
+       |GROUP BY be.label ORDER BY label""".stripMargin
+  }
 
   /** Benford first-digit audit of order totals — the fabricated-data
     * smoke test; first digit via integer string-length arithmetic. */

@@ -284,6 +284,21 @@ class JourneysSpec extends SparkSpec {
       (2L, 1L, 70000L)))
   }
 
+  test("stationaryDistribution: hand-computed integer power iteration " +
+      "on a 2-state chain") {
+    // one user, sequence a a a a b a → counts: a→a 3, a→b 1, b→a 1
+    // P(a→a)=7500, P(a→b)=2500, P(b→a)=10000; π0=(5e7, 5e7)
+    // π1=(87.5e6, 12.5e6); π2=(78125000, 21875000);
+    // π3=(80468750, 19531250)
+    val seqTypes = Seq("a", "a", "a", "a", "b", "a")
+    val ev = seqTypes.zipWithIndex.map { case (t, i) =>
+      (1L, ts(f"2024-01-01 0$i:00:00"), t, i.toLong)
+    }.toDF("user_id", "ts", "event_type", "event_id")
+    val out = Journeys.stationaryDistribution(ev, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("a" -> 80468750L, "b" -> 19531250L))
+  }
+
   test("activeTime: overlapping windows merge, gaps split bursts") {
     val base = ts("2024-01-01 00:00:00")
     def at(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)

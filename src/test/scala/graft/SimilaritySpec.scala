@@ -575,6 +575,54 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("knnLabelEval ≡ per-bucket brute-force replay on random vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dim = 4; val k = 3; val nPlanes = 2
+    val vecs = (1L to 40L).map { i =>
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val label = if (v(0) >= 0) "pos" else "neg"
+      (i, label, v.toSeq)
+    }
+    val emb = vecs.toDF("vec_id", "label", "embedding")
+    val got = Similarity.knnLabelEval(emb, k = k, nPlanes = nPlanes,
+        dim = dim)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+    // test-side sequential replay
+    val planes = Similarity.hyperplanes(dim, nPlanes)
+    def dotp(a: Seq[Float], b: Seq[Double]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+    def cosq4(a: Seq[Float], b: Seq[Float]) = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x).sum)
+      math.floor(d / (na * nb) * 10000).toLong
+    }
+    val withBucket = vecs.map { case (id, l, v) =>
+      val b = planes.zipWithIndex.map { case (p, i) =>
+        if (dotp(v, p.toSeq) > 0) 1L << i else 0L }.sum
+      (id, l, v, b)
+    }
+    val want = withBucket.groupBy(_._2).map { case (label, members) =>
+      val correct = members.count { case (id, l, v, b) =>
+        val neigh = withBucket
+          .filter(o => o._4 == b && o._1 != id)
+          .map(o => (cosq4(v, o._3), o._1, o._2))
+          .sortBy(t => (-t._1, t._2)).take(k)
+        if (neigh.isEmpty) false
+        else {
+          val pred = neigh.groupBy(_._3).toSeq
+            .map { case (l2, g) => (g.size.toLong, l2) }.max._2
+          pred == l
+        }
+      }
+      label -> ((members.size.toLong, correct.toLong))
+    }
+    assert(got === want)
+  }
+
   test("labelPurity: exact majority share; label ties break toward the " +
       "larger label") {
     import spark.implicits._
