@@ -214,6 +214,42 @@ object Resample {
         expr("(10000 * _k) div (_t * (n - _t))").as("shift_q4"))
   }
 
+  /** Dense per-group daily-count series: events collapse to one row per
+    * (group, day) in a map-side-combined count, then each group's own
+    * [min, max] day span zero-fills its gaps (never a global calendar).
+    * The shared first stage of every daily-series operator here
+    * (autocorrelation, backtest, residuals, Theil–Sen): everything
+    * downstream runs at series size, not event volume. Returns
+    * (g, d, c, d0, d1). */
+  private def dailySeries(events: DataFrame, groupCol: String,
+      tsCol: String): DataFrame = {
+    val dayUs = 86400L * 1000000L
+    val daily = events
+      .select(col(groupCol).as("g"),
+        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+      .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
+    val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
+      .select($"g", $"d0", $"d1", explode(sequence($"d0", $"d1")).as("d"))
+    grid.join(daily, Seq("g", "d"), "left")
+      .select($"g", $"d", coalesce($"c", lit(0L)).as("c"), $"d0", $"d1")
+  }
+
+  /** Full-series seasonal residuals: for every day with a lag-`season`
+    * ancestor inside its group's span, the actual count, the
+    * seasonal-naive forecast (the count `season` days earlier), and the
+    * signed error — the input frame for residual-based anomaly flags
+    * ([[graft.ext.Frequency.madOutliers]] over `e`) and the full-series
+    * twin of [[seasonalBacktest]]'s holdout readout. */
+  def seasonalResiduals(events: DataFrame, season: Int = 7,
+      groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    val series = dailySeries(events, groupCol, tsCol).persistScoped
+    val fc = series.select($"g", ($"d" + season).as("d"), $"c".as("f"))
+    series.where($"d" - season >= $"d0")
+      .join(fc, Seq("g", "d"))
+      .select($"g".as(groupCol), $"d", $"c", $"f", ($"c" - $"f").as("e"))
+  }
+
   /** Seasonal-naive forecast backtest — per group, predict each of the
     * last `horizon` days of the dense daily-count series with the count
     * observed `season` days earlier (the lag-7 "same weekday last week"
@@ -239,15 +275,7 @@ object Resample {
       tsCol: String = "ts"): DataFrame = {
     require(season >= 1, s"season must be >= 1, got $season")
     require(horizon >= 1, s"horizon must be >= 1, got $horizon")
-    val dayUs = 86400L * 1000000L
-    val daily = events
-      .select(col(groupCol).as("g"),
-        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
-      .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
-    val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
-      .select($"g", $"d0", $"d1", explode(sequence($"d0", $"d1")).as("d"))
-    val series = grid.join(daily, Seq("g", "d"), "left")
-      .select($"g", $"d", $"d0", $"d1", coalesce($"c", lit(0L)).as("c"))
+    val series = dailySeries(events, groupCol, tsCol)
     val fc = series.select($"g", ($"d" + season).as("d"), $"c".as("f"))
     val eval0 = series
       .where($"d" > $"d1" - horizon && $"d" - season >= $"d0")
@@ -281,15 +309,8 @@ object Resample {
   def theilSen(events: DataFrame, groupCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val dayUs = 86400L * 1000000L
-    val daily = events
-      .select(col(groupCol).as("g"),
-        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
-      .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
-    val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
-      .select($"g", explode(sequence($"d0", $"d1")).as("d"))
-    val series = grid.join(daily, Seq("g", "d"), "left")
-      .select($"g", $"d", coalesce($"c", lit(0L)).as("c"))
+    val series = dailySeries(events, groupCol, tsCol)
+      .select($"g", $"d", $"c")
       .persistScoped // both sides of the pair join read this
     val slopes = series.toDF("g", "d_a", "c_a")
       .join(series.toDF("g", "d_b", "c_b"), Seq("g"))
@@ -308,15 +329,8 @@ object Resample {
   def autocorrelation(events: DataFrame, maxLag: Int = 7,
       groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
-    val dayUs = 86400L * 1000000L
-    val daily = events
-      .select(col(groupCol).as("g"),
-        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
-      .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
-    val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
-      .select($"g", explode(sequence($"d0", $"d1")).as("d"))
-    val series = grid.join(daily, Seq("g", "d"), "left")
-      .select($"g", $"d", coalesce($"c", lit(0L)).as("c"))
+    val series = dailySeries(events, groupCol, tsCol)
+      .select($"g", $"d", $"c")
     val stats = series.groupBy($"g").agg(count(lit(1)).as("n"),
       sum($"c").as("s"), sum($"c" * $"c").as("q"))
     val dev = series.join(broadcast(stats), Seq("g"))

@@ -738,7 +738,49 @@ object EventQueries extends QueryGroup {
     QueryDef("ev23_trend_theilsen", trendTheilSen, Some(trendTheilSenSql)),
     QueryDef("ev24_cohort_ltv", cohortLtv, Some(cohortLtvSql)),
     QueryDef("ev25_active_time", activeTime, Some(activeTimeSql)),
-    QueryDef("ev26_stationary", stationary, Some(stationarySql)))
+    QueryDef("ev26_stationary", stationary, Some(stationarySql)),
+    QueryDef("ev27_seasonal_anomaly", seasonalAnomaly,
+      Some(seasonalAnomalySql)))
+
+  /** Seasonally-adjusted anomalous days: lag-7 residuals flagged by the
+    * per-type median/MAD rule — "which days broke their weekly
+    * pattern", the composition of the residual frame with the robust
+    * outlier detector. */
+  def seasonalAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val res = Resample.seasonalResiduals(load(spark, dir, "events"),
+      season = 7)
+    graft.ext.Frequency.madOutliers(res, "event_type", "e", k = 3.0)
+      .where(col("is_outlier"))
+      .select(col("event_type"), col("d"), col("c"), col("f"), col("e"),
+        col("med").cast("long").as("med_e"),
+        col("mad").cast("long").as("mad_e"))
+      .orderBy(col("event_type"), col("d"))
+  }
+
+  private val seasonalAnomalySql =
+    """WITH dc AS (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |sp AS (SELECT g, min(d) AS d0, max(d) AS d1 FROM dc GROUP BY g),
+      |grid AS (SELECT g, d0, unnest(range(d0, d1 + 1)) AS d FROM sp),
+      |ser AS (
+      |  SELECT grid.g, grid.d, grid.d0, coalesce(dc.c, 0)::BIGINT AS c
+      |  FROM grid LEFT JOIN dc ON grid.g = dc.g AND grid.d = dc.d),
+      |res AS (
+      |  SELECT a.g, a.d, a.c, b.c AS f, (a.c - b.c)::BIGINT AS e
+      |  FROM ser a JOIN ser b ON a.g = b.g AND b.d = a.d - 7
+      |  WHERE a.d - 7 >= a.d0),
+      |m AS (SELECT g, quantile_disc(e, 0.5) AS med FROM res GROUP BY g),
+      |dv AS (SELECT res.*, m.med, abs(res.e - m.med) AS dev
+      |       FROM res JOIN m USING (g)),
+      |s AS (SELECT g, quantile_disc(dev, 0.5) AS mad FROM dv GROUP BY g)
+      |SELECT dv.g AS event_type, dv.d, dv.c, dv.f, dv.e,
+      |       dv.med::BIGINT AS med_e, s.mad::BIGINT AS mad_e
+      |FROM dv JOIN s USING (g)
+      |WHERE dv.dev > 3.0::DOUBLE * s.mad
+      |ORDER BY event_type, d""".stripMargin
 
   /** Stationary distribution of the event-type Markov chain (3 unrolled
     * integer power-iteration steps, q8). */
