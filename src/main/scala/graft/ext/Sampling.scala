@@ -589,6 +589,12 @@ object Sampling {
     var w = cells.crossJoin(broadcast(tot))
       .select($"a", $"b", $"c", $"_ta", $"_tb", ($"c" * 10000L).as("w"))
     for (_ <- 1 to rounds) {
+      // each half-round reads the previous w TWICE (marginal aggregate +
+      // join back) — without a loop barrier the logical plan doubles per
+      // half-round (2^(2·rounds) analysis tree; measured 10 s of pure
+      // planning at sf0.1 with every frame cell-sized). The barrier
+      // truncates lineage once per round on the tiny cell frame.
+      w = graft.ops.Iterate.loopBarrier(w)
       val rt = w.groupBy($"a").agg(sum($"w").as("_rt"))
       w = w.join(broadcast(rt), "a")
         .select($"a", $"b", $"c", $"_ta", $"_tb",
