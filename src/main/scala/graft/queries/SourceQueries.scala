@@ -197,9 +197,54 @@ object SourceQueries extends QueryGroup {
        |FROM read_csv('$corruptCsvPath', header=true, all_varchar=true)
        |ORDER BY id""".stripMargin
 
+  /** S22 — JSONL round trip: documents export through the JSONL sink
+    * (the corpus interchange format) and scan back through the
+    * schema-explicit PERMISSIVE reader; text with arbitrary content
+    * must survive JSON escaping bit-exact. Oracle reads the same rows
+    * straight from the parquet, so the gate covers writer AND reader. */
+  def jsonlRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val docs = graft.Tables.load(spark, dir, "documents")
+      .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s22").toFile
+    graft.io.Sinks.writeJsonl(docs, tmp.getAbsolutePath)
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    Sources.readJsonl(spark, tmp.getAbsolutePath, schema)
+      .drop("_corrupt_record")
+      .orderBy($"doc_id")
+  }
+
+  private val jsonlRoundTripSql =
+    """SELECT doc_id, text, lang, source, n_chars
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** S23 — ORC round trip: the lineitem measure columns through the
+    * columnar interchange sibling of parquet. */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s23").toFile
+    li.write.mode("overwrite").orc(tmp.getAbsolutePath)
+    spark.read.orc(tmp.getAbsolutePath)
+      .select($"l_orderkey", $"l_linenumber",
+        round($"l_quantity", 2).as("quantity"), $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  private val orcRoundTripSql =
+    """SELECT l_orderkey, l_linenumber, round(l_quantity, 2) AS quantity,
+      |       l_returnflag
+      |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("sql1_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     QueryDef("s21_csv_quarantine", csvQuarantine, Some(csvQuarantineSql)),
+    QueryDef("s22_jsonl_roundtrip", jsonlRoundTrip, Some(jsonlRoundTripSql)),
+    QueryDef("s23_orc_roundtrip", orcRoundTrip, Some(orcRoundTripSql)),
     QueryDef("s20_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("s18_snapshot_roundtrip", snapshotRoundTrip, Some(snapshotRoundTripSql)),
     QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)),
