@@ -207,6 +207,53 @@ object Journeys {
       .agg(countDistinct($"_u").as("n_active"))
   }
 
+  /** DAU∕MAU stickiness per day: distinct daily actives over distinct
+    * trailing-`longDays` actives, in exact basis points — the
+    * engagement ratio every product dashboard leads with. Both counts
+    * use the [[rollingActives]] dedup-below-the-explode shape: the
+    * (user, day) frame dedups FIRST, each row then fans to the window
+    * days it covers, and a distinct count per day is exact rolling
+    * distinct with no window-over-rows state. Days before a full long
+    * window has accrued are reported (the standard ramp-in), bounded
+    * to the observed [min, max] day span. */
+  def stickiness(events: DataFrame, longDays: Int = 28,
+      userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    require(longDays >= 1, s"longDays must be >= 1, got $longDays")
+    val ud = events
+      .select(col(userCol).as("_u"),
+        expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("_d"))
+      .distinct()
+      .persistScoped // both the DAU and MAU rollups read this
+    val span = ud.agg(min($"_d").as("_mn"), max($"_d").as("_mx"))
+    val dau = ud.groupBy($"_d".as("day")).agg(countDistinct($"_u").as("dau"))
+    val mau = ud
+      .select($"_u", explode(sequence($"_d", $"_d" + lit(longDays - 1))).as("day"))
+      .crossJoin(broadcast(span))
+      .where($"day" <= $"_mx")
+      .groupBy($"day").agg(countDistinct($"_u").as("mau"))
+    mau.join(dau, Seq("day"), "left")
+      .select($"day", coalesce($"dau", lit(0L)).as("dau"), $"mau",
+        expr("(10000 * coalesce(dau, 0)) div mau").as("stickiness_bp"))
+  }
+
+  /** New vs returning users per day: a user is NEW on the day of their
+    * first event and RETURNING on every later active day. One distinct
+    * (user, day) frame, one per-user min-day aggregate, one day rollup
+    * — event volume never reaches the comparison. */
+  def newVsReturning(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    val ud = events
+      .select(col(userCol).as("_u"),
+        expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("_d"))
+      .distinct()
+      .persistScoped // read twice: first-day aggregate + day rollup
+    val firsts = ud.groupBy($"_u").agg(min($"_d").as("_f"))
+    ud.join(firsts, Seq("_u"))
+      .groupBy($"_d".as("day"))
+      .agg(sum(when($"_d" === $"_f", 1L).otherwise(0L)).as("n_new"),
+        sum(when($"_d" =!= $"_f", 1L).otherwise(0L)).as("n_returning"))
+  }
+
   /** Markov transition matrix over event types: for every ordered
     * adjacent pair of a user's events ((ts, tie) order), the count of
     * `from_type → to_type` steps and the row-normalized probability in

@@ -740,7 +740,50 @@ object EventQueries extends QueryGroup {
     QueryDef("ev25_active_time", activeTime, Some(activeTimeSql)),
     QueryDef("ev26_stationary", stationary, Some(stationarySql)),
     QueryDef("ev27_seasonal_anomaly", seasonalAnomaly,
-      Some(seasonalAnomalySql)))
+      Some(seasonalAnomalySql)),
+    QueryDef("ev28_stickiness", stickiness, Some(stickinessSql)),
+    QueryDef("ev29_new_returning", newVsReturning, Some(newVsReturningSql)))
+
+  /** DAU/MAU(28d) stickiness per day in exact bp. */
+  def stickiness(spark: SparkSession, dir: String): DataFrame =
+    Journeys.stickiness(load(spark, dir, "events"), longDays = 28)
+      .orderBy(col("day"))
+
+  private val stickinessSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      |  FROM events),
+      |sp AS (SELECT max(d) AS mx FROM ud),
+      |dau AS (SELECT d AS day, count(DISTINCT u)::BIGINT AS dau
+      |        FROM ud GROUP BY d),
+      |mau AS (
+      |  SELECT day, count(DISTINCT u)::BIGINT AS mau FROM (
+      |    SELECT u, unnest(range(d, d + 28)) AS day FROM ud) w
+      |  CROSS JOIN sp WHERE w.day <= sp.mx GROUP BY day)
+      |SELECT mau.day AS day, coalesce(dau.dau, 0)::BIGINT AS dau, mau.mau,
+      |       ((10000 * coalesce(dau.dau, 0)) // mau.mau)::BIGINT
+      |         AS stickiness_bp
+      |FROM mau LEFT JOIN dau ON mau.day = dau.day
+      |ORDER BY mau.day""".stripMargin
+
+  /** New vs returning active users per day. */
+  def newVsReturning(spark: SparkSession, dir: String): DataFrame =
+    Journeys.newVsReturning(load(spark, dir, "events"))
+      .orderBy(col("day"))
+
+  private val newVsReturningSql =
+    """WITH ud AS (
+      |  SELECT DISTINCT user_id AS u,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      |  FROM events),
+      |f AS (SELECT u, min(d) AS fd FROM ud GROUP BY u)
+      |SELECT ud.d AS day,
+      |       sum(CASE WHEN ud.d = f.fd THEN 1 ELSE 0 END)::BIGINT AS n_new,
+      |       sum(CASE WHEN ud.d <> f.fd THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_returning
+      |FROM ud JOIN f USING (u)
+      |GROUP BY ud.d ORDER BY day""".stripMargin
 
   /** Seasonally-adjusted anomalous days: lag-7 residuals flagged by the
     * per-type median/MAD rule — "which days broke their weekly

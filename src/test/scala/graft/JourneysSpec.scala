@@ -299,6 +299,24 @@ class JourneysSpec extends SparkSpec {
     assert(out === Map("a" -> 80468750L, "b" -> 19531250L))
   }
 
+  test("stickiness and newVsReturning: hand-computed two-day roster") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 11:00:00")),
+      (1L, ts("2024-01-02 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00"))
+    ).toDF("user_id", "ts")
+    val st = Journeys.stickiness(ev, longDays = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    val d0 = st.keys.min
+    assert(st(d0) === ((2L, 2L, 10000L)))      // both users active
+    assert(st(d0 + 1) === ((1L, 2L, 5000L)))   // u1 of trailing {u1,u2}
+    val nr = Journeys.newVsReturning(ev)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(nr(d0) === ((2L, 0L)) && nr(d0 + 1) === ((0L, 1L)))
+  }
+
   test("activeTime: overlapping windows merge, gaps split bursts") {
     val base = ts("2024-01-01 00:00:00")
     def at(sec: Int) = new java.sql.Timestamp(base.getTime + sec * 1000L)
