@@ -358,4 +358,29 @@ class PlanSpec extends SparkSpec {
     // the self-join keys on (blk, bval) - an equi hash/sort-merge join
     assert(plan.contains("blk"), plan)
   }
+
+  test("keyness: top-k is a WindowGroupLimit below the rank sort; " +
+      "totals broadcast") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.TextStats.keyness(docs, k = 5, minCount = 5))
+    assert(plan.contains("WindowGroupLimit"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("sourceCosine: term self-join is equi (no product), norms broadcast") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val plan = planOf(graft.ext.TextStats.sourceCosine(docs))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("stickiness/newVsReturning: no Window operator anywhere - " +
+      "rolling distinct is dedup-below-the-explode") {
+    val ev = Tables.load(spark, sfDir, "events")
+    val p1 = planOf(graft.ops.Journeys.stickiness(ev, longDays = 7))
+    val p2 = planOf(graft.ops.Journeys.newVsReturning(ev))
+    assert(!p1.contains("Window"), p1)
+    assert(!p2.contains("Window"), p2)
+  }
 }

@@ -137,4 +137,71 @@ class RandomizedSpec extends AnyFunSuite {
     }
     assert(got === want)
   }
+
+  test("activeTime == sequential interval-union reference on random bursts") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val w = 120L
+    val rows = (1 to 500).map { _ =>
+      (rnd.nextInt(6).toLong,
+        new java.sql.Timestamp(1704067200000L + rnd.nextInt(40000) * 1000L))
+    }
+    val got = graft.ops.Journeys.activeTime(
+        rows.toDF("user_id", "ts"), windowSeconds = w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val want = rows.groupBy(_._1).map { case (u, es) =>
+      val starts = es.map(_._2.getTime / 1000L).sorted
+      var bursts = 0L; var covered = 0L
+      var curS = -1L; var curE = -1L
+      starts.foreach { s =>
+        if (curE < 0 || s > curE) {
+          if (curE >= 0) covered += curE - curS
+          bursts += 1; curS = s; curE = s + w
+        } else curE = math.max(curE, s + w)
+      }
+      covered += curE - curS
+      u -> ((bursts, covered))
+    }
+    assert(got === want)
+  }
+
+  test("rfm == driver-side replay of the rank/percentile bin rule on " +
+      "random rosters") {
+    import TestSpark.spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 400).map { _ =>
+      val u = rnd.nextInt(40).toLong + 1
+      (u, new java.sql.Timestamp(1704067200000L + rnd.nextInt(30) * 86400000L),
+        if (rnd.nextInt(3) == 0) "purchase" else "view",
+        rnd.nextInt(500) / 10.0)
+    }
+    val got = graft.ops.Journeys.rfm(
+        rows.toDF("user_id", "ts", "event_type", "value"))
+      .collect().map(r => r.getLong(0) -> r.getString(7)).toMap
+    // sequential replay: per-user metrics, value-level rank, pct, bin
+    val perUser = rows.groupBy(_._1).map { case (u, es) =>
+      val lastDay = es.map(_._2.getTime / 86400000L).max
+      val m = es.collect { case (_, _, "purchase", v) =>
+        math.floor(v * 10000).toLong }.sum
+      (u, lastDay, es.size.toLong, m)
+    }.toSeq
+    val maxDay = perUser.map(_._2).max
+    val n = perUser.size.toLong
+    def bins(vals: Seq[Long]): Map[Long, Long] = {
+      val sorted = vals.sorted
+      vals.distinct.map { v =>
+        val rank = sorted.indexOf(v) + 1L // ties share first position
+        val pct = math.floor(10000.0 * (rank - 1) / math.max(1L, n - 1)).toLong
+        v -> math.min(4L, (pct * 4) / 10000 + 1)
+      }.toMap
+    }
+    val rB = bins(perUser.map(maxDay - _._2))
+    val fB = bins(perUser.map(_._3))
+    val mB = bins(perUser.map(_._4))
+    val want = perUser.map { case (u, last, f, m) =>
+      u -> s"R${rB(maxDay - last)}F${fB(f)}M${mB(m)}"
+    }.toMap
+    assert(got === want)
+  }
 }
