@@ -121,6 +121,8 @@ object CustomExpressions {
       exprs => FuzzWRatio(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("dot_product",
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler_bp",
+      exprs => JaroWinklerBp(exprs(0), exprs(1)), "scala_udf")
   }
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
 
@@ -132,6 +134,8 @@ object CustomExpressions {
     toColumn(FuzzWRatio(toExpr(a), toExpr(b)))
   def dot_product(a: Column, b: Column): Column =
     toColumn(DotProduct(toExpr(a), toExpr(b)))
+  def jaro_winkler_bp(a: Column, b: Column): Column =
+    toColumn(JaroWinklerBp(toExpr(a), toExpr(b)))
 }
 
 /** Dot product of two numeric arrays, accumulated in double in index

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DmsToDecimal, DotProduct, FuzzRatio, FuzzWRatio, ZValue}
+import graft.functions.{DmsToDecimal, DotProduct, FuzzRatio, FuzzWRatio, JaroWinklerBp, ZValue}
 
 /** Session-extension installer: makes the engine's custom Catalyst
   * expressions available to ANY session — including ones the library
@@ -68,6 +68,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("dot_product",
         "dot_product(a, b) - dot product of two numeric arrays as double"),
       arity("dot_product", 2)(exprs => DotProduct(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler_bp"),
+      info("jaro_winkler_bp",
+        "jaro_winkler_bp(a, b) - exact Jaro-Winkler similarity in basis points [0, 10000]"),
+      arity("jaro_winkler_bp", 2)(exprs => JaroWinklerBp(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("zvalue"),
       info("zvalue",

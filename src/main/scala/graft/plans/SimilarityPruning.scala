@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.FuzzRatio
+import graft.functions.{FuzzRatio, JaroWinklerBp}
 
 /** Optimizer rule: derive cheap LENGTH prefilters from expensive fuzzy
   * string predicates — the classic similarity-join length filter
@@ -47,6 +47,18 @@ object SimilarityPruning extends Rule[LogicalPlan] with PredicateHelper {
       Multiply(Literal(400), Least(Seq(len(a), len(b)))),
       Multiply(Literal(2 * t - 1), Add(len(a), len(b))))
 
+  /** `jaro_winkler_bp(a, b) >= t` (basis points, t > 8000) implies
+    * `2000·least(len) >= (t−8000)·greatest(len)`: bp ≥ t forces the
+    * boosted branch (unboosted jaro ≤ 0.7 < t∕10⁴), the cap-4 boost
+    * gives jw ≤ 0.6·jaro + 0.4, and jaro ≤ (min∕max + 2)∕3 since
+    * matches m ≤ min(len); chaining the three yields the length-ratio
+    * bound min∕max ≥ (t−8000)∕2000. For t ≤ 8000 the bound is vacuous
+    * and is not added. */
+  private def jwBound(a: Expression, b: Expression, t: Int): Expression =
+    GreaterThanOrEqual(
+      Multiply(Literal(2000), Least(Seq(len(a), len(b)))),
+      Multiply(Literal(t - 8000), Greatest(Seq(len(a), len(b)))))
+
   /** The implied cheap bound for one conjunct, if it is a thresholded
     * fuzzy predicate (both operand orders; Levenshtein only in its
     * un-thresholded form — the 3-arg variant already prunes internally). */
@@ -67,6 +79,14 @@ object SimilarityPruning extends Rule[LogicalPlan] with PredicateHelper {
       Some(ratioBound(a, b, t))
     case LessThan(Literal(t: Int, IntegerType), FuzzRatio(a, b)) =>
       Some(ratioBound(a, b, t + 1))
+    case GreaterThanOrEqual(JaroWinklerBp(a, b), Literal(t: Int, IntegerType)) if t > 8000 =>
+      Some(jwBound(a, b, t))
+    case GreaterThan(JaroWinklerBp(a, b), Literal(t: Int, IntegerType)) if t >= 8000 =>
+      Some(jwBound(a, b, t + 1))
+    case LessThanOrEqual(Literal(t: Int, IntegerType), JaroWinklerBp(a, b)) if t > 8000 =>
+      Some(jwBound(a, b, t))
+    case LessThan(Literal(t: Int, IntegerType), JaroWinklerBp(a, b)) if t >= 8000 =>
+      Some(jwBound(a, b, t + 1))
     case _ => None
   }
 

@@ -37,6 +37,22 @@ class SimilarityPruningSpec extends SparkSpec {
     assert("least\\(".r.findAllIn(plan).size === 1, s"stacked bound:\n$plan")
   }
 
+  test("jaro_winkler_bp threshold gains the length-ratio bound, exactly once") {
+    val df = Tables.load(spark, sfDir, "customer")
+      .where(CustomExpressions.jaro_winkler_bp($"c_name", $"c_mktsegment") >= 9201)
+    val plan = df.queryExecution.optimizedPlan.toString
+    // (t - 8000) = 1201 against 2000·least(len)
+    assert(plan.contains("1201") && plan.contains("2000"), s"bound missing from:\n$plan")
+    assert("least\\(".r.findAllIn(plan).size === 1, s"stacked bound:\n$plan")
+  }
+
+  test("jaro_winkler_bp threshold at or below 8000 gains NO (vacuous) bound") {
+    val df = Tables.load(spark, sfDir, "customer")
+      .where(CustomExpressions.jaro_winkler_bp($"c_name", $"c_mktsegment") >= 8000)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("least("), s"vacuous bound added:\n$plan")
+  }
+
   test("soundness: levenshtein filter results identical to a naive reference") {
     def lev(s: String, t: String): Int = {
       val d = Array.tabulate(s.length + 1, t.length + 1)((i, j) =>
