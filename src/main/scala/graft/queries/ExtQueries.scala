@@ -42,6 +42,38 @@ object ExtQueries extends QueryGroup {
        |      FROM dd GROUP BY md5(text)) c USING (h)
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Sorted-neighborhood blocking (Hernández–Stolfo) + edit-distance
+    * verify: candidates are the ordered pairs within w=8 positions of
+    * the `(normalized 24-char prefix, doc_id)` sort order; a pair
+    * survives when the keys are ≤ 8 edits apart. The global row number
+    * is the distributed-selection machinery (one range exchange +
+    * offset-seeded narrow numbering — never `Window.orderBy`'s single
+    * task); pairs are one hash equi-join with constant w fan-out. The
+    * oracle re-derives the whole pipeline with a window row_number. */
+  def dedupSortedNbhd(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents").select($"doc_id",
+      substring(regexp_replace(lower($"text"), "[^a-z0-9]", ""), 1, 24).as("snkey"))
+    Dedup.sortedNeighborhood(docs, $"snkey", 8)
+      .where(levenshtein($"a_key", $"b_key") <= 8)
+      .select($"a_id", $"b_id", $"rank_dist",
+        levenshtein($"a_key", $"b_key").cast("long").as("lev"))
+      .orderBy($"a_id", $"b_id")
+  }
+
+  private val dedupSortedNbhdSql =
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |         substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 24) AS k
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT doc_id, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM keyed)
+      |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+      |       (b.rn - a.rn)::BIGINT AS rank_dist,
+      |       levenshtein(a.k, b.k)::BIGINT AS lev
+      |FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 8
+      |WHERE levenshtein(a.k, b.k) <= 8
+      |ORDER BY a_id, b_id""".stripMargin
+
   // Shared SQL fragments for tokenization/shingles (DuckDB side).
   // coalesce mirrors TextStats.tokens' null-safety: null text must
   // tokenize like the empty doc in BOTH engines or null-text docs would
@@ -3777,6 +3809,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_pq", simPq, Some(simPqSql)),
     QueryDef("ext_tfidf_topk", tfidfTop, Some(tfidfTopSql)),
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
+    QueryDef("ext_dedup_sorted_nbhd", dedupSortedNbhd, Some(dedupSortedNbhdSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
     QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("ext_dedup_simhash_near", dedupSimhashNear, Some(dedupSimhashNearSql)),

@@ -520,4 +520,34 @@ class DedupSpec extends SparkSpec {
     assert(out(1L) === s"$seg $seg") // all copies survive
     assert(out(2L) === seg)
   }
+
+  test("sortedNeighborhood ≡ sequential window walk on randomized keys, across partition boundaries") {
+    val rnd = new scala.util.Random(23L)
+    // 400 rows over 4 shuffle partitions → every window of 3 crosses
+    // range-partition boundaries many times; duplicate keys force the
+    // id tie-break
+    val rows = (1L to 400L).map(id =>
+      (id, (0 until 3).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString))
+    for (w <- Seq(1, 3, 8)) {
+      val got = Dedup.sortedNeighborhood(
+          rows.toDF("doc_id", "k"), $"k", w, idCol = "doc_id")
+        .select("a_id", "b_id", "rank_dist")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val sorted = rows.sortBy { case (id, k) => (k, id) }
+      val want = (for {
+        i <- sorted.indices
+        j <- (i + 1) to math.min(i + w, sorted.size - 1)
+      } yield (sorted(i)._1, sorted(j)._1, (j - i).toLong)).toSet
+      assert(got === want, s"w=$w")
+    }
+  }
+
+  test("sortedNeighborhood plan: no Window operator, null keys fall out") {
+    val df = Seq((1L, "a"), (2L, null), (3L, "b")).toDF("doc_id", "k")
+    val out = Dedup.sortedNeighborhood(df, $"k", 2, idCol = "doc_id")
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "global numbering must not use a Window")
+    val pairs = out.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet === Set((1L, 3L))) // null-keyed row 2 excluded
+  }
 }
