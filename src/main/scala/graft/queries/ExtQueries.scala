@@ -1652,6 +1652,55 @@ object ExtQueries extends QueryGroup {
        |SELECT id, r AS rank FROM it4 ORDER BY id""".stripMargin
   }
 
+  /** HITS hubs & authorities ([[graft.ops.Hits]]) on the customer→part
+    * purchase graph (distinct (custkey, partkey) via orders⋈lineitem):
+    * hubs are broad well-endorsed buyers, authorities the parts those
+    * buyers concentrate on — the mutual-reinforcement ranking next to
+    * PageRank's endorsement mass. All-integer max-rescaled iterations
+    * (K=2); the oracle unrolls them as MATERIALIZED CTEs (each level is
+    * referenced twice — its sum and its max — the documented DuckDB
+    * CTE-inlining blow-up otherwise). Top-50 per side, score-desc with
+    * id tie-break, so the LIMIT boundary is deterministic. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val edges = load(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(load(spark, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("hub"), $"l_partkey".as("auth"))
+      .distinct()
+    val (hubs, auths) = graft.ops.Hits.run(edges, iterations = 2)
+    hubs.orderBy($"score".desc, $"id").limit(50)
+      .select(lit("hub").as("kind"), $"id", $"score")
+      .unionByName(auths.orderBy($"score".desc, $"id").limit(50)
+        .select(lit("auth").as("kind"), $"id", $"score"))
+      .orderBy($"kind", $"score".desc, $"id")
+  }
+
+  private val hitsSql = {
+    def halfRound(scoreIn: String, joinKey: String, groupKey: String,
+        raw: String, out: String, outCol: String) =
+      s"""$raw AS MATERIALIZED (
+         |  SELECT $groupKey, sum(${if (outCol == "h") "a" else "h"})::BIGINT AS s
+         |  FROM edges JOIN $scoreIn USING ($joinKey) GROUP BY $groupKey),
+         |$out AS MATERIALIZED (
+         |  SELECT $groupKey, ((s * 10000) // (SELECT max(s) FROM $raw))::BIGINT AS $outCol
+         |  FROM $raw)""".stripMargin
+    s"""WITH edges AS MATERIALIZED (
+       |  SELECT DISTINCT o.o_custkey AS hub, l.l_partkey AS auth
+       |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+       |a0 AS MATERIALIZED (SELECT DISTINCT auth, 10000::BIGINT AS a FROM edges),
+       |${halfRound("a0", "auth", "hub", "h1r", "h1", "h")},
+       |${halfRound("h1", "hub", "auth", "a1r", "a1", "a")},
+       |${halfRound("a1", "auth", "hub", "h2r", "h2", "h")},
+       |${halfRound("h2", "hub", "auth", "a2r", "a2", "a")},
+       |top AS (
+       |  (SELECT 'hub' AS kind, hub AS id, h AS score FROM h2
+       |   ORDER BY score DESC, id LIMIT 50)
+       |  UNION ALL
+       |  (SELECT 'auth' AS kind, auth AS id, a AS score FROM a2
+       |   ORDER BY score DESC, id LIMIT 50))
+       |SELECT kind, id, score FROM top ORDER BY kind, score DESC, id""".stripMargin
+  }
+
   /** 2-core of the same near-dup graph as PageRank/LPA: iterative
     * peeling until every survivor keeps ≥ 2 similar neighbors — the
     * dense-kernel selector (components finds reachability, LPA the
@@ -3864,6 +3913,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_fd_check", fdCheckQ, Some(fdCheckSql)),
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("ext_pagerank", pagerank, Some(pagerankSql)),
+    QueryDef("ext_hits", hits, Some(hitsSql)),
     QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
