@@ -234,6 +234,42 @@ object Resample {
       .select($"g", $"d", coalesce($"c", lit(0L)).as("c"), $"d0", $"d1")
   }
 
+  /** Trailing exponentially-weighted moving average of each group's
+    * dense daily-count series, in EXACT integer arithmetic: day t gets
+    *
+    *   ewma_q4 = (10⁴ · Σ_{i∈avail} c(t−i)·2^(span−1−i))
+    *               div (Σ_{i∈avail} 2^(span−1−i))
+    *
+    * — power-of-two weights (decay ratio 1/2 per day) over the last
+    * `span` days, the denominator restricted to lags inside the
+    * group's own span (the "adjusted" EWMA start-up, so early days
+    * average what exists instead of assuming zero history). Exact
+    * because every weight is a shift and the one division is floor —
+    * a float α-recurrence is order-dependent and can't hash
+    * cross-engine.
+    *
+    * Scale shape: events collapse to per-(group, day) counts first, so
+    * everything downstream is series-sized; the trailing window is a
+    * span-fan-out equi-join on (g, d−lag) — never a row-offset window
+    * over raw events. */
+  def ewma(events: DataFrame, span: Int = 14,
+      groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    // span cap keeps the fixed-point headroom honest: Σ c·2^(span−1)
+    // then ×10⁴ must stay under 2⁶³ — at span 30 that still allows
+    // ~8.5e8 events per group-day before overflow
+    require(span >= 1 && span <= 30, s"span must be in [1, 30], got $span")
+    val series = dailySeries(events, groupCol, tsCol).persistScoped
+    val lags = series.select($"g", $"d", $"c")
+      .withColumn("lag", explode(sequence(lit(0), lit(span - 1))))
+      .select($"g", ($"d" + $"lag").as("d"),
+        expr(s"c * shiftleft(1L, ${span - 1} - lag)").as("wc"),
+        expr(s"shiftleft(1L, ${span - 1} - lag)").as("w"))
+    series.join(lags.groupBy($"g", $"d").agg(
+        sum($"wc").as("num"), sum($"w").as("den")), Seq("g", "d"))
+      .select($"g".as(groupCol), $"d", $"c",
+        expr("(10000 * num) div den").as("ewma_q4"))
+  }
+
   /** Full-series seasonal residuals: for every day with a lag-`season`
     * ancestor inside its group's span, the actual count, the
     * seasonal-naive forecast (the count `season` days earlier), and the

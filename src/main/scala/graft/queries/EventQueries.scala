@@ -742,7 +742,41 @@ object EventQueries extends QueryGroup {
     QueryDef("ev27_seasonal_anomaly", seasonalAnomaly,
       Some(seasonalAnomalySql)),
     QueryDef("ev28_stickiness", stickiness, Some(stickinessSql)),
-    QueryDef("ev29_new_returning", newVsReturning, Some(newVsReturningSql)))
+    QueryDef("ev29_new_returning", newVsReturning, Some(newVsReturningSql)),
+    QueryDef("ev30_ewma", ewmaTrend, Some(ewmaTrendSql)))
+
+  /** Trailing 14-day EWMA of each event type's dense daily-count series
+    * ([[Resample.ewma]]): power-of-two decay weights and one floor
+    * division keep every smoothed value an exact integer (a float
+    * α-recurrence is order-dependent and can't hash cross-engine);
+    * early days renormalize over the lags that exist (adjusted EWMA).
+    * The oracle re-derives the trailing window as a range self-join of
+    * the dense series. */
+  def ewmaTrend(spark: SparkSession, dir: String): DataFrame =
+    Resample.ewma(load(spark, dir, "events"), span = 14)
+      .orderBy(col("event_type"), col("d"))
+
+  private val ewmaTrendSql =
+    """WITH dc AS (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g, unnest(range(d0, d1 + 1)) AS d
+      |  FROM (SELECT g, min(d) AS d0, max(d) AS d1 FROM dc GROUP BY g)),
+      |ser AS (
+      |  SELECT grid.g, grid.d, coalesce(dc.c, 0)::BIGINT AS c
+      |  FROM grid LEFT JOIN dc ON grid.g = dc.g AND grid.d = dc.d),
+      |tw AS (
+      |  SELECT a.g, a.d, a.c,
+      |         sum(b.c * (1::BIGINT << (13 - (a.d - b.d))))::BIGINT AS num,
+      |         sum(1::BIGINT << (13 - (a.d - b.d)))::BIGINT AS den
+      |  FROM ser a JOIN ser b ON a.g = b.g AND b.d BETWEEN a.d - 13 AND a.d
+      |  GROUP BY a.g, a.d, a.c)
+      |SELECT g AS event_type, d::BIGINT AS d, c,
+      |       ((10000 * num) // den)::BIGINT AS ewma_q4
+      |FROM tw ORDER BY event_type, d""".stripMargin
 
   /** DAU/MAU(28d) stickiness per day in exact bp. */
   def stickiness(spark: SparkSession, dir: String): DataFrame =

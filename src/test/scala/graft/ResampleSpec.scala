@@ -225,4 +225,25 @@ class ResampleSpec extends SparkSpec {
     assert(a.forall(_.isNullAt(4)))               // den = 0 -> null
     assert(!rows.exists(_.getString(0) == "b"))   // 1-day series: no pairs
   }
+
+  test("ewma: hand-computed trailing weights, gap days count as zero, " +
+      "early days renormalize over the available lags") {
+    // counts [2, 0 (gap day), 4], span 2 → weights (lag0, lag1) = (2, 1):
+    //   d0: num = 2·2 = 4,       den = 2 → 40000 div 2 = 20000
+    //   d1: num = 0·2 + 2·1 = 2, den = 3 →  20000 div 3 = 6666
+    //   d2: num = 4·2 + 0·1 = 8, den = 3 →  80000 div 3 = 26666
+    val ev = dayEvents(Seq(("a", 0, 2), ("a", 2, 4)))
+    val out = Resample.ewma(ev, span = 2)
+      .orderBy("d").collect()
+      .map(r => (r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((2L, 20000L), (0L, 6666L), (4L, 26666L)))
+    // span 1 degenerates to the raw counts in q4
+    val raw = Resample.ewma(ev, span = 1)
+      .orderBy("d").collect().map(_.getLong(3))
+    assert(raw.toSeq === Seq(20000L, 0L, 40000L))
+    // independent groups keep independent spans
+    val two = Resample.ewma(
+      dayEvents(Seq(("a", 0, 2), ("a", 1, 2), ("b", 5, 3))), span = 3)
+    assert(two.where($"event_type" === "b").count() === 1)
+  }
 }
