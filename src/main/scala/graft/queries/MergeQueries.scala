@@ -292,7 +292,39 @@ object MergeQueries extends QueryGroup {
       |FROM r WHERE rn = 1 AND op != 'delete'
       |ORDER BY user_id""".stripMargin
 
+  /** S24 — golden-record survivorship ([[graft.ops.Survivorship]]):
+    * events as per-field profile patches (field = event_type, ~1/3 of
+    * patches deliberately carry NO value via the k%3 gate), resolved to
+    * the latest NON-NULL value per (user, field) — the per-column
+    * independent-winner semantics next to s19's whole-row CDC winner.
+    * One map-side-combined max(struct) aggregate; the oracle is the
+    * independent window formulation over the non-null subset. */
+  def goldenRecord(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events").select(
+      $"user_id", $"event_type".as("field"), $"ts", $"event_id",
+      when(get_json_object($"props", "$.k").cast("long") % 3 =!= 0,
+        floor($"value" * 10000.0).cast("long")).as("v_q4"))
+    graft.ops.Survivorship.goldenRecord(ev, Seq("user_id"), "field",
+        "v_q4", Seq("ts", "event_id"))
+      .orderBy($"user_id", $"field")
+  }
+
+  private val goldenRecordSql =
+    """WITH u AS (
+      |  SELECT user_id, event_type AS field, CAST(ts AS TIMESTAMP) AS ts,
+      |         event_id,
+      |         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 != 0
+      |              THEN floor(value * 10000.0::DOUBLE)::BIGINT END AS v_q4
+      |  FROM events),
+      |w AS (
+      |  SELECT *, row_number() OVER (PARTITION BY user_id, field
+      |           ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM u WHERE v_q4 IS NOT NULL)
+      |SELECT user_id, field, ts, event_id, v_q4 FROM w WHERE rn = 1
+      |ORDER BY user_id, field""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("s24_golden_record", goldenRecord, Some(goldenRecordSql)),
     QueryDef("s19_cdc_apply", cdcApply, Some(cdcApplySql)),
     QueryDef("s15_scd2_merge", scd2Merge, Some(scd2MergeSql)),
     QueryDef("s16_scd2_asof", scd2AsOf, Some(scd2AsOfSql)),

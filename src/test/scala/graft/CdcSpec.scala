@@ -41,4 +41,26 @@ class CdcSpec extends SparkSpec {
       (1L, 3L, 0L, "delete", "-"), (1L, 4L, 0L, "upsert", "b")))
     assert(out === Map(1L -> (("b", 4L))))
   }
+
+  test("survivorship: per-field latest non-null — a later null patch never clobbers") {
+    import graft.ops.Survivorship
+    val updates = Seq(
+      // key 1, field "name": real value at seq 1, null patch at seq 9 → seq-1 value survives
+      (1L, "name", 1L, 0L, Some("ada")),
+      (1L, "name", 9L, 0L, None),
+      // key 1, field "mail": two real values → latest wins; tie column breaks seq ties
+      (1L, "mail", 5L, 1L, Some("a@x")),
+      (1L, "mail", 5L, 2L, Some("b@x")),
+      // key 2 only ever got null patches for "name" → NO row
+      (2L, "name", 3L, 0L, None),
+      (2L, "mail", 3L, 0L, Some("c@x"))
+    ).toDF("k", "field", "seq", "tie", "v")
+    val out = Survivorship.goldenRecord(updates, Seq("k"), "field", "v", Seq("seq", "tie"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getString(4), r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(out === Map(
+      (1L, "name") -> (("ada", 1L, 0L)),
+      (1L, "mail") -> (("b@x", 5L, 2L)),
+      (2L, "mail") -> (("c@x", 3L, 0L))))
+  }
 }
