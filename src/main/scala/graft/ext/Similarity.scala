@@ -1094,4 +1094,39 @@ object Similarity {
         $"_top.c".as("n_majority"),
         expr("(10000 * _top.c) div n").as("purity_bp"))
   }
+
+  /** Pairwise entity-resolution evaluation (exact basis points): the
+    * predicted duplicate-pair set against label ground truth, where
+    * truth = all unordered same-label pairs over `labeled`. The
+    * standard pair-level P/R/F1 readout for any near-dup generator
+    * (LSH, SimHash, sorted-neighborhood, …) against a labeled sample —
+    * cluster-level purity ([[clusterPurity]]) hides pair-level
+    * over/under-merging; this doesn't.
+    *
+    * Scale shape: predicted pairs join the label map twice (two hash
+    * joins on the id — at scale the label side is the small labeled
+    * sample); truth cardinality is one count aggregate per label
+    * (Σ n·(n−1)∕2 — the pair set itself is never materialized); the
+    * three 1-row frames cross-join at the end. */
+  def pairEval(pairs: DataFrame, labeled: DataFrame,
+      idCol: String = "vec_id", labelCol: String = "label"): DataFrame = {
+    val lab = labeled.select(col(idCol).as("_id"), col(labelCol).as("_l"))
+    val scored = pairs
+      .join(lab.select($"_id".as("id_a"), $"_l".as("_la")), "id_a")
+      .join(lab.select($"_id".as("id_b"), $"_l".as("_lb")), "id_b")
+      .agg(count(lit(1)).as("n_pred"),
+        coalesce(sum(when($"_la" === $"_lb", 1L)), lit(0L)).as("tp"))
+    val truth = lab.groupBy($"_l").agg(count(lit(1)).as("n"))
+      .agg(coalesce(sum(expr("(n * (n - 1)) div 2")), lit(0L)).as("n_truth"))
+    scored.crossJoin(truth)
+      .select($"n_pred", $"n_truth", $"tp",
+        when($"n_pred" === 0, 0L)
+          .otherwise(expr("(10000 * tp) div n_pred")).as("precision_bp"),
+        when($"n_truth" === 0, 0L)
+          .otherwise(expr("(10000 * tp) div n_truth")).as("recall_bp"))
+      .select($"n_pred", $"n_truth", $"tp", $"precision_bp", $"recall_bp",
+        when($"precision_bp" + $"recall_bp" === 0, 0L)
+          .otherwise(expr("(2 * precision_bp * recall_bp) div (precision_bp + recall_bp)"))
+          .as("f1_bp"))
+  }
 }

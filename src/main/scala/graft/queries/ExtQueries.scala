@@ -803,6 +803,55 @@ object ExtQueries extends QueryGroup {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** Pairwise ER evaluation ([[Similarity.pairEval]]): the LSH near-dup
+    * pair set scored against label ground truth — pair-level
+    * precision/recall/F1 in exact basis points, the readout that shows
+    * whether a bucketed generator over- or under-merges (cluster purity
+    * can't see pair-level misses). Truth = all same-label pairs among
+    * nonzero vectors, counted as Σ n·(n−1)/2 without materializing. */
+  def dedupEval(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pred = Similarity.cosineNearDupLsh(emb, 0.3,
+      nPlanes = 4, nTables = 8, dim = 64).select($"id_a", $"id_b")
+    val nz = emb.where(
+      graft.functions.CustomExpressions.dot_product($"embedding", $"embedding") > 0)
+    Similarity.pairEval(pred, nz, "vec_id", "label")
+  }
+
+  private val dedupEvalSql = {
+    val bucketCols = (0 until 8).map(t =>
+      s"${lshBucketSql("embedding", Similarity.hyperplanes(64, 4, seed = 42L + t))} AS b$t")
+      .mkString(",\n  ")
+    val anyTable = (0 until 8).map(t => s"a.b$t = b.b$t").mkString(" OR ")
+    s"""WITH be AS (
+       |  SELECT vec_id, label, embedding,
+       |  $bucketCols
+       |  FROM $nzSql),
+       |pred AS (
+       |  SELECT a.label AS la, b.label AS lb
+       |  FROM be a JOIN be b ON a.vec_id < b.vec_id AND ($anyTable)
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |stats AS (
+       |  SELECT count(*)::BIGINT AS n_pred,
+       |         coalesce(sum(CASE WHEN la = lb THEN 1 END), 0)::BIGINT AS tp
+       |  FROM pred),
+       |truth AS (
+       |  SELECT coalesce(sum((n * (n - 1)) // 2), 0)::BIGINT AS n_truth
+       |  FROM (SELECT label, count(*)::BIGINT AS n FROM $nzSql GROUP BY label)),
+       |m AS (
+       |  SELECT n_pred, n_truth, tp,
+       |         (CASE WHEN n_pred = 0 THEN 0
+       |               ELSE (10000 * tp) // n_pred END)::BIGINT AS precision_bp,
+       |         (CASE WHEN n_truth = 0 THEN 0
+       |               ELSE (10000 * tp) // n_truth END)::BIGINT AS recall_bp
+       |  FROM stats CROSS JOIN truth)
+       |SELECT n_pred, n_truth, tp, precision_bp, recall_bp,
+       |       (CASE WHEN precision_bp + recall_bp = 0 THEN 0
+       |             ELSE (2 * precision_bp * recall_bp)
+       |                    // (precision_bp + recall_bp) END)::BIGINT AS f1_bp
+       |FROM m""".stripMargin
+  }
+
   /** Dedup resolution end-to-end: embedding near-dup pairs → connected
     * components → one canonical doc per cluster. The oracle reproduces
     * min-label components with a recursive CTE (min reachable id =
@@ -3867,6 +3916,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
     QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     QueryDef("ext_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)),
+    QueryDef("ext_dedup_eval", dedupEval, Some(dedupEvalSql)),
     QueryDef("ext_dedup_components", dedupComponents, Some(dedupComponentsSql)),
     QueryDef("ext_dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     QueryDef("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),

@@ -638,4 +638,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out(2L) === ((2L, "b", 1L, 5000L)))
     assert(out(3L) === ((1L, "z", 1L, 10000L)))
   }
+
+  test("pairEval: hand-computed pairwise precision/recall/F1, empty-prediction edge") {
+    import spark.implicits._
+    val labeled = Seq((1L, 0), (2L, 0), (3L, 1), (4L, 0))
+      .toDF("vec_id", "label")
+    // predicted: (1,2) same-label TP, (1,3) cross-label FP;
+    // truth = C(3,2) same-label pairs of label 0 = 3
+    val pred = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val r = Similarity.pairEval(pred, labeled).collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) === ((2L, 3L, 1L)))
+    assert(r.getLong(3) === 5000L) // precision
+    assert(r.getLong(4) === 3333L) // recall
+    assert(r.getLong(5) === 3999L) // 2·5000·3333 div 8333
+    val empty = Similarity.pairEval(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"), labeled).collect().head
+    assert((empty.getLong(0), empty.getLong(2), empty.getLong(3),
+      empty.getLong(4), empty.getLong(5)) === ((0L, 0L, 0L, 0L, 0L)))
+    assert(empty.getLong(1) === 3L) // truth count independent of predictions
+  }
 }
