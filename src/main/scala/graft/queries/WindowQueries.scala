@@ -413,6 +413,44 @@ object WindowQueries extends QueryGroup {
     * partitions on the group key — every partition does its share, no
     * global sort); percent_rank's (rank−1)∕(n−1) divides the same exact
     * integers in both engines. */
+  /** W8 — value-position windows with null skipping: first / last /
+    * nth_value IGNORE NULLS over each user's timeline (the sparse
+    * v_q4 channel makes the null-skip semantics live — ~1/3 of rows
+    * carry no value), plus lead-with-default. The cumulative default
+    * frame (first_v is null until the first non-null arrives) and the
+    * explicit full frame (last_v/second_v) are both pinned. */
+  def valueWindows(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    load(spark, dir, "events")
+      .select($"user_id", $"event_id", $"ts", $"event_type",
+        when(get_json_object($"props", "$.k").cast("long") % 3 =!= 0,
+          floor($"value" * 10000.0).cast("long")).as("v_q4"))
+      .select($"user_id", $"event_id",
+        first($"v_q4", ignoreNulls = true).over(w).as("first_v"),
+        last($"v_q4", ignoreNulls = true).over(wf).as("last_v"),
+        nth_value($"v_q4", 2, ignoreNulls = true).over(wf).as("second_v"),
+        lead($"event_type", 1, "END").over(w).as("next_type"))
+      .orderBy($"user_id", $"event_id")
+  }
+
+  private val valueWindowsSql =
+    """WITH e AS (
+      |  SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type,
+      |         CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) % 3 != 0
+      |              THEN floor(value * 10000.0::DOUBLE)::BIGINT END AS v_q4
+      |  FROM events)
+      |SELECT user_id, event_id,
+      |       first_value(v_q4 IGNORE NULLS) OVER w AS first_v,
+      |       last_value(v_q4 IGNORE NULLS) OVER
+      |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_v,
+      |       nth_value(v_q4, 2 IGNORE NULLS) OVER
+      |         (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_v,
+      |       lead(event_type, 1, 'END') OVER w AS next_type
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin
+
   def ntilePctRank(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy($"o_orderpriority")
       .orderBy($"o_totalprice", $"o_orderkey")
@@ -440,6 +478,7 @@ object WindowQueries extends QueryGroup {
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
     QueryDef("w6_range_trailing", rangeTrailing, Some(rangeTrailingSql)),
     QueryDef("w7_ntile_pctrank", ntilePctRank, Some(ntilePctRankSql)),
+    QueryDef("w8_value_windows", valueWindows, Some(valueWindowsSql)),
     QueryDef("w5_topk_groups", topKGroups, Some(topKGroupsSql)),
     QueryDef("j17_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("j26_asof_native", asofNative, Some(asofNativeSql)),
