@@ -376,7 +376,49 @@ object JoinQueries extends QueryGroup {
       | AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9201
       |ORDER BY probe_key, cand_key""".stripMargin
 
+  /** J25 — entity-resolution pipeline end-to-end: sorted-neighborhood
+    * blocking (w=8 over the normalized-name order) → Jaro–Winkler
+    * verify at 9201 bp (margin to the nearest achievable similarity
+    * measured at 0.037 — engine-safe) → connected components →
+    * min-key canonical per entity cluster. Composes
+    * [[graft.ext.Dedup.sortedNeighborhood]], [[graft.functions.JaroWinklerBp]]
+    * and [[graft.ext.Dedup.resolveComponents]]; the oracle replays all
+    * three stages relationally (window blocking, DuckDB's native
+    * jaro_winkler_similarity, recursive label closure). */
+  def erPipeline(spark: SparkSession, dir: String): DataFrame = {
+    val parts = load(spark, dir, "part").select($"p_partkey",
+      substring(regexp_replace(lower($"p_name"), "[^a-z0-9]", ""), 1, 24).as("snkey"))
+    val cand = graft.ext.Dedup.sortedNeighborhood(parts, $"snkey", 8, idCol = "p_partkey")
+    val pairs = cand
+      .where(graft.functions.CustomExpressions.jaro_winkler_bp($"a_key", $"b_key") >= 9201)
+      .select($"a_id".as("id_a"), $"b_id".as("id_b"))
+    graft.ext.Dedup.resolveComponents(parts.select($"p_partkey"), pairs, idCol = "p_partkey")
+      .orderBy($"p_partkey")
+  }
+
+  private val erPipelineSql =
+    """WITH RECURSIVE keyed AS (
+      |  SELECT p_partkey AS id,
+      |         substr(regexp_replace(lower(p_name), '[^a-z0-9]', '', 'g'), 1, 24) AS k
+      |  FROM part),
+      |ranked AS (SELECT id, k, row_number() OVER (ORDER BY k, id) AS rn FROM keyed),
+      |pairs AS MATERIALIZED (
+      |  SELECT a.id AS ia, b.id AS ib
+      |  FROM ranked a JOIN ranked b ON b.rn - a.rn BETWEEN 1 AND 8
+      |  WHERE jaro_winkler_similarity(a.k, b.k) >= 0.9201),
+      |edges AS MATERIALIZED (
+      |  SELECT ia AS src, ib AS dst FROM pairs
+      |  UNION ALL SELECT ib, ia FROM pairs),
+      |comp(id, comp) AS (
+      |  SELECT id, id FROM keyed
+      |  UNION
+      |  SELECT e.dst, c.comp FROM edges e JOIN comp c ON e.src = c.id)
+      |SELECT id AS p_partkey, min(comp)::BIGINT AS component_id,
+      |       (min(comp) = id) AS is_canonical
+      |FROM comp GROUP BY id ORDER BY p_partkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("j25_er_pipeline", erPipeline, Some(erPipelineSql)),
     QueryDef("j23_jw_match_join", jwMatchJoin, Some(jwMatchJoinSql)),
     QueryDef("j24_fuzzy_match_join", fuzzyMatchJoin, Some(fuzzyMatchJoinSql)),
     QueryDef("j19_bloom_join", bloomPrefilterJoin, Some(bloomPrefilterJoinSql)),
