@@ -259,6 +259,54 @@ object StreamingIngest {
       }
   }
 
+  case class PatchEvent(user_id: Long, field: String, ts: java.sql.Timestamp,
+      event_id: Long, v_q4: Option[Long])
+  case class FieldWinner(usMicros: Long, eventId: Long, value: Long)
+  case class GoldenState(fields: Map[String, FieldWinner])
+  case class GoldenRow(user_id: Long, field: String, usMicros: Long,
+      event_id: Long, v_q4: Long)
+
+  /** Stateful streaming twin of [[graft.ops.Survivorship.goldenRecord]]:
+    * per-key state is ONE winner per field (O(#fields), never the patch
+    * history — the bounded-state discipline of [[attributionStream]]).
+    * A null patch (v_q4 = None) touches nothing, so an older real value
+    * survives it, exactly like the batch rule; the winner only advances
+    * in the (ts, event_id) total order, so replayed or out-of-order
+    * patches are idempotent. Update-mode emission: each batch re-emits
+    * the current winner of every field it touched. Update-mode sinks
+    * retain superseded rows from earlier batches; since the winner is
+    * monotone in (usMicros, event_id), the final table is recovered by
+    * max over exactly those columns per (user, field) — same recovery
+    * contract as [[heavyHittersStream]]'s n_processed. */
+  def survivorshipStream(patches: org.apache.spark.sql.Dataset[PatchEvent])
+      : org.apache.spark.sql.Dataset[GoldenRow] = {
+    import patches.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    def micros(t: java.sql.Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+    patches.groupByKey(_.user_id)
+      .flatMapGroupsWithState[GoldenState, GoldenRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[PatchEvent], state: GroupState[GoldenState]) =>
+          var m = state.getOption.map(_.fields).getOrElse(Map.empty[String, FieldWinner])
+          val touched = scala.collection.mutable.LinkedHashSet[String]()
+          rows.foreach { p =>
+            p.v_q4.foreach { v =>
+              val us = micros(p.ts)
+              val advances = m.get(p.field).forall(cur =>
+                us > cur.usMicros || (us == cur.usMicros && p.event_id > cur.eventId))
+              if (advances) m += p.field -> FieldWinner(us, p.event_id, v)
+              touched += p.field
+            }
+          }
+          if (touched.nonEmpty) state.update(GoldenState(m))
+          touched.iterator.map { f =>
+            val w = m(f)
+            GoldenRow(uid, f, w.usMicros, w.eventId, w.value)
+          }
+      }
+  }
+
   case class KeyedValueEvent(user_id: Long, event_id: Long,
       ts: java.sql.Timestamp, value: Double)
   case class RingState(vals: Seq[Long])

@@ -330,6 +330,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("survivorshipStream: multi-batch per-field winners equal the batch golden record") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.PatchEvent
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val b1 = Seq(
+      PatchEvent(1L, "name", ts(10), 1L, Some(11L)),
+      PatchEvent(1L, "mail", ts(12), 2L, Some(21L)),
+      PatchEvent(2L, "name", ts(10), 3L, None)) // null patch: no state, no emit
+    val b2 = Seq(
+      PatchEvent(1L, "name", ts(50), 4L, None), // later null must NOT clobber
+      PatchEvent(1L, "mail", ts(60), 5L, Some(22L)), // advances
+      PatchEvent(1L, "mail", ts(5), 6L, Some(99L)), // LATE patch: older, ignored
+      PatchEvent(2L, "name", ts(20), 7L, Some(31L)))
+    val input = MemoryStream[PatchEvent]
+    val q = StreamingIngest.survivorshipStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("surv_stream").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    // recover the final table from the Update-mode sink: winner is
+    // monotone in (usMicros, event_id) per (user, field)
+    val fin = spark.table("surv_stream").as[StreamingIngest.GoldenRow]
+      .collect().groupBy(r => (r.user_id, r.field))
+      .map { case (k, rs) => k -> {
+        val w = rs.maxBy(r => (r.usMicros, r.event_id))
+        (w.usMicros, w.event_id, w.v_q4)
+      } }
+    val batch = graft.ops.Survivorship.goldenRecord(
+        (b1 ++ b2).map(p => (p.user_id, p.field,
+          p.ts.getTime * 1000L, p.event_id, p.v_q4))
+          .toDF("user_id", "field", "usMicros", "event_id", "v_q4"),
+        Seq("user_id"), "field", "v_q4", Seq("usMicros", "event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(fin === batch)
+    assert(fin((1L, "name")) === ((ts(10).getTime * 1000L, 1L, 11L)))
+    assert(fin((1L, "mail")) === ((ts(60).getTime * 1000L, 5L, 22L)))
+  }
+
   test("transitionsStream: multi-batch stateful pairs equal the batch transition extraction") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
