@@ -72,6 +72,59 @@ object Resample {
         last($"last_q4", ignoreNulls = true).over(w).as("filled_q4"))
   }
 
+  /** Linear-interpolation resample — [[gapFill]]'s other fill policy:
+    * a missing bucket takes the straight line between its neighboring
+    * observations instead of carrying the last one forward,
+    *
+    *   v(b) = (v_prev·(b_next − b) + v_next·(b − b_prev))
+    *            div (b_next − b_prev)
+    *
+    * in exact integer q4 (the weighted-average form keeps the numerator
+    * NON-NEGATIVE for non-negative values, which matters because floor
+    * and truncate diverge on negatives across engines; `value` must be
+    * ≥ 0). Observed buckets keep their own last observation (same
+    * (ts, tie) pick as gapFill); the grid spans each key's own
+    * [first, last] observed bucket, so both neighbors always exist.
+    *
+    * Scale shape: one (key, bucket) aggregate collapses raw events,
+    * then partitioned cumulative/reverse-cumulative windows carry the
+    * neighbor values — everything after the first aggregate runs at
+    * grid size, and every window partitions by key (no global sort,
+    * no single task). */
+  def interpolate(events: DataFrame, bucketSeconds: Long,
+      keyCol: String = "user_id", tsCol: String = "ts",
+      valueCol: String = "value", tieCol: String = "event_id"): DataFrame = {
+    require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
+    val obs = events
+      .select(col(keyCol).as("_k"),
+        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"),
+        col(tsCol).as("_ts"), col(tieCol).as("_tie"),
+        floor(col(valueCol) * lit(10000.0)).cast("long").as("_v_q4"))
+      .groupBy($"_k", $"b")
+      .agg(max(struct($"_ts", $"_tie", $"_v_q4")).as("_last"))
+      .select($"_k", $"b", $"_last._v_q4".as("obs_q4"))
+    val grid = obs
+      .groupBy($"_k")
+      .agg(min($"b").as("_mn"), max($"b").as("_mx"))
+      .select($"_k", explode(sequence($"_mn", $"_mx")).as("b"))
+    val wp = Window.partitionBy($"_k").orderBy($"b")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy($"_k").orderBy($"b")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    grid
+      .join(obs, Seq("_k", "b"), "left")
+      .select($"_k", $"b", $"obs_q4",
+        last($"obs_q4", ignoreNulls = true).over(wp).as("_pv"),
+        last(when($"obs_q4".isNotNull, $"b"), ignoreNulls = true).over(wp).as("_pb"),
+        first($"obs_q4", ignoreNulls = true).over(wn).as("_nv"),
+        first(when($"obs_q4".isNotNull, $"b"), ignoreNulls = true).over(wn).as("_nb"))
+      .select($"_k".as(keyCol), $"b",
+        $"obs_q4".isNotNull.as("is_observed"),
+        when($"obs_q4".isNotNull, $"obs_q4")
+          .otherwise(expr("(_pv * (_nb - b) + _nv * (b - _pb)) div (_nb - _pb)"))
+          .as("v_q4"))
+  }
+
   /** Time-weighted average per key (the irregular-series mean a plain
     * AVG gets wrong: a value that HELD for an hour must weigh 60× one
     * that held for a minute): step-function integral of the q4 value

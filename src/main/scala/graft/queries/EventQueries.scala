@@ -743,7 +743,51 @@ object EventQueries extends QueryGroup {
       Some(seasonalAnomalySql)),
     QueryDef("ev28_stickiness", stickiness, Some(stickinessSql)),
     QueryDef("ev29_new_returning", newVsReturning, Some(newVsReturningSql)),
-    QueryDef("ev30_ewma", ewmaTrend, Some(ewmaTrendSql)))
+    QueryDef("ev30_ewma", ewmaTrend, Some(ewmaTrendSql)),
+    QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)))
+
+  /** Linear-interpolation resample ([[Resample.interpolate]]): each
+    * user's daily value grid with gaps filled by the straight line
+    * between neighboring observations in exact q4 integers — the other
+    * fill policy next to ev3's carry-forward. The weighted-average
+    * numerator form keeps everything non-negative, so floor ≡ truncate
+    * in both engines. */
+  def interpolate(spark: SparkSession, dir: String): DataFrame =
+    Resample.interpolate(load(spark, dir, "events"), bucketSeconds = 86400L)
+      .orderBy(col("user_id"), col("b"))
+
+  private val interpolateSql =
+    """WITH o2 AS (
+      |  SELECT k, b, v_q4 FROM (
+      |    SELECT user_id AS k,
+      |           epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS b,
+      |           floor(value * 10000.0::DOUBLE)::BIGINT AS v_q4,
+      |           row_number() OVER (
+      |             PARTITION BY user_id,
+      |                          epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000
+      |             ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events) WHERE rn = 1),
+      |grid AS (
+      |  SELECT k, unnest(range(mn, mx + 1)) AS b
+      |  FROM (SELECT k, min(b) AS mn, max(b) AS mx FROM o2 GROUP BY k)),
+      |j AS (
+      |  SELECT grid.k, grid.b, o2.v_q4 AS obs_q4,
+      |         last_value(o2.v_q4 IGNORE NULLS) OVER wp AS pv,
+      |         last_value(CASE WHEN o2.v_q4 IS NOT NULL THEN grid.b END IGNORE NULLS)
+      |           OVER wp AS pb,
+      |         first_value(o2.v_q4 IGNORE NULLS) OVER wn AS nv,
+      |         first_value(CASE WHEN o2.v_q4 IS NOT NULL THEN grid.b END IGNORE NULLS)
+      |           OVER wn AS nb
+      |  FROM grid LEFT JOIN o2 ON grid.k = o2.k AND grid.b = o2.b
+      |  WINDOW wp AS (PARTITION BY grid.k ORDER BY grid.b
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |         wn AS (PARTITION BY grid.k ORDER BY grid.b
+      |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT k AS user_id, b::BIGINT AS b, (obs_q4 IS NOT NULL) AS is_observed,
+      |       (CASE WHEN obs_q4 IS NOT NULL THEN obs_q4
+      |             ELSE (pv * (nb - b) + nv * (b - pb)) // (nb - pb)
+      |        END)::BIGINT AS v_q4
+      |FROM j ORDER BY user_id, b""".stripMargin
 
   /** Trailing 14-day EWMA of each event type's dense daily-count series
     * ([[Resample.ewma]]): power-of-two decay weights and one floor

@@ -226,6 +226,39 @@ class ResampleSpec extends SparkSpec {
     assert(!rows.exists(_.getString(0) == "b"))   // 1-day series: no pairs
   }
 
+  test("interpolate: straight line between neighbors, observed buckets keep their value") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:30:00"), 10L, 1.0),  // bucket b0, v=10000
+      (1L, ts("2024-01-04 00:30:00"), 11L, 4.0),  // b0+3, v=40000 → gaps at +1, +2
+      (1L, ts("2024-01-04 00:40:00"), 12L, 7.0),  // same bucket, later → wins (70000)
+      (2L, ts("2024-01-01 00:00:00"), 20L, 5.0)   // single-bucket key: no gaps
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.interpolate(ev, bucketSeconds = 86400L)
+      .orderBy("user_id", "b").collect()
+      .map(r => (r.getLong(0), r.getBoolean(2), r.getLong(3)))
+    // line from 10000 to 70000 over 3 days: +20000/day
+    assert(out.toSeq === Seq(
+      (1L, true, 10000L), (1L, false, 30000L), (1L, false, 50000L),
+      (1L, true, 70000L), (2L, true, 50000L)))
+  }
+
+  test("interpolate: uneven rational slope floors, per-key grids stay independent") {
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, 0.0001), // 1 in q4
+      (1L, ts("2024-01-08 00:00:00"), 2L, 0.0011), // 11 in q4, 7 days later
+      (3L, ts("2024-02-01 00:00:00"), 3L, 2.0),
+      (3L, ts("2024-02-03 00:00:00"), 4L, 0.0)     // down-slope: 20000 → 0
+    ).toDF("user_id", "ts", "event_id", "value")
+    val out = Resample.interpolate(ev, bucketSeconds = 86400L)
+      .orderBy("user_id", "b").collect()
+      .map(r => (r.getLong(0), r.getLong(3)))
+    // key 1: (1·(7−b) + 11·b) div 7 for b = 0..7
+    val k1 = out.filter(_._1 == 1L).map(_._2)
+    assert(k1.toSeq === Seq(1L, 2L, 3L, 5L, 6L, 8L, 9L, 11L))
+    // key 3: midpoint of a DOWNWARD line still non-negative (20000, 10000, 0)
+    assert(out.filter(_._1 == 3L).map(_._2).toSeq === Seq(20000L, 10000L, 0L))
+  }
+
   test("ewma: hand-computed trailing weights, gap days count as zero, " +
       "early days renormalize over the available lags") {
     // counts [2, 0 (gap day), 4], span 2 → weights (lag0, lag1) = (2, 1):
