@@ -696,6 +696,19 @@ object Similarity {
         expr(s"(10000 * hits) div $k").as("recall_bp"))
   }
 
+  /** Reciprocal-rank eval of an approximate retriever: where did the
+    * TRUE nearest neighbor (exact top-1) land in the approximate list?
+    * rr_q8 = ⌊10⁸∕rank⌋ exact integer, 0 when missed — the
+    * position-sensitive companion to [[recallAtK]] (recall can't tell
+    * rank 1 from rank k). Averaging rr_q8 over queries gives MRR·10⁸.
+    * One tiny equi-join of two k·|queries|-row frames. */
+  def reciprocalRank(approx: DataFrame, exactTop1: DataFrame): DataFrame =
+    exactTop1.select($"q_id", $"n_id")
+      .join(approx.select($"q_id", $"n_id", $"rank"), Seq("q_id", "n_id"), "left_outer")
+      .select($"q_id", $"n_id".as("true_nn"),
+        coalesce($"rank", lit(0)).cast("long").as("rank"),
+        coalesce(expr("100000000 div rank"), lit(0L)).as("rr_q8"))
+
   /** Embedding outlier pruning — flag the vectors farthest from their
     * LABEL CENTROID (the "prune far-from-class-center examples"
     * curation step, the pruning half of SemDeDup-style pipelines), in

@@ -65,4 +65,27 @@ object Anonymize {
     }
     leveled.select(col(keyCol) +: qiCols :+ col("gen_level"): _*)
   }
+
+  /** l-diversity audit of a released table (Machanavajjhala et al.
+    * ICDE'06): k-anonymity bounds group SIZE but a group whose
+    * sensitive attribute is constant still leaks it — this reports,
+    * per quasi-identifier group, the row count, the number of DISTINCT
+    * sensitive values, and whether it reaches `l`. A null sensitive
+    * value is one value class of its own (GROUP BY null semantics,
+    * identical in both engines).
+    *
+    * Scale shape: a two-level aggregate — (QI, sensitive) counts first
+    * (map-side combined; avoids countDistinct's Expand over the raw
+    * release), then the per-QI rollup over the already-tiny distinct
+    * grid. */
+  def lDiversity(released: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty && l >= 1, "need QI columns and l >= 1")
+    released
+      .groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("_n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("_n")).as("n_rows"), count(lit(1)).as("n_distinct"))
+      .withColumn("l_ok", col("n_distinct") >= l)
+  }
 }

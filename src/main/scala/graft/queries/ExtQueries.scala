@@ -436,6 +436,45 @@ object ExtQueries extends QueryGroup {
        |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin
   }
 
+  /** MRR readout ([[Similarity.reciprocalRank]]): the rank the TRUE
+    * nearest neighbor achieves inside the LSH top-5 list per query,
+    * as ⌊10⁸∕rank⌋ (0 = missed) — position-sensitive where recall@k is
+    * not. Same query set and index parameters as ext_sim_recall, so
+    * the two evals read side by side. */
+  def simMrr(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val q = emb.where($"vec_id" < 10)
+    Similarity.reciprocalRank(
+      Similarity.lshTopK(q, emb, 5, nPlanes = 4, dim = 64),
+      Similarity.bruteForceTopK(q, emb, 1))
+      .orderBy($"q_id")
+  }
+
+  private val simMrrSql = {
+    val bucket = lshBucketSql("embedding", Similarity.hyperplanes(64, 4))
+    s"""WITH be AS (
+       |  SELECT vec_id, embedding, $bucket AS bucket FROM embeddings),
+       |bf1 AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank = 1),
+       |lsh AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${cosSql("q.embedding", "c.embedding")} DESC, c.vec_id) AS rank
+       |    FROM be q JOIN be c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       |    WHERE q.vec_id < 10) WHERE rank <= 5)
+       |SELECT bf1.q_id, bf1.n_id AS true_nn,
+       |       coalesce(lsh.rank, 0)::BIGINT AS rank,
+       |       coalesce(100000000 // lsh.rank, 0)::BIGINT AS rr_q8
+       |FROM bf1 LEFT JOIN lsh ON bf1.q_id = lsh.q_id AND bf1.n_id = lsh.n_id
+       |ORDER BY bf1.q_id""".stripMargin
+  }
+
   /** Mutual-kNN graph over the label blocks: an edge survives only if
     * each endpoint ranks the other in its own top-5 — the
     * hubness-resistant pre-clustering graph. The Spark side checks
@@ -594,7 +633,9 @@ object ExtQueries extends QueryGroup {
       .orderBy($"doc_id")
   }
 
-  private val kAnonymitySql =
+  // shared released-table SQL (a def: object-init order makes a shared
+  // val interpolate as the literal "null" — the bpe_merges lesson)
+  private def kAnonReleasedSql =
     """WITH q AS (
       |  SELECT doc_id,
       |         coalesce(lang, '∅') AS a0, coalesce(source, '∅') AS b0,
@@ -621,7 +662,37 @@ object ExtQueries extends QueryGroup {
       |  CASE gen_level WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2
       |       ELSE '*' END AS gen_chars,
       |  gen_level
-      |FROM l ORDER BY doc_id""".stripMargin
+      |FROM l""".stripMargin
+
+  private def kAnonymitySql = kAnonReleasedSql + "\nORDER BY doc_id"
+
+  /** l-diversity audit ([[graft.ops.Anonymize.lDiversity]]) of the
+    * ext_k_anonymity release: per generalized QI group, rows, distinct
+    * sensitive values (raw n_chars), and the l ≥ 3 flag — the leak
+    * check k-anonymity alone cannot make. Two-level aggregate, no
+    * countDistinct Expand. */
+  def lDiversityQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val released = kAnonymityQ(spark, dir)
+      .join(docs.select($"doc_id", $"n_chars"), "doc_id")
+    graft.ops.Anonymize.lDiversity(released,
+        Seq("gen_lang", "gen_source", "gen_chars"), "n_chars", l = 3)
+      .orderBy($"gen_lang", $"gen_source", $"gen_chars")
+  }
+
+  private def lDiversitySql =
+    s"""SELECT gen_lang, gen_source, gen_chars,
+       |       sum(n)::BIGINT AS n_rows,
+       |       count(*)::BIGINT AS n_distinct,
+       |       count(*) >= 3 AS l_ok
+       |FROM (
+       |  SELECT rel.gen_lang, rel.gen_source, rel.gen_chars,
+       |         d.n_chars, count(*)::BIGINT AS n
+       |  FROM ($kAnonReleasedSql) rel
+       |  JOIN documents d USING (doc_id)
+       |  GROUP BY 1, 2, 3, 4)
+       |GROUP BY gen_lang, gen_source, gen_chars
+       |ORDER BY gen_lang, gen_source, gen_chars""".stripMargin
 
   /** Top principal component of the embedding space via quantized
     * power iteration — the anisotropy/whitening readout; the oracle
@@ -3924,6 +3995,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_triplets", simTriplets, Some(simTripletsSql)),
     QueryDef("ext_embed_prune", embedPrune, Some(embedPruneSql)),
     QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
+    QueryDef("ext_sim_mrr", simMrr, Some(simMrrSql)),
     QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
     QueryDef("ext_source_ablation", sourceAblation, Some(sourceAblationSql)),
@@ -3972,6 +4044,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_embed_pca", embedPca, Some(embedPcaSql)),
     QueryDef("ext_embed_anisotropy", embedAnisotropy, Some(embedAnisotropySql)),
     QueryDef("ext_k_anonymity", kAnonymityQ, Some(kAnonymitySql)),
+    QueryDef("ext_l_diversity", lDiversityQ, Some(lDiversitySql)),
     QueryDef("ext_ppr", pprQ, Some(pprSql)),
     QueryDef("ext_sssp", ssspQ, Some(ssspSql)),
     QueryDef("ext_msf", msfQ, Some(msfSql)),

@@ -79,4 +79,20 @@ class AnonymizeSpec extends SparkSpec {
       }
     }
   }
+
+  test("lDiversity: constant-sensitive group flags, null sensitive is one value class") {
+    import spark.implicits._
+    val released = Seq(
+      ("a", Some(10L)), ("a", Some(10L)), ("a", Some(10L)), // constant → not diverse
+      ("b", Some(1L)), ("b", Some(2L)), ("b", Some(3L)),    // 3 distinct → ok at l=3
+      ("c", None), ("c", None), ("c", Some(9L))             // nulls collapse: 2 classes
+    ).toDF("qi", "sens")
+    val out = Anonymize.lDiversity(released, Seq("qi"), "sens", l = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3))))
+      .toMap
+    assert(out === Map(
+      "a" -> ((3L, 1L, false)),
+      "b" -> ((3L, 3L, true)),
+      "c" -> ((3L, 2L, false))))
+  }
 }
