@@ -40,7 +40,9 @@ object SourceQueries extends QueryGroup {
       Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
         nation.map(r => Seq(r.get(0).toString, r.getString(1),
           r.get(2).toString)))
-    graft.io.Xlsx.readXlsx(spark, tmpDir.getAbsolutePath)
+    // read back through the DataSource V2 connector — the gate drives
+    // the full format("graft-xlsx") path (XlsxSpec pins ≡ readXlsx)
+    spark.read.format("graft-xlsx").load(tmpDir.getAbsolutePath)
       .select($"n_nationkey".cast("int").as("n_nationkey"), $"n_name",
         $"n_regionkey".cast("int").as("n_regionkey"))
       .orderBy($"n_nationkey")

@@ -158,4 +158,58 @@ class XlsxSpec extends SparkSpec {
       .toSet
     assert(got === viaCsv)
   }
+
+  test("DSv2 source: format(\"graft-xlsx\") matches readXlsx, incl. multi-file") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
+    val mk = (v: String, q: String) => xlsxBytes(Seq(
+      Seq(Some("k"), Some("v"), Some("w")),
+      Seq(Some(v), Some(q), None),
+      Seq(Some(v + "2"), None, Some("x"))))
+    writeFile(dir, "a.xlsx", mk("fromA", "1"))
+    writeFile(dir, "b.xlsx", mk("fromB", "2"))
+    val v2 = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+    assert(v2.columns.toSeq === Seq("k", "v", "w"))
+    val want = Xlsx.readXlsx(spark, dir.getAbsolutePath)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val got = v2.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got === want && got.size === 4)
+    // one input partition per file
+    assert(v2.rdd.getNumPartitions === 2)
+  }
+
+  test("DSv2 source: column pruning reaches the reader, limit is pushed") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
+    writeFile(dir, "a.xlsx", xlsxBytes(Seq(
+      Seq(Some("k"), Some("v"), Some("w")),
+      Seq(Some("r1"), Some("1"), Some("x")),
+      Seq(Some("r2"), Some("2"), Some("y")),
+      Seq(Some("r3"), Some("3"), Some("z")))))
+    val pruned = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+      .select("v")
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(scan.readSchema().fieldNames.toSeq === Seq("v"),
+      s"reader schema not pruned: ${scan.readSchema()}")
+    assert(pruned.collect().map(_.getString(0)).toSet === Set("1", "2", "3"))
+    val limited = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+      .limit(2)
+    val lscan = limited.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(lscan.description().contains("PushedLimit: 2"),
+      s"limit not pushed: ${lscan.description()}")
+    assert(limited.count() === 2)
+  }
+
+  test("DSv2 source: sheet option and SQL USING path work") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
+    writeFile(dir, "a.xlsx", xlsxBytes(Seq(
+      Seq(Some("c1")), Seq(Some("valA")))))
+    spark.sql(
+      s"""CREATE OR REPLACE TEMPORARY VIEW xlsx_v2_test
+         |USING `graft-xlsx` OPTIONS (path '${dir.getAbsolutePath}', sheet '1')""".stripMargin)
+    assert(spark.table("xlsx_v2_test").collect().map(_.getString(0)).toSeq === Seq("valA"))
+  }
 }
