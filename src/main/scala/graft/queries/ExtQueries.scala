@@ -1821,6 +1821,33 @@ object ExtQueries extends QueryGroup {
        |SELECT kind, id, score FROM top ORDER BY kind, score DESC, id""".stripMargin
   }
 
+  /** Co-purchase projection ([[graft.ops.Cooccurrence]]): the item–item
+    * shared-customer graph from the same bipartite purchase edges as
+    * ext_hits, hot hubs (> 50 distinct parts) dropped by the stop-hub
+    * rule BEFORE the quadratic self-join — the cap fires on the real
+    * degree tail at every SF. Top-100 by shared count, full tie-break. */
+  def copurchase(spark: SparkSession, dir: String): DataFrame = {
+    val edges = load(spark, dir, "orders").select($"o_orderkey", $"o_custkey")
+      .join(load(spark, dir, "lineitem").select($"l_orderkey", $"l_partkey"),
+        $"o_orderkey" === $"l_orderkey")
+      .select($"o_custkey".as("hub"), $"l_partkey".as("item"))
+    graft.ops.Cooccurrence.project(edges, maxDegree = 50)
+      .orderBy($"n_shared".desc, $"item_a", $"item_b").limit(100)
+  }
+
+  private val copurchaseSql =
+    """WITH e AS (
+      |  SELECT DISTINCT o_custkey AS hub, l_partkey AS item
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+      |d AS (
+      |  SELECT hub FROM (SELECT hub, count(*) AS d FROM e GROUP BY hub)
+      |  WHERE d <= 50),
+      |k AS (SELECT e.hub, e.item FROM e JOIN d USING (hub))
+      |SELECT a.item AS item_a, b.item AS item_b, count(*)::BIGINT AS n_shared
+      |FROM k a JOIN k b ON a.hub = b.hub AND a.item < b.item
+      |GROUP BY 1, 2
+      |ORDER BY n_shared DESC, item_a, item_b LIMIT 100""".stripMargin
+
   /** 2-core of the same near-dup graph as PageRank/LPA: iterative
     * peeling until every survivor keeps ≥ 2 similar neighbors — the
     * dense-kernel selector (components finds reachability, LPA the
@@ -4036,6 +4063,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
     QueryDef("ext_pagerank", pagerank, Some(pagerankSql)),
     QueryDef("ext_hits", hits, Some(hitsSql)),
+    QueryDef("ext_copurchase", copurchase, Some(copurchaseSql)),
     QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
