@@ -8,9 +8,10 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -104,14 +105,88 @@ private[io] object XlsxSource {
 }
 
 private[io] class XlsxTable(schema: StructType,
-    options: CaseInsensitiveStringMap) extends Table with SupportsRead {
+    options: CaseInsensitiveStringMap) extends Table
+    with SupportsRead with SupportsWrite {
   override def name(): String = s"graft-xlsx:${options.get("path")}"
   override def schema(): StructType = schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(caseInsensitiveOptions: CaseInsensitiveStringMap)
       : ScanBuilder =
     new XlsxScanBuilder(schema, options)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new XlsxWriteBuilder(info.schema(),
+      Option(options.get("path")).getOrElse(info.options().get("path")))
+}
+
+/** Write side of the connector (S13, the sheet-export sink, through
+  * `df.write.format("graft-xlsx")`): each non-empty input partition
+  * writes its own `part-*.xlsx` carrying the header row — the CSV
+  * part-file convention, so the read side's per-file header drop
+  * round-trips it. All values are written as strings (cast upstream;
+  * spreadsheets are a string-typed interchange format here, exactly
+  * like [[Xlsx.writeXlsx]]). Overwrite = truncate: existing .xlsx in
+  * the target are removed on the driver BEFORE tasks launch — a
+  * best-effort directory sink, not a transactional one (that's
+  * [[SnapshotTable]]'s job). */
+private[io] class XlsxWriteBuilder(schema: StructType, path: String)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite = {
+      val conf = SparkSession.active.sessionState.newHadoopConf()
+      if (doTruncate) {
+        val p = new Path(path)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p))
+          fs.listStatus(p).filter(_.getPath.getName.endsWith(".xlsx"))
+            .foreach(st => fs.delete(st.getPath, false))
+      }
+      new XlsxBatchWrite(schema, path, new SerializableHadoopConf(conf))
+    }
+  }
+}
+
+private[io] class XlsxBatchWrite(schema: StructType, path: String,
+    conf: SerializableHadoopConf) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new XlsxWriterFactory(schema, path, conf)
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[io] case class XlsxCommit(file: String) extends WriterCommitMessage
+
+private[io] class XlsxWriterFactory(schema: StructType, path: String,
+    conf: SerializableHadoopConf) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      private val header = schema.fieldNames.toSeq
+      private val buf = scala.collection.mutable.ArrayBuffer[Seq[String]](header)
+      override def write(record: InternalRow): Unit =
+        buf += schema.fields.indices.map { i =>
+          if (record.isNullAt(i)) null
+          else record.get(i, schema.fields(i).dataType).toString
+        }
+      override def commit(): WriterCommitMessage = {
+        if (buf.size > 1) {
+          val tmp = java.io.File.createTempFile("graft_xlsx", ".xlsx")
+          try {
+            Xlsx.writeXlsx(tmp, buf.toSeq)
+            val target = new Path(path,
+              f"part-$partitionId%05d-$taskId.xlsx")
+            val fs = target.getFileSystem(conf.value)
+            val out = fs.create(target, true)
+            try java.nio.file.Files.copy(tmp.toPath, out) finally out.close()
+            XlsxCommit(target.toString)
+          } finally { tmp.delete(); () }
+        } else XlsxCommit("")
+      }
+      override def abort(): Unit = ()
+      override def close(): Unit = ()
+    }
 }
 
 private[io] class XlsxScanBuilder(fullSchema: StructType,

@@ -203,6 +203,27 @@ class XlsxSpec extends SparkSpec {
     assert(limited.count() === 2)
   }
 
+  test("DSv2 write: part files round-trip through the reader; overwrite truncates") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_w").toFile
+    val df = Seq(("a", "1"), ("b", null: String), ("c", "3"))
+      .toDF("k", "v").repartition(2)
+    df.write.format("graft-xlsx").mode("append").save(dir.getAbsolutePath)
+    val back = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+    assert(back.columns.toSeq === Seq("k", "v"))
+    assert(back.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("a", "1"), ("b", null), ("c", "3")))
+    // append adds; overwrite replaces
+    Seq(("d", "4")).toDF("k", "v").write.format("graft-xlsx")
+      .mode("append").save(dir.getAbsolutePath)
+    assert(spark.read.format("graft-xlsx").load(dir.getAbsolutePath).count() === 4)
+    Seq(("z", "9")).toDF("k", "v").write.format("graft-xlsx")
+      .mode("overwrite").save(dir.getAbsolutePath)
+    val after = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+    assert(after.collect().map(r => (r.getString(0), r.getString(1))).toSeq
+      === Seq(("z", "9")))
+  }
+
   test("DSv2 source: sheet option and SQL USING path work") {
     val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
     writeFile(dir, "a.xlsx", xlsxBytes(Seq(
