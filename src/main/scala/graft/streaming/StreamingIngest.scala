@@ -395,6 +395,27 @@ object StreamingIngest {
       .drop(col(s"r.$key"))
   }
 
+  /** LEFT OUTER stream-stream interval join — [[intervalJoin]]'s outer
+    * form: left rows with no in-window right match are EMITTED WITH
+    * NULLS once the watermark passes their join window (Spark can only
+    * declare "no match will ever come" after both sides' watermarks
+    * clear the window — until then the row waits in state). Same state
+    * bound as the inner form; the only addition is the deferred
+    * null-padded emission. In batch the identical call degenerates to
+    * a plain left join (watermarks are no-ops) — spec-pinned. */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, key: String,
+      leftTs: String, rightTs: String, maxDelay: String,
+      watermark: String = "10 minutes"): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark).alias("l")
+    val r = right.withWatermark(rightTs, watermark).alias("r")
+    l.join(r,
+        col(s"l.$key") === col(s"r.$key") &&
+          col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+          col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $maxDelay"),
+        "left_outer")
+      .drop(col(s"r.$key"))
+  }
+
   /** Stream-static enrichment: a live stream joined to a slowly-moving
     * dimension. Stateless on the stream side (each micro-batch joins the
     * dimension as of that batch — no watermark, no join state), and the

@@ -150,6 +150,49 @@ class StreamingSpec extends SparkSpec {
       !phys.contains("CartesianProduct"), phys)
   }
 
+  test("left-outer interval join: unmatched rows emit with nulls only after the watermark clears their window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.{newLongEncoder, newProductEncoder, localSeqToDatasetHolder}
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = 1700000000000L
+    val ts = (ms: Long) => new java.sql.Timestamp(t0 + ms)
+    val lIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val rIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val l = lIn.toDS().toDF("user_id", "view_id", "view_ts")
+    val r = rIn.toDS().toDF("user_id", "click_id", "click_ts")
+    val q = StreamingIngest.intervalJoinOuter(l, r, "user_id",
+        "view_ts", "click_ts", "1 hour", watermark = "1 second")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_outer").start()
+    try {
+      lIn.addData((1L, 10L, ts(0)), (2L, 20L, ts(0)))
+      rIn.addData((1L, 100L, ts(600000))) // u1 clicks 10 min in → matches
+      q.processAllAvailable()
+      // nothing evictable yet: u2's window is still open
+      val mid = spark.table("ssj_outer").collect()
+      assert(!mid.exists(_.isNullAt(2)), "null row emitted before watermark")
+      // sentinel far-future rows advance BOTH watermarks past u2's window
+      lIn.addData((98L, 990L, ts(86400000L)))
+      rIn.addData((99L, 991L, ts(86400000L)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj_outer")
+      .select(col("view_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSet
+    // v10 matched; v20 null-padded after eviction; the sentinel view's own
+    // window is still open, so it must NOT have emitted
+    assert(got === Set((10L, 100L), (20L, -1L)))
+    // batch degeneration: identical call on batch frames = plain left join
+    val bl = Seq((1L, 10L, ts(0)), (2L, 20L, ts(0))).toDF("user_id", "view_id", "view_ts")
+    val br = Seq((1L, 100L, ts(600000))).toDF("user_id", "click_id", "click_ts")
+    val batch = StreamingIngest.intervalJoinOuter(bl, br, "user_id",
+        "view_ts", "click_ts", "1 hour")
+      .select(col("view_id"), col("click_id"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(batch === Set((10L, 100L), (20L, -1L)))
+  }
+
   test("stream-static enrichment matches the batch join; dim hop broadcasts") {
     val ev = Tables.load(spark, sfDir, "events")
     val landing = tmpDir("graft-landing-enrich")
