@@ -192,33 +192,57 @@ private[io] class XlsxWriterFactory(schema: StructType, path: String,
 private[io] class XlsxScanBuilder(fullSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
   private var required: StructType = fullSchema
   private var limit: Int = -1
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def pushLimit(l: Int): Boolean = { limit = l; true }
+  // string equality and null checks evaluate on the raw cells inside
+  // the reader — rows die before becoming InternalRows. Everything
+  // else stays a post-scan filter (returned as "not pushed").
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo(_, _: String) => true
+      case IsNotNull(_) => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected
+  }
+  override def pushedFilters(): Array[Filter] = pushed
   override def build(): Scan =
-    new XlsxScan(fullSchema, required, options, limit)
+    new XlsxScan(fullSchema, required, options, limit, pushed)
 }
 
 private[io] case class XlsxInputPartition(file: String) extends InputPartition
 
 private[io] class XlsxScan(fullSchema: StructType, required: StructType,
-    options: CaseInsensitiveStringMap, limit: Int) extends Scan with Batch {
+    options: CaseInsensitiveStringMap, limit: Int,
+    filters: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val lim = if (limit >= 0) s", PushedLimit: $limit" else ""
-    s"graft-xlsx ReadSchema: ${required.simpleString}$lim"
+    val f = if (filters.nonEmpty) s", PushedFilters: [${filters.mkString(", ")}]" else ""
+    s"graft-xlsx ReadSchema: ${required.simpleString}$lim$f"
   }
   override def planInputPartitions(): Array[InputPartition] =
     XlsxSource.listFiles(options)
       .map(XlsxInputPartition(_): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory = {
     val sheet = Option(options.get("sheet")).map(_.toInt).getOrElse(1)
+    // serializable (column index, required value | null=IsNotNull) pairs
+    val cellFilters: Array[(Int, String)] = filters.collect {
+      case org.apache.spark.sql.sources.EqualTo(c, v: String) =>
+        fullSchema.fieldNames.indexOf(c) -> v
+      case org.apache.spark.sql.sources.IsNotNull(c) =>
+        fullSchema.fieldNames.indexOf(c) -> null
+    }.filter(_._1 >= 0)
     new XlsxReaderFactory(
-      fullSchema.fieldNames, required.fieldNames, sheet, limit,
+      fullSchema.fieldNames, required.fieldNames, sheet, limit, cellFilters,
       new SerializableHadoopConf(
         SparkSession.active.sessionState.newHadoopConf()))
   }
@@ -226,15 +250,27 @@ private[io] class XlsxScan(fullSchema: StructType, required: StructType,
 
 private[io] class XlsxReaderFactory(fullHeader: Array[String],
     requiredCols: Array[String], sheet: Int, limit: Int,
+    cellFilters: Array[(Int, String)],
     conf: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val file = partition.asInstanceOf[XlsxInputPartition].file
     // required column -> position in the file's (header-ordered) cells
     val idx = requiredCols.map(c => fullHeader.indexOf(c))
     new PartitionReader[InternalRow] {
+      private def cell(cells: Seq[String], i: Int): String = {
+        val v = if (i >= 0 && i < cells.length) cells(i) else null
+        if (v == null || v.isEmpty) null else v
+      }
       private val rows: Iterator[Seq[String]] = {
+        // filters run on raw cells BEFORE the pushed limit counts
+        // (the limit is only pushed above fully-consumed operators,
+        // but order here must not depend on that)
         val all = Xlsx.parseWorkbook(
-          XlsxSource.readBytes(file, conf.value), sheet).iterator.drop(1)
+            XlsxSource.readBytes(file, conf.value), sheet).iterator.drop(1)
+          .filter(cells => cellFilters.forall { case (i, want) =>
+            val v = cell(cells, i)
+            if (want == null) v != null else v == want
+          })
         if (limit >= 0) all.take(limit) else all
       }
       private var current: InternalRow = _
@@ -243,8 +279,8 @@ private[io] class XlsxReaderFactory(fullHeader: Array[String],
         else {
           val cells = rows.next()
           current = InternalRow.fromSeq(idx.toIndexedSeq.map { i =>
-            val v = if (i >= 0 && i < cells.length) cells(i) else null
-            if (v == null || v.isEmpty) null else UTF8String.fromString(v)
+            val v = cell(cells, i)
+            if (v == null) null else UTF8String.fromString(v)
           })
           true
         }

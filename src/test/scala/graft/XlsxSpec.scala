@@ -203,6 +203,31 @@ class XlsxSpec extends SparkSpec {
     assert(limited.count() === 2)
   }
 
+  test("DSv2 source: string equality and IsNotNull push to the reader; others stay post-scan") {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_f").toFile
+    writeFile(dir, "a.xlsx", xlsxBytes(Seq(
+      Seq(Some("k"), Some("v")),
+      Seq(Some("keep"), Some("1")),
+      Seq(Some("drop"), None),
+      Seq(Some("keep"), Some("2")),
+      Seq(None, Some("3")))))
+    import org.apache.spark.sql.functions.col
+    val df = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+      .where(col("k") === "keep" && col("v").isNotNull)
+    val scan = df.queryExecution.executedPlan.collect {
+      case b: BatchScanExec => b.scan
+    }.head
+    assert(scan.description().contains("PushedFilters"), scan.description())
+    assert(scan.description().contains("EqualTo(k,keep)"), scan.description())
+    assert(df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("keep", "1"), ("keep", "2")))
+    // a non-pushable predicate still answers correctly post-scan
+    val like = spark.read.format("graft-xlsx").load(dir.getAbsolutePath)
+      .where(col("k").startsWith("ke"))
+    assert(like.count() === 2)
+  }
+
   test("DSv2 write: part files round-trip through the reader; overwrite truncates") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("xlsx_w").toFile
