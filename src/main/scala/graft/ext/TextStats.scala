@@ -755,6 +755,43 @@ object TextStats {
     * map-side-combined aggregate, and the flag joins back on the gram
     * — co-partitioned with the df aggregate's own partitioning, so
     * the gram frame shuffles once. */
+  /** Flesch reading-ease per document in EXACT integer hundredths —
+    * the classic readability quality signal (Flesch 1948, public):
+    *
+    *   flesch_c100 = 20684 − ⌊203·w ∕ (2·s)⌋ − ⌊8460·syl ∕ w⌋
+    *
+    * with w = tokens, s = non-blank `[.!?]+` sentence segments
+    * (min 1), and the deterministic syllable heuristic
+    * syl = (#`[aeiouy]+` vowel runs in the lowercased text) +
+    * (#tokens with no vowel run) — the vowelless-token correction
+    * gives every word ≥ 1 syllable without per-word arithmetic. Both
+    * divisions are floor-on-positives, so the score is bit-identical
+    * in any engine (the float constant form 206.835 − 1.015(w/s) −
+    * 84.6(syl/w) is not). Zero-word docs report null.
+    *
+    * Scale shape: fully narrow — two regexp passes and two small HOF
+    * filters per row, zero shuffle; the token array is aliased once in
+    * its own projection (multi-referenced HOF inputs re-evaluate when
+    * inlined — the documented CollapseProject hazard). */
+  def readability(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol),
+        tokens(col(textCol)).as("_toks"),
+        lower(coalesce(col(textCol), lit(""))).as("_lt"))
+      .select(col(idCol),
+        size($"_toks").cast("long").as("n_words"),
+        greatest(size(filter(split($"_lt", "[.!?]+"),
+          x => length(trim(x)) > lit(0))), lit(1)).cast("long").as("n_sentences"),
+        (size(regexp_extract_all($"_lt", lit("[aeiouy]+"), lit(0))) +
+          size(filter($"_toks", t => !t.rlike("[aeiouy]"))))
+          .cast("long").as("n_syllables"))
+      .select(col(idCol), $"n_words", $"n_sentences", $"n_syllables",
+        when($"n_words" === 0, lit(null).cast("long"))
+          .otherwise(lit(20684L) -
+            expr("(203 * n_words) div (2 * n_sentences)") -
+            expr("(8460 * n_syllables) div n_words"))
+          .as("flesch_c100"))
+
   /** Per-document character-distribution diversity — the
     * gibberish/repetition quality signal family, in EXACT integer
     * arithmetic: `(doc_id, n_chars, n_distinct_chars, top_share_bp,

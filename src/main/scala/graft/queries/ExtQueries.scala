@@ -3887,6 +3887,34 @@ object ExtQueries extends QueryGroup {
        |FROM sc JOIN gc USING (term) JOIN st USING (src) CROSS JOIN gt
        |GROUP BY sc.src ORDER BY source""".stripMargin
 
+  /** Flesch reading-ease per document in exact integer hundredths
+    * ([[TextStats.readability]]): floor-on-positive divisions and a
+    * vowel-run syllable heuristic keep the classic formula
+    * hash-gateable where its float form is not. */
+  def readabilityQ(spark: SparkSession, dir: String): DataFrame =
+    TextStats.readability(load(spark, dir, "documents"))
+      .orderBy($"doc_id")
+
+  private val readabilitySql =
+    s"""WITH g AS (
+       |  SELECT doc_id, lower(coalesce(text, '')) AS lt, $toksSql AS ws
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id,
+       |         len(ws)::BIGINT AS n_words,
+       |         greatest(len(list_filter(string_split_regex(lt, '[.!?]+'),
+       |                       x -> len(trim(x)) > 0)), 1)::BIGINT AS n_sentences,
+       |         (len(regexp_extract_all(lt, '[aeiouy]+'))
+       |          + len(list_filter(ws, w -> NOT regexp_matches(w, '[aeiouy]'))))::BIGINT
+       |           AS n_syllables
+       |  FROM g)
+       |SELECT doc_id, n_words, n_sentences, n_syllables,
+       |       (CASE WHEN n_words = 0 THEN NULL
+       |             ELSE 20684 - (203 * n_words) // (2 * n_sentences)
+       |                        - (8460 * n_syllables) // n_words
+       |        END)::BIGINT AS flesch_c100
+       |FROM c ORDER BY doc_id""".stripMargin
+
   /** Character-distribution diversity per document: exact-integer
     * Gini–Simpson collision probability + top-char share (the
     * log-free gibberish/repetition signal). */
@@ -3990,6 +4018,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),
     QueryDef("ext_text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef("ext_char_diversity", charDiversityQ, Some(charDiversitySql)),
+    QueryDef("ext_text_readability", readabilityQ, Some(readabilitySql)),
     QueryDef("ext_dedup_segments", dedupSegments, Some(dedupSegmentsSql)),
     QueryDef("ext_boilerplate", boilerplate, Some(boilerplateSql)),
     QueryDef("ext_dedup_increment", dedupIncrement, Some(dedupIncrementSql)),

@@ -551,4 +551,24 @@ class TextStatsSpec extends SparkSpec {
     assert(out(3L) === ((1L, 4L, 4L, 4L)))
     assert(out(4L) === ((1L, 8L, 8L, 8L)))
   }
+
+  test("readability: hand-computed Flesch c100, vowelless correction, sentence fallback") {
+    import spark.implicits._
+    val docs = Seq(
+      // w=6, s=2, vowel runs=6 → 20684 − (203·6 div 4) − (8460·6 div 6)
+      (1L, "The cat sat. The dog ran!"),
+      // no vowels at all: syl = vowelless correction = w = 2; no
+      // terminator → sentence count falls back to 1
+      (2L, "bcd fgh"),
+      (3L, "") // w counts the empty token; flesch still defined
+    ).toDF("doc_id", "text")
+    val out = TextStats.readability(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) Long.MinValue else r.getLong(4)))).toMap
+    assert(out(1L) === ((6L, 2L, 6L, 20684L - 304L - 8460L)))
+    assert(out(2L) === ((2L, 1L, 2L, 20684L - 203L - 8460L)))
+    // "" splits to one empty token (the tokenizer's documented shape):
+    // w=1, the empty token is vowelless → syl=1
+    assert(out(3L) === ((1L, 1L, 1L, 20684L - 101L - 8460L)))
+  }
 }
