@@ -744,7 +744,90 @@ object EventQueries extends QueryGroup {
     QueryDef("ev28_stickiness", stickiness, Some(stickinessSql)),
     QueryDef("ev29_new_returning", newVsReturning, Some(newVsReturningSql)),
     QueryDef("ev30_ewma", ewmaTrend, Some(ewmaTrendSql)),
-    QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)))
+    QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)),
+    QueryDef("ev32_removal_effect", removalEffectQ, Some(removalEffectSql)))
+
+  /** Markov removal-effect attribution ([[Journeys.removalEffect]]):
+    * per channel, the drop in 6-step absorbed conversion mass when the
+    * channel is removed from the journey chain — the data-driven
+    * model next to ev11's last-touch. The oracle replays chain
+    * truncation, the transition matrix, and every per-channel
+    * absorption as unrolled relational steps (per-term floors, CONV/
+    * END self-loops) — channels are the four non-conversion event
+    * types, present at every SF. */
+  def removalEffectQ(spark: SparkSession, dir: String): DataFrame =
+    Journeys.removalEffect(load(spark, dir, "events"), convType = "purchase",
+        iters = 6)
+      .orderBy(col("channel"))
+
+  private val removalEffectSql = {
+    val channels = Seq("click", "error", "signup", "view")
+    def steps(tag: String, tp: String) =
+      (1 to 6).map { i =>
+        s"""m${tag}_$i AS (
+           |  SELECT t.t AS state, sum((m.pi * t.p_bp) // 10000)::BIGINT AS pi
+           |  FROM m${tag}_${i - 1} m JOIN $tp t ON m.state = t.f
+           |  GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+    val chanCtes = channels.map { c =>
+      s"""tp_$c AS MATERIALIZED (
+         |  SELECT f, CASE WHEN t = '$c' THEN 'END' ELSE t END AS t,
+         |         sum(p_bp)::BIGINT AS p_bp
+         |  FROM tp_full WHERE f <> '$c' GROUP BY 1, 2),
+         |m${c}_0 AS (SELECT 'START' AS state, 100000000::BIGINT AS pi),
+         |${steps(c, s"tp_$c")}""".stripMargin
+    }.mkString(",\n")
+    val resRows = channels.map { c =>
+      s"""SELECT '$c' AS channel,
+         |       coalesce((SELECT pi FROM mfull_6 WHERE state = 'CONV'), 0) AS p_full_q8,
+         |       coalesce((SELECT pi FROM m${c}_6 WHERE state = 'CONV'), 0) AS p_removed_q8""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+       |fp AS (SELECT user_id, ts, event_id FROM (
+       |  SELECT user_id, ts, event_id,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+       |kept AS (
+       |  SELECT e.user_id, e.event_type,
+       |         lead(e.event_type) OVER (PARTITION BY e.user_id
+       |           ORDER BY e.ts, e.event_id) AS nxt,
+       |         row_number() OVER (PARTITION BY e.user_id
+       |           ORDER BY e.ts, e.event_id) AS rn
+       |  FROM e LEFT JOIN fp ON e.user_id = fp.user_id
+       |  WHERE fp.user_id IS NULL OR (e.ts, e.event_id) <= (fp.ts, fp.event_id)),
+       |tr AS (
+       |  SELECT event_type AS f,
+       |         CASE WHEN nxt = 'purchase' THEN 'CONV'
+       |              WHEN nxt IS NULL THEN 'END' ELSE nxt END AS t
+       |  FROM kept WHERE event_type <> 'purchase'
+       |  UNION ALL
+       |  SELECT 'START' AS f,
+       |         CASE WHEN event_type = 'purchase' THEN 'CONV'
+       |              ELSE event_type END AS t
+       |  FROM kept WHERE rn = 1),
+       |cnt AS (SELECT f, t, count(*)::BIGINT AS n FROM tr GROUP BY 1, 2),
+       |tt AS (SELECT f, sum(n)::BIGINT AS tot FROM cnt GROUP BY 1),
+       |tp_full AS MATERIALIZED (
+       |  SELECT cnt.f, cnt.t, (10000 * cnt.n) // tt.tot AS p_bp
+       |  FROM cnt JOIN tt USING (f)
+       |  UNION ALL SELECT 'CONV', 'CONV', 10000
+       |  UNION ALL SELECT 'END', 'END', 10000),
+       |mfull_0 AS (SELECT 'START' AS state, 100000000::BIGINT AS pi),
+       |${steps("full", "tp_full")},
+       |$chanCtes,
+       |res AS (
+       |$resRows),
+       |res2 AS (
+       |  SELECT channel, p_full_q8, p_removed_q8,
+       |         greatest(p_full_q8 - p_removed_q8, 0)::BIGINT AS re_q8
+       |  FROM res),
+       |s AS (SELECT sum(re_q8)::BIGINT AS sre FROM res2)
+       |SELECT channel, p_full_q8::BIGINT AS p_full_q8,
+       |       p_removed_q8::BIGINT AS p_removed_q8, re_q8,
+       |       (CASE WHEN s.sre = 0 THEN 0
+       |             ELSE (10000 * re_q8) // s.sre END)::BIGINT AS share_bp
+       |FROM res2 CROSS JOIN s ORDER BY channel""".stripMargin
+  }
 
   /** Linear-interpolation resample ([[Resample.interpolate]]): each
     * user's daily value grid with gaps filled by the straight line

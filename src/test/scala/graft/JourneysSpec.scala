@@ -330,4 +330,27 @@ class JourneysSpec extends SparkSpec {
     assert(out(1L) === ((2L, 700L)))
     assert(out(2L) === ((1L, 300L)))
   }
+
+  test("removalEffect: hand-computed absorption, chain truncation, share normalization") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "purchase"),
+      (1L, ts("2024-01-01 00:02:00"), 3L, "click"), // post-conversion: truncated away
+      (2L, ts("2024-01-01 00:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 00:01:00"), 5L, "click"),
+      (2L, ts("2024-01-01 00:02:00"), 6L, "purchase"),
+      (3L, ts("2024-01-01 00:00:00"), 7L, "view") // never converts → END
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Journeys.removalEffect(ev, convType = "purchase", iters = 6)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // matrix: START→view 10000; view→{CONV,click,END} 3333 each; click→CONV 10000
+    // full: CONV mass = 33330000 (direct) + 33330000 (via click) = 66660000
+    // remove view: START's only edge redirects to END → 0
+    // remove click: only the direct 33330000 arrives
+    assert(out("view") === ((66660000L, 0L, 66660000L, 6666L)))
+    assert(out("click") === ((66660000L, 33330000L, 33330000L, 3333L)))
+    assert(out.keySet === Set("view", "click"))
+  }
 }
