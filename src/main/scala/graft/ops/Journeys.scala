@@ -595,6 +595,32 @@ object Journeys {
           .as("segment"))
   }
 
+  /** Daily-activity streaks per user — the engagement-loyalty readout
+    * next to DAU/MAU stickiness: longest run of CONSECUTIVE active
+    * days, streak count, and total active days, via gaps-and-islands
+    * on the distinct-day timeline (`day − row_number` is constant
+    * within a consecutive run). Events collapse to distinct (user,
+    * epoch-day) first, so all window work runs at active-day
+    * cardinality, partitioned by user — no global sort. */
+  def streaks(events: DataFrame, userCol: String = "user_id",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val dayUs = 86400L * 1000000L
+    val days = events
+      .select(col(userCol).as("u"),
+        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+      .distinct()
+    val w = Window.partitionBy($"u").orderBy($"d")
+    days
+      .withColumn("_isl", $"d" - row_number().over(w))
+      .groupBy($"u", $"_isl").agg(count(lit(1)).as("_len"))
+      .groupBy($"u")
+      .agg(sum($"_len").as("n_active_days"),
+        max($"_len").as("longest_streak"),
+        count(lit(1)).as("n_streaks"))
+      .select($"u".as(userCol), $"n_active_days", $"longest_streak", $"n_streaks")
+  }
+
   /** Markov removal-effect attribution (the data-driven attribution
     * model, Anderl et al. 2014 — public): credit each channel by how
     * much the conversion probability DROPS when that channel is removed

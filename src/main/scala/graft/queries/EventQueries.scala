@@ -745,7 +745,28 @@ object EventQueries extends QueryGroup {
     QueryDef("ev29_new_returning", newVsReturning, Some(newVsReturningSql)),
     QueryDef("ev30_ewma", ewmaTrend, Some(ewmaTrendSql)),
     QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)),
-    QueryDef("ev32_removal_effect", removalEffectQ, Some(removalEffectSql)))
+    QueryDef("ev32_removal_effect", removalEffectQ, Some(removalEffectSql)),
+    QueryDef("ev33_streaks", streaksQ, Some(streaksSql)))
+
+  /** Consecutive-day activity streaks per user ([[Journeys.streaks]]):
+    * gaps-and-islands over each user's distinct active days. */
+  def streaksQ(spark: SparkSession, dir: String): DataFrame =
+    Journeys.streaks(load(spark, dir, "events"))
+      .orderBy(col("user_id"))
+
+  private val streaksSql =
+    """WITH days AS (
+      |  SELECT DISTINCT user_id AS u,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d
+      |  FROM events),
+      |isl AS (
+      |  SELECT u, d - row_number() OVER (PARTITION BY u ORDER BY d) AS g
+      |  FROM days),
+      |runs AS (SELECT u, g, count(*)::BIGINT AS len FROM isl GROUP BY 1, 2)
+      |SELECT u AS user_id, sum(len)::BIGINT AS n_active_days,
+      |       max(len)::BIGINT AS longest_streak,
+      |       count(*)::BIGINT AS n_streaks
+      |FROM runs GROUP BY u ORDER BY user_id""".stripMargin
 
   /** Markov removal-effect attribution ([[Journeys.removalEffect]]):
     * per channel, the drop in 6-step absorbed conversion mass when the

@@ -331,6 +331,21 @@ class JourneysSpec extends SparkSpec {
     assert(out(2L) === ((1L, 300L)))
   }
 
+  test("streaks: islands across gaps, multiple events per day collapse") {
+    import spark.implicits._
+    val ev = Seq(
+      // user 1: days 1,2,3 then 5,6 → longest 3, two streaks, 5 active days
+      (1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 23:00:00")),
+      (1L, ts("2024-01-02 01:00:00")), (1L, ts("2024-01-03 01:00:00")),
+      (1L, ts("2024-01-05 01:00:00")), (1L, ts("2024-01-06 01:00:00")),
+      // user 2: one day
+      (2L, ts("2024-02-01 00:00:00"))
+    ).toDF("user_id", "ts")
+    val out = graft.ops.Journeys.streaks(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out === Map(1L -> ((5L, 3L, 2L)), 2L -> ((1L, 1L, 1L))))
+  }
+
   test("removalEffect: hand-computed absorption, chain truncation, share normalization") {
     import spark.implicits._
     val ev = Seq(
