@@ -718,6 +718,81 @@ object Journeys {
       "channel", "p_full_q8", "p_removed_q8", "re_q8", "share_bp")
   }
 
+  /** Shapley-value attribution over touched-channel coalitions (the
+    * order-free data-driven model next to [[removalEffect]]'s
+    * chain-based one): each user contributes their SET of touched
+    * channels (deduped, order ignored, chain truncated at first
+    * conversion) and a converted flag; the coalition value
+    * v(S) = ⌊10⁴·conversions∕users⌋ over users whose set ⊆ S, and each
+    * channel's Shapley sum is
+    *
+    *   phi_num_bp(c) = Σ_{S ⊆ N∖{c}} |S|!·(k−1−|S|)!·(v(S∪c) − v(S))
+    *
+    * — the EXACT k!-scaled Shapley value. The division by k! is
+    * deliberately NOT performed: the numerator is an exact integer
+    * (possibly negative), and negative floor vs truncate is the one
+    * integer operation engines disagree on.
+    *
+    * Scale shape: the corpus collapses to ≤ 2^k·2 (mask, conv) count
+    * cells via one distinct + one bounded broadcast join + two
+    * aggregates; the 2^k coalition table and the Shapley sums are
+    * driver Long arithmetic on that bounded relation (`require`
+    * k ≤ maxChannels — channel taxonomies, not open domains). */
+  def shapleyAttribution(events: DataFrame, convType: String = "purchase",
+      maxChannels: Int = 12, userCol: String = "user_id", tsCol: String = "ts",
+      typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = events.sparkSession
+    import spark.implicits.{newProductEncoder, newStringEncoder}
+
+    val wAll = Window.partitionBy(col(userCol))
+    val kept = events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("_ck", min(when(col(typeCol) === convType,
+        struct(col(tsCol), col(tieCol)))).over(wAll))
+      .where($"_ck".isNull || struct(col(tsCol), col(tieCol)) <= $"_ck")
+      .persistScoped
+    val chans = kept.where(col(typeCol) =!= convType)
+      .select(col(typeCol)).distinct().as[String].collect().sorted
+    val k = chans.length
+    require(k >= 1 && k <= maxChannels,
+      s"$k channels exceed maxChannels=$maxChannels — shapley is for bounded taxonomies")
+    val bits = chans.zipWithIndex.map { case (c, i) => (c, 1L << i) }
+    val bitDf = spark.createDataFrame(bits.toIndexedSeq).toDF(typeCol, "_bit")
+    val userMask = kept.where(col(typeCol) =!= convType)
+      .select(col(userCol), col(typeCol)).distinct()
+      .join(broadcast(bitDf), typeCol)
+      .groupBy(col(userCol)).agg(sum($"_bit").as("_mask"))
+    val cells = kept
+      .groupBy(col(userCol))
+      .agg(max((col(typeCol) === convType).cast("long")).as("_conv"))
+      .join(userMask, Seq(userCol), "left")
+      .select(coalesce($"_mask", lit(0L)).as("_mask"), $"_conv")
+      .groupBy($"_mask", $"_conv").agg(count(lit(1)).as("_n"))
+      .as[(Long, Long, Long)].collect()
+
+    val nSub = Array.tabulate(1 << k) { s =>
+      cells.filter(c => (c._1 & s) == c._1).map(_._3).sum
+    }
+    val cSub = Array.tabulate(1 << k) { s =>
+      cells.filter(c => (c._1 & s) == c._1 && c._2 == 1).map(_._3).sum
+    }
+    def v(s: Int): Long = if (nSub(s) == 0) 0L else (10000L * cSub(s)) / nSub(s)
+    val fact = Array.iterate(1L, k + 1)(identity).zipWithIndex
+      .map { case (_, i) => (1 to i).foldLeft(1L)(_ * _) }
+    val rows = chans.zipWithIndex.map { case (c, ci) =>
+      val bit = 1 << ci
+      var phi = 0L
+      for (s <- 0 until (1 << k) if (s & bit) == 0) {
+        val sz = java.lang.Integer.bitCount(s)
+        phi += fact(sz) * fact(k - 1 - sz) * (v(s | bit) - v(s))
+      }
+      (c, phi, v((1 << k) - 1), v(0))
+    }
+    spark.createDataFrame(rows.toIndexedSeq)
+      .toDF("channel", "phi_num_bp", "v_full_bp", "v_empty_bp")
+  }
+
   private implicit class Dollar(private val sc: StringContext) {
     def $(args: Any*): Column = col(sc.s(args: _*))
   }

@@ -746,7 +746,67 @@ object EventQueries extends QueryGroup {
     QueryDef("ev30_ewma", ewmaTrend, Some(ewmaTrendSql)),
     QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)),
     QueryDef("ev32_removal_effect", removalEffectQ, Some(removalEffectSql)),
-    QueryDef("ev33_streaks", streaksQ, Some(streaksSql)))
+    QueryDef("ev33_streaks", streaksQ, Some(streaksSql)),
+    QueryDef("ev34_shapley", shapleyQ, Some(shapleySql)))
+
+  /** Shapley attribution ([[Journeys.shapleyAttribution]]) — the
+    * order-free coalition model completing the attribution family
+    * (ev11 last-touch, ev32 Markov removal). The k!-scaled Shapley
+    * numerators stay undivided integers (negative floor vs truncate is
+    * the one cross-engine divergence), and the oracle rebuilds the
+    * coalition-value table relationally (16-subset grid, bitmask ⊆
+    * join) with every weighted term spelled out. */
+  def shapleyQ(spark: SparkSession, dir: String): DataFrame =
+    Journeys.shapleyAttribution(load(spark, dir, "events"), convType = "purchase")
+      .orderBy(col("channel"))
+
+  private val shapleySql = {
+    val chanBits = Seq("click" -> 1, "error" -> 2, "signup" -> 4, "view" -> 8)
+    def fact(n: Int): Int = (1 to n).product
+    val rows = chanBits.map { case (c, b) =>
+      val terms = (0 until 16).filter(s => (s & b) == 0).map { s =>
+        val w = fact(Integer.bitCount(s)) * fact(3 - Integer.bitCount(s))
+        s"$w * ((SELECT v_bp FROM v WHERE s = ${s | b}) - (SELECT v_bp FROM v WHERE s = $s))"
+      }.mkString("\n      + ")
+      s"""  SELECT '$c' AS channel,
+         |    ($terms)::BIGINT AS phi_num_bp,
+         |    (SELECT v_bp FROM v WHERE s = 15)::BIGINT AS v_full_bp,
+         |    (SELECT v_bp FROM v WHERE s = 0)::BIGINT AS v_empty_bp""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+       |fp AS (SELECT user_id, ts, event_id FROM (
+       |  SELECT user_id, ts, event_id,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+       |  FROM e WHERE event_type = 'purchase') WHERE rn = 1),
+       |kept AS (
+       |  SELECT e.user_id, e.event_type
+       |  FROM e LEFT JOIN fp ON e.user_id = fp.user_id
+       |  WHERE fp.user_id IS NULL OR (e.ts, e.event_id) <= (fp.ts, fp.event_id)),
+       |uconv AS (
+       |  SELECT user_id,
+       |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS conv
+       |  FROM kept GROUP BY 1),
+       |ub AS (
+       |  SELECT DISTINCT user_id,
+       |         CASE event_type WHEN 'click' THEN 1 WHEN 'error' THEN 2
+       |              WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END AS b
+       |  FROM kept WHERE event_type <> 'purchase'),
+       |umask AS (SELECT user_id, sum(b)::BIGINT AS mask FROM ub GROUP BY 1),
+       |cells AS (
+       |  SELECT coalesce(umask.mask, 0)::BIGINT AS mask, uconv.conv,
+       |         count(*)::BIGINT AS n
+       |  FROM uconv LEFT JOIN umask USING (user_id) GROUP BY 1, 2),
+       |subsets AS (SELECT unnest(range(0, 16)) AS s),
+       |v AS MATERIALIZED (
+       |  SELECT s,
+       |         (CASE WHEN coalesce(sum(n), 0) = 0 THEN 0
+       |               ELSE (10000 * coalesce(sum(CASE WHEN conv = 1 THEN n END), 0))
+       |                      // sum(n) END)::BIGINT AS v_bp
+       |  FROM subsets LEFT JOIN cells ON (cells.mask & subsets.s) = cells.mask
+       |  GROUP BY s)
+       |$rows
+       |ORDER BY channel""".stripMargin
+  }
 
   /** Consecutive-day activity streaks per user ([[Journeys.streaks]]):
     * gaps-and-islands over each user's distinct active days. */

@@ -346,6 +346,29 @@ class JourneysSpec extends SparkSpec {
     assert(out === Map(1L -> ((5L, 3L, 2L)), 2L -> ((1L, 1L, 1L))))
   }
 
+  test("shapleyAttribution: hand-computed coalition values and k!-scaled numerators") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 00:01:00"), 2L, "purchase"),
+      (2L, ts("2024-01-01 00:00:00"), 3L, "view"),
+      (3L, ts("2024-01-01 00:00:00"), 4L, "click"),
+      (3L, ts("2024-01-01 00:01:00"), 5L, "purchase"),
+      (4L, ts("2024-01-01 00:00:00"), 6L, "purchase"), // empty coalition, converts
+      (5L, ts("2024-01-01 00:00:00"), 7L, "click"),
+      (5L, ts("2024-01-01 00:01:00"), 8L, "view")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val out = graft.ops.Journeys.shapleyAttribution(ev, convType = "purchase")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // k=2 (click, view); v(∅)=10000, v(click)=10000, v(view)=6666, v(both)=6000
+    // phi_click = (10000−10000) + (6000−6666) = −666
+    // phi_view  = (6666−10000) + (6000−10000) = −7334
+    assert(out === Map(
+      "click" -> ((-666L, 6000L, 10000L)),
+      "view" -> ((-7334L, 6000L, 10000L))))
+  }
+
   test("removalEffect: hand-computed absorption, chain truncation, share normalization") {
     import spark.implicits._
     val ev = Seq(
