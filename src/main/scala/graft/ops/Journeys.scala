@@ -595,6 +595,21 @@ object Journeys {
           .as("segment"))
   }
 
+  /** Each user's journey prefix up to and including their FIRST
+    * `convType` event (whole timeline when they never convert) — the
+    * shared chain-construction stage of the attribution models. */
+  private def truncatedAtConversion(events: DataFrame, convType: String,
+      userCol: String, tsCol: String, typeCol: String,
+      tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(col(userCol))
+    events
+      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
+      .withColumn("_ck", min(when(col(typeCol) === convType,
+        struct(col(tsCol), col(tieCol)))).over(wAll))
+      .where($"_ck".isNull || struct(col(tsCol), col(tieCol)) <= $"_ck")
+  }
+
   /** Daily-activity streaks per user — the engagement-loyalty readout
     * next to DAU/MAU stickiness: longest run of CONSECUTIVE active
     * days, streak count, and total active days, via gaps-and-islands
@@ -655,13 +670,8 @@ object Journeys {
     val spark = events.sparkSession
     import spark.implicits.newProductEncoder
 
-    val wAll = Window.partitionBy(col(userCol))
     val wOrd = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
-    val kept = events
-      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
-      .withColumn("_ck", min(when(col(typeCol) === convType,
-        struct(col(tsCol), col(tieCol)))).over(wAll))
-      .where($"_ck".isNull || struct(col(tsCol), col(tieCol)) <= $"_ck")
+    val kept = truncatedAtConversion(events, convType, userCol, tsCol, typeCol, tieCol)
       .withColumn("_next", lead(col(typeCol), 1).over(wOrd))
       .withColumn("_rn", row_number().over(wOrd))
     val mid = kept.where(col(typeCol) =!= convType)
@@ -741,16 +751,10 @@ object Journeys {
   def shapleyAttribution(events: DataFrame, convType: String = "purchase",
       maxChannels: Int = 12, userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
     import spark.implicits.{newProductEncoder, newStringEncoder}
 
-    val wAll = Window.partitionBy(col(userCol))
-    val kept = events
-      .select(col(userCol), col(tsCol), col(tieCol), col(typeCol))
-      .withColumn("_ck", min(when(col(typeCol) === convType,
-        struct(col(tsCol), col(tieCol)))).over(wAll))
-      .where($"_ck".isNull || struct(col(tsCol), col(tieCol)) <= $"_ck")
+    val kept = truncatedAtConversion(events, convType, userCol, tsCol, typeCol, tieCol)
       .persistScoped
     val chans = kept.where(col(typeCol) =!= convType)
       .select(col(typeCol)).distinct().as[String].collect().sorted
