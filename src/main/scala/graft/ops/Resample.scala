@@ -103,6 +103,7 @@ object Resample {
       .groupBy($"_k", $"b")
       .agg(max(struct($"_ts", $"_tie", $"_v_q4")).as("_last"))
       .select($"_k", $"b", $"_last._v_q4".as("obs_q4"))
+      .persistScoped // read twice: span aggregate + grid join
     val grid = obs
       .groupBy($"_k")
       .agg(min($"b").as("_mn"), max($"b").as("_mx"))
