@@ -607,4 +607,37 @@ object Sampling {
     w.select($"a".as(dimA), $"b".as(dimB), $"c".as("n_docs"),
       $"w".as("w_q4"), expr("(10000 * w) div (c * 10000)").as("rate_bp"))
   }
+
+  /** Largest-remainder (Hamilton) apportionment: split `totalSlots`
+    * integer slots across groups exactly proportionally to integer
+    * weights — the quota allocator behind "N training shards ∝ token
+    * counts" / "sample budget ∝ source size" where naive per-group
+    * rounding over- or under-shoots the total. Each group gets
+    * ⌊slots·w ∕ W⌋; the `slots − Σ⌊·⌋` leftovers go to the largest
+    * scaled remainders (`slots·w mod W`), ties broken by the key
+    * columns — fully deterministic exact integers.
+    *
+    * The rank runs in a single-task `Window.orderBy` DELIBERATELY:
+    * the input is a per-group aggregate (group cardinality by
+    * construction — sources, languages, shards), so the frame is
+    * bounded and a distributed rank would only add exchanges. Do not
+    * feed row-cardinality frames. */
+  def largestRemainder(weights: DataFrame, keyCols: Seq[String],
+      weightCol: String, totalSlots: Long): DataFrame = {
+    require(keyCols.nonEmpty && totalSlots >= 0, "need keys and slots >= 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = weights.select(keyCols.map(col) :+ col(weightCol).cast("long").as("_w"): _*)
+    val tot = w.agg(sum($"_w").as("_tw"))
+    val based = w.crossJoin(broadcast(tot))
+      .select(keyCols.map(col) :+ $"_w" :+
+        expr(s"($totalSlots * _w) div _tw").as("_base") :+
+        expr(s"$totalSlots * _w - (($totalSlots * _w) div _tw) * _tw").as("_rem"): _*)
+    val leftover = based.agg((lit(totalSlots) - sum($"_base")).as("_k"))
+    val rk = Window.orderBy($"_rem".desc +: keyCols.map(col): _*)
+    based
+      .withColumn("_rk", row_number().over(rk))
+      .crossJoin(broadcast(leftover))
+      .select(keyCols.map(col) :+ $"_w".as(weightCol) :+
+        ($"_base" + when($"_rk" <= $"_k", 1L).otherwise(0L)).as("slots"): _*)
+  }
 }

@@ -436,6 +436,35 @@ object ExtQueries extends QueryGroup {
        |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin
   }
 
+  /** Largest-remainder quota allocation ([[Sampling.largestRemainder]]):
+    * 1000 training-sample slots split exactly ∝ per-(source, lang)
+    * character mass — Σ slots = 1000 by construction, every number an
+    * exact integer. */
+  def quotaAllocate(spark: SparkSession, dir: String): DataFrame = {
+    val w = load(spark, dir, "documents")
+      .groupBy($"source", $"lang").agg(sum($"n_chars").as("wt"))
+    Sampling.largestRemainder(w, Seq("source", "lang"), "wt", 1000L)
+      .orderBy($"source", $"lang")
+  }
+
+  private val quotaAllocateSql =
+    """WITH w AS (
+      |  SELECT source, lang, sum(n_chars)::BIGINT AS wt
+      |  FROM documents GROUP BY 1, 2),
+      |tot AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+      |b AS (
+      |  SELECT source, lang, wt,
+      |         (1000 * wt) // tw AS base,
+      |         1000 * wt - ((1000 * wt) // tw) * tw AS rem
+      |  FROM w CROSS JOIN tot),
+      |lo AS (SELECT 1000 - sum(base) AS k FROM b),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source, lang) AS rk
+      |      FROM b)
+      |SELECT source, lang, wt,
+      |       (base + CASE WHEN rk <= (SELECT k FROM lo) THEN 1 ELSE 0 END)::BIGINT
+      |         AS slots
+      |FROM r ORDER BY source, lang""".stripMargin
+
   /** MRR readout ([[Similarity.reciprocalRank]]): the rank the TRUE
     * nearest neighbor achieves inside the LSH top-5 list per query,
     * as ⌊10⁸∕rank⌋ (0 = missed) — position-sensitive where recall@k is
@@ -4052,6 +4081,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_embed_prune", embedPrune, Some(embedPruneSql)),
     QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
     QueryDef("ext_sim_mrr", simMrr, Some(simMrrSql)),
+    QueryDef("ext_quota_allocate", quotaAllocate, Some(quotaAllocateSql)),
     QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
     QueryDef("ext_source_ablation", sourceAblation, Some(sourceAblationSql)),

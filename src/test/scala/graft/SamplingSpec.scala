@@ -442,4 +442,26 @@ class SamplingSpec extends SparkSpec {
     rowTot.foreach(t => assert(off(t) < 0.02, s"row $t vs $target"))
     colTot.foreach(t => assert(off(t) < 0.02, s"col $t vs $target"))
   }
+
+  test("largestRemainder: exact Hamilton apportionment, remainder ties break by key") {
+    import spark.implicits._
+    // weights 5, 3, 2 over 7 slots: bases 3,2,1 (quota 3.5/2.1/1.4);
+    // leftover 1 goes to the largest remainder (a: .5)
+    val w = Seq(("a", 5L), ("b", 3L), ("c", 2L)).toDF("k", "wt")
+    val out = Sampling.largestRemainder(w, Seq("k"), "wt", 7L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out === Map("a" -> 4L, "b" -> 2L, "c" -> 1L))
+    // equal weights, slots not divisible: ties resolve in key order
+    val eq = Seq(("x", 1L), ("y", 1L), ("z", 1L)).toDF("k", "wt")
+    val out2 = Sampling.largestRemainder(eq, Seq("k"), "wt", 4L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(out2 === Map("x" -> 2L, "y" -> 1L, "z" -> 1L))
+    // randomized: totals always hit exactly
+    val rnd = new scala.util.Random(5L)
+    val many = (1 to 20).map(i => (f"k$i%02d", rnd.nextInt(1000).toLong + 1))
+    val alloc = Sampling.largestRemainder(many.toDF("k", "wt"), Seq("k"), "wt", 997L)
+      .collect().map(_.getLong(2))
+    assert(alloc.sum === 997L)
+    assert(alloc.forall(_ >= 0L))
+  }
 }
