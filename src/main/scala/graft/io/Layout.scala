@@ -130,4 +130,57 @@ object Layout {
       .sortWithinPartitions("_z")
       .drop("_z")
   }
+
+  /** Per-partition-directory row counts and min/max of a LONG column
+    * read from parquet FOOTERS ONLY — the data-skipping audit: exactly
+    * what a stats-pruning reader knows without touching one data page
+    * (the write-side complement of the PushedFilters/DPP evidence in
+    * LayoutSpec). The oracle gate recomputes the same numbers from the
+    * data, so a footer that lies (or a writer that stops producing
+    * stats) fails loudly.
+    *
+    * Scale shape: the driver does one bounded recursive LISTING; the
+    * footer reads — one metadata fetch per file — fan out over the
+    * cluster via parallelize + reduceByKey per directory. */
+  def footerStats(spark: SparkSession, dir: String, column: String): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import scala.jdk.CollectionConverters._
+    import spark.implicits.newProductEncoder
+
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf)
+    val it = fs.listFiles(root, true)
+    val files = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName.endsWith(".parquet"))
+        files += st.getPath.getParent.getName -> st.getPath.toString
+    }
+    val sconf = new SerializableHadoopConf(conf)
+    val stats = spark.sparkContext
+      .parallelize(files.toSeq, math.max(1, math.min(files.size, 32)))
+      .map { case (part, f) =>
+        val r = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(f), sconf.value))
+        try {
+          val blocks = r.getFooter.getBlocks.asScala
+          val rows = blocks.map(_.getRowCount).sum
+          val mm = blocks.flatMap { b =>
+            b.getColumns.asScala.find(_.getPath.toDotString == column)
+              .map(_.getStatistics)
+              .filter(s => s != null && !s.isEmpty)
+              .map(s => (s.genericGetMin.asInstanceOf[java.lang.Long].longValue(),
+                s.genericGetMax.asInstanceOf[java.lang.Long].longValue()))
+          }
+          (part, (rows, mm.map(_._1).min, mm.map(_._2).max))
+        } finally r.close()
+      }
+      .reduceByKey((a: (Long, Long, Long), b: (Long, Long, Long)) =>
+        (a._1 + b._1, math.min(a._2, b._2), math.max(a._3, b._3)))
+      .map { case (part, (rows, mn, mx)) => (part, rows, mn, mx) }
+    spark.createDataFrame(stats).toDF("part_dir", "n_rows", "min_val", "max_val")
+  }
 }

@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{min, round}
+import org.apache.spark.sql.functions.{min, regexp_replace, round}
 import graft.{QueryDef, QueryGroup}
 import graft.io.Sources
 
@@ -51,6 +51,31 @@ object SourceQueries extends QueryGroup {
   private val xlsxRoundTripSql =
     """SELECT n_nationkey, n_name, n_regionkey
       |FROM nation ORDER BY n_nationkey""".stripMargin
+
+  /** S25 — footer-stats audit ([[graft.io.Layout.footerStats]]):
+    * lineitem re-laid-out one file per l_returnflag partition, then
+    * per-partition row counts and l_orderkey min/max read from parquet
+    * FOOTERS ONLY; the oracle recomputes the identical numbers from
+    * the data, so the gate proves the stats a pruning reader would
+    * trust are the truth. */
+  def footerStatsQ(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s25").toFile
+    graft.Tables.load(spark, dir, "lineitem")
+      .select($"l_returnflag", $"l_orderkey")
+      .repartition($"l_returnflag")
+      .write.mode("overwrite").partitionBy("l_returnflag")
+      .parquet(tmp.getAbsolutePath)
+    graft.io.Layout.footerStats(spark, tmp.getAbsolutePath, "l_orderkey")
+      .select(regexp_replace($"part_dir", "^l_returnflag=", "").as("l_returnflag"),
+        $"n_rows", $"min_val".as("min_okey"), $"max_val".as("max_okey"))
+      .orderBy($"l_returnflag")
+  }
+
+  private val footerStatsSql =
+    """SELECT l_returnflag, count(*)::BIGINT AS n_rows,
+      |       min(l_orderkey)::BIGINT AS min_okey,
+      |       max(l_orderkey)::BIGINT AS max_okey
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** S17 — bloom-layout round trip: lineitem re-written through
     * [[graft.io.Layout.writeWithBloom]] on the part key, then a point
@@ -251,5 +276,6 @@ object SourceQueries extends QueryGroup {
     QueryDef("s18_snapshot_roundtrip", snapshotRoundTrip, Some(snapshotRoundTripSql)),
     QueryDef("s2_header_probe_tsv", headerProbeTsv, Some(headerProbeTsvSql)),
     QueryDef("s1_xlsx_roundtrip", xlsxRoundTrip, Some(xlsxRoundTripSql)),
+    QueryDef("s25_footer_stats", footerStatsQ, Some(footerStatsSql)),
     QueryDef("s17_bloom_roundtrip", bloomRoundTrip, Some(bloomRoundTripSql)))
 }
