@@ -417,7 +417,28 @@ object JoinQueries extends QueryGroup {
       |       (min(comp) = id) AS is_canonical
       |FROM comp GROUP BY id ORDER BY p_partkey""".stripMargin
 
+  /** J28 — salted skew join ([[graft.io.Layout.saltedJoin]]): the
+    * events fact joined to the per-user dimension through the (key,
+    * salt) spread — semantics identical to the plain inner join (the
+    * oracle IS the plain join), so the gate proves the skew machinery
+    * is invisible to results. */
+  def saltedJoinQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type")
+    val dim = load(spark, dir, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment")
+    graft.io.Layout.saltedJoin(ev, dim, "user_id", nSalts = 8)
+      .select($"event_id", $"user_id", $"event_type", $"c_mktsegment")
+      .orderBy($"event_id")
+  }
+
+  private val saltedJoinSql =
+    """SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
+      |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("j28_salted_join", saltedJoinQ, Some(saltedJoinSql)),
     QueryDef("j25_er_pipeline", erPipeline, Some(erPipelineSql)),
     QueryDef("j23_jw_match_join", jwMatchJoin, Some(jwMatchJoinSql)),
     QueryDef("j24_fuzzy_match_join", fuzzyMatchJoin, Some(fuzzyMatchJoinSql)),
