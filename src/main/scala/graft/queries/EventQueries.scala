@@ -747,7 +747,39 @@ object EventQueries extends QueryGroup {
     QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)),
     QueryDef("ev32_removal_effect", removalEffectQ, Some(removalEffectSql)),
     QueryDef("ev33_streaks", streaksQ, Some(streaksSql)),
-    QueryDef("ev34_shapley", shapleyQ, Some(shapleySql)))
+    QueryDef("ev34_shapley", shapleyQ, Some(shapleySql)),
+    QueryDef("ev35_wilson", wilsonQ, Some(wilsonSql)))
+
+  /** Wilson 95% lower bound on a per-type proportion (high-value
+    * share): the small-sample-honest ranking statistic (a 1/1 success
+    * rate must not outrank 98/100). Counts are exact integers; the
+    * one double formula is written with IDENTICAL nesting in both
+    * engines (every literal ::DOUBLE — the ev14 precedent), so the
+    * doubles bit-reproduce. */
+  def wilsonQ(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") > 50.0, 1L).otherwise(0L)).as("k"))
+      .select(col("event_type"), col("n"), col("k"),
+        expr(
+          """((k / cast(n AS double) + (1.96 * 1.96) / (2.0 * cast(n AS double))) -
+            | 1.96 * sqrt((k / cast(n AS double) * (1.0 - k / cast(n AS double)) +
+            |   (1.96 * 1.96) / (4.0 * cast(n AS double))) / cast(n AS double))) /
+            |(1.0 + (1.96 * 1.96) / cast(n AS double))""".stripMargin).as("wilson_lb"))
+      .orderBy(col("event_type"))
+
+  private val wilsonSql =
+    """WITH a AS (
+      |  SELECT event_type, count(*)::BIGINT AS n,
+      |         sum(CASE WHEN value > 50.0 THEN 1 ELSE 0 END)::BIGINT AS k
+      |  FROM events GROUP BY 1)
+      |SELECT event_type, n, k,
+      |       ((k / n::DOUBLE + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0::DOUBLE * n::DOUBLE)) -
+      |        1.96::DOUBLE * sqrt((k / n::DOUBLE * (1.0::DOUBLE - k / n::DOUBLE) +
+      |          (1.96::DOUBLE * 1.96::DOUBLE) / (4.0::DOUBLE * n::DOUBLE)) / n::DOUBLE)) /
+      |       (1.0::DOUBLE + (1.96::DOUBLE * 1.96::DOUBLE) / n::DOUBLE) AS wilson_lb
+      |FROM a ORDER BY event_type""".stripMargin
 
   /** Shapley attribution ([[Journeys.shapleyAttribution]]) — the
     * order-free coalition model completing the attribution family
