@@ -465,6 +465,53 @@ object ExtQueries extends QueryGroup {
       |         AS slots
       |FROM r ORDER BY source, lang""".stripMargin
 
+  /** QQ drift table: per event type, exact v_q4 deciles of the first
+    * half of the time span against the second ([[Frequency.exactQuantiles]]
+    * twice, joined side by side) — the effect-size view next to
+    * ext_ks_drift's detection view: KS says THAT the distribution
+    * moved, the quantile deltas say WHERE and by HOW MUCH. Era split
+    * at the midpoint day, derived relationally from the data span. */
+  def qqDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events").select($"event_type",
+      expr("unix_micros(ts) div 86400000000").as("d"),
+      floor($"value" * 10000.0).cast("long").as("v_q4"))
+    val span = ev.agg(min($"d").as("mn"), max($"d").as("mx"))
+    val tagged = ev.crossJoin(broadcast(span))
+      .withColumn("era", when($"d" < expr("(mn + mx + 1) div 2"), "a").otherwise("b"))
+    def q(era: String, pre: String) =
+      Frequency.exactQuantiles(tagged.where($"era" === era),
+          "event_type", "v_q4", Seq(0.1, 0.5, 0.9))
+        .select($"event_type", $"p10".cast("long").as(s"${pre}_p10"),
+          $"p50".cast("long").as(s"${pre}_p50"), $"p90".cast("long").as(s"${pre}_p90"))
+    q("a", "a").join(q("b", "b"), "event_type")
+      .withColumn("d_p50", $"b_p50" - $"a_p50")
+      .orderBy($"event_type")
+  }
+
+  private val qqDriftSql =
+    """WITH e AS (
+      |  SELECT event_type,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         floor(value * 10000.0::DOUBLE)::BIGINT AS v
+      |  FROM events),
+      |sp AS (SELECT min(d) AS mn, max(d) AS mx FROM e),
+      |t AS (
+      |  SELECT event_type,
+      |         CASE WHEN d < (mn + mx + 1) // 2 THEN 'a' ELSE 'b' END AS era, v
+      |  FROM e CROSS JOIN sp),
+      |q AS (
+      |  SELECT event_type, era,
+      |         quantile_disc(v, 0.1)::BIGINT AS p10,
+      |         quantile_disc(v, 0.5)::BIGINT AS p50,
+      |         quantile_disc(v, 0.9)::BIGINT AS p90
+      |  FROM t GROUP BY 1, 2)
+      |SELECT a.event_type, a.p10 AS a_p10, a.p50 AS a_p50, a.p90 AS a_p90,
+      |       b.p10 AS b_p10, b.p50 AS b_p50, b.p90 AS b_p90,
+      |       (b.p50 - a.p50)::BIGINT AS d_p50
+      |FROM q a JOIN q b ON a.event_type = b.event_type
+      |  AND a.era = 'a' AND b.era = 'b'
+      |ORDER BY a.event_type""".stripMargin
+
   /** MRR readout ([[Similarity.reciprocalRank]]): the rank the TRUE
     * nearest neighbor achieves inside the LSH top-5 list per query,
     * as ⌊10⁸∕rank⌋ (0 = missed) — position-sensitive where recall@k is
@@ -4082,6 +4129,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
     QueryDef("ext_sim_mrr", simMrr, Some(simMrrSql)),
     QueryDef("ext_quota_allocate", quotaAllocate, Some(quotaAllocateSql)),
+    QueryDef("ext_qq_drift", qqDrift, Some(qqDriftSql)),
     QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
     QueryDef("ext_source_ablation", sourceAblation, Some(sourceAblationSql)),
