@@ -1,0 +1,106 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** UNRESTRICTED Damerau–Levenshtein edit distance (Lowrance & Wagner
+  * JACM 1975) — insert, delete, substitute, and transpose, where a
+  * transposed pair may be edited again later (unlike the restricted
+  * "optimal string alignment" variant, which never touches a
+  * substring twice: OSA("CA","ABC") = 3 but true DL = 2 via
+  * CA → AC → ABC). The distinction matters because the correctness
+  * gate cross-checks this kernel against DuckDB's independent native
+  * `damerau_levenshtein`, which implements the same unrestricted
+  * algorithm (verified: DuckDB returns 2 for CA→ABC).
+  *
+  * The extra state over plain Levenshtein is the standard pair of
+  * "last seen" trackers: `da[ch]` = last row where character `ch`
+  * occurred in `a`, and per-row `db` = last column matched in `b`;
+  * the transpose candidate cost is then
+  * `d[k-1][l-1] + (i-k-1) + 1 + (j-l-1)`. O(l1·l2) time, full matrix
+  * (the transposition reaches arbitrarily far back, so no two-row
+  * rolling trick) — sized for the short key strings of a blocked
+  * match join, exactly like [[JaroWinklerKernel]].
+  *
+  * The alphabet tracker is an int array for code points < 256 (the
+  * entire match-key alphabet in practice) with a lazily-allocated map
+  * fallback for anything else, so the hot loop stays allocation-light.
+  */
+object DamerauLevenshteinKernel {
+
+  def distance(aU: UTF8String, bU: UTF8String): Int = {
+    val a = aU.toString
+    val b = bU.toString
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = l1 + l2
+    // d is (l1+2) x (l2+2), offset by 2: d(i)(j) = distance(a[0,i-1), b[0,j-1))
+    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
+    d(0)(0) = inf
+    var i = 0
+    while (i <= l1) { d(i + 1)(0) = inf; d(i + 1)(1) = i; i += 1 }
+    var j = 0
+    while (j <= l2) { d(0)(j + 1) = inf; d(1)(j + 1) = j; j += 1 }
+    val daSmall = new Array[Int](256)
+    var daBig: java.util.HashMap[Character, Integer] = null
+    def lastInA(ch: Char): Int =
+      if (ch < 256) daSmall(ch)
+      else if (daBig == null) 0
+      else { val v = daBig.get(ch); if (v == null) 0 else v.intValue() }
+    def setLastInA(ch: Char, row: Int): Unit =
+      if (ch < 256) daSmall(ch) = row
+      else {
+        if (daBig == null) daBig = new java.util.HashMap[Character, Integer]()
+        daBig.put(ch, row)
+      }
+    i = 1
+    while (i <= l1) {
+      var db = 0
+      j = 1
+      while (j <= l2) {
+        val k = lastInA(b.charAt(j - 1))
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        val sub = d(i)(j) + cost
+        val ins = d(i + 1)(j) + 1
+        val del = d(i)(j + 1) + 1
+        val trans = d(k)(l) + (i - k - 1) + 1 + (j - l - 1)
+        var m = sub
+        if (ins < m) m = ins
+        if (del < m) m = del
+        if (trans < m) m = trans
+        d(i + 1)(j + 1) = m
+        j += 1
+      }
+      setLastInA(a.charAt(i - 1), i)
+      i += 1
+    }
+    d(l1 + 1)(l2 + 1)
+  }
+}
+
+/** `damerau_levenshtein(a, b)` as a codegen'd Catalyst expression —
+  * the transposition-aware rung of the edit-distance family
+  * ([[FuzzRatio]], [[JaroWinklerBp]]); same name and semantics as
+  * DuckDB's native function, which the oracle gate cross-checks.
+  * Registered on the SQL surface by [[graft.plans.GraftExtensions]];
+  * [[graft.plans.SimilarityPruning]] derives the |len(a)−len(b)| ≤ t
+  * prefilter from `damerau_levenshtein(a,b) <= t` predicates (each
+  * edit changes the length by at most 1 — transpositions not at all). */
+case class DamerauLevenshtein(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DamerauLevenshteinKernel.distance(
+      a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      (a, b) => s"graft.functions.DamerauLevenshteinKernel.distance($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): DamerauLevenshtein = copy(l, r)
+  override def prettyName: String = "damerau_levenshtein"
+}

@@ -123,6 +123,8 @@ object CustomExpressions {
       exprs => DotProduct(exprs(0), exprs(1)), "scala_udf")
     reg.createOrReplaceTempFunction("jaro_winkler_bp",
       exprs => JaroWinklerBp(exprs(0), exprs(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("damerau_levenshtein",
+      exprs => DamerauLevenshtein(exprs(0), exprs(1)), "scala_udf")
   }
   import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
 
@@ -136,6 +138,8 @@ object CustomExpressions {
     toColumn(DotProduct(toExpr(a), toExpr(b)))
   def jaro_winkler_bp(a: Column, b: Column): Column =
     toColumn(JaroWinklerBp(toExpr(a), toExpr(b)))
+  def damerau_levenshtein(a: Column, b: Column): Column =
+    toColumn(DamerauLevenshtein(toExpr(a), toExpr(b)))
 }
 
 /** Dot product of two numeric arrays, accumulated in double in index

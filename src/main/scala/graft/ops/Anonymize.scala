@@ -88,4 +88,57 @@ object Anonymize {
       .agg(sum(col("_n")).as("n_rows"), count(lit(1)).as("n_distinct"))
       .withColumn("l_ok", col("n_distinct") >= l)
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian ICDE'07) of a
+    * released table over an ORDERED sensitive attribute: per QI group,
+    * the Earth Mover's Distance between the group's distribution of
+    * `orderedCol` and the whole release's, in exact basis points —
+    * l-diversity counts distinct values but a group can still skew
+    * (all its values at one end); EMD is the leak check for that.
+    *
+    * For ordered values with m distinct levels, EMD is the mean
+    * absolute cumulative-share gap: Σᵢ|cumP(i) − cumQ(i)| / (m−1).
+    * Cross-multiplied to integers — with group size gₙ, release size
+    * N, cumulative counts cum_c (group) and cum_C (global):
+    * t_bp = ⌊10⁴·Σᵢ|cum_c·N − cum_C·gₙ| ∕ ((m−1)·gₙ·N)⌋, exact in
+    * decimal(38,0) at any scale (the numerator is ≤ m·gₙ·N·10⁴).
+    *
+    * Scale shape: the level census and the per-(group, level) counts
+    * are map-side-combined aggregates; the (group × level) grid —
+    * |groups|·m rows by construction, data-size-independent — is a
+    * broadcast cross join so every group has a dense cumulative walk
+    * (a missing level still moves earth); the cumulative window
+    * partitions by group. The fact table never shuffles. */
+  def tCloseness(released: DataFrame, quasiCols: Seq[String],
+      orderedCol: String, tBp: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "need QI columns")
+    val qi = quasiCols.map(col)
+    val levels = released.groupBy(col(orderedCol).as("_lv"))
+      .agg(count(lit(1)).as("_cg"))
+    val groups = released.groupBy(qi: _*).agg(count(lit(1)).as("n_rows"))
+    val cells = released.groupBy(qi :+ col(orderedCol).as("_lv"): _*)
+      .agg(count(lit(1)).as("_c"))
+    val grid = groups.crossJoin(broadcast(levels))
+      .join(cells, quasiCols :+ "_lv", "left")
+      .withColumn("_c", coalesce(col("_c"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qi: _*).orderBy(col("_lv"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val totals = released.agg(count(lit(1)).as("_nn"),
+      count_distinct(col(orderedCol)).as("_m"))
+    grid
+      .withColumn("_cum_c", sum(col("_c")).over(w).cast("decimal(38,0)"))
+      .withColumn("_cum_cg", sum(col("_cg")).over(w).cast("decimal(38,0)"))
+      .crossJoin(broadcast(totals))
+      .groupBy(qi :+ col("n_rows") :+ col("_nn") :+ col("_m"): _*)
+      .agg(sum(abs(col("_cum_c") * col("_nn") -
+        col("_cum_cg") * col("n_rows"))).as("_emd_num"))
+      .select(qi :+ col("n_rows") :+
+        expr(s"""(10000 * _emd_num)
+                 div (cast(greatest(_m - 1, 1) as decimal(38,0)) *
+                      cast(n_rows as decimal(38,0)) *
+                      cast(_nn as decimal(38,0)))""")
+          .cast("long").as("t_bp"): _*)
+      .withColumn("t_ok", col("t_bp") <= tBp)
+  }
 }

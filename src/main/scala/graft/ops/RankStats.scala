@@ -1,0 +1,204 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Rank-based statistics in EXACT integer arithmetic — the eval/audit
+  * readouts (AUC, Gini, Spearman, Mann–Kendall) a data pipeline runs
+  * over scores and labels before a release, expressed so both engines
+  * of the correctness gate compute bit-identical integers (no sqrt, no
+  * float accumulation; divisions only on provably non-negative
+  * numerators, where Spark's truncating `div` ≡ DuckDB's `//` ≡ floor).
+  *
+  * Scale shape: every ranking is a window PARTITIONED BY the group
+  * column — per-key sorts that scale out with the key cardinality,
+  * never a single-task global ORDER BY (the `globalRank` trap) — and
+  * every statistic then collapses through one map-side-combined
+  * aggregate to |groups| rows.
+  */
+object RankStats {
+
+  /** ROC AUC per group via the Mann–Whitney U statistic (Mann &
+    * Whitney 1947; AUC = U/(n₁·n₀), Hanley–McNeil 1982) with midrank
+    * tie handling, in exact basis points.
+    *
+    * Doubled midranks keep everything integral: a tie group of size c
+    * whose minimum rank is r has average rank r + (c−1)/2, so
+    * 2·midrank = 2r + c − 1. Then U₂ = 2·R₁ − n₁(n₁+1) ≥ 0 and
+    * auc_bp = ⌊10⁴·U₂ ∕ (2·n₁·n₀)⌋. Groups with no positives or no
+    * negatives have no defined AUC and are dropped.
+    */
+  def auc(df: DataFrame, groupCol: Column, labelCol: Column,
+      scoreCol: Column): DataFrame = {
+    val base = df.select(groupCol.as("g"), labelCol.as("_pos"),
+      scoreCol.as("_x"))
+    val r2 = base
+      .withColumn("_r", rank().over(Window.partitionBy(col("g")).orderBy(col("_x"))))
+      .withColumn("_c", count(lit(1)).over(Window.partitionBy(col("g"), col("_x"))))
+      .withColumn("_mr2", lit(2L) * col("_r") + col("_c") - lit(1L))
+    r2.groupBy(col("g"))
+      .agg(
+        sum(when(col("_pos"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
+        sum(when(col("_pos"), lit(0L)).otherwise(lit(1L))).as("n_neg"),
+        sum(when(col("_pos"), col("_mr2")).otherwise(lit(0L))).as("_r1x2"))
+      .where(col("n_pos") > 0 && col("n_neg") > 0)
+      .select(col("g"), col("n_pos"), col("n_neg"),
+        expr("(10000 * (_r1x2 - n_pos * (n_pos + 1))) div (2 * n_pos * n_neg)")
+          .as("auc_bp"))
+  }
+
+  /** Gini coefficient per group over a NON-NEGATIVE integer value
+    * column, exact basis points: with the group's values sorted
+    * ascending and 1-indexed by i,
+    * gini_bp = ⌊10⁴·(2·Σi·xᵢ − (n+1)·Σx) ∕ (n·Σx)⌋.
+    * Ties contribute the same Σi·xᵢ under any tie order (equal values
+    * swap freely), so the row_number tie-break (`tieCol`) only pins
+    * determinism, not the result. Groups with Σx = 0 are dropped. */
+  def gini(df: DataFrame, groupCol: Column, valueCol: Column,
+      tieCol: Column): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("_x"), col("_t"))
+    df.select(groupCol.as("g"), valueCol.as("_x"), tieCol.as("_t"))
+      .withColumn("_i", row_number().over(w).cast("long"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("total"),
+        sum(col("_i") * col("_x")).as("_six"))
+      .where(col("total") > 0)
+      .select(col("g"), col("n"), col("total"),
+        expr("(10000 * (2 * _six - (n + 1) * total)) div (n * total)")
+          .as("gini_bp"))
+  }
+
+  /** Spearman rank correlation per group as SIGNED SQUARED basis
+    * points (`rho2_bp = sign(ρ)·⌊10⁴·ρ²⌋` of the staged-quantized ρ) —
+    * squared keeps the statistic rational (plain ρ with midrank ties
+    * needs the Pearson form's square root).
+    *
+    * Midranks are doubled to stay integral (2·midrank = 2r + c − 1),
+    * then STAGED QUANTIZATION (the keyness/source-cosine pattern)
+    * bounds every product independently of group size: the Pearson
+    * co-moments of the doubled midranks are divided by n² first —
+    * cov_q = ⌊(n·Σxy − Σx·Σy) ∕ n²⌋ ≤ 4·10¹² for q6-sized ranks —
+    * so 10⁴·cov_q² ≤ 10²⁹ sits inside decimal(38,0), where Spark's
+    * IntegralDivide ≡ DuckDB HUGEINT `//`. cov_q may be negative, so
+    * the floor-vs-truncate divergence is avoided by dividing |cov_q|²
+    * (non-negative) and re-applying the sign. Co-moment sums run in
+    * decimal(38,0) end-to-end. Groups where either variance quantizes
+    * to zero are dropped. */
+  def spearman(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    // doubled midrank, quantized to a q6 SHARE of the group's rank span
+    // (2·midrank ∈ [1, 2n] → ⌊10⁶·mr2 ∕ 2n⌋ ∈ [0, 10⁶]) — group-size-
+    // independent magnitudes, so every downstream product has a fixed
+    // bound no matter how large the group
+    def rq(c: String) = expr(
+      s"""(1000000 * (2 * _rk_$c + _ct_$c - 1)) div (2 * _gn)""")
+    def rk(c: String) = rank().over(
+      Window.partitionBy(col("g")).orderBy(col(c))).cast("long")
+    def ct(c: String) = count(lit(1)).over(
+      Window.partitionBy(col("g"), col(c)))
+    val ranked = df.select(groupCol.as("g"), xCol.as("_x"), yCol.as("_y"))
+      .withColumn("_gn", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .withColumn("_rk__x", rk("_x")).withColumn("_ct__x", ct("_x"))
+      .withColumn("_rk__y", rk("_y")).withColumn("_ct__y", ct("_y"))
+      .withColumn("_rx", rq("_x").cast("decimal(38,0)"))
+      .withColumn("_ry", rq("_y").cast("decimal(38,0)"))
+    ranked.groupBy(col("g"))
+      .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
+        sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),
+        sum(col("_rx") * col("_ry")).as("_sxy"),
+        sum(col("_rx") * col("_rx")).as("_sxx"),
+        sum(col("_ry") * col("_ry")).as("_syy"))
+      .select(col("g"), col("_n").cast("long").as("n"),
+        // sign taken BEFORE the division, which runs on |numerator| —
+        // a negative covariance through integer division would hit the
+        // floor(DuckDB)-vs-truncate(Spark) divergence
+        when(expr("_n * _sxy - _sx * _sy") < 0, lit(-1L)).otherwise(lit(1L))
+          .as("_sign"),
+        expr("abs(_n * _sxy - _sx * _sy) div (_n * _n)").as("_cov_qa"),
+        expr("(_n * _sxx - _sx * _sx) div (_n * _n)").as("_vx_q"),
+        expr("(_n * _syy - _sy * _sy) div (_n * _n)").as("_vy_q"))
+      .where(col("_vx_q") > 0 && col("_vy_q") > 0)
+      .select(col("g"), col("n"),
+        (col("_sign") * expr(
+          """(10000 * cast(_cov_qa as decimal(38,0)) * cast(_cov_qa as decimal(38,0)))
+             div (cast(_vx_q as decimal(38,0)) * cast(_vy_q as decimal(38,0)))"""))
+          .cast("long").as("rho2_bp"))
+  }
+
+  /** Pearson chi-square statistic of independence between two
+    * categorical columns, quantized to q6 (⌊10⁶·χ²⌋ summed per cell —
+    * both engines floor per cell, so the sum is bit-identical):
+    * per grid cell, χ²-cell = (O·N − R·C)² ∕ (N·R·C), cross-multiplied
+    * so everything is integral; the squared term needs decimal(38,0)
+    * (O·N alone is ~10²² at warehouse scale). The FULL marginal grid
+    * is walked — a missing (a, b) combination still contributes its
+    * expected count — via a cross join of the two marginal tables,
+    * which are aggregate-sized by construction.
+    *
+    * One row out: n, df = (|A|−1)(|B|−1), chi2_q6. */
+  def chiSquare(df: DataFrame, aCol: Column, bCol: Column): DataFrame = {
+    val cells = df.select(aCol.as("_a"), bCol.as("_b"))
+      .groupBy(col("_a"), col("_b")).agg(count(lit(1)).as("_o"))
+    val ra = cells.groupBy(col("_a")).agg(sum(col("_o")).as("_r"))
+    val cb = cells.groupBy(col("_b")).agg(sum(col("_o")).as("_c"))
+    val na = ra.agg(count(lit(1)).as("_na"), sum(col("_r")).as("_n"))
+    val nb = cb.agg(count(lit(1)).as("_nb"))
+    ra.crossJoin(broadcast(cb))
+      .join(cells, Seq("_a", "_b"), "left")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("_na"), col("_nb"), col("_n"),
+        expr("""(1000000 *
+                 (cast(coalesce(_o, 0) as decimal(38,0)) * _n - cast(_r as decimal(38,0)) * _c) *
+                 (cast(coalesce(_o, 0) as decimal(38,0)) * _n - cast(_r as decimal(38,0)) * _c))
+                div (cast(_n as decimal(38,0)) * _r * _c)""").as("_cell_q6"))
+      .groupBy(col("_na"), col("_nb"), col("_n"))
+      .agg(sum(col("_cell_q6")).as("_chi2"))
+      .select(col("_n").as("n"),
+        ((col("_na") - 1) * (col("_nb") - 1)).as("df"),
+        col("_chi2").cast("long").as("chi2_q6"))
+  }
+
+  /** Weighted median per group (lower weighted median: the smallest
+    * value whose cumulative weight reaches half the group's total) —
+    * exact, no quantization: the value column passes through
+    * untouched. Cumulative weights run in a window PARTITIONED BY the
+    * group (ordered by value with `tieCol` pinning determinism), the
+    * group total in the same partition unbounded — one shuffle on the
+    * group key, then a min over the qualifying rows. */
+  def weightedMedian(df: DataFrame, groupCol: Column, valueCol: Column,
+      weightCol: Column, tieCol: Column): DataFrame = {
+    val part = Window.partitionBy(col("g"))
+    val cumW = part.orderBy(col("_x"), col("_t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    df.select(groupCol.as("g"), valueCol.as("_x"), weightCol.as("_w"),
+        tieCol.as("_t"))
+      .withColumn("_cum", sum(col("_w")).over(cumW))
+      .withColumn("_tot", sum(col("_w")).over(part))
+      .where(lit(2L) * col("_cum") >= col("_tot"))
+      .groupBy(col("g"))
+      .agg(min(col("_x")).as("w_median"), max(col("_tot")).as("total_w"))
+  }
+
+  /** Mann–Kendall trend statistic per group (Mann 1945; Kendall 1975):
+    * S = Σ_{i<j} sign(x_j − x_i) over the group's series in time
+    * order, plus the pair count. S is left UNDIVIDED (it can be
+    * negative, where truncating and flooring integer division
+    * disagree across engines); τ is S / n_pairs for the reader.
+    *
+    * The caller collapses the raw data to the (group, t, x) series
+    * FIRST (a data-sized aggregate), so the O(n²) pair join here runs
+    * on series-sized input only — same contract as Theil–Sen. */
+  def mannKendall(series: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val a = series.select(col(groupCol).as("g"), col(tCol).as("_ta"),
+      col(xCol).as("_xa"))
+    val b = series.select(col(groupCol).as("g"), col(tCol).as("_tb"),
+      col(xCol).as("_xb"))
+    a.join(b, Seq("g"))
+      .where(col("_ta") < col("_tb"))
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(signum(col("_xb") - col("_xa")).cast("long")).as("s_stat"))
+  }
+}

@@ -49,4 +49,24 @@ object Triangles {
     tri.select(explode(array($"src", $"b", $"c")).as("id"))
       .groupBy($"id").agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** Local clustering coefficient (Watts & Strogatz 1998) per node,
+    * exact basis points: lcc_bp = ⌊10⁴·2·T(v) ∕ (deg(v)·(deg(v)−1))⌋
+    * for deg ≥ 2, 0 otherwise — how close each node's neighborhood is
+    * to a clique, the per-node readout on top of [[perNode]]'s
+    * triangle counts. Every node with ≥ 1 edge is returned (nodes in
+    * no triangle at T = 0), so the left join against the triangle
+    * counts is on the degree table, which is aggregate-sized. */
+  def localClustering(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    import spark.implicits._
+    val both = pairs.select($"id_a".as("id"), $"id_b".as("v"))
+      .unionByName(pairs.select($"id_b".as("id"), $"id_a".as("v")))
+    val deg = both.groupBy($"id").agg(count(lit(1)).as("degree"))
+    deg.join(perNode(pairs), Seq("id"), "left")
+      .withColumn("n_triangles", coalesce($"n_triangles", lit(0L)))
+      .withColumn("lcc_bp",
+        when($"degree" < 2, lit(0L)).otherwise(
+          expr("(10000 * 2 * n_triangles) div (degree * (degree - 1))")))
+  }
 }

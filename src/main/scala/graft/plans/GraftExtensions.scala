@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DmsToDecimal, DotProduct, FuzzRatio, FuzzWRatio, JaroWinklerBp, ZValue}
+import graft.functions.{DamerauLevenshtein, DmsToDecimal, DotProduct, FuzzRatio, FuzzWRatio, JaroWinklerBp, ZValue}
 
 /** Session-extension installer: makes the engine's custom Catalyst
   * expressions available to ANY session — including ones the library
@@ -73,6 +73,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("jaro_winkler_bp",
         "jaro_winkler_bp(a, b) - exact Jaro-Winkler similarity in basis points [0, 10000]"),
       arity("jaro_winkler_bp", 2)(exprs => JaroWinklerBp(exprs(0), exprs(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("damerau_levenshtein"),
+      info("damerau_levenshtein",
+        "damerau_levenshtein(a, b) - unrestricted Damerau-Levenshtein edit distance"),
+      arity("damerau_levenshtein", 2)(exprs =>
+        DamerauLevenshtein(exprs(0), exprs(1)))))
     ext.injectFunction((
       FunctionIdentifier("zvalue"),
       info("zvalue",

@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Filter, Join, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{FuzzRatio, JaroWinklerBp}
+import graft.functions.{DamerauLevenshtein, FuzzRatio, JaroWinklerBp}
 
 /** Optimizer rule: derive cheap LENGTH prefilters from expensive fuzzy
   * string predicates — the classic similarity-join length filter
@@ -79,6 +79,17 @@ object SimilarityPruning extends Rule[LogicalPlan] with PredicateHelper {
       Some(ratioBound(a, b, t))
     case LessThan(Literal(t: Int, IntegerType), FuzzRatio(a, b)) =>
       Some(ratioBound(a, b, t + 1))
+    // Damerau–Levenshtein: transpositions never change length and every
+    // other edit changes it by at most 1, so the Levenshtein length
+    // bound holds unchanged.
+    case LessThanOrEqual(DamerauLevenshtein(a, b), Literal(d: Int, IntegerType)) =>
+      Some(levBound(a, b, d))
+    case LessThan(DamerauLevenshtein(a, b), Literal(d: Int, IntegerType)) =>
+      Some(levBound(a, b, d - 1))
+    case GreaterThanOrEqual(Literal(d: Int, IntegerType), DamerauLevenshtein(a, b)) =>
+      Some(levBound(a, b, d))
+    case GreaterThan(Literal(d: Int, IntegerType), DamerauLevenshtein(a, b)) =>
+      Some(levBound(a, b, d - 1))
     case GreaterThanOrEqual(JaroWinklerBp(a, b), Literal(t: Int, IntegerType)) if t > 8000 =>
       Some(jwBound(a, b, t))
     case GreaterThan(JaroWinklerBp(a, b), Literal(t: Int, IntegerType)) if t >= 8000 =>

@@ -2258,6 +2258,44 @@ object ExtQueries extends QueryGroup {
        |SELECT id, count(*)::BIGINT AS n_triangles
        |FROM corners GROUP BY id ORDER BY id""".stripMargin
 
+  /** Local clustering coefficient ([[graft.ops.Triangles.localClustering]],
+    * Watts–Strogatz) per node of the same near-dup graph as
+    * ext_triangles: lcc_bp = ⌊10⁴·2T ∕ (deg·(deg−1))⌋, every node with
+    * ≥ 1 edge present (nodes outside any triangle at 0). The oracle
+    * re-derives degrees and triangles with the id-order orientation. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    graft.ops.Triangles.localClustering(pairs).orderBy($"id")
+  }
+
+  private val clusteringCoeffSql =
+    s"""WITH e AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |bidir AS (
+       |  SELECT id_a AS id, id_b AS v FROM e
+       |  UNION ALL SELECT id_b AS id, id_a AS v FROM e),
+       |deg AS (SELECT id, count(*)::BIGINT AS degree FROM bidir GROUP BY id),
+       |tri AS (
+       |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+       |  FROM e e1
+       |  JOIN e e2 ON e2.id_a = e1.id_b
+       |  JOIN e e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b),
+       |corners AS (
+       |  SELECT unnest([a, b, c]) AS id FROM tri),
+       |tcnt AS (SELECT id, count(*)::BIGINT AS n_triangles
+       |         FROM corners GROUP BY id)
+       |SELECT d.id, d.degree,
+       |       coalesce(t.n_triangles, 0)::BIGINT AS n_triangles,
+       |       (CASE WHEN d.degree < 2 THEN 0
+       |             ELSE (10000 * 2 * coalesce(t.n_triangles, 0))
+       |                  // (d.degree * (d.degree - 1)) END)::BIGINT AS lcc_bp
+       |FROM deg d LEFT JOIN tcnt t USING (id)
+       |ORDER BY d.id""".stripMargin
+
   /** Snapshot diff (CDC between two table versions): the after-image
     * modifies every `%6==0` customer, drops `%5==0`, and adds re-keyed
     * rows — added/removed/changed classification with old/new values
@@ -4186,6 +4224,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_multiprobe", simMultiprobe, Some(simMultiprobeSql)),
     QueryDef("ext_sample_wor", sampleWor, Some(sampleWorSql)),
     QueryDef("ext_triangles", triangles, Some(trianglesSql)),
+    QueryDef("ext_clustering_coeff", clusteringCoeff, Some(clusteringCoeffSql)),
     QueryDef("ext_fingerprint_winnow", fingerprintWinnow, Some(fingerprintWinnowSql)),
     QueryDef("ext_text_redact", textRedact, Some(textRedactSql)),
     QueryDef("ext_text_extract", textExtract, Some(textExtractSql)),

@@ -376,6 +376,41 @@ object JoinQueries extends QueryGroup {
       | AND jaro_winkler_similarity(a.p_name, b.p_name) >= 0.9201
       |ORDER BY probe_key, cand_key""".stripMargin
 
+  /** J29 — Damerau–Levenshtein match join: customers blocked by
+    * custkey-century, paired at DL ≤ 1 — the transposition-aware rung
+    * of the edit-distance family ([[graft.functions.DamerauLevenshtein]],
+    * unrestricted Lowrance–Wagner). Both dl and plain lev are emitted,
+    * and at DL ≤ 1 the transposed-digit pairs (dl 1, lev 2) are IN the
+    * answer set only because transpositions count as one edit — the
+    * row set itself distinguishes the kernels; the oracle is DuckDB's
+    * independent NATIVE
+    * `damerau_levenshtein`. [[graft.plans.SimilarityPruning]] derives
+    * the |len−len| ≤ 2 prefilter automatically. */
+  def dlMatchJoin(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer").select($"c_custkey", $"c_name")
+    val a = c.select($"c_custkey".as("custkey_a"), $"c_name".as("name_a"))
+    val b = c.select($"c_custkey".as("custkey_b"), $"c_name".as("name_b"))
+    a.join(b, expr("custkey_a div 100") === expr("custkey_b div 100") &&
+        $"custkey_a" < $"custkey_b")
+      .where(graft.functions.CustomExpressions
+        .damerau_levenshtein($"name_a", $"name_b") <= 1)
+      .select($"custkey_a", $"custkey_b",
+        graft.functions.CustomExpressions
+          .damerau_levenshtein($"name_a", $"name_b").cast("long").as("dl"),
+        levenshtein($"name_a", $"name_b").cast("long").as("lev"))
+      .orderBy($"custkey_a", $"custkey_b")
+  }
+
+  private val dlMatchJoinSql =
+    """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+      |       damerau_levenshtein(a.c_name, b.c_name)::BIGINT AS dl,
+      |       levenshtein(a.c_name, b.c_name)::BIGINT AS lev
+      |FROM customer a JOIN customer b
+      |  ON a.c_custkey // 100 = b.c_custkey // 100
+      | AND a.c_custkey < b.c_custkey
+      |WHERE damerau_levenshtein(a.c_name, b.c_name) <= 1
+      |ORDER BY custkey_a, custkey_b""".stripMargin
+
   /** J25 — entity-resolution pipeline end-to-end: sorted-neighborhood
     * blocking (w=8 over the normalized-name order) → Jaro–Winkler
     * verify at 9201 bp (margin to the nearest achievable similarity
@@ -439,6 +474,7 @@ object JoinQueries extends QueryGroup {
 
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j28_salted_join", saltedJoinQ, Some(saltedJoinSql)),
+    QueryDef("j29_dl_match_join", dlMatchJoin, Some(dlMatchJoinSql)),
     QueryDef("j25_er_pipeline", erPipeline, Some(erPipelineSql)),
     QueryDef("j23_jw_match_join", jwMatchJoin, Some(jwMatchJoinSql)),
     QueryDef("j24_fuzzy_match_join", fuzzyMatchJoin, Some(fuzzyMatchJoinSql)),

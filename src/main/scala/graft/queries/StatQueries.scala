@@ -1,0 +1,254 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, QueryGroup, Tables}
+import graft.ops.RankStats
+
+/** Rank/contingency statistics (SURVEY §7.9 eval-audit family) as
+  * oracle-checked queries: AUC, Gini, Spearman, chi-square,
+  * Mann–Kendall, weighted median, t-closeness — every statistic in
+  * exact integer arithmetic ([[graft.ops.RankStats]],
+  * [[graft.ops.Anonymize.tCloseness]]), so DuckDB reproduces each one
+  * bit-for-bit. */
+object StatQueries extends QueryGroup {
+
+  import Tables.load
+
+  /** ext_auc_rank — per-source ROC AUC (Mann–Whitney U, midrank ties,
+    * exact bp) of doc length as a predictor of lang='en': the
+    * score-separability readout a quality-classifier eval needs. */
+  def aucRank(spark: SparkSession, dir: String): DataFrame =
+    RankStats.auc(load(spark, dir, "documents"),
+        $"source", $"lang" === "en", $"n_chars")
+      .withColumnRenamed("g", "source")
+      .orderBy($"source")
+
+  private val aucRankSql =
+    """WITH r AS (
+      |  SELECT source, lang = 'en' AS pos,
+      |         rank() OVER (PARTITION BY source ORDER BY n_chars) AS rk,
+      |         count(*) OVER (PARTITION BY source, n_chars) AS c
+      |  FROM documents),
+      |a AS (
+      |  SELECT source,
+      |         sum(CASE WHEN pos THEN 1 ELSE 0 END)::BIGINT AS n_pos,
+      |         sum(CASE WHEN pos THEN 0 ELSE 1 END)::BIGINT AS n_neg,
+      |         sum(CASE WHEN pos THEN 2 * rk + c - 1 ELSE 0 END)::BIGINT AS r1x2
+      |  FROM r GROUP BY source)
+      |SELECT source, n_pos, n_neg,
+      |       ((10000 * (r1x2 - n_pos * (n_pos + 1)))
+      |        // (2 * n_pos * n_neg))::BIGINT AS auc_bp
+      |FROM a WHERE n_pos > 0 AND n_neg > 0
+      |ORDER BY source""".stripMargin
+
+  /** ext_gini — Gini coefficient of per-customer order counts within
+    * each market segment (exact bp over non-negative integers): the
+    * inequality-of-contribution audit (is one customer half the
+    * volume?), the per-group form of the Pareto readout. */
+  def giniQ(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = load(spark, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    val seg = cnt.join(load(spark, dir, "customer")
+        .select($"c_custkey", $"c_mktsegment"),
+      $"o_custkey" === $"c_custkey")
+    RankStats.gini(seg, $"c_mktsegment", $"n_orders", $"o_custkey")
+      .withColumnRenamed("g", "mktsegment")
+      .orderBy($"mktsegment")
+  }
+
+  private val giniSql =
+    """WITH cnt AS (
+      |  SELECT o_custkey, count(*)::BIGINT AS x FROM orders GROUP BY o_custkey),
+      |j AS (
+      |  SELECT c.c_mktsegment AS g, cnt.x, c.c_custkey AS t
+      |  FROM cnt JOIN customer c ON cnt.o_custkey = c.c_custkey),
+      |r AS (SELECT g, x,
+      |        row_number() OVER (PARTITION BY g ORDER BY x, t) AS i FROM j),
+      |a AS (SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS total,
+      |             sum(i * x)::BIGINT AS six
+      |      FROM r GROUP BY g)
+      |SELECT g AS mktsegment, n, total,
+      |       ((10000 * (2 * six - (n + 1) * total)) // (n * total))::BIGINT
+      |         AS gini_bp
+      |FROM a WHERE total > 0 ORDER BY mktsegment""".stripMargin
+
+  /** ext_spearman — Spearman rank correlation (signed squared bp,
+    * staged q6 quantization, midrank ties) between quantity and
+    * extended price per return flag: the monotone-association readout
+    * that is immune to the price column's heavy skew. */
+  def spearmanQ(spark: SparkSession, dir: String): DataFrame =
+    RankStats.spearman(load(spark, dir, "lineitem"),
+        $"l_returnflag", $"l_quantity", $"l_extendedprice")
+      .withColumnRenamed("g", "returnflag")
+      .orderBy($"returnflag")
+
+  private val spearmanSql =
+    """WITH r AS (
+      |  SELECT l_returnflag AS g,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS gn,
+      |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rkx,
+      |    count(*) OVER (PARTITION BY l_returnflag, l_quantity) AS ctx,
+      |    rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rky,
+      |    count(*) OVER (PARTITION BY l_returnflag, l_extendedprice) AS cty
+      |  FROM lineitem),
+      |q AS (
+      |  SELECT g,
+      |    ((1000000 * (2 * rkx + ctx - 1)) // (2 * gn))::HUGEINT AS rx,
+      |    ((1000000 * (2 * rky + cty - 1)) // (2 * gn))::HUGEINT AS ry
+      |  FROM r),
+      |s AS (SELECT g, count(*)::HUGEINT AS n, sum(rx) AS sx, sum(ry) AS sy,
+      |             sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+      |      FROM q GROUP BY g),
+      |t AS (SELECT g, n::BIGINT AS n,
+      |        CASE WHEN n * sxy - sx * sy < 0 THEN -1 ELSE 1 END AS sgn,
+      |        abs(n * sxy - sx * sy) // (n * n) AS cov_qa,
+      |        (n * sxx - sx * sx) // (n * n) AS vx_q,
+      |        (n * syy - sy * sy) // (n * n) AS vy_q
+      |      FROM s)
+      |SELECT g AS returnflag, n,
+      |       (sgn * ((10000 * cov_qa * cov_qa) // (vx_q * vy_q)))::BIGINT
+      |         AS rho2_bp
+      |FROM t WHERE vx_q > 0 AND vy_q > 0 ORDER BY returnflag""".stripMargin
+
+  /** ext_chi_square — Pearson chi-square of independence between order
+    * priority and order status (exact q6 over the full marginal grid):
+    * the drift test between two categorical columns. */
+  def chiSquareQ(spark: SparkSession, dir: String): DataFrame =
+    RankStats.chiSquare(load(spark, dir, "orders"),
+      $"o_orderpriority", $"o_orderstatus")
+
+  private val chiSquareSql =
+    """WITH cells AS (
+      |  SELECT o_orderpriority AS a, o_orderstatus AS b, count(*)::HUGEINT AS o
+      |  FROM orders GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(o) AS r FROM cells GROUP BY a),
+      |cb AS (SELECT b, sum(o) AS c FROM cells GROUP BY b),
+      |t AS (SELECT sum(o) AS n FROM cells),
+      |g AS (
+      |  SELECT coalesce(cells.o, 0::HUGEINT) AS o, ra.r, cb.c, t.n
+      |  FROM ra CROSS JOIN cb CROSS JOIN t
+      |  LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b)
+      |SELECT max(n)::BIGINT AS n,
+      |       (((SELECT count(*) FROM ra) - 1) *
+      |        ((SELECT count(*) FROM cb) - 1))::BIGINT AS df,
+      |       sum((1000000 * (o * n - r * c) * (o * n - r * c))
+      |           // (n * r * c))::BIGINT AS chi2_q6
+      |FROM g""".stripMargin
+
+  /** ext_t_closeness — t-closeness audit ([[graft.ops.Anonymize.tCloseness]])
+    * of the (lang, source) quasi-identifier groups over the ordered
+    * n_chars-bucket sensitive attribute: exact-bp EMD between each
+    * group's length distribution and the corpus's. */
+  def tClosenessQ(spark: SparkSession, dir: String): DataFrame = {
+    val rel = load(spark, dir, "documents")
+      .select(coalesce($"lang", lit("∅")).as("lang"),
+        coalesce($"source", lit("∅")).as("source"),
+        expr("n_chars div 100").as("lv"))
+    graft.ops.Anonymize.tCloseness(rel, Seq("lang", "source"), "lv", tBp = 2000)
+      .orderBy($"lang", $"source")
+  }
+
+  private val tClosenessSql =
+    """WITH rel AS (
+      |  SELECT coalesce(lang, '∅') AS lang, coalesce(source, '∅') AS source,
+      |         (n_chars // 100) AS lv
+      |  FROM documents),
+      |lvl AS (SELECT lv, count(*)::BIGINT AS cg FROM rel GROUP BY lv),
+      |grp AS (SELECT lang, source, count(*)::BIGINT AS n_rows
+      |        FROM rel GROUP BY 1, 2),
+      |cel AS (SELECT lang, source, lv, count(*)::BIGINT AS c
+      |        FROM rel GROUP BY 1, 2, 3),
+      |tot AS (SELECT count(*)::BIGINT AS nn, count(DISTINCT lv)::BIGINT AS m
+      |        FROM rel),
+      |grid AS (
+      |  SELECT g.lang, g.source, g.n_rows, l.lv, l.cg, coalesce(c.c, 0) AS c
+      |  FROM grp g CROSS JOIN lvl l
+      |  LEFT JOIN cel c ON c.lang = g.lang AND c.source = g.source AND c.lv = l.lv),
+      |cum AS (
+      |  SELECT lang, source, n_rows,
+      |    sum(c) OVER (PARTITION BY lang, source ORDER BY lv
+      |                 ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum_c,
+      |    sum(cg) OVER (PARTITION BY lang, source ORDER BY lv
+      |                  ROWS UNBOUNDED PRECEDING)::HUGEINT AS cum_cg
+      |  FROM grid),
+      |emd AS (
+      |  SELECT c.lang, c.source, c.n_rows,
+      |         sum(abs(c.cum_c * t.nn - c.cum_cg * c.n_rows)) AS emd_num
+      |  FROM cum c CROSS JOIN tot t GROUP BY 1, 2, 3)
+      |SELECT e.lang, e.source, e.n_rows,
+      |       ((10000 * emd_num)
+      |        // (greatest(t.m - 1, 1)::HUGEINT * e.n_rows * t.nn))::BIGINT AS t_bp,
+      |       ((10000 * emd_num)
+      |        // (greatest(t.m - 1, 1)::HUGEINT * e.n_rows * t.nn)) <= 2000 AS t_ok
+      |FROM emd e CROSS JOIN tot t
+      |ORDER BY lang, source""".stripMargin
+
+  /** ext_weighted_median — per-nation weighted median of customer
+    * balance cents, weighted by the customer's order count (the
+    * activity-weighted central balance): exact lower weighted median
+    * through a partitioned cumulative-weight window. */
+  def weightedMedianQ(spark: SparkSession, dir: String): DataFrame = {
+    val w = load(spark, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    val j = load(spark, dir, "customer")
+      .join(w, $"c_custkey" === $"o_custkey")
+      .select($"c_nationkey".cast("long").as("nationkey"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"),
+        $"n_orders", $"c_custkey")
+    RankStats.weightedMedian(j, $"nationkey", $"cents", $"n_orders", $"c_custkey")
+      .withColumnRenamed("g", "nationkey")
+      .orderBy($"nationkey")
+  }
+
+  private val weightedMedianSql =
+    """WITH w AS (
+      |  SELECT o_custkey, count(*)::BIGINT AS n_orders FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT c.c_nationkey::BIGINT AS g,
+      |         round(c.c_acctbal * 100)::BIGINT AS x,
+      |         w.n_orders AS wt, c.c_custkey AS t
+      |  FROM customer c JOIN w ON c.c_custkey = w.o_custkey),
+      |c AS (
+      |  SELECT g, x,
+      |    sum(wt) OVER (PARTITION BY g ORDER BY x, t
+      |                  ROWS UNBOUNDED PRECEDING) AS cum,
+      |    sum(wt) OVER (PARTITION BY g) AS tot
+      |  FROM j)
+      |SELECT g AS nationkey, min(x)::BIGINT AS w_median,
+      |       max(tot)::BIGINT AS total_w
+      |FROM c WHERE 2 * cum >= tot
+      |GROUP BY g ORDER BY nationkey""".stripMargin
+
+  /** ev36_mann_kendall — Mann–Kendall trend statistic per event type
+    * over the daily event-count series (exact; S left undivided): the
+    * nonparametric is-activity-trending test. The O(n²) pair join runs
+    * on the collapsed per-day series, never raw events. */
+  def mannKendallQ(spark: SparkSession, dir: String): DataFrame = {
+    val series = load(spark, dir, "events")
+      .groupBy($"event_type", to_date($"ts").as("d"))
+      .agg(count(lit(1)).as("x"))
+    RankStats.mannKendall(series, "event_type", "d", "x")
+      .withColumnRenamed("g", "event_type")
+      .orderBy($"event_type")
+  }
+
+  private val mannKendallSql =
+    """WITH s AS (
+      |  SELECT event_type AS g, ts::DATE AS d, count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2)
+      |SELECT a.g AS event_type, count(*)::BIGINT AS n_pairs,
+      |       sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1
+      |                ELSE 0 END)::BIGINT AS s_stat
+      |FROM s a JOIN s b ON a.g = b.g AND a.d < b.d
+      |GROUP BY a.g ORDER BY event_type""".stripMargin
+
+  override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_auc_rank", aucRank, Some(aucRankSql)),
+    QueryDef("ext_gini", giniQ, Some(giniSql)),
+    QueryDef("ext_spearman", spearmanQ, Some(spearmanSql)),
+    QueryDef("ext_chi_square", chiSquareQ, Some(chiSquareSql)),
+    QueryDef("ext_t_closeness", tClosenessQ, Some(tClosenessSql)),
+    QueryDef("ext_weighted_median", weightedMedianQ, Some(weightedMedianSql)),
+    QueryDef("ev36_mann_kendall", mannKendallQ, Some(mannKendallSql)))
+}

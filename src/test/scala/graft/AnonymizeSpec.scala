@@ -95,4 +95,32 @@ class AnonymizeSpec extends SparkSpec {
       "b" -> ((3L, 3L, true)),
       "c" -> ((3L, 2L, false))))
   }
+
+  test("tCloseness: matching distribution is 0, disjoint extremes hit the EMD golden") {
+    import spark.implicits._
+    // global = {lv0: 2, lv1: 2}; group a all lv0, group b all lv1 —
+    // P=(1,0) vs Q=(½,½): EMD = ½ → 5000 bp for both groups
+    val skewed = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L)).toDF("qi", "lv")
+    val s = Anonymize.tCloseness(skewed, Seq("qi"), "lv", tBp = 2000)
+      .collect().map(r => r.getString(0) -> ((r.getAs[Long]("t_bp"),
+        r.getAs[Boolean]("t_ok")))).toMap
+    assert(s === Map("a" -> ((5000L, false)), "b" -> ((5000L, false))))
+    // every group mirrors the global mix exactly → t = 0 everywhere
+    val even = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L)).toDF("qi", "lv")
+    val e = Anonymize.tCloseness(even, Seq("qi"), "lv", tBp = 2000).collect()
+    assert(e.forall(r => r.getAs[Long]("t_bp") == 0L && r.getAs[Boolean]("t_ok")))
+  }
+
+  test("tCloseness: a level MISSING from a group still moves earth (dense grid)") {
+    import spark.implicits._
+    // group a has no lv1 rows; the middle level must still accumulate:
+    // global = {0:2, 1:2, 2:2}, group a = {0:1, 2:1}
+    // cum shares: P = (1/2, 1/2, 1), Q = (1/3, 2/3, 1)
+    // EMD = (1/6 + 1/6 + 0) / 2 = 1/6 → 1666 bp
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 0L), ("b", 1L), ("b", 1L),
+      ("b", 2L)).toDF("qi", "lv")
+    val a = Anonymize.tCloseness(df, Seq("qi"), "lv", tBp = 2000)
+      .where($"qi" === "a").collect().head
+    assert(a.getAs[Long]("t_bp") == 1666L && a.getAs[Boolean]("t_ok"))
+  }
 }

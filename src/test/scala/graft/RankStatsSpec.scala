@@ -1,0 +1,129 @@
+package graft
+
+import graft.ops.RankStats
+import org.apache.spark.sql.functions._
+
+/** Exact-integer rank statistics against hand-computed goldens and the
+  * closed-form extremes (perfect separation/association/trend), plus
+  * the tie-handling cases where a naive implementation diverges. */
+class RankStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("auc: perfect separation is 10000, reversed is 0, midrank ties exact") {
+    // positives strictly above negatives
+    val perfect = Seq(("g", false, 1), ("g", false, 2), ("g", true, 3),
+      ("g", true, 4)).toDF("g", "pos", "x")
+    val p = RankStats.auc(perfect, $"g", $"pos", $"x").collect().head
+    assert(p.getAs[Long]("auc_bp") == 10000L)
+    val reversed = RankStats.auc(
+      perfect.withColumn("pos", !$"pos"), $"g", $"pos", $"x").collect().head
+    assert(reversed.getAs[Long]("auc_bp") == 0L)
+    // one tie straddling the classes: scores pos={1,2}, neg={2,3} —
+    // of the 4 (pos, neg) pairs only the 2-vs-2 tie scores, at ½ →
+    // AUC = 0.5/4 = 0.125
+    val tied = Seq(("g", true, 1), ("g", true, 2), ("g", false, 2),
+      ("g", false, 3)).toDF("g", "pos", "x")
+    val t = RankStats.auc(tied, $"g", $"pos", $"x").collect().head
+    assert(t.getAs[Long]("auc_bp") == 1250L)
+    assert(t.getAs[Long]("n_pos") == 2L && t.getAs[Long]("n_neg") == 2L)
+  }
+
+  test("auc: single-class groups are dropped") {
+    val df = Seq(("a", true, 1), ("a", true, 2), ("b", true, 1),
+      ("b", false, 2)).toDF("g", "pos", "x")
+    val got = RankStats.auc(df, $"g", $"pos", $"x").collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("b"))
+  }
+
+  test("gini: uniform is 0, single-holder approaches (n-1)/n, golden") {
+    val uniform = Seq(("g", 5L, 1L), ("g", 5L, 2L), ("g", 5L, 3L), ("g", 5L, 4L))
+      .toDF("g", "x", "t")
+    assert(RankStats.gini(uniform, $"g", $"x", $"t")
+      .collect().head.getAs[Long]("gini_bp") == 0L)
+    // one holder has everything: gini = (n-1)/n = 0.75
+    val single = Seq(("g", 0L, 1L), ("g", 0L, 2L), ("g", 0L, 3L), ("g", 40L, 4L))
+      .toDF("g", "x", "t")
+    assert(RankStats.gini(single, $"g", $"x", $"t")
+      .collect().head.getAs[Long]("gini_bp") == 7500L)
+    // hand-computed: values 1,2,3,4 ascending → G = 2*30/(4*10) - 5/4 = 1/4
+    val hand = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L), ("g", 4L, 4L))
+      .toDF("g", "x", "t")
+    assert(RankStats.gini(hand, $"g", $"x", $"t")
+      .collect().head.getAs[Long]("gini_bp") == 2500L)
+  }
+
+  test("gini: result is tie-order independent") {
+    // equal values permute freely under the tie-break without moving G
+    val a = Seq(("g", 2L, 9L), ("g", 2L, 1L), ("g", 6L, 5L)).toDF("g", "x", "t")
+    val b = Seq(("g", 2L, 1L), ("g", 2L, 9L), ("g", 6L, 5L)).toDF("g", "x", "t")
+    val ga = RankStats.gini(a, $"g", $"x", $"t").collect().head.getAs[Long]("gini_bp")
+    val gb = RankStats.gini(b, $"g", $"x", $"t").collect().head.getAs[Long]("gini_bp")
+    assert(ga == gb)
+  }
+
+  test("spearman: monotone is +-10000 exactly; sign tracks direction") {
+    val up = Seq(("g", 1, 10), ("g", 2, 20), ("g", 3, 35), ("g", 4, 70))
+      .toDF("g", "x", "y")
+    assert(RankStats.spearman(up, $"g", $"x", $"y")
+      .collect().head.getAs[Long]("rho2_bp") == 10000L)
+    val down = Seq(("g", 1, 70), ("g", 2, 35), ("g", 3, 20), ("g", 4, 10))
+      .toDF("g", "x", "y")
+    assert(RankStats.spearman(down, $"g", $"x", $"y")
+      .collect().head.getAs[Long]("rho2_bp") == -10000L)
+  }
+
+  test("spearman: constant column (zero variance) is dropped") {
+    val df = Seq(("g", 1, 5), ("g", 2, 5), ("g", 3, 5)).toDF("g", "x", "y")
+    assert(RankStats.spearman(df, $"g", $"x", $"y").collect().isEmpty)
+  }
+
+  test("spearman: ties via midranks, near-zero association stays small") {
+    val df = Seq(("g", 1, 2), ("g", 1, 1), ("g", 2, 1), ("g", 2, 2),
+      ("g", 3, 1), ("g", 3, 2)).toDF("g", "x", "y")
+    val rho = RankStats.spearman(df, $"g", $"x", $"y")
+      .collect().head.getAs[Long]("rho2_bp")
+    assert(math.abs(rho) < 1000, s"expected near zero, got $rho")
+  }
+
+  test("mann-kendall: monotone series hit +-n_pairs; ties contribute 0") {
+    val up = Seq(("g", 1, 10L), ("g", 2, 20L), ("g", 3, 30L), ("g", 4, 40L))
+      .toDF("g", "t", "x")
+    val u = RankStats.mannKendall(up, "g", "t", "x").collect().head
+    assert(u.getAs[Long]("n_pairs") == 6L && u.getAs[Long]("s_stat") == 6L)
+    val down = Seq(("g", 1, 40L), ("g", 2, 30L), ("g", 3, 10L))
+      .toDF("g", "t", "x")
+    val d = RankStats.mannKendall(down, "g", "t", "x").collect().head
+    assert(d.getAs[Long]("s_stat") == -3L)
+    val flat = Seq(("g", 1, 5L), ("g", 2, 5L), ("g", 3, 5L)).toDF("g", "t", "x")
+    assert(RankStats.mannKendall(flat, "g", "t", "x")
+      .collect().head.getAs[Long]("s_stat") == 0L)
+  }
+
+  test("chi-square: independent grid is 0; diagonal 2x2 golden; zero cells count") {
+    // perfectly independent: every cell = R*C/N exactly
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("p", "q")
+    val i = RankStats.chiSquare(indep, $"p", $"q").collect().head
+    assert(i.getAs[Long]("chi2_q6") == 0L && i.getAs[Long]("df") == 1L)
+    // diagonal: chi2 = n = 20 → q6 = 20_000_000; the two ZERO cells
+    // contribute half of it (missing combinations still move chi2)
+    val diag = (Seq.fill(10)(("a", "x")) ++ Seq.fill(10)(("b", "y")))
+      .toDF("p", "q")
+    val g = RankStats.chiSquare(diag, $"p", $"q").collect().head
+    assert(g.getAs[Long]("chi2_q6") == 20000000L)
+    assert(g.getAs[Long]("n") == 20L)
+  }
+
+  test("weighted median: lower median, weights dominate, boundary exact") {
+    // weights pull the median to the heavy value
+    val df = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 10L, 6L, 3L))
+      .toDF("g", "x", "w", "t")
+    val r = RankStats.weightedMedian(df, $"g", $"x", $"w", $"t").collect().head
+    assert(r.getAs[Long]("w_median") == 10L && r.getAs[Long]("total_w") == 8L)
+    // exact half boundary takes the LOWER value (2*cum == tot qualifies)
+    val even = Seq(("g", 1L, 2L, 1L), ("g", 5L, 2L, 2L)).toDF("g", "x", "w", "t")
+    assert(RankStats.weightedMedian(even, $"g", $"x", $"w", $"t")
+      .collect().head.getAs[Long]("w_median") == 1L)
+  }
+}

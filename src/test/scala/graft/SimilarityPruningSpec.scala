@@ -37,6 +37,32 @@ class SimilarityPruningSpec extends SparkSpec {
     assert("least\\(".r.findAllIn(plan).size === 1, s"stacked bound:\n$plan")
   }
 
+  test("damerau_levenshtein threshold filter gains the length-difference bound") {
+    val df = Tables.load(spark, sfDir, "customer")
+      .where(CustomExpressions.damerau_levenshtein($"c_name", $"c_mktsegment") <= 2)
+    val plan = df.queryExecution.optimizedPlan.toString
+    assert(plan.contains("abs((length(c_name") && plan.contains("length(c_mktsegment"),
+      s"bound missing from:\n$plan")
+    assert("abs\\(".r.findAllIn(plan).size === 1, s"stacked bound:\n$plan")
+  }
+
+  test("soundness: damerau_levenshtein filter identical with the rule on random strings") {
+    // the bound must never drop a row: compare the thresholded filter
+    // against the raw kernel evaluated without any threshold predicate
+    // (projected, so the rule has no comparison to rewrite)
+    val pairs = randPairs(seed = 97, n = 400).toDF("a", "b")
+    val kept = pairs
+      .where(CustomExpressions.damerau_levenshtein($"a", $"b") <= 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val reference = pairs
+      .select($"a", $"b",
+        CustomExpressions.damerau_levenshtein($"a", $"b").as("d"))
+      .collect().filter(_.getInt(2) <= 2)
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(kept === reference)
+    assert(reference.nonEmpty)
+  }
+
   test("jaro_winkler_bp threshold gains the length-ratio bound, exactly once") {
     val df = Tables.load(spark, sfDir, "customer")
       .where(CustomExpressions.jaro_winkler_bp($"c_name", $"c_mktsegment") >= 9201)

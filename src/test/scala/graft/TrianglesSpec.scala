@@ -39,4 +39,18 @@ class TrianglesSpec extends SparkSpec {
     assert(count(pairs) === naive.toMap)
     assert(naive.nonEmpty)
   }
+
+  test("localClustering: triangle+pendant goldens, non-triangle nodes present at 0") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = graft.ops.Triangles.localClustering(pairs).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("degree"), r.getAs[Long]("n_triangles"),
+          r.getAs[Long]("lcc_bp")))).toMap
+    assert(got === Map(
+      1L -> ((2L, 1L, 10000L)), // its two neighbors are connected
+      2L -> ((2L, 1L, 10000L)),
+      3L -> ((3L, 1L, 3333L)),  // 1 of C(3,2)=3 neighbor pairs closed
+      4L -> ((1L, 0L, 0L))))    // degree-1: defined as 0
+  }
 }
