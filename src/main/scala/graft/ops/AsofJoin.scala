@@ -63,6 +63,51 @@ object AsofJoin {
           col("_match").getField(c).as(rightPrefix + c)): _*)
   }
 
+  /** FORWARD as-of join: for each left row, the EARLIEST right row at
+    * or after its timestamp, per key — "next event" semantics (the
+    * next purchase after a signup, the next quote after an order).
+    * Mirror of [[asofBackward]]: same union + one keyed window, no
+    * join operator, one shuffle; here the carry runs FORWARD via
+    * `first(_, ignoreNulls)` over [current, unbounded following].
+    *
+    * Semantics mirror backward's: an equal-timestamp right row DOES
+    * match (right sorts after left at equal ts in this orientation),
+    * left rows with no later right row keep null match columns,
+    * null-keyed right rows are dropped, and several right rows at the
+    * same (key, ts) resolve to the greatest payload struct. */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      tsCol: String, rightPrefix: String = "r_"): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    val rPayload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val rStruct = struct((col(tsCol).as(tsCol) +: rPayload.map(c => col(c).as(c))): _*)
+    val rTagged = right
+      .where(keys.map(col(_).isNotNull).reduce(_ && _))
+      .select(keys.map(col) ++ Seq(col(tsCol).as("_ts"), rStruct.as("_r")): _*)
+      .withColumn("_side", lit(0))
+    val lCols = left.columns.toSeq
+    val lTagged = left
+      .select(keys.map(col) ++ Seq(col(tsCol).as("_ts"),
+        struct(lCols.map(col): _*).as("_l")): _*)
+      .withColumn("_side", lit(1))
+    val unioned = lTagged
+      .withColumn("_r", lit(null).cast(rTagged.schema("_r").dataType))
+      .unionByName(rTagged
+        .withColumn("_l", lit(null).cast(lTagged.schema("_l").dataType)))
+    // left (_side=1) sorts BEFORE right (_side=0) at equal ts, so the
+    // forward-looking window from a left row includes equal-ts matches;
+    // _r descending makes `first` pick the greatest payload on (key, ts)
+    // ties — the same determinism rule as backward's `last` + ascending
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_ts"), col("_side").desc, col("_r").desc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("_match", first(col("_r"), ignoreNulls = true).over(w))
+      .where(col("_side") === 1)
+      .select(lCols.map(c => col("_l").getField(c).as(c)) ++
+        (tsCol +: rPayload).map(c =>
+          col("_match").getField(c).as(rightPrefix + c)): _*)
+  }
+
   /** NEAREST as-of join: for each left row, the right row minimizing
     * |r.ts − l.ts| within ±`maxGapSeconds`, per key — sensor/series
     * alignment where "latest before" is the wrong bias. Same union +

@@ -33,4 +33,37 @@ object Integrity {
     * verified ok. */
   def allOk(verified: DataFrame): Boolean =
     verified.where(col("status") =!= "ok").isEmpty
+
+  /** Two-level Merkle fingerprint of a TABLE (not files): leaf =
+    * md5(id:payload), bucket hash = md5 of the bucket's leaves
+    * concatenated in id order, root = md5 of the bucket hashes in
+    * bucket order — the tamper-evidence / replication-diff primitive
+    * (compare roots first; on mismatch compare bucket rows to locate
+    * the divergent range without moving data).
+    *
+    * Scale shape: leaves are a narrow scan projection; each bucket's
+    * hash is one map-side-combinable collect_list whose size is the
+    * BUCKET size (callers pick `bucketExpr` so buckets stay bounded —
+    * e.g. id div 10⁴); the root folds the bucket-level table, which is
+    * data-size∕bucket-size rows. The id-sorted concatenation makes the
+    * fingerprint ORDER-INDEPENDENT of physical layout: two replicas
+    * with different partitioning hash identically.
+    *
+    * Output: one row per bucket (bucket, n_rows, bucket_hash) plus the
+    * table-wide root repeated on every row (broadcast of one value). */
+  def merkle(df: DataFrame, idCol: String, payloadCol: String,
+      bucketExpr: org.apache.spark.sql.Column): DataFrame = {
+    val leaves = df.select(bucketExpr.as("bucket"), col(idCol).as("_id"),
+      md5(concat_ws(":", col(idCol), col(payloadCol))).as("_leaf"))
+    val buckets = leaves.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("_id"), col("_leaf")))),
+          x => x.getField("_leaf")), "")).as("bucket_hash"))
+    val root = buckets
+      .agg(md5(array_join(transform(
+        array_sort(collect_list(struct(col("bucket"), col("bucket_hash")))),
+        x => x.getField("bucket_hash")), "")).as("root"))
+    buckets.crossJoin(broadcast(root))
+  }
 }

@@ -82,6 +82,42 @@ object Profile {
     }.reduce(_ unionByName _)
   }
 
+  /** Functional-dependency DISCOVERY over a column set: every directed
+    * pair (det → dep) of `cols` profiled in ONE scan — the exploratory
+    * complement of [[fdCheck]]'s declared rules, whose per-rule
+    * aggregates would cost |pairs| passes over the table. The melt
+    * (one struct per pair, exploded) multiplies rows by |cols|·(|cols|−1)
+    * BEFORE the map-side combine collapses them to the (pair, det-value,
+    * dep-value) grid, so the full-data cost is one scan plus an
+    * aggregate over the distinct grid.
+    *
+    * Values are compared as STRINGS with nulls coalesced to `∅` (one
+    * struct type must host every column; a null is one value class,
+    * the kAnonymity convention) — use string/integer columns, where
+    * the rendering is canonical. */
+  def fdDiscover(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns to discover FDs")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    val melted = df.select(explode(array(pairs.map { case (a, b) =>
+      struct(lit(a).as("det_col"), lit(b).as("dep_col"),
+        coalesce(col(a).cast("string"), lit("∅")).as("dv"),
+        coalesce(col(b).cast("string"), lit("∅")).as("pv"))
+    }: _*)).as("_e"))
+      .select($"_e.det_col", $"_e.dep_col", $"_e.dv", $"_e.pv")
+    melted
+      .groupBy($"det_col", $"dep_col", $"dv", $"pv")
+      .agg(count(lit(1)).as("_n"))
+      .groupBy($"det_col", $"dep_col", $"dv")
+      .agg(count(lit(1)).as("_nd"), sum($"_n").as("_rows"))
+      .groupBy($"det_col", $"dep_col")
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when($"_nd" > 1, 1L).otherwise(0L)), lit(0L))
+          .as("n_viol_groups"),
+        coalesce(sum(when($"_nd" > 1, $"_rows").otherwise(0L)), lit(0L))
+          .as("n_viol_rows"))
+      .withColumn("holds", $"n_viol_groups" === 0L)
+  }
+
   /** Benford's-law expected first-digit shares, basis points of
     * ⌊10⁴·log₁₀(1 + 1∕d)⌋ — fixed literals so both engines compare
     * against the identical reference (no float log at query time). */

@@ -159,6 +159,42 @@ object RankStats {
         col("_chi2").cast("long").as("chi2_q6"))
   }
 
+  /** Chi-square GOODNESS-OF-FIT against the uniform distribution over
+    * an explicit finite domain (exact q6, per-cell floors): with k
+    * domain values and N observations, each cell contributes
+    * ⌊10⁶·(k·O − N)² ∕ (k·N)⌋ — the cross-multiplied form of
+    * (O − N∕k)²∕(N∕k). The audit behind last-digit uniformity checks
+    * (Nigrini's fraud screens, the companion to [[Profile.benford]]):
+    * amounts invented by humans over-represent round digits.
+    *
+    * The domain is a LITERAL spine (broadcast), so values never seen
+    * in the data still contribute their expected count; observed
+    * values outside the domain are ignored. One map-side-combined
+    * aggregate over the data; decimal(38,0) keeps the squared term
+    * exact at any N. */
+  def chiSquareGof(df: DataFrame, valueCol: Column,
+      domain: Seq[Long]): DataFrame = {
+    require(domain.nonEmpty, "need a non-empty domain")
+    val spark = df.sparkSession
+    import spark.implicits.{newLongEncoder, localSeqToDatasetHolder}
+    val obs = df.select(valueCol.as("_d"))
+      .groupBy(col("_d")).agg(count(lit(1)).as("_o"))
+    val spine = domain.toDS().toDF("_d")
+    val tot = obs.join(broadcast(spine), Seq("_d"), "left_semi")
+      .agg(sum(col("_o")).as("_n"))
+    val k = domain.size.toLong
+    broadcast(spine).join(obs, Seq("_d"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("_n"),
+        expr(s"""(1000000 *
+                  ($k * cast(coalesce(_o, 0) as decimal(38,0)) - _n) *
+                  ($k * cast(coalesce(_o, 0) as decimal(38,0)) - _n))
+                 div ($k * cast(_n as decimal(38,0)))""").as("_cell"))
+      .groupBy(col("_n")).agg(sum(col("_cell")).as("_chi2"))
+      .select(col("_n").as("n"), lit(k).as("k"),
+        col("_chi2").cast("long").as("chi2_q6"))
+  }
+
   /** Weighted median per group (lower weighted median: the smallest
     * value whose cumulative weight reaches half the group's total) —
     * exact, no quantization: the value column passes through

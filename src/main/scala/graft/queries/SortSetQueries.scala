@@ -111,7 +111,33 @@ object SortSetQueries extends QueryGroup {
       |       len(list_filter(words, w -> w != 'value')) AS n_no_value
       |FROM w ORDER BY doc_id""".stripMargin
 
+  /** O5 — KEYSET pagination: the page of 20 orders strictly after the
+    * (orderdate, orderkey) anchor in composite order — the
+    * stable-pagination pattern that replaces OFFSET (which re-scans
+    * and re-sorts everything before the page at every request). The
+    * anchor predicate is a row-value comparison Catalyst splits into
+    * range conjuncts, and the plan stays TakeOrderedAndProject: top-k
+    * over only the rows past the anchor, never a global sort. */
+  def keysetPage(spark: SparkSession, dir: String): DataFrame = {
+    val anchor = struct(
+      to_timestamp(lit("1995-06-17 00:00:00")).as("o_orderdate"),
+      lit(30000L).as("o_orderkey"))
+    load(spark, dir, "orders")
+      .where(struct($"o_orderdate", $"o_orderkey") > anchor)
+      .orderBy($"o_orderdate", $"o_orderkey")
+      .limit(20)
+      .select($"o_orderkey", $"o_orderdate", $"o_totalprice")
+  }
+
+  private val keysetPageSql =
+    """SELECT o_orderkey, o_orderdate, o_totalprice
+      |FROM orders
+      |WHERE (o_orderdate, o_orderkey) > (TIMESTAMP '1995-06-17 00:00:00', 30000)
+      |ORDER BY o_orderdate, o_orderkey
+      |LIMIT 20""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("o5_keyset_page", keysetPage, Some(keysetPageSql)),
     QueryDef("o1_top_orders", topOrders, Some(topOrdersSql)),
     QueryDef("o2_sorted_arrays", sortedArrays, Some(sortedArraysSql)),
     QueryDef("o4_limit_one", limitOne, Some(limitOneSql)),

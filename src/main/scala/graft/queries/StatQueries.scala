@@ -243,7 +243,125 @@ object StatQueries extends QueryGroup {
       |FROM s a JOIN s b ON a.g = b.g AND a.d < b.d
       |GROUP BY a.g ORDER BY event_type""".stripMargin
 
+  /** ext_digit_uniformity — chi-square goodness-of-fit of the LAST
+    * digit of order-amount cents against uniform (Nigrini's last-digit
+    * fraud screen, the companion to ext_benford_audit's first-digit
+    * law): invented amounts over-represent round digits. */
+  def digitUniformity(spark: SparkSession, dir: String): DataFrame =
+    RankStats.chiSquareGof(load(spark, dir, "orders"),
+      expr("cast(round(o_totalprice * 100) as bigint) % 10"), 0L to 9L)
+
+  private val digitUniformitySql =
+    """WITH c AS (
+      |  SELECT (round(o_totalprice * 100)::BIGINT % 10) AS d FROM orders),
+      |o AS (SELECT d, count(*)::HUGEINT AS o FROM c GROUP BY d),
+      |spine AS (SELECT unnest(range(0, 10)) AS d),
+      |t AS (SELECT count(*)::HUGEINT AS n FROM c)
+      |SELECT max(t.n)::BIGINT AS n, 10::BIGINT AS k,
+      |       sum((1000000 * (10 * coalesce(o.o, 0) - t.n)
+      |                    * (10 * coalesce(o.o, 0) - t.n))
+      |           // (10 * t.n))::BIGINT AS chi2_q6
+      |FROM spine LEFT JOIN o USING (d) CROSS JOIN t""".stripMargin
+
+  /** ext_merkle_audit — two-level Merkle fingerprint
+    * ([[graft.ops.Integrity.merkle]]) of the documents table, bucketed
+    * by doc_id-century: per-bucket content hash plus the table root,
+    * layout-independent (replica diff = compare roots, then buckets). */
+  def merkleAudit(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Integrity.merkle(load(spark, dir, "documents"),
+        "doc_id", "text", expr("doc_id div 100"))
+      .orderBy($"bucket")
+
+  private val merkleAuditSql =
+    """WITH l AS (
+      |  SELECT doc_id // 100 AS bucket, doc_id,
+      |         md5(doc_id::VARCHAR || ':' || text) AS leaf
+      |  FROM documents),
+      |b AS (
+      |  SELECT bucket, count(*)::BIGINT AS n_rows,
+      |         md5(string_agg(leaf, '' ORDER BY doc_id)) AS bucket_hash
+      |  FROM l GROUP BY bucket),
+      |r AS (SELECT md5(string_agg(bucket_hash, '' ORDER BY bucket)) AS root
+      |      FROM b)
+      |SELECT b.bucket, b.n_rows, b.bucket_hash, r.root
+      |FROM b CROSS JOIN r ORDER BY bucket""".stripMargin
+
+  /** ext_fd_discovery — single-scan all-pairs functional-dependency
+    * profile ([[graft.ops.Profile.fdDiscover]]) over the documents
+    * attribute set: the two doc_id-determined pairs genuinely hold
+    * (doc_id is the key), the other four directed pairs report their
+    * violation census. */
+  def fdDiscovery(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.Profile.fdDiscover(load(spark, dir, "documents"),
+        Seq("doc_id", "lang", "source"))
+      .orderBy($"det_col", $"dep_col")
+
+  private val fdDiscoverySql = {
+    val cols = Seq("doc_id", "lang", "source")
+    val pairs = for (a <- cols; b <- cols if a != b) yield (a, b)
+    pairs.map { case (a, b) =>
+      s"""SELECT '$a' AS det_col, '$b' AS dep_col,
+         |  count(*)::BIGINT AS n_groups,
+         |  coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0)::BIGINT AS n_viol_groups,
+         |  coalesce(sum(CASE WHEN nd > 1 THEN rws END), 0)::BIGINT AS n_viol_rows,
+         |  coalesce(sum(CASE WHEN nd > 1 THEN 1 END), 0) = 0 AS holds
+         |FROM (SELECT coalesce($a::VARCHAR, '∅') AS dv,
+         |             count(DISTINCT coalesce($b::VARCHAR, '∅')) AS nd,
+         |             count(*) AS rws
+         |      FROM documents GROUP BY 1)""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY det_col, dep_col")
+  }
+
+  /** ev37_pattern_match — negative event-pattern match (the
+    * MATCH_RECOGNIZE shape): purchases preceded by a view with NO
+    * error in between, per user — funnels (ev1) chain earliest
+    * timestamps, but "A then B with no C between" needs the
+    * latest-A-vs-latest-C comparison. One per-user ordered window
+    * pass: a row_number spine, then running max of the last view/error
+    * positions. */
+  def patternMatch(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val spine = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val run = Window.partitionBy($"user_id").orderBy($"rn")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("rn", row_number().over(spine))
+      .withColumn("lv",
+        max(when($"event_type" === "view", $"rn")).over(run))
+      .withColumn("le",
+        max(when($"event_type" === "error", $"rn")).over(run))
+      .where($"event_type" === "purchase" && $"lv".isNotNull &&
+        ($"le".isNull || $"le" < $"lv"))
+      .select($"event_id", $"user_id")
+      .orderBy($"event_id")
+  }
+
+  private val patternMatchSql =
+    """WITH r AS (
+      |  SELECT event_id, user_id, event_type,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+      |  FROM events),
+      |m AS (
+      |  SELECT event_id, user_id, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN rn END)
+      |      OVER (PARTITION BY user_id ORDER BY rn
+      |            ROWS UNBOUNDED PRECEDING) AS lv,
+      |    max(CASE WHEN event_type = 'error' THEN rn END)
+      |      OVER (PARTITION BY user_id ORDER BY rn
+      |            ROWS UNBOUNDED PRECEDING) AS le
+      |  FROM r)
+      |SELECT event_id, user_id FROM m
+      |WHERE event_type = 'purchase' AND lv IS NOT NULL
+      |  AND (le IS NULL OR le < lv)
+      |ORDER BY event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_digit_uniformity", digitUniformity, Some(digitUniformitySql)),
+    QueryDef("ext_merkle_audit", merkleAudit, Some(merkleAuditSql)),
+    QueryDef("ext_fd_discovery", fdDiscovery, Some(fdDiscoverySql)),
+    QueryDef("ev37_pattern_match", patternMatch, Some(patternMatchSql)),
     QueryDef("ext_auc_rank", aucRank, Some(aucRankSql)),
     QueryDef("ext_gini", giniQ, Some(giniSql)),
     QueryDef("ext_spearman", spearmanQ, Some(spearmanSql)),

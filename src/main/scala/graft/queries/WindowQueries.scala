@@ -225,6 +225,33 @@ object WindowQueries extends QueryGroup {
       |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin
 
+  /** J30 — FORWARD as-of join ([[graft.ops.AsofJoin.asofForward]]):
+    * each signup matched to the user's NEXT purchase at or after it —
+    * the time-to-convert primitive (backward j17 answers "what
+    * preceded", forward answers "what happened next"). Same one-
+    * shuffle union+window shape, carry running forward; oracle is
+    * DuckDB's native ASOF with the inequality flipped. */
+  def asofForwardQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val signups = ev.where($"event_type" === "signup")
+      .select($"event_id", $"user_id", $"ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    graft.ops.AsofJoin.asofForward(signups, purchases, Seq("user_id"), "ts",
+        rightPrefix = "buy_")
+      .orderBy($"event_id")
+  }
+
+  private val asofForwardSql =
+    """WITH s AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'purchase')
+      |SELECT s.event_id, s.user_id, s.ts,
+      |       p.ts AS buy_ts, p.value AS buy_value
+      |FROM s ASOF LEFT JOIN p ON s.user_id = p.user_id AND p.ts >= s.ts
+      |ORDER BY s.event_id""".stripMargin
+
   /** The NATIVE as-of join (custom LogicalPlan + Strategy + physical
     * merge operator — the whole-operator extension rung) on the same
     * inputs as j17: identical semantics through a completely different
@@ -481,6 +508,7 @@ object WindowQueries extends QueryGroup {
     QueryDef("w8_value_windows", valueWindows, Some(valueWindowsSql)),
     QueryDef("w5_topk_groups", topKGroups, Some(topKGroupsSql)),
     QueryDef("j17_asof_join", asofJoin, Some(asofJoinSql)),
+    QueryDef("j30_asof_forward", asofForwardQ, Some(asofForwardSql)),
     QueryDef("j26_asof_native", asofNative, Some(asofNativeSql)),
     QueryDef("j18_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),

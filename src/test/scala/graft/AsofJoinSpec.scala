@@ -50,6 +50,58 @@ class AsofJoinSpec extends SparkSpec {
     assert(out("b") === None) // SQL equi-join semantics: null != null
   }
 
+  test("forward as-of: earliest at-or-after match, nulls when no later row") {
+    val quotes = Seq(
+      (1L, ts(10), 100.0),
+      (1L, ts(20), 101.0),
+      (2L, ts(15), 200.0))
+      .toDF("k", "ts", "px")
+    val trades = Seq(
+      (1L, ts(5), "t-early"),   // next quote is 10/100.0
+      (1L, ts(10), "t-equal"),  // equal ts matches forward too
+      (1L, ts(15), "t-mid"),    // next is 20/101.0
+      (1L, ts(25), "t-late"),   // after every quote → null
+      (2L, ts(10), "t-other"),  // key isolation
+      (3L, ts(50), "t-nokey"))
+      .toDF("k", "ts", "tag")
+    val out = AsofJoin.asofForward(trades, quotes, Seq("k"), "ts")
+      .collect().map(r => r.getAs[String]("tag") ->
+        (Option(r.getAs[Timestamp]("r_ts")).map(_.getTime / 1000),
+          Option(r.getAs[Any]("r_px")))).toMap
+    assert(out("t-early") === ((Some(10L), Some(100.0))))
+    assert(out("t-equal") === ((Some(10L), Some(100.0))))
+    assert(out("t-mid") === ((Some(20L), Some(101.0))))
+    assert(out("t-late") === ((None, None)))
+    assert(out("t-other") === ((Some(15L), Some(200.0))))
+    assert(out("t-nokey") === ((None, None)))
+  }
+
+  test("forward as-of mirrors backward under time reversal") {
+    // forward(l, r) at ts ≡ backward(l, r) at negated ts — an
+    // independent derivation of every match on a randomized feed
+    val rnd = new scala.util.Random(11)
+    val right = (1 to 120).map(_ =>
+      (rnd.nextInt(4).toLong, ts(rnd.nextInt(60).toLong), rnd.nextInt(1000).toDouble))
+    val left = (1 to 80).map(i =>
+      (rnd.nextInt(5).toLong, ts(rnd.nextInt(70).toLong), s"t$i"))
+    // de-dup (k, ts) on the right: the greatest-payload tie rule is
+    // shared, but reversal flips which struct is "greatest"
+    val rightDf = right.groupBy(r => (r._1, r._2)).values.map(_.head).toSeq
+      .toDF("k", "ts", "px")
+    val leftDf = left.toDF("k", "ts", "tag")
+    val fwd = AsofJoin.asofForward(leftDf, rightDf, Seq("k"), "ts")
+      .collect().map(r => (r.getAs[Long]("k"), r.getAs[Timestamp]("ts"),
+        r.getAs[String]("tag")) -> Option(r.getAs[Any]("r_px"))).toMap
+    val bwd = AsofJoin.asofBackward(
+        leftDf.withColumn("ts", -unix_micros($"ts")),
+        rightDf.withColumn("ts", -unix_micros($"ts")), Seq("k"), "ts")
+      .collect().map(r => r.getAs[String]("tag") -> Option(r.getAs[Any]("r_px"))).toMap
+    fwd.foreach { case ((_, _, tag), px) =>
+      assert(px === bwd(tag), s"tag $tag")
+    }
+    assert(fwd.nonEmpty && fwd.values.exists(_.nonEmpty))
+  }
+
   test("asofNearest: nearer side wins, ties go backward, gap bounds, equal-ts exact") {
     val left = Seq(
       (1L, 10L, ts(100)), // prev at 90 (Δ10) vs next at 130 (Δ30) → prev

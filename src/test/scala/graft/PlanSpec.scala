@@ -48,6 +48,14 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("o5 keyset page stays TakeOrderedAndProject with the anchor pushed to the scan") {
+    val plan = planOf(SortSetQueries.keysetPage(spark, sfDir))
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the row-value anchor decomposes into conjuncts that reach the
+    // parquet scan as pushed filters (at minimum the date range)
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderdate"), plan)
+  }
+
   test("a1 aggregations are map-side partial (two HashAggregate phases)") {
     val plan = planOf(AggQueries.conditionalAgg(spark, sfDir))
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan)

@@ -66,6 +66,31 @@ class ProfileSpec extends SparkSpec {
     assert(out("a_to_b") === ((0L, 0L, 0L, true)))
   }
 
+  test("fdDiscover: single-scan all-pairs agrees with per-rule fdCheck") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 300).map { i =>
+      (s"k${i % 40}", s"v${i % 8}", s"w${rnd.nextInt(5)}")
+    }.toDF("a", "b", "c")
+    val cols = Seq("a", "b", "c")
+    val got = Profile.fdDiscover(df, cols).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getAs[Boolean]("holds"))))
+      .toMap
+    val pairs = for (x <- cols; y <- cols if x != y) yield (x, y)
+    assert(got.keySet === pairs.toSet)
+    pairs.foreach { case (x, y) =>
+      val want = Profile.fdCheck(df, Seq((s"$x->$y", Seq(x), Seq(y))))
+        .collect().head
+      assert(got((x, y)) === ((want.getAs[Long]("n_groups"),
+        want.getAs[Long]("n_viol_groups"), want.getAs[Long]("n_viol_rows"),
+        want.getAs[Boolean]("holds"))), s"$x -> $y")
+    }
+    // a%40 determines b%8 exactly (40 is a multiple of 8): a → b holds
+    assert(got(("a", "b"))._4 === true)
+    assert(got(("b", "a"))._4 === false)
+  }
+
   test("benford: first digits extracted from cents, non-positive and " +
       "null excluded, absent digits emit zero rows") {
     import spark.implicits._

@@ -115,6 +115,18 @@ class RankStatsSpec extends SparkSpec {
     assert(g.getAs[Long]("n") == 20L)
   }
 
+  test("chi-square GoF: exact uniform is 0; all-mass-on-one golden; unseen domain values count") {
+    val uniform = (0L to 4L).flatMap(d => Seq.fill(3)(d)).toDF("d")
+    val u = RankStats.chiSquareGof(uniform, $"d", 0L to 4L).collect().head
+    assert(u.getAs[Long]("chi2_q6") == 0L && u.getAs[Long]("k") == 5L)
+    // all 10 observations on one of 5 values: chi2 = 4·N = 40 → 4·10⁷;
+    // the four UNSEEN values contribute N/5 each (10⁷ of it)
+    val point = Seq.fill(10)(2L).toDF("d")
+    val p = RankStats.chiSquareGof(point, $"d", 0L to 4L).collect().head
+    assert(p.getAs[Long]("chi2_q6") == 40000000L)
+    assert(p.getAs[Long]("n") == 10L)
+  }
+
   test("weighted median: lower median, weights dominate, boundary exact") {
     // weights pull the median to the heavy value
     val df = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 10L, 6L, 3L))
