@@ -357,7 +357,128 @@ object StatQueries extends QueryGroup {
       |  AND (le IS NULL OR le < lv)
       |ORDER BY event_id""".stripMargin
 
+  /** Card-shaped fixtures for the Luhn screen: four Luhn-VALID PANs
+    * and four invalid ones (last digit bumped), injected into synthetic
+    * payment sentences — the sf documents have no digit runs. Literal
+    * on both sides, the GeoQueries fixture convention. */
+  private val luhnCards = Seq(
+    ("4532015112830366", true), ("5425233430109903", true),
+    ("374245455400126", true), ("6011000991300009", true),
+    ("4532015112830367", false), ("5425233430109904", false),
+    ("374245455400127", false), ("6011000991300008", false))
+
+  /** ext_pii_luhn — PII screen for payment-card numbers: 13–19 digit
+    * runs extracted per document, validated with the Luhn checksum
+    * (mod-10, the check real PAN detectors gate on — digit runs that
+    * fail it are order ids, not cards), and the valid ones redacted to
+    * their last four. Spark's codegen `luhn_check` against a DuckDB
+    * list-fold reimplementation of the same published algorithm. */
+  def piiLuhn(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val cards = luhnCards.zipWithIndex
+      .map { case ((pan, _), i) => (i.toLong, pan) }
+      .toDS().toDF("slot", "pan")
+    val docs = load(spark, dir, "documents").where($"doc_id" < 8)
+      .join(broadcast(cards), $"doc_id" % 8 === $"slot")
+      .select($"doc_id",
+        concat(lit("invoice ref "), $"pan", lit(" thanks")).as("text"))
+    docs
+      .select($"doc_id", $"text",
+        explode(expr("regexp_extract_all(text, '[0-9]{13,19}', 0)")).as("pan"))
+      .withColumn("luhn_ok", expr("luhn_check(pan)"))
+      .select($"doc_id", $"pan", $"luhn_ok",
+        when($"luhn_ok", regexp_replace($"text", $"pan",
+          concat(lit("####-"), substring($"pan", -4, 4))))
+          .otherwise($"text").as("redacted"))
+      .orderBy($"doc_id", $"pan")
+  }
+
+  private val piiLuhnSql = {
+    val values = luhnCards.zipWithIndex
+      .map { case ((pan, _), i) => s"($i, '$pan')" }.mkString(", ")
+    s"""WITH cards(slot, pan) AS (VALUES $values),
+       |d AS (
+       |  SELECT doc_id, 'invoice ref ' || c.pan || ' thanks' AS text
+       |  FROM documents JOIN cards c ON doc_id % 8 = c.slot
+       |  WHERE doc_id < 8),
+       |hits AS (
+       |  SELECT doc_id, text,
+       |         unnest(regexp_extract_all(text, '[0-9]{13,19}', 0)) AS pan
+       |  FROM d),
+       |checked AS (
+       |  SELECT doc_id, text, pan,
+       |    (list_sum(list_transform(range(1, length(pan) + 1), i ->
+       |       CASE WHEN (length(pan) - i) % 2 = 1
+       |            THEN (2 * substr(pan, i::INT, 1)::INT) // 10
+       |               + (2 * substr(pan, i::INT, 1)::INT) % 10
+       |            ELSE substr(pan, i::INT, 1)::INT END)) % 10 = 0) AS luhn_ok
+       |  FROM hits)
+       |SELECT doc_id, pan, luhn_ok,
+       |       CASE WHEN luhn_ok
+       |            THEN replace(text, pan, '####-' || substr(pan, -4, 4))
+       |            ELSE text END AS redacted
+       |FROM checked ORDER BY doc_id, pan""".stripMargin
+  }
+
+  /** ev38_iso_week — weekly revenue rolled up on the ISO week calendar
+    * (ISO-8601 week-dates): the year-boundary days that belong to the
+    * other year's week 52/1 land in the RIGHT bucket — grouping by
+    * (year, weekofyear) double-counts weeks that straddle Jan 1, the
+    * classic calendar rollup bug. Revenue summed exactly in cents. */
+  def isoWeek(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "orders")
+      .groupBy(expr("extract(YEAROFWEEK FROM o_orderdate)").as("iso_year"),
+        weekofyear($"o_orderdate").cast("long").as("iso_week"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(expr("cast(round(o_totalprice * 100) as bigint)")).as("cents"))
+      .orderBy($"iso_year", $"iso_week")
+
+  private val isoWeekSql =
+    """SELECT isoyear(o_orderdate)::BIGINT AS iso_year,
+      |       weekofyear(o_orderdate)::BIGINT AS iso_week,
+      |       count(*)::BIGINT AS n_orders,
+      |       sum(round(o_totalprice * 100)::BIGINT)::BIGINT AS cents
+      |FROM orders
+      |GROUP BY 1, 2 ORDER BY iso_year, iso_week""".stripMargin
+
+  /** w9_running_distinct — per-user RUNNING count of distinct event
+    * types over time: distinct-so-far as a window column. No
+    * count(DISTINCT) window (Spark refuses it; a naive rewrite buffers
+    * sets) — the first-occurrence flag (row_number = 1 per (user,
+    * type)) summed cumulatively is exact and stays a pair of plain
+    * windows over one shuffle. */
+  def runningDistinct(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+    val firstW = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    val cumW = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.withColumn("_first",
+        when(row_number().over(firstW) === 1, 1L).otherwise(0L))
+      .withColumn("types_so_far", sum($"_first").over(cumW))
+      .select($"event_id", $"user_id", $"types_so_far")
+      .orderBy($"event_id")
+  }
+
+  private val runningDistinctSql =
+    """WITH f AS (
+      |  SELECT event_id, user_id,
+      |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+      |                                 ORDER BY ts, event_id) = 1
+      |         THEN 1 ELSE 0 END AS fst,
+      |    ts
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |       sum(fst) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS UNBOUNDED PRECEDING)::BIGINT AS types_so_far
+      |FROM f ORDER BY event_id""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_pii_luhn", piiLuhn, Some(piiLuhnSql)),
+    QueryDef("ev38_iso_week", isoWeek, Some(isoWeekSql)),
+    QueryDef("w9_running_distinct", runningDistinct, Some(runningDistinctSql)),
     QueryDef("ext_digit_uniformity", digitUniformity, Some(digitUniformitySql)),
     QueryDef("ext_merkle_audit", merkleAudit, Some(merkleAuditSql)),
     QueryDef("ext_fd_discovery", fdDiscovery, Some(fdDiscoverySql)),
