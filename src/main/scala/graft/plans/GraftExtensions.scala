@@ -45,9 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer seam: length prefilters implied by fuzzy predicates
     // (see SimilarityPruning) — runs in the operator-optimization batch
     ext.injectOptimizerRule(_ => SimilarityPruning)
-    // planner seam: the whole-operator extension (custom LogicalPlan →
-    // custom physical merge operator) for the native as-of join
+    // planner seams: the whole-operator extensions (custom LogicalPlan →
+    // custom physical operator) for the native as-of and interval joins
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectPlannerStrategy(_ => IntervalJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dms_to_decimal"),
       info("dms_to_decimal",

@@ -373,6 +373,40 @@ object WindowQueries extends QueryGroup {
       |FROM a JOIN b ON a.s <= b.e2 AND b.s2 <= a.e
       |ORDER BY incident_id, click_id""".stripMargin
 
+  /** J31 — the NATIVE keyed interval-overlap join
+    * ([[graft.plans.IntervalJoinNative]]: custom LogicalPlan + Strategy
+    * + merge-sweep physical operator, the second whole-operator
+    * extension): per-user error windows × click windows — j20's shape
+    * but KEYED (and on different filters, so neither answer reuses the
+    * other's). The oracle is the plain relational overlap join. */
+  def intervalNativeQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val a = ev.where($"event_type" === "error" && $"value" >= 20.0)
+      .select($"event_id".as("incident_id"), $"user_id", $"ts".as("a_start"),
+        ($"ts" + expr("INTERVAL 30 MINUTES")).as("a_end"))
+    val b = ev.where($"event_type" === "click")
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("b_start"),
+        ($"ts" + expr("INTERVAL 15 MINUTES")).as("b_end"))
+    graft.plans.IntervalJoinNative.overlapJoin(a, b, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end", rightPrefix = "r_")
+      .select($"incident_id", $"user_id", $"r_click_id".as("click_id"))
+      .orderBy($"incident_id", $"click_id")
+  }
+
+  private val intervalNativeSql =
+    """WITH a AS (
+      |  SELECT event_id AS incident_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 30 MINUTE AS e
+      |  FROM events WHERE event_type = 'error' AND value >= 20.0),
+      |b AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS s2,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS e2
+      |  FROM events WHERE event_type = 'click')
+      |SELECT a.incident_id, a.user_id, b.click_id
+      |FROM a JOIN b ON a.user_id = b.user_id
+      |             AND a.s <= b.e2 AND b.s2 <= a.e
+      |ORDER BY incident_id, click_id""".stripMargin
+
   /** J21 — NEAREST as-of join: each error matched to its nearest click
     * within ±5 minutes per user (|Δt| minimized, ties → earlier). One
     * keyed shuffle, zero join operators; the oracle composes DuckDB's
@@ -501,6 +535,7 @@ object WindowQueries extends QueryGroup {
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j21_asof_nearest", asofNearestQ, Some(asofNearestSql)),
     QueryDef("j20_interval_overlap", intervalOverlapQ, Some(intervalOverlapSql)),
+    QueryDef("j31_interval_native", intervalNativeQ, Some(intervalNativeSql)),
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
     QueryDef("w6_range_trailing", rangeTrailing, Some(rangeTrailingSql)),
