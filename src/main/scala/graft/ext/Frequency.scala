@@ -430,6 +430,55 @@ object Frequency {
           lit(math.max(1L, n - 1).toDouble)).cast("long"))
   }
 
+  /** QUANTILE NORMALIZATION (Bolstad et al., Bioinformatics 2003 — the
+    * cross-sample normalization of genomics expression pipelines, and
+    * the cross-cohort score equating of eval pipelines): every group's
+    * value distribution is mapped ONTO the pooled global distribution,
+    * so after the transform all groups share it exactly. Each row's
+    * within-group midrank quantile p = (2r−1)∕(2n) is looked up in the
+    * global order statistics: norm = the global `quantile_disc(p)` =
+    * the value at global row index ⌈p·N⌉ = ((2r−1)·N + 2n−1) div (2n)
+    * — all integer, engine-exact.
+    *
+    * Scale shape: per-group ranks are PARTITIONED windows; the global
+    * order statistics come from [[globalRank]]'s distributed-selection
+    * spine (never a single-task global sort); and the index→value
+    * lookup exploits that the spine's [rank, rank+cnt−1] intervals
+    * TILE [1, N] — a bucket-quantized equi join (the RangeJoin trick on
+    * the rank axis), spine side exploded by covered bucket, row side on
+    * idx's bucket, residual-filtered. One bounded `count()` action
+    * sizes the buckets; everything else is jobs over data.
+    *
+    * Null values are excluded (no rank). Integer inputs come back as
+    * the spine's double rendering — lossless below 2⁵³, cast back at
+    * the call site. */
+  def quantileNormalize(df: DataFrame, groupCol: String, valueCol: String,
+      idCol: String): DataFrame = {
+    val base = df
+      .select(col(groupCol).as("g"), col(valueCol).as("v"), col(idCol).as("id"))
+      .where(col("v").isNotNull)
+      .persistScoped // read three times: count, ranks, spine
+    val nTot = base.count()
+    val w = math.max(1L, nTot / 256L)
+    val wr = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v"), col("id"))
+    val ranked = base
+      .withColumn("_r", row_number().over(wr).cast("long"))
+      .withColumn("_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      .withColumn("_idx",
+        expr(s"((2 * _r - 1) * ${nTot}L + 2 * _n - 1) div (2 * _n)"))
+      .withColumn("_bk", expr(s"_idx div ${w}L"))
+    val spine = globalRank(base.select(col("v")), "v")
+      .select(col("value").as("_sv"), col("cnt").as("_c"), col("rank").as("_rk"))
+      .withColumn("_bk", explode(expr(
+        s"sequence(_rk div ${w}L, (_rk + _c - 1) div ${w}L)")))
+    ranked.join(spine, Seq("_bk"))
+      .where(col("_rk") <= col("_idx") &&
+        col("_idx") <= col("_rk") + col("_c") - 1)
+      .select(col("id"), col("g"), col("v"), col("_sv").as("norm_v"))
+  }
+
   /** Equi-DEPTH histogram of `valueCol` in `k` buckets — the
     * equal-frequency complement of a9's equal-width histogram and the
     * shape an optimizer's column statistics / a data-profiler's

@@ -475,7 +475,47 @@ object StatQueries extends QueryGroup {
       |                      ROWS UNBOUNDED PRECEDING)::BIGINT AS types_so_far
       |FROM f ORDER BY event_id""".stripMargin
 
+  /** ext_quantile_normalize — quantile normalization
+    * ([[graft.ext.Frequency.quantileNormalize]], Bolstad 2003): every
+    * market segment's balance distribution mapped onto the pooled
+    * global one. The oracle resolves the same midrank indices against
+    * the same cumulative spine through DuckDB's native ASOF join — an
+    * independent formulation of the rank→order-statistic lookup. */
+  def quantileNormalizeQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Frequency.quantileNormalize(
+        load(spark, dir, "customer").select($"c_custkey", $"c_mktsegment",
+          expr("cast(round(c_acctbal * 100) as bigint)").as("cents")),
+        "c_mktsegment", "cents", "c_custkey")
+      .select($"id".as("custkey"), $"g".as("mktsegment"), $"v".as("cents"),
+        $"norm_v".cast("long").as("norm_cents"))
+      .orderBy($"custkey")
+
+  private val quantileNormalizeSql =
+    """WITH b AS (
+      |  SELECT c_custkey AS id, c_mktsegment AS g,
+      |         round(c_acctbal * 100)::BIGINT AS v
+      |  FROM customer),
+      |n AS (SELECT count(*)::BIGINT AS nn FROM b),
+      |r AS (
+      |  SELECT id, g, v,
+      |    row_number() OVER (PARTITION BY g ORDER BY v, id) AS r,
+      |    count(*) OVER (PARTITION BY g) AS cg
+      |  FROM b),
+      |ix AS (
+      |  SELECT id, g, v,
+      |         ((2 * r - 1) * n.nn + 2 * cg - 1) // (2 * cg) AS idx
+      |  FROM r CROSS JOIN n),
+      |sp AS (SELECT v AS sv, count(*) AS c FROM b GROUP BY v),
+      |sr AS (SELECT sv, (sum(c) OVER (ORDER BY sv) - c + 1)::BIGINT AS rk
+      |       FROM sp)
+      |SELECT ix.id AS custkey, ix.g AS mktsegment, ix.v AS cents,
+      |       sr.sv AS norm_cents
+      |FROM ix ASOF JOIN sr ON sr.rk <= ix.idx
+      |ORDER BY custkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_quantile_normalize", quantileNormalizeQ,
+      Some(quantileNormalizeSql)),
     QueryDef("ext_pii_luhn", piiLuhn, Some(piiLuhnSql)),
     QueryDef("ev38_iso_week", isoWeek, Some(isoWeekSql)),
     QueryDef("w9_running_distinct", runningDistinct, Some(runningDistinctSql)),

@@ -313,4 +313,32 @@ class FrequencySpec extends SparkSpec {
     val want = 10000L * (2 * g2 - (n + 1) * s) / (n * s)
     assert(got === want)
   }
+
+  test("quantileNormalize: hand golden on two 2-row groups") {
+    import spark.implicits._
+    // pooled sorted = [1, 2, 50, 100]; per group n=2: r=1 → idx 1 → 1,
+    // r=2 → idx 3 → 50 — both groups land on the multiset {1, 50}
+    val df = Seq(("a", 1L, 1L), ("a", 100L, 2L), ("b", 2L, 3L), ("b", 50L, 4L))
+      .toDF("g", "v", "id")
+    val got = Frequency.quantileNormalize(df, "g", "v", "id")
+      .collect().map(r => (r.getLong(0), r.getLong(2).toDouble ->
+        r.getAs[Double]("norm_v"))).toMap
+    assert(got === Map(
+      1L -> (1.0 -> 1.0), 2L -> (100.0 -> 50.0),
+      3L -> (2.0 -> 1.0), 4L -> (50.0 -> 50.0)))
+  }
+
+  test("quantileNormalize: equal-size groups share one normalized multiset") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(5)
+    val rows = for (g <- Seq("x", "y", "z"); i <- 1 to 40) yield
+      (g, rnd.nextInt(1000).toLong, (g.hashCode.toLong << 8) + i)
+    val out = Frequency.quantileNormalize(rows.toDF("g", "v", "id"), "g", "v", "id")
+      .collect().map(r => r.getString(1) -> r.getAs[Double]("norm_v"))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted.toSeq }
+    assert(out("x") === out("y") && out("y") === out("z"))
+    // normalized values are drawn from the pooled value set
+    val pooled = rows.map(_._2.toDouble).toSet
+    assert(out("x").forall(pooled.contains))
+  }
 }
