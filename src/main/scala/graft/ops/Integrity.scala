@@ -34,6 +34,33 @@ object Integrity {
   def allOk(verified: DataFrame): Boolean =
     verified.where(col("status") =!= "ok").isEmpty
 
+  /** Referential-integrity audit of one child→parent relation: the
+    * orphan census a warehouse runs before trusting joins — child rows
+    * whose foreign key resolves to no parent (null FKs tallied
+    * separately: SQL RI permits them), plus the reverse direction
+    * (parents no child references). One row out per relation; anti and
+    * semi joins only, so Catalyst broadcasts whichever side is small
+    * and the audit never materializes a join product. */
+  def riAudit(name: String, child: DataFrame, childKey: String,
+      parent: DataFrame, parentKey: String): DataFrame = {
+    val fk = child.select(col(childKey).as("_fk"))
+    val pk = parent.select(col(parentKey).as("_pk"))
+    val counts = fk.agg(count(lit(1)).as("n_child"),
+      sum(when(col("_fk").isNull, 1L).otherwise(0L)).as("n_null_fk"))
+    val orphans = fk.where(col("_fk").isNotNull)
+      .join(pk, col("_fk") === col("_pk"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    val childless = pk
+      .join(fk.where(col("_fk").isNotNull), col("_pk") === col("_fk"),
+        "left_anti")
+      .agg(count(lit(1)).as("n_childless"))
+    val parents = pk.agg(count(lit(1)).as("n_parents"))
+    counts.crossJoin(orphans).crossJoin(parents).crossJoin(childless)
+      .select(lit(name).as("relation"), col("n_child"), col("n_null_fk"),
+        col("n_orphans"), col("n_parents"), col("n_childless"),
+        (col("n_orphans") === 0L).as("ri_holds"))
+  }
+
   /** Two-level Merkle fingerprint of a TABLE (not files): leaf =
     * md5(id:payload), bucket hash = md5 of the bucket's leaves
     * concatenated in id order, root = md5 of the bucket hashes in

@@ -53,6 +53,37 @@ object Moments {
         col("slope_q6"), col("intercept_q6"))
   }
 
+  /** Simpson's-paradox detector (Simpson 1951; the aggregation-reversal
+    * audit every cohort dashboard needs): the SIGN of the per-group OLS
+    * slope vs the sign of the POOLED slope, both exact — sign(covn) of
+    * the integer covariance numerator n·Σxy − Σx·Σy, no division, no
+    * floats — with `reversal` flagged where a group trends strictly
+    * against the pooled trend. Two map-side-combined aggregates over
+    * one projection (the pooled moments are the group moments re-summed,
+    * never a second scan), pooled row broadcast back. */
+  def simpsonsFlag(df: DataFrame, groupCol: String, xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val base = df.where(col(groupCol).isNotNull && x.isNotNull && y.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(x).as("_sx"), sum(y).as("_sy"),
+        sum(x * y).as("_sxy"))
+    val pooled = base.agg(sum(col("n")).as("_pn"), sum(col("_sx")).as("_psx"),
+      sum(col("_sy")).as("_psy"), sum(col("_sxy")).as("_psxy"))
+      .select(signum(col("_pn") * col("_psxy") - col("_psx") * col("_psy"))
+        .cast("long").as("pooled_sign"))
+    base
+      .withColumn("slope_sign",
+        signum(col("n") * col("_sxy") - col("_sx") * col("_sy")).cast("long"))
+      .crossJoin(broadcast(pooled))
+      .withColumn("reversal",
+        col("slope_sign") =!= 0L && col("pooled_sign") =!= 0L &&
+          col("slope_sign") === -col("pooled_sign"))
+      .select(col(groupCol), col("n"), col("slope_sign"), col("pooled_sign"),
+        col("reversal"))
+  }
+
   /** Per-group EXACT Gram moments for multi-feature linear regression:
     * n, Σx_i, Σx_i·x_j (upper triangle), Σx_i·y, Σy, Σy² — every
     * number an exact long over integer-valued inputs, so the aggregate

@@ -513,7 +513,87 @@ object StatQueries extends QueryGroup {
       |FROM ix ASOF JOIN sr ON sr.rk <= ix.idx
       |ORDER BY custkey""".stripMargin
 
+  /** ext_ri_audit — referential-integrity census
+    * ([[graft.ops.Integrity.riAudit]]) over the schema's three FK
+    * relations: orphaned children, null FKs, and childless parents per
+    * relation, anti/semi-join shaped. */
+  def riAuditQ(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ops.Integrity.riAudit
+    riAudit("orders_customer", load(spark, dir, "orders"), "o_custkey",
+        load(spark, dir, "customer"), "c_custkey")
+      .unionByName(riAudit("lineitem_orders", load(spark, dir, "lineitem"),
+        "l_orderkey", load(spark, dir, "orders"), "o_orderkey"))
+      .unionByName(riAudit("lineitem_part", load(spark, dir, "lineitem"),
+        "l_partkey", load(spark, dir, "part"), "p_partkey"))
+      .orderBy($"relation")
+  }
+
+  private val riAuditSql = {
+    def one(name: String, child: String, fk: String, parent: String,
+        pk: String) =
+      s"""SELECT '$name' AS relation,
+         |  (SELECT count(*) FROM $child)::BIGINT AS n_child,
+         |  (SELECT count(*) FROM $child WHERE $fk IS NULL)::BIGINT AS n_null_fk,
+         |  (SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
+         |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)
+         |  )::BIGINT AS n_orphans,
+         |  (SELECT count(*) FROM $parent)::BIGINT AS n_parents,
+         |  (SELECT count(*) FROM $parent p
+         |     WHERE NOT EXISTS (SELECT 1 FROM $child c WHERE c.$fk = p.$pk)
+         |  )::BIGINT AS n_childless,
+         |  (SELECT count(*) FROM $child c WHERE c.$fk IS NOT NULL
+         |     AND NOT EXISTS (SELECT 1 FROM $parent p WHERE p.$pk = c.$fk)) = 0
+         |    AS ri_holds""".stripMargin
+    Seq(
+      one("orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      one("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      one("lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"))
+      .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY relation")
+  }
+
+  /** ext_simpsons_flag — Simpson's-paradox audit
+    * ([[graft.ops.Moments.simpsonsFlag]]): per market segment, does the
+    * per-customer (order count → balance) trend run AGAINST the pooled
+    * trend? Signs from exact integer covariance numerators, no floats
+    * anywhere. */
+  def simpsonsFlagQ(spark: SparkSession, dir: String): DataFrame = {
+    val cnt = load(spark, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n_orders"))
+    val j = load(spark, dir, "customer")
+      .join(cnt, $"c_custkey" === $"o_custkey")
+      .select($"c_mktsegment", $"n_orders",
+        expr("cast(round(c_acctbal * 100) as bigint)").as("cents"))
+    graft.ops.Moments.simpsonsFlag(j, "c_mktsegment", "n_orders", "cents")
+      .withColumnRenamed("c_mktsegment", "mktsegment")
+      .orderBy($"mktsegment")
+  }
+
+  private val simpsonsFlagSql =
+    """WITH cnt AS (
+      |  SELECT o_custkey, count(*)::BIGINT AS x FROM orders GROUP BY 1),
+      |j AS (
+      |  SELECT c.c_mktsegment AS g, cnt.x,
+      |         round(c.c_acctbal * 100)::BIGINT AS y
+      |  FROM customer c JOIN cnt ON c.c_custkey = cnt.o_custkey),
+      |b AS (
+      |  SELECT g, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+      |         sum(y)::BIGINT AS sy, sum(x * y)::BIGINT AS sxy
+      |  FROM j GROUP BY g),
+      |p AS (
+      |  SELECT sign(sum(n) * sum(sxy) - sum(sx) * sum(sy))::BIGINT
+      |           AS pooled_sign
+      |  FROM b)
+      |SELECT b.g AS mktsegment, b.n,
+      |       sign(b.n * b.sxy - b.sx * b.sy)::BIGINT AS slope_sign,
+      |       p.pooled_sign,
+      |       (sign(b.n * b.sxy - b.sx * b.sy) <> 0 AND p.pooled_sign <> 0
+      |        AND sign(b.n * b.sxy - b.sx * b.sy) = -p.pooled_sign)
+      |         AS reversal
+      |FROM b CROSS JOIN p ORDER BY mktsegment""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_ri_audit", riAuditQ, Some(riAuditSql)),
+    QueryDef("ext_simpsons_flag", simpsonsFlagQ, Some(simpsonsFlagSql)),
     QueryDef("ext_quantile_normalize", quantileNormalizeQ,
       Some(quantileNormalizeSql)),
     QueryDef("ext_pii_luhn", piiLuhn, Some(piiLuhnSql)),

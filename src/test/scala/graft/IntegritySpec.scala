@@ -27,4 +27,21 @@ class IntegritySpec extends SparkSpec {
     assert(!Integrity.allOk(verified))
     assert(Integrity.allOk(verified.where($"file_name" === "good.gz")))
   }
+
+  test("riAudit: orphans, null FKs, and childless parents counted exactly") {
+    import spark.implicits._
+    val parent = Seq(10L, 20L, 30L).toDF("pk")
+    val child = Seq(Some(10L), Some(10L), Some(99L), None).toDF("fk")
+    val r = Integrity.riAudit("rel", child, "fk", parent, "pk").collect().head
+    assert(r.getAs[Long]("n_child") === 4L)
+    assert(r.getAs[Long]("n_null_fk") === 1L)
+    assert(r.getAs[Long]("n_orphans") === 1L)  // 99 has no parent
+    assert(r.getAs[Long]("n_parents") === 3L)
+    assert(r.getAs[Long]("n_childless") === 2L) // 20 and 30
+    assert(!r.getAs[Boolean]("ri_holds"))
+    val clean = Integrity.riAudit("rel",
+      child.where($"fk" =!= 99L || $"fk".isNull), "fk", parent, "pk")
+      .collect().head
+    assert(clean.getAs[Boolean]("ri_holds"))
+  }
 }

@@ -74,4 +74,28 @@ class MomentsSpec extends SparkSpec {
     val mb = Moments.gramMoments(bad, "g", Seq("x0", "x1"), "y")
     assert(Moments.ridgeFit(mb, "g", d = 2).isEmpty)
   }
+
+  test("simpsonsFlag: a constructed paradox flags every group; aligned data does not") {
+    import spark.implicits._
+    // within each group y falls in x; pooled, the high-x group sits
+    // higher overall, so the pooled trend RISES - the textbook reversal
+    val paradox = Seq(
+      ("a", 1L, 9L), ("a", 2L, 8L),
+      ("b", 8L, 22L), ("b", 9L, 21L)).toDF("g", "x", "y")
+    val got = Moments.simpsonsFlag(paradox, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> ((r.getAs[Long]("slope_sign"),
+        r.getAs[Long]("pooled_sign"), r.getAs[Boolean]("reversal")))).toMap
+    assert(got === Map("a" -> ((-1L, 1L, true)), "b" -> ((-1L, 1L, true))))
+    val aligned = Seq(
+      ("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 3L), ("b", 4L, 5L))
+      .toDF("g", "x", "y")
+    val ok = Moments.simpsonsFlag(aligned, "g", "x", "y").collect()
+    assert(ok.forall(!_.getAs[Boolean]("reversal")))
+    // zero-variance group: sign 0, never a reversal
+    val flat = Seq(("a", 1L, 5L), ("a", 1L, 7L), ("b", 1L, 1L), ("b", 2L, 2L))
+      .toDF("g", "x", "y")
+    val fz = Moments.simpsonsFlag(flat, "g", "x", "y").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("slope_sign")).toMap
+    assert(fz("a") === 0L)
+  }
 }
