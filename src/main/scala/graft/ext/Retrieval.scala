@@ -146,6 +146,35 @@ object Retrieval {
     * in some phrase — which selective phrases keep far below corpus
     * position count. A stopword-heavy phrase degrades toward its
     * posting volume, exactly as in a posting-list engine. */
+  /** PROXIMITY (NEAR/k) search: documents where `termA` and `termB`
+    * occur within `window` token positions of each other, any order —
+    * the retrieval predicate between bag-of-words AND and exact phrase
+    * match. Per qualifying doc: the number of proximate position pairs
+    * and the minimum distance.
+    *
+    * Scale shape: one narrow position explode filtered to the two query
+    * terms (posting-list sized from then on), re-keyed on doc_id for
+    * the pairing join — the corpus itself never shuffles. */
+  def nearSearch(corpus: DataFrame, termA: String, termB: String,
+      window: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(termA != termB, "proximity terms must differ")
+    val positions = corpus
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextStats.tokens(col(textCol))).as(Seq("pos", "term")))
+      .where($"term" === termA || $"term" === termB)
+    val pa = positions.where($"term" === termA)
+      .select($"doc_id", $"pos".as("_pa"))
+    val pb = positions.where($"term" === termB)
+      .select($"doc_id", $"pos".as("_pb"))
+    pa.join(pb, "doc_id")
+      .where(abs($"_pa" - $"_pb") <= window)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        min(abs($"_pa" - $"_pb")).cast("long").as("min_dist"))
+  }
+
   def phraseSearch(corpus: DataFrame, phrases: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val pt = phrases

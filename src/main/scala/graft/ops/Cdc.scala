@@ -21,6 +21,32 @@ import org.apache.spark.sql.functions._
   */
 object Cdc {
 
+  /** NET-EFFECT compaction of a change log between two checkpoints —
+    * the change-feed minimizer: many ops per key collapse to the one
+    * op a downstream consumer must replay. Classification from the
+    * key's FIRST and LAST op in `seqCol` order:
+    * insert+…+delete → `none` (born and died inside the window),
+    * insert+… → `insert` (with the final payload), …+delete →
+    * `delete`, anything else → `update`. Rows classified `none` are
+    * RETURNED (callers filter) so the compactor is auditable.
+    *
+    * One map-side-combinable aggregate per key (min_by/max_by over the
+    * sequence — never a window over the raw log); `seqCol` must
+    * totally order each key's ops. */
+  def compact(log: DataFrame, keyCol: String, seqCol: String,
+      opCol: String, valCol: String): DataFrame =
+    log.groupBy(col(keyCol))
+      .agg(min_by(col(opCol), col(seqCol)).as("_first"),
+        max_by(col(opCol), col(seqCol)).as("_last"),
+        max_by(col(valCol), col(seqCol)).as("final_val"),
+        count(lit(1)).as("n_ops"))
+      .withColumn("net_op",
+        when(col("_first") === "I" && col("_last") === "D", "none")
+          .when(col("_first") === "I", "insert")
+          .when(col("_last") === "D", "delete")
+          .otherwise("update"))
+      .select(col(keyCol), col("net_op"), col("final_val"), col("n_ops"))
+
   def applyChanges(changes: DataFrame, keyCols: Seq[String],
       seqCols: Seq[String], opCol: String, payloadCols: Seq[String],
       deleteOp: String = "delete"): DataFrame = {

@@ -170,6 +170,26 @@ object RetrievalQueries extends QueryGroup {
        |SELECT phrase_id, doc_id, n_occ FROM m WHERE n_occ > 0
        |ORDER BY phrase_id, doc_id""".stripMargin
 
+  /** Proximity (NEAR/3) search ([[graft.ext.Retrieval.nearSearch]]):
+    * docs where 'value' and 'table' sit within three token positions,
+    * with pair count and minimum distance — between bag-of-words AND
+    * and exact phrase match. */
+  def nearSearchQ(spark: SparkSession, dir: String): DataFrame =
+    Retrieval.nearSearch(load(spark, dir, "documents"), "value", "table", 3)
+      .orderBy($"doc_id")
+
+  private val nearSearchSql =
+    s"""WITH d AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |pa AS (SELECT doc_id, unnest(list_filter(range(1, len(toks) + 1),
+       |         i -> toks[i] = 'value')) AS p FROM d),
+       |pb AS (SELECT doc_id, unnest(list_filter(range(1, len(toks) + 1),
+       |         i -> toks[i] = 'table')) AS p FROM d)
+       |SELECT pa.doc_id, count(*)::BIGINT AS n_pairs,
+       |       min(abs(pa.p - pb.p))::BIGINT AS min_dist
+       |FROM pa JOIN pb USING (doc_id)
+       |WHERE abs(pa.p - pb.p) <= 3
+       |GROUP BY pa.doc_id ORDER BY pa.doc_id""".stripMargin
+
   /** Blocklist screening: every doc scored against three banned
     * bigrams; cardinality-preserving (n_hits, blocked) report. */
   def blocklistQ(spark: SparkSession, dir: String): DataFrame =
@@ -401,6 +421,7 @@ object RetrievalQueries extends QueryGroup {
     QueryDef("ext_vocab_coverage", vocabCoverage, Some(vocabCoverageSql)),
     QueryDef("ext_winsorize", winsorize, Some(winsorizeSql)),
     QueryDef("ext_phrase_search", phraseSearch, Some(phraseSearchSql)),
+    QueryDef("ext_near_search", nearSearchQ, Some(nearSearchSql)),
     QueryDef("ext_blocklist", blocklistQ, Some(blocklistSql)),
     QueryDef("ext_outlier_mad", outlierMad, Some(outlierMadSql)))
 }

@@ -591,7 +591,127 @@ object StatQueries extends QueryGroup {
       |         AS reversal
       |FROM b CROSS JOIN p ORDER BY mktsegment""".stripMargin
 
+  /** ev39_downtime — gap/downtime detection: per user, every
+    * inter-event gap over one hour, with the bounding events — the
+    * monitoring readout behind "when did this feed go quiet". One
+    * partitioned lag window. */
+  def downtime(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+      .withColumn("_prev", lag($"ts", 1).over(w))
+      .withColumn("gap_s",
+        expr("(unix_micros(ts) - unix_micros(_prev)) div 1000000"))
+      .where($"gap_s" > 3600L)
+      .select($"event_id", $"user_id", $"_prev".as("down_start"),
+        $"ts".as("down_end"), $"gap_s")
+      .orderBy($"event_id")
+  }
+
+  private val downtimeSql =
+    """WITH g AS (
+      |  SELECT event_id, user_id,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |                                     ORDER BY ts, event_id) AS prev,
+      |    CAST(ts AS TIMESTAMP) AS ts
+      |  FROM events)
+      |SELECT event_id, user_id, prev AS down_start, ts AS down_end,
+      |       (epoch_us(ts) - epoch_us(prev)) // 1000000 AS gap_s
+      |FROM g
+      |WHERE (epoch_us(ts) - epoch_us(prev)) // 1000000 > 3600
+      |ORDER BY event_id""".stripMargin
+
+  /** ev40_peak_concurrency — maximum concurrently-open click windows
+    * per user via the EVENT-SWEEP trick: each interval becomes a +1 at
+    * its start and a −1 past its end, a running sum over (t, delta
+    * DESC) counts the open intervals at every instant, and the max is
+    * the peak — never an interval self-join. Closed bounds: a window
+    * starting the instant another ends counts both. */
+  def peakConcurrency(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val clicks = load(spark, dir, "events")
+      .where($"event_type" === "click")
+      .select($"user_id", $"ts".as("s"),
+        ($"ts" + expr("INTERVAL 15 MINUTES")).as("e"))
+    val deltas = clicks.select($"user_id", $"s".as("t"), lit(1L).as("d"))
+      .unionByName(clicks.select($"user_id",
+        ($"e" + expr("INTERVAL 1 MICROSECOND")).as("t"), lit(-1L).as("d")))
+    val w = Window.partitionBy($"user_id").orderBy($"t", $"d".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    deltas
+      .withColumn("_open", sum($"d").over(w))
+      .groupBy($"user_id")
+      .agg(max($"_open").as("peak"), (count(lit(1)) / 2).cast("long").as("n_windows"))
+      .orderBy($"user_id")
+  }
+
+  private val peakConcurrencySql =
+    """WITH c AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS s,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 15 MINUTE AS e
+      |  FROM events WHERE event_type = 'click'),
+      |d AS (
+      |  SELECT user_id, s AS t, 1 AS d FROM c
+      |  UNION ALL
+      |  SELECT user_id, e + INTERVAL 1 MICROSECOND AS t, -1 AS d FROM c),
+      |r AS (
+      |  SELECT user_id,
+      |    sum(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+      |                 ROWS UNBOUNDED PRECEDING) AS open
+      |  FROM d)
+      |SELECT user_id, max(open)::BIGINT AS peak,
+      |       (count(*) // 2)::BIGINT AS n_windows
+      |FROM r GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  /** s26_cdc_compact — net-effect change-feed compaction
+    * ([[graft.ops.Cdc.compact]]): a synthetic three-checkpoint op log
+    * over customers (everyone inserted, evens updated, every sixth
+    * deleted) collapses to the one op per key a consumer replays;
+    * born-and-died keys classify `none` and are filtered as the
+    * consumer would. */
+  def cdcCompact(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "customer")
+    val log = c.select($"c_custkey".as("k"), lit(1L).as("seq"),
+        lit("I").as("op"), $"c_mktsegment".as("v"))
+      .unionByName(c.where($"c_custkey" % 2 === 0)
+        .select($"c_custkey".as("k"), lit(2L).as("seq"),
+          lit("U").as("op"), lit("MOVED").as("v")))
+      .unionByName(c.where($"c_custkey" % 6 === 0)
+        .select($"c_custkey".as("k"), lit(3L).as("seq"),
+          lit("D").as("op"), lit(null).cast("string").as("v")))
+    graft.ops.Cdc.compact(log, "k", "seq", "op", "v")
+      .where($"net_op" =!= "none")
+      .orderBy($"k")
+  }
+
+  private val cdcCompactSql =
+    """WITH log AS (
+      |  SELECT c_custkey AS k, 1 AS seq, 'I' AS op, c_mktsegment AS v
+      |  FROM customer
+      |  UNION ALL
+      |  SELECT c_custkey, 2, 'U', 'MOVED' FROM customer WHERE c_custkey % 2 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, 3, 'D', NULL FROM customer WHERE c_custkey % 6 = 0),
+      |agg AS (
+      |  SELECT k, arg_min(op, seq) AS f, arg_max(op, seq) AS l,
+      |         arg_max(v, seq) AS final_val, count(*)::BIGINT AS n_ops
+      |  FROM log GROUP BY k),
+      |net AS (
+      |  SELECT k,
+      |    CASE WHEN f = 'I' AND l = 'D' THEN 'none'
+      |         WHEN f = 'I' THEN 'insert'
+      |         WHEN l = 'D' THEN 'delete'
+      |         ELSE 'update' END AS net_op,
+      |    final_val, n_ops
+      |  FROM agg)
+      |SELECT k, net_op, final_val, n_ops FROM net
+      |WHERE net_op <> 'none' ORDER BY k""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev39_downtime", downtime, Some(downtimeSql)),
+    QueryDef("ev40_peak_concurrency", peakConcurrency, Some(peakConcurrencySql)),
+    QueryDef("s26_cdc_compact", cdcCompact, Some(cdcCompactSql)),
     QueryDef("ext_ri_audit", riAuditQ, Some(riAuditSql)),
     QueryDef("ext_simpsons_flag", simpsonsFlagQ, Some(simpsonsFlagSql)),
     QueryDef("ext_quantile_normalize", quantileNormalizeQ,

@@ -248,4 +248,20 @@ class RetrievalSpec extends SparkSpec {
       .select($"g", $"v").collect().map(r => (r.getString(0), r.getLong(1)))
     assert(flagged.toSeq === Seq(("a", 1000L))) // b's 1000s are normal for b
   }
+
+  test("nearSearch: window bound inclusive, any order, counts every pair") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "value x y table"),       // distance 3: inside NEAR/3
+      (2L, "value x y z table"),     // distance 4: outside
+      (3L, "table value"),           // reversed order, distance 1
+      (4L, "value table value"),     // two pairs: distances 1 and 1
+      (5L, "value only here")        // missing second term
+    ).toDF("doc_id", "text")
+    val got = graft.ext.Retrieval.nearSearch(docs, "value", "table", 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("min_dist")))).toMap
+    assert(got === Map(
+      1L -> ((1L, 3L)), 3L -> ((1L, 1L)), 4L -> ((2L, 1L))))
+  }
 }
