@@ -77,6 +77,34 @@ object CleaningFunctions {
     * `.` and space → `_`. */
   def normalizeName(c: Column): Column = translate(c, ". ", "__")
 
+  /** URL canonicalization — the normalize-before-dedup step of a web
+    * corpus pipeline (two crawls of one page must collide):
+    * scheme+host lowercased (path stays case-sensitive), default ports
+    * (:80 http, :443 https) dropped, trailing path slashes dropped,
+    * tracking params (`utm_*`, `fbclid`) removed, surviving query
+    * params SORTED, missing scheme defaulted to http. Built from
+    * codegen string/array functions only; the DuckDB oracle spells the
+    * identical regex pipeline. */
+  def canonicalizeUrl(c: Column): Column = {
+    val scheme = lower(coalesce(
+      nullif(regexp_extract(c, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1), lit("")),
+      lit("http")))
+    val after = regexp_replace(c, "^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    val hostport = lower(regexp_extract(after, "^([^/?#]*)", 1))
+    val host = when(scheme === "http" && hostport.endsWith(":80"),
+        regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https" && hostport.endsWith(":443"),
+        regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val path = regexp_replace(
+      regexp_extract(after, "^[^/?#]*([^?#]*)", 1), "/+$", "")
+    val query = regexp_extract(after, "\\?([^#]*)", 1)
+    val params = array_join(array_sort(filter(split(query, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid)="))), "&")
+    concat(scheme, lit("://"), host, path,
+      when(params === "", lit("")).otherwise(concat(lit("?"), params)))
+  }
+
   /** F6 — whitespace-only → null (gsheets.py:21-23). */
   def blankToNull(c: Column): Column =
     when(trim(c) === "", lit(null)).otherwise(c)

@@ -436,6 +436,51 @@ object ExtQueries extends QueryGroup {
        |GROUP BY bf.q_id ORDER BY bf.q_id""".stripMargin
   }
 
+  /** Matryoshka truncation eval (Kusupati et al. 2022 — MRL prefix
+    * embeddings): recall@5 of brute-force search over the FIRST 16 of
+    * 64 dimensions against full-dimension ground truth — the
+    * measure-before-you-truncate gate for serving prefix embeddings at
+    * a fraction of the memory. Same recall harness as ext_sim_recall,
+    * different approximation axis (dimension truncation vs bucketing). */
+  def simMatryoshka(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val q = emb.where($"vec_id" < 10)
+    def trunc(df: DataFrame) =
+      df.withColumn("embedding", slice($"embedding", 1, 16))
+    Similarity.recallAtK(
+      Similarity.bruteForceTopK(trunc(q), trunc(emb), 5),
+      Similarity.bruteForceTopK(q, emb, 5), 5)
+      .orderBy($"q_id")
+  }
+
+  private val simMatryoshkaSql =
+    s"""WITH t AS (
+       |  SELECT vec_id, embedding, embedding[1:16] AS emb16 FROM embeddings),
+       |truth_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM t q JOIN t c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |truth AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM truth_scored) WHERE rank <= 5),
+       |ap_scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.emb16", "c.emb16")} AS cos
+       |  FROM t q JOIN t c ON q.vec_id != c.vec_id
+       |  WHERE q.vec_id < 10),
+       |ap AS (
+       |  SELECT q_id, n_id FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM ap_scored) WHERE rank <= 5)
+       |SELECT truth.q_id, (count(ap.n_id))::BIGINT AS hits,
+       |       ((10000 * count(ap.n_id)) // 5)::BIGINT AS recall_bp
+       |FROM truth LEFT JOIN ap ON truth.q_id = ap.q_id AND truth.n_id = ap.n_id
+       |GROUP BY truth.q_id ORDER BY truth.q_id""".stripMargin
+
   /** Largest-remainder quota allocation ([[Sampling.largestRemainder]]):
     * 1000 training-sample slots split exactly ∝ per-(source, lang)
     * character mass — Σ slots = 1000 by construction, every number an
@@ -4165,6 +4210,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_triplets", simTriplets, Some(simTripletsSql)),
     QueryDef("ext_embed_prune", embedPrune, Some(embedPruneSql)),
     QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
+    QueryDef("ext_sim_matryoshka", simMatryoshka, Some(simMatryoshkaSql)),
     QueryDef("ext_sim_mrr", simMrr, Some(simMrrSql)),
     QueryDef("ext_quota_allocate", quotaAllocate, Some(quotaAllocateSql)),
     QueryDef("ext_qq_drift", qqDrift, Some(qqDriftSql)),

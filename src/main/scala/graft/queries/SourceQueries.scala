@@ -1,7 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{min, regexp_replace, round}
+import org.apache.spark.sql.functions.{expr, min, regexp_replace, round}
 import graft.{QueryDef, QueryGroup}
 import graft.io.Sources
 
@@ -248,6 +248,34 @@ object SourceQueries extends QueryGroup {
     """SELECT doc_id, text, lang, source, n_chars
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** S27 — SCHEMA EVOLUTION round trip: two parquet generations of the
+    * same table (gen 2 grew an `acct_cents` column) read back through
+    * `mergeSchema` — the widened schema applies to both, gen-1 rows
+    * null-filling the new column. The append-only schema-growth path
+    * every long-lived dataset walks. */
+  def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
+    val c = graft.Tables.load(spark, dir, "customer")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_s27").toFile
+    c.where($"c_custkey" % 2 === 1)
+      .select($"c_custkey", $"c_mktsegment")
+      .write.mode("overwrite").parquet(s"$tmp/gen=1")
+    c.where($"c_custkey" % 2 === 0)
+      .select($"c_custkey", $"c_mktsegment",
+        expr("cast(round(c_acctbal * 100) as bigint)").as("acct_cents"))
+      .write.mode("overwrite").parquet(s"$tmp/gen=2")
+    spark.read.option("mergeSchema", "true").parquet(tmp.getAbsolutePath)
+      .select($"c_custkey", $"c_mktsegment", $"acct_cents",
+        $"gen".cast("long").as("gen"))
+      .orderBy($"c_custkey")
+  }
+
+  private val schemaEvolutionSql =
+    """SELECT c_custkey, c_mktsegment,
+      |       CASE WHEN c_custkey % 2 = 0
+      |            THEN round(c_acctbal * 100)::BIGINT END AS acct_cents,
+      |       CASE WHEN c_custkey % 2 = 0 THEN 2 ELSE 1 END::BIGINT AS gen
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** S23 — ORC round trip: the lineitem measure columns through the
     * columnar interchange sibling of parquet. */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
@@ -271,6 +299,7 @@ object SourceQueries extends QueryGroup {
     QueryDef("sql1_sql_surface", sqlSurface, Some(sqlSurfaceSql)),
     QueryDef("s21_csv_quarantine", csvQuarantine, Some(csvQuarantineSql)),
     QueryDef("s22_jsonl_roundtrip", jsonlRoundTrip, Some(jsonlRoundTripSql)),
+    QueryDef("s27_schema_evolution", schemaEvolution, Some(schemaEvolutionSql)),
     QueryDef("s23_orc_roundtrip", orcRoundTrip, Some(orcRoundTripSql)),
     QueryDef("s20_incremental_agg", incrementalAgg, Some(incrementalAggSql)),
     QueryDef("s18_snapshot_roundtrip", snapshotRoundTrip, Some(snapshotRoundTripSql)),

@@ -708,7 +708,79 @@ object StatQueries extends QueryGroup {
       |SELECT k, net_op, final_val, n_ops FROM net
       |WHERE net_op <> 'none' ORDER BY k""".stripMargin
 
+  /** URL fixtures for the canonicalization screen: pairs that MUST
+    * collide after normalization plus control cases, literal on both
+    * sides. */
+  private val urlFixtures = Seq(
+    1L -> "HTTP://Example.COM:80/path/",
+    2L -> "http://example.com/path",
+    3L -> "https://example.com/search?utm_source=x&b=2&a=1",
+    4L -> "https://example.com/search?a=1&b=2&fbclid=zzz",
+    5L -> "https://Sub.Example.com:443/P/Q/",
+    6L -> "example.com/x",
+    7L -> "http://example.com/path?only=utm#frag",
+    8L -> "https://example.com:8443/keep-port/")
+
+  /** ext_url_canonical — URL canonicalization before web-corpus dedup
+    * ([[graft.functions.CleaningFunctions.canonicalizeUrl]]): two
+    * crawls of one page collide after scheme/host lowering, default-
+    * port and trailing-slash stripping, tracking-param removal, and
+    * query-param sorting. Output includes each canonical form's
+    * collision count — the dedup readout itself. */
+  def urlCanonical(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val urls = urlFixtures.toDS().toDF("id", "url")
+    urls
+      .withColumn("canon_url",
+        graft.functions.CleaningFunctions.canonicalizeUrl($"url"))
+      .withColumn("n_dups",
+        count(lit(1)).over(Window.partitionBy($"canon_url")))
+      .select($"id", $"canon_url", $"n_dups")
+      .orderBy($"id")
+  }
+
+  private val urlCanonicalSql = {
+    val values = urlFixtures
+      .map { case (i, u) => s"($i, '$u')" }.mkString(", ")
+    s"""WITH u(id, url) AS (VALUES $values),
+       |p AS (
+       |  SELECT id, url,
+       |    lower(coalesce(nullif(regexp_extract(url,
+       |      '^([A-Za-z][A-Za-z0-9+.-]*)://', 1), ''), 'http')) AS scheme,
+       |    regexp_replace(url, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS a
+       |  FROM u),
+       |q AS (
+       |  SELECT id, scheme,
+       |    lower(regexp_extract(a, '^([^/?#]*)', 1)) AS hostport,
+       |    regexp_replace(regexp_extract(a, '^[^/?#]*([^?#]*)', 1),
+       |                   '/+$$', '') AS path,
+       |    regexp_extract(a, '\\?([^#]*)', 1) AS qs
+       |  FROM p),
+       |r AS (
+       |  SELECT id, scheme,
+       |    CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+       |           THEN regexp_replace(hostport, ':80$$', '')
+       |         WHEN scheme = 'https' AND hostport LIKE '%:443'
+       |           THEN regexp_replace(hostport, ':443$$', '')
+       |         ELSE hostport END AS host,
+       |    path,
+       |    coalesce(array_to_string(list_sort(list_filter(
+       |      string_split(qs, '&'),
+       |      x -> x <> '' AND NOT regexp_matches(x,
+       |             '^(utm_[^=]*|fbclid)='))), '&'), '') AS params
+       |  FROM q),
+       |c AS (
+       |  SELECT id, scheme || '://' || host || path ||
+       |    CASE WHEN params = '' THEN '' ELSE '?' || params END AS canon_url
+       |  FROM r)
+       |SELECT id, canon_url,
+       |       count(*) OVER (PARTITION BY canon_url)::BIGINT AS n_dups
+       |FROM c ORDER BY id""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_url_canonical", urlCanonical, Some(urlCanonicalSql)),
     QueryDef("ev39_downtime", downtime, Some(downtimeSql)),
     QueryDef("ev40_peak_concurrency", peakConcurrency, Some(peakConcurrencySql)),
     QueryDef("s26_cdc_compact", cdcCompact, Some(cdcCompactSql)),

@@ -129,4 +129,24 @@ class CleaningFunctionsSpec extends SparkSpec {
     assert(rows(1).getAs[String]("platform") === "keep")
     assert(rows.forall(_.getAs[String]("filetype") === "fastq"))
   }
+
+  test("canonicalizeUrl: collisions, default ports, tracking params, case rules") {
+    import spark.implicits._
+    import graft.functions.CleaningFunctions.canonicalizeUrl
+    val got = Seq(
+      "HTTP://Example.COM:80/path/",
+      "http://example.com/path",
+      "https://example.com/search?utm_source=x&b=2&a=1",
+      "https://example.com/search?a=1&b=2&fbclid=zzz",
+      "example.com/x",
+      "https://example.com:8443/keep-port/",
+      "http://example.com/CaseSensitivePath")
+      .toDF("url").select(canonicalizeUrl($"url")).collect().map(_.getString(0))
+    assert(got(0) === got(1))                               // port+slash+case collide
+    assert(got(2) === got(3))                               // tracking params drop, rest sort
+    assert(got(2) === "https://example.com/search?a=1&b=2")
+    assert(got(4) === "http://example.com/x")               // scheme defaulted
+    assert(got(5) === "https://example.com:8443/keep-port") // non-default port kept
+    assert(got(6) === "http://example.com/CaseSensitivePath") // path case preserved
+  }
 }
