@@ -779,7 +779,137 @@ object StatQueries extends QueryGroup {
        |FROM c ORDER BY id""".stripMargin
   }
 
+  /** ext_quantile_groups — exact per-group quartiles (p25/p50/p75 of
+    * balance cents per segment) with PINNED index semantics: the value
+    * at row ⌈p·n⌉ of the group's (value, custkey) order — a partitioned
+    * window + conditional min, never a global sort; the oracle spells
+    * the identical index arithmetic rather than trusting either
+    * engine's quantile_disc convention. */
+  def quantileGroups(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"g").orderBy($"v", $"t")
+    load(spark, dir, "customer")
+      .select($"c_mktsegment".as("g"),
+        expr("cast(round(c_acctbal * 100) as bigint)").as("v"),
+        $"c_custkey".as("t"))
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy($"g")))
+      .groupBy($"g")
+      .agg(max($"_n").as("n"),
+        min(when($"_rn" === expr("(25 * _n + 99) div 100"), $"v")).as("p25"),
+        min(when($"_rn" === expr("(50 * _n + 99) div 100"), $"v")).as("p50"),
+        min(when($"_rn" === expr("(75 * _n + 99) div 100"), $"v")).as("p75"))
+      .withColumnRenamed("g", "mktsegment")
+      .orderBy($"mktsegment")
+  }
+
+  private val quantileGroupsSql =
+    """WITH b AS (
+      |  SELECT c_mktsegment AS g, round(c_acctbal * 100)::BIGINT AS v,
+      |         c_custkey AS t
+      |  FROM customer),
+      |r AS (
+      |  SELECT g, v,
+      |    row_number() OVER (PARTITION BY g ORDER BY v, t) AS rn,
+      |    count(*) OVER (PARTITION BY g) AS n
+      |  FROM b)
+      |SELECT g AS mktsegment, max(n)::BIGINT AS n,
+      |       min(CASE WHEN rn = (25 * n + 99) // 100 THEN v END)::BIGINT AS p25,
+      |       min(CASE WHEN rn = (50 * n + 99) // 100 THEN v END)::BIGINT AS p50,
+      |       min(CASE WHEN rn = (75 * n + 99) // 100 THEN v END)::BIGINT AS p75
+      |FROM r GROUP BY g ORDER BY mktsegment""".stripMargin
+
+  /** ev41_bounce_rate — per-day bounce share: sessions (30-minute idle
+    * gap) with exactly one event over all sessions that day, exact
+    * basis points. Session ids from the gaps-and-islands cumulative
+    * flag — one keyed window pass, the ev5 shape collapsed to the
+    * classic web metric. */
+  def bounceRate(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val cum = byUser.rowsBetween(Window.unboundedPreceding, 0)
+    load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"ts")
+      .withColumn("_prev", lag($"ts", 1).over(byUser))
+      .withColumn("_new", when($"_prev".isNull ||
+        expr("unix_micros(ts) - unix_micros(_prev)") > 1800L * 1000000L, 1L)
+        .otherwise(0L))
+      .withColumn("_sid", sum($"_new").over(cum))
+      .groupBy($"user_id", $"_sid")
+      .agg(min(expr("unix_micros(ts) div 86400000000")).as("day"),
+        count(lit(1)).as("_len"))
+      .groupBy($"day")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(when($"_len" === 1L, 1L).otherwise(0L)).as("n_bounce"))
+      .select($"day", $"n_sessions", $"n_bounce",
+        expr("(10000 * n_bounce) div n_sessions").as("bounce_bp"))
+      .orderBy($"day")
+  }
+
+  private val bounceRateSql =
+    """WITH e AS (
+      |  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(CASE WHEN prev IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev) > 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e),
+      |g AS (
+      |  SELECT user_id, sid,
+      |         min(epoch_us(ts) // 86400000000) AS day,
+      |         count(*)::BIGINT AS len
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT day, count(*)::BIGINT AS n_sessions,
+      |       sum(CASE WHEN len = 1 THEN 1 ELSE 0 END)::BIGINT AS n_bounce,
+      |       ((10000 * sum(CASE WHEN len = 1 THEN 1 ELSE 0 END))
+      |        // count(*))::BIGINT AS bounce_bp
+      |FROM g GROUP BY day ORDER BY day""".stripMargin
+
+  /** ext_vocab_growth — Heaps'-law vocabulary growth curve: distinct
+    * terms among the first k documents (by doc_id) at geometric
+    * checkpoints — the diminishing-returns readout behind "will more
+    * data still grow the vocabulary". One token explode melted over
+    * the checkpoint grid, distinct via a two-level aggregate (never
+    * countDistinct's Expand over raw positions). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{newLongEncoder, localSeqToDatasetHolder}
+    val checkpoints = Seq(25L, 50L, 100L, 200L, 400L).toDF("k")
+    val terms = load(spark, dir, "documents")
+      .select($"doc_id",
+        explode(graft.ext.TextStats.tokens($"text")).as("term"))
+      .where($"term" =!= "")
+    terms.crossJoin(broadcast(checkpoints))
+      .where($"doc_id" < $"k")
+      .groupBy($"k", $"term").agg(count(lit(1)).as("_tf"))
+      .groupBy($"k")
+      .agg(count(lit(1)).as("n_distinct_terms"), sum($"_tf").as("n_tokens"))
+      .orderBy($"k")
+  }
+
+  private val vocabGrowthSql =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |         unnest(string_split_regex(lower(coalesce(text, '')), '\s+'))
+      |           AS term
+      |  FROM documents),
+      |tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+      |ck AS (SELECT unnest([25, 50, 100, 200, 400]) AS k)
+      |SELECT ck.k::BIGINT AS k,
+      |       count(DISTINCT term)::BIGINT AS n_distinct_terms,
+      |       count(*)::BIGINT AS n_tokens
+      |FROM tt JOIN ck ON tt.doc_id < ck.k
+      |GROUP BY ck.k ORDER BY k""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_quantile_groups", quantileGroups, Some(quantileGroupsSql)),
+    QueryDef("ev41_bounce_rate", bounceRate, Some(bounceRateSql)),
+    QueryDef("ext_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
     QueryDef("ext_url_canonical", urlCanonical, Some(urlCanonicalSql)),
     QueryDef("ev39_downtime", downtime, Some(downtimeSql)),
     QueryDef("ev40_peak_concurrency", peakConcurrency, Some(peakConcurrencySql)),
