@@ -906,7 +906,79 @@ object StatQueries extends QueryGroup {
       |FROM tt JOIN ck ON tt.doc_id < ck.k
       |GROUP BY ck.k ORDER BY k""".stripMargin
 
+  /** w10_session_window_batch — Spark's native `session_window`
+    * grouping in BATCH mode (st2's streaming sibling through the same
+    * API): per (user, gap-merged session) the start instant and event
+    * count. New session at gap ≥ 30 min (the window is
+    * [ts, last + gap)), which the oracle's gaps-and-islands mirror
+    * spells as `>=`. */
+  def sessionWindowBatch(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy($"user_id",
+        session_window($"ts", "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+      .select($"user_id",
+        expr("unix_micros(sw.start)").as("session_start_us"), $"n_events")
+      .orderBy($"user_id", $"session_start_us")
+
+  private val sessionWindowBatchSql =
+    """WITH e AS (
+      |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts,
+      |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+      |      ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, ts,
+      |    sum(CASE WHEN prev IS NULL
+      |             OR epoch_us(ts) - epoch_us(prev) >= 1800000000
+      |             THEN 1 ELSE 0 END)
+      |      OVER (PARTITION BY user_id ORDER BY ts
+      |            ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM e)
+      |SELECT user_id, min(epoch_us(ts))::BIGINT AS session_start_us,
+      |       count(*)::BIGINT AS n_events
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start_us""".stripMargin
+
+  /** ev42_daily_p95 — per-day p95 of the event value at pinned
+    * ⌈95n∕100⌉ index semantics: the SLA percentile readout, a
+    * partitioned window + conditional min (the ext_quantile_groups
+    * machinery on the time axis); the value passes through untouched
+    * so the compare is exact. */
+  def dailyP95(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDay = Window.partitionBy($"day").orderBy($"value", $"event_id")
+    load(spark, dir, "events")
+      .select($"event_id", $"value",
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .where($"value".isNotNull)
+      .withColumn("_rn", row_number().over(byDay).cast("long"))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy($"day")))
+      .groupBy($"day")
+      .agg(max($"_n").as("n"),
+        min(when($"_rn" === expr("(95 * _n + 99) div 100"), $"value"))
+          .as("p95"))
+      .orderBy($"day")
+  }
+
+  private val dailyP95Sql =
+    """WITH b AS (
+      |  SELECT event_id, value,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS day
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT day, value,
+      |    row_number() OVER (PARTITION BY day ORDER BY value, event_id) AS rn,
+      |    count(*) OVER (PARTITION BY day) AS n
+      |  FROM b)
+      |SELECT day, max(n)::BIGINT AS n,
+      |       min(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
+      |FROM r GROUP BY day ORDER BY day""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("w10_session_window_batch", sessionWindowBatch,
+      Some(sessionWindowBatchSql)),
+    QueryDef("ev42_daily_p95", dailyP95, Some(dailyP95Sql)),
     QueryDef("ext_quantile_groups", quantileGroups, Some(quantileGroupsSql)),
     QueryDef("ev41_bounce_rate", bounceRate, Some(bounceRateSql)),
     QueryDef("ext_vocab_growth", vocabGrowth, Some(vocabGrowthSql)),
