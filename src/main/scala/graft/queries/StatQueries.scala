@@ -975,7 +975,90 @@ object StatQueries extends QueryGroup {
       |       min(CASE WHEN rn = (95 * n + 99) // 100 THEN value END) AS p95
       |FROM r GROUP BY day ORDER BY day""".stripMargin
 
+  /** ev43_window_funnel — windowed funnel depth (the ClickHouse
+    * windowFunnel shape): per user, how many views reach a click
+    * within 3 days, and how many of those reach a purchase within 3
+    * days of THE CLICK — chained next-event hops, each hop one
+    * [[graft.ops.AsofJoin.asofForward]] (never a per-anchor subquery).
+    * The oracle chains DuckDB's native forward ASOF twice. */
+  def windowFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val horizonUs = 3L * 86400L * 1000000L
+    val views = ev.where($"event_type" === "view")
+      .select($"event_id", $"user_id", $"ts")
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", $"ts")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts")
+    val hop1 = graft.ops.AsofJoin
+      .asofForward(views, clicks, Seq("user_id"), "ts", rightPrefix = "c_")
+      .withColumn("_click_ok", $"c_ts".isNotNull &&
+        expr(s"unix_micros(c_ts) - unix_micros(ts) <= $horizonUs"))
+    val anchors2 = hop1.where($"_click_ok")
+      .select($"event_id".as("view_id"), $"user_id", $"c_ts".as("ts"))
+    val hop2 = graft.ops.AsofJoin
+      .asofForward(anchors2, purchases, Seq("user_id"), "ts",
+        rightPrefix = "p_")
+      .where($"p_ts".isNotNull &&
+        expr(s"unix_micros(p_ts) - unix_micros(ts) <= $horizonUs"))
+      .select($"view_id")
+    hop1
+      .join(hop2.withColumn("_p_ok", lit(1L)),
+        hop1("event_id") === hop2("view_id"), "left")
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_views"),
+        sum(when($"_click_ok", 1L).otherwise(0L)).as("n_clicked"),
+        sum(coalesce($"_p_ok", lit(0L))).as("n_purchased"))
+      .orderBy($"user_id")
+  }
+
+  private val windowFunnelSql =
+    """WITH v AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+      |      FROM events WHERE event_type = 'purchase'),
+      |h1 AS (
+      |  SELECT v.event_id, v.user_id, v.ts, c.ts AS c_ts,
+      |         (c.ts IS NOT NULL AND
+      |          epoch_us(c.ts) - epoch_us(v.ts) <= 259200000000) AS click_ok
+      |  FROM v ASOF LEFT JOIN c
+      |    ON v.user_id = c.user_id AND c.ts >= v.ts),
+      |h2 AS (
+      |  SELECT a.event_id AS view_id
+      |  FROM (SELECT event_id, user_id, c_ts FROM h1 WHERE click_ok) a
+      |  ASOF LEFT JOIN p ON a.user_id = p.user_id AND p.ts >= a.c_ts
+      |  WHERE p.ts IS NOT NULL
+      |    AND epoch_us(p.ts) - epoch_us(a.c_ts) <= 259200000000)
+      |SELECT h1.user_id, count(*)::BIGINT AS n_views,
+      |       sum(CASE WHEN h1.click_ok THEN 1 ELSE 0 END)::BIGINT AS n_clicked,
+      |       sum(CASE WHEN h2.view_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+      |         AS n_purchased
+      |FROM h1 LEFT JOIN h2 ON h1.event_id = h2.view_id
+      |GROUP BY h1.user_id ORDER BY h1.user_id""".stripMargin
+
+  /** o6_listagg — deterministic sorted list aggregation: per nation,
+    * the five lexicographically-first customer names joined with '|'
+    * (collect below an explicit sort_array + slice, never relying on
+    * collect_list order) — the export formatting op whose
+    * nondeterministic naive form is a classic cross-engine trap. */
+  def listAgg(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "customer")
+      .groupBy($"c_nationkey".cast("long").as("nationkey"))
+      .agg(count(lit(1)).as("n"),
+        array_join(slice(sort_array(collect_list($"c_name")), 1, 5), "|")
+          .as("top5_names"))
+      .orderBy($"nationkey")
+
+  private val listAggSql =
+    """SELECT c_nationkey::BIGINT AS nationkey, count(*)::BIGINT AS n,
+      |       array_to_string(list_sort(list(c_name))[1:5], '|') AS top5_names
+      |FROM customer GROUP BY c_nationkey ORDER BY nationkey""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev43_window_funnel", windowFunnel, Some(windowFunnelSql)),
+    QueryDef("o6_listagg", listAgg, Some(listAggSql)),
     QueryDef("w10_session_window_batch", sessionWindowBatch,
       Some(sessionWindowBatchSql)),
     QueryDef("ev42_daily_p95", dailyP95, Some(dailyP95Sql)),
