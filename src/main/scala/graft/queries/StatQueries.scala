@@ -1056,7 +1056,77 @@ object StatQueries extends QueryGroup {
       |       array_to_string(list_sort(list(c_name))[1:5], '|') AS top5_names
       |FROM customer GROUP BY c_nationkey ORDER BY nationkey""".stripMargin
 
+  /** ev44_km_table — Kaplan–Meier survival table (Kaplan & Meier 1958)
+    * for time-to-first-purchase since signup, right-censored at the
+    * feed's end: per duration day, the at-risk count, events, and
+    * censorings — the exact integer INGREDIENTS of the KM estimator
+    * (the product-limit itself is a float a stats package derives;
+    * the table is what the engine owes). At-risk counts are a suffix
+    * sum over the aggregate-sized duration table, never the user
+    * frame. */
+  def kmTable(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = load(spark, dir, "events")
+    val su = ev.where($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("s"))
+    val pu = ev.where($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p"))
+    val horizon = ev.agg(max($"ts").as("maxts"))
+    val perUser = su.join(pu, Seq("user_id"), "left")
+      .groupBy($"user_id", $"s")
+      .agg(min(when($"p" >= $"s", $"p")).as("fp"))
+      .crossJoin(broadcast(horizon))
+      .select(
+        when($"fp".isNotNull,
+          expr("(unix_micros(fp) - unix_micros(s)) div 86400000000"))
+          .otherwise(expr("(unix_micros(maxts) - unix_micros(s)) div 86400000000"))
+          .as("dur"),
+        $"fp".isNotNull.as("event"))
+    val byDur = perUser.groupBy($"dur")
+      .agg(sum(when($"event", 1L).otherwise(0L)).as("n_events"),
+        sum(when($"event", 0L).otherwise(1L)).as("n_censored"))
+    val suffix = Window.orderBy($"dur".desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    byDur
+      .withColumn("n_at_risk",
+        sum($"n_events" + $"n_censored").over(suffix))
+      .select($"dur", $"n_at_risk", $"n_events", $"n_censored")
+      .orderBy($"dur")
+  }
+
+  private val kmTableSql =
+    """WITH su AS (
+      |  SELECT user_id, min(CAST(ts AS TIMESTAMP)) AS s
+      |  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+      |pu AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS p
+      |       FROM events WHERE event_type = 'purchase'),
+      |h AS (SELECT max(CAST(ts AS TIMESTAMP)) AS maxts FROM events),
+      |per_user AS (
+      |  SELECT su.user_id, su.s,
+      |         min(CASE WHEN pu.p >= su.s THEN pu.p END) AS fp
+      |  FROM su LEFT JOIN pu ON su.user_id = pu.user_id
+      |  GROUP BY su.user_id, su.s),
+      |d AS (
+      |  SELECT CASE WHEN fp IS NOT NULL
+      |              THEN (epoch_us(fp) - epoch_us(s)) // 86400000000
+      |              ELSE (epoch_us(h.maxts) - epoch_us(s)) // 86400000000
+      |         END AS dur,
+      |         fp IS NOT NULL AS event
+      |  FROM per_user CROSS JOIN h),
+      |byd AS (
+      |  SELECT dur,
+      |         sum(CASE WHEN event THEN 1 ELSE 0 END)::BIGINT AS n_events,
+      |         sum(CASE WHEN event THEN 0 ELSE 1 END)::BIGINT AS n_censored
+      |  FROM d GROUP BY dur)
+      |SELECT dur,
+      |       sum(n_events + n_censored)
+      |         OVER (ORDER BY dur DESC ROWS UNBOUNDED PRECEDING)::BIGINT
+      |         AS n_at_risk,
+      |       n_events, n_censored
+      |FROM byd ORDER BY dur""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ev44_km_table", kmTable, Some(kmTableSql)),
     QueryDef("ev43_window_funnel", windowFunnel, Some(windowFunnelSql)),
     QueryDef("o6_listagg", listAgg, Some(listAggSql)),
     QueryDef("w10_session_window_batch", sessionWindowBatch,
