@@ -1125,7 +1125,95 @@ object StatQueries extends QueryGroup {
       |       n_events, n_censored
       |FROM byd ORDER BY dur""".stripMargin
 
+  /** ext_ab_srm — sample-ratio-mismatch check (the FIRST validity gate
+    * of every A/B readout: a skewed split invalidates the experiment
+    * before any metric is read): md5-hash 50/50 assignment of
+    * customers, then the chi-square goodness-of-fit of arm counts vs
+    * uniform ([[graft.ops.RankStats.chiSquareGof]]). Same deterministic
+    * assignment hash as the sampling family, so both engines place
+    * every customer in the same arm. */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val arms = load(spark, dir, "customer")
+      .select((graft.ext.Sampling.hashBucket($"c_custkey") % 2).as("arm"))
+    RankStats.chiSquareGof(arms, $"arm", Seq(0L, 1L))
+  }
+
+  private val abSrmSql =
+    """WITH arms AS (
+      |  SELECT ((('0x' || substr(md5(c_custkey::VARCHAR), 1, 8))::BIGINT
+      |            % 10000) % 2) AS arm
+      |  FROM customer),
+      |o AS (SELECT arm, count(*)::HUGEINT AS o FROM arms GROUP BY arm),
+      |spine AS (SELECT unnest(range(0, 2)) AS arm),
+      |t AS (SELECT count(*)::HUGEINT AS n FROM arms)
+      |SELECT max(t.n)::BIGINT AS n, 2::BIGINT AS k,
+      |       sum((1000000 * (2 * coalesce(o.o, 0) - t.n)
+      |                    * (2 * coalesce(o.o, 0) - t.n))
+      |           // (2 * t.n))::BIGINT AS chi2_q6
+      |FROM spine LEFT JOIN o USING (arm) CROSS JOIN t""".stripMargin
+
+  /** ev45_activity_heatmap — the day-of-week × hour activity matrix
+    * per event type, on the ISO day numbering (Mon=1 … Sun=7) — the
+    * one convention both engines share (bare dayofweek is Sun=1 in
+    * Spark but Sun=0 in DuckDB, the classic calendar-matrix trap). */
+  def activityHeatmap(spark: SparkSession, dir: String): DataFrame =
+    load(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("extract(DAYOFWEEK_ISO FROM ts)").cast("long").as("isodow"),
+        hour($"ts").cast("long").as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"isodow", $"hr")
+
+  private val activityHeatmapSql =
+    """SELECT event_type,
+      |       isodow(CAST(ts AS TIMESTAMP))::BIGINT AS isodow,
+      |       hour(CAST(ts AS TIMESTAMP))::BIGINT AS hr,
+      |       count(*)::BIGINT AS n
+      |FROM events
+      |GROUP BY 1, 2, 3 ORDER BY event_type, isodow, hr""".stripMargin
+
+  /** ev46_interarrival_profile — log₂-bucketed inter-arrival-time
+    * histogram per event type (bucket = bit length of the gap in
+    * seconds — integer log₂, no float log): burstiness at a glance,
+    * the time-axis sibling of ext_length_profile. */
+  def interarrivalProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy($"event_type", $"user_id")
+      .orderBy($"ts", $"event_id")
+    load(spark, dir, "events")
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+      .withColumn("_prev", lag($"ts", 1).over(w))
+      .where($"_prev".isNotNull)
+      .withColumn("_gap",
+        expr("(unix_micros(ts) - unix_micros(_prev)) div 1000000"))
+      .withColumn("bucket", when($"_gap" <= 0L, lit(0L))
+        .otherwise(length(bin($"_gap")).cast("long")))
+      .groupBy($"event_type", $"bucket")
+      .agg(count(lit(1)).as("n"))
+      .orderBy($"event_type", $"bucket")
+  }
+
+  private val interarrivalProfileSql =
+    """WITH g AS (
+      |  SELECT event_type,
+      |    (epoch_us(CAST(ts AS TIMESTAMP)) -
+      |     epoch_us(lag(CAST(ts AS TIMESTAMP)) OVER (
+      |       PARTITION BY event_type, user_id ORDER BY ts, event_id)))
+      |      // 1000000 AS gap
+      |  FROM events),
+      |b AS (
+      |  SELECT event_type,
+      |         CASE WHEN gap <= 0 THEN 0
+      |              ELSE length(bin(gap)) END::BIGINT AS bucket
+      |  FROM g WHERE gap IS NOT NULL)
+      |SELECT event_type, bucket, count(*)::BIGINT AS n
+      |FROM b GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+
   override def defs: Seq[QueryDef] = Seq(
+    QueryDef("ext_ab_srm", abSrm, Some(abSrmSql)),
+    QueryDef("ev45_activity_heatmap", activityHeatmap, Some(activityHeatmapSql)),
+    QueryDef("ev46_interarrival_profile", interarrivalProfile,
+      Some(interarrivalProfileSql)),
     QueryDef("ev44_km_table", kmTable, Some(kmTableSql)),
     QueryDef("ev43_window_funnel", windowFunnel, Some(windowFunnelSql)),
     QueryDef("o6_listagg", listAgg, Some(listAggSql)),
