@@ -33,12 +33,42 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_errs(got: pd.DataFrame, want: pd.DataFrame) -> list:
+    """The driver hashes values exactly, so an oracle column that DuckDB
+    promotes to HUGEINT (-> pandas float64/object) hash-mismatches a Spark
+    int64 column even when every value is equal (e.g. 300000.0 vs 300000).
+    Flag any column whose numeric kind differs between the two sides —
+    this is the class that shipped red in rounds 6 and 7."""
+    INT, FLT = set("iu"), set("f")
+    errs = []
+    for c in sorted(got.columns):
+        gk, wk = got[c].dtype.kind, want[c].dtype.kind
+        if (gk in INT and wk in FLT) or (gk in FLT and wk in INT):
+            errs.append(
+                f"DTYPE col {c}: spark={got[c].dtype} oracle={want[c].dtype} "
+                f"(driver hashes exactly; cast the oracle, e.g. ::BIGINT)")
+        elif wk == "O" and gk in INT | FLT:
+            # DuckDB HUGEINT can also land as python-object ints
+            sample = want[c].dropna()
+            if len(sample) and not all(
+                    isinstance(v, (int, float)) and not isinstance(v, bool)
+                    for v in sample.head(20)):
+                continue
+            if len(sample) and gk in INT and any(
+                    isinstance(v, float) for v in sample.head(20)):
+                errs.append(
+                    f"DTYPE col {c}: spark={got[c].dtype} oracle=object(float) "
+                    f"(cast the oracle, e.g. ::BIGINT)")
+    return errs
+
+
 def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
     errs = []
     if sorted(got.columns) != sorted(want.columns):
         return [f"columns differ: spark={sorted(got.columns)} oracle={sorted(want.columns)}"]
     if len(got) != len(want):
         return [f"row count differs: spark={len(got)} oracle={len(want)}"]
+    errs.extend(dtype_errs(got, want))
     g, w = canon(got), canon(want)
     for c in g.columns:
         gc, wc = g[c], w[c]

@@ -16,13 +16,27 @@ object Bench {
     val spark = LocalSession.build(cpus,
       Map("spark.sql.adaptive.enabled" -> "true"))
 
-    // warm-up: scan + shuffle agg + broadcast join through codegen
-    {
+    // 1-minute load average from /proc/loadavg — recorded before and
+    // after the sweep so a contention-inflated artifact is
+    // self-describing (three of the first seven official bench runs
+    // were distorted 5-80x by host load and had to be re-proven by hand)
+    def loadAvg(): Double =
+      try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
+    val loadBefore = loadAvg()
+
+    // warm-up: scan + shuffle agg + broadcast join through codegen.
+    // Its measured time is ALSO recorded — constant work, so any swing
+    // between runs is host noise, not engine cost.
+    val warmupSec = {
       import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
       val li = Tables.load(spark, sfDir, "lineitem").limit(10000)
       val p = Tables.load(spark, sfDir, "part")
       li.join(broadcast(p), li("l_partkey") === p("p_partkey"))
         .groupBy("l_returnflag").agg(sum("l_quantity")).count()
+      (System.nanoTime() - t0) / 1e9
     }
 
     // dev loop: SPARK_GRAFT_ONLY=q1,q2 times a subset without the full sweep
@@ -60,8 +74,10 @@ object Bench {
     val good = results.filter(_._3)
     val nFailed = results.size - good.size
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
+    val loadAfter = loadAvg()
+    val hostMeta = s""""warmup_sec":${sec(warmupSec)},"load_before":${sec(loadBefore)},"load_after":${sec(loadAfter)}"""
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failures":$nFailed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failures":$nFailed,$hostMeta,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of stdout, which cuts
     // an 85-query JSON line mid-stream. Three outputs, most durable
     // first: (1) the full line goes to a file (committed per round as
@@ -73,7 +89,7 @@ object Bench {
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     println(full)
-    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failures":$nFailed,"detail":"$outPath"}""")
+    println(s"""{"metric":"total","value":${sec(total)},"unit":"sec","sf":"$sfDir","n_queries":${results.size},"failures":$nFailed,$hostMeta,"detail":"$outPath"}""")
     spark.stop()
   }
 }

@@ -466,8 +466,12 @@ object Frequency {
       .withColumn("_r", row_number().over(wr).cast("long"))
       .withColumn("_n", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("g"))))
+      // numerator in decimal(38,0): (2r−1)·N is O(n·N) and would
+      // overflow int64 past ~2e9 rows; IntegralDivide on decimals
+      // returns LONG, so _idx (≤ N) lands back in long exactly
       .withColumn("_idx",
-        expr(s"((2 * _r - 1) * ${nTot}L + 2 * _n - 1) div (2 * _n)"))
+        expr(s"((2 * cast(_r as decimal(38,0)) - 1) * ${nTot}L" +
+          " + 2 * _n - 1) div (2 * _n)"))
       .withColumn("_bk", expr(s"_idx div ${w}L"))
     val spine = globalRank(base.select(col("v")), "v")
       .select(col("value").as("_sv"), col("cnt").as("_c"), col("rank").as("_rk"))

@@ -355,7 +355,11 @@ object TextStats {
   def filterCorpus(docs: DataFrame, textCol: String = "text",
       minTokens: Long = 15L, minQualityQ4: Long = 8000L,
       langWant: String = "en", maxDup5Q4: Long = 1000L,
-      maxTop2Q4: Long = 2000L): DataFrame = {
+      maxTop2Q4: Long = 2000L,
+      passthrough: Seq[String] = Nil): DataFrame = {
+    // `passthrough` columns ride along unchanged (e.g. the text itself
+    // when the caller routes documents, not just verdicts — the
+    // streaming corpusFilterSink does); still one narrow pass.
     val t = col("_toks")
     docs
       .withColumn("_toks", tokens(col(textCol)))
@@ -370,14 +374,13 @@ object TextStats {
         (length(coalesce(col(textCol), lit(""))) -
           length(regexp_replace(coalesce(col(textCol), lit("")),
             "[\\p{Punct}]", ""))).cast("long"))
-      .select(
-        col("doc_id"),
+      .select(col("doc_id") +: passthrough.map(col) ++: Seq(
         col("_n").as("n_tokens"),
         qualityQ4(col("_s"), col("_n"), col("_c"), col("_p"), col("_chars"))
           .as("quality_q4"),
         langId(t).as("lang_pred"),
         topCharFracQ4(col("_t2"), col("_chars")).as("top2_char_frac_q4"),
-        dupFracQ4(col("_g5")).as("dup5_frac_q4"))
+        dupFracQ4(col("_g5")).as("dup5_frac_q4")): _*)
       .withColumn("reasons", array_sort(filter(array(
         when(col("n_tokens") < minTokens, lit("too_short")),
         when(col("quality_q4") < minQualityQ4, lit("low_quality")),

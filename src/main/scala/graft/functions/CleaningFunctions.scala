@@ -98,7 +98,10 @@ object CleaningFunctions {
       .otherwise(hostport)
     val path = regexp_replace(
       regexp_extract(after, "^[^/?#]*([^?#]*)", 1), "/+$", "")
-    val query = regexp_extract(after, "\\?([^#]*)", 1)
+    // strip the fragment BEFORE extracting the query: a '?' inside the
+    // fragment ('/p#a?b=1') must not be read as a query string
+    val query = regexp_extract(
+      regexp_replace(after, "#.*$", ""), "\\?(.*)$", 1)
     val params = array_join(array_sort(filter(split(query, "&"),
       p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid)="))), "&")
     concat(scheme, lit("://"), host, path,

@@ -118,14 +118,24 @@ object Anonymize {
     val groups = released.groupBy(qi: _*).agg(count(lit(1)).as("n_rows"))
     val cells = released.groupBy(qi :+ col(orderedCol).as("_lv"): _*)
       .agg(count(lit(1)).as("_c"))
-    val grid = groups.crossJoin(broadcast(levels))
-      .join(cells, quasiCols :+ "_lv", "left")
+    // null-SAFE join back onto the grid: groupBy forms a group for null
+    // QI values and a level row for a null sensitive value, but a plain
+    // equi join (null != null) would drop those cells — their rows would
+    // vanish from the cumulative walk while still counted in n_rows/N,
+    // skewing t_bp on nullable inputs. A null level sorts FIRST in the
+    // cumulative order (asc_nulls_first) and counts as a level of its own.
+    val grid0 = groups.crossJoin(broadcast(levels))
+    val joinCond = (quasiCols.map(n => grid0(n) <=> cells(n)) :+
+      (grid0("_lv") <=> cells("_lv"))).reduce(_ && _)
+    val grid = grid0.join(cells, joinCond, "left")
+      .select(grid0.columns.map(grid0(_)) :+ cells("_c"): _*)
       .withColumn("_c", coalesce(col("_c"), lit(0L)))
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(qi: _*).orderBy(col("_lv"))
+      .partitionBy(qi: _*).orderBy(col("_lv").asc_nulls_first)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val totals = released.agg(count(lit(1)).as("_nn"),
-      count_distinct(col(orderedCol)).as("_m"))
+      (count_distinct(col(orderedCol)) +
+        max(when(col(orderedCol).isNull, 1L).otherwise(0L))).as("_m"))
     grid
       .withColumn("_cum_c", sum(col("_c")).over(w).cast("decimal(38,0)"))
       .withColumn("_cum_cg", sum(col("_cg")).over(w).cast("decimal(38,0)"))

@@ -30,6 +30,14 @@ object Cdc {
     * `delete`, anything else → `update`. Rows classified `none` are
     * RETURNED (callers filter) so the compactor is auditable.
     *
+    * `final_val` is the payload of the key's last NON-delete op — a
+    * tombstone carries no payload, so ranking it like any other change
+    * would return the delete row's (typically null) value for every
+    * delete-/none-classified key. Keys whose ops are all deletes get a
+    * null `final_val`. (max_by skips rows whose ordering expression is
+    * null, so masking the delete rows' seq keeps the aggregate one
+    * map-side-combinable pass.)
+    *
     * One map-side-combinable aggregate per key (min_by/max_by over the
     * sequence — never a window over the raw log); `seqCol` must
     * totally order each key's ops. */
@@ -38,7 +46,8 @@ object Cdc {
     log.groupBy(col(keyCol))
       .agg(min_by(col(opCol), col(seqCol)).as("_first"),
         max_by(col(opCol), col(seqCol)).as("_last"),
-        max_by(col(valCol), col(seqCol)).as("final_val"),
+        max_by(col(valCol),
+          when(col(opCol) =!= "D", col(seqCol))).as("final_val"),
         count(lit(1)).as("n_ops"))
       .withColumn("net_op",
         when(col("_first") === "I" && col("_last") === "D", "none")

@@ -19,12 +19,31 @@ import org.apache.spark.sql.functions._
   * over one scan; group cardinality rows move, never data. */
 object Moments {
 
+  /** The integer-input contract, ENFORCED at the schema level (free —
+    * no job): a fractional column would be silently truncated by the
+    * long cast before the co-moments form, which can flip the reported
+    * covariance/slope signs with no error. Quantize to fixed-point
+    * first (the ext layer's q-discipline). */
+  private def requireIntegral(df: DataFrame, name: String): Unit = {
+    import org.apache.spark.sql.types._
+    val dt = df.schema(name).dataType
+    val ok = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    require(ok,
+      s"Moments: column '$name' must be integer-typed, got $dt — " +
+        "quantize to fixed-point first (a silent cast would truncate " +
+        "fractional values and can flip covariance signs)")
+  }
+
   /** Per-group `(n, corr_q6, slope_q6, intercept_q6)` of integer-valued
     * columns `xCol`, `yCol`. Degenerate groups (zero variance in x for
     * the fit, or in either variable for the correlation) yield nulls
     * rather than NaN-poisoning downstream. */
   def corrOls(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
+    requireIntegral(df, xCol); requireIntegral(df, yCol)
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
     def q6(c: Column): Column = floor(c * lit(1000000.0)).cast("long")
@@ -63,6 +82,7 @@ object Moments {
     * never a second scan), pooled row broadcast back. */
   def simpsonsFlag(df: DataFrame, groupCol: String, xCol: String,
       yCol: String): DataFrame = {
+    requireIntegral(df, xCol); requireIntegral(df, yCol)
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
     val base = df.where(col(groupCol).isNotNull && x.isNotNull && y.isNotNull)

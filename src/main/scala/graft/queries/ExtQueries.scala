@@ -1870,7 +1870,7 @@ object ExtQueries extends QueryGroup {
          |           + (8500 * coalesce(s.s, 0)) // 10000 AS r
          |  FROM ids i CROSS JOIN p
          |  LEFT JOIN (
-         |    SELECT e.dst, sum(r.r // d.d) AS s
+         |    SELECT e.dst, sum(r.r // d.d)::BIGINT AS s
          |    FROM $prev r JOIN deg d ON r.id = d.src
          |    JOIN edges e ON e.src = d.src
          |    GROUP BY e.dst) s ON i.id = s.dst)""".stripMargin
@@ -2571,7 +2571,7 @@ object ExtQueries extends QueryGroup {
        |  SELECT doc_id, source,
        |         (10000 * (raw + 1000 * n)) // (2000 * n) AS score_bp
        |  FROM s)
-       |SELECT source, count(*) AS n_kept, sum(score_bp) AS score_sum
+       |SELECT source, count(*) AS n_kept, sum(score_bp)::BIGINT AS score_sum
        |FROM sc
        |WHERE (${md5u32("doc_id::VARCHAR")} % 10000)
        |        < greatest(0, least(10000, score_bp))

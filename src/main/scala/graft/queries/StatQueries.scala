@@ -695,7 +695,8 @@ object StatQueries extends QueryGroup {
       |  SELECT c_custkey, 3, 'D', NULL FROM customer WHERE c_custkey % 6 = 0),
       |agg AS (
       |  SELECT k, arg_min(op, seq) AS f, arg_max(op, seq) AS l,
-      |         arg_max(v, seq) AS final_val, count(*)::BIGINT AS n_ops
+      |         arg_max(v, CASE WHEN op <> 'D' THEN seq END) AS final_val,
+      |         count(*)::BIGINT AS n_ops
       |  FROM log GROUP BY k),
       |net AS (
       |  SELECT k,
@@ -719,7 +720,8 @@ object StatQueries extends QueryGroup {
     5L -> "https://Sub.Example.com:443/P/Q/",
     6L -> "example.com/x",
     7L -> "http://example.com/path?only=utm#frag",
-    8L -> "https://example.com:8443/keep-port/")
+    8L -> "https://example.com:8443/keep-port/",
+    9L -> "http://example.com/p#a?b=1")
 
   /** ext_url_canonical — URL canonicalization before web-corpus dedup
     * ([[graft.functions.CleaningFunctions.canonicalizeUrl]]): two
@@ -755,7 +757,7 @@ object StatQueries extends QueryGroup {
        |    lower(regexp_extract(a, '^([^/?#]*)', 1)) AS hostport,
        |    regexp_replace(regexp_extract(a, '^[^/?#]*([^?#]*)', 1),
        |                   '/+$$', '') AS path,
-       |    regexp_extract(a, '\\?([^#]*)', 1) AS qs
+       |    regexp_extract(regexp_replace(a, '#.*$$', ''), '\\?(.*)$$', 1) AS qs
        |  FROM p),
        |r AS (
        |  SELECT id, scheme,

@@ -467,6 +467,43 @@ object StreamingIngest {
         ()
       }
 
+  /** Streaming twin of [[graft.ext.TextStats.filterCorpus]] — the
+    * incremental shape of corpus curation at 100 TB: new documents land
+    * continuously and each is scored ONCE, routed to the kept corpus or
+    * to a reject store that names every failed rule (auditable, and the
+    * raw text rides along so rejected docs can be re-judged under new
+    * thresholds without re-crawling).
+    *
+    * The cascade is a stateless narrow pass, so streaming it needs no
+    * watermarks or operator state — per-micro-batch cost is exactly the
+    * batch cascade on the batch's rows. Exactly-once by IDEMPOTENT
+    * OUTPUT, not state: each micro-batch overwrites its own
+    * `b<batchId>` subdirectory on both sides, so a replayed batch
+    * rewrites the same files and the union of subdirs is always exactly
+    * the processed prefix of the stream. The batch is persisted once and
+    * split — the cascade never runs twice per doc. */
+  def corpusFilterSink(docs: DataFrame, textCol: String,
+      keepPath: String, rejectPath: String, checkpoint: String,
+      minTokens: Long = 15L, minQualityQ4: Long = 8000L,
+      langWant: String = "en", maxDup5Q4: Long = 1000L,
+      maxTop2Q4: Long = 2000L): DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val scored = graft.ext.TextStats.filterCorpus(batch, textCol,
+            minTokens, minQualityQ4, langWant, maxDup5Q4, maxTop2Q4,
+            passthrough = Seq(textCol))
+          .persist()
+        try {
+          scored.where(col("keep")).drop("reasons", "keep")
+            .write.mode("overwrite").parquet(s"$keepPath/b$batchId")
+          scored.where(!col("keep")).drop("keep")
+            .write.mode("overwrite").parquet(s"$rejectPath/b$batchId")
+        } finally { scored.unpersist(); () }
+      }
+
   /** Insert-only merge sink: each micro-batch merges into the target
     * with `$setOnInsert` semantics (discovery never clobbers
     * enrichments) — update_reads.py:46-56 as a streaming sink.

@@ -123,4 +123,25 @@ class AnonymizeSpec extends SparkSpec {
       .where($"qi" === "a").collect().head
     assert(a.getAs[Long]("t_bp") == 1666L && a.getAs[Boolean]("t_ok"))
   }
+
+  test("tCloseness: null QI groups and a null sensitive level stay in the walk") {
+    import spark.implicits._
+    // global = {null: 3, 1: 3}, m = 2 (null is a level of its own, first
+    // in the cumulative order). Group a all-null → EMD ½ → 5000 bp;
+    // group b all-1 → 5000 bp; the null-QI group mirrors the global mix
+    // exactly → 0 bp. Before the null-safe join these groups lost their
+    // cells entirely (null != null) while still counted in n_rows/N.
+    val df = Seq(
+      (Option("a"), Option.empty[Long]), (Option("a"), Option.empty[Long]),
+      (Option("b"), Option(1L)), (Option("b"), Option(1L)),
+      (Option.empty[String], Option.empty[Long]),
+      (Option.empty[String], Option(1L))).toDF("qi", "lv")
+    val out = Anonymize.tCloseness(df, Seq("qi"), "lv", tBp = 2000)
+      .collect().map(r => Option(r.getString(0)) ->
+        ((r.getAs[Long]("n_rows"), r.getAs[Long]("t_bp")))).toMap
+    assert(out === Map(
+      Some("a") -> ((2L, 5000L)),
+      Some("b") -> ((2L, 5000L)),
+      None      -> ((2L, 0L))))
+  }
 }

@@ -70,17 +70,22 @@ class CdcSpec extends SparkSpec {
       (1L, 1L, "I", "a"), (1L, 2L, "U", "a2"),              // insert, final a2
       (2L, 1L, "I", "b"), (2L, 2L, "D", null),              // none
       (3L, 1L, "U", "c"), (3L, 2L, "U", "c2"),              // update
-      (4L, 1L, "U", "d"), (4L, 2L, "D", "d-last"),          // delete
-      (5L, 1L, "I", "e")                                    // bare insert
+      (4L, 1L, "U", "d"), (4L, 2L, "D", null),              // delete
+      (5L, 1L, "I", "e"),                                   // bare insert
+      (6L, 1L, "D", null)                                   // tombstone only
     ).toDF("k", "seq", "op", "v")
     val got = graft.ops.Cdc.compact(log, "k", "seq", "op", "v").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2),
         r.getAs[Long]("n_ops")))).toMap
+    // final_val = last NON-delete payload: a tombstone carries no
+    // payload, so delete-/none-classified keys keep their last live
+    // value (auditable), and an all-deletes key is null.
     assert(got === Map(
       1L -> (("insert", "a2", 2L)),
-      2L -> (("none", null, 2L)),
+      2L -> (("none", "b", 2L)),
       3L -> (("update", "c2", 2L)),
-      4L -> (("delete", "d-last", 2L)),
-      5L -> (("insert", "e", 1L))))
+      4L -> (("delete", "d", 2L)),
+      5L -> (("insert", "e", 1L)),
+      6L -> (("delete", null, 1L))))
   }
 }

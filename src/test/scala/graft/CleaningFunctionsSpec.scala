@@ -140,7 +140,8 @@ class CleaningFunctionsSpec extends SparkSpec {
       "https://example.com/search?a=1&b=2&fbclid=zzz",
       "example.com/x",
       "https://example.com:8443/keep-port/",
-      "http://example.com/CaseSensitivePath")
+      "http://example.com/CaseSensitivePath",
+      "http://example.com/p#a?b=1")
       .toDF("url").select(canonicalizeUrl($"url")).collect().map(_.getString(0))
     assert(got(0) === got(1))                               // port+slash+case collide
     assert(got(2) === got(3))                               // tracking params drop, rest sort
@@ -148,5 +149,6 @@ class CleaningFunctionsSpec extends SparkSpec {
     assert(got(4) === "http://example.com/x")               // scheme defaulted
     assert(got(5) === "https://example.com:8443/keep-port") // non-default port kept
     assert(got(6) === "http://example.com/CaseSensitivePath") // path case preserved
+    assert(got(7) === "http://example.com/p")  // '?' inside fragment is NOT a query
   }
 }

@@ -242,6 +242,37 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got.size >= 3)
   }
 
+  test("corpusFilterSink: multi-batch keep/reject routing equals the batch cascade") {
+    val docs = Tables.load(spark, sfDir, "documents")
+    val landing = tmpDir("graft-landing-corpus")
+    // several part files + maxFilesPerTrigger=2 → several micro-batches:
+    // the idempotent per-batch routing across batches is what's under test
+    docs.repartition(5).write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.landingStream(spark, landing, schema,
+      maxFilesPerTrigger = 2)
+    val keepP = tmpDir("graft-corpus-keep")
+    val rejP = tmpDir("graft-corpus-rej")
+    val q = StreamingIngest.corpusFilterSink(stream, "text",
+      keepP, rejP, tmpDir("graft-corpus-ckpt")).start()
+    try q.awaitTermination() finally q.stop()
+    val keptGot = spark.read.parquet(s"$keepP/b*")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val rejGot = spark.read.parquet(s"$rejP/b*")
+      .select($"doc_id", $"reasons").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val want = graft.ext.TextStats.filterCorpus(docs)
+      .select($"doc_id", $"reasons", $"keep").collect()
+      .map(r => (r.getLong(0), r.getSeq[String](1), r.getBoolean(2)))
+    assert(keptGot === want.filter(_._3).map(_._1).toSet)
+    assert(rejGot === want.filterNot(_._3).map(t => t._1 -> t._2).toMap)
+    assert(keptGot.nonEmpty && rejGot.nonEmpty)  // both routes exercised
+    // the kept corpus carries the document text (re-trainable output),
+    // the reject store carries the text AND the failed rules (auditable)
+    assert(spark.read.parquet(s"$keepP/b*").columns.contains("text"))
+    assert(spark.read.parquet(s"$rejP/b*").columns.contains("text"))
+  }
+
   test("dedupWithinWatermark: re-deliveries drop within the delay, state evicts after") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._

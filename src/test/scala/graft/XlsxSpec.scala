@@ -159,6 +159,108 @@ class XlsxSpec extends SparkSpec {
     assert(got === viaCsv)
   }
 
+  private def zipOf(parts: Seq[(String, String)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    parts.foreach { case (name, content) =>
+      z.putNextEntry(new ZipEntry(name))
+      z.write(content.getBytes("UTF-8"))
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+
+  test("serialToIso: date, datetime, pure time, midnight carry") {
+    assert(Xlsx.serialToIso(45352.0) === "2024-03-01")       // whole day
+    assert(Xlsx.serialToIso(45352.5) === "2024-03-01 12:00:00")
+    assert(Xlsx.serialToIso(0.75) === "18:00:00")            // time-only
+    // 23:59:59.7 rounds up across midnight
+    assert(Xlsx.serialToIso(45352.0 + 86399.7 / 86400.0) === "2024-03-02")
+  }
+
+  test("isDateFormatCode: ymdhs detection survives quoting/brackets/escapes") {
+    assert(Xlsx.isDateFormatCode("yyyy-mm-dd"))
+    assert(Xlsx.isDateFormatCode("[$-409]h:mm AM/PM"))
+    assert(Xlsx.isDateFormatCode("dd\\.mm\\.yyyy"))
+    assert(!Xlsx.isDateFormatCode("0.00"))
+    assert(!Xlsx.isDateFormatCode("#,##0;[Red](#,##0)"))
+    assert(!Xlsx.isDateFormatCode("\"days\" 0")) // 'd','y','s' only in quotes
+  }
+
+  test("typed cells: date styles render ISO, plain numbers stay raw, booleans decode") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_t").toFile
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\-mm\-dd"/></numFmts>
+        |<cellXfs count="4"><xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/><xf numFmtId="2"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>d_builtin</t></is></c><c r="B1" t="inlineStr"><is><t>dt</t></is></c><c r="C1" t="inlineStr"><is><t>d_custom</t></is></c><c r="D1" t="inlineStr"><is><t>num</t></is></c><c r="E1" t="inlineStr"><is><t>flag</t></is></c><c r="F1" t="inlineStr"><is><t>tm</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>45352</v></c><c r="B2" s="1"><v>45352.5</v></c><c r="C2" s="2"><v>45000</v></c><c r="D2" s="3"><v>3.14</v></c><c r="E2" t="b"><v>1</v></c><c r="F2" s="1"><v>0.75</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val wbRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin
+    writeFile(dir, "typed.xlsx", zipOf(Seq(
+      "xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> wbRels,
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" -> sheet)))
+    val row = Xlsx.readXlsx(spark, dir.getAbsolutePath).collect().head
+    assert(row.getString(0) === "2024-03-01")          // builtin fmt 14
+    assert(row.getString(1) === "2024-03-01 12:00:00") // datetime
+    assert(row.getString(2) === "2023-03-15")          // custom yyyy-mm-dd
+    assert(row.getString(3) === "3.14")                // fmt 2 is NOT a date
+    assert(row.getString(4) === "TRUE")                // t="b"
+    assert(row.getString(5) === "18:00:00")            // time-only serial
+  }
+
+  test("multi-sheet: writeXlsxSheets round-trips names, index and name addressing agree") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_m").toFile
+    val f = new java.io.File(dir, "multi.xlsx")
+    Xlsx.writeXlsxSheets(f, Seq(
+      "summary" -> Seq(Seq("k", "v"), Seq("s1", "1")),
+      "detail" -> Seq(Seq("k", "v"), Seq("d1", "2"), Seq("d2", "3"))))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(Xlsx.sheetNames(bytes) === Seq("summary", "detail"))
+    val byName = Xlsx.readXlsxByName(spark, f.getAbsolutePath, "detail")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(byName === Set(("d1", "2"), ("d2", "3")))
+    val byIdx = Xlsx.readXlsx(spark, f.getAbsolutePath, sheet = 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(byIdx === byName)
+  }
+
+  test("multi-sheet: tab ORDER comes from workbook.xml, not part-file numbering") {
+    // tab 1 points at sheet2.xml, tab 2 at sheet1.xml — position must
+    // follow the workbook's <sheets> order through the rels
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_o").toFile
+    def sheetXml(v: String) =
+      s"""<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+         |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>h</t></is></c></row><row r="2"><c r="A2" t="inlineStr"><is><t>$v</t></is></c></row></sheetData></worksheet>""".stripMargin
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><sheets><sheet name="tabA" sheetId="1" r:id="rId2"/><sheet name="tabB" sheetId="2" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val wbRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/><Relationship Id="rId2" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet2.xml"/></Relationships>""".stripMargin
+    val bytes = zipOf(Seq(
+      "xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> wbRels,
+      "xl/worksheets/sheet1.xml" -> sheetXml("inPart1"),
+      "xl/worksheets/sheet2.xml" -> sheetXml("inPart2")))
+    assert(Xlsx.sheetNames(bytes) === Seq("tabA", "tabB"))
+    assert(Xlsx.parseWorkbook(bytes, 1).last.head === "inPart2")
+    assert(Xlsx.parseWorkbook(bytes, "tabB").last.head === "inPart1")
+  }
+
   test("DSv2 source: format(\"graft-xlsx\") matches readXlsx, incl. multi-file") {
     val dir = java.nio.file.Files.createTempDirectory("xlsx").toFile
     val mk = (v: String, q: String) => xlsxBytes(Seq(
