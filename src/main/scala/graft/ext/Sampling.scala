@@ -238,6 +238,40 @@ object Sampling {
       .limit(k)
   }
 
+  /** Multi-EPOCH training schedule — [[shardAssign]] extended over
+    * epochs: each epoch e reorders the corpus under a DIFFERENT
+    * deterministic permutation (md5 of `key:e`), which is exactly what
+    * a training loader needs from "reshuffle every epoch" — epoch
+    * orders are mutually independent, every epoch covers every row
+    * exactly once, and any (epoch, shard) file can be regenerated
+    * bit-for-bit without storing a permutation anywhere.
+    *
+    * Scale shape: the epoch fan-out is a narrow explode (E× rows, no
+    * shuffle); the ONLY wide op is the (epoch, shard)-hash-partitioned
+    * rank window — shards sort independently, epochs don't wait on each
+    * other, and the corpus is never globally sorted. At 100 TB with
+    * nShards ≥ executors this is one exchange at E× corpus size;
+    * generating one epoch at a time (filter epoch = e before the
+    * window) prunes the explode back to 1× — the filter rides into the
+    * narrow stage. */
+  def epochSchedule(df: DataFrame, keyCol: String, epochs: Int,
+      nShards: Int): DataFrame = {
+    require(epochs >= 1 && nShards >= 1,
+      s"epochs and nShards must be >= 1, got ($epochs, $nShards)")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("epoch"), col("shard"))
+      .orderBy(col("_h"), col(keyCol))
+    df.select(col(keyCol))
+      .withColumn("epoch", explode(sequence(lit(0L), lit(epochs - 1L))))
+      .withColumn("_h", md5(concat(col(keyCol).cast("string"), lit(":"),
+        col("epoch").cast("string")).cast("binary")))
+      .withColumn("shard",
+        pmod(conv(substring(col("_h"), 1, 8), 16, 10).cast("long"),
+          lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long") - 1L)
+      .drop("_h")
+  }
+
   def shardAssign(df: DataFrame, keyCol: String, nShards: Int): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")
     import org.apache.spark.sql.expressions.Window
@@ -639,5 +673,41 @@ object Sampling {
       .crossJoin(broadcast(leftover))
       .select(keyCols.map(col) :+ $"_w".as(weightCol) :+
         ($"_base" + when($"_rk" <= $"_k", 1L).otherwise(0L)).as("slots"): _*)
+  }
+
+  /** TEMPERATURE-scaled mixture allocation (the multilingual-corpus
+    * sampling rule of Devlin et al. 2019 / Conneau & Lample 2019:
+    * p_i ∝ n_i^α, α < 1): big sources are DOWN-weighted so the long
+    * tail of small sources is not drowned — the standard fix for
+    * head-heavy corpus mixes, next to [[largestRemainder]] (α = 1,
+    * purely proportional) and [[raking]] (target-marginal fitting).
+    *
+    * α is restricted to 1∕2^k (`sqrtIters` = k nested square roots) so
+    * the reweighting is ENGINE-EXACT: ⌊√·⌋ iterated k times equals
+    * ⌊n^(1∕2^k)⌋ (nested-radical floor identity), and IEEE-754 sqrt is
+    * correctly rounded — both engines produce the identical double for
+    * any int64 < 2⁵³ — so the floor hash-gates where a pow()-based
+    * weight could not. Slots then split by largest remainder; the
+    * `epochs_bp` readout (10⁴·slots ∕ n, truncated) is the implied
+    * number of passes over each source — the over-sampling factor a
+    * training run must budget for.
+    *
+    * Scale shape: input is the per-source aggregate (group cardinality
+    * by construction); everything here is bounded-frame arithmetic on
+    * top of it. */
+  def temperatureMixture(counts: DataFrame, keyCols: Seq[String],
+      countCol: String, totalSlots: Long, sqrtIters: Int = 1): DataFrame = {
+    require(sqrtIters >= 1 && sqrtIters <= 5,
+      s"sqrtIters must be in [1, 5], got $sqrtIters")
+    val n = col(countCol).cast("long")
+    val w = (1 to sqrtIters).foldLeft(n) { (e, _) =>
+      floor(sqrt(e.cast("double"))).cast("long")
+    }
+    val weighted = counts
+      .select(keyCols.map(col) :+ n.as("_n") :+ w.as("_tw"): _*)
+    largestRemainder(weighted, keyCols :+ "_n", "_tw", totalSlots)
+      .select(keyCols.map(col) :+ $"_n".as("n_docs") :+
+        $"_tw".as("w_temp") :+ $"slots" :+
+        expr("(10000 * slots) div _n").as("epochs_bp"): _*)
   }
 }

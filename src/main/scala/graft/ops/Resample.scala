@@ -324,6 +324,61 @@ object Resample {
         expr("(10000 * num) div den").as("ewma_q4"))
   }
 
+  /** CLASSICAL additive seasonal decomposition of each group's dense
+    * daily-count series (Persons 1919 / the moving-average step of
+    * STL without loess): count = trend + seasonal + residual, all in
+    * exact q4 fixed point so the decomposition hash-gates cross-engine.
+    *
+    *  - `trend_q4`   = (10⁴·Σ window) div period over the CENTERED
+    *                   period-wide window — null on the ⌊period∕2⌋ edge
+    *                   days (no partial-window estimates: a shrinking
+    *                   window would bias the edges and every engine
+    *                   would bias them differently),
+    *  - `seasonal_q4`= per (group, day-of-period) truncated mean of the
+    *                   detrended series, then CENTERED per group
+    *                   (seasonal components sum to ~0 so trend keeps
+    *                   the level),
+    *  - `resid_q4`   = 10⁴·c − trend − seasonal where trend exists.
+    *
+    * Truncating `div` on signed values is identical in Spark and DuckDB
+    * (the ev17 autocorrelation contract), so every component is exact.
+    *
+    * Scale shape: events collapse to one (group, day) row in a map-side
+    * -combined count FIRST, so the centered window, the per-(group,
+    * phase) aggregate (≤ period rows per group), and the phase join-back
+    * all run at series size — a year is ≤ 366 rows per group no matter
+    * the corpus; the seasonal table broadcasts. */
+  def seasonalDecompose(events: DataFrame, period: Int = 7,
+      groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    require(period >= 3 && period % 2 == 1,
+      s"period must be odd >= 3 for a centered window, got $period")
+    val half = period / 2
+    val series = dailySeries(events, groupCol, tsCol)
+    val wC = Window.partitionBy($"g").orderBy($"d")
+      .rowsBetween(-half, half)
+    val tr = series
+      .withColumn("_wn", count(lit(1)).over(wC))
+      .withColumn("_ws", sum($"c").over(wC))
+      .withColumn("trend_q4",
+        when($"_wn" === period, expr(s"(10000 * _ws) div $period")))
+      .withColumn("_dow", expr(s"d % $period"))
+      .persistScoped // read twice: seasonal estimation + final join-back
+    val sRaw = tr.where($"trend_q4".isNotNull)
+      .withColumn("_det", lit(10000L) * $"c" - $"trend_q4")
+      .groupBy($"g", $"_dow")
+      .agg(sum($"_det").as("_ds"), count(lit(1)).as("_dn"))
+      .withColumn("_sraw", expr("_ds div _dn"))
+    val sCtr = sRaw.groupBy($"g")
+      .agg(sum($"_sraw").as("_ss"), count(lit(1)).as("_sn"))
+    val seas = sRaw.join(sCtr, Seq("g"))
+      .select($"g", $"_dow",
+        ($"_sraw" - expr("_ss div _sn")).as("seasonal_q4"))
+    tr.join(broadcast(seas), Seq("g", "_dow"), "left")
+      .select($"g".as(groupCol), $"d", $"c", $"trend_q4", $"seasonal_q4",
+        when($"trend_q4".isNotNull,
+          lit(10000L) * $"c" - $"trend_q4" - $"seasonal_q4").as("resid_q4"))
+  }
+
   /** Full-series seasonal residuals: for every day with a lag-`season`
     * ancestor inside its group's span, the actual count, the
     * seasonal-naive forecast (the count `season` days earlier), and the

@@ -744,6 +744,8 @@ object EventQueries extends QueryGroup {
     QueryDef("ev28_stickiness", stickiness, Some(stickinessSql)),
     QueryDef("ev29_new_returning", newVsReturning, Some(newVsReturningSql)),
     QueryDef("ev30_ewma", ewmaTrend, Some(ewmaTrendSql)),
+    QueryDef("ev47_seasonal_decompose", seasonalDecomposeQ,
+      Some(seasonalDecomposeSql)),
     QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)),
     QueryDef("ev32_removal_effect", removalEffectQ, Some(removalEffectSql)),
     QueryDef("ev33_streaks", streaksQ, Some(streaksSql)),
@@ -995,6 +997,61 @@ object EventQueries extends QueryGroup {
   def ewmaTrend(spark: SparkSession, dir: String): DataFrame =
     Resample.ewma(load(spark, dir, "events"), span = 14)
       .orderBy(col("event_type"), col("d"))
+
+  /** ev47_seasonal_decompose — classical additive trend/seasonal/residual
+    * split of each event type's daily series
+    * ([[graft.ops.Resample.seasonalDecompose]]): the decomposition
+    * behind "is Monday traffic really down, or is that just the weekly
+    * shape" — next to ev27's seasonal-naive anomaly flag (pointwise)
+    * and ev17's autocorrelation (is it periodic at all). */
+  def seasonalDecomposeQ(spark: SparkSession, dir: String): DataFrame =
+    Resample.seasonalDecompose(load(spark, dir, "events"), period = 7)
+      .orderBy(col("event_type"), col("d"))
+
+  private val seasonalDecomposeSql =
+    """WITH dc AS (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT g, unnest(range(d0, d1 + 1)) AS d
+      |  FROM (SELECT g, min(d) AS d0, max(d) AS d1 FROM dc GROUP BY g)),
+      |ser AS (
+      |  SELECT grid.g, grid.d, coalesce(dc.c, 0)::BIGINT AS c
+      |  FROM grid LEFT JOIN dc ON grid.g = dc.g AND grid.d = dc.d),
+      |tw AS (
+      |  SELECT g, d, c,
+      |         sum(c) OVER w AS ws, count(*) OVER w AS wn
+      |  FROM ser
+      |  WINDOW w AS (PARTITION BY g ORDER BY d
+      |               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+      |tr AS (
+      |  SELECT g, d, c,
+      |         CASE WHEN wn = 7 THEN ((10000 * ws) // 7)::BIGINT END
+      |           AS trend_q4
+      |  FROM tw),
+      |det AS (
+      |  SELECT g, d % 7 AS dow, 10000 * c - trend_q4 AS det
+      |  FROM tr WHERE trend_q4 IS NOT NULL),
+      |sraw AS (
+      |  SELECT g, dow, (sum(det) // count(*))::BIGINT AS sraw
+      |  FROM det GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT g, sum(sraw)::BIGINT AS ss, count(*)::BIGINT AS sn
+      |  FROM sraw GROUP BY g),
+      |seas AS (
+      |  SELECT sraw.g, sraw.dow, (sraw.sraw - sc.ss // sc.sn)::BIGINT
+      |           AS seasonal_q4
+      |  FROM sraw JOIN sc ON sraw.g = sc.g)
+      |SELECT tr.g AS event_type, tr.d::BIGINT AS d, tr.c,
+      |       tr.trend_q4,
+      |       seas.seasonal_q4,
+      |       CASE WHEN tr.trend_q4 IS NOT NULL
+      |            THEN (10000 * tr.c - tr.trend_q4 - seas.seasonal_q4)::BIGINT
+      |       END AS resid_q4
+      |FROM tr LEFT JOIN seas ON tr.g = seas.g AND tr.d % 7 = seas.dow
+      |ORDER BY event_type, d""".stripMargin
 
   private val ewmaTrendSql =
     """WITH dc AS (

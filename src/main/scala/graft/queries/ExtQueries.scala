@@ -510,6 +510,40 @@ object ExtQueries extends QueryGroup {
       |         AS slots
       |FROM r ORDER BY source, lang""".stripMargin
 
+  /** Temperature-scaled mixture allocation
+    * ([[Sampling.temperatureMixture]], α = 1∕2): 1000 sample slots
+    * split ∝ √(per-source doc count) — the multilingual-sampling rule
+    * that keeps head sources from drowning the tail; `epochs_bp` is the
+    * implied passes-over-source budget. All integers exact; the √ is
+    * the correctly-rounded IEEE double on both engines. */
+  def mixTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val c = load(spark, dir, "documents")
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    Sampling.temperatureMixture(c, Seq("source"), "n", 1000L, sqrtIters = 1)
+      .orderBy($"source")
+  }
+
+  private val mixTemperatureSql =
+    """WITH c AS (
+      |  SELECT source, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+      |w AS (
+      |  SELECT source, n, floor(sqrt(n::DOUBLE))::BIGINT AS wt FROM c),
+      |tot AS (SELECT sum(wt)::BIGINT AS tw FROM w),
+      |b AS (
+      |  SELECT source, n, wt,
+      |         (1000 * wt) // tw AS base,
+      |         1000 * wt - ((1000 * wt) // tw) * tw AS rem
+      |  FROM w CROSS JOIN tot),
+      |lo AS (SELECT 1000 - sum(base) AS k FROM b),
+      |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source, n) AS rk
+      |      FROM b)
+      |SELECT source, n AS n_docs, wt AS w_temp,
+      |       (base + CASE WHEN rk <= (SELECT k FROM lo) THEN 1 ELSE 0 END)::BIGINT
+      |         AS slots,
+      |       ((10000 * (base + CASE WHEN rk <= (SELECT k FROM lo) THEN 1 ELSE 0 END)) // n)::BIGINT
+      |         AS epochs_bp
+      |FROM r ORDER BY source""".stripMargin
+
   /** QQ drift table: per event type, exact v_q4 deciles of the first
     * half of the time span against the second ([[Frequency.exactQuantiles]]
     * twice, joined side by side) — the effect-size view next to
@@ -3271,6 +3305,34 @@ object ExtQueries extends QueryGroup {
       |        - 1)::BIGINT AS pos
       |FROM s ORDER BY shard, pos""".stripMargin
 
+  /** Multi-epoch training schedule ([[Sampling.epochSchedule]]): every
+    * doc placed in every epoch under a per-epoch independent md5
+    * permutation — the reshuffle-each-epoch loader order, regenerable
+    * bit-for-bit with no stored permutation. */
+  def epochScheduleQ(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    Sampling.epochSchedule(docs, "doc_id", epochs = 2, nShards = 4)
+      .select($"epoch", $"shard", $"pos", $"doc_id")
+      .orderBy($"epoch", $"shard", $"pos")
+  }
+
+  private val epochScheduleSql =
+    """WITH e AS (
+      |  SELECT doc_id, unnest(range(0, 2)) AS epoch FROM documents),
+      |h AS (
+      |  SELECT doc_id, epoch::BIGINT AS epoch,
+      |         md5(doc_id::VARCHAR || ':' || epoch::VARCHAR) AS hh
+      |  FROM e),
+      |s AS (
+      |  SELECT doc_id, epoch, hh,
+      |         (('0x' || substr(hh, 1, 8))::BIGINT % 4) AS shard
+      |  FROM h)
+      |SELECT epoch, shard,
+      |       (row_number() OVER (PARTITION BY epoch, shard ORDER BY hh, doc_id)
+      |        - 1)::BIGINT AS pos,
+      |       doc_id
+      |FROM s ORDER BY epoch, shard, pos""".stripMargin
+
   /** Benchmark decontamination: corpus docs sharing >= 3 winnowing
     * fingerprints with the probe subset (doc_id % 101 = 0 stands in for
     * an eval set). Bucketed by fingerprint — no all-pairs. */
@@ -4213,6 +4275,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_matryoshka", simMatryoshka, Some(simMatryoshkaSql)),
     QueryDef("ext_sim_mrr", simMrr, Some(simMrrSql)),
     QueryDef("ext_quota_allocate", quotaAllocate, Some(quotaAllocateSql)),
+    QueryDef("ext_mix_temperature", mixTemperature, Some(mixTemperatureSql)),
     QueryDef("ext_qq_drift", qqDrift, Some(qqDriftSql)),
     QueryDef("ext_assoc_rules", assocRulesQ, Some(assocRulesSql)),
     QueryDef("ext_quality_pctile", qualityPctile, Some(qualityPctileSql)),
@@ -4283,6 +4346,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_budget_select", budgetSelectQ, Some(budgetSelectSql)),
     QueryDef("ext_budget_lang", budgetSelectLangQ, Some(budgetSelectLangSql)),
     QueryDef("ext_sample_shards", sampleShards, Some(sampleShardsSql)),
+    QueryDef("ext_epoch_schedule", epochScheduleQ, Some(epochScheduleSql)),
     QueryDef("ext_sample_cap", sampleCap, Some(sampleCapSql)),
     QueryDef("ext_mix_report", mixReport, Some(mixReportSql)),
     QueryDef("ext_pack_sequences", packSeqs, Some(packSeqsSql)),

@@ -265,7 +265,10 @@ object WindowQueries extends QueryGroup {
     val clicks = ev.where($"event_type" === "click")
       .select($"user_id", $"ts", $"value")
     graft.plans.AsofJoinNative.asofBackward(errors, clicks, Seq("user_id"),
-        "ts", rightPrefix = "click_")
+        "ts", rightPrefix = "click_",
+        // pin the co-partitioned MERGE shape: this query exists to
+        // exercise the ClusteredDistribution exec; j32 covers broadcast
+        broadcastRight = Some(false))
       .orderBy($"event_id")
   }
 
@@ -278,6 +281,37 @@ object WindowQueries extends QueryGroup {
       |       c.ts AS click_ts, c.value AS click_value
       |FROM e ASOF LEFT JOIN c ON e.user_id = c.user_id AND c.ts <= e.ts
       |ORDER BY e.event_id""".stripMargin
+
+  /** j32 — the BROADCAST native as-of join
+    * ([[graft.plans.BroadcastAsofJoinExec]]): each purchase attributed
+    * to the user's latest signup at or before it (account
+    * re-registration attribution). The signup history is a
+    * dimension-sized build side, so the physical shape is the one a
+    * 100 TB deployment needs — the probe side never exchanges OR
+    * sorts; the dimension ships once per executor (plan-pinned in
+    * AsofNativeSpec). Same hash gate as every asof: DuckDB's native
+    * ASOF LEFT JOIN. */
+  def asofBroadcast(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val purchases = ev.where($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"ts", $"value")
+    val signups = ev.where($"event_type" === "signup")
+      .select($"user_id", $"ts", $"value")
+    graft.plans.AsofJoinNative.asofBackward(purchases, signups,
+        Seq("user_id"), "ts", rightPrefix = "su_",
+        broadcastRight = Some(true))
+      .orderBy($"event_id")
+  }
+
+  private val asofBroadcastSql =
+    """WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |           FROM events WHERE event_type = 'purchase'),
+      |s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+      |      FROM events WHERE event_type = 'signup')
+      |SELECT p.event_id, p.user_id, p.ts, p.value,
+      |       s.ts AS su_ts, s.value AS su_value
+      |FROM p ASOF LEFT JOIN s ON p.user_id = s.user_id AND s.ts <= p.ts
+      |ORDER BY p.event_id""".stripMargin
 
   /** Pure range join (no equi key): clicks falling inside 10-minute
     * incident windows opened by high-value errors. The Spark side is the
@@ -545,6 +579,7 @@ object WindowQueries extends QueryGroup {
     QueryDef("j17_asof_join", asofJoin, Some(asofJoinSql)),
     QueryDef("j30_asof_forward", asofForwardQ, Some(asofForwardSql)),
     QueryDef("j26_asof_native", asofNative, Some(asofNativeSql)),
+    QueryDef("j32_asof_broadcast", asofBroadcast, Some(asofBroadcastSql)),
     QueryDef("j18_range_join", rangeJoin, Some(rangeJoinSql)),
     QueryDef("st1_tumbling_window", tumblingWindow, Some(tumblingWindowSql)),
     QueryDef("st2_session_window", sessionWindow, Some(sessionWindowSql)),

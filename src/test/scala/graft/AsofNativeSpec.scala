@@ -65,7 +65,8 @@ class AsofNativeSpec extends SparkSpec {
   }
 
   test("plan: AsofJoinExec merge operator, no Window, one exchange per side") {
-    val df = AsofJoinNative.asofBackward(trades, quotes, Seq("user_id"), "ts")
+    val df = AsofJoinNative.asofBackward(trades, quotes, Seq("user_id"), "ts",
+      broadcastRight = Some(false))
     df.collect()
     // under AQE the string carries Final + Initial plans; pin the final
     val plan = df.queryExecution.executedPlan.toString
@@ -73,6 +74,51 @@ class AsofNativeSpec extends SparkSpec {
     assert(plan.contains("AsofJoin"), plan)
     assert(!plan.contains("Window"), plan)
     assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2, plan)
+  }
+
+  test("broadcast exec ≡ merge exec on ties, dups, misses, and randomized feeds") {
+    val a = AsofJoinNative.asofBackward(trades, quotes, Seq("user_id"), "ts",
+        rightPrefix = "q_", broadcastRight = Some(true))
+      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    val b = AsofJoinNative.asofBackward(trades, quotes, Seq("user_id"), "ts",
+        rightPrefix = "q_", broadcastRight = Some(false))
+      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    assert(a === b)
+    val rnd = new scala.util.Random(11)
+    val l = (1 to 300).map(i => (i.toLong, (rnd.nextInt(8) + 1).toLong,
+      ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), rnd.nextInt(100).toDouble))
+      .toDF("event_id", "user_id", "ts", "value")
+    val r = (1 to 200).map { i =>
+      val k: java.lang.Long = if (rnd.nextInt(10) == 0) null
+        else (rnd.nextInt(8) + 1).toLong
+      (k, ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"), rnd.nextInt(100).toDouble)
+    }.toDF("user_id", "ts", "value")
+    val ba = AsofJoinNative.asofBackward(l, r, Seq("user_id"), "ts",
+        broadcastRight = Some(true))
+      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    val bb = graft.ops.AsofJoin.asofBackward(l, r, Seq("user_id"), "ts")
+      .orderBy($"event_id").collect().map(_.toSeq).toSeq
+    assert(ba === bb)
+  }
+
+  test("broadcast plan: BroadcastExchange on the build side, ZERO exchanges " +
+      "and ZERO sorts on the probe side; small stats pick broadcast unforced") {
+    val df = AsofJoinNative.asofBackward(trades, quotes, Seq("user_id"), "ts",
+      broadcastRight = Some(true))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastAsofJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort "), plan) // the probe side is untouched
+    // stats path: a tiny in-memory build side is under the threshold, so
+    // the strategy picks broadcast WITHOUT the hint
+    val auto = AsofJoinNative.asofBackward(trades, quotes, Seq("user_id"), "ts")
+    auto.collect()
+    val autoPlan = auto.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(autoPlan.contains("BroadcastAsofJoin"), autoPlan)
   }
 
   test("self-join safety: both sides carved from the SAME frame") {

@@ -259,6 +259,31 @@ class ResampleSpec extends SparkSpec {
     assert(out.filter(_._1 == 3L).map(_._2).toSeq === Seq(20000L, 10000L, 0L))
   }
 
+  test("seasonalDecompose: a pure period-3 pattern decomposes to flat trend, " +
+      "exact seasonal, zero residuals; edges are null") {
+    // counts [5,1,3] repeating over 9 days: every centered 3-window sums
+    // 9 → trend_q4 = 30000 flat; detrended = {20000, -20000, 0} by
+    // phase; seasonal sums to 0 so centering is a no-op; resid = 0
+    val ev = dayEvents((0 until 9).map(k => ("a", k, Seq(5, 1, 3)(k % 3))))
+    val rows = graft.ops.Resample.seasonalDecompose(ev, period = 3)
+      .orderBy("d").collect()
+      .map(r => (r.getLong(2), Option(r.get(3)).map(_.asInstanceOf[Long]),
+        r.getLong(4), Option(r.get(5)).map(_.asInstanceOf[Long])))
+    assert(rows.length === 9)
+    rows.zipWithIndex.foreach { case ((c, trend, seasonal, resid), k) =>
+      assert(c === Seq(5L, 1L, 3L)(k % 3))
+      // counts 5/1/3 detrend to +20000/-20000/0 — the seasonal class of
+      // day k is fixed by k mod period
+      assert(seasonal === Seq(20000L, -20000L, 0L)(k % 3), s"day $k seasonal")
+      if (k == 0 || k == 8) { // no full centered window
+        assert(trend.isEmpty && resid.isEmpty, s"day $k edge")
+      } else {
+        assert(trend === Some(30000L), s"day $k trend")
+        assert(resid === Some(0L), s"day $k resid")
+      }
+    }
+  }
+
   test("ewma: hand-computed trailing weights, gap days count as zero, " +
       "early days renormalize over the available lags") {
     // counts [2, 0 (gap day), 4], span 2 → weights (lag0, lag1) = (2, 1):

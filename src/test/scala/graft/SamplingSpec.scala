@@ -464,4 +464,52 @@ class SamplingSpec extends SparkSpec {
     assert(alloc.sum === 997L)
     assert(alloc.forall(_ >= 0L))
   }
+
+  test("temperatureMixture: sqrt reweighting flattens the head, slots sum exactly, " +
+      "epochs_bp reads the oversampling factor") {
+    import spark.implicits._
+    // n = 100/25/4 → w = 10/5/2 (exact integer sqrts); Σw = 17 slots →
+    // allocation IS the weights; a 25x size ratio compresses to 5x
+    val c = Seq(("big", 100L), ("mid", 25L), ("tail", 4L)).toDF("src", "n")
+    val out = Sampling.temperatureMixture(c, Seq("src"), "n", 17L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "big" -> ((100L, 10L, 10L, 1000L)),
+      "mid" -> ((25L, 5L, 5L, 2000L)),
+      "tail" -> ((4L, 2L, 2L, 5000L))))
+    // two sqrt iterations = temperature 4: ⌊⌊√n⌋^(1/2)⌋ = ⌊n^(1/4)⌋
+    val out2 = Sampling.temperatureMixture(c, Seq("src"), "n", 6L, sqrtIters = 2)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(out2 === Map(
+      "big" -> ((3L, 3L)), "mid" -> ((2L, 2L)), "tail" -> ((1L, 1L))))
+    // slots always sum to the budget
+    assert(out.values.map(_._3).sum === 17L && out2.values.map(_._2).sum === 6L)
+  }
+
+  test("epochSchedule: every epoch covers every key once, positions are dense " +
+      "per shard, epoch orders are independent permutations, fully deterministic") {
+    import spark.implicits._
+    val docs = (1L to 24L).map(i => Tuple1(i)).toDF("doc_id")
+    def run() = Sampling.epochSchedule(docs, "doc_id", epochs = 3, nShards = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(0)))
+    val rows = run()
+    assert(rows.length === 72)
+    // coverage: each epoch sees all 24 keys exactly once
+    (0L to 2L).foreach { e =>
+      val keys = rows.filter(_._1 == e).map(_._4)
+      assert(keys.sorted.toSeq === (1L to 24L).toSeq, s"epoch $e coverage")
+    }
+    // density: per (epoch, shard) positions are exactly 0..count-1
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((e, s), grp) =>
+      assert(grp.map(_._3).sorted.toSeq === (0L until grp.length).toSeq,
+        s"epoch $e shard $s positions")
+    }
+    // independence: the (shard, pos) order of keys differs across epochs
+    def order(e: Long) = rows.filter(_._1 == e).sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    assert(order(0L) !== order(1L))
+    assert(order(1L) !== order(2L))
+    // determinism: a re-run reproduces the schedule bit-for-bit
+    assert(run().sorted.toSeq === rows.sorted.toSeq)
+  }
 }
