@@ -92,5 +92,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         ZValue(exprs(0), exprs(1), bits)
       })))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_d"),
+      info("hilbert_d",
+        "hilbert_d(x, y, bits) - Hilbert-curve distance of a 2-D grid point (bits must be a literal)"),
+      arity("hilbert_d", 3)(exprs => {
+        val bits = exprs(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "hilbert_d(x, y, bits): bits must be an integer literal")
+        }
+        graft.functions.HilbertD(exprs(0), exprs(1), bits)
+      })))
   }
 }

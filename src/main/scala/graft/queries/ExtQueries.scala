@@ -2510,6 +2510,52 @@ object ExtQueries extends QueryGroup {
       |       min(z) AS z_min, max(z) AS z_max
       |FROM zz GROUP BY 1 ORDER BY z_block""".stripMargin
 
+  /** Hilbert curve verification — the locality-tighter sibling of
+    * ext_zorder_curve ([[graft.functions.HilbertD]]): per-curve-block
+    * stats over the Hilbert distance of (orderkey, partkey) low 8 bits.
+    * The oracle UNROLLS the same 8 per-level quadrant rotations in pure
+    * integer SQL, pinning the curve bit-for-bit. Hilbert never makes
+    * Morton's diagonal jumps, so consecutive positions are always grid
+    * neighbors — tighter file min/max rectangles at layout time. */
+  def hilbertCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val li = load(spark, dir, "lineitem")
+    val h = toColumn(graft.functions.HilbertD(
+      toExpr($"l_orderkey".bitwiseAND(255L)),
+      toExpr($"l_partkey".bitwiseAND(255L)), 8))
+    li.select(h.as("h"))
+      .groupBy(expr("h div 1024").as("h_block"))
+      .agg(count(lit(1)).as("n"), min($"h").as("h_min"), max($"h").as("h_max"))
+      .orderBy($"h_block")
+  }
+
+  private val hilbertCurveSql = {
+    val n = 256L
+    // one CTE per curve level: s walks 128 → 1; (v // s) & 1 reads the
+    // bit s tests; the ry=0 branch reflects (rx=1) and swaps — the
+    // published xy→d rotation, unrolled
+    def level(i: Int): String = {
+      val s = 1L << (7 - i)
+      s"""h${i + 1} AS (
+         |  SELECT d + ${s * s} * xor(3 * ((x // $s) & 1), (y // $s) & 1) AS d,
+         |         CASE WHEN ((y // $s) & 1) = 0 THEN
+         |                CASE WHEN ((x // $s) & 1) = 1 THEN ${n - 1} - y ELSE y END
+         |              ELSE x END AS x,
+         |         CASE WHEN ((y // $s) & 1) = 0 THEN
+         |                CASE WHEN ((x // $s) & 1) = 1 THEN ${n - 1} - x ELSE x END
+         |              ELSE y END AS y
+         |  FROM h$i)""".stripMargin
+    }
+    s"""WITH h0 AS (
+       |  SELECT (l_orderkey & 255) AS x, (l_partkey & 255) AS y,
+       |         0::BIGINT AS d
+       |  FROM lineitem),
+       |${(0 until 8).map(level).mkString(",\n")}
+       |SELECT d // 1024 AS h_block, count(*) AS n,
+       |       min(d) AS h_min, max(d) AS h_max
+       |FROM h8 GROUP BY 1 ORDER BY h_block""".stripMargin
+  }
+
   /** Model-based quality scoring (hashing-trick linear classifier —
     * the CCNet/DCLM fastText-filter shape). All-integer md5-derived
     * scores; the oracle re-derives bucket → weight → Σ → basis-point
@@ -4312,6 +4358,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_collocations", collocations, Some(collocationsSql)),
     QueryDef("ext_skipgrams", skipgramsQ, Some(skipgramsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
+    QueryDef("ext_hilbert_curve", hilbertCurve, Some(hilbertCurveSql)),
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_fd_check", fdCheckQ, Some(fdCheckSql)),
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),

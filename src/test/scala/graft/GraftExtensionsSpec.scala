@@ -20,12 +20,15 @@ class GraftExtensionsSpec extends SparkSpec {
       """SELECT dms_to_decimal('40°26''15"S') AS dd,
         |       fuzz_ratio('kitten', 'kitten') AS fr,
         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
-        |       zvalue(3L, 5L, 16) AS z
+        |       zvalue(3L, 5L, 16) AS z,
+        |       hilbert_d(1L, 0L, 1) AS hd
         |""".stripMargin.replace('\n', ' ')).collect().head
     assert(math.abs(row.getDouble(0) - -(40 + 26 / 60.0 + 15 / 3600.0)) < 1e-9)
     assert(row.getInt(1) === 100)
     assert(row.getDouble(2) === 11.0)
     // x=3 (bits 0,1 -> even positions 0,2), y=5 (bits 0,2 -> odd 1,5): 100111b
     assert(row.getLong(3) === 39L)
+    // (1,0) is the LAST cell of the 2x2 Hilbert U
+    assert(row.getLong(4) === 3L)
   }
 }

@@ -233,6 +233,28 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("hilbert kernel: bijective on the grid, consecutive distances are " +
+      "ALWAYS grid neighbors (the property Morton lacks), base quadrant order") {
+    import graft.functions.HilbertKernel
+    // bits=1: the defining U shape (0,0)->(0,1)->(1,1)->(1,0)
+    assert(HilbertKernel.xy2d(1, 0L, 0L) === 0L)
+    assert(HilbertKernel.xy2d(1, 0L, 1L) === 1L)
+    assert(HilbertKernel.xy2d(1, 1L, 1L) === 2L)
+    assert(HilbertKernel.xy2d(1, 1L, 0L) === 3L)
+    // bits=4: a bijection 16x16 -> [0, 256)
+    val d2xy = (for (x <- 0L until 16L; y <- 0L until 16L)
+      yield HilbertKernel.xy2d(4, x, y) -> ((x, y))).toMap
+    assert(d2xy.size === 256 && d2xy.keys.min === 0L && d2xy.keys.max === 255L)
+    // adjacency: every step along the curve moves exactly one grid cell
+    (0L until 255L).foreach { d =>
+      val (x1, y1) = d2xy(d); val (x2, y2) = d2xy(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1, s"step $d")
+    }
+    // coordinates above the grid mask down (the ZValue masking contract)
+    assert(HilbertKernel.xy2d(4, 16L + 3L, 32L + 7L) ===
+      HilbertKernel.xy2d(4, 3L, 7L))
+  }
+
   test("zorderBy: one range exchange; output partitions cover compact 2-D boxes") {
     import spark.implicits._
     val li = Tables.load(spark, sfDir, "lineitem")
@@ -245,6 +267,34 @@ class LayoutSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning"), plan)
     // locality: the average per-partition bounding box is far smaller
     // than the global box (that is what makes footer stats prune)
+    val boxes = clustered
+      .withColumn("pid", spark_partition_id())
+      .withColumn("x", $"l_orderkey".bitwiseAND(65535L))
+      .withColumn("y", $"l_partkey".bitwiseAND(65535L))
+      .groupBy($"pid")
+      .agg(min($"x").as("x0"), max($"x").as("x1"),
+        min($"y").as("y0"), max($"y").as("y1"))
+      .collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(boxes.length >= 4)
+    val gx0 = boxes.map(_._1).min; val gx1 = boxes.map(_._2).max
+    val gy0 = boxes.map(_._3).min; val gy1 = boxes.map(_._4).max
+    val global = (gx1 - gx0 + 1).toDouble * (gy1 - gy0 + 1)
+    val avg = boxes.map(b => (b._2 - b._1 + 1).toDouble * (b._4 - b._3 + 1))
+      .sum / boxes.length
+    assert(avg < global / 2, s"avg box $avg vs global $global")
+  }
+
+  test("hilbertBy: same plan shape as zorderBy, compact per-partition boxes") {
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey")
+    val clustered = Layout.hilbertBy(li, "l_orderkey", "l_partkey",
+      bits = 16, numFiles = 8)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.split("rangepartitioning").length - 1 +
+      plan.split("RangePartitioning").length - 1 >= 1, plan)
+    assert(!plan.contains("hashpartitioning"), plan)
     val boxes = clustered
       .withColumn("pid", spark_partition_id())
       .withColumn("x", $"l_orderkey".bitwiseAND(65535L))
