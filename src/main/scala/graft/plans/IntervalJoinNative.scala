@@ -50,17 +50,31 @@ case class IntervalJoinNode(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftStart: Attribute, leftEnd: Attribute,
-    rightStart: Attribute, rightEnd: Attribute) extends BinaryNode {
+    rightStart: Attribute, rightEnd: Attribute,
+    broadcastRight: Option[Boolean] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
     copy(left = newLeft, right = newRight)
 }
 
+/** Physical selection mirrors [[AsofJoinStrategy]]: a right side whose
+  * size stats fit `spark.sql.autoBroadcastJoinThreshold` plans as
+  * [[BroadcastIntervalJoinExec]] (probe side untouched); bigger sides
+  * co-partition and merge-sweep. `broadcastRight` overrides both ways. */
 object IntervalJoinStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinNode(l, r, lk, rk, ls, le, rs, re) =>
-      IntervalJoinExec(lk, rk, ls, le, rs, re, planLater(l), planLater(r)) :: Nil
+    case IntervalJoinNode(l, r, lk, rk, ls, le, rs, re, bcast) =>
+      val threshold =
+        org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
+      val doBroadcast = bcast.getOrElse(
+        threshold > 0 && r.stats.sizeInBytes <= threshold)
+      if (doBroadcast)
+        BroadcastIntervalJoinExec(lk, rk, ls, le, rs, re,
+          planLater(l), planLater(r)) :: Nil
+      else
+        IntervalJoinExec(lk, rk, ls, le, rs, re,
+          planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -176,6 +190,128 @@ case class IntervalJoinExec(
     copy(left = newLeft, right = newRight)
 }
 
+/** BROADCAST keyed interval-overlap join — the physical shape when the
+  * interval table is dimension-sized (incident windows, maintenance
+  * windows, promo periods) and the probe side is the 100 TB stream:
+  * the merge sweep ([[IntervalJoinExec]]) exchanges AND sorts both
+  * sides, which at that asymmetry is pure overhead. Here the right
+  * side ships once per executor (`BroadcastDistribution(
+  * IdentityBroadcastMode)`), the probe side keeps its partitioning and
+  * ordering, and each task probes a per-key START-SORTED index with a
+  * PREFIX-MAX-END bound: candidates are the rows with start ≤ lEnd
+  * (binary search); walking them backwards stops as soon as
+  * maxEnd[0..i] < lStart — no earlier interval can still reach the
+  * probe, so the scan is output-bound plus one early-stop probe (the
+  * augmented-interval-tree trick flattened onto a sorted array).
+  * Same match semantics as the sweep (closed bounds; invalid rows
+  * dropped by the wrapper) — parity-pinned in IntervalNativeSpec. */
+case class BroadcastIntervalJoinExec(
+    leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
+    leftStart: Attribute, leftEnd: Attribute,
+    rightStart: Attribute, rightEnd: Attribute,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  override def outputPartitioning
+      : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    left.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    org.apache.spark.sql.catalyst.plans.physical.UnspecifiedDistribution ::
+      org.apache.spark.sql.catalyst.plans.physical.BroadcastDistribution(
+        org.apache.spark.sql.catalyst.plans.physical.IdentityBroadcastMode) :: Nil
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val numOutputRows = longMetric("numOutputRows")
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lKeys = leftKeys; val rKeys = rightKeys
+    val (lsA, leA, rsA, reA) = (leftStart, leftEnd, rightStart, rightEnd)
+    val broadcastedRight = right.executeBroadcast[Array[InternalRow]]()
+    left.execute().mapPartitions { lIter =>
+      import org.apache.spark.sql.catalyst.expressions.Expression
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val lsB = BindReferences.bindReference(lsA: Expression, lOut)
+      val leB = BindReferences.bindReference(leA: Expression, lOut)
+      val rsB = BindReferences.bindReference(rsA: Expression, rOut)
+      val reB = BindReferences.bindReference(reA: Expression, rOut)
+      // per-task index: key -> (starts sorted asc, ends, prefix-max end,
+      // rows). The wrapper already dropped null/reversed right rows.
+      val grouped = new mutable.HashMap[InternalRow, mutable.ArrayBuffer[
+        (Long, Long, InternalRow)]]()
+      broadcastedRight.value.foreach { rrow =>
+        val sV = rsB.eval(rrow); val eV = reB.eval(rrow)
+        if (sV != null && eV != null) {
+          grouped.getOrElseUpdate(rKeyProj(rrow).copy(),
+            new mutable.ArrayBuffer[(Long, Long, InternalRow)]()) +=
+            ((sV.asInstanceOf[Long], eV.asInstanceOf[Long], rrow))
+        }
+      }
+      val index: scala.collection.Map[InternalRow,
+          (Array[Long], Array[Long], Array[Long], Array[InternalRow])] =
+        grouped.map { case (k, buf) =>
+          val sorted = buf.sortBy(t => (t._1, t._2)).toArray
+          val starts = sorted.map(_._1)
+          val ends = sorted.map(_._2)
+          val maxEnd = new Array[Long](ends.length)
+          var m = Long.MinValue
+          var i = 0
+          while (i < ends.length) { m = math.max(m, ends(i)); maxEnd(i) = m; i += 1 }
+          k -> ((starts, ends, maxEnd, sorted.map(_._3)))
+        }
+      val outProj = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+      val joined = new JoinedRow
+      lIter.flatMap { lrow =>
+        val sV = lsB.eval(lrow); val eV = leB.eval(lrow)
+        if (sV == null || eV == null) Iterator.empty
+        else index.get(lKeyProj(lrow)) match {
+          case None => Iterator.empty
+          case Some((starts, ends, maxEnd, rows)) =>
+            val ls = sV.asInstanceOf[Long]; val le = eV.asInstanceOf[Long]
+            // upper bound: first index with start > le
+            var lo = 0; var hi = starts.length
+            while (lo < hi) {
+              val mid = (lo + hi) >>> 1
+              if (starts(mid) <= le) lo = mid + 1 else hi = mid
+            }
+            val lheld = lrow.copy()
+            // walk candidates backwards; prefix-max lets us stop the
+            // moment nothing earlier can still reach ls
+            new Iterator[InternalRow] {
+              private var i = lo - 1
+              private var nextRow: InternalRow = null
+              private def advance(): Unit = {
+                nextRow = null
+                while (nextRow == null && i >= 0 && maxEnd(i) >= ls) {
+                  if (ends(i) >= ls) nextRow = rows(i)
+                  i -= 1
+                }
+              }
+              advance()
+              override def hasNext: Boolean = nextRow != null
+              override def next(): InternalRow = {
+                val r = nextRow
+                advance()
+                numOutputRows += 1
+                outProj(joined(lheld, r))
+              }
+            }
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): BroadcastIntervalJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Column-API entry point for the native interval join. */
 object IntervalJoinNative {
 
@@ -188,7 +324,8 @@ object IntervalJoinNative {
     * keys dropped (they equal the left keys on every output row). */
   def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
       startL: String, endL: String, startR: String, endR: String,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      broadcastRight: Option[Boolean] = None): DataFrame = {
     require(keys.nonEmpty, "interval join needs at least one key column")
     val spark = left.sparkSession
     def clean(df: DataFrame, s: String, e: String) = df.where(
@@ -206,7 +343,8 @@ object IntervalJoinNative {
     val node = IntervalJoinNode(lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(k => attr(rPlan, "_r_" + k)),
       attr(lPlan, startL), attr(lPlan, endL),
-      attr(rPlan, "_r_" + startR), attr(rPlan, "_r_" + endR))
+      attr(rPlan, "_r_" + startR), attr(rPlan, "_r_" + endR),
+      broadcastRight)
     Seq(node.leftStart, node.leftEnd, node.rightStart, node.rightEnd)
       .foreach(a => require(boundTypes.contains(a.dataType),
         s"interval bounds must be timestamp/long, got ${a.dataType} (${a.name})"))

@@ -422,7 +422,9 @@ object WindowQueries extends QueryGroup {
       .select($"event_id".as("click_id"), $"user_id", $"ts".as("b_start"),
         ($"ts" + expr("INTERVAL 15 MINUTES")).as("b_end"))
     graft.plans.IntervalJoinNative.overlapJoin(a, b, Seq("user_id"),
-        "a_start", "a_end", "b_start", "b_end", rightPrefix = "r_")
+        "a_start", "a_end", "b_start", "b_end", rightPrefix = "r_",
+        // pin the co-partitioned merge sweep; j33 covers broadcast
+        broadcastRight = Some(false))
       .select($"incident_id", $"user_id", $"r_click_id".as("click_id"))
       .orderBy($"incident_id", $"click_id")
   }
@@ -440,6 +442,45 @@ object WindowQueries extends QueryGroup {
       |FROM a JOIN b ON a.user_id = b.user_id
       |             AND a.s <= b.e2 AND b.s2 <= a.e
       |ORDER BY incident_id, click_id""".stripMargin
+
+  /** j33 — the BROADCAST native interval join
+    * ([[graft.plans.BroadcastIntervalJoinExec]]): low-value click
+    * activity windows probed against a DIMENSION-sized table of severe
+    * incident windows — the 100 TB shape (huge stream × small window
+    * table): the probe side never exchanges or sorts, the incident
+    * table ships once per executor, and each task probes a start-sorted
+    * prefix-max-end index. Filters differ from j20/j31 so no answer is
+    * reusable. */
+  def intervalBroadcastQ(spark: SparkSession, dir: String): DataFrame = {
+    val ev = load(spark, dir, "events")
+    val clicks = ev.where($"event_type" === "click" && $"value" < 30.0)
+      .select($"event_id".as("click_id"), $"user_id", $"ts".as("c_start"),
+        ($"ts" + expr("INTERVAL 5 MINUTES")).as("c_end"))
+    val incidents = ev.where($"event_type" === "error" && $"value" >= 40.0
+        && $"user_id" % 3 === 0)
+      .select($"event_id".as("incident_id"), $"user_id",
+        $"ts".as("i_start"), ($"ts" + expr("INTERVAL 20 MINUTES")).as("i_end"))
+    graft.plans.IntervalJoinNative.overlapJoin(clicks, incidents,
+        Seq("user_id"), "c_start", "c_end", "i_start", "i_end",
+        rightPrefix = "r_", broadcastRight = Some(true))
+      .select($"click_id", $"user_id", $"r_incident_id".as("incident_id"))
+      .orderBy($"click_id", $"incident_id")
+  }
+
+  private val intervalBroadcastSql =
+    """WITH c AS (
+      |  SELECT event_id AS click_id, user_id, CAST(ts AS TIMESTAMP) AS s,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 5 MINUTE AS e
+      |  FROM events WHERE event_type = 'click' AND value < 30.0),
+      |i AS (
+      |  SELECT event_id AS incident_id, user_id, CAST(ts AS TIMESTAMP) AS s2,
+      |         CAST(ts AS TIMESTAMP) + INTERVAL 20 MINUTE AS e2
+      |  FROM events WHERE event_type = 'error' AND value >= 40.0
+      |        AND user_id % 3 = 0)
+      |SELECT c.click_id, c.user_id, i.incident_id
+      |FROM c JOIN i ON c.user_id = i.user_id
+      |             AND c.s <= i.e2 AND i.s2 <= c.e
+      |ORDER BY click_id, incident_id""".stripMargin
 
   /** J21 — NEAREST as-of join: each error matched to its nearest click
     * within ±5 minutes per user (|Δt| minimized, ties → earlier). One
@@ -570,6 +611,8 @@ object WindowQueries extends QueryGroup {
     QueryDef("j21_asof_nearest", asofNearestQ, Some(asofNearestSql)),
     QueryDef("j20_interval_overlap", intervalOverlapQ, Some(intervalOverlapSql)),
     QueryDef("j31_interval_native", intervalNativeQ, Some(intervalNativeSql)),
+    QueryDef("j33_interval_broadcast", intervalBroadcastQ,
+      Some(intervalBroadcastSql)),
     QueryDef("w3_rank_topk", rankTopk, Some(rankTopkSql)),
     QueryDef("w4_lag_lead", lagLead, Some(lagLeadSql)),
     QueryDef("w6_range_trailing", rangeTrailing, Some(rangeTrailingSql)),

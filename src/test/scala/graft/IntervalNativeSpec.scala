@@ -17,6 +17,25 @@ class IntervalNativeSpec extends SparkSpec {
 
   private def ts(s: String) = Timestamp.valueOf(s)
 
+  /** Run the join through BOTH physical shapes (co-partitioned merge
+    * sweep and broadcast index probe) and assert they agree; returns
+    * the merge result. */
+  private def bothPaths(a: org.apache.spark.sql.DataFrame,
+      b: org.apache.spark.sql.DataFrame, keys: Seq[String],
+      sL: String, eL: String, sR: String, eR: String)
+      : Array[org.apache.spark.sql.Row] = {
+    val m = IntervalJoinNative.overlapJoin(a, b, keys, sL, eL, sR, eR,
+      broadcastRight = Some(false))
+    val bc = IntervalJoinNative.overlapJoin(a, b, keys, sL, eL, sR, eR,
+      broadcastRight = Some(true))
+    val cols = m.columns.map(org.apache.spark.sql.functions.col).toIndexedSeq
+    val mr = m.select(cols: _*).collect()
+    val br = bc.select(cols: _*).collect()
+    assert(mr.map(_.toSeq).sortBy(_.toString).toSeq ===
+      br.map(_.toSeq).sortBy(_.toString).toSeq, "merge vs broadcast diverge")
+    mr
+  }
+
   test("boundary goldens: touching endpoints match, disjoint don't, key isolates") {
     val a = Seq(
       (1L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
@@ -30,10 +49,8 @@ class IntervalNativeSpec extends SparkSpec {
       (104L, 20L, ts("2024-01-01 12:00:00"), ts("2024-01-01 13:00:00")), // other key, no overlap
       (105L, 30L, ts("2024-01-01 10:30:00"), ts("2024-01-01 10:45:00"))  // key nobody has
     ).toDF("bid", "k", "s2", "e2")
-    val got = IntervalJoinNative.overlapJoin(a, b, Seq("k"),
-        "s", "e", "s2", "e2")
-      .select($"aid", $"r_bid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = bothPaths(a, b, Seq("k"), "s", "e", "s2", "e2")
+      .map(r => (r.getLong(0), r.getAs[Long]("r_bid"))).toSet
     assert(got === Set((1L, 101L), (1L, 103L)))
   }
 
@@ -46,8 +63,8 @@ class IntervalNativeSpec extends SparkSpec {
     ).toDF("aid", "k", "s", "e")
     val b = Seq((9L, Some(10L), Some(ts("2024-01-01 10:00:00")),
       Some(ts("2024-01-01 12:00:00")))).toDF("bid", "k", "s2", "e2")
-    val got = IntervalJoinNative.overlapJoin(a, b, Seq("k"), "s", "e", "s2", "e2")
-      .select($"aid").collect().map(_.getLong(0)).toSet
+    val got = bothPaths(a, b, Seq("k"), "s", "e", "s2", "e2")
+      .map(_.getLong(0)).toSet
     assert(got === Set(4L))
   }
 
@@ -59,9 +76,8 @@ class IntervalNativeSpec extends SparkSpec {
     }
     val a = mk(300, 0L).toDF("aid", "k", "s", "e")
     val b = mk(300, 1000L).toDF("bid", "k", "s2", "e2")
-    val got = IntervalJoinNative.overlapJoin(a, b, Seq("k"), "s", "e", "s2", "e2")
-      .select($"aid", $"r_bid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    val got = bothPaths(a, b, Seq("k"), "s", "e", "s2", "e2")
+      .map(r => (r.getLong(0), r.getAs[Long]("r_bid"))).sorted
     val want = a.join(b.withColumnRenamed("k", "k2"),
         $"k" === $"k2" && $"s" <= $"e2" && $"s2" <= $"e")
       .select($"aid", $"bid").collect()
@@ -81,7 +97,7 @@ class IntervalNativeSpec extends SparkSpec {
       .select($"event_id".as("bid"), $"user_id", $"ts".as("s2"),
         ($"ts" + expr("INTERVAL 15 MINUTES")).as("e2"))
     val df = IntervalJoinNative.overlapJoin(a, b, Seq("user_id"),
-      "s", "e", "s2", "e2")
+      "s", "e", "s2", "e2", broadcastRight = Some(false))
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("IntervalJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin") &&
@@ -94,13 +110,34 @@ class IntervalNativeSpec extends SparkSpec {
     val ev = Seq(
       (1L, 5L, 10L, 20L), (2L, 5L, 15L, 25L), (3L, 5L, 30L, 40L)
     ).toDF("id", "k", "s", "e")
-    val got = IntervalJoinNative.overlapJoin(
+    val got = bothPaths(
         ev.select($"id".as("aid"), $"k", $"s", $"e"),
         ev.select($"id".as("bid"), $"k", ($"s" + 1L).as("s2"), ($"e" + 1L).as("e2")),
         Seq("k"), "s", "e", "s2", "e2")
-      .select($"aid", $"r_bid").collect()
-      .map(r => (r.getLong(0), r.getLong(1))).toSet
+      .map(r => (r.getLong(0), r.getAs[Long]("r_bid"))).toSet
     // intervals: a=(10,20),(15,25),(30,40); b=(11,21),(16,26),(31,41)
     assert(got === Set((1L, 1L), (1L, 2L), (2L, 1L), (2L, 2L), (3L, 3L)))
+  }
+
+  test("broadcast plan: BroadcastExchange build side, probe side untouched; " +
+      "small stats pick broadcast unforced") {
+    val a = Seq((1L, 5L, 10L, 20L), (2L, 5L, 30L, 40L)).toDF("aid", "k", "s", "e")
+    val b = Seq((9L, 5L, 15L, 35L)).toDF("bid", "k", "s2", "e2")
+    val df = IntervalJoinNative.overlapJoin(a, b, Seq("k"),
+      "s", "e", "s2", "e2", broadcastRight = Some(true))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastIntervalJoin"), plan)
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Sort "), plan)
+    // stats path: a tiny build side picks broadcast without the hint
+    val auto = IntervalJoinNative.overlapJoin(a, b, Seq("k"),
+      "s", "e", "s2", "e2")
+    auto.collect()
+    val autoPlan = auto.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(autoPlan.contains("BroadcastIntervalJoin"), autoPlan)
   }
 }
