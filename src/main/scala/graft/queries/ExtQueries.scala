@@ -2556,6 +2556,78 @@ object ExtQueries extends QueryGroup {
        |FROM h8 GROUP BY 1 ORDER BY h_block""".stripMargin
   }
 
+  /** Curve-fragmentation readout — the measurable claim behind Hilbert
+    * vs Morton clustering: for fixed 8×8 query boxes on the 64×64 grid,
+    * the number of CONTIGUOUS curve runs the box shatters into (a
+    * stats-pruning reader opens one range per run, so fewer runs =
+    * fewer file/row-group touches). Both curves computed per cell, runs
+    * counted per (box, curve) with a lag window; the oracle recomputes
+    * both curves (Morton via bit interleave, Hilbert via the 6-level
+    * unroll) and the identical run count. */
+  def curveSpan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val boxes = Seq((1L, 3L, 5L), (2L, 16L, 16L), (3L, 40L, 9L),
+      (4L, 27L, 33L)).toDS().toDF("box_id", "x0", "y0")
+    val cells = boxes
+      .withColumn("dx", explode(sequence(lit(0L), lit(7L))))
+      .withColumn("dy", explode(sequence(lit(0L), lit(7L))))
+      .select($"box_id", ($"x0" + $"dx").as("x"), ($"y0" + $"dy").as("y"))
+    val curves = cells.select($"box_id",
+      toColumn(graft.functions.ZValue(toExpr($"x"), toExpr($"y"), 6)).as("z"),
+      toColumn(graft.functions.HilbertD(toExpr($"x"), toExpr($"y"), 6)).as("h"))
+    val melted = curves.select($"box_id", lit("h").as("curve"), $"h".as("v"))
+      .unionByName(curves.select($"box_id", lit("z").as("curve"), $"z".as("v")))
+    val w = Window.partitionBy($"box_id", $"curve").orderBy($"v")
+    melted.withColumn("_p", lag($"v", 1).over(w))
+      .withColumn("brk",
+        when($"_p".isNull || $"v" =!= $"_p" + 1, 1L).otherwise(0L))
+      .groupBy($"box_id", $"curve")
+      .agg(sum($"brk").as("n_runs"), (max($"v") - min($"v") + 1).as("span"))
+      .orderBy($"box_id", $"curve")
+  }
+
+  private val curveSpanSql = {
+    def level(i: Int): String = {
+      val s = 1L << (5 - i)
+      s"""c${i + 1} AS (
+         |  SELECT box_id,
+         |         d + ${s * s} * xor(3 * ((x // $s) & 1), (y // $s) & 1) AS d,
+         |         CASE WHEN ((y // $s) & 1) = 0 THEN
+         |                CASE WHEN ((x // $s) & 1) = 1 THEN 63 - y ELSE y END
+         |              ELSE x END AS x,
+         |         CASE WHEN ((y // $s) & 1) = 0 THEN
+         |                CASE WHEN ((x // $s) & 1) = 1 THEN 63 - x ELSE x END
+         |              ELSE y END AS y
+         |  FROM c$i)""".stripMargin
+    }
+    s"""WITH boxes(box_id, x0, y0) AS (
+       |  VALUES (1, 3, 5), (2, 16, 16), (3, 40, 9), (4, 27, 33)),
+       |cells AS (
+       |  SELECT box_id, x0 + dx.r AS x, y0 + dy.r AS y
+       |  FROM boxes, range(0, 8) dx(r), range(0, 8) dy(r)),
+       |z AS (
+       |  SELECT box_id, 'z' AS curve,
+       |         list_sum(list_transform(range(0, 6), i ->
+       |           (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i + 1))
+       |         ))::BIGINT AS v
+       |  FROM cells),
+       |c0 AS (SELECT box_id, x, y, 0::BIGINT AS d FROM cells),
+       |${(0 until 6).map(level).mkString(",\n")},
+       |h AS (SELECT box_id, 'h' AS curve, d AS v FROM c6),
+       |u AS (SELECT * FROM z UNION ALL SELECT * FROM h),
+       |r AS (
+       |  SELECT box_id, curve, v,
+       |         lag(v) OVER (PARTITION BY box_id, curve ORDER BY v) AS p
+       |  FROM u)
+       |SELECT box_id::BIGINT AS box_id, curve,
+       |       sum(CASE WHEN p IS NULL OR v <> p + 1 THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_runs,
+       |       (max(v) - min(v) + 1)::BIGINT AS span
+       |FROM r GROUP BY 1, 2 ORDER BY box_id, curve""".stripMargin
+  }
+
   /** Model-based quality scoring (hashing-trick linear classifier —
     * the CCNet/DCLM fastText-filter shape). All-integer md5-derived
     * scores; the oracle re-derives bucket → weight → Σ → basis-point
@@ -4359,6 +4431,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_skipgrams", skipgramsQ, Some(skipgramsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_hilbert_curve", hilbertCurve, Some(hilbertCurveSql)),
+    QueryDef("ext_curve_span", curveSpan, Some(curveSpanSql)),
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_fd_check", fdCheckQ, Some(fdCheckSql)),
     QueryDef("ext_snapshot_diff", snapshotDiff, Some(snapshotDiffSql)),
