@@ -696,6 +696,44 @@ object Similarity {
         expr(s"(10000 * hits) div $k").as("recall_bp"))
   }
 
+  /** Binary-relevance nDCG@k (Järvelin & Kekäläinen 2002) of a ranked
+    * list — the position-weighted member of the eval trio next to
+    * [[recallAtK]] (set overlap) and [[reciprocalRank]] (first hit):
+    * DCG = Σ_{r : hit} w_r with caller-supplied INTEGER weights
+    * (`weights(r−1)` ≈ ⌊10⁸∕log₂(r+1)⌋ — precomputed literals, so the
+    * irrational log never evaluates inside either engine and the same
+    * constants can be inlined into an oracle); ideal = the prefix sum
+    * of the first min(k, n_rel) weights; ndcg_bp = ⌊10⁴·DCG∕ideal⌋.
+    *
+    * `ranked` = (q_id, n_id, rank ∈ 1..k); `rel` = the (q_id, n_id)
+    * relevance universe (n_rel counts ALL relevant candidates, so a
+    * query with fewer than k relevant docs is judged against the ideal
+    * it could actually achieve). Scale shape: one equi join of the
+    * k·|queries| ranked frame against the relevance pairs + one
+    * group-by — query-cardinality frames throughout. */
+  def ndcgAtK(ranked: DataFrame, rel: DataFrame, k: Int,
+      weights: Seq[Long]): DataFrame = {
+    require(k >= 1 && weights.length >= k,
+      s"need k >= 1 and a weight per rank, got k=$k, ${weights.length} weights")
+    val wArr = array(weights.take(k).map(lit): _*)
+    val prefix = weights.take(k).scanLeft(0L)(_ + _) // prefix(i) = Σ first i
+    val prefArr = array(prefix.map(lit): _*)
+    val relCnt = rel.groupBy($"q_id").agg(count(lit(1)).as("n_rel"))
+    ranked
+      .join(rel.select($"q_id", $"n_id", lit(1L).as("_hit")),
+        Seq("q_id", "n_id"), "left_outer")
+      .withColumn("_w", element_at(wArr, $"rank".cast("int")))
+      .groupBy($"q_id")
+      .agg(sum(when($"_hit".isNotNull, $"_w").otherwise(0L)).as("dcg_q8"))
+      .join(relCnt, Seq("q_id"), "left_outer")
+      .withColumn("n_rel", coalesce($"n_rel", lit(0L)))
+      .withColumn("_ideal",
+        element_at(prefArr, (least($"n_rel", lit(k.toLong)) + 1).cast("int")))
+      .select($"q_id", $"n_rel", $"dcg_q8",
+        when($"_ideal" > 0, expr("(10000 * dcg_q8) div _ideal"))
+          .otherwise(0L).as("ndcg_bp"))
+  }
+
   /** Reciprocal-rank eval of an approximate retriever: where did the
     * TRUE nearest neighbor (exact top-1) land in the approximate list?
     * rr_q8 = ⌊10⁸∕rank⌋ exact integer, 0 when missed — the

@@ -394,6 +394,110 @@ object ExtQueries extends QueryGroup {
        |WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** Integer DCG weights ⌊10⁸∕log₂(r+1)⌋ for ranks 1..10 — computed
+    * ONCE here and inlined as literals on both sides, so the
+    * irrational log never evaluates inside either engine. */
+  private val ndcgWeights: Seq[Long] =
+    (1 to 10).map(r => math.floor(1e8 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** nDCG@10 of the exact cosine neighborhood against label relevance
+    * ([[Similarity.ndcgAtK]]): position-weighted "how label-pure is the
+    * top of each query's ranking" — the graded member of the retrieval
+    * eval trio (recall@k counts hits anywhere, MRR sees only the first,
+    * nDCG weights every position). Ideal is computed from each query's
+    * OWN relevant-candidate count, so sparse labels aren't penalized
+    * for shortage. */
+  def simNdcg(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val topk = Similarity.bruteForceTopK(emb.where($"vec_id" < 10), emb, 10)
+    val q = emb.where($"vec_id" < 10)
+      .select($"vec_id".as("q_id"), $"label".as("_ql"))
+    val rel = q.join(emb.select($"vec_id".as("n_id"), $"label".as("_nl")),
+        $"_ql" === $"_nl" && $"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id")
+    Similarity.ndcgAtK(topk, rel, 10, ndcgWeights).orderBy($"q_id")
+  }
+
+  private val simNdcgSql = {
+    val wVals = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, $w)" }.mkString(", ")
+    val pVals = ndcgWeights.scanLeft(0L)(_ + _).zipWithIndex
+      .map { case (s, n) => s"($n, $s)" }.mkString(", ")
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+       |         ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10),
+       |bf AS (
+       |  SELECT q_id, n_id, rank FROM (
+       |    SELECT q_id, n_id, row_number() OVER (PARTITION BY q_id
+       |             ORDER BY cos DESC, n_id) AS rank
+       |    FROM scored) WHERE rank <= 10),
+       |w(rank, wt) AS (VALUES $wVals),
+       |pref(n, s) AS (VALUES $pVals),
+       |rel AS (
+       |  SELECT q.vec_id AS q_id, c.vec_id AS n_id
+       |  FROM embeddings q JOIN embeddings c
+       |    ON q.label = c.label AND q.vec_id <> c.vec_id
+       |  WHERE q.vec_id < 10),
+       |nrel AS (SELECT q_id, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+       |dcg AS (
+       |  SELECT bf.q_id,
+       |         coalesce(sum(CASE WHEN rel.n_id IS NOT NULL THEN w.wt END),
+       |                  0)::BIGINT AS dcg_q8
+       |  FROM bf JOIN w ON bf.rank = w.rank
+       |  LEFT JOIN rel ON bf.q_id = rel.q_id AND bf.n_id = rel.n_id
+       |  GROUP BY bf.q_id)
+       |SELECT d.q_id, coalesce(nrel.n_rel, 0)::BIGINT AS n_rel, d.dcg_q8,
+       |       (CASE WHEN p.s > 0 THEN (10000 * d.dcg_q8) // p.s
+       |             ELSE 0 END)::BIGINT AS ndcg_bp
+       |FROM dcg d
+       |LEFT JOIN nrel ON d.q_id = nrel.q_id
+       |JOIN pref p ON p.n = least(coalesce(nrel.n_rel, 0), 10)
+       |ORDER BY d.q_id""".stripMargin
+  }
+
+  /** Common-neighbor link prediction over the near-dup graph
+    * ([[graft.ops.LinkPredict.neighborScores]]): pairs NOT currently
+    * edges that share ≥ 2 near-dup partners — the dedup candidate-
+    * expansion step ("probably a missed pair"), scored by neighborhood
+    * Jaccard and rational resource allocation. Hub centers above
+    * degree 64 are suppressed from wedge minting (mirrored in the
+    * oracle). */
+  def linkPredict(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    // looser 0.2 graph than the 0.3 dedup threshold: link prediction
+    // hunts the pairs the edge rule MISSED, so it wants the sparser
+    // regime where the closure is genuinely incomplete
+    val pairs = Similarity.cosineNearDup(emb, 0.2).select($"id_a", $"id_b")
+    graft.ops.LinkPredict.neighborScores(pairs).orderBy($"id_a", $"id_b")
+  }
+
+  private val linkPredictSql =
+    s"""WITH e AS (
+       |  SELECT a.vec_id AS u, b.vec_id AS v
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 2000),
+       |adj AS (SELECT u AS z, v AS x FROM e UNION ALL SELECT v, u FROM e),
+       |deg AS (SELECT z, count(*)::BIGINT AS deg FROM adj GROUP BY z),
+       |ctr AS (SELECT adj.z, adj.x, deg.deg FROM adj JOIN deg ON adj.z = deg.z
+       |        WHERE deg.deg <= 64),
+       |wed AS (SELECT l.x AS a, r.x AS b, l.deg
+       |        FROM ctr l JOIN ctr r ON l.z = r.z AND l.x < r.x),
+       |cand AS (SELECT a, b, count(*)::BIGINT AS cn,
+       |                sum(100000000 // deg)::BIGINT AS ra_q8
+       |         FROM wed GROUP BY 1, 2 HAVING count(*) >= 2),
+       |ne AS (SELECT cand.* FROM cand LEFT JOIN e
+       |         ON cand.a = e.u AND cand.b = e.v
+       |       WHERE e.u IS NULL)
+       |SELECT ne.a AS id_a, ne.b AS id_b, ne.cn,
+       |       ((10000 * ne.cn) // (da.deg + db.deg - ne.cn))::BIGINT
+       |         AS jaccard_bp,
+       |       ne.ra_q8
+       |FROM ne JOIN deg da ON ne.a = da.z JOIN deg db ON ne.b = db.z
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** ANN recall@5: the LSH index's per-query recall against brute-force
     * ground truth, exact basis points — the eval harness a bucketed
     * index must pass before it replaces the exact path at scale. */
@@ -4390,6 +4494,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sim_triplets", simTriplets, Some(simTripletsSql)),
     QueryDef("ext_embed_prune", embedPrune, Some(embedPruneSql)),
     QueryDef("ext_sim_recall", simRecall, Some(simRecallSql)),
+    QueryDef("ext_sim_ndcg", simNdcg, Some(simNdcgSql)),
+    QueryDef("ext_link_predict", linkPredict, Some(linkPredictSql)),
     QueryDef("ext_sim_matryoshka", simMatryoshka, Some(simMatryoshkaSql)),
     QueryDef("ext_sim_mrr", simMrr, Some(simMrrSql)),
     QueryDef("ext_quota_allocate", quotaAllocate, Some(quotaAllocateSql)),

@@ -657,4 +657,25 @@ class SimilaritySpec extends SparkSpec {
       empty.getLong(4), empty.getLong(5)) === ((0L, 0L, 0L, 0L, 0L)))
     assert(empty.getLong(1) === 3L) // truth count independent of predictions
   }
+
+  test("ndcgAtK: hand-computed hits, short relevance universe, zero-rel query") {
+    import spark.implicits._
+    val weights = Seq(100L, 63L, 50L)
+    // q1: hits at ranks 1 and 3, 5 relevant total -> ideal = 213, dcg = 150
+    // q2: hit at rank 2 only, n_rel = 2 < k -> ideal = 163, dcg = 63
+    // q3: no relevant docs at all -> ndcg 0, n_rel 0
+    val ranked = Seq(
+      (1L, 11L, 1), (1L, 12L, 2), (1L, 13L, 3),
+      (2L, 21L, 1), (2L, 22L, 2), (2L, 23L, 3),
+      (3L, 31L, 1), (3L, 32L, 2), (3L, 33L, 3)
+    ).toDF("q_id", "n_id", "rank")
+    val rel = (Seq((1L, 11L), (1L, 13L), (1L, 91L), (1L, 92L), (1L, 93L)) ++
+      Seq((2L, 22L), (2L, 94L))).toDF("q_id", "n_id")
+    val out = Similarity.ndcgAtK(ranked, rel, 3, weights)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) === ((5L, 150L, 10000L * 150L / 213L))) // 7042
+    assert(out(2L) === ((2L, 63L, 10000L * 63L / 163L)))   // 3865
+    assert(out(3L) === ((0L, 0L, 0L)))
+  }
 }
