@@ -161,6 +161,52 @@ object StreamingIngest {
       }
   }
 
+  /** Input row for [[weightedSampleStream]]. */
+  case class WeightedItem(group_id: Long, key: String, weight: Double)
+  /** State for [[weightedSampleStream]]: the k best (score, key) pairs
+    * per group — O(k) forever. */
+  case class AesSampleState(items: List[(Long, String)], processed: Long)
+  /** Emitted sample row; `n_processed` is the monotone progress marker
+    * (the [[heavyHittersStream]] Update-mode recovery contract). */
+  case class AesSample(group_id: Long, key: String, score_q8: Long,
+    rank: Int, n_processed: Long)
+
+  /** Streaming weighted sampling WITHOUT replacement per group — the
+    * incremental twin of [[graft.ext.Sampling.weightedWithoutReplacement]]
+    * (Efraimidis–Spirakis A-ES): each arriving item draws its
+    * deterministic md5-uniform score ⌊−ln(u)∕w·10⁸⌋ from its OWN key,
+    * and the group keeps the k SMALLEST (score, key) pairs. Because the
+    * score is a pure function of the key (not of arrival order or
+    * batching), the maintained sample is ORDER-INDEPENDENT: after any
+    * prefix of the stream it equals the batch sampler run over exactly
+    * the rows seen — the strongest parity a streaming sampler can have
+    * (pinned in StreamingSpec across multi-batch feeds). State is O(k)
+    * per group forever; re-deliveries of a key are absorbed (same key →
+    * same score → set semantics). Emits the full current sample each
+    * batch with ranks. */
+  def weightedSampleStream(items: org.apache.spark.sql.Dataset[WeightedItem],
+      k: Int): org.apache.spark.sql.Dataset[AesSample] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    import items.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    items.groupByKey(_.group_id)
+      .flatMapGroupsWithState[AesSampleState, AesSample](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (gid: Long, rows: Iterator[WeightedItem], state: GroupState[AesSampleState]) =>
+          val st0 = state.getOption.getOrElse(AesSampleState(Nil, 0L))
+          var np = st0.processed
+          val incoming = rows.flatMap { r =>
+            np += 1
+            graft.ext.Sampling.aesScoreQ8(r.key, r.weight).map(s => (s, r.key))
+          }.toList
+          val merged = (st0.items ++ incoming).distinct.sorted.take(k)
+          state.update(AesSampleState(merged, np))
+          merged.iterator.zipWithIndex.map { case ((s, key), i) =>
+            AesSample(gid, key, s, i + 1, np)
+          }
+      }
+  }
+
   /** State for [[transitionsStream]]: each key remembers only its LAST
     * event — O(1) state per key forever, the cheapest stateful shape. */
   case class LastSeen(tsMicros: Long, eventId: Long, eventType: String)

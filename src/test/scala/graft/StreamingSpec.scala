@@ -516,6 +516,48 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("weightedSampleStream: multi-batch sample == batch A-ES over the same rows; " +
+      "re-deliveries absorb; O(k) state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.WeightedItem
+    val rnd = new scala.util.Random(17)
+    val rows = (1 to 60).map { i =>
+      WeightedItem(i % 2L, s"doc-$i", (rnd.nextInt(9) + 1).toDouble)
+    } ++ Seq(
+      WeightedItem(0L, "doc-2", 2.0),   // re-delivery: same key, same score
+      WeightedItem(1L, null, 3.0),      // null key never samples
+      WeightedItem(0L, "doc-zero", 0.0) // non-positive weight drops
+    )
+    val (b1, b2) = rows.splitAt(25)
+    val input = MemoryStream[WeightedItem]
+    val q = StreamingIngest.weightedSampleStream(input.toDS(), k = 5)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("aes_sample").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("aes_sample").as[StreamingIngest.AesSample].collect()
+    val got = all.groupBy(_.group_id).map { case (g, xs) =>
+      val last = xs.map(_.n_processed).max
+      g -> xs.filter(_.n_processed == last).sortBy(_.rank)
+        .map(s => (s.key, s.score_q8)).toSeq
+    }
+    // batch comparator: the SAME rows through the batch A-ES column path
+    val batchDf = rows.toDF()
+    (0L to 1L).foreach { g =>
+      val want = graft.ext.Sampling.weightedWithoutReplacement(
+          batchDf.where(col("group_id") === g), "key", "weight", 5)
+        .select(col("key"), col("score_q8")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got(g) === want, s"group $g")
+      assert(got(g).length === 5)
+    }
+  }
+
   test("heavyHittersStream: exact when capacity suffices; eviction keeps Space-Saving bounds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
