@@ -379,6 +379,39 @@ object Resample {
           lit(10000L) * $"c" - $"trend_q4" - $"seasonal_q4").as("resid_q4"))
   }
 
+  /** Burst segmentation of each group's dense daily-count series —
+    * [[graft.functions.BurstStates]] (integer two-state Viterbi,
+    * Kleinberg-style) applied per group: baseline level μ₀ = the
+    * group's LOWER MEDIAN count (order statistic ⌈n∕2⌉ — integer, both
+    * engines agree), burst level 2μ₀+1, switch penalty γ = μ₀+1
+    * (adaptive: switching must beat a median-sized residual). Answers
+    * "WHICH days are a sustained burst" where ev7's pointwise z-flag
+    * answers "is this single observation odd" and ev20's CUSUM answers
+    * "where did the level shift once" — the path cost makes isolated
+    * spikes stay baseline and sustained elevation flip, with the
+    * switch count explicitly penalized.
+    *
+    * Scale shape: events collapse to (group, day) FIRST; each group's
+    * bounded series (≤ 366/year) collects into ONE array row and the
+    * DP runs in-row — group-cardinality rows carry arrays, raw events
+    * never reshuffle twice. */
+  def burstSegments(events: DataFrame, groupCol: String = "event_type",
+      tsCol: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val series = dailySeries(events, groupCol, tsCol)
+    val agg = series.groupBy($"g")
+      .agg(sort_array(collect_list(struct($"d", $"c"))).as("dc"))
+      .withColumn("cs", expr("transform(dc, x -> x.c)"))
+      .withColumn("mu0",
+        expr("element_at(array_sort(cs), cast((size(cs) + 1) div 2 as int))"))
+    val states = toColumn(graft.functions.BurstStates(
+      toExpr($"cs"), toExpr($"mu0"), toExpr($"mu0" + 1L)))
+    agg.withColumn("st", states)
+      .select($"g", $"mu0", posexplode(expr("arrays_zip(dc, st)")))
+      .select($"g".as(groupCol), col("col.dc.d").as("d"),
+        col("col.dc.c").as("c"), $"mu0", col("col.st").as("state"))
+  }
+
   /** Full-series seasonal residuals: for every day with a lag-`season`
     * ancestor inside its group's span, the actual count, the
     * seasonal-naive forecast (the count `season` days earlier), and the

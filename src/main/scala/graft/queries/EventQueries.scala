@@ -746,6 +746,7 @@ object EventQueries extends QueryGroup {
     QueryDef("ev30_ewma", ewmaTrend, Some(ewmaTrendSql)),
     QueryDef("ev47_seasonal_decompose", seasonalDecomposeQ,
       Some(seasonalDecomposeSql)),
+    QueryDef("ev48_burst_viterbi", burstViterbi, Some(burstViterbiSql)),
     QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)),
     QueryDef("ev32_removal_effect", removalEffectQ, Some(removalEffectSql)),
     QueryDef("ev33_streaks", streaksQ, Some(streaksSql)),
@@ -1074,6 +1075,69 @@ object EventQueries extends QueryGroup {
       |SELECT g AS event_type, d::BIGINT AS d, c,
       |       ((10000 * num) // den)::BIGINT AS ewma_q4
       |FROM tw ORDER BY event_type, d""".stripMargin
+
+  /** ev48_burst_viterbi — two-state integer-Viterbi burst segmentation
+    * of each event type's daily series
+    * ([[graft.ops.Resample.burstSegments]]): WHICH days are a sustained
+    * burst, with isolated spikes smoothed away by the switch penalty.
+    * The oracle replays the identical DP — forward costs + backpointers
+    * in one recursive CTE, path backtrack in a second — so the hash
+    * pins every cost comparison and tie rule. */
+  def burstViterbi(spark: SparkSession, dir: String): DataFrame =
+    Resample.burstSegments(load(spark, dir, "events"))
+      .orderBy(col("event_type"), col("d"))
+
+  private val burstViterbiSql =
+    """WITH RECURSIVE dc AS MATERIALIZED (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS c
+      |  FROM events GROUP BY 1, 2),
+      |grid AS MATERIALIZED (
+      |  SELECT g, unnest(range(d0, d1 + 1)) AS d
+      |  FROM (SELECT g, min(d) AS d0, max(d) AS d1 FROM dc GROUP BY g)),
+      |ser AS MATERIALIZED (
+      |  SELECT grid.g, grid.d, coalesce(dc.c, 0)::BIGINT AS c,
+      |         row_number() OVER (PARTITION BY grid.g ORDER BY grid.d) AS idx
+      |  FROM grid LEFT JOIN dc ON grid.g = dc.g AND grid.d = dc.d),
+      |mu AS MATERIALIZED (
+      |  SELECT g, list_sort(list(c))[(count(*)::INTEGER + 1) // 2] AS mu0,
+      |         count(*)::INTEGER AS n
+      |  FROM ser GROUP BY g),
+      |fw AS (
+      |  SELECT s.g, 1 AS idx,
+      |         abs(s.c - mu.mu0)::BIGINT AS c0,
+      |         abs(s.c - (2 * mu.mu0 + 1))::BIGINT AS c1,
+      |         []::INTEGER[][] AS bps
+      |  FROM ser s JOIN mu ON s.g = mu.g WHERE s.idx = 1
+      |  UNION ALL
+      |  SELECT fw.g, fw.idx + 1,
+      |         least(fw.c0, fw.c1 + mu.mu0 + 1) + abs(s.c - mu.mu0),
+      |         least(fw.c1, fw.c0 + mu.mu0 + 1) + abs(s.c - (2 * mu.mu0 + 1)),
+      |         list_append(fw.bps,
+      |           [CASE WHEN fw.c0 <= fw.c1 + mu.mu0 + 1 THEN 0 ELSE 1 END,
+      |            CASE WHEN fw.c1 <= fw.c0 + mu.mu0 + 1 THEN 1 ELSE 0 END])
+      |  FROM fw
+      |  JOIN ser s ON s.g = fw.g AND s.idx = fw.idx + 1
+      |  JOIN mu ON mu.g = fw.g),
+      |last AS MATERIALIZED (
+      |  SELECT fw.g, mu.n, fw.c0, fw.c1, fw.bps
+      |  FROM fw JOIN mu ON fw.g = mu.g WHERE fw.idx = mu.n),
+      |bw AS (
+      |  SELECT g, n AS t,
+      |         CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS s,
+      |         [CASE WHEN c0 <= c1 THEN 0 ELSE 1 END] AS states, bps
+      |  FROM last
+      |  UNION ALL
+      |  SELECT g, t - 1, bps[t - 1][s + 1],
+      |         list_prepend(bps[t - 1][s + 1], states), bps
+      |  FROM bw WHERE t > 1),
+      |path AS MATERIALIZED (
+      |  SELECT g, states FROM bw WHERE t = 1)
+      |SELECT ser.g AS event_type, ser.d::BIGINT AS d, ser.c, mu.mu0,
+      |       path.states[ser.idx]::INTEGER AS state
+      |FROM ser JOIN path ON ser.g = path.g JOIN mu ON ser.g = mu.g
+      |ORDER BY event_type, d""".stripMargin
 
   /** DAU/MAU(28d) stickiness per day in exact bp. */
   def stickiness(spark: SparkSession, dir: String): DataFrame =

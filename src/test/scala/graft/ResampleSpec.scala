@@ -284,6 +284,28 @@ class ResampleSpec extends SparkSpec {
     }
   }
 
+  test("burst viterbi: sustained burst flips state, lone spike is absorbed, " +
+      "hand-computed DP") {
+    import graft.functions.BurstKernel
+    // mu0=2 (mu1=5), gamma=3: a single 9 costs less to absorb (7) than
+    // to visit state 1 and come back (4 + 2 switches) -> all baseline
+    assert(BurstKernel.viterbi(Array(2L, 2L, 9L, 2L, 2L), 2L, 3L).toSeq ===
+      Seq(0, 0, 0, 0, 0))
+    // three consecutive 9s amortize the two switches -> burst segment
+    assert(BurstKernel.viterbi(Array(2L, 2L, 9L, 9L, 9L, 2L), 2L, 3L).toSeq ===
+      Seq(0, 0, 1, 1, 1, 0))
+    // end-to-end through the daily-series op: same series, mu0 = lower
+    // median = 2, gamma = mu0 + 1 = 3
+    val ev = dayEvents(Seq(("a", 0, 2), ("a", 1, 2), ("a", 2, 9),
+      ("a", 3, 9), ("a", 4, 9), ("a", 5, 2)))
+    val out = graft.ops.Resample.burstSegments(ev)
+      .orderBy("d").collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getInt(4)))
+    assert(out.map(_._2).forall(_ == 2L))
+    assert(out.map(_._3).toSeq === Seq(0, 0, 1, 1, 1, 0))
+    assert(out.map(_._1).toSeq === Seq(2L, 2L, 9L, 9L, 9L, 2L))
+  }
+
   test("ewma: hand-computed trailing weights, gap days count as zero, " +
       "early days renormalize over the available lags") {
     // counts [2, 0 (gap day), 4], span 2 → weights (lag0, lag1) = (2, 1):
