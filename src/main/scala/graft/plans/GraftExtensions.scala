@@ -45,6 +45,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // optimizer seam: length prefilters implied by fuzzy predicates
     // (see SimilarityPruning) — runs in the operator-optimization batch
     ext.injectOptimizerRule(_ => SimilarityPruning)
+    // optimizer seam: plain relational keyed interval-overlap joins
+    // rewrite to the native operator (see IntervalJoinRewrite)
+    ext.injectOptimizerRule(_ => IntervalJoinRewrite)
     // planner seams: the whole-operator extensions (custom LogicalPlan →
     // custom physical operator) for the native as-of and interval joins
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)

@@ -51,7 +51,13 @@ case class IntervalJoinNode(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftStart: Attribute, leftEnd: Attribute,
     rightStart: Attribute, rightEnd: Attribute,
-    broadcastRight: Option[Boolean] = None) extends BinaryNode {
+    broadcastRight: Option[Boolean] = None,
+    relationalSemantics: Boolean = false) extends BinaryNode {
+  // relationalSemantics = true (the optimizer-rewrite path,
+  // [[IntervalJoinRewrite]]): REVERSED intervals (end < start) keep the
+  // plain SQL predicate semantics — they can still match — instead of
+  // the wrapper contract's drop. The sweep exec carries a residual
+  // check that makes this exact; the broadcast probe is naturally exact.
   override def output: Seq[Attribute] = left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): IntervalJoinNode =
@@ -64,17 +70,20 @@ case class IntervalJoinNode(
   * co-partition and merge-sweep. `broadcastRight` overrides both ways. */
 object IntervalJoinStrategy extends Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case IntervalJoinNode(l, r, lk, rk, ls, le, rs, re, bcast) =>
+    case n: IntervalJoinNode =>
       val threshold =
         org.apache.spark.sql.internal.SQLConf.get.autoBroadcastJoinThreshold
-      val doBroadcast = bcast.getOrElse(
-        threshold > 0 && r.stats.sizeInBytes <= threshold)
+      val doBroadcast = n.broadcastRight.getOrElse(
+        threshold > 0 && n.right.stats.sizeInBytes <= threshold)
       if (doBroadcast)
-        BroadcastIntervalJoinExec(lk, rk, ls, le, rs, re,
-          planLater(l), planLater(r)) :: Nil
+        BroadcastIntervalJoinExec(n.leftKeys, n.rightKeys,
+          n.leftStart, n.leftEnd, n.rightStart, n.rightEnd,
+          planLater(n.left), planLater(n.right)) :: Nil
       else
-        IntervalJoinExec(lk, rk, ls, le, rs, re,
-          planLater(l), planLater(r)) :: Nil
+        IntervalJoinExec(n.leftKeys, n.rightKeys,
+          n.leftStart, n.leftEnd, n.rightStart, n.rightEnd,
+          planLater(n.left), planLater(n.right),
+          n.relationalSemantics) :: Nil
     case _ => Nil
   }
 }
@@ -83,7 +92,8 @@ case class IntervalJoinExec(
     leftKeys: Seq[Attribute], rightKeys: Seq[Attribute],
     leftStart: Attribute, leftEnd: Attribute,
     rightStart: Attribute, rightEnd: Attribute,
-    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+    left: SparkPlan, right: SparkPlan,
+    relationalSemantics: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
 
@@ -118,10 +128,11 @@ case class IntervalJoinExec(
       val lIter = lIterRaw.buffered
       val rIter = rIterRaw.buffered
 
+      val relational = relationalSemantics
       new Iterator[InternalRow] {
-        // (end, row) actives per side; rows are defensive copies
-        private val lActive = mutable.ArrayBuffer.empty[(Long, InternalRow)]
-        private val rActive = mutable.ArrayBuffer.empty[(Long, InternalRow)]
+        // (end, start, row) actives per side; rows are defensive copies
+        private val lActive = mutable.ArrayBuffer.empty[(Long, Long, InternalRow)]
+        private val rActive = mutable.ArrayBuffer.empty[(Long, Long, InternalRow)]
         private val pending = mutable.Queue.empty[(InternalRow, InternalRow)]
         private var curKey: UnsafeRow = null
 
@@ -158,16 +169,25 @@ case class IntervalJoinExec(
           val row = iter.next()
           val sV = sB.eval(row)
           val eV = eB.eval(row)
-          if (sV != null && eV != null && longOf(eV) >= longOf(sV)) {
+          // wrapper path pre-drops reversed intervals (contract);
+          // rewrite path keeps them — plain predicate semantics
+          if (sV != null && eV != null &&
+              (relational || longOf(eV) >= longOf(sV))) {
             val s = longOf(sV)
+            val e = longOf(eV)
             // evict dead intervals everywhere: end < s can never match again
             lActive.filterInPlace(_._1 >= s)
             rActive.filterInPlace(_._1 >= s)
             val kept = row.copy()
-            other.foreach { case (_, o) =>
-              pending.enqueue(if (fromLeft) (kept, o) else (o, kept))
+            // survivor ends are >= s (one predicate direction); the
+            // residual oStart <= e is the other — always true for valid
+            // rows (oStart <= s <= e by sweep order) but REQUIRED for a
+            // reversed current row, whose end sits below its start
+            other.foreach { case (_, oStart, o) =>
+              if (oStart <= e)
+                pending.enqueue(if (fromLeft) (kept, o) else (o, kept))
             }
-            own.append((longOf(eV), kept))
+            own.append((e, s, kept))
           }
         }
 
