@@ -632,4 +632,71 @@ object Frequency {
         expr("(10000 * (2 * _g2 - (n_keys + 1) * n_rows))" +
           " div (n_keys * n_rows)").as("gini_bp"))
   }
+
+  /** KMV (k-minimum-values / bottom-k theta) sketch CALIBRATION for
+    * cross-source vocabulary overlap (Bar-Yossef et al. 2002; the
+    * mergeable bottom-k form Theta sketches standardize): per source,
+    * the sketch is the k SMALLEST md5-u32 hashes of its distinct
+    * tokens — deterministic, so unlike HLL the whole estimate is
+    * engine-replayable and oracle-exact. For each source pair the
+    * union sketch (k smallest of the merged hash sets) estimates
+    * Jaccard as (members present in BOTH sketches) ∕ k′ — the standard
+    * bottom-k set-operation estimator — and the output sets the
+    * estimate NEXT TO the exact Jaccard so the readout is the
+    * calibration itself.
+    *
+    * Scale shape: the corpus is touched once (distinct (source, hash)
+    * map-side combine); everything pairwise runs on SKETCHES —
+    * |sources|·k rows — so the pair phase costs catalog-size², not
+    * corpus anything. The exact side (the calibration target) is a
+    * vocabulary-bucketed token equi join — the expensive half, which
+    * is precisely why the sketch exists; at 100 TB you ship only the
+    * sketch phase and drop the exact columns. */
+  def kmvJaccard(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source", k: Int = 64): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(srcCol).as("src"),
+        explode(graft.ext.TextStats.tokens(col(textCol))).as("w"))
+      .where($"w" =!= "")
+    val tok = words
+      .select($"src", conv(substring(md5($"w".cast("binary")), 1, 8), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    val sk = tok
+      .withColumn("rk",
+        row_number().over(Window.partitionBy($"src").orderBy($"h")))
+      .where($"rk" <= k)
+      .select($"src", $"h")
+      .persistScoped // sketch-sized; read for both pair legs
+    val srcs = sk.select($"src").distinct()
+    val pairs = srcs.select($"src".as("sa"))
+      .crossJoin(srcs.select($"src".as("sb"))).where($"sa" < $"sb")
+    val uh = pairs.join(sk.select($"src".as("sa"), $"h"), Seq("sa"))
+      .select($"sa", $"sb", $"h")
+      .unionByName(pairs.join(sk.select($"src".as("sb"), $"h"), Seq("sb"))
+        .select($"sa", $"sb", $"h"))
+      .groupBy($"sa", $"sb", $"h").agg(count(lit(1)).as("_m"))
+    val estim = uh
+      .withColumn("urk",
+        row_number().over(Window.partitionBy($"sa", $"sb").orderBy($"h")))
+      .where($"urk" <= k)
+      .groupBy($"sa", $"sb")
+      .agg(sum(when($"_m" === 2, 1L).otherwise(0L)).as("n_both"),
+        count(lit(1)).as("k_union"))
+    val tw = words.distinct().persistScoped
+    val sizes = tw.groupBy($"src").agg(count(lit(1)).as("nt"))
+    val inter = tw.select($"src".as("sa"), $"w")
+      .join(tw.select($"src".as("sb"), $"w"), Seq("w"))
+      .where($"sa" < $"sb")
+      .groupBy($"sa", $"sb").agg(count(lit(1)).as("ni"))
+    estim
+      .join(inter, Seq("sa", "sb"), "left_outer")
+      .join(sizes.select($"src".as("sa"), $"nt".as("_na")), Seq("sa"))
+      .join(sizes.select($"src".as("sb"), $"nt".as("_nb")), Seq("sb"))
+      .withColumn("ni", coalesce($"ni", lit(0L)))
+      .select($"sa".as("src_a"), $"sb".as("src_b"), $"n_both", $"k_union",
+        expr("(10000 * n_both) div k_union").as("jaccard_est_bp"),
+        expr("(10000 * ni) div (_na + _nb - ni)").as("jaccard_bp"))
+  }
 }

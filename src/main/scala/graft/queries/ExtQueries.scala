@@ -4250,6 +4250,63 @@ object ExtQueries extends QueryGroup {
       |       est.est_p99, tr.true_p99
       |FROM est CROSS JOIN tr""".stripMargin
 
+  /** KMV bottom-k sketch calibration ([[Frequency.kmvJaccard]]): per
+    * source PAIR, the union-sketch Jaccard estimate of vocabulary
+    * overlap next to the exact Jaccard — the estimate is deterministic
+    * (md5 hashes), so unlike HLL the whole sketch pipeline hash-gates
+    * in DuckDB. */
+  def sketchKmv(spark: SparkSession, dir: String): DataFrame =
+    Frequency.kmvJaccard(load(spark, dir, "documents"), k = 64)
+      .orderBy($"src_a", $"src_b")
+
+  private val sketchKmvSql =
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT source AS src, w FROM (
+       |    SELECT source, unnest($toksSql) AS w FROM documents)
+       |  WHERE w <> ''),
+       |tok AS MATERIALIZED (
+       |  SELECT DISTINCT src,
+       |         ('0x' || substr(md5(w), 1, 8))::BIGINT AS h
+       |  FROM words),
+       |sk AS MATERIALIZED (
+       |  SELECT src, h FROM (
+       |    SELECT src, h, row_number() OVER (PARTITION BY src ORDER BY h)
+       |             AS rk
+       |    FROM tok) WHERE rk <= 64),
+       |srcs AS (SELECT DISTINCT src FROM sk),
+       |pairs AS (
+       |  SELECT a.src AS sa, b.src AS sb
+       |  FROM srcs a JOIN srcs b ON a.src < b.src),
+       |uh AS (
+       |  SELECT sa, sb, h, count(*) AS m FROM (
+       |    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.src = p.sa
+       |    UNION ALL
+       |    SELECT p.sa, p.sb, s.h FROM pairs p JOIN sk s ON s.src = p.sb)
+       |  GROUP BY 1, 2, 3),
+       |est AS (
+       |  SELECT sa, sb,
+       |         sum(CASE WHEN m = 2 THEN 1 ELSE 0 END)::BIGINT AS n_both,
+       |         count(*)::BIGINT AS k_union
+       |  FROM (SELECT sa, sb, h, m,
+       |          row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS urk
+       |        FROM uh) WHERE urk <= 64
+       |  GROUP BY 1, 2),
+       |tw AS MATERIALIZED (SELECT DISTINCT src, w FROM words),
+       |sz AS (SELECT src, count(*)::BIGINT AS nt FROM tw GROUP BY 1),
+       |inter AS (
+       |  SELECT x.src AS sa, y.src AS sb, count(*)::BIGINT AS ni
+       |  FROM tw x JOIN tw y ON x.w = y.w AND x.src < y.src
+       |  GROUP BY 1, 2)
+       |SELECT e.sa AS src_a, e.sb AS src_b, e.n_both, e.k_union,
+       |       ((10000 * e.n_both) // e.k_union)::BIGINT AS jaccard_est_bp,
+       |       ((10000 * coalesce(i.ni, 0)) //
+       |          (za.nt + zb.nt - coalesce(i.ni, 0)))::BIGINT AS jaccard_bp
+       |FROM est e
+       |LEFT JOIN inter i ON e.sa = i.sa AND e.sb = i.sb
+       |JOIN sz za ON za.src = e.sa
+       |JOIN sz zb ON zb.src = e.sb
+       |ORDER BY src_a, src_b""".stripMargin
+
   /** Join-size estimation from two count-min sketches (the
     * optimizer-statistics shape): est = min_j Σ_c A(j,c)·B(j,c) over
     * the lineitem.l_partkey × part.p_partkey sketches, with the exact
@@ -4455,6 +4512,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_expectations", expectationsQ, Some(expectationsSql)),
     QueryDef("ext_sketch_cms", sketchCms, Some(sketchCmsSql)),
     QueryDef("ext_sketch_join_size", sketchJoinSize, Some(sketchJoinSizeSql)),
+    QueryDef("ext_sketch_kmv", sketchKmv, Some(sketchKmvSql)),
     QueryDef("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
     QueryDef("ext_global_rank", globalRankQ, Some(globalRankSql)),
     QueryDef("ext_histogram_eqdepth", histogramEqDepth, Some(histogramEqDepthSql)),

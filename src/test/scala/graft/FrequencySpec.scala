@@ -341,4 +341,27 @@ class FrequencySpec extends SparkSpec {
     val pooled = rows.map(_._2.toDouble).toSet
     assert(out("x").forall(pooled.contains))
   }
+
+  test("kmvJaccard: sketch holding the whole vocabulary is EXACT; disjoint " +
+      "sources score 0; bounded and deterministic at small k") {
+    import spark.implicits._
+    val docs = Seq(
+      ("A", "a b c d"), ("B", "c d e f"), ("C", "zz1 zz2")
+    ).toDF("source", "text")
+    val out = Frequency.kmvJaccard(docs, k = 64).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(4), r.getLong(5)))).toMap
+    // k >= |union| -> the union sketch IS the union: estimate == exact
+    assert(out(("A", "B")) === ((3333L, 3333L))) // 2 shared of 6
+    assert(out(("A", "C")) === ((0L, 0L)))
+    assert(out(("B", "C")) === ((0L, 0L)))
+    // small k: still bounded, deterministic across reruns
+    val k2a = Frequency.kmvJaccard(docs, k = 2).collect()
+      .map(r => r.toSeq).sortBy(_.toString)
+    val k2b = Frequency.kmvJaccard(docs, k = 2).collect()
+      .map(r => r.toSeq).sortBy(_.toString)
+    assert(k2a === k2b)
+    assert(k2a.forall { s =>
+      val est = s(4).asInstanceOf[Long]; est >= 0L && est <= 10000L })
+  }
 }
