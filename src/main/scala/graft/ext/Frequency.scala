@@ -652,6 +652,42 @@ object Frequency {
     * vocabulary-bucketed token equi join — the expensive half, which
     * is precisely why the sketch exists; at 100 TB you ship only the
     * sketch phase and drop the exact columns. */
+  /** ISOTONIC calibration curve (PAV — [[graft.functions.PavKernel]]):
+    * bucket a score, take each bucket's empirical success rate, and
+    * pool adjacent violators into the least-squares MONOTONE fit — the
+    * standard classifier-calibration step (Zadrozny & Elkan 2002): a
+    * raw reliability curve wiggles from bucket noise; the isotonic fit
+    * is the version a thresholding pipeline can actually consume
+    * (rate guaranteed non-decreasing in score). Output per bucket:
+    * raw n/k/rate and the pooled isotonic rate.
+    *
+    * Scale shape: one map-side-combined bucket aggregate over the
+    * corpus; the PAV itself runs in-row on the bounded bucket array
+    * (score-domain-sized, data-size-independent — the BurstStates
+    * discipline). Cross-multiplied rate comparisons need k·n < 2⁶³,
+    * i.e. ≲3·10⁹ rows per bucket — widen buckets past that. */
+  def isotonicCalibrate(scored: DataFrame, scoreCol: String, yCol: String,
+      bucketWidth: Long = 250L): DataFrame = {
+    require(bucketWidth >= 1, s"bucketWidth must be >= 1, got $bucketWidth")
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val b = scored
+      .select(expr(s"$scoreCol div $bucketWidth").as("bucket"),
+        col(yCol).cast("long").as("y"))
+      .groupBy($"bucket").agg(count(lit(1)).as("n"), sum($"y").as("k"))
+    val one = b
+      .agg(sort_array(collect_list(struct($"bucket", $"n", $"k"))).as("bnk"))
+      .withColumn("_ks", expr("transform(bnk, x -> x.k)"))
+      .withColumn("_ns", expr("transform(bnk, x -> x.n)"))
+    val iso = toColumn(graft.functions.PavRates(
+      toExpr($"_ks"), toExpr($"_ns")))
+    one.withColumn("_iso", iso)
+      .select(posexplode(expr("arrays_zip(bnk, _iso)")))
+      .select(col("col.bnk.bucket").as("bucket"), col("col.bnk.n").as("n"),
+        col("col.bnk.k").as("k"),
+        expr("(10000 * col.bnk.k) div col.bnk.n").as("raw_bp"),
+        col("col._iso").as("iso_bp"))
+  }
+
   def kmvJaccard(docs: DataFrame, textCol: String = "text",
       srcCol: String = "source", k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

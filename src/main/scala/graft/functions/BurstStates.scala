@@ -50,6 +50,58 @@ object BurstKernel {
   }
 }
 
+/** POOL-ADJACENT-VIOLATORS isotonic regression (Ayer et al. 1955;
+  * Zadrozny & Elkan 2002 for classifier calibration) over pre-bucketed
+  * binomial counts: given per-bucket (successes k, totals n) in score
+  * order, pool adjacent buckets while a LEFT block's rate strictly
+  * exceeds its right neighbor's, yielding the least-squares monotone
+  * non-decreasing fit. Rates compare CROSS-MULTIPLIED (k₁·n₂ > k₂·n₁)
+  * — exact integers, no division until the final q4 rendering, so any
+  * engine replays every merge decision bit-for-bit. */
+object PavKernel {
+  /** Per-bucket isotonic rate in basis points, aligned to the input. */
+  def isotonicBp(ks: Array[Long], ns: Array[Long]): Array[Long] = {
+    require(ks.length == ns.length, "k/n arrays must align")
+    val st = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    var i = 0
+    while (i < ks.length) {
+      var k = ks(i); var n = ns(i); var cnt = 1
+      // merge while the previous block's rate strictly exceeds ours
+      while (st.nonEmpty && st.last._1 * n > k * st.last._2) {
+        val (pk, pn, pc) = st.remove(st.length - 1)
+        k += pk; n += pn; cnt += pc
+      }
+      st.append((k, n, cnt))
+      i += 1
+    }
+    val out = new Array[Long](ks.length)
+    var pos = 0
+    st.foreach { case (k, n, cnt) =>
+      val bp = if (n == 0) 0L else (10000L * k) / n
+      var j = 0
+      while (j < cnt) { out(pos) = bp; pos += 1; j += 1 }
+    }
+    out
+  }
+}
+
+/** Expression form: `PavRates(ks, ns)` over aligned `array<long>`
+  * columns → `array<long>` isotonic rates in bp. Runs once per
+  * calibration row on a bounded bucket array. */
+case class PavRates(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override protected def nullSafeEval(ks: Any, ns: Any): Any =
+    new GenericArrayData(PavKernel.isotonicBp(
+      ks.asInstanceOf[ArrayData].toLongArray(),
+      ns.asInstanceOf[ArrayData].toLongArray()))
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): PavRates = copy(l, r)
+  override def prettyName: String = "pav_rates"
+}
+
 /** Expression form: `BurstStates(counts, mu0, gamma)` over an
   * `array<long>` count series → `array<int>` states. Runs ONCE PER
   * GROUP ROW on a bounded series array (the daily-series contract:

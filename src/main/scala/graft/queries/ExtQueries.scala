@@ -1767,6 +1767,82 @@ object ExtQueries extends QueryGroup {
        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin
   }
 
+  /** Isotonic calibration of the hashing-trick classifier score against
+    * the exact quality rule ([[Frequency.isotonicCalibrate]], PAV):
+    * per score bucket, the raw share of docs passing quality_q4 ≥ 8000
+    * AND the pooled monotone fit — the reliability curve a
+    * thresholding pipeline can consume. The oracle replays the exact
+    * bucket counts and the PAV merge sequence as a small-step machine
+    * in one recursive CTE (cross-multiplied integer rate comparisons —
+    * every pooling decision hash-gated). */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val score = TextStats.classifierScore(docs).select($"doc_id", $"score_bp")
+    val quality = TextStats.analyze(docs).select($"doc_id", $"quality_q4")
+    val joined = score.join(quality, Seq("doc_id"))
+      .select($"score_bp", ($"quality_q4" >= 8000L).cast("long").as("y"))
+    Frequency.isotonicCalibrate(joined, "score_bp", "y", bucketWidth = 250L)
+      .orderBy($"bucket")
+  }
+
+  // def, NOT val: references classifierScoreCte, declared later in this
+  // object — a val here would interpolate the literal "null" (the
+  // object-init-order hazard the verify notes pin)
+  private def isotonicCalibrationSql = {
+    val enStops = inList(TextStats.stopwords("en"))
+    val viol = (st: String) =>
+      s"len($st) >= 2 AND $st[-2][1] * $st[-1][2] > $st[-1][1] * $st[-2][2]"
+    s"""WITH RECURSIVE $classifierScoreCte,
+       |w2 AS MATERIALIZED (
+       |  SELECT doc_id, text, $toksSql AS ws FROM documents),
+       |qs AS (SELECT doc_id,
+       |  list_sum(list_transform(ws, x -> length(x)))::BIGINT AS s,
+       |  greatest(len(ws), 1)::BIGINT AS n,
+       |  len(list_filter(ws, x -> x IN ($enStops)))::BIGINT AS c,
+       |  greatest(length(text), 1)::BIGINT AS l,
+       |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p
+       |  FROM w2),
+       |q AS (SELECT doc_id, $q4Sql AS quality_q4 FROM qs),
+       |bk AS MATERIALIZED (
+       |  SELECT sc.score_bp // 250 AS bucket, count(*)::BIGINT AS n,
+       |         sum(CASE WHEN q.quality_q4 >= 8000 THEN 1 ELSE 0 END)::BIGINT AS k
+       |  FROM sc JOIN q USING (doc_id)
+       |  GROUP BY 1),
+       |bi AS MATERIALIZED (
+       |  SELECT bucket, n, k, row_number() OVER (ORDER BY bucket) AS idx
+       |  FROM bk),
+       |nb AS MATERIALIZED (SELECT count(*)::BIGINT AS nbk FROM bi),
+       |m AS (
+       |  SELECT 0::BIGINT AS i, []::BIGINT[][] AS st
+       |  UNION ALL
+       |  SELECT CASE WHEN ${viol("m.st")} THEN m.i ELSE m.i + 1 END,
+       |         CASE WHEN ${viol("m.st")}
+       |              THEN list_append(m.st[1:len(m.st)-2],
+       |                     [m.st[-2][1] + m.st[-1][1],
+       |                      m.st[-2][2] + m.st[-1][2],
+       |                      m.st[-2][3] + m.st[-1][3]])
+       |              ELSE list_append(m.st, [bi.k, bi.n, 1::BIGINT])
+       |         END
+       |  FROM m LEFT JOIN bi ON bi.idx = m.i + 1
+       |  WHERE (${viol("m.st")}) OR bi.idx IS NOT NULL),
+       |fin AS MATERIALIZED (
+       |  SELECT st FROM m
+       |  WHERE i = (SELECT nbk FROM nb) AND NOT (${viol("st")})),
+       |blocks AS (
+       |  SELECT j, st[j] AS blk FROM (
+       |    SELECT st, unnest(range(1, len(st) + 1)) AS j FROM fin)),
+       |ext AS (
+       |  SELECT j, blk[1] AS bk2, blk[2] AS bn, blk[3] AS cnt,
+       |         sum(blk[3]) OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM blocks)
+       |SELECT bi.bucket, bi.n, bi.k,
+       |       ((10000 * bi.k) // bi.n)::BIGINT AS raw_bp,
+       |       (CASE WHEN e.bn = 0 THEN 0
+       |             ELSE (10000 * e.bk2) // e.bn END)::BIGINT AS iso_bp
+       |FROM bi JOIN ext e ON bi.idx > e.cum - e.cnt AND bi.idx <= e.cum
+       |ORDER BY bucket""".stripMargin
+  }
+
   /** Bootstrap 90% CI on the mean purchase value per event type:
     * md5-seeded Poisson resampling, exact integer q4 means. */
   def bootstrapCiQ(spark: SparkSession, dir: String): DataFrame =
@@ -4513,6 +4589,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sketch_cms", sketchCms, Some(sketchCmsSql)),
     QueryDef("ext_sketch_join_size", sketchJoinSize, Some(sketchJoinSizeSql)),
     QueryDef("ext_sketch_kmv", sketchKmv, Some(sketchKmvSql)),
+    QueryDef("ext_isotonic_calibration", isotonicCalibration,
+      Some(isotonicCalibrationSql)),
     QueryDef("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
     QueryDef("ext_global_rank", globalRankQ, Some(globalRankSql)),
     QueryDef("ext_histogram_eqdepth", histogramEqDepth, Some(histogramEqDepthSql)),

@@ -342,6 +342,35 @@ class FrequencySpec extends SparkSpec {
     assert(out("x").forall(pooled.contains))
   }
 
+  test("PAV isotonic: hand-computed pooling, decreasing input collapses to one " +
+      "block, monotone output guaranteed; end-to-end bucket calibration") {
+    import graft.functions.PavKernel
+    // rates [.1, .3, .2, .5]: the middle violation pools to (5/20)
+    assert(PavKernel.isotonicBp(Array(1L, 3L, 2L, 5L),
+      Array(10L, 10L, 10L, 10L)).toSeq === Seq(1000L, 2500L, 2500L, 5000L))
+    // strictly decreasing -> one pooled block at the global rate
+    assert(PavKernel.isotonicBp(Array(5L, 3L, 1L),
+      Array(10L, 10L, 10L)).toSeq === Seq(3000L, 3000L, 3000L))
+    // already monotone -> untouched
+    assert(PavKernel.isotonicBp(Array(0L, 5L, 9L),
+      Array(10L, 10L, 10L)).toSeq === Seq(0L, 5000L, 9000L))
+    // randomized: output is always non-decreasing
+    val rnd = new scala.util.Random(7)
+    val ns = Array.fill(40)(rnd.nextInt(50).toLong + 1L)
+    val ks = ns.map(n => rnd.nextInt(n.toInt + 1).toLong)
+    val iso = PavKernel.isotonicBp(ks, ns)
+    assert(iso.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+    // end-to-end: scored rows -> buckets -> monotone curve
+    import spark.implicits._
+    val scored = Seq.tabulate(400) { i =>
+      val score = (i % 40) * 250L
+      (score, if ((i % 40) * 25 + (i % 7) * 100 > 500) 1L else 0L)
+    }.toDF("score_bp", "y")
+    val out = Frequency.isotonicCalibrate(scored, "score_bp", "y")
+      .orderBy("bucket").collect().map(_.getLong(4))
+    assert(out.sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("kmvJaccard: sketch holding the whole vocabulary is EXACT; disjoint " +
       "sources score 0; bounded and deterministic at small k") {
     import spark.implicits._
