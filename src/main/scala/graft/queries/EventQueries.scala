@@ -589,6 +589,89 @@ object EventQueries extends QueryGroup {
       |        (1.0::DOUBLE / n0::DOUBLE + 1.0::DOUBLE / n1::DOUBLE)) AS z2
       |FROM a""".stripMargin
 
+  /** SPRT integer constants, computed ONCE and inlined as literals on
+    * both sides (the irrational logs never evaluate inside an engine):
+    * H0 p=0.25 vs H1 p=0.35, α = β = 0.05. */
+  private val sprtL1 = math.floor(1e6 * math.log(0.35 / 0.25)).toLong
+  private val sprtL0 = math.floor(1e6 * math.log(0.65 / 0.75)).toLong
+  private val sprtA = math.floor(1e6 * math.log(19.0)).toLong
+  private val sprtB = -sprtA
+
+  /** ev49_sprt — Wald's SEQUENTIAL probability ratio test (1945) as a
+    * daily conversion monitor: per event type, the cumulative
+    * log-likelihood ratio of H1 (p = 0.35) vs H0 (p = 0.25) over the
+    * daily Bernoulli outcomes (value ≥ 30), with the first boundary
+    * crossing as the decision day — the "stop the experiment early"
+    * readout fixed-horizon ev14/ev15 cannot give. LLR increments and
+    * boundaries are PRECOMPUTED integer literals (q6), so the whole
+    * trajectory is a prefix sum any engine replays exactly.
+    *
+    * Scale shape: events collapse to (type, day, n, k) map-side first;
+    * the prefix sum and crossing argmin are type-partitioned windows
+    * over series-sized frames. */
+  def sprtMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // the %19 user panel keeps daily n small enough that the walk takes
+    // DAYS to cross — the sequential dynamics are the point; the full
+    // firehose would cross any boundary on day one
+    val daily = load(spark, dir, "events")
+      .where(col("user_id") % 19 === 0)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d"),
+        when(col("value") >= 30.0, 1L).otherwise(0L).as("y"))
+      .groupBy(col("event_type"), col("d"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("k"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = daily.withColumn("llr",
+      sum(col("k") * lit(sprtL1) + (col("n") - col("k")) * lit(sprtL0))
+        .over(w))
+    val fc = cum.where(col("llr") >= sprtA || col("llr") <= sprtB)
+      .groupBy(col("event_type"))
+      .agg(min(struct(col("d"), col("llr"))).as("fc"))
+    val fin = cum.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        max(struct(col("d"), col("llr"))).as("last"))
+    fin.join(fc, Seq("event_type"), "left_outer")
+      .select(col("event_type"), col("n_days"),
+        col("fc.d").as("decision_day"),
+        when(col("fc.llr") >= sprtA, "h1")
+          .when(col("fc.llr") <= sprtB, "h0")
+          .otherwise("continue").as("verdict"),
+        col("last.llr").as("final_llr"))
+      .orderBy(col("event_type"))
+  }
+
+  private def sprtMonitorSql =
+    s"""WITH daily AS (
+       |  SELECT event_type AS g,
+       |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+       |         count(*)::BIGINT AS n,
+       |         sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END)::BIGINT AS k
+       |  FROM events WHERE user_id % 19 = 0 GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT g, d,
+       |         (sum(k * $sprtL1 + (n - k) * ($sprtL0))
+       |            OVER (PARTITION BY g ORDER BY d
+       |                  ROWS UNBOUNDED PRECEDING))::BIGINT AS llr
+       |  FROM daily),
+       |fc AS (
+       |  SELECT g, min(d)::BIGINT AS dd FROM cum
+       |  WHERE llr >= $sprtA OR llr <= $sprtB GROUP BY g),
+       |fcv AS (
+       |  SELECT c.g, c.d, c.llr FROM cum c JOIN fc ON c.g = fc.g AND c.d = fc.dd),
+       |fin AS (
+       |  SELECT g, count(*)::BIGINT AS n_days,
+       |         arg_max(llr, d)::BIGINT AS final_llr
+       |  FROM cum GROUP BY g)
+       |SELECT fin.g AS event_type, fin.n_days, fcv.d AS decision_day,
+       |       CASE WHEN fcv.llr >= $sprtA THEN 'h1'
+       |            WHEN fcv.llr <= $sprtB THEN 'h0'
+       |            ELSE 'continue' END AS verdict,
+       |       fin.final_llr
+       |FROM fin LEFT JOIN fcv ON fin.g = fcv.g
+       |ORDER BY event_type""".stripMargin
+
   /** EV15 — bootstrap CI on the A/B lift: the interval on the effect
     * (conversion-rate difference), from arm-paired md5-deterministic
     * resamples. Completes ev14's z² with the error bar a real readout
@@ -747,6 +830,7 @@ object EventQueries extends QueryGroup {
     QueryDef("ev47_seasonal_decompose", seasonalDecomposeQ,
       Some(seasonalDecomposeSql)),
     QueryDef("ev48_burst_viterbi", burstViterbi, Some(burstViterbiSql)),
+    QueryDef("ev49_sprt", sprtMonitor, Some(sprtMonitorSql)),
     QueryDef("ev31_interpolate", interpolate, Some(interpolateSql)),
     QueryDef("ev32_removal_effect", removalEffectQ, Some(removalEffectSql)),
     QueryDef("ev33_streaks", streaksQ, Some(streaksSql)),
