@@ -652,6 +652,53 @@ object TextStats {
       .limit(k)
   }
 
+  /** RAKE keyphrase extraction (Rose et al. 2010) — the unsupervised
+    * keyword step of document labeling/routing pipelines: candidate
+    * phrases are the maximal STOPWORD-FREE token runs (the classic
+    * gaps-and-islands carve), each word scores deg∕freq over the whole
+    * corpus (freq = occurrences inside candidates; deg = Σ lengths of
+    * the candidates containing it — words living in long phrases score
+    * up), and a phrase scores the sum of its word scores. All ratios
+    * are truncated q4 integers, so the ranking is engine-exact.
+    *
+    * Scale shape: one posexplode pass; islands are per-doc window
+    * arithmetic; word scores are a vocabulary-sized aggregate joined
+    * back by word (never by doc); identical phrase TEXTS collapse
+    * before the final top-k (TakeOrderedAndProject). Candidates cap at
+    * `maxLen` words — the standard RAKE noise guard. */
+  def rakePhrases(docs: DataFrame, k: Int = 25, maxLen: Int = 6,
+      textCol: String = "text", lang: String = "en"): DataFrame = {
+    require(k >= 1 && maxLen >= 1, s"bad k=$k / maxLen=$maxLen")
+    import org.apache.spark.sql.expressions.Window
+    val stops = stopwords(lang)
+    val pos = docs
+      .select(col("doc_id"), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("col", "w").withColumnRenamed("pos", "i")
+      .where($"w" =!= "")
+      .withColumn("stop", $"w".isInCollection(stops))
+    val nonStop = pos.where(!$"stop")
+      .withColumn("grp", $"i" - row_number().over(
+        Window.partitionBy($"doc_id").orderBy($"i")))
+      .withColumn("plen",
+        count(lit(1)).over(Window.partitionBy($"doc_id", $"grp")))
+      .where($"plen" <= maxLen)
+      .persistScoped // read for word scores AND phrase assembly
+    val wordScore = nonStop.groupBy($"w")
+      .agg(count(lit(1)).as("freq"), sum($"plen").as("deg"))
+      .select($"w", expr("(10000 * deg) div freq").as("wscore_q4"))
+    val phrases = nonStop.join(wordScore, Seq("w"))
+      .groupBy($"doc_id", $"grp")
+      .agg(max($"plen").as("n_words"),
+        sum($"wscore_q4").as("score_q4"),
+        concat_ws(" ", array_sort(collect_list(struct($"i", $"w")))
+          .getField("w")).as("phrase"))
+    phrases.groupBy($"phrase")
+      .agg(max($"n_words").as("n_words"), count(lit(1)).as("n_occurrences"),
+        max($"score_q4").as("score_q4"))
+      .orderBy($"score_q4".desc, $"phrase")
+      .limit(k)
+  }
+
   def collocations(docs: DataFrame, k: Int, minCount: Long = 5,
       textCol: String = "text"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")

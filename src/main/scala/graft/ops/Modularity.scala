@@ -69,4 +69,44 @@ object Modularity {
                      cast(m as decimal(38,0)) * cast(m as decimal(38,0)))
              """).as("q_bp"))
   }
+
+  /** CONDUCTANCE per community — the cut-quality score next to
+    * modularity's null-model score (Kannan, Vempala & Vetta 2004; the
+    * community-goodness measure clustering surveys standardize on):
+    * φ(c) = cut(c) ∕ min(vol(c), 2m − vol(c)), where cut counts edges
+    * with exactly one endpoint in c and vol is the community's degree
+    * mass. Modularity says "denser than chance"; conductance says "how
+    * leaky is the boundary" — a community can score well on one and
+    * badly on the other, which is why audits report both. Exact basis
+    * points, truncating div, communities without incident edges
+    * dropped (no boundary to measure); a community holding every edge
+    * reports 0 (its complement has no volume).
+    *
+    * Scale shape: one endpoint-degree aggregate, two node-sized label
+    * joins onto the pair list, label-grain rollups; 2m broadcasts as a
+    * one-row frame. */
+  def conductance(pairs: DataFrame, labels: DataFrame): DataFrame = {
+    val adj = pairs.select($"id_a".as("id"))
+      .unionByName(pairs.select($"id_b".as("id")))
+    val deg = adj.groupBy($"id").agg(count(lit(1)).as("deg"))
+    val vol = labels.join(deg, Seq("id"), "left_outer")
+      .groupBy($"lab")
+      .agg(count(lit(1)).as("n_members"),
+        sum(coalesce($"deg", lit(0L))).as("vol"))
+    val tot = deg.agg(sum($"deg").as("twoe"))
+    val la = labels.select($"id".as("id_a"), $"lab".as("la"))
+    val lb = labels.select($"id".as("id_b"), $"lab".as("lb"))
+    val cut = pairs.join(la, Seq("id_a")).join(lb, Seq("id_b"))
+      .where($"la" =!= $"lb")
+      .select(explode(array($"la", $"lb")).as("lab"))
+      .groupBy($"lab").agg(count(lit(1)).as("cut"))
+    vol.join(cut, Seq("lab"), "left_outer")
+      .crossJoin(broadcast(tot))
+      .withColumn("cut", coalesce($"cut", lit(0L)))
+      .where($"vol" > 0)
+      .select($"lab".as("community"), $"n_members", $"vol", $"cut",
+        when(least($"vol", $"twoe" - $"vol") === 0, 0L)
+          .otherwise(expr("(10000 * cut) div least(vol, twoe - vol)"))
+          .as("conductance_bp"))
+  }
 }

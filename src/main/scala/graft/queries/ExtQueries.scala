@@ -2037,6 +2037,46 @@ object ExtQueries extends QueryGroup {
        |         AS chunk_text
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** RAKE keyphrase extraction ([[TextStats.rakePhrases]]): top-25
+    * stopword-free candidate runs scored deg∕freq — the unsupervised
+    * keyword step of document labeling, next to collocations (pairs)
+    * and TF-IDF (single terms). The oracle replays islands, word
+    * scores, and phrase assembly relationally. */
+  def rakeKeyphrases(spark: SparkSession, dir: String): DataFrame =
+    TextStats.rakePhrases(load(spark, dir, "documents"), k = 25)
+
+  private def rakeKeyphrasesSql = {
+    val enStops = inList(TextStats.stopwords("en"))
+    s"""WITH pos AS (
+       |  SELECT doc_id, unnest($toksSql) AS w,
+       |         unnest(range(1, len($toksSql) + 1)) AS i
+       |  FROM documents),
+       |ns AS (
+       |  SELECT doc_id, w, i,
+       |         i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+       |  FROM pos WHERE w <> '' AND w NOT IN ($enStops)),
+       |pl AS (
+       |  SELECT doc_id, w, i, grp,
+       |         count(*) OVER (PARTITION BY doc_id, grp) AS plen
+       |  FROM ns),
+       |nsc AS (SELECT * FROM pl WHERE plen <= 6),
+       |ws AS (
+       |  SELECT w, ((10000 * sum(plen)) // count(*))::BIGINT AS wscore_q4
+       |  FROM nsc GROUP BY w),
+       |ph AS (
+       |  SELECT nsc.doc_id, nsc.grp,
+       |         max(nsc.plen)::BIGINT AS n_words,
+       |         sum(ws.wscore_q4)::BIGINT AS score_q4,
+       |         string_agg(nsc.w, ' ' ORDER BY nsc.i) AS phrase
+       |  FROM nsc JOIN ws ON nsc.w = ws.w
+       |  GROUP BY 1, 2)
+       |SELECT phrase, max(n_words)::BIGINT AS n_words,
+       |       count(*)::BIGINT AS n_occurrences,
+       |       max(score_q4)::BIGINT AS score_q4
+       |FROM ph GROUP BY phrase
+       |ORDER BY score_q4 DESC, phrase LIMIT 25""".stripMargin
+  }
+
   /** Collocation mining: adjacent-pair lift in basis points (the
     * no-log integer cousin of PMI), min-count 5, top-40 with
     * deterministic tie-break. */
@@ -2440,7 +2480,10 @@ object ExtQueries extends QueryGroup {
       .orderBy($"id")
   }
 
-  private val labelPropSql = {
+  /** The LPA chain (pairs → edges → 3 unrolled rounds → l3) shared by
+    * the label-prop oracle and the conductance oracle — the community
+    * assignment must be ONE definition. */
+  private def labelPropChainSql = {
     def round(prev: String, cur: String) =
       s"""g$cur AS (
          |  SELECT e.dst, pl.lab, count(*) AS c
@@ -2455,20 +2498,68 @@ object ExtQueries extends QueryGroup {
          |  SELECT l.id, coalesce(w.lab, l.lab) AS lab
          |  FROM $prev l LEFT JOIN (SELECT dst, lab FROM w$cur WHERE rn = 1) w
          |    ON l.id = w.dst)""".stripMargin
-    s"""WITH pairs AS (
+    s"""pairs AS MATERIALIZED (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM $nzSql a JOIN $nzSql b
        |    ON a.label = b.label AND a.vec_id < b.vec_id
        |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
-       |edges AS (
+       |edges AS MATERIALIZED (
        |  SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
        |l0 AS (SELECT DISTINCT vec_id AS id, vec_id AS lab FROM embeddings),
        |${round("l0", "l1")},
        |${round("l1", "l2")},
-       |${round("l2", "l3")}
-       |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
+       |${round("l2", "l3")}""".stripMargin
   }
+
+  private val labelPropSql =
+    s"""WITH $labelPropChainSql
+       |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
+
+  /** Per-community CONDUCTANCE of the LPA partition
+    * ([[graft.ops.Modularity.conductance]]): cut ∕ min(vol, 2m − vol)
+    * per community — "how leaky is the boundary" next to
+    * ext_modularity's "denser than chance". Same graph and the same
+    * 3-round LPA labels as ext_label_prop (one shared oracle chain). */
+  def communityConductance(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    val labels = graft.ops.LabelProp.run(edges,
+      emb.select($"vec_id".as("id")), iterations = 3)
+    graft.ops.Modularity.conductance(pairs, labels)
+      .orderBy($"community")
+  }
+
+  private def communityConductanceSql =
+    s"""WITH $labelPropChainSql,
+       |deg AS (
+       |  SELECT id, count(*)::BIGINT AS deg FROM (
+       |    SELECT id_a AS id FROM pairs
+       |    UNION ALL SELECT id_b FROM pairs)
+       |  GROUP BY id),
+       |vol AS (
+       |  SELECT l.lab, count(*)::BIGINT AS n_members,
+       |         sum(coalesce(d.deg, 0))::BIGINT AS vol
+       |  FROM l3 l LEFT JOIN deg d ON l.id = d.id GROUP BY l.lab),
+       |tot AS (SELECT sum(deg)::BIGINT AS twoe FROM deg),
+       |cut AS (
+       |  SELECT lab, count(*)::BIGINT AS cut FROM (
+       |    SELECT unnest([la.lab, lb.lab]) AS lab
+       |    FROM pairs p
+       |    JOIN l3 la ON p.id_a = la.id
+       |    JOIN l3 lb ON p.id_b = lb.id
+       |    WHERE la.lab <> lb.lab)
+       |  GROUP BY lab)
+       |SELECT v.lab AS community, v.n_members, v.vol,
+       |       coalesce(c.cut, 0)::BIGINT AS cut,
+       |       (CASE WHEN least(v.vol, t.twoe - v.vol) = 0 THEN 0
+       |             ELSE (10000 * coalesce(c.cut, 0))
+       |                    // least(v.vol, t.twoe - v.vol) END)::BIGINT
+       |         AS conductance_bp
+       |FROM vol v LEFT JOIN cut c ON v.lab = c.lab CROSS JOIN tot t
+       |WHERE v.vol > 0 ORDER BY community""".stripMargin
 
   /** Weighted sampling without replacement (deterministic
     * Efraimidis–Spirakis): 50 documents drawn with probability rising
@@ -4670,6 +4761,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_prune_band", pruneBand, Some(pruneBandSql)),
     QueryDef("ext_chunk_docs", chunkDocs, Some(chunkDocsSql)),
     QueryDef("ext_collocations", collocations, Some(collocationsSql)),
+    QueryDef("ext_rake_keyphrases", rakeKeyphrases, Some(rakeKeyphrasesSql)),
     QueryDef("ext_skipgrams", skipgramsQ, Some(skipgramsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_hilbert_curve", hilbertCurve, Some(hilbertCurveSql)),
@@ -4681,6 +4773,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_hits", hits, Some(hitsSql)),
     QueryDef("ext_copurchase", copurchase, Some(copurchaseSql)),
     QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),
+    QueryDef("ext_conductance", communityConductance,
+      Some(communityConductanceSql)),
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
