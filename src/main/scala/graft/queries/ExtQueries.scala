@@ -2516,6 +2516,53 @@ object ExtQueries extends QueryGroup {
     s"""WITH $labelPropChainSql
        |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
 
+  /** Degree ASSORTATIVITY of the near-dup graph (Newman 2002): the
+    * Pearson correlation of endpoint degrees over the directed edge
+    * list — do similar docs cluster hub-to-hub (r > 0, rich club) or
+    * hub-to-leaf (r < 0, star-like)? Star-like near-dup graphs mean
+    * one canonical doc with many variants; assortative ones mean dense
+    * mutual-variant blocks — different dedup strategies. Both
+    * directions included, so the marginals are symmetric and
+    * r_q6 = 10⁶·(n·Σxy − Sx²) div (n·Σx² − Sx²) — exact integers end
+    * to end (the Moments contract). */
+  def assortativity(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+    val edges = pairs.select($"id_a".as("u"), $"id_b".as("v"))
+      .unionByName(pairs.select($"id_b".as("u"), $"id_a".as("v")))
+    val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
+    edges
+      .join(deg.select($"u", $"d".as("du")), Seq("u"))
+      .join(deg.select($"u".as("v"), $"d".as("dv")), Seq("v"))
+      .agg(count(lit(1)).as("n_endpoints"), sum($"du").as("sx"),
+        sum($"du" * $"dv").as("sxy"), sum($"du" * $"du").as("sxx"))
+      .select(expr("n_endpoints div 2").as("n_edges"),
+        expr("""(1000000 * (n_endpoints * sxy - sx * sx))
+                div (n_endpoints * sxx - sx * sx)""").as("r_q6"))
+  }
+
+  private val assortativitySql =
+    s"""WITH pairs AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS (
+       |  SELECT id_a AS u, id_b AS v FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs),
+       |deg AS (SELECT u, count(*)::BIGINT AS d FROM edges GROUP BY u),
+       |j AS (
+       |  SELECT du.d AS du, dv.d AS dv
+       |  FROM edges e JOIN deg du ON e.u = du.u JOIN deg dv ON e.v = dv.u),
+       |m AS (
+       |  SELECT count(*)::BIGINT AS n, sum(du)::BIGINT AS sx,
+       |         sum(du * dv)::BIGINT AS sxy, sum(du * du)::BIGINT AS sxx
+       |  FROM j)
+       |SELECT (n // 2)::BIGINT AS n_edges,
+       |       ((1000000 * (n * sxy - sx * sx))
+       |          // (n * sxx - sx * sx))::BIGINT AS r_q6
+       |FROM m""".stripMargin
+
   /** Per-community CONDUCTANCE of the LPA partition
     * ([[graft.ops.Modularity.conductance]]): cut ∕ min(vol, 2m − vol)
     * per community — "how leaky is the boundary" next to
@@ -4775,6 +4822,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_label_prop", labelProp, Some(labelPropSql)),
     QueryDef("ext_conductance", communityConductance,
       Some(communityConductanceSql)),
+    QueryDef("ext_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
