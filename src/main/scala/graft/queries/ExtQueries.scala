@@ -1775,15 +1775,20 @@ object ExtQueries extends QueryGroup {
     * bucket counts and the PAV merge sequence as a small-step machine
     * in one recursive CTE (cross-multiplied integer rate comparisons —
     * every pooling decision hash-gated). */
-  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame = {
+  /** (score_bp, y) frame shared by the calibration family: classifier
+    * score per doc against the exact quality_q4 ≥ 8000 outcome. */
+  private def scoredOutcome(spark: SparkSession, dir: String): DataFrame = {
     val docs = load(spark, dir, "documents")
     val score = TextStats.classifierScore(docs).select($"doc_id", $"score_bp")
     val quality = TextStats.analyze(docs).select($"doc_id", $"quality_q4")
-    val joined = score.join(quality, Seq("doc_id"))
+    score.join(quality, Seq("doc_id"))
       .select($"score_bp", ($"quality_q4" >= 8000L).cast("long").as("y"))
-    Frequency.isotonicCalibrate(joined, "score_bp", "y", bucketWidth = 250L)
-      .orderBy($"bucket")
   }
+
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame =
+    Frequency.isotonicCalibrate(scoredOutcome(spark, dir),
+        "score_bp", "y", bucketWidth = 250L)
+      .orderBy($"bucket")
 
   // def, NOT val: references classifierScoreCte, declared later in this
   // object — a val here would interpolate the literal "null" (the
