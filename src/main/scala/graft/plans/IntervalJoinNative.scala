@@ -237,6 +237,11 @@ case class BroadcastIntervalJoinExec(
       : org.apache.spark.sql.catalyst.plans.physical.Partitioning =
     left.outputPartitioning
 
+  // the probe-side flatMap preserves row order within a partition, so
+  // the probe ordering passes through too — without this, a downstream
+  // sort-consumer re-sorts an already-ordered probe side
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
   override lazy val metrics = Map(
     "numOutputRows" -> SQLMetrics.createMetric(sparkContext, "number of output rows"))
 

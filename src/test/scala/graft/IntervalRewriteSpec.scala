@@ -66,13 +66,68 @@ class IntervalRewriteSpec extends SparkSpec {
     assert(gotP === Set((1L, 11L), (3L, 13L)))
   }
 
-  test("non-matching shapes are untouched: strict bounds, keyless, hinted, " +
-      "underscore-internal keys") {
+  test("strict bounds rewrite: relaxed node + strictness residual, exact answers") {
     val a = aRows.toDF("aid", "k", "s", "e")
     val b = bRows.toDF("bid", "k2", "s2", "e2")
-    // strict inequality is NOT the closed-overlap pattern
     val strict = a.join(b, $"k" === $"k2" && $"s" < $"e2" && $"s2" <= $"e")
-    assert(!planOf(strict).contains("IntervalJoin"), planOf(strict))
+    val plan = planOf(strict)
+    assert(plan.contains("IntervalJoin"), plan)
+    val got = strict.select($"aid", $"bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = (for {
+      (aid, k1, s, e) <- aRows; (bid, k2, s2, e2) <- bRows
+      if k1 == k2 && s < e2 && s2 <= e
+    } yield (aid, bid)).toSet
+    assert(got === want)
+    // boundary pair must drop: strict inequality at s == e2
+    val both = a.join(b, $"k" === $"k2" && $"s" < $"e2" && $"s2" < $"e")
+    assert(planOf(both).contains("IntervalJoin"), planOf(both))
+    val g2 = both.select($"aid", $"bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(g2 === (for {
+      (aid, k1, s, e) <- aRows; (bid, k2, s2, e2) <- bRows
+      if k1 == k2 && s < e2 && s2 < e
+    } yield (aid, bid)).toSet)
+  }
+
+  test("band join (attribute ± literal bounds) rewrites with working-column " +
+      "projects, answers exact") {
+    val a = Seq((1L, 5L, 100L), (2L, 5L, 200L), (3L, 6L, 150L), (4L, 5L, 310L))
+      .toDF("aid", "k", "ts")
+    val b = Seq((11L, 5L, 110L), (12L, 5L, 305L), (13L, 6L, 149L), (14L, 5L, 900L))
+      .toDF("bid", "k2", "ts2")
+    // a.ts BETWEEN b.ts2 - 15 AND b.ts2 + 15 — the canonical band spelling
+    val band = a.join(b,
+      $"k" === $"k2" && $"ts" >= $"ts2" - 15L && $"ts" <= $"ts2" + 15L)
+    val plan = planOf(band)
+    assert(plan.contains("IntervalJoin"), plan)
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin"), plan)
+    val got = band.select($"aid", $"bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got === Set((1L, 11L), (3L, 13L), (4L, 12L)))
+    // schema is exactly the original join output — working cols dropped
+    assert(band.columns.toSeq === Seq("aid", "k", "ts", "bid", "k2", "ts2"))
+    // randomized parity on the band shape
+    val rnd = new scala.util.Random(31)
+    def mk(n: Int, base: Long) = (1 to n).map(i =>
+      (base + i, rnd.nextInt(4).toLong, rnd.nextInt(500).toLong))
+    val l = mk(200, 0L); val r = mk(200, 1000L)
+    val df = l.toDF("aid", "k", "ts").join(r.toDF("bid", "k2", "ts2"),
+      $"k" === $"k2" && $"ts" >= $"ts2" - 7L && $"ts" <= $"ts2" + 7L)
+    assert(planOf(df).contains("IntervalJoin"), planOf(df))
+    val gotR = df.select($"aid", $"bid").collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toSet
+    val wantR = (for {
+      (aid, k1, t) <- l; (bid, k2, t2) <- r
+      if k1 == k2 && t >= t2 - 7L && t <= t2 + 7L
+    } yield (aid, bid)).toSet
+    assert(gotR === wantR && gotR.nonEmpty)
+  }
+
+  test("non-matching shapes are untouched: keyless, hinted, " +
+      "underscore-internal keys, float/double equi keys") {
+    val a = aRows.toDF("aid", "k", "s", "e")
+    val b = bRows.toDF("bid", "k2", "s2", "e2")
     // no equi key -> no clustered distribution -> no rewrite
     val keyless = a.join(b, $"s" <= $"e2" && $"s2" <= $"e")
     assert(!planOf(keyless).contains("IntervalJoin"), planOf(keyless))
@@ -85,6 +140,14 @@ class IntervalRewriteSpec extends SparkSpec {
     val bu = b.withColumnRenamed("k2", "_b2")
     val internal = au.join(bu, $"_b" === $"_b2" && $"s" <= $"e2" && $"s2" <= $"e")
     assert(!planOf(internal).contains("IntervalJoin"), planOf(internal))
+    // float/double keys keep SQL EqualTo semantics (-0.0 == 0.0, NaN
+    // normalization) only through the plain join — the rule must defer
+    val af = Seq((1L, 0.0, 10L, 20L), (2L, -0.0, 30L, 40L)).toDF("aid", "kf", "s", "e")
+    val bf = Seq((11L, -0.0, 15L, 35L)).toDF("bid", "kf2", "s2", "e2")
+    val fjoin = af.join(bf, $"kf" === $"kf2" && $"s" <= $"e2" && $"s2" <= $"e")
+    assert(!planOf(fjoin).contains("IntervalJoin"), planOf(fjoin))
+    // and the answer keeps -0.0 == 0.0: both a-rows match
+    assert(fjoin.select($"aid").collect().map(_.getLong(0)).toSet === Set(1L, 2L))
   }
 
   test("SQL form rewrites; randomized parity against the nested-loop answer") {
