@@ -160,14 +160,19 @@ object Xlsx {
     xfs.map(id => custom.getOrElse(id, builtinDateFmts(id))).toIndexedSeq
   }
 
-  /** Excel serial → ISO string. Serial day 0 = 1899-12-30 (the standard
-    * origin every reader uses; the phantom 1900-02-29 only matters for
-    * serials < 61, i.e. Jan/Feb 1900 — out of scope for real data).
+  /** Excel serial → ISO string. Serial day 0 = 1899-12-30 in the
+    * default 1900 system (the standard origin every reader uses; the
+    * phantom 1900-02-29 only matters for serials < 61, i.e. Jan/Feb
+    * 1900 — out of scope for real data) and 1904-01-01 when the
+    * workbook's `<workbookPr date1904="1"/>` is set (the legacy Mac
+    * system — without the shift every date renders 1462 days early).
     * Pure times (serial < 1) render as `HH:mm:ss`, whole days as
     * `yyyy-MM-dd`, datetimes as both; the time rounds to the nearest
     * second, carrying into the date when it rounds up to midnight. */
-  private[graft] def serialToIso(v: Double): String = {
-    val epoch = java.time.LocalDate.of(1899, 12, 30)
+  private[graft] def serialToIso(v: Double, date1904: Boolean = false): String = {
+    val epoch =
+      if (date1904) java.time.LocalDate.of(1904, 1, 1)
+      else java.time.LocalDate.of(1899, 12, 30)
     var days = math.floor(v).toLong
     var secs = math.round((v - math.floor(v)) * 86400.0)
     if (secs >= 86400L) { days += 1; secs -= 86400L }
@@ -184,7 +189,8 @@ object Xlsx {
     * cells become "" (null after schema application); each row is as
     * wide as its right-most populated cell. */
   private def parseSheet(bytes: Array[Byte], sst: IndexedSeq[String],
-      dateStyle: IndexedSeq[Boolean] = IndexedSeq.empty)
+      dateStyle: IndexedSeq[Boolean] = IndexedSeq.empty,
+      date1904: Boolean = false)
       : Seq[Seq[String]] = {
     val rows = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
     val r = newFactory().createXMLStreamReader(new ByteArrayInputStream(bytes))
@@ -234,7 +240,7 @@ object Xlsx {
                       // a date-styled numeric cell: the serial is what's
                       // stored; the DATE is what the submitter typed
                       raw.trim.toDoubleOption
-                        .map(serialToIso).getOrElse(raw)
+                        .map(serialToIso(_, date1904)).getOrElse(raw)
                     case _ => raw
                   }
                   if (value.nonEmpty) cur(cellCol) = value
@@ -299,15 +305,32 @@ object Xlsx {
     * surface (`pd.ExcelFile(...).sheet_names`). */
   def sheetNames(bytes: Array[Byte]): Seq[String] = sheetTable(bytes).map(_._1)
 
+  /** `<workbookPr date1904="1"/>` in xl/workbook.xml — the legacy Mac
+    * serial-date system; shifts the serial origin to 1904-01-01. */
+  private[graft] def isDate1904(workbookXml: Array[Byte]): Boolean = {
+    val r = newFactory().createXMLStreamReader(
+      new ByteArrayInputStream(workbookXml))
+    var found = false
+    try while (r.hasNext && !found) {
+      if (r.next() == XMLStreamConstants.START_ELEMENT &&
+          r.getLocalName == "workbookPr") {
+        val v = Option(r.getAttributeValue(null, "date1904")).getOrElse("")
+        found = v == "1" || v.equalsIgnoreCase("true")
+      }
+    } finally r.close()
+    found
+  }
+
   private def parseResolved(bytes: Array[Byte], sheetPart: String)
       : Seq[Seq[String]] = {
     val parts = zipParts(bytes,
-      Set("xl/sharedStrings.xml", "xl/styles.xml", sheetPart))
+      Set("xl/sharedStrings.xml", "xl/styles.xml", "xl/workbook.xml", sheetPart))
     val sst = parts.get("xl/sharedStrings.xml")
       .map(parseSharedStrings).getOrElse(IndexedSeq.empty)
     val dateStyle = parts.get("xl/styles.xml")
       .map(parseStyles).getOrElse(IndexedSeq.empty)
-    parts.get(sheetPart).map(parseSheet(_, sst, dateStyle))
+    val date1904 = parts.get("xl/workbook.xml").exists(isDate1904)
+    parts.get(sheetPart).map(parseSheet(_, sst, dateStyle, date1904))
       .getOrElse(Seq.empty)
   }
 
@@ -346,8 +369,12 @@ object Xlsx {
   def writeXlsxSheets(file: java.io.File,
       sheets: Seq[(String, Seq[Seq[String]])]): Unit = {
     require(sheets.nonEmpty, "writeXlsxSheets needs at least one sheet")
+    // quotes must escape too: sheet names interpolate into ATTRIBUTE
+    // values (name="..") — a legal-in-Excel '"' would otherwise emit
+    // malformed workbook.xml and an unreadable file
     def esc(s: String) = s.replace("&", "&amp;")
       .replace("<", "&lt;").replace(">", "&gt;")
+      .replace("\"", "&quot;").replace("'", "&apos;")
     def colRef(i: Int): String = {
       var n = i + 1
       val sb = new StringBuilder

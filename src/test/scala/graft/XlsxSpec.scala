@@ -222,6 +222,49 @@ class XlsxSpec extends SparkSpec {
     assert(row.getString(5) === "18:00:00")            // time-only serial
   }
 
+  test("date1904 workbooks shift the serial origin to 1904-01-01") {
+    // 45352 is 2024-03-01 in the 1900 system; the 1904 system puts the
+    // same serial 1462 days later — silently wrong without the shift
+    assert(Xlsx.serialToIso(45352.0, date1904 = true) === "2028-03-02")
+    assert(Xlsx.serialToIso(0.75, date1904 = true) === "18:00:00")
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_1904").toFile
+    val styles =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<styleSheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">
+        |<cellXfs count="2"><xf numFmtId="0"/><xf numFmtId="14"/></cellXfs>
+        |</styleSheet>""".stripMargin
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<worksheet xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><t>d</t></is></c></row>
+        |<row r="2"><c r="A2" s="1"><v>43890</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val workbook =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<workbook xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships"><workbookPr date1904="1"/><sheets><sheet name="Sheet1" sheetId="1" r:id="rId1"/></sheets></workbook>""".stripMargin
+    val wbRels =
+      """<?xml version="1.0" encoding="UTF-8" standalone="yes"?>
+        |<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships"><Relationship Id="rId1" Type="http://schemas.openxmlformats.org/officeDocument/2006/relationships/worksheet" Target="worksheets/sheet1.xml"/></Relationships>""".stripMargin
+    writeFile(dir, "mac.xlsx", zipOf(Seq(
+      "xl/workbook.xml" -> workbook,
+      "xl/_rels/workbook.xml.rels" -> wbRels,
+      "xl/styles.xml" -> styles,
+      "xl/worksheets/sheet1.xml" -> sheet)))
+    // 43890 in the 1904 system = 2024-03-01 (1900 system would say 2020-02-29)
+    val row = Xlsx.readXlsx(spark, dir.getAbsolutePath).collect().head
+    assert(row.getString(0) === "2024-03-01")
+  }
+
+  test("sheet names with quotes/apostrophes survive the writer (attribute escaping)") {
+    val dir = java.nio.file.Files.createTempDirectory("xlsx_q").toFile
+    val f = new java.io.File(dir, "quoted.xlsx")
+    val name = """Bob's "final" tab"""
+    Xlsx.writeXlsxSheets(f, Seq(name -> Seq(Seq("k"), Seq("v1"))))
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    assert(Xlsx.sheetNames(bytes) === Seq(name))
+    assert(Xlsx.parseWorkbook(bytes, name).last.head === "v1")
+  }
+
   test("multi-sheet: writeXlsxSheets round-trips names, index and name addressing agree") {
     val dir = java.nio.file.Files.createTempDirectory("xlsx_m").toFile
     val f = new java.io.File(dir, "multi.xlsx")
