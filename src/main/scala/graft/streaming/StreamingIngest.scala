@@ -181,9 +181,10 @@ object StreamingIngest {
     * prefix of the stream it equals the batch sampler run over exactly
     * the rows seen — the strongest parity a streaming sampler can have
     * (pinned in StreamingSpec across multi-batch feeds). State is O(k)
-    * per group forever; re-deliveries of a key are absorbed (same key →
-    * same score → set semantics). Emits the full current sample each
-    * batch with ranks. */
+    * per group forever; re-deliveries of a key are absorbed by KEY
+    * (same weight → same score → set semantics; a CHANGED weight keeps
+    * the key's best score, so no key ever holds two sample slots).
+    * Emits the full current sample each batch with ranks. */
   def weightedSampleStream(items: org.apache.spark.sql.Dataset[WeightedItem],
       k: Int): org.apache.spark.sql.Dataset[AesSample] = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -199,7 +200,14 @@ object StreamingIngest {
             np += 1
             graft.ext.Sampling.aesScoreQ8(r.key, r.weight).map(s => (s, r.key))
           }.toList
-          val merged = (st0.items ++ incoming).distinct.sorted.take(k)
+          // dedup by KEY, not by (score, key): a key re-delivered with a
+          // changed weight draws a different score and would otherwise
+          // occupy two of the k slots — keep each key's best (smallest)
+          // score so re-deliveries stay absorbed
+          val merged = (st0.items ++ incoming)
+            .groupMapReduce(_._2)(_._1)(math.min)
+            .map { case (key, s) => (s, key) }
+            .toList.sorted.take(k)
           state.update(AesSampleState(merged, np))
           merged.iterator.zipWithIndex.map { case ((s, key), i) =>
             AesSample(gid, key, s, i + 1, np)
@@ -472,6 +480,105 @@ object StreamingIngest {
   def enrichStream(stream: DataFrame, dim: DataFrame,
       keys: Seq[String]): DataFrame =
     stream.join(broadcast(dim), keys, "left")
+
+  /** Stream-static AS-OF enrichment — the streaming twin of
+    * [[graft.ops.AsofJoin.asofBackward]]: each stream row picks up the
+    * LATEST dimension-history row at or before its timestamp, per key
+    * (price as of the trade, config as of the event). Completes the
+    * batch/streaming symmetry of the as-of family: the batch operator
+    * has merge and broadcast physical shapes; this is the broadcast
+    * probe loop inside a stateless streaming projection.
+    *
+    * Shape: the dimension HISTORY (key, ts, payload — dimension-sized
+    * by contract, every version of every key) is collected once at
+    * query build, indexed per key as a ts-sorted array, and broadcast;
+    * each stream row binary-searches its key's array — the
+    * BroadcastAsofJoinExec probe loop. The stream side is never
+    * shuffled, carries no watermark, and holds no operator state, so
+    * the firehose can be any size.
+    *
+    * Semantics match [[graft.ops.AsofJoin.asofBackward]] (parity-pinned
+    * in StreamingSpec): equal-timestamp dim rows match; stream rows
+    * with no prior dim row (or null key/ts) keep null match columns;
+    * null-keyed/null-ts dim rows are dropped; several dim rows at the
+    * same (key, ts) resolve to the greatest payload (field-by-field
+    * comparison). The history is a SNAPSHOT as of query start — a
+    * changed dimension needs a query restart (the standard stream-static
+    * broadcast trade; use [[enrichStream]]'s per-batch join semantics
+    * when the dim must be re-read each batch and plain-key lookup
+    * suffices). */
+  def asofJoinStream(stream: DataFrame, dimHistory: DataFrame,
+      keys: Seq[String], tsCol: String,
+      rightPrefix: String = "r_"): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    val spark = stream.sparkSession
+    val rPayload = dimHistory.columns
+      .filterNot(c => keys.contains(c) || c == tsCol).toSeq
+    val tsIsTimestamp = dimHistory.schema(tsCol).dataType match {
+      case TimestampType | TimestampNTZType => true
+      case LongType => false
+      case dt => throw new IllegalArgumentException(
+        s"asof ts column must be timestamp/long, got $dt ($tsCol)")
+    }
+    def micros(c: org.apache.spark.sql.Column) =
+      if (tsIsTimestamp) unix_micros(c) else c
+    val matchCols = (col(tsCol).as(tsCol) +: rPayload.map(col)): Seq[org.apache.spark.sql.Column]
+    val matchType = dimHistory.select(struct(matchCols: _*).as("m"))
+      .schema("m").dataType.asInstanceOf[StructType]
+    // field-by-field external-row comparison — the struct-ordering rule
+    // asofBackward's window applies to equal-(key, ts) duplicates
+    def cmpAny(a: Any, b: Any): Int = (a, b) match {
+      case (null, null) => 0
+      case (null, _) => -1
+      case (_, null) => 1
+      case (x: Row, y: Row) =>
+        (0 until math.min(x.length, y.length)).iterator
+          .map(i => cmpAny(x.get(i), y.get(i))).find(_ != 0).getOrElse(0)
+      case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
+      case (x, y) => x.toString.compareTo(y.toString)
+    }
+    val collected = dimHistory
+      .where(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
+      .select(struct(keys.map(col): _*).as("_k"),
+        micros(col(tsCol)).as("_tsus"), struct(matchCols: _*).as("_r"))
+      .collect()
+    val index: Map[Row, (Array[Long], Array[Row])] =
+      collected.groupBy(_.getStruct(0)).map { case (k, rows) =>
+        // ascending (ts, payload): the RIGHTMOST entry with ts <= probe
+        // is both the latest and, on ties, the greatest payload
+        val sorted = rows.sortWith { (a, b) =>
+          a.getLong(1) < b.getLong(1) || (a.getLong(1) == b.getLong(1) &&
+            cmpAny(a.getStruct(2), b.getStruct(2)) < 0)
+        }
+        k -> ((sorted.map(_.getLong(1)), sorted.map(_.getStruct(2): Row)))
+      }
+    val bc = spark.sparkContext.broadcast(index)
+    val lookup = udf(
+      new org.apache.spark.sql.api.java.UDF2[Row, java.lang.Long, Row] {
+        override def call(k: Row, tsus: java.lang.Long): Row = {
+          if (k == null || tsus == null) return null
+          bc.value.get(k) match {
+            case None => null
+            case Some((starts, rows)) =>
+              // rightmost index with starts(i) <= probe ts
+              var lo = 0; var hi = starts.length
+              while (lo < hi) {
+                val mid = (lo + hi) >>> 1
+                if (starts(mid) <= tsus) lo = mid + 1 else hi = mid
+              }
+              if (lo == 0) null else rows(lo - 1)
+          }
+        }
+      }, matchType)
+    val streamCols = stream.columns.toSeq
+    stream
+      .withColumn("_asof_match",
+        lookup(struct(keys.map(col): _*), micros(col(tsCol))))
+      .select(streamCols.map(col) ++ (tsCol +: rPayload).map(c =>
+        col("_asof_match").getField(c).as(rightPrefix + c)): _*)
+  }
 
   /** Incremental aggregate maintenance: keep a per-key (n, total)
     * aggregate table up to date from a stream WITHOUT ever

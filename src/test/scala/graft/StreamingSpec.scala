@@ -218,6 +218,57 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("asofJoinStream: multi-batch stream-static as-of == batch asofBackward; " +
+      "no-prior/null-key rows keep nulls") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    implicit val sqlCtx = spark.sqlContext
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // dimension HISTORY: several versions per key, incl. an equal-ts
+    // duplicate (payload tie-break) and a null-key row (dropped)
+    val dim = Seq(
+      ("A", ts(10), 100L), ("A", ts(30), 300L), ("A", ts(30), 250L),
+      ("B", ts(20), 500L), (null, ts(5), 999L)
+    ).toDF("k", "ts", "price")
+    val probes = Seq(
+      ("A", ts(10), 1L),  // equal-ts match → 100
+      ("A", ts(35), 2L),  // latest of the ts(30) pair → 300
+      ("A", ts(5), 3L),   // before any version → null
+      ("B", ts(50), 4L),
+      ("C", ts(40), 5L),  // unknown key → null
+      (null.asInstanceOf[String], ts(40), 6L)) // null key → null
+    val (b1, b2) = probes.splitAt(3)
+    val input = MemoryStream[(String, java.sql.Timestamp, Long)]
+    val q = StreamingIngest.asofJoinStream(
+        input.toDS().toDF("k", "ts", "qty"), dim, Seq("k"), "ts")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("asof_stream").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qty", $"r_price",
+        unix_micros($"r_ts"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val got = asSet(spark.table("asof_stream"))
+    val want = asSet(graft.ops.AsofJoin.asofBackward(
+      probes.toDF("k", "ts", "qty"), dim, Seq("k"), "ts"))
+    assert(got === want)
+    assert(got.size === 6)
+    // spot-pin the semantics, not just the parity
+    val byQty = spark.table("asof_stream").collect()
+      .map(r => r.getAs[Long]("qty") ->
+        Option(r.getAs[java.lang.Long]("r_price"))).toMap
+    assert(byQty(1L) === Some(100L)) // equal-ts matches
+    assert(byQty(2L) === Some(300L)) // greatest payload on (key,ts) tie
+    assert(byQty(3L) === None)       // no prior version
+    assert(byQty(5L) === None)       // unknown key
+    assert(byQty(6L) === None)       // null key
+  }
+
   test("runningAggSink: multi-batch additive maintenance equals the batch aggregate") {
     val ev = Tables.load(spark, sfDir, "events")
     val landing = tmpDir("graft-landing-ragg")
@@ -556,6 +607,40 @@ class StreamingSpec extends SparkSpec {
       assert(got(g) === want, s"group $g")
       assert(got(g).length === 5)
     }
+  }
+
+  test("weightedSampleStream: a key re-delivered with a CHANGED weight holds " +
+      "at most one sample slot (min score wins)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.WeightedItem
+    // k = 3 over 4 distinct keys; "dup" arrives in batch 1 with weight 1
+    // and again in batch 2 with weight 9 — different scores, same key
+    val b1 = Seq(WeightedItem(0L, "dup", 1.0), WeightedItem(0L, "a", 2.0))
+    val b2 = Seq(WeightedItem(0L, "dup", 9.0), WeightedItem(0L, "b", 2.0),
+      WeightedItem(0L, "c", 2.0))
+    val input = MemoryStream[WeightedItem]
+    val q = StreamingIngest.weightedSampleStream(input.toDS(), k = 3)
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("aes_redelivery").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("aes_redelivery")
+      .as[StreamingIngest.AesSample].collect()
+    val last = all.map(_.n_processed).max
+    val sample = all.filter(_.n_processed == last).sortBy(_.rank)
+    assert(sample.length === 3)
+    assert(sample.count(_.key == "dup") <= 1, sample.map(_.key).toSeq)
+    assert(sample.map(_.key).distinct.length === 3)
+    // the surviving dup score is its best draw across both weights
+    val dupScores = Seq(1.0, 9.0)
+      .flatMap(w => graft.ext.Sampling.aesScoreQ8("dup", w))
+    sample.find(_.key == "dup").foreach(s =>
+      assert(s.score_q8 === dupScores.min))
   }
 
   test("heavyHittersStream: exact when capacity suffices; eviction keeps Space-Saving bounds") {
