@@ -56,6 +56,51 @@ object HilbertKernel {
   }
 }
 
+/** 3-D HILBERT curve kernel — Skilling's transpose algorithm
+  * ("Programming the Hilbert curve", AIP Conf. Proc. 707, 2004; the
+  * published n-dimensional form, here fixed at n = 3): axes →
+  * transposed Hilbert via per-level reflect/exchange, Gray encode,
+  * then bit-interleave the transpose into the curve index. Training-
+  * data layouts cluster on THREE keys at once (source, lang, quality
+  * bucket) — a 2-D curve forces one of them out of the clustering; the
+  * 3-D curve keeps all three, with the same bijectivity + unit-step
+  * adjacency guarantees (spec-pinned over the full cube). Pure integer
+  * arithmetic, identically replayable in SQL. */
+object Hilbert3Kernel {
+  def xyz2d(bits: Int, x0: Long, y0: Long, z0: Long): Long = {
+    val mask = (1L << bits) - 1
+    val X = Array(x0 & mask, y0 & mask, z0 & mask)
+    val m = 1L << (bits - 1)
+    // inverse undo: reflect/exchange each level against axis 0
+    var q = m
+    while (q > 1) {
+      val p = q - 1
+      var i = 0
+      while (i < 3) {
+        if ((X(i) & q) != 0) X(0) ^= p
+        else { val t = (X(0) ^ X(i)) & p; X(0) ^= t; X(i) ^= t }
+        i += 1
+      }
+      q >>= 1
+    }
+    // Gray encode
+    X(1) ^= X(0); X(2) ^= X(1)
+    var t = 0L
+    q = m
+    while (q > 1) { if ((X(2) & q) != 0) t ^= q - 1; q >>= 1 }
+    X(0) ^= t; X(1) ^= t; X(2) ^= t
+    // transpose → index: bit j of X(i) lands at position 3j + (2 - i)
+    var h = 0L
+    var j = bits - 1
+    while (j >= 0) {
+      var i = 0
+      while (i < 3) { h = (h << 1) | ((X(i) >>> j) & 1L); i += 1 }
+      j -= 1
+    }
+    h
+  }
+}
+
 /** Codegen Hilbert distance of two long columns (coordinates are masked
   * to `bits` inside the kernel). */
 case class HilbertD(left: Expression, right: Expression, bits: Int)
@@ -70,6 +115,24 @@ case class HilbertD(left: Expression, right: Expression, bits: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): HilbertD =
     copy(l, r)
   override def prettyName: String = "hilbert_d"
+}
+
+/** Codegen 3-D Hilbert distance of three long columns (coordinates are
+  * masked to `bits` inside the kernel; index spans 3·bits bits). */
+case class HilbertD3(first: Expression, second: Expression,
+    third: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(bits > 0 && bits <= 20, s"bits must be in 1..20, got $bits")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    Hilbert3Kernel.xyz2d(bits,
+      x.asInstanceOf[Long], y.asInstanceOf[Long], z.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.Hilbert3Kernel.xyz2d($bits, $a, $b, $c)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): HilbertD3 = copy(f, s, t)
+  override def prettyName: String = "hilbert_d3"
 }
 
 /** Codegen z-value of two long columns (caller masks to `bits` first —

@@ -150,6 +150,25 @@ object Layout {
       .drop("_h")
   }
 
+  /** 3-D Hilbert clustering ([[graft.functions.HilbertD3]]) — training-
+    * data layouts cluster on THREE keys at once (source, lang, quality
+    * bucket); the 2-D curve forces one of them out of the clustering,
+    * the 3-D curve keeps all three with the same bijectivity/adjacency
+    * guarantees. Same plan shape as [[hilbertBy]]. */
+  def hilbertBy3(df: DataFrame, c1: String, c2: String, c3: String,
+      bits: Int = 10, numFiles: Int = 64): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val mask = (1L << bits) - 1
+    val h = toColumn(graft.functions.HilbertD3(
+      toExpr(col(c1).cast("long").bitwiseAND(mask)),
+      toExpr(col(c2).cast("long").bitwiseAND(mask)),
+      toExpr(col(c3).cast("long").bitwiseAND(mask)), bits))
+    df.withColumn("_h", h)
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions("_h")
+      .drop("_h")
+  }
+
   /** Per-partition-directory row counts and min/max of a LONG column
     * read from parquet FOOTERS ONLY — the data-skipping audit: exactly
     * what a stats-pruning reader knows without touching one data page

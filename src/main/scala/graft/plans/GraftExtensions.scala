@@ -107,5 +107,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.HilbertD(exprs(0), exprs(1), bits)
       })))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_d3"),
+      info("hilbert_d3",
+        "hilbert_d3(x, y, z, bits) - 3-D Hilbert-curve distance of a grid point (bits must be a literal)"),
+      arity("hilbert_d3", 4)(exprs => {
+        val bits = exprs(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "hilbert_d3(x, y, z, bits): bits must be an integer literal")
+        }
+        graft.functions.HilbertD3(exprs(0), exprs(1), exprs(2), bits)
+      })))
   }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, QueryGroup, Tables}
+import graft.ext.ScopedPersist
 import graft.ops.{Journeys, Resample}
 
 /** Event-journey analytics (bonus surface): ordered funnels and weekly
@@ -618,6 +619,11 @@ object EventQueries extends QueryGroup {
         sum(when(col("rd") >= 15 && col("event_type") === "purchase", 1L)
           .otherwise(0L)).as("y"))
       .withColumn("arm", col("user_id") % 2)
+      // five consumers read the user-grain frame (theta, arms, pooled,
+      // and both one-row arm splits) — without the barrier each one
+      // re-runs the events scan + aggregate: four redundant passes over
+      // the fact table at 100 TB
+      .persistScoped
     val theta = per.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"))
@@ -722,6 +728,10 @@ object EventQueries extends QueryGroup {
     val cum = daily.withColumn("llr",
       sum(col("k") * lit(sprtL1) + (col("n") - col("k")) * lit(sprtL0))
         .over(w))
+      // two consumers (boundary-crossing argmin + final rollup) — the
+      // barrier keeps the events scan single-pass; the cached frame is
+      // (type, day)-grain, series-sized
+      .persistScoped
     val fc = cum.where(col("llr") >= sprtA || col("llr") <= sprtB)
       .groupBy(col("event_type"))
       .agg(min(struct(col("d"), col("llr"))).as("fc"))

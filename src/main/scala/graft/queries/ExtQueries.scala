@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, QueryGroup, Tables}
-import graft.ext.{Association, Contamination, Dedup, Frequency, Sampling, Similarity, TextStats}
+import graft.ext.{Association, Contamination, Dedup, Frequency, Sampling, ScopedPersist, Similarity, TextStats}
 
 /** Extended LLM-data-pipeline operators (SURVEY §7.9) as oracle-checked
   * queries over `documents` / `embeddings`: dedup (exact, MinHash-LSH,
@@ -1188,7 +1188,11 @@ object ExtQueries extends QueryGroup {
     * component min, since the edge list is symmetrized). */
   def dedupComponents(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     Dedup.resolveComponents(emb, pairs, idCol = "vec_id").orderBy($"vec_id")
   }
 
@@ -1218,7 +1222,11 @@ object ExtQueries extends QueryGroup {
     * Two cascaded bounded aggregates over the component labels. */
   def dedupClusterStats(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     Dedup.resolveComponents(emb, pairs, idCol = "vec_id")
       .groupBy($"component_id").agg(count(lit(1)).as("sz"))
       .groupBy($"sz").agg(count(lit(1)).as("n_components"))
@@ -1245,7 +1253,11 @@ object ExtQueries extends QueryGroup {
     * means at scale. */
   def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     Dedup.resolveComponents(emb, pairs, idCol = "vec_id")
       .select($"vec_id", $"component_id",
         Sampling.splitAssign($"component_id",
@@ -1274,7 +1286,11 @@ object ExtQueries extends QueryGroup {
     import org.apache.spark.sql.expressions.Window
     val emb = load(spark, dir, "embeddings")
     val docs = load(spark, dir, "documents")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     val comps = Dedup.resolveComponents(emb, pairs, idCol = "vec_id")
     val q = TextStats.analyze(docs).select($"doc_id", $"quality_q4")
     val best = Window.partitionBy($"component_id")
@@ -2113,7 +2129,11 @@ object ExtQueries extends QueryGroup {
     * reference, so the fixed unroll IS the independent formulation). */
   def pagerank(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
     graft.ops.PageRank.run(edges, emb.select($"vec_id".as("id")),
@@ -2237,7 +2257,11 @@ object ExtQueries extends QueryGroup {
     * joins), run past the fixpoint so the final iteration IS the core. */
   def kcore(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
     graft.ops.KCore.run(edges, k = 2, maxIter = 30)
@@ -2275,7 +2299,11 @@ object ExtQueries extends QueryGroup {
     * independently of the Spark frontier loop. */
   def bfsHops(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
     val seeds = emb
@@ -2477,7 +2505,11 @@ object ExtQueries extends QueryGroup {
     * chained CTEs with a window argmax per round. */
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
     graft.ops.LabelProp.run(edges, emb.select($"vec_id".as("id")),
@@ -2532,7 +2564,11 @@ object ExtQueries extends QueryGroup {
     * to end (the Moments contract). */
   def assortativity(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     val edges = pairs.select($"id_a".as("u"), $"id_b".as("v"))
       .unionByName(pairs.select($"id_b".as("u"), $"id_a".as("v")))
     val deg = edges.groupBy($"u").agg(count(lit(1)).as("d"))
@@ -2575,7 +2611,11 @@ object ExtQueries extends QueryGroup {
     * 3-round LPA labels as ext_label_prop (one shared oracle chain). */
   def communityConductance(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
       .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
     val labels = graft.ops.LabelProp.run(edges,
@@ -2640,7 +2680,11 @@ object ExtQueries extends QueryGroup {
     * self-join) — a completely different orientation, same triangles. */
   def triangles(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     graft.ops.Triangles.perNode(pairs).orderBy($"id")
   }
 
@@ -2667,7 +2711,11 @@ object ExtQueries extends QueryGroup {
     * re-derives degrees and triangles with the id-order orientation. */
   def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
     val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
     val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
     graft.ops.Triangles.localClustering(pairs).orderBy($"id")
   }
 
@@ -2877,6 +2925,84 @@ object ExtQueries extends QueryGroup {
        |SELECT d // 1024 AS h_block, count(*) AS n,
        |       min(d) AS h_min, max(d) AS h_max
        |FROM h8 GROUP BY 1 ORDER BY h_block""".stripMargin
+  }
+
+  /** 3-D Hilbert curve verification ([[graft.functions.HilbertD3]],
+    * Skilling's transpose algorithm): per-curve-block stats over the
+    * 3-D Hilbert distance of (orderkey, partkey, suppkey) low 4 bits —
+    * the layout key a training-data table clusters on when THREE
+    * dimensions matter at once (source, lang, quality). The oracle
+    * unrolls the same reflect/exchange levels, Gray encode, and bit
+    * interleave in pure integer SQL, pinning the curve bit-for-bit. */
+  def hilbert3d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    val li = load(spark, dir, "lineitem")
+    val h = toColumn(graft.functions.HilbertD3(
+      toExpr($"l_orderkey".bitwiseAND(15L)),
+      toExpr($"l_partkey".bitwiseAND(15L)),
+      toExpr($"l_suppkey".bitwiseAND(15L)), 4))
+    li.select(h.as("h"))
+      .groupBy(expr("h div 64").as("h_block"))
+      .agg(count(lit(1)).as("n"), min($"h").as("h_min"), max($"h").as("h_max"))
+      .orderBy($"h_block")
+  }
+
+  private val hilbert3dSql = {
+    // Skilling axes→transpose unrolled for b = 4, n = 3: levels q walk
+    // 8 → 2; within a level, axis 0 then 1 then 2 reflect/exchange
+    // against axis 0 — each (q, i) step is one CTE because the steps
+    // MUTATE x0 sequentially
+    def step(idx: Int, q: Long, i: Int): String = {
+      val p = q - 1
+      val body =
+        if (i == 0)
+          s"""CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+             |         x1, x2""".stripMargin
+        else {
+          val xi = s"x$i"
+          val others = Seq(1, 2).map(k =>
+            if (k == i)
+              s"""CASE WHEN ($xi & $q) <> 0 THEN $xi
+                 |              ELSE xor($xi, (xor(x0, $xi) & $p)) END AS x$k""".stripMargin
+            else s"x$k").mkString(",\n         ")
+          s"""CASE WHEN ($xi & $q) <> 0 THEN xor(x0, $p)
+             |              ELSE xor(x0, (xor(x0, $xi) & $p)) END AS x0,
+             |         $others""".stripMargin
+        }
+      s"""s${idx + 1} AS (
+         |  SELECT $body
+         |  FROM s$idx)""".stripMargin
+    }
+    val steps = (for {
+      (q, li) <- Seq(8L, 4L, 2L).zipWithIndex
+      i <- 0 to 2
+    } yield (li * 3 + i, q, i)).map { case (idx, q, i) => step(idx, q, i) }
+    // Gray encode + the trailing t-correction, then interleave: bit j
+    // of axis i lands at index position 3j + (2 - i)
+    val tExpr = Seq(8L, 4L, 2L).map(q =>
+      s"CASE WHEN (xor(x2, xor(x1, x0)) & $q) <> 0 THEN ${q - 1} ELSE 0 END")
+      .reduce((a, b) => s"xor($a, $b)")
+    val interleave = (for {
+      j <- 0 to 3
+      i <- 0 to 2
+    } yield s"(((f$i >> $j) & 1) << ${3 * j + (2 - i)})").mkString(" + ")
+    s"""WITH s0 AS (
+       |  SELECT (l_orderkey & 15) AS x0, (l_partkey & 15) AS x1,
+       |         (l_suppkey & 15) AS x2
+       |  FROM lineitem),
+       |${steps.mkString(",\n")},
+       |g AS (
+       |  SELECT x0, xor(x1, x0) AS g1, xor(x2, xor(x1, x0)) AS g2,
+       |         $tExpr AS t
+       |  FROM s9),
+       |f AS (
+       |  SELECT xor(x0, t) AS f0, xor(g1, t) AS f1, xor(g2, t) AS f2
+       |  FROM g),
+       |hh AS (
+       |  SELECT ($interleave)::BIGINT AS h FROM f)
+       |SELECT h // 64 AS h_block, count(*) AS n,
+       |       min(h) AS h_min, max(h) AS h_max
+       |FROM hh GROUP BY 1 ORDER BY h_block""".stripMargin
   }
 
   /** Curve-fragmentation readout — the measurable claim behind Hilbert
@@ -4817,6 +4943,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_skipgrams", skipgramsQ, Some(skipgramsSql)),
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_hilbert_curve", hilbertCurve, Some(hilbertCurveSql)),
+    QueryDef("ext_hilbert_3d", hilbert3d, Some(hilbert3dSql)),
     QueryDef("ext_curve_span", curveSpan, Some(curveSpanSql)),
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_fd_check", fdCheckQ, Some(fdCheckSql)),

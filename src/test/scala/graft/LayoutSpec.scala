@@ -255,6 +255,36 @@ class LayoutSpec extends SparkSpec {
       HilbertKernel.xy2d(4, 3L, 7L))
   }
 
+  test("hilbert3 kernel: bijective on the full cube, consecutive distances are " +
+      "ALWAYS grid neighbors; masking contract; hilbertBy3 plan shape") {
+    import graft.functions.Hilbert3Kernel
+    // bits=3: a bijection 8x8x8 -> [0, 512)
+    val d2xyz = (for (x <- 0L until 8L; y <- 0L until 8L; z <- 0L until 8L)
+      yield Hilbert3Kernel.xyz2d(3, x, y, z) -> ((x, y, z))).toMap
+    assert(d2xyz.size === 512 && d2xyz.keys.min === 0L && d2xyz.keys.max === 511L)
+    // adjacency: every curve step moves exactly one grid cell (L1 = 1)
+    (0L until 511L).foreach { d =>
+      val (x1, y1, z1) = d2xyz(d); val (x2, y2, z2) = d2xyz(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) + math.abs(z1 - z2) === 1,
+        s"step $d: ($x1,$y1,$z1) -> ($x2,$y2,$z2)")
+    }
+    // the curve starts at the origin
+    assert(Hilbert3Kernel.xyz2d(3, 0L, 0L, 0L) === 0L)
+    // coordinates above the grid mask down
+    assert(Hilbert3Kernel.xyz2d(3, 8L + 3L, 16L + 5L, 24L + 7L) ===
+      Hilbert3Kernel.xyz2d(3, 3L, 5L, 7L))
+    // hilbertBy3 plans as one range exchange, like the 2-D form
+    import spark.implicits._
+    val li = Tables.load(spark, sfDir, "lineitem")
+      .select($"l_orderkey", $"l_partkey", $"l_suppkey")
+    val clustered = Layout.hilbertBy3(li,
+      "l_orderkey", "l_partkey", "l_suppkey", bits = 10, numFiles = 8)
+    val plan = clustered.queryExecution.executedPlan.toString
+    assert(plan.split("rangepartitioning").length - 1 +
+      plan.split("RangePartitioning").length - 1 >= 1, plan)
+    assert(!plan.contains("hashpartitioning"), plan)
+  }
+
   test("zorderBy: one range exchange; output partitions cover compact 2-D boxes") {
     import spark.implicits._
     val li = Tables.load(spark, sfDir, "lineitem")
