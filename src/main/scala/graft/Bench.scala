@@ -7,7 +7,10 @@ import org.apache.spark.sql.SparkSession
   *
   * A short warm-up (tiny scan + agg + join) pays the JIT/codegen cost
   * before timing so per-query numbers reflect steady-state throughput,
-  * which is what a long-running cluster job sees.
+  * which is what a long-running cluster job sees. Queries above the
+  * re-run threshold are timed twice and the artifact records the MIN
+  * (plus both raws under "runs") — the contention guard that keeps a
+  * one-off host-load spike out of the committed numbers.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -49,7 +52,19 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
-    val results = selected.map { case (name, fn) =>
+    // CONTENTION GUARD: a host-load spike landing on one query turns
+    // into a 5-80x lie in a committed artifact (it happened in 4 of the
+    // first 8 official runs). Any query whose first timing exceeds the
+    // re-run threshold is timed a SECOND time and the artifact records
+    // the min — a spike would have to hit the same query twice to
+    // survive. Both raw timings ride in a "runs" map so the artifact
+    // stays self-describing. Threshold default 2.5 s: every observed
+    // spike was far above it, and the legitimately-expensive tail it
+    // re-runs costs ~1 extra minute over a 344-query sweep.
+    val rerunSec = sys.env.get("SPARK_GRAFT_RERUN_SEC")
+      .map(_.toDouble).getOrElse(2.5)
+    def timeOnce(name: String, fn: (SparkSession, String) =>
+        org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
       val ok = try { fn(spark, sfDir).count(); true }
                catch { case e: Throwable =>
@@ -59,25 +74,39 @@ object Bench {
       // drop frames persisted inside operators so no query benefits from
       // (or pays for) another query's cache
       spark.catalog.clearCache()
+      (dt, ok)
+    }
+    val results = selected.map { case (name, fn) =>
+      val (dt1, ok1) = timeOnce(name, fn)
+      val runs =
+        if (ok1 && dt1 > rerunSec) Seq(dt1, timeOnce(name, fn)._1)
+        else Seq(dt1)
+      val dt = runs.min
       // progress to stderr (stdout carries only the one JSON line): a
       // wedged run shows WHERE it stopped instead of dying silently
-      System.err.println(f"[bench] $name%-28s $dt%8.2f s${if (ok) "" else "  ERR"}")
-      (name, dt, ok)
+      System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
+        (if (!ok1) "  ERR"
+         else if (runs.size > 1) f"  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})"
+         else ""))
+      (name, dt, ok1, runs)
     }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // A failed query records the -1 sentinel, NOT its time-to-fail — a
     // time-to-fail in the queries map reads as a (usually flattering)
     // legitimate timing. Failures are also excluded from the total and
     // counted in the trailer so a broken build can't look fast.
-    val qs = results.map { case (k, v, ok) =>
+    val qs = results.map { case (k, v, ok, _) =>
       "\"" + k + "\":" + (if (ok) sec(v) else "-1") }.mkString("{", ",", "}")
+    val reruns = results.filter(_._4.size > 1).map { case (k, _, _, runs) =>
+      "\"" + k + "\":[" + runs.map(sec).mkString(",") + "]" }
+      .mkString("{", ",", "}")
     val good = results.filter(_._3)
     val nFailed = results.size - good.size
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
     val loadAfter = loadAvg()
     val hostMeta = s""""warmup_sec":${sec(warmupSec)},"load_before":${sec(loadBefore)},"load_after":${sec(loadAfter)}"""
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"failures":$nFailed,$hostMeta,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$reruns,"failures":$nFailed,$hostMeta,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of stdout, which cuts
     // an 85-query JSON line mid-stream. Three outputs, most durable
     // first: (1) the full line goes to a file (committed per round as
