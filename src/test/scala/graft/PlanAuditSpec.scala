@@ -120,4 +120,26 @@ class PlanAuditSpec extends SparkSpec {
         assert(reason.nonEmpty, s"$name has an UNEXPLAINED SinglePartition:\n$p")
     }
   }
+
+  test("cupedLift / sprtMonitor: multi-consumer readouts scan the fact table " +
+      "ONCE behind a persist barrier") {
+    def finalPlan(df: DataFrame): String = {
+      df.collect()
+      df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    }
+    def fileScans(p: String): Int = "FileScan".r.findAllIn(p).length
+    // cupedLift: five consumers of the user-grain frame; the ONLY
+    // FileScans in the final plan are the two inside the single cached
+    // per-frame print (events + the broadcast day-span scan) — without
+    // the barrier every consumer re-prints its own pair (~10 scans)
+    val cuped = finalPlan(EventQueries.cupedLift(spark, sfDir))
+    assert(cuped.contains("InMemoryRelation"), cuped)
+    assert(fileScans(cuped) <= 2, s"expected <=2 FileScans, got:\n$cuped")
+    // sprtMonitor: two consumers of the cumulative-LLR series; one
+    // events scan inside the cached print
+    val sprt = finalPlan(EventQueries.sprtMonitor(spark, sfDir))
+    assert(sprt.contains("InMemoryRelation"), sprt)
+    assert(fileScans(sprt) <= 1, s"expected <=1 FileScan, got:\n$sprt")
+    spark.catalog.clearCache()
+  }
 }
