@@ -688,6 +688,106 @@ object Frequency {
         col("col._iso").as("iso_bp"))
   }
 
+  /** HyperLogLog rank CASE over a 32-bit hash slice, shared verbatim
+    * with the oracle SQL (the unrolled integer comparisons sidestep
+    * every log2/leading-zero portability trap): rank = position of the
+    * leftmost 1-bit, 33 when the slice is zero. */
+  private[graft] def hllRankCase(c: String): String =
+    (1 to 32).map(r => s"WHEN $c >= ${1L << (32 - r)} THEN $r")
+      .mkString("CASE ", " ", " ELSE 33 END")
+
+  /** α₂₅₆·m²·2^33 (Flajolet et al. 2007; α₂₅₆ = 0.7213∕(1+1.079∕256)),
+    * pre-multiplied in Scala to ONE double literal so both engines
+    * evaluate a single identical division — and neither engine gets the
+    * chance to parse a bare float literal as DECIMAL (DuckDB would). */
+  private[graft] val hllAlphaNumerator: String = {
+    val v = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0 * 8589934592.0
+    v.toString
+  }
+
+  /** Linear-counting table — the small-range correction the float HLLs
+    * compute as m·ln(m∕V): V only takes 256 values, so the whole
+    * function precomputes to integer literals (the same trick as the
+    * SPRT log constants), making the correction exactly portable. */
+  private[graft] def hllLinearCase(c: String): String =
+    (1 to 256).map(v =>
+      s"WHEN $c = $v THEN ${math.floor(256.0 * math.log(256.0 / v)).toLong}")
+      .mkString("CASE ", " ", " ELSE 0 END")
+
+  /** HyperLogLog distinct-vocabulary sketch (Flajolet–Fuhr–Gandouet–
+    * Meunier 2007), m = 256 registers — per source AND for the merged
+    * union (register-max mergeability is the reason HLL is the
+    * cardinality sketch at 100 TB: 256 bytes per source, union = max).
+    *
+    * Unlike the float HLLs this one HASH-GATES cross-engine: bucket and
+    * hash slice come from md5, the rank is an unrolled integer CASE,
+    * the harmonic denominator is the exact INTEGER S = Σ 2^(33−r)
+    * (absent registers contribute 2^33), the one double step —
+    * α·m²·2^33 ∕ S — is a single literal-times-division both engines
+    * evaluate identically, and the standard small-range linear-counting
+    * correction (E ≤ 2.5m with zero registers → m·ln(m∕V)) precomputes
+    * to a 256-entry INTEGER table ([[hllLinearCase]]) because V has
+    * only 256 possible values.
+    *
+    * Scale shape: one token explode (narrow), one (src, bucket)
+    * aggregate — 256 rows per source — then register-sized arithmetic.
+    * The exact distinct count rides along as calibration (at real
+    * scale you'd drop it; it is the expensive column here). */
+  def hllCardinality(docs: DataFrame, textCol: String = "text",
+      srcCol: String = "source"): DataFrame = {
+    val words = docs.select(col(srcCol).as("src"),
+        explode(graft.ext.TextStats.tokens(col(textCol))).as("w"))
+      .where($"w" =!= "")
+      .persistScoped // read by the register path AND the exact counts
+    val hashed = words.select($"src",
+      conv(substring(md5($"w".cast("binary")), 1, 2), 16, 10)
+        .cast("long").as("b"),
+      conv(substring(md5($"w".cast("binary")), 3, 8), 16, 10)
+        .cast("long").as("w32"))
+    val ranked = hashed.select($"src", $"b",
+      expr(hllRankCase("w32")).cast("long").as("r"))
+    val regs = ranked.groupBy($"src", $"b").agg(max($"r").as("r"))
+      .persistScoped // 256 rows per source; union path re-reads it
+    def estimated(regDf: DataFrame): DataFrame = regDf
+      .groupBy($"src")
+      .agg(count(lit(1)).as("c"),
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(33 - r AS INT))"))
+          .as("sp"))
+      .select($"src",
+        ($"sp" + (lit(256L) - $"c") * lit(8589934592L)).as("s"),
+        (lit(256L) - $"c").as("v_zero"))
+      // α·m²·2^33 = α·2^49; one double division, identical both sides
+      // (α multiplied out in Scala — bare float literals parse as
+      // DECIMAL in DuckDB and would overflow/diverge)
+      .withColumn("hll_raw", expr(
+        s"CAST(floor(CAST($hllAlphaNumerator AS DOUBLE) / " +
+          "CAST(s AS DOUBLE)) AS BIGINT)"))
+      // small-range regime (raw ≤ 2.5m, zero registers present) →
+      // linear counting from the integer table
+      .withColumn("hll_est", expr(
+        "CASE WHEN hll_raw <= 640 AND v_zero > 0 THEN " +
+          hllLinearCase("v_zero") + " ELSE hll_raw END"))
+    val perSrc = estimated(regs)
+    val union = estimated(
+      regs.groupBy($"b").agg(max($"r").as("r"))
+        .select(lit("__union").as("src"), $"b", $"r"))
+    val exactSrc = words.select($"src", $"w").distinct()
+      .groupBy($"src").agg(count(lit(1)).as("n_exact"))
+    val exactUnion = words.select($"w").distinct()
+      .agg(count(lit(1)).as("n_exact"))
+      .select(lit("__union").as("src"), $"n_exact")
+    perSrc.unionByName(union)
+      .join(exactSrc.unionByName(exactUnion), Seq("src"))
+      // sign-before-division: Spark div truncates, DuckDB // floors —
+      // dividing the absolute error keeps both on the same integer
+      .select($"src", $"n_exact", $"hll_est",
+        expr("""CASE WHEN hll_est >= n_exact
+                THEN (10000 * (hll_est - n_exact)) div n_exact
+                ELSE -((10000 * (n_exact - hll_est)) div n_exact)
+                END""").as("err_bp"),
+        $"v_zero")
+  }
+
   def kmvJaccard(docs: DataFrame, textCol: String = "text",
       srcCol: String = "source", k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

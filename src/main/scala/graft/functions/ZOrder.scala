@@ -23,6 +23,21 @@ object ZOrderKernel {
     }
     z
   }
+
+  /** 3-D Morton interleave — x in positions 3i, y in 3i+1, z in 3i+2;
+    * the bit-interleave baseline the 3-D Hilbert curve is measured
+    * against (same grid, same index width). */
+  def zvalue3(x: Long, y: Long, z: Long, bits: Int): Long = {
+    var v = 0L
+    var i = 0
+    while (i < bits) {
+      v |= ((x >>> i) & 1L) << (3 * i)
+      v |= ((y >>> i) & 1L) << (3 * i + 1)
+      v |= ((z >>> i) & 1L) << (3 * i + 2)
+      i += 1
+    }
+    v
+  }
 }
 
 /** HILBERT curve kernel: map a 2-D point on the 2^bits × 2^bits grid to
@@ -133,6 +148,24 @@ case class HilbertD3(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(
       f: Expression, s: Expression, t: Expression): HilbertD3 = copy(f, s, t)
   override def prettyName: String = "hilbert_d3"
+}
+
+/** Codegen 3-D z-value of three long columns (caller masks to `bits`
+  * first — out-of-range high bits are ignored by construction). */
+case class ZValue3(first: Expression, second: Expression,
+    third: Expression, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+  require(bits > 0 && bits <= 20, s"bits must be in 1..20, got $bits")
+  override def dataType: DataType = LongType
+  override protected def nullSafeEval(x: Any, y: Any, z: Any): Any =
+    ZOrderKernel.zvalue3(x.asInstanceOf[Long], y.asInstanceOf[Long],
+      z.asInstanceOf[Long], bits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c) =>
+      s"graft.functions.ZOrderKernel.zvalue3($a, $b, $c, $bits)")
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): ZValue3 = copy(f, s, t)
+  override def prettyName: String = "zvalue3"
 }
 
 /** Codegen z-value of two long columns (caller masks to `bits` first —

@@ -2947,25 +2947,29 @@ object ExtQueries extends QueryGroup {
       .orderBy($"h_block")
   }
 
-  private val hilbert3dSql = {
-    // Skilling axes→transpose unrolled for b = 4, n = 3: levels q walk
-    // 8 → 2; within a level, axis 0 then 1 then 2 reflect/exchange
-    // against axis 0 — each (q, i) step is one CTE because the steps
-    // MUTATE x0 sequentially
+  /** The b=4, n=3 Skilling unroll as a SQL CTE chain: consumes a CTE
+    * named `s0` with columns (keep..., x0, x1, x2) and defines a CTE
+    * `hh` with (keep..., h). Levels q walk 8 → 2; within a level, axis
+    * 0 then 1 then 2 reflect/exchange against axis 0 — each (q, i)
+    * step is one CTE because the steps MUTATE x0 sequentially; then
+    * Gray encode + trailing t-correction + bit interleave (bit j of
+    * axis i lands at index position 3j + (2 − i)). */
+  private def hilbert3Ctes(keep: Seq[String]): String = {
+    val k = if (keep.isEmpty) "" else keep.mkString("", ", ", ", ")
     def step(idx: Int, q: Long, i: Int): String = {
       val p = q - 1
       val body =
         if (i == 0)
-          s"""CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0,
+          s"""${k}CASE WHEN (x0 & $q) <> 0 THEN xor(x0, $p) ELSE x0 END AS x0,
              |         x1, x2""".stripMargin
         else {
           val xi = s"x$i"
-          val others = Seq(1, 2).map(k =>
-            if (k == i)
+          val others = Seq(1, 2).map(kk =>
+            if (kk == i)
               s"""CASE WHEN ($xi & $q) <> 0 THEN $xi
-                 |              ELSE xor($xi, (xor(x0, $xi) & $p)) END AS x$k""".stripMargin
-            else s"x$k").mkString(",\n         ")
-          s"""CASE WHEN ($xi & $q) <> 0 THEN xor(x0, $p)
+                 |              ELSE xor($xi, (xor(x0, $xi) & $p)) END AS x$kk""".stripMargin
+            else s"x$kk").mkString(",\n         ")
+          s"""${k}CASE WHEN ($xi & $q) <> 0 THEN xor(x0, $p)
              |              ELSE xor(x0, (xor(x0, $xi) & $p)) END AS x0,
              |         $others""".stripMargin
         }
@@ -2977,8 +2981,6 @@ object ExtQueries extends QueryGroup {
       (q, li) <- Seq(8L, 4L, 2L).zipWithIndex
       i <- 0 to 2
     } yield (li * 3 + i, q, i)).map { case (idx, q, i) => step(idx, q, i) }
-    // Gray encode + the trailing t-correction, then interleave: bit j
-    // of axis i lands at index position 3j + (2 - i)
     val tExpr = Seq(8L, 4L, 2L).map(q =>
       s"CASE WHEN (xor(x2, xor(x1, x0)) & $q) <> 0 THEN ${q - 1} ELSE 0 END")
       .reduce((a, b) => s"xor($a, $b)")
@@ -2986,24 +2988,27 @@ object ExtQueries extends QueryGroup {
       j <- 0 to 3
       i <- 0 to 2
     } yield s"(((f$i >> $j) & 1) << ${3 * j + (2 - i)})").mkString(" + ")
+    s"""${steps.mkString(",\n")},
+       |g AS (
+       |  SELECT ${k}x0, xor(x1, x0) AS g1, xor(x2, xor(x1, x0)) AS g2,
+       |         $tExpr AS t
+       |  FROM s9),
+       |f AS (
+       |  SELECT ${k}xor(x0, t) AS f0, xor(g1, t) AS f1, xor(g2, t) AS f2
+       |  FROM g),
+       |hh AS (
+       |  SELECT $k($interleave)::BIGINT AS h FROM f)""".stripMargin
+  }
+
+  private val hilbert3dSql =
     s"""WITH s0 AS (
        |  SELECT (l_orderkey & 15) AS x0, (l_partkey & 15) AS x1,
        |         (l_suppkey & 15) AS x2
        |  FROM lineitem),
-       |${steps.mkString(",\n")},
-       |g AS (
-       |  SELECT x0, xor(x1, x0) AS g1, xor(x2, xor(x1, x0)) AS g2,
-       |         $tExpr AS t
-       |  FROM s9),
-       |f AS (
-       |  SELECT xor(x0, t) AS f0, xor(g1, t) AS f1, xor(g2, t) AS f2
-       |  FROM g),
-       |hh AS (
-       |  SELECT ($interleave)::BIGINT AS h FROM f)
+       |${hilbert3Ctes(Nil)}
        |SELECT h // 64 AS h_block, count(*) AS n,
        |       min(h) AS h_min, max(h) AS h_max
        |FROM hh GROUP BY 1 ORDER BY h_block""".stripMargin
-  }
 
   /** Curve-fragmentation readout — the measurable claim behind Hilbert
     * vs Morton clustering: for fixed 8×8 query boxes on the 64×64 grid,
@@ -3076,6 +3081,68 @@ object ExtQueries extends QueryGroup {
        |       (max(v) - min(v) + 1)::BIGINT AS span
        |FROM r GROUP BY 1, 2 ORDER BY box_id, curve""".stripMargin
   }
+
+  /** 3-D curve-fragmentation readout — [[curveSpan]]'s claim in three
+    * dimensions: for fixed 4×4×4 query boxes on the 16³ grid, the
+    * number of contiguous curve runs each box shatters into under the
+    * 3-D Hilbert curve vs the 3-D Morton interleave (a stats-pruning
+    * reader opens one range per run). The oracle recomputes Morton via
+    * list_sum interleave and Hilbert via the shared Skilling unroll
+    * ([[hilbert3Ctes]]) plus the identical run count. */
+  def curveSpan3d(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val boxes = Seq((1L, 1L, 2L, 3L), (2L, 6L, 6L, 6L), (3L, 12L, 0L, 9L),
+      (4L, 9L, 11L, 2L)).toDS().toDF("box_id", "x0", "y0", "z0")
+    val cells = boxes
+      .withColumn("dx", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("dy", explode(sequence(lit(0L), lit(3L))))
+      .withColumn("dz", explode(sequence(lit(0L), lit(3L))))
+      .select($"box_id", ($"x0" + $"dx").as("x"), ($"y0" + $"dy").as("y"),
+        ($"z0" + $"dz").as("z"))
+    val curves = cells.select($"box_id",
+      toColumn(graft.functions.ZValue3(
+        toExpr($"x"), toExpr($"y"), toExpr($"z"), 4)).as("m"),
+      toColumn(graft.functions.HilbertD3(
+        toExpr($"x"), toExpr($"y"), toExpr($"z"), 4)).as("h"))
+    val melted = curves.select($"box_id", lit("h").as("curve"), $"h".as("v"))
+      .unionByName(curves.select($"box_id", lit("z").as("curve"), $"m".as("v")))
+    val w = Window.partitionBy($"box_id", $"curve").orderBy($"v")
+    melted.withColumn("_p", lag($"v", 1).over(w))
+      .withColumn("brk",
+        when($"_p".isNull || $"v" =!= $"_p" + 1, 1L).otherwise(0L))
+      .groupBy($"box_id", $"curve")
+      .agg(sum($"brk").as("n_runs"), (max($"v") - min($"v") + 1).as("span"))
+      .orderBy($"box_id", $"curve")
+  }
+
+  private val curveSpan3dSql =
+    s"""WITH boxes(box_id, bx, by, bz) AS (
+       |  VALUES (1, 1, 2, 3), (2, 6, 6, 6), (3, 12, 0, 9), (4, 9, 11, 2)),
+       |cells AS (
+       |  SELECT box_id, bx + dx.r AS cx, by + dy.r AS cy, bz + dz.r AS cz
+       |  FROM boxes, range(0, 4) dx(r), range(0, 4) dy(r), range(0, 4) dz(r)),
+       |zz AS (
+       |  SELECT box_id, 'z' AS curve,
+       |         list_sum(list_transform(range(0, 4), i ->
+       |           (((cx >> i) & 1) << (3*i)) + (((cy >> i) & 1) << (3*i + 1)) +
+       |           (((cz >> i) & 1) << (3*i + 2))
+       |         ))::BIGINT AS v
+       |  FROM cells),
+       |s0 AS (SELECT box_id, cx AS x0, cy AS x1, cz AS x2 FROM cells),
+       |${hilbert3Ctes(Seq("box_id"))},
+       |hcurve AS (SELECT box_id, 'h' AS curve, h AS v FROM hh),
+       |u AS (SELECT * FROM zz UNION ALL SELECT * FROM hcurve),
+       |r AS (
+       |  SELECT box_id, curve, v,
+       |         lag(v) OVER (PARTITION BY box_id, curve ORDER BY v) AS p
+       |  FROM u)
+       |SELECT box_id::BIGINT AS box_id, curve,
+       |       sum(CASE WHEN p IS NULL OR v <> p + 1 THEN 1 ELSE 0 END)::BIGINT
+       |         AS n_runs,
+       |       (max(v) - min(v) + 1)::BIGINT AS span
+       |FROM r GROUP BY 1, 2 ORDER BY box_id, curve""".stripMargin
 
   /** Model-based quality scoring (hashing-trick linear classifier —
     * the CCNet/DCLM fastText-filter shape). All-integer md5-derived
@@ -4595,11 +4662,70 @@ object ExtQueries extends QueryGroup {
       |       est.est_p99, tr.true_p99
       |FROM est CROSS JOIN tr""".stripMargin
 
+  /** HyperLogLog cardinality calibration ([[Frequency.hllCardinality]]):
+    * per-source distinct-vocabulary estimate next to the exact count,
+    * plus the MERGED union row (register max — the mergeability that
+    * makes HLL the 100-TB cardinality sketch). Every stage hash-gates:
+    * md5 buckets, unrolled integer rank CASE (shared verbatim with this
+    * oracle), exact integer harmonic denominator, one identical double
+    * division. */
+  def sketchHll(spark: SparkSession, dir: String): DataFrame =
+    Frequency.hllCardinality(load(spark, dir, "documents"))
+      .orderBy($"src")
+
+  private val sketchHllSql = {
+    val rank = Frequency.hllRankCase("w32")
+    val lc = Frequency.hllLinearCase("v_zero")
+    val a = Frequency.hllAlphaNumerator
+    s"""WITH words AS MATERIALIZED (
+       |  SELECT source AS src, w FROM (
+       |    SELECT source, unnest($toksSql) AS w FROM documents)
+       |  WHERE w <> ''),
+       |hashed AS (
+       |  SELECT src,
+       |         ('0x' || substr(md5(w), 1, 2))::BIGINT AS b,
+       |         ('0x' || substr(md5(w), 3, 8))::BIGINT AS w32
+       |  FROM words),
+       |regs AS MATERIALIZED (
+       |  SELECT src, b, max($rank)::BIGINT AS r
+       |  FROM hashed GROUP BY 1, 2),
+       |allregs AS (
+       |  SELECT src, b, r FROM regs
+       |  UNION ALL
+       |  SELECT '__union' AS src, b, max(r) AS r FROM regs GROUP BY 2),
+       |est AS (
+       |  SELECT src,
+       |         (sum(1::BIGINT << (33 - r)::INT) +
+       |            (256 - count(*)) * 8589934592)::BIGINT AS s,
+       |         (256 - count(*))::BIGINT AS v_zero
+       |  FROM allregs GROUP BY 1),
+       |ex AS (
+       |  SELECT src, count(DISTINCT w)::BIGINT AS n_exact FROM words GROUP BY 1
+       |  UNION ALL
+       |  SELECT '__union', count(DISTINCT w)::BIGINT FROM words),
+       |raws AS (
+       |  SELECT src, v_zero,
+       |         floor($a::DOUBLE / s::DOUBLE)::BIGINT AS hll_raw
+       |  FROM est),
+       |ests AS (
+       |  SELECT src, v_zero,
+       |         (CASE WHEN hll_raw <= 640 AND v_zero > 0
+       |               THEN $lc ELSE hll_raw END)::BIGINT AS hll_est
+       |  FROM raws)
+       |SELECT e.src AS src, x.n_exact, e.hll_est,
+       |       (CASE WHEN e.hll_est >= x.n_exact
+       |             THEN (10000 * (e.hll_est - x.n_exact)) // x.n_exact
+       |             ELSE -((10000 * (x.n_exact - e.hll_est)) // x.n_exact)
+       |        END)::BIGINT AS err_bp,
+       |       e.v_zero
+       |FROM ests e JOIN ex x ON e.src = x.src
+       |ORDER BY src""".stripMargin
+  }
+
   /** KMV bottom-k sketch calibration ([[Frequency.kmvJaccard]]): per
     * source PAIR, the union-sketch Jaccard estimate of vocabulary
-    * overlap next to the exact Jaccard — the estimate is deterministic
-    * (md5 hashes), so unlike HLL the whole sketch pipeline hash-gates
-    * in DuckDB. */
+    * overlap next to the exact Jaccard — deterministic md5 hashes, so
+    * the whole sketch pipeline hash-gates in DuckDB. */
   def sketchKmv(spark: SparkSession, dir: String): DataFrame =
     Frequency.kmvJaccard(load(spark, dir, "documents"), k = 64)
       .orderBy($"src_a", $"src_b")
@@ -4858,6 +4984,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sketch_cms", sketchCms, Some(sketchCmsSql)),
     QueryDef("ext_sketch_join_size", sketchJoinSize, Some(sketchJoinSizeSql)),
     QueryDef("ext_sketch_kmv", sketchKmv, Some(sketchKmvSql)),
+    QueryDef("ext_sketch_hll", sketchHll, Some(sketchHllSql)),
     QueryDef("ext_isotonic_calibration", isotonicCalibration,
       Some(isotonicCalibrationSql)),
     QueryDef("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
@@ -4944,6 +5071,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_zorder_curve", zorderCurve, Some(zorderCurveSql)),
     QueryDef("ext_hilbert_curve", hilbertCurve, Some(hilbertCurveSql)),
     QueryDef("ext_hilbert_3d", hilbert3d, Some(hilbert3dSql)),
+    QueryDef("ext_curve_span_3d", curveSpan3d, Some(curveSpan3dSql)),
     QueryDef("ext_curve_span", curveSpan, Some(curveSpanSql)),
     QueryDef("ext_profile_table", profileTable, Some(profileTableSql)),
     QueryDef("ext_fd_check", fdCheckQ, Some(fdCheckSql)),

@@ -393,4 +393,51 @@ class FrequencySpec extends SparkSpec {
     assert(k2a.forall { s =>
       val est = s(4).asInstanceOf[Long]; est >= 0L && est <= 10000L })
   }
+
+  test("hllCardinality: rank CASE golden values; estimate within HLL error " +
+      "bounds; union row dominates every source") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // the rank CASE is the leftmost-1-bit position (33 for zero)
+    val rc = spark.range(1).select(
+      org.apache.spark.sql.functions.expr(Frequency.hllRankCase(
+        (1L << 31).toString)).as("a"),
+      org.apache.spark.sql.functions.expr(Frequency.hllRankCase("1")).as("b"),
+      org.apache.spark.sql.functions.expr(Frequency.hllRankCase("0")).as("c"),
+      org.apache.spark.sql.functions.expr(Frequency.hllRankCase(
+        ((1L << 20) + 5L).toString)).as("d")).collect().head
+    assert(rc.getInt(0) === 1)   // MSB set
+    assert(rc.getInt(1) === 32)  // only LSB set
+    assert(rc.getInt(2) === 33)  // zero slice
+    assert(rc.getInt(3) === 12)  // leftmost 1 at bit 20 -> rank 32-20=12
+    // three sources with distinct vocab sizes; words via numbered tokens
+    val docs = (0 until 300).map { i =>
+      val src = s"s${i % 3}"
+      val words = (0 until (i % 3 + 1) * 4)
+        .map(j => s"w_${src}_${(i * 7 + j) % ((i % 3 + 1) * 400)}")
+      (i.toLong, words.mkString(" "), src)
+    }.toDF("doc_id", "text", "source")
+    val out = Frequency.hllCardinality(docs).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // small-range linear counting is near-exact below m; raw HLL is
+    // 6.5% (1 sigma) above it — 10% covers both regimes here
+    out.foreach { case (src, (exact, est, errBp)) =>
+      assert(math.abs(est - exact).toDouble / exact <= 0.10,
+        s"$src: exact=$exact est=$est")
+      // sign-before-division definition (truncated absolute error)
+      val want = if (est >= exact) (10000L * (est - exact)) / exact
+        else -((10000L * (exact - est)) / exact)
+      assert(errBp === want)
+    }
+    // union register-max dominates every per-source estimate and its
+    // exact count is the global distinct
+    val union = out("__union")
+    Seq("s0", "s1", "s2").foreach { s =>
+      assert(union._2 >= out(s)._2 * 9 / 10, s"union vs $s") }
+    assert(union._1 >= Seq("s0", "s1", "s2").map(out(_)._1).max)
+    // deterministic across reruns
+    val again = Frequency.hllCardinality(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again === out.map { case (k, v) => k -> v._2 })
+  }
 }
