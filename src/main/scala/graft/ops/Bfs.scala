@@ -77,4 +77,61 @@ object Bfs {
     }
     visited
   }
+
+  /** Bounded-radius HARMONIC CENTRALITY (Marchiori & Latora 2000;
+    * Boldi & Vigna 2014 for the web-graph form): per node,
+    * Σ 1∕d(node, other) over every other node within `maxHops` —
+    * the centrality that handles disconnected graphs natively
+    * (unreachable = contributes 0, no infinite-distance patching),
+    * which is exactly the near-dup-graph situation (many components).
+    * Scores are EXACT integers: Σ ⌊10⁶∕d⌋ per reached node (q6), so
+    * the oracle replays them bit-for-bit.
+    *
+    * The hop bound is the scale contract: exact harmonic centrality is
+    * all-pairs BFS (O(V·E) — Brandes-style, infeasible at corpus
+    * scale); bounded-radius harmonic is the standard production
+    * substitute because influence beyond a few hops is both tiny
+    * (1∕d-weighted) and semantically weak on similarity graphs. Cost
+    * per round is one (root, node)-keyed frontier×edges join + one
+    * anti-join against the known-distance set — the pair frame is
+    * bounded by the k-hop neighborhood sizes (cluster-bounded on
+    * near-dup graphs), never |V|². Same loopBarrier discipline as
+    * [[run]] (the distance set is referenced twice per round).
+    *
+    * Input convention matches [[run]]: symmetrized distinct edges.
+    * Nodes with no edges are absent (their harmonic is 0 by
+    * definition — join back with a left join as for [[run]]). */
+  def harmonic(edges: DataFrame, maxHops: Int): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 8,
+      s"maxHops must be in 1..8, got $maxHops")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = Iterate.loopBarrier(
+      edges.select($"src", $"dst")
+        .where($"src" =!= $"dst" && $"src".isNotNull && $"dst".isNotNull)
+        .distinct())
+    var dist = Iterate.loopBarrier(
+      e.select($"src".as("root"), $"dst".as("node"), lit(1L).as("d")))
+    var frontier = dist.select($"root", $"node")
+    var hop = 1
+    var done = dist.isEmpty
+    while (!done && hop < maxHops) {
+      hop += 1
+      val next = Iterate.loopBarrier(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(frontier("root"), e("dst").as("node")).distinct()
+          .where($"root" =!= $"node")
+          .join(dist, Seq("root", "node"), "left_anti")
+          .select($"root", $"node", lit(hop.toLong).as("d")))
+      done = next.isEmpty
+      if (!done) {
+        dist = Iterate.loopBarrier(dist.unionByName(next))
+        frontier = next.select($"root", $"node")
+      }
+    }
+    dist.groupBy($"root")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div d")).as("harmonic_q6"))
+      .select($"root".as("id"), $"n_reached", $"harmonic_q6")
+  }
 }

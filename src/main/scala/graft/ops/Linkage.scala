@@ -194,4 +194,71 @@ object Linkage {
       .withColumn("orphan", coalesce(!col("matched"), lit(true)))
       .drop("matched")
   }
+
+  /** One Fellegi–Sunter comparator: field name plus the m (P(agree |
+    * match)) and u (P(agree | non-match)) probabilities. Weights are
+    * fixed at q6 INTEGER literals in Scala — ⌊10⁶·ln(m∕u)⌋ on
+    * agreement, ⌊10⁶·ln((1−m)∕(1−u))⌋ on disagreement — so the score
+    * is a portable integer sum (the SPRT-constant trick; no EM loop,
+    * weights are the caller's priors as in production deterministic-
+    * plus-probabilistic linkage stacks). */
+  final case class FsComparator(field: String, m: Double, u: Double) {
+    require(m > 0 && m < 1 && u > 0 && u < 1 && m > u,
+      s"need 0 < u < m < 1, got m=$m u=$u for $field")
+    val wAgreeQ6: Long = math.floor(1e6 * math.log(m / u)).toLong
+    val wDisagreeQ6: Long = math.floor(1e6 * math.log((1 - m) / (1 - u))).toLong
+  }
+
+  /** Probabilistic record linkage scoring (Fellegi & Sunter, JASA
+    * 1969) over a BLOCKED self-join: candidate pairs share the block
+    * key (never all-pairs — the blocking discipline every linkage
+    * stack at scale lives by), each comparator contributes its
+    * agreement or disagreement log-likelihood weight, and the summed
+    * score classifies the pair against the caller's upper/lower
+    * thresholds: `match` ≥ upper, `non_match` ≤ lower, `possible`
+    * between (the clerical-review band).
+    *
+    * Agreement is both-non-null equality; a null on either side is a
+    * DISAGREEMENT (the conservative production default — missing data
+    * must not manufacture matches).
+    *
+    * Scale shape: one equi-shuffle on the block key builds candidates;
+    * comparator arithmetic is narrow codegen; the output is
+    * pair-bounded by the block sizes, which the caller controls by
+    * choosing the key (exactly the hot-bucket story of the dedup
+    * family). Skewed blocks → salt the key upstream or AQE. */
+  def fellegiSunterSelf(df: DataFrame, idCol: String,
+      blockCols: Seq[String], comparators: Seq[FsComparator],
+      upperQ6: Long, lowerQ6: Long): DataFrame = {
+    require(blockCols.nonEmpty, "blocked linkage needs a block key")
+    require(comparators.nonEmpty, "need at least one comparator")
+    require(upperQ6 >= lowerQ6, s"upper $upperQ6 < lower $lowerQ6")
+    val fields = comparators.map(_.field)
+    val base = df.select((idCol +: (blockCols ++ fields)).distinct
+      .map(col): _*)
+    val a = base.select(col(idCol).as("id_a") +:
+      (blockCols.map(col) ++ fields.map(f => col(f).as(s"_a_$f"))): _*)
+    val b = base.select(col(idCol).as("id_b") +:
+      (blockCols.map(col) ++ fields.map(f => col(f).as(s"_b_$f"))): _*)
+    val scored = a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("score_q6", comparators.map { c =>
+        when(col(s"_a_${c.field}").isNotNull &&
+            col(s"_b_${c.field}").isNotNull &&
+            col(s"_a_${c.field}") === col(s"_b_${c.field}"),
+          lit(c.wAgreeQ6)).otherwise(lit(c.wDisagreeQ6))
+      }.reduce(_ + _))
+      .withColumn("n_agree", comparators.map { c =>
+        when(col(s"_a_${c.field}").isNotNull &&
+            col(s"_b_${c.field}").isNotNull &&
+            col(s"_a_${c.field}") === col(s"_b_${c.field}"),
+          lit(1L)).otherwise(lit(0L))
+      }.reduce(_ + _))
+      .withColumn("verdict",
+        when(col("score_q6") >= upperQ6, "match")
+          .when(col("score_q6") <= lowerQ6, "non_match")
+          .otherwise("possible"))
+    scored.select((Seq("id_a", "id_b").map(col) ++ blockCols.map(col) ++
+      Seq(col("score_q6"), col("n_agree"), col("verdict"))): _*)
+  }
 }

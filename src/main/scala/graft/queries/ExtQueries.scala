@@ -2342,6 +2342,58 @@ object ExtQueries extends QueryGroup {
        |ORDER BY node""".stripMargin
   }
 
+  /** Bounded-radius harmonic centrality over the near-dup graph
+    * ([[graft.ops.Bfs.harmonic]], 3 hops): Σ ⌊10⁶∕d⌋ per node —
+    * the "which documents sit at the center of their duplicate
+    * cluster" readout, disconnected-graph-native (unreachable
+    * contributes 0). The oracle expands three per-root distance
+    * levels as NOT-EXISTS-pruned chained CTEs — the visited-set
+    * semantics written independently of the Spark frontier loop. */
+  def harmonicQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    graft.ops.Bfs.harmonic(edges, maxHops = 3).orderBy($"id")
+  }
+
+  private val harmonicSql =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |edges AS MATERIALIZED (
+       |  SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |d1 AS MATERIALIZED (
+       |  SELECT DISTINCT src AS root, dst AS node, 1 AS d FROM edges
+       |  WHERE src <> dst),
+       |d2 AS MATERIALIZED (
+       |  SELECT DISTINCT p.root, e.dst AS node, 2 AS d
+       |  FROM d1 p JOIN edges e ON e.src = p.node
+       |  WHERE p.root <> e.dst
+       |    AND NOT EXISTS (SELECT 1 FROM d1
+       |                    WHERE d1.root = p.root AND d1.node = e.dst)),
+       |d3 AS MATERIALIZED (
+       |  SELECT DISTINCT p.root, e.dst AS node, 3 AS d
+       |  FROM d2 p JOIN edges e ON e.src = p.node
+       |  WHERE p.root <> e.dst
+       |    AND NOT EXISTS (SELECT 1 FROM d1
+       |                    WHERE d1.root = p.root AND d1.node = e.dst)
+       |    AND NOT EXISTS (SELECT 1 FROM d2
+       |                    WHERE d2.root = p.root AND d2.node = e.dst)),
+       |alld AS (
+       |  SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL
+       |  SELECT * FROM d3)
+       |SELECT root AS id, count(*)::BIGINT AS n_reached,
+       |       sum(1000000 // d)::BIGINT AS harmonic_q6
+       |FROM alld GROUP BY 1 ORDER BY id""".stripMargin
+
   /** Minimum spanning forest of the near-dup graph with DISTANCE
     * weights (10000 − cos_q4): the single-linkage dendrogram backbone —
     * cutting it at a threshold IS single-linkage clustering. Unique
@@ -5085,6 +5137,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_assortativity", assortativity, Some(assortativitySql)),
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
+    QueryDef("ext_harmonic", harmonicQ, Some(harmonicSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     QueryDef("ext_embed_pca", embedPca, Some(embedPcaSql)),

@@ -127,7 +127,78 @@ object LinkageQueries extends QueryGroup {
       |FROM pos GROUP BY sample_name, organism, p // 2
       |ORDER BY sample_name, pair_id""".stripMargin
 
+  // Fellegi–Sunter priors for the customer self-linkage demo; ONE
+  // definition feeds both the Spark call and the oracle literals
+  private val fsComparators = Seq(
+    Linkage.FsComparator("bal_k", 0.90, 0.10),
+    Linkage.FsComparator("bal_h", 0.85, 0.01),
+    Linkage.FsComparator("key_mod", 0.80, 0.01))
+  private val fsUpper = 5000000L
+  private val fsLower = 0L
+
+  /** j34_linkage_fs — probabilistic record linkage (Fellegi & Sunter
+    * 1969, [[Linkage.fellegiSunterSelf]]): customers blocked on
+    * (nation, segment), three integer-weighted comparators
+    * (thousand-band balance, hundred-band balance, key-mod pseudo
+    * phone), q6 log-likelihood score, three-way match/possible/
+    * non-match classification. The readout aggregates the whole scored
+    * pair space per verdict, so the hash gate pins every weight and
+    * every pair's classification. */
+  def linkageFs(spark: SparkSession, dir: String): DataFrame = {
+    val cust = graft.Tables.load(spark, dir, "customer")
+      .select(col("c_custkey").as("cid"),
+        col("c_nationkey").cast("long").as("nat"),
+        col("c_mktsegment").as("seg"),
+        expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_k"),
+        expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)").as("bal_h"),
+        (col("c_custkey") % 97).as("key_mod"))
+    Linkage.fellegiSunterSelf(cust, "cid", Seq("nat", "seg"),
+        fsComparators, fsUpper, fsLower)
+      .groupBy(col("verdict"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("n_agree")).as("sum_agree"),
+        min(col("score_q6")).as("score_min"),
+        max(col("score_q6")).as("score_max"),
+        sum(col("score_q6")).as("score_sum"))
+      .orderBy(col("verdict"))
+  }
+
+  private val linkageFsSql = {
+    val cs = fsComparators.map(c =>
+      (c.field, c.wAgreeQ6, c.wDisagreeQ6))
+    val scoreExpr = cs.map { case (f, wa, wd) =>
+      s"""CASE WHEN a.$f IS NOT NULL AND b.$f IS NOT NULL AND a.$f = b.$f
+         |     THEN $wa ELSE $wd END""".stripMargin
+    }.mkString("(", " + ", ")")
+    val agreeExpr = cs.map { case (f, _, _) =>
+      s"""CASE WHEN a.$f IS NOT NULL AND b.$f IS NOT NULL AND a.$f = b.$f
+         |     THEN 1 ELSE 0 END""".stripMargin
+    }.mkString("(", " + ", ")")
+    s"""WITH c AS (
+       |  SELECT c_custkey AS cid, c_nationkey::BIGINT AS nat,
+       |         c_mktsegment AS seg,
+       |         floor(c_acctbal / 1000.0)::BIGINT AS bal_k,
+       |         floor(c_acctbal / 100.0)::BIGINT AS bal_h,
+       |         (c_custkey % 97)::BIGINT AS key_mod
+       |  FROM customer),
+       |scored AS (
+       |  SELECT $scoreExpr::BIGINT AS score_q6,
+       |         $agreeExpr::BIGINT AS n_agree
+       |  FROM c a JOIN c b ON a.nat = b.nat AND a.seg = b.seg
+       |                    AND a.cid < b.cid)
+       |SELECT CASE WHEN score_q6 >= $fsUpper THEN 'match'
+       |            WHEN score_q6 <= $fsLower THEN 'non_match'
+       |            ELSE 'possible' END AS verdict,
+       |       count(*)::BIGINT AS n_pairs,
+       |       sum(n_agree)::BIGINT AS sum_agree,
+       |       min(score_q6)::BIGINT AS score_min,
+       |       max(score_q6)::BIGINT AS score_max,
+       |       sum(score_q6)::BIGINT AS score_sum
+       |FROM scored GROUP BY 1 ORDER BY verdict""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j3b_linkage_tiered", linkageTiered, Some(linkageTieredSql)),
+    QueryDef("j34_linkage_fs", linkageFs, Some(linkageFsSql)),
     QueryDef("j5_pairing_positional", pairingPositional, Some(pairingPositionalSql)))
 }

@@ -103,4 +103,35 @@ class LinkageSpec extends SparkSpec {
       Seq("PP_9_R1.fastq.gz", "PP_9_R2.fastq.gz"))
     assert(s9.getAs[Long]("filesize_sum") === 910L + 920L)
   }
+
+  test("fellegiSunter: hand-computed weights/scores; null disagrees; " +
+      "blocking bounds the pair space") {
+    import spark.implicits._
+    val c1 = Linkage.FsComparator("f1", 0.9, 0.1)
+    val c2 = Linkage.FsComparator("f2", 0.8, 0.01)
+    // golden weights: floor(1e6 ln(m/u)) / floor(1e6 ln((1-m)/(1-u)))
+    assert(c1.wAgreeQ6 === math.floor(1e6 * math.log(9.0)).toLong)
+    assert(c1.wDisagreeQ6 === math.floor(1e6 * math.log(0.1 / 0.9)).toLong)
+    val rows = Seq(
+      (1L, "b1", Some(10L), Some(5L)),
+      (2L, "b1", Some(10L), Some(5L)),   // agrees with 1 on both
+      (3L, "b1", Some(99L), None),       // disagrees f1, null f2
+      (4L, "b2", Some(10L), Some(5L)))   // other block: never paired w/ 1-3
+    val df = rows.toDF("id", "blk", "f1", "f2")
+      .select($"id", $"blk",
+        $"f1".cast("long").as("f1"), $"f2".cast("long").as("f2"))
+    val out = Linkage.fellegiSunterSelf(df, "id", Seq("blk"),
+        Seq(c1, c2), upperQ6 = c1.wAgreeQ6 + c2.wAgreeQ6, lowerQ6 = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getAs[Long]("score_q6"), r.getAs[Long]("n_agree"),
+          r.getAs[String]("verdict")))).toMap
+    // blocking: only within-b1 pairs (3 of them), b2 is a singleton
+    assert(out.keySet === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out((1L, 2L)) ===
+      ((c1.wAgreeQ6 + c2.wAgreeQ6, 2L, "match")))
+    // null f2 on id 3 counts as DISAGREEMENT
+    assert(out((1L, 3L)) ===
+      ((c1.wDisagreeQ6 + c2.wDisagreeQ6, 0L, "non_match")))
+    assert(out((2L, 3L)) === out((1L, 3L)))
+  }
 }
