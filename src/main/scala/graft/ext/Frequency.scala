@@ -788,6 +788,58 @@ object Frequency {
         $"v_zero")
   }
 
+  /** Mutual information between two categorical columns — the
+    * feature-association diagnostic (does `lang` carry information
+    * about `source`? is the split correlated with the label?). Emits
+    * one row: n, MI (q6), both marginal entropies (q6), and the
+    * symmetric normalized MI `2·MI∕(H_a + H_b)` in basis points via
+    * exact integer division.
+    *
+    * Numeric contract: every cell/margin contribution is
+    * floor-quantized to q6 from an expression with IDENTICAL structure
+    * on both engines — (c∕n)·ln(c·n∕(ra·cb)) for MI cells,
+    * (ra∕n)·ln(n∕ra) for entropy terms (spelled positively; no
+    * negation of a floor) — the bm25 ln-portability pattern. Null
+    * categories participate as their own level via a sentinel
+    * (relational GROUP BY already treats NULL as one group on both
+    * engines).
+    *
+    * Scale shape: two map-side-combined aggregates (cells +
+    * margins at category cardinality) and arithmetic on a
+    * category-sized frame; the fact table is scanned once. */
+  def mutualInfo(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persistScoped // cells feed the margins AND the MI sum
+    val n = cells.agg(sum($"c").as("n"))
+    val ma = cells.groupBy($"a").agg(sum($"c").as("ra"))
+    val mb = cells.groupBy($"b").agg(sum($"c").as("cb"))
+    val mi = cells.join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+      .crossJoin(broadcast(n))
+      .agg(sum(expr(
+        """CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *
+          |  ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) /
+          |     (CAST(ra AS DOUBLE) * CAST(cb AS DOUBLE))) *
+          |  1000000.0D) AS BIGINT)""".stripMargin)).as("mi_q6"))
+    def entropy(m: DataFrame, cnt: String): DataFrame = m
+      .crossJoin(broadcast(n))
+      .agg(sum(expr(
+        s"""CAST(floor((CAST($cnt AS DOUBLE) / CAST(n AS DOUBLE)) *
+           |  ln(CAST(n AS DOUBLE) / CAST($cnt AS DOUBLE)) *
+           |  1000000.0D) AS BIGINT)""".stripMargin)).as("h_q6"))
+    val ha = entropy(ma, "ra").select($"h_q6".as("h_a_q6"))
+    val hb = entropy(mb, "cb").select($"h_q6".as("h_b_q6"))
+    n.crossJoin(broadcast(mi)).crossJoin(broadcast(ha))
+      .crossJoin(broadcast(hb))
+      .select($"n", $"mi_q6", $"h_a_q6", $"h_b_q6",
+        // greatest(mi, 0): quantization floors can push a near-zero MI
+        // a hair negative, and a negative numerator would split the
+        // div-truncate vs //-floor engines
+        expr("CASE WHEN h_a_q6 + h_b_q6 > 0 " +
+          "THEN (10000 * 2 * greatest(mi_q6, 0)) div (h_a_q6 + h_b_q6) " +
+          "ELSE 0 END").as("nmi_bp"))
+  }
+
   def kmvJaccard(docs: DataFrame, textCol: String = "text",
       srcCol: String = "source", k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

@@ -729,4 +729,56 @@ object Sampling {
         $"_tw".as("w_temp") :+ $"slots" :+
         expr("(10000 * slots) div _n").as("epochs_bp"): _*)
   }
+
+  /** Deterministic NEGATIVE SAMPLING for contrastive training (the
+    * word2vec/SimCLR data-prep staple): for each anchor with at least
+    * one positive, draw `k` negatives from the contiguous id universe
+    * [0, n) — excluding the anchor itself and ALL of its positives —
+    * by walking md5-uniform candidates in a fixed order. No RNG state:
+    * candidate j of anchor a is `md5(a ++ "_" ++ j) mod n`, so any
+    * (anchor, epoch-salt) pair is reproducible in isolation and the
+    * whole draw replays in SQL.
+    *
+    * The candidate walk over-provisions (`slack ×` k draws), drops
+    * collisions with positives/self, dedups repeated candidates at
+    * their FIRST draw position, and keeps the k earliest — all
+    * relational (one explode, one anti-join against the positives, one
+    * per-anchor window), so rejection never loops.
+    *
+    * Scale shape: |anchors|·(k·slack) candidate rows, one anti-join on
+    * (anchor, candidate) against the positive pairs, one anchor-keyed
+    * window — everything keys on the anchor, no skew (md5 candidates),
+    * no driver state. The universe must be contiguous ids [0, n) (the
+    * embedding/vec_id contract); for sparse universes map through a
+    * dense rank first. */
+  def negativeSample(positives: DataFrame, anchorCol: String,
+      posCol: String, n: Column, k: Int, slack: Int = 4,
+      salt: String = ""): DataFrame = {
+    require(k >= 1 && slack >= 2, s"need k >= 1, slack >= 2; got $k/$slack")
+    import org.apache.spark.sql.expressions.Window
+    val pos = positives
+      .select(col(anchorCol).as("anchor_id"), col(posCol).as("pos_id"))
+      .where($"anchor_id".isNotNull && $"pos_id".isNotNull)
+      .distinct()
+    val anchors = pos.select($"anchor_id").distinct()
+    val cands = anchors
+      .crossJoin(broadcast(pos.sparkSession.range(1).select(n.as("_n"))))
+      .select($"anchor_id", $"_n",
+        explode(sequence(lit(1), lit(k * slack))).as("j"))
+      .select($"anchor_id", $"j",
+        pmod(conv(substring(md5(concat($"anchor_id".cast("string"),
+          lit("_" + salt), $"j".cast("string")).cast("binary")), 1, 8),
+          16, 10).cast("long"), $"_n").as("cand"))
+      .where($"cand" =!= $"anchor_id")
+    val nonPos = cands.join(pos,
+        cands("anchor_id") === pos("anchor_id") && cands("cand") === pos("pos_id"),
+        "left_anti")
+      .groupBy($"anchor_id", $"cand").agg(min($"j").as("j"))
+    nonPos
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"anchor_id").orderBy($"j", $"cand")))
+      .where($"rank" <= k)
+      .select($"anchor_id", $"rank".cast("long").as("rank"),
+        $"cand".as("neg_id"))
+  }
 }

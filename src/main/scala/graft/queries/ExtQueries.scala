@@ -4774,6 +4774,95 @@ object ExtQueries extends QueryGroup {
        |ORDER BY src""".stripMargin
   }
 
+  /** Mutual information between document language and source
+    * ([[Frequency.mutualInfo]]): the "is the corpus mix confounded"
+    * diagnostic — MI, both marginal entropies (q6 floor-quantized with
+    * the bm25 ln-portability pattern), and symmetric normalized MI in
+    * basis points via exact integer division. */
+  def mutualInfo(spark: SparkSession, dir: String): DataFrame =
+    Frequency.mutualInfo(load(spark, dir, "documents"), "lang", "source")
+
+  private val mutualInfoSql =
+    """WITH cells AS MATERIALIZED (
+      |  SELECT lang AS a, source AS b, count(*)::BIGINT AS c
+      |  FROM documents GROUP BY 1, 2),
+      |nn AS (SELECT sum(c)::BIGINT AS n FROM cells),
+      |ma AS (SELECT a, sum(c)::BIGINT AS ra FROM cells GROUP BY 1),
+      |mb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY 1),
+      |mi AS (
+      |  SELECT sum(floor((c::DOUBLE / n::DOUBLE) *
+      |           ln((c::DOUBLE * n::DOUBLE) / (ra::DOUBLE * cb::DOUBLE)) *
+      |           1000000.0::DOUBLE)::BIGINT)::BIGINT AS mi_q6
+      |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+      |ha AS (
+      |  SELECT sum(floor((ra::DOUBLE / n::DOUBLE) *
+      |           ln(n::DOUBLE / ra::DOUBLE) *
+      |           1000000.0::DOUBLE)::BIGINT)::BIGINT AS h_a_q6
+      |  FROM ma CROSS JOIN nn),
+      |hb AS (
+      |  SELECT sum(floor((cb::DOUBLE / n::DOUBLE) *
+      |           ln(n::DOUBLE / cb::DOUBLE) *
+      |           1000000.0::DOUBLE)::BIGINT)::BIGINT AS h_b_q6
+      |  FROM mb CROSS JOIN nn)
+      |SELECT n, mi_q6, h_a_q6, h_b_q6,
+      |       (CASE WHEN h_a_q6 + h_b_q6 > 0
+      |             THEN (10000 * 2 * greatest(mi_q6, 0)) // (h_a_q6 + h_b_q6)
+      |             ELSE 0 END)::BIGINT AS nmi_bp
+      |FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
+
+  /** Deterministic negative sampling for contrastive training
+    * ([[Sampling.negativeSample]]): near-dup pairs are the positives
+    * (both directions), and each anchor draws 3 md5-walk negatives
+    * from the contiguous vec_id universe, excluding itself and all its
+    * positives. The oracle replays the whole walk — candidates,
+    * rejection, first-draw dedup, rank — relationally. */
+  def negativeSampling(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    val nVecs = emb.count()
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
+    val pos = pairs.select($"id_a".as("a"), $"id_b".as("p"))
+      .unionByName(pairs.select($"id_b".as("a"), $"id_a".as("p")))
+    Sampling.negativeSample(pos, "a", "p", lit(nVecs), k = 3)
+      .orderBy($"anchor_id", $"rank")
+  }
+
+  private val negativeSamplingSql =
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |pos AS MATERIALIZED (
+       |  SELECT DISTINCT id_a AS anchor_id, id_b AS pos_id FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |nn AS (SELECT count(*)::BIGINT AS n FROM embeddings),
+       |anchors AS (SELECT DISTINCT anchor_id FROM pos),
+       |cands AS (
+       |  SELECT anchor_id, j.r AS j,
+       |         (('0x' || substr(md5(anchor_id::VARCHAR || '_' ||
+       |             j.r::VARCHAR), 1, 8))::BIGINT % n) AS cand
+       |  FROM anchors CROSS JOIN nn, range(1, 13) j(r)),
+       |kept AS (
+       |  SELECT c.anchor_id, c.cand, min(c.j) AS j
+       |  FROM cands c
+       |  WHERE c.cand <> c.anchor_id
+       |    AND NOT EXISTS (SELECT 1 FROM pos
+       |                    WHERE pos.anchor_id = c.anchor_id
+       |                      AND pos.pos_id = c.cand)
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT anchor_id, cand,
+       |         row_number() OVER (PARTITION BY anchor_id
+       |                            ORDER BY j, cand) AS rank
+       |  FROM kept)
+       |SELECT anchor_id, rank::BIGINT AS rank, cand AS neg_id
+       |FROM ranked WHERE rank <= 3
+       |ORDER BY anchor_id, rank""".stripMargin
+
   /** KMV bottom-k sketch calibration ([[Frequency.kmvJaccard]]): per
     * source PAIR, the union-sketch Jaccard estimate of vocabulary
     * overlap next to the exact Jaccard — deterministic md5 hashes, so
@@ -5037,6 +5126,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sketch_join_size", sketchJoinSize, Some(sketchJoinSizeSql)),
     QueryDef("ext_sketch_kmv", sketchKmv, Some(sketchKmvSql)),
     QueryDef("ext_sketch_hll", sketchHll, Some(sketchHllSql)),
+    QueryDef("ext_mutual_info", mutualInfo, Some(mutualInfoSql)),
+    QueryDef("ext_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     QueryDef("ext_isotonic_calibration", isotonicCalibration,
       Some(isotonicCalibrationSql)),
     QueryDef("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
