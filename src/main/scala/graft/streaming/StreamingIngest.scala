@@ -215,6 +215,74 @@ object StreamingIngest {
       }
   }
 
+  /** Input row for [[cardinalityStream]]. */
+  case class SrcToken(src: String, token: String)
+  /** State for [[cardinalityStream]]: the 256 HLL register ranks —
+    * O(256 bytes) per group FOREVER, the defining property. */
+  case class HllRegs(regs: Array[Byte], processed: Long)
+  /** Emitted estimate; `n_processed` is the monotone progress marker
+    * (the Update-mode memory-sink recovery contract). */
+  case class HllEstimate(src: String, n_processed: Long, hll_est: Long,
+    v_zero: Long)
+
+  /** Streaming distinct-count maintenance — the incremental twin of
+    * [[graft.ext.Frequency.hllCardinality]]: each group keeps the 256
+    * HyperLogLog register maxima (md5 bucket + leftmost-1-bit rank,
+    * bit-identical to the batch sketch's hex-slice formulation), and
+    * emits the current estimate each batch. Because register max is
+    * order- and batching-independent, the maintained sketch after any
+    * prefix EQUALS the batch sketch over exactly the rows seen — the
+    * same strongest-parity contract as [[weightedSampleStream]]
+    * (pinned in StreamingSpec across multi-batch feeds, including
+    * re-deliveries, which are absorbed by max). State is 256 bytes per
+    * group forever; the estimate applies the identical pre-multiplied
+    * α numerator and the same 256-entry linear-counting table as the
+    * batch side. */
+  def cardinalityStream(items: org.apache.spark.sql.Dataset[SrcToken])
+      : org.apache.spark.sql.Dataset[HllEstimate] = {
+    import items.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val alphaNum = graft.ext.Frequency.hllAlphaNumerator.toDouble
+    items.groupByKey(_.src)
+      .flatMapGroupsWithState[HllRegs, HllEstimate](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (src: String, rows: Iterator[SrcToken], state: GroupState[HllRegs]) =>
+          val st = state.getOption.getOrElse(HllRegs(new Array[Byte](256), 0L))
+          val regs = st.regs.clone()
+          var np = st.processed
+          val md = java.security.MessageDigest.getInstance("MD5")
+          rows.foreach { r =>
+            np += 1
+            if (r.token != null && r.token.nonEmpty) {
+              md.reset()
+              val d = md.digest(r.token.getBytes("UTF-8"))
+              val b = d(0) & 0xff
+              val w = ((d(1) & 0xffL) << 24) | ((d(2) & 0xffL) << 16) |
+                ((d(3) & 0xffL) << 8) | (d(4) & 0xffL)
+              val rank =
+                if (w == 0L) 33
+                else java.lang.Long.numberOfLeadingZeros(w) - 32 + 1
+              if (rank > regs(b)) regs(b) = rank.toByte
+            }
+          }
+          state.update(HllRegs(regs, np))
+          var s = 0L
+          var v = 0L
+          var i = 0
+          while (i < 256) {
+            s += 1L << (33 - regs(i))
+            if (regs(i) == 0) v += 1
+            i += 1
+          }
+          val raw = math.floor(alphaNum / s.toDouble).toLong
+          val est =
+            if (raw <= 640 && v > 0)
+              math.floor(256.0 * math.log(256.0 / v)).toLong
+            else raw
+          Iterator.single(HllEstimate(src, np, est, v))
+      }
+  }
+
   /** State for [[transitionsStream]]: each key remembers only its LAST
     * event — O(1) state per key forever, the cheapest stateful shape. */
   case class LastSeen(tsMicros: Long, eventId: Long, eventType: String)

@@ -643,6 +643,48 @@ class StreamingSpec extends SparkSpec {
       assert(s.score_q8 === dupScores.min))
   }
 
+  test("cardinalityStream: multi-batch HLL registers == batch sketch over the " +
+      "same rows; re-deliveries absorbed; empty group estimates 0") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    implicit val sqlCtx = spark.sqlContext
+    import StreamingIngest.SrcToken
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 900).map { i =>
+      SrcToken(s"s${i % 2}", s"tok${rnd.nextInt(300)}")
+    } ++ Seq(
+      SrcToken("s0", "tok1"), // re-delivery: absorbed by register max
+      SrcToken("s2", ""))     // empty token never counts -> estimate 0
+    val (b1, b2) = rows.splitAt(400)
+    val input = MemoryStream[SrcToken]
+    val q = StreamingIngest.cardinalityStream(input.toDS())
+      .writeStream.outputMode(OutputMode.Update())
+      .format("memory").queryName("hll_stream").start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val all = spark.table("hll_stream")
+      .as[StreamingIngest.HllEstimate].collect()
+    val got = all.groupBy(_.src).map { case (s, xs) =>
+      val last = xs.maxBy(_.n_processed)
+      s -> ((last.hll_est, last.v_zero))
+    }
+    // batch twin: the SAME tokens as docs, one doc per source
+    val docs = rows.filter(_.token.nonEmpty).groupBy(_.src).toSeq
+      .map { case (s, xs) => (s, xs.map(_.token).mkString(" ")) }
+      .toDF("source", "text")
+    val want = graft.ext.Frequency.hllCardinality(docs).collect()
+      .filter(_.getString(0) != "__union")
+      .map(r => r.getString(0) ->
+        ((r.getAs[Long]("hll_est"), r.getAs[Long]("v_zero")))).toMap
+    assert(got("s0") === want("s0"))
+    assert(got("s1") === want("s1"))
+    // the empty-token group has an untouched sketch: estimate 0
+    assert(got("s2") === ((0L, 256L)))
+  }
+
   test("heavyHittersStream: exact when capacity suffices; eviction keeps Space-Saving bounds") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
