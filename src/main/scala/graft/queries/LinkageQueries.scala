@@ -144,14 +144,17 @@ object LinkageQueries extends QueryGroup {
     * non-match classification. The readout aggregates the whole scored
     * pair space per verdict, so the hash gate pins every weight and
     * every pair's classification. */
-  def linkageFs(spark: SparkSession, dir: String): DataFrame = {
-    val cust = graft.Tables.load(spark, dir, "customer")
+  private def fsCustomers(spark: SparkSession, dir: String): DataFrame =
+    graft.Tables.load(spark, dir, "customer")
       .select(col("c_custkey").as("cid"),
         col("c_nationkey").cast("long").as("nat"),
         col("c_mktsegment").as("seg"),
         expr("CAST(floor(c_acctbal / 1000.0) AS BIGINT)").as("bal_k"),
         expr("CAST(floor(c_acctbal / 100.0) AS BIGINT)").as("bal_h"),
         (col("c_custkey") % 97).as("key_mod"))
+
+  def linkageFs(spark: SparkSession, dir: String): DataFrame = {
+    val cust = fsCustomers(spark, dir)
     Linkage.fellegiSunterSelf(cust, "cid", Seq("nat", "seg"),
         fsComparators, fsUpper, fsLower)
       .groupBy(col("verdict"))
@@ -197,8 +200,68 @@ object LinkageQueries extends QueryGroup {
        |FROM scored GROUP BY 1 ORDER BY verdict""".stripMargin
   }
 
+  /** j35_er_resolve — the COMPLETE entity-resolution pipeline composed
+    * from shipped operators: block → Fellegi–Sunter score → classify →
+    * transitive closure ([[graft.ext.Dedup.resolveComponents]]) →
+    * per-entity golden rollup (members, canonical id = min, best
+    * balance band). Matching is transitive by construction here — the
+    * production ER shape where pairwise links imply one entity. The
+    * oracle re-derives the closure with a recursive min-label CTE,
+    * fully independent of the Spark pointer-doubling loop. */
+  def erResolve(spark: SparkSession, dir: String): DataFrame = {
+    val cust = fsCustomers(spark, dir)
+    val matches = Linkage.fellegiSunterSelf(cust, "cid", Seq("nat", "seg"),
+        fsComparators, fsUpper, fsLower)
+      .where(col("verdict") === "match")
+      .select(col("id_a"), col("id_b"))
+    val comps = graft.ext.Dedup.resolveComponents(
+      cust.select(col("cid")), matches, idCol = "cid")
+    comps.join(cust, Seq("cid"))
+      .groupBy(col("component_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("cid")).as("canonical_id"),
+        max(col("bal_h")).as("best_bal_h"))
+      .where(col("n_members") >= 2)
+      .orderBy(col("component_id"))
+  }
+
+  private val erResolveSql = {
+    val cs = fsComparators.map(c => (c.field, c.wAgreeQ6, c.wDisagreeQ6))
+    val scoreExpr = cs.map { case (f, wa, wd) =>
+      s"""CASE WHEN a.$f IS NOT NULL AND b.$f IS NOT NULL AND a.$f = b.$f
+         |     THEN $wa ELSE $wd END""".stripMargin
+    }.mkString("(", " + ", ")")
+    s"""WITH RECURSIVE c AS MATERIALIZED (
+       |  SELECT c_custkey AS cid, c_nationkey::BIGINT AS nat,
+       |         c_mktsegment AS seg,
+       |         floor(c_acctbal / 1000.0)::BIGINT AS bal_k,
+       |         floor(c_acctbal / 100.0)::BIGINT AS bal_h,
+       |         (c_custkey % 97)::BIGINT AS key_mod
+       |  FROM customer),
+       |m AS MATERIALIZED (
+       |  SELECT a.cid AS id_a, b.cid AS id_b
+       |  FROM c a JOIN c b ON a.nat = b.nat AND a.seg = b.seg
+       |                    AND a.cid < b.cid
+       |  WHERE $scoreExpr >= $fsUpper),
+       |edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM m
+       |  UNION ALL SELECT id_b, id_a FROM m),
+       |comp(id, comp) AS (
+       |  SELECT cid, cid FROM c
+       |  UNION
+       |  SELECT e.dst, k.comp FROM edges e JOIN comp k ON e.src = k.id),
+       |lab AS (SELECT id, min(comp) AS component_id FROM comp GROUP BY id)
+       |SELECT l.component_id, count(*)::BIGINT AS n_members,
+       |       min(c.cid)::BIGINT AS canonical_id,
+       |       max(c.bal_h)::BIGINT AS best_bal_h
+       |FROM lab l JOIN c ON c.cid = l.id
+       |GROUP BY 1 HAVING count(*) >= 2
+       |ORDER BY component_id""".stripMargin
+  }
+
   override def defs: Seq[QueryDef] = Seq(
     QueryDef("j3b_linkage_tiered", linkageTiered, Some(linkageTieredSql)),
     QueryDef("j34_linkage_fs", linkageFs, Some(linkageFsSql)),
+    QueryDef("j35_er_resolve", erResolve, Some(erResolveSql)),
     QueryDef("j5_pairing_positional", pairingPositional, Some(pairingPositionalSql)))
 }
