@@ -98,7 +98,7 @@ object Dedup {
   /** LSH band array from a k-component signature column: band value =
     * joined component string (no extra hashing needed for the bucket
     * equi-join). */
-  private def bandArray(sig: Column, k: Int, r: Int): Column = {
+  private[graft] def bandArray(sig: Column, k: Int, r: Int): Column = {
     val bands = (0 until k / r).map { b =>
       val parts = (1 to r).map(j => sig.getItem(b * r + j - 1).cast("string"))
       struct(lit(b).as("band_idx"), concat_ws(":", parts: _*).as("band_val"))

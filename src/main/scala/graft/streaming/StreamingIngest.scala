@@ -725,6 +725,128 @@ object StreamingIngest {
         } finally { scored.unpersist(); () }
       }
 
+  /** Incremental NEAR-DUP dedup sink — the production shape of corpus
+    * deduplication: documents land continuously, each new document is
+    * checked against a persistent MinHash-LSH INDEX of everything kept
+    * so far, and only survivors join the index. The batch operator
+    * ([[graft.ext.Dedup.minhashLsh]]) answers "which pairs are dups";
+    * this answers the online question "should THIS document enter the
+    * corpus" without ever rescanning the corpus.
+    *
+    * Decision rule (deterministic, documented contract): a document is
+    * REJECTED iff its signature matches — shares an LSH band bucket AND
+    * agrees on ≥ `minAgree` of the k MinHash components — (a) any
+    * already-INDEXED document, or (b) a smaller-id document in its own
+    * micro-batch (min-id-wins locally; the standard relational stand-in
+    * for sequential greedy inside a batch). Matching is signature-only
+    * (no stored text, no exact-Jaccard verify): at index scale the
+    * corpus text cannot be re-read per batch, which is precisely the
+    * trade the production incremental dedupers make.
+    *
+    * Exactly-once by idempotent output: keep/reject/index rows all land
+    * in per-batch `b<batchId>` subdirectories, and a batch PROBES only
+    * STRICTLY-EARLIER batch dirs — a replayed batch neither re-appends
+    * nor sees its own failed attempt's index rows (which would reject
+    * every doc against itself). Index rows are (doc_id, sig, band_idx,
+    * band_val): band-bucket equi-join probes, candidate-bounded work,
+    * never all-pairs. */
+  def nearDupSink(docs: DataFrame, indexPath: String, keepPath: String,
+      rejectPath: String, checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 6, r: Int = 2,
+      minAgree: Int = 4): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(k % r == 0 && minAgree >= 1 && minAgree <= k,
+      s"need r | k and 1 <= minAgree <= k; got k=$k r=$r minAgree=$minAgree")
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val agreeExpr = expr(
+          """aggregate(zip_with(_sig, _sig_old, (x, y) ->
+            |  IF(x = y, 1, 0)), 0, (acc, v) -> acc + v)""".stripMargin)
+        val sigd = batch.withColumn("_m",
+            org.apache.spark.sql.GraftColumnBridge.toColumn(
+              graft.functions.ShingleMinhash(
+                org.apache.spark.sql.GraftColumnBridge.toExpr(
+                  graft.ext.TextStats.tokens(col(textCol))), 3, k)))
+          .withColumn("_sig", col("_m.sig"))
+          .withColumn("_bands",
+            graft.ext.Dedup.bandArray(col("_sig"), k, r))
+          .drop("_m")
+          .persist()
+        try {
+          val bandsNew = sigd.select(col(idCol).as("_nid"), col("_sig"),
+              explode(col("_bands")).as("_b"))
+            .select(col("_nid"), col("_sig"),
+              col("_b.band_idx").as("band_idx"),
+              col("_b.band_val").as("band_val"))
+          // probe ONLY strictly-earlier batch dirs: a replayed batch
+          // must not see its own failed attempt's index rows (it would
+          // reject every one of its docs against itself)
+          val hPath = new org.apache.hadoop.fs.Path(indexPath)
+          val hfs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val earlier: Seq[String] =
+            if (hfs.exists(hPath))
+              hfs.listStatus(hPath).filter(_.isDirectory)
+                .map(_.getPath.getName)
+                .flatMap(n => if (n.startsWith("b"))
+                  n.drop(1).toLongOption else None)
+                .filter(_ < batchId)
+                .map(n => s"$indexPath/b$n").toSeq
+            else Seq.empty
+          val index =
+            if (earlier.isEmpty)
+              bandsNew.select(col("_nid").as(idCol),
+                col("_sig").as("sig"), col("band_idx"), col("band_val"))
+                .limit(0)
+            else spark.read.parquet(earlier: _*)
+          // (a) probe the persistent index
+          val dupIdx = bandsNew.join(index
+                .select(col(idCol).as("_oid"), col("sig").as("_sig_old"),
+                  col("band_idx"), col("band_val")),
+              Seq("band_idx", "band_val"))
+            .select(col("_nid"), col("_oid"), col("_sig"), col("_sig_old"))
+            .distinct()
+            .where(agreeExpr >= minAgree)
+            .groupBy(col("_nid")).agg(min(col("_oid")).as("dup_of"))
+          // (b) min-id-wins within the batch
+          val right = bandsNew.select(col("_nid").as("_bigid"),
+            col("_sig"), col("band_idx"), col("band_val"))
+          val dupBatch = bandsNew
+            .select(col("_nid").as("_oid"), col("_sig").as("_sig_old"),
+              col("band_idx"), col("band_val"))
+            .join(right, Seq("band_idx", "band_val"))
+            .where(col("_oid") < col("_bigid"))
+            .select(col("_bigid").as("_nid"), col("_oid"), col("_sig"),
+              col("_sig_old"))
+            .distinct()
+            .where(agreeExpr >= minAgree)
+            .groupBy(col("_nid")).agg(min(col("_oid")).as("dup_of"))
+          val rejected = dupIdx.unionByName(dupBatch)
+            .groupBy(col("_nid")).agg(min(col("dup_of")).as("dup_of"))
+            .persist()
+          val keeps = sigd.join(rejected,
+            sigd(idCol) === rejected("_nid"), "left_anti")
+          val rejects = sigd.join(rejected, sigd(idCol) === rejected("_nid"))
+            .drop("_nid")
+          keeps.drop("_sig", "_bands")
+            .write.mode("overwrite").parquet(s"$keepPath/b$batchId")
+          rejects.drop("_sig", "_bands").select(col("*"))
+            .write.mode("overwrite").parquet(s"$rejectPath/b$batchId")
+          // survivors enter the index: exploded band rows + signature
+          keeps.select(col(idCol), col("_sig").as("sig"),
+              explode(col("_bands")).as("_b"))
+            .select(col(idCol), col("sig"),
+              col("_b.band_idx").as("band_idx"),
+              col("_b.band_val").as("band_val"))
+            .write.mode("overwrite").parquet(s"$indexPath/b$batchId")
+          rejected.unpersist()
+          ()
+        } finally { sigd.unpersist(); () }
+      }
+  }
+
   /** Insert-only merge sink: each micro-batch merges into the target
     * with `$setOnInsert` semantics (discovery never clobbers
     * enrichments) — update_reads.py:46-56 as a streaming sink.

@@ -293,6 +293,52 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got.size >= 3)
   }
 
+  test("nearDupSink: incremental near-dup dedup against the growing index — " +
+      "cross-batch rejects, min-id-wins in-batch, survivors extend the index") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // fully disjoint token sets across distinct docs -> no false bands;
+    // exact copies -> identical signatures -> always caught
+    def text(i: Long): String = (0 until 12).map(j => s"a${i}b$j").mkString(" ")
+    val landing = tmpDir("graft-neardup-landing")
+    val idxP = tmpDir("graft-neardup-idx") + "/idx"
+    val keepP = tmpDir("graft-neardup-keep")
+    val rejP = tmpDir("graft-neardup-rej")
+    val ckpt = tmpDir("graft-neardup-ckpt")
+    val b1 = Seq((1L, text(1)), (2L, text(2)), (3L, text(3)),
+      (4L, text(4)), (5L, text(5)), (6L, text(6)),
+      (7L, text(3))) // in-batch exact copy of 3 -> min-id-wins
+    val b2 = Seq((11L, text(11)),
+      (12L, text(3)),  // copy of an INDEXED doc -> cross-batch reject
+      (13L, text(13)),
+      (14L, text(13)), // in-batch copy -> dup_of 13
+      (15L, text(15)))
+    def run(rows: Seq[(Long, String)], part: String): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/$part")
+      val schema = spark.read.parquet(s"$landing/$part").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$landing/*")
+      val q = StreamingIngest.nearDupSink(stream, idxP, keepP, rejP, ckpt)
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    run(b1, "p1")
+    run(b2, "p2")
+    val kept = spark.read.parquet(s"$keepP/b*")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val rej = spark.read.parquet(s"$rejP/b*")
+      .select($"doc_id", $"dup_of").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kept === Set(1L, 2L, 3L, 4L, 5L, 6L, 11L, 13L, 15L))
+    assert(rej === Map(7L -> 3L, 12L -> 3L, 14L -> 13L))
+    // the index holds band rows for SURVIVORS only
+    val idxIds = spark.read.parquet(s"$idxP/b*")
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds === kept)
+    // keep output carries the original columns, not the working ones
+    val cols = spark.read.parquet(s"$keepP/b*").columns.toSet
+    assert(cols === Set("doc_id", "text"))
+  }
+
   test("corpusFilterSink: multi-batch keep/reject routing equals the batch cascade") {
     val docs = Tables.load(spark, sfDir, "documents")
     val landing = tmpDir("graft-landing-corpus")
