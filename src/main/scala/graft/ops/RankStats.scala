@@ -237,4 +237,51 @@ object RankStats {
       .agg(count(lit(1)).as("n_pairs"),
         sum(signum(col("_xb") - col("_xa")).cast("long")).as("s_stat"))
   }
+
+  /** THEIL–SEN robust trend (Theil 1950, Sen 1968) — [[mannKendall]]'s
+    * natural companion (MK answers "is there a trend", Theil–Sen
+    * answers "how steep"): per group, the MEDIAN of all pairwise
+    * slopes, which tolerates ~29% outliers where OLS tolerates zero.
+    * Slopes are q6 integers via sign-before-division (Spark's
+    * truncating `div` ≡ DuckDB's `//` on the non-negative absolute
+    * value); the median is the LOWER median (deterministic for even
+    * pair counts); the intercept is the median of the q6 residuals
+    * `10⁶·x − slope·t` under the chosen slope.
+    *
+    * Same input contract as [[mannKendall]]: the caller collapses raw
+    * data to the (group, t, x) series FIRST, so the O(n²) pair join
+    * runs on series-sized input only (a year of daily points = 66k
+    * pairs per group — window-sorted per group, never globally). */
+  def theilSen(series: DataFrame, groupCol: String, tCol: String,
+      xCol: String): DataFrame = {
+    val a = series.select(col(groupCol).as("g"), col(tCol).as("_ta"),
+      col(xCol).as("_xa"))
+    val b = series.select(col(groupCol).as("g"), col(tCol).as("_tb"),
+      col(xCol).as("_xb"))
+    val slopes = a.join(b, Seq("g"))
+      .where(col("_ta") < col("_tb"))
+      .withColumn("slope_q6", expr(
+        """CASE WHEN _xb >= _xa
+          |THEN (1000000 * (_xb - _xa)) div (_tb - _ta)
+          |ELSE -((1000000 * (_xa - _xb)) div (_tb - _ta)) END""".stripMargin))
+    val w = Window.partitionBy(col("g")).orderBy(col("slope_q6"))
+    val med = slopes
+      .withColumn("_rn", row_number().over(w))
+      .withColumn("_np", count(lit(1)).over(Window.partitionBy(col("g"))))
+      // integer div: Column./ would yield DOUBLE and miss even counts
+      .where(col("_rn") === expr("(_np + 1) div 2"))
+      .select(col("g"), col("_np").as("n_pairs"), col("slope_q6"))
+    val resid = series.select(col(groupCol).as("g"), col(tCol).as("_t"),
+        col(xCol).as("_x"))
+      .join(med, Seq("g"))
+      .withColumn("_r_q6", lit(1000000L) * col("_x") -
+        col("slope_q6") * col("_t"))
+    val wr = Window.partitionBy(col("g")).orderBy(col("_r_q6"))
+    resid
+      .withColumn("_rn", row_number().over(wr))
+      .withColumn("_n", count(lit(1)).over(Window.partitionBy(col("g"))))
+      .where(col("_rn") === expr("(_n + 1) div 2"))
+      .select(col("g").as(groupCol), col("_n").as("n_points"),
+        col("n_pairs"), col("slope_q6"), col("_r_q6").as("intercept_q6"))
+  }
 }

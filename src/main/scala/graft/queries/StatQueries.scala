@@ -243,6 +243,51 @@ object StatQueries extends QueryGroup {
       |FROM s a JOIN s b ON a.g = b.g AND a.d < b.d
       |GROUP BY a.g ORDER BY event_type""".stripMargin
 
+  /** ev51_theil_sen — Theil–Sen robust trend per event type over the
+    * daily event-count series ([[RankStats.theilSen]]): the median
+    * pairwise slope (q6, sign-before-division) plus the median-residual
+    * intercept — Mann–Kendall's "how steep" companion, tolerant of ~29%
+    * outlier days. Pair join runs on the collapsed series only. */
+  def theilSenQ(spark: SparkSession, dir: String): DataFrame = {
+    val series = load(spark, dir, "events")
+      .groupBy($"event_type", expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("x"))
+    RankStats.theilSen(series, "event_type", "d", "x")
+      .orderBy($"event_type")
+  }
+
+  private val theilSenSql =
+    """WITH s AS MATERIALIZED (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS d,
+      |         count(*)::BIGINT AS x
+      |  FROM events GROUP BY 1, 2),
+      |p AS (
+      |  SELECT a.g,
+      |         (CASE WHEN b.x >= a.x
+      |               THEN (1000000 * (b.x - a.x)) // (b.d - a.d)
+      |               ELSE -((1000000 * (a.x - b.x)) // (b.d - a.d))
+      |          END)::BIGINT AS slope_q6
+      |  FROM s a JOIN s b ON a.g = b.g AND a.d < b.d),
+      |m AS (
+      |  SELECT g, np::BIGINT AS n_pairs, slope_q6 FROM (
+      |    SELECT g, slope_q6,
+      |           row_number() OVER (PARTITION BY g ORDER BY slope_q6) AS rn,
+      |           count(*) OVER (PARTITION BY g) AS np
+      |    FROM p) WHERE rn = (np + 1) // 2),
+      |r AS (
+      |  SELECT s.g, m.n_pairs, m.slope_q6,
+      |         (1000000 * s.x - m.slope_q6 * s.d)::BIGINT AS r_q6
+      |  FROM s JOIN m ON s.g = m.g)
+      |SELECT g AS event_type, n::BIGINT AS n_points, n_pairs, slope_q6,
+      |       r_q6 AS intercept_q6
+      |FROM (
+      |  SELECT g, n_pairs, slope_q6, r_q6,
+      |         row_number() OVER (PARTITION BY g ORDER BY r_q6) AS rn,
+      |         count(*) OVER (PARTITION BY g) AS n
+      |  FROM r) WHERE rn = (n + 1) // 2
+      |ORDER BY event_type""".stripMargin
+
   /** ext_digit_uniformity — chi-square goodness-of-fit of the LAST
     * digit of order-amount cents against uniform (Nigrini's last-digit
     * fraud screen, the companion to ext_benford_audit's first-digit
@@ -1246,5 +1291,6 @@ object StatQueries extends QueryGroup {
     QueryDef("ext_chi_square", chiSquareQ, Some(chiSquareSql)),
     QueryDef("ext_t_closeness", tClosenessQ, Some(tClosenessSql)),
     QueryDef("ext_weighted_median", weightedMedianQ, Some(weightedMedianSql)),
-    QueryDef("ev36_mann_kendall", mannKendallQ, Some(mannKendallSql)))
+    QueryDef("ev36_mann_kendall", mannKendallQ, Some(mannKendallSql)),
+    QueryDef("ev51_theil_sen", theilSenQ, Some(theilSenSql)))
 }

@@ -121,6 +121,37 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  // round-9 additions — same blanket contract
+  private lazy val auditedSixth: Seq[(String, DataFrame, String)] = Seq(
+    ("ext_harmonic", ExtQueries.harmonicQ(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_sketch_hll", ExtQueries.sketchHll(spark, sfDir),
+      "register-sized frames (256 rows/source), presentation sort"),
+    ("ext_mutual_info", ExtQueries.mutualInfo(spark, sfDir),
+      "one-row summary over category-sized margins"),
+    ("ext_negative_sampling", ExtQueries.negativeSampling(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("j34_linkage_fs", LinkageQueries.linkageFs(spark, sfDir),
+      "3-row verdict rollup"),
+    ("j35_er_resolve", LinkageQueries.erResolve(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_hilbert_3d", ExtQueries.hilbert3d(spark, sfDir),
+      "64-block rollup, presentation sort"))
+
+  test("sixth-wave queries: no cartesian product, no unhinted nested loop, " +
+      "single-partition only where bounded") {
+    auditedSixth.foreach { case (name, df, reason) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      // broadcast one-row/summary frames legitimately plan BNLJ-cross
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("Broadcast"), s"$name:\n$p")
+      if (p.contains("SinglePartition"))
+        assert(reason.nonEmpty, s"$name has an UNEXPLAINED SinglePartition:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cupedLift / sprtMonitor: multi-consumer readouts scan the fact table " +
       "ONCE behind a persist barrier") {
     def finalPlan(df: DataFrame): String = {
