@@ -22,6 +22,39 @@ object TextStats {
   def tokens(text: Column): Column =
     split(lower(coalesce(text, lit(""))), "\\s+")
 
+  /** Fixed-size token-window CHUNKING with overlap — the RAG/context-
+    * window preparation pass (split every document into `chunkTokens`-
+    * token windows advancing by `stride`, so consecutive chunks share
+    * `chunkTokens − stride` tokens of context): chunk i covers tokens
+    * [i·stride, i·stride + chunkTokens), emitted while i·stride < n
+    * (every token lands in ≥ 1 chunk; trailing chunks may be shorter;
+    * an empty/null doc yields one empty chunk at idx 0 — the
+    * tokenizer's empty-doc convention carried through).
+    *
+    * Pure narrow transform: one explode over ⌈n∕stride⌉ window starts
+    * per doc, slices on the already-split token array — no shuffle, no
+    * state; fan-out is bounded by doc length over stride. Chunk ids
+    * are (doc_id, chunk_idx) — deterministic, re-chunk-stable. */
+  def chunk(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", chunkTokens: Int = 40,
+      stride: Int = 30): DataFrame = {
+    require(chunkTokens >= 1 && stride >= 1 && stride <= chunkTokens,
+      s"need 1 <= stride <= chunkTokens; got $chunkTokens/$stride")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_n", size($"_toks"))
+      .withColumn("chunk_idx", explode(sequence(lit(0),
+        greatest(ceil(($"_n" - 1).cast("double") / stride).cast("int"),
+          lit(0)))))
+      .where($"chunk_idx" * stride < $"_n" || $"chunk_idx" === 0)
+      .select(col(idCol), $"chunk_idx".cast("long").as("chunk_idx"),
+        ($"chunk_idx" * stride).cast("long").as("start_tok"),
+        array_join(slice($"_toks", $"chunk_idx" * stride + 1,
+          lit(chunkTokens)), " ").as("chunk_text"))
+      .withColumn("n_chunk_tokens",
+        size(split($"chunk_text", "\\s+")).cast("long"))
+  }
+
   /** Small per-language stopword lists for the n-gram/stopword language-ID
     * heuristic. Deterministic and tiny by design (the real thing would
     * broadcast a larger dictionary — same plan shape). */

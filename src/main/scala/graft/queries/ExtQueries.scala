@@ -4863,6 +4863,35 @@ object ExtQueries extends QueryGroup {
        |FROM ranked WHERE rank <= 3
        |ORDER BY anchor_id, rank""".stripMargin
 
+  /** RAG chunking ([[TextStats.chunk]]): every document split into
+    * 40-token windows advancing by 30 (10 tokens of shared context
+    * between consecutive chunks) — the context-window preparation pass
+    * before embedding/indexing. The oracle replays the window starts,
+    * list slices, and trailing-chunk clamping. */
+  def ragChunking(spark: SparkSession, dir: String): DataFrame =
+    TextStats.chunk(load(spark, dir, "documents"))
+      .orderBy($"doc_id", $"chunk_idx")
+
+  private val ragChunkingSql =
+    s"""WITH t AS (
+       |  SELECT doc_id, $toksSql AS l FROM documents),
+       |starts AS (
+       |  SELECT doc_id, l, len(l)::BIGINT AS n,
+       |         unnest(range(0,
+       |           greatest(ceil((len(l) - 1) / 30.0)::BIGINT, 0) + 1))
+       |           AS chunk_idx
+       |  FROM t),
+       |c AS (
+       |  SELECT doc_id, chunk_idx, (chunk_idx * 30)::BIGINT AS start_tok,
+       |         array_to_string(
+       |           list_slice(l, chunk_idx * 30 + 1, chunk_idx * 30 + 40),
+       |           ' ') AS chunk_text
+       |  FROM starts WHERE chunk_idx * 30 < n OR chunk_idx = 0)
+       |SELECT doc_id, chunk_idx::BIGINT AS chunk_idx, start_tok, chunk_text,
+       |       len(string_split_regex(chunk_text, '\\s+'))::BIGINT
+       |         AS n_chunk_tokens
+       |FROM c ORDER BY doc_id, chunk_idx""".stripMargin
+
   /** KMV bottom-k sketch calibration ([[Frequency.kmvJaccard]]): per
     * source PAIR, the union-sketch Jaccard estimate of vocabulary
     * overlap next to the exact Jaccard — deterministic md5 hashes, so
@@ -5127,6 +5156,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sketch_kmv", sketchKmv, Some(sketchKmvSql)),
     QueryDef("ext_sketch_hll", sketchHll, Some(sketchHllSql)),
     QueryDef("ext_mutual_info", mutualInfo, Some(mutualInfoSql)),
+    QueryDef("ext_rag_chunking", ragChunking, Some(ragChunkingSql)),
     QueryDef("ext_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     QueryDef("ext_isotonic_calibration", isotonicCalibration,
       Some(isotonicCalibrationSql)),
