@@ -119,5 +119,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         }
         graft.functions.HilbertD3(exprs(0), exprs(1), exprs(2), bits)
       })))
+    ext.injectFunction((
+      FunctionIdentifier("zvalue3"),
+      info("zvalue3",
+        "zvalue3(x, y, z, bits) - 3-D Morton z-order interleave of three longs (bits must be a literal)"),
+      arity("zvalue3", 4)(exprs => {
+        val bits = exprs(3) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case _ => throw new IllegalArgumentException(
+            "zvalue3(x, y, z, bits): bits must be an integer literal")
+        }
+        graft.functions.ZValue3(exprs(0), exprs(1), exprs(2), bits)
+      })))
   }
 }

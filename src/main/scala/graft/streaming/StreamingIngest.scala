@@ -590,8 +590,10 @@ object StreamingIngest {
       case dt => throw new IllegalArgumentException(
         s"asof ts column must be timestamp/long, got $dt ($tsCol)")
     }
+    // the cast is a no-op for TIMESTAMP and pins the session-zone
+    // interpretation for TIMESTAMP_NTZ (unix_micros requires TIMESTAMP)
     def micros(c: org.apache.spark.sql.Column) =
-      if (tsIsTimestamp) unix_micros(c) else c
+      if (tsIsTimestamp) unix_micros(c.cast("timestamp")) else c
     val matchCols = (col(tsCol).as(tsCol) +: rPayload.map(col)): Seq[org.apache.spark.sql.Column]
     val matchType = dimHistory.select(struct(matchCols: _*).as("m"))
       .schema("m").dataType.asInstanceOf[StructType]

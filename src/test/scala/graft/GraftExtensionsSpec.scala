@@ -21,7 +21,9 @@ class GraftExtensionsSpec extends SparkSpec {
         |       fuzz_ratio('kitten', 'kitten') AS fr,
         |       dot_product(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS dp,
         |       zvalue(3L, 5L, 16) AS z,
-        |       hilbert_d(1L, 0L, 1) AS hd
+        |       hilbert_d(1L, 0L, 1) AS hd,
+        |       zvalue3(1L, 1L, 1L, 4) AS z3,
+        |       hilbert_d3(0L, 0L, 0L, 3) AS h3
         |""".stripMargin.replace('\n', ' ')).collect().head
     assert(math.abs(row.getDouble(0) - -(40 + 26 / 60.0 + 15 / 3600.0)) < 1e-9)
     assert(row.getInt(1) === 100)
@@ -30,5 +32,9 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(row.getLong(3) === 39L)
     // (1,0) is the LAST cell of the 2x2 Hilbert U
     assert(row.getLong(4) === 3L)
+    // (1,1,1) interleaves to bits 0,1,2 set
+    assert(row.getLong(5) === 7L)
+    // the 3-D curve starts at the origin
+    assert(row.getLong(6) === 0L)
   }
 }
