@@ -238,6 +238,39 @@ object RankStats {
         sum(signum(col("_xb") - col("_xa")).cast("long")).as("s_stat"))
   }
 
+  /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): per
+    * task with n attempts of which c are correct,
+    * pass@k = 1 − C(n−c, k)∕C(n, k) — the probability that a random
+    * k-subset of the attempts contains at least one success, which is
+    * what "the model solves it within k samples" means without the
+    * naive-subsampling bias. Computed EXACTLY in basis points via the
+    * falling-factorial form 1 − Π_{i<k}(n−c−i)∕(n−i): integer products
+    * and one truncating division on non-negative values, so both
+    * engines agree bit-for-bit. k clamps to n per task (k_eff =
+    * min(k, n)); factors clamp at 0, so n−c < k_eff ⇒ pass = 10⁴.
+    *
+    * Overflow bound: 10⁴·n^k < 2⁶³ — n up to ~97 000 attempts per task
+    * at k = 3 (far beyond any eval harness).
+    *
+    * Scale shape: ONE map-side-combined (task) aggregate over the
+    * attempt table, then row-local integer arithmetic on |tasks| rows. */
+  def passAtK(attempts: DataFrame, taskCol: String, correctCol: Column,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 8, s"k must be in 1..8, got $k")
+    val counts = attempts.groupBy(col(taskCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correctCol, 1L).otherwise(0L)).as("c"))
+      .withColumn("k_eff", least(lit(k.toLong), col("n")))
+    val num = (0 until k).map(i =>
+      s"(CASE WHEN $i < k_eff THEN greatest(n - c - $i, 0) ELSE 1 END)")
+      .mkString(" * ")
+    val den = (0 until k).map(i =>
+      s"(CASE WHEN $i < k_eff THEN n - $i ELSE 1 END)")
+      .mkString(" * ")
+    counts.withColumn("pass_bp", expr(
+      s"CASE WHEN n >= 1 THEN 10000 - (10000 * ($num)) div ($den) ELSE 0 END"))
+  }
+
   /** THEIL–SEN robust trend (Theil 1950, Sen 1968) — [[mannKendall]]'s
     * natural companion (MK answers "is there a trend", Theil–Sen
     * answers "how steep"): per group, the MEDIAN of all pairwise

@@ -288,6 +288,36 @@ object StatQueries extends QueryGroup {
       |  FROM r) WHERE rn = (n + 1) // 2
       |ORDER BY event_type""".stripMargin
 
+  /** ext_pass_at_k — the unbiased pass@k estimator (Chen et al. 2021,
+    * [[RankStats.passAtK]]) over a synthetic eval harness: tasks =
+    * user_id mod 50, an attempt is correct when value ≥ 30. Exact
+    * integer falling factorials; the oracle replays the clamped
+    * products and the single truncating division. */
+  def passAtKQ(spark: SparkSession, dir: String): DataFrame =
+    RankStats.passAtK(
+      load(spark, dir, "events").withColumn("task", $"user_id" % 50),
+      "task", $"value" >= 30.0, k = 3)
+      .orderBy($"task")
+
+  private val passAtKSql = {
+    val num = (0 until 3).map(i =>
+      s"(CASE WHEN $i < k_eff THEN greatest(n - c - $i, 0) ELSE 1 END)")
+      .mkString(" * ")
+    val den = (0 until 3).map(i =>
+      s"(CASE WHEN $i < k_eff THEN n - $i ELSE 1 END)")
+      .mkString(" * ")
+    s"""WITH t AS (
+       |  SELECT (user_id % 50)::BIGINT AS task, count(*)::BIGINT AS n,
+       |         sum(CASE WHEN value >= 30.0 THEN 1 ELSE 0 END)::BIGINT AS c
+       |  FROM events GROUP BY 1),
+       |e AS (SELECT task, n, c, least(3, n)::BIGINT AS k_eff FROM t)
+       |SELECT task, n, c, k_eff,
+       |       (CASE WHEN n >= 1
+       |             THEN 10000 - (10000 * ($num)) // ($den)
+       |             ELSE 0 END)::BIGINT AS pass_bp
+       |FROM e ORDER BY task""".stripMargin
+  }
+
   /** ext_digit_uniformity — chi-square goodness-of-fit of the LAST
     * digit of order-amount cents against uniform (Nigrini's last-digit
     * fraud screen, the companion to ext_benford_audit's first-digit
@@ -1292,5 +1322,6 @@ object StatQueries extends QueryGroup {
     QueryDef("ext_t_closeness", tClosenessQ, Some(tClosenessSql)),
     QueryDef("ext_weighted_median", weightedMedianQ, Some(weightedMedianSql)),
     QueryDef("ev36_mann_kendall", mannKendallQ, Some(mannKendallSql)),
-    QueryDef("ev51_theil_sen", theilSenQ, Some(theilSenSql)))
+    QueryDef("ev51_theil_sen", theilSenQ, Some(theilSenSql)),
+    QueryDef("ext_pass_at_k", passAtKQ, Some(passAtKSql)))
 }
