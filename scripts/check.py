@@ -11,6 +11,7 @@ Usage: python3 scripts/check.py <sfDir> <outDir>
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -104,11 +105,14 @@ def compare(name: str, got: pd.DataFrame, want: pd.DataFrame) -> list:
 def main(sf_dir: str, out_dir: str) -> int:
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # testdata tables are single files; ScaleGen tables are Spark
+        # part-file directories — glob the latter
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{src}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_weak = 0
     import glob
-    import os
     names = sorted(os.path.basename(p) for p in glob.glob(f"{out_dir}/*") if os.path.isdir(p))
     for name in names:
         try:

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.ext.ScopedPersist
+
 /** Rank-based statistics in EXACT integer arithmetic — the eval/audit
   * readouts (AUC, Gini, Spearman, Mann–Kendall) a data pipeline runs
   * over scores and labels before a release, expressed so both engines
@@ -236,6 +238,43 @@ object RankStats {
       .groupBy(col("g"))
       .agg(count(lit(1)).as("n_pairs"),
         sum(signum(col("_xb") - col("_xa")).cast("long")).as("s_stat"))
+  }
+
+  /** Calibration error of a [0, 10⁴]-scaled confidence against binary
+    * outcomes — ECE/MCE (Naeini et al. 2015's equal-width binning) and
+    * the Brier score, all EXACT integers: per decile bucket, accuracy
+    * and mean confidence in basis points via truncating division on
+    * non-negative values; ECE = Σ n_b·|acc_b − conf_b| ∕ N, MCE = the
+    * max gap, Brier·10⁸ = Σ (conf − 10⁴·y)² ∕ N. The readout behind
+    * "can this quality score be thresholded at face value" — the
+    * summary next to ext_quality_calibration's per-decile table and
+    * ext_isotonic_calibration's PAV fix.
+    *
+    * Scale shape: one map-side-combined bucket aggregate (≤ nBuckets
+    * rows) plus one scalar aggregate; the score column rides whatever
+    * scan produced it. */
+  def calibrationError(df: DataFrame, confQ4: Column, labelCol: Column,
+      nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2 && 10000 % nBuckets == 0,
+      s"nBuckets must divide 10000, got $nBuckets")
+    val w = 10000 / nBuckets
+    val rows = df.select(confQ4.as("conf"),
+        when(labelCol, 1L).otherwise(0L).as("y"))
+      .withColumn("b", least(expr(s"conf div $w"), lit(nBuckets - 1L)))
+      .persistScoped // the bucket table and the Brier scalar both read it
+    val buckets = rows.groupBy(col("b"))
+      .agg(count(lit(1)).as("n_b"), sum(col("y")).as("c_b"),
+        sum(col("conf")).as("s_b"))
+      .withColumn("gap", abs(expr("(10000 * c_b) div n_b") -
+        expr("s_b div n_b")))
+    val ece = buckets.agg(sum(col("n_b")).as("n"),
+      expr("sum(n_b * gap)").as("_w"), max(col("gap")).as("mce_bp"))
+      .select(col("n"), expr("_w div n").as("ece_bp"), col("mce_bp"))
+    val brier = rows.agg(expr(
+      "sum((conf - 10000 * y) * (conf - 10000 * y))").as("_s"),
+      count(lit(1)).as("_n"))
+      .select(expr("_s div _n").as("brier_q8"))
+    ece.crossJoin(broadcast(brier))
   }
 
   /** Unbiased pass@k (Chen et al. 2021, the HumanEval estimator): per

@@ -1806,6 +1806,52 @@ object ExtQueries extends QueryGroup {
         "score_bp", "y", bucketWidth = 250L)
       .orderBy($"bucket")
 
+  /** ext_calibration_error — ECE/MCE (Naeini 2015) + Brier of the
+    * hashing-trick classifier score against the exact quality outcome
+    * ([[graft.ops.RankStats.calibrationError]]): the one-row "can the
+    * score be thresholded at face value" summary next to the per-decile
+    * reliability table and the PAV fix. All exact integers. */
+  def calibrationErrorQ(spark: SparkSession, dir: String): DataFrame =
+    graft.ops.RankStats.calibrationError(
+      scoredOutcome(spark, dir), $"score_bp", $"y" === 1L)
+
+  // def, NOT val: references classifierScoreCte (object-init order)
+  private def calibrationErrorSql = {
+    val enStops = inList(TextStats.stopwords("en"))
+    s"""WITH $classifierScoreCte,
+       |w2 AS (
+       |  SELECT doc_id, text, $toksSql AS ws FROM documents),
+       |qs AS (SELECT doc_id,
+       |  list_sum(list_transform(ws, x -> length(x)))::BIGINT AS s,
+       |  greatest(len(ws), 1)::BIGINT AS n,
+       |  len(list_filter(ws, x -> x IN ($enStops)))::BIGINT AS c,
+       |  greatest(length(text), 1)::BIGINT AS l,
+       |  (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::BIGINT AS p
+       |  FROM w2),
+       |q AS (SELECT doc_id, $q4Sql AS quality_q4 FROM qs),
+       |so AS MATERIALIZED (
+       |  SELECT sc.score_bp AS conf,
+       |         CASE WHEN q.quality_q4 >= 8000 THEN 1 ELSE 0 END AS y
+       |  FROM sc JOIN q USING (doc_id)),
+       |bk AS (
+       |  SELECT least(conf // 1000, 9) AS b, count(*)::BIGINT AS n_b,
+       |         sum(y)::BIGINT AS c_b, sum(conf)::BIGINT AS s_b
+       |  FROM so GROUP BY 1),
+       |g AS (
+       |  SELECT n_b, abs((10000 * c_b) // n_b - s_b // n_b) AS gap
+       |  FROM bk),
+       |e AS (
+       |  SELECT sum(n_b)::BIGINT AS n,
+       |         (sum(n_b * gap) // sum(n_b))::BIGINT AS ece_bp,
+       |         max(gap)::BIGINT AS mce_bp
+       |  FROM g),
+       |br AS (
+       |  SELECT (sum((conf - 10000 * y) * (conf - 10000 * y))
+       |            // count(*))::BIGINT AS brier_q8
+       |  FROM so)
+       |SELECT n, ece_bp, mce_bp, brier_q8 FROM e CROSS JOIN br""".stripMargin
+  }
+
   // def, NOT val: references classifierScoreCte, declared later in this
   // object — a val here would interpolate the literal "null" (the
   // object-init-order hazard the verify notes pin)
@@ -5158,6 +5204,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_mutual_info", mutualInfo, Some(mutualInfoSql)),
     QueryDef("ext_rag_chunking", ragChunking, Some(ragChunkingSql)),
     QueryDef("ext_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
+    QueryDef("ext_calibration_error", calibrationErrorQ,
+      Some(calibrationErrorSql)),
     QueryDef("ext_isotonic_calibration", isotonicCalibration,
       Some(isotonicCalibrationSql)),
     QueryDef("ext_sketch_quantile", sketchQuantile, Some(sketchQuantileSql)),
