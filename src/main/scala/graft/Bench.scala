@@ -79,8 +79,12 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val (dt1, ok1) = timeOnce(name, fn)
       val runs =
-        if (ok1 && dt1 > rerunSec) Seq(dt1, timeOnce(name, fn)._1)
-        else Seq(dt1)
+        if (ok1 && dt1 > rerunSec) {
+          // a FAILED re-run must not contribute a time-to-fail min —
+          // keep the first (successful) timing and record both raws
+          val (dt2, ok2) = timeOnce(name, fn)
+          if (ok2) Seq(dt1, dt2) else Seq(dt1)
+        } else Seq(dt1)
       val dt = runs.min
       // progress to stderr (stdout carries only the one JSON line): a
       // wedged run shows WHERE it stopped instead of dying silently

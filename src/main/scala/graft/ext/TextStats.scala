@@ -821,6 +821,62 @@ object TextStats {
       .agg(count(lit(1)).as("n_terms"), sum($"_c_q8").as("kl_q8"))
   }
 
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions — [[mixKlDrift]]'s symmetric, bounded companion
+    * (JSD = ½KL(p‖m) + ½KL(q‖m), m = ½(p+q); always finite, ≤ ln 2,
+    * symmetric): the "which sources are interchangeable / which are
+    * distinct registers" matrix a mixture designer reads before
+    * setting sampling weights.
+    *
+    * Same determinism contract as KL: each term's two half-
+    * contributions are floor-quantized to q8 BEFORE the sum (doubles
+    * sum in nondeterministic partition order; longs don't), with
+    * explicit zero-count branches (a term absent from one side
+    * contributes only the other half — the p·ln(p∕m) limit at p = 0
+    * is 0, never a NaN).
+    *
+    * Scale shape: the per-source term counts aggregate once
+    * (map-side-combined, vocabulary-sized); the pair grid is
+    * |sources|²∕2 — dashboard-sized — and the (pair, term) frame is
+    * grid × vocabulary, joined co-partitioned on the term. */
+  def jsDivergence(docs: DataFrame, srcCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(srcCol).as("src"), explode(tokens(col(textCol))).as("term"))
+      .where($"term" =!= "")
+      .persistScoped // read twice: term counts and source totals
+    val cnt = toks.groupBy($"src", $"term").agg(count(lit(1)).as("c"))
+      .persistScoped // both pair legs read it
+    val tot = toks.groupBy($"src").agg(count(lit(1)).as("t"))
+    val srcs = tot.select($"src")
+    val pairs = srcs.select($"src".as("sa"))
+      .crossJoin(srcs.select($"src".as("sb"))).where($"sa" < $"sb")
+    val la = pairs.join(cnt.select($"src".as("sa"), $"term", $"c".as("ca")),
+      Seq("sa"))
+    val lb = pairs.join(cnt.select($"src".as("sb"), $"term", $"c".as("cb")),
+      Seq("sb"))
+    val merged = la.join(lb, Seq("sa", "sb", "term"), "full_outer")
+      .select($"sa", $"sb", $"term",
+        coalesce($"ca", lit(0L)).as("ca"), coalesce($"cb", lit(0L)).as("cb"))
+      .join(broadcast(tot.select($"src".as("sa"), $"t".as("ta"))), Seq("sa"))
+      .join(broadcast(tot.select($"src".as("sb"), $"t".as("tb"))), Seq("sb"))
+    merged
+      // the exact operation nesting the oracle spells out — two floors,
+      // one per half, each guarded by its side's zero-count branch
+      .withColumn("_p", $"ca".cast("double") / $"ta".cast("double"))
+      .withColumn("_q", $"cb".cast("double") / $"tb".cast("double"))
+      .withColumn("_m", ($"_p" + $"_q") / lit(2.0))
+      .withColumn("_c_q8",
+        when($"ca" > 0,
+          floor(lit(0.5) * $"_p" * log($"_p" / $"_m") * lit(100000000.0))
+            .cast("long")).otherwise(0L) +
+        when($"cb" > 0,
+          floor(lit(0.5) * $"_q" * log($"_q" / $"_m") * lit(100000000.0))
+            .cast("long")).otherwise(0L))
+      .groupBy($"sa".as("src_a"), $"sb".as("src_b"))
+      .agg(count(lit(1)).as("n_terms"), sum($"_c_q8").as("jsd_q8"))
+  }
+
   /** N-gram novelty: the fraction of each document's DISTINCT word
     * n-grams that occur in NO other document — the "how much of this
     * doc is new text" signal (novelty ≈ 0 flags near-boilerplate even

@@ -647,7 +647,13 @@ object EventQueries extends QueryGroup {
       .select(col("n0"), col("n1"), col("theta_q3"),
         expr("(sy31 div n1) - (sy30 div n0)").as("lift_q3"),
         expr("(syc1 div n1) - (syc0 div n0)").as("lift_cuped_q3"),
-        expr("(10000 * (np * scc - sc * sc)) div (np * s33 - s3 * s3)")
+        // n·Σ(ycup²) exceeds int64 at ~10× the gate SF (caught by the
+        // ScaleGen m10 sweep) — the moment products form in
+        // decimal(38,0); the ratio itself is bp-sized
+        expr("""CAST((10000 * (CAST(np AS DECIMAL(38,0)) * scc
+                - CAST(sc AS DECIMAL(38,0)) * sc))
+                div (CAST(np AS DECIMAL(38,0)) * s33
+                - CAST(s3 AS DECIMAL(38,0)) * s3) AS BIGINT)""")
           .as("var_ratio_bp"))
   }
 
@@ -685,8 +691,9 @@ object EventQueries extends QueryGroup {
       |SELECT a0.na AS n0, a1.na AS n1, th.theta_q3,
       |       ((a1.sy3 // a1.na) - (a0.sy3 // a0.na))::BIGINT AS lift_q3,
       |       ((a1.syc // a1.na) - (a0.syc // a0.na))::BIGINT AS lift_cuped_q3,
-      |       ((10000 * (p.np * p.scc - p.sc * p.sc))
-      |          // (p.np * p.s33 - p.s3 * p.s3))::BIGINT AS var_ratio_bp
+      |       ((10000 * (p.np::HUGEINT * p.scc - p.sc::HUGEINT * p.sc))
+      |          // (p.np::HUGEINT * p.s33 - p.s3::HUGEINT * p.s3))::BIGINT
+      |         AS var_ratio_bp
       |FROM (SELECT * FROM arms WHERE arm = 0) a0
       |CROSS JOIN (SELECT * FROM arms WHERE arm = 1) a1
       |CROSS JOIN th CROSS JOIN pooled p""".stripMargin

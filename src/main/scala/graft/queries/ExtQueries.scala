@@ -2675,9 +2675,19 @@ object ExtQueries extends QueryGroup {
       .join(deg.select($"u".as("v"), $"d".as("dv")), Seq("v"))
       .agg(count(lit(1)).as("n_endpoints"), sum($"du").as("sx"),
         sum($"du" * $"dv").as("sxy"), sum($"du" * $"du").as("sxx"))
+      // decimal(38,0) moments (n·Σd² exceeds int64 at ~10× the gate SF)
+      // and a REGULAR-graph guard: zero degree variance (every node the
+      // same degree) makes assortativity undefined — report 0 (caught
+      // by the ScaleGen m10 sweep, whose clusters are complete graphs)
       .select(expr("n_endpoints div 2").as("n_edges"),
-        expr("""(1000000 * (n_endpoints * sxy - sx * sx))
-                div (n_endpoints * sxx - sx * sx)""").as("r_q6"))
+        expr("""CASE WHEN CAST(n_endpoints AS DECIMAL(38,0)) * sxx
+                     - CAST(sx AS DECIMAL(38,0)) * sx = 0
+                THEN CAST(0 AS BIGINT)
+                ELSE CAST((1000000 * (CAST(n_endpoints AS DECIMAL(38,0)) * sxy
+                     - CAST(sx AS DECIMAL(38,0)) * sx))
+                     div (CAST(n_endpoints AS DECIMAL(38,0)) * sxx
+                     - CAST(sx AS DECIMAL(38,0)) * sx) AS BIGINT)
+                END""").as("r_q6"))
   }
 
   private val assortativitySql =
@@ -2698,8 +2708,10 @@ object ExtQueries extends QueryGroup {
        |         sum(du * dv)::BIGINT AS sxy, sum(du * du)::BIGINT AS sxx
        |  FROM j)
        |SELECT (n // 2)::BIGINT AS n_edges,
-       |       ((1000000 * (n * sxy - sx * sx))
-       |          // (n * sxx - sx * sx))::BIGINT AS r_q6
+       |       (CASE WHEN n::HUGEINT * sxx - sx::HUGEINT * sx = 0 THEN 0
+       |             ELSE (1000000 * (n::HUGEINT * sxy - sx::HUGEINT * sx))
+       |                  // (n::HUGEINT * sxx - sx::HUGEINT * sx)
+       |        END)::BIGINT AS r_q6
        |FROM m""".stripMargin
 
   /** Per-community CONDUCTANCE of the LPA partition
@@ -5074,6 +5086,53 @@ object ExtQueries extends QueryGroup {
        |FROM sc JOIN gc USING (term) JOIN st USING (src) CROSS JOIN gt
        |GROUP BY sc.src ORDER BY source""".stripMargin
 
+  /** Pairwise Jensen–Shannon divergence between source token
+    * distributions ([[TextStats.jsDivergence]]) — the symmetric,
+    * bounded companion of ext_mix_kl: the source-interchangeability
+    * matrix a mixture designer reads before setting weights. q8
+    * floor-before-sum with explicit zero-count branches. */
+  def mixJsd(spark: SparkSession, dir: String): DataFrame =
+    TextStats.jsDivergence(load(spark, dir, "documents"))
+      .orderBy($"src_a", $"src_b")
+
+  private val mixJsdSql =
+    s"""WITH t AS (SELECT source AS src, unnest($toksSql) AS term FROM documents),
+       |tk AS MATERIALIZED (SELECT src, term FROM t WHERE term != ''),
+       |cnt AS MATERIALIZED (
+       |  SELECT src, term, count(*)::BIGINT AS c FROM tk GROUP BY 1, 2),
+       |tot AS (SELECT src, count(*)::BIGINT AS t FROM tk GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.src AS sa, b.src AS sb
+       |  FROM tot a JOIN tot b ON a.src < b.src),
+       |la AS (
+       |  SELECT p.sa, p.sb, c.term, c.c AS ca
+       |  FROM pairs p JOIN cnt c ON c.src = p.sa),
+       |lb AS (
+       |  SELECT p.sa, p.sb, c.term, c.c AS cb
+       |  FROM pairs p JOIN cnt c ON c.src = p.sb),
+       |m AS (
+       |  SELECT coalesce(la.sa, lb.sa) AS sa, coalesce(la.sb, lb.sb) AS sb,
+       |         coalesce(la.term, lb.term) AS term,
+       |         coalesce(la.ca, 0) AS ca, coalesce(lb.cb, 0) AS cb
+       |  FROM la FULL OUTER JOIN lb
+       |    ON la.sa = lb.sa AND la.sb = lb.sb AND la.term = lb.term),
+       |e AS (
+       |  SELECT m.sa, m.sb, m.ca, m.cb,
+       |         (m.ca::DOUBLE / ta.t::DOUBLE) AS p,
+       |         (m.cb::DOUBLE / tb.t::DOUBLE) AS q
+       |  FROM m JOIN tot ta ON ta.src = m.sa JOIN tot tb ON tb.src = m.sb)
+       |SELECT sa AS src_a, sb AS src_b, count(*)::BIGINT AS n_terms,
+       |  sum(
+       |    (CASE WHEN ca > 0
+       |          THEN floor(0.5::DOUBLE * p * ln(p / ((p + q) / 2.0::DOUBLE))
+       |                     * 100000000.0::DOUBLE)::BIGINT
+       |          ELSE 0 END) +
+       |    (CASE WHEN cb > 0
+       |          THEN floor(0.5::DOUBLE * q * ln(q / ((p + q) / 2.0::DOUBLE))
+       |                     * 100000000.0::DOUBLE)::BIGINT
+       |          ELSE 0 END))::BIGINT AS jsd_q8
+       |FROM e GROUP BY 1, 2 ORDER BY src_a, src_b""".stripMargin
+
   /** Flesch reading-ease per document in exact integer hundredths
     * ([[TextStats.readability]]): floor-on-positive divisions and a
     * vowel-run syllable heuristic keep the classic formula
@@ -5212,6 +5271,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_global_rank", globalRankQ, Some(globalRankSql)),
     QueryDef("ext_histogram_eqdepth", histogramEqDepth, Some(histogramEqDepthSql)),
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),
+    QueryDef("ext_mix_jsd", mixJsd, Some(mixJsdSql)),
     QueryDef("ext_text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef("ext_char_diversity", charDiversityQ, Some(charDiversitySql)),
     QueryDef("ext_text_readability", readabilityQ, Some(readabilitySql)),
