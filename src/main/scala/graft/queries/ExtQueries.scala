@@ -5086,6 +5086,46 @@ object ExtQueries extends QueryGroup {
        |FROM sc JOIN gc USING (term) JOIN st USING (src) CROSS JOIN gt
        |GROUP BY sc.src ORDER BY source""".stripMargin
 
+  /** LSH banding S-curve design table — the analytic companion of
+    * ext_minhash_calibration's empirical sweep: for every (b, r)
+    * banding of k = 6 MinHash components and a grid of true Jaccard
+    * values s, the candidate probability 1 − (1 − s^r)^b (the curve
+    * whose threshold-steepness trade drives the banding choice; the
+    * shipped default b=3, r=2 sits where the curve crosses ~0.5 near
+    * s = 0.5). Powers unroll to repeated multiplication with IDENTICAL
+    * nesting on both engines (no pow()), floor-quantized q6. */
+  def lshSCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    val grid = (for {
+      (b, r) <- Seq((6, 1), (3, 2), (2, 3), (1, 6))
+      sBp <- 500L to 9500L by 500L
+    } yield (b.toLong, r.toLong, sBp)).toDS().toDF("b", "r", "s_bp")
+    def pow(e: String, n: Long): String =
+      Seq.fill(n.toInt)(e).mkString("(", " * ", ")")
+    // per-(b,r) literal unroll; union of four constant-folded branches
+    val parts = Seq((6L, 1L), (3L, 2L), (2L, 3L), (1L, 6L)).map { case (b, r) =>
+      grid.where($"b" === b && $"r" === r)
+        .withColumn("p_cand_q6", expr(
+          s"""CAST(floor((1.0D - ${pow(
+            s"(1.0D - ${pow("(CAST(s_bp AS DOUBLE) / 10000.0D)", r)})", b)})
+             | * 1000000.0D) AS BIGINT)""".stripMargin))
+    }
+    parts.reduce(_ unionByName _).orderBy($"b".desc, $"s_bp")
+  }
+
+  private val lshSCurveSql = {
+    def pow(e: String, n: Int): String =
+      Seq.fill(n)(e).mkString("(", " * ", ")")
+    val branches = Seq((6, 1), (3, 2), (2, 3), (1, 6)).map { case (b, r) =>
+      s"""SELECT $b::BIGINT AS b, $r::BIGINT AS r, g.s AS s_bp,
+         |  floor((1.0::DOUBLE - ${pow(
+        s"(1.0::DOUBLE - ${pow("(g.s::DOUBLE / 10000.0::DOUBLE)", r)})", b)})
+         |    * 1000000.0::DOUBLE)::BIGINT AS p_cand_q6
+         |FROM (SELECT unnest(range(500, 9501, 500)) AS s) g""".stripMargin
+    }
+    branches.mkString("", "\nUNION ALL\n", "\nORDER BY b DESC, s_bp")
+  }
+
   /** Pairwise Jensen–Shannon divergence between source token
     * distributions ([[TextStats.jsDivergence]]) — the symmetric,
     * bounded companion of ext_mix_kl: the source-interchangeability
@@ -5272,6 +5312,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_histogram_eqdepth", histogramEqDepth, Some(histogramEqDepthSql)),
     QueryDef("ext_mix_kl", mixKl, Some(mixKlSql)),
     QueryDef("ext_mix_jsd", mixJsd, Some(mixJsdSql)),
+    QueryDef("ext_lsh_scurve", lshSCurve, Some(lshSCurveSql)),
     QueryDef("ext_text_novelty", textNovelty, Some(textNoveltySql)),
     QueryDef("ext_char_diversity", charDiversityQ, Some(charDiversitySql)),
     QueryDef("ext_text_readability", readabilityQ, Some(readabilitySql)),
