@@ -138,4 +138,40 @@ class RankStatsSpec extends SparkSpec {
     assert(RankStats.weightedMedian(even, $"g", $"x", $"w", $"t")
       .collect().head.getAs[Long]("w_median") == 1L)
   }
+
+  test("passAtK: hand-computed goldens; k clamps to n; all-correct and " +
+      "none-correct extremes") {
+    import spark.implicits._
+    // task A: n=5, c=2, k=3 -> 1 - C(3,3)/C(5,3) = 1 - 1/10 -> 9000 bp
+    // task B: n=2, c=1, k=3 -> k_eff=2 -> 1 - C(1,2)/C(2,2) = 1 -> 10000
+    // task C: n=4, c=0 -> 0 ; task D: n=3, c=3 -> 10000
+    val rows =
+      Seq.fill(2)(("A", true)) ++ Seq.fill(3)(("A", false)) ++
+      Seq(("B", true), ("B", false)) ++
+      Seq.fill(4)(("C", false)) ++ Seq.fill(3)(("D", true))
+    val out = RankStats.passAtK(rows.toDF("task", "ok"), "task", $"ok", k = 3)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("pass_bp")).toMap
+    assert(out === Map("A" -> 9000L, "B" -> 10000L, "C" -> 0L, "D" -> 10000L))
+  }
+
+  test("calibrationError: perfectly calibrated buckets -> ECE 0; " +
+      "hand-computed gap and Brier") {
+    import spark.implicits._
+    // one bucket (conf 2500, decile 2): 4 rows, 1 positive -> acc 2500
+    // == mean conf -> gap 0; second bucket (conf 7500): 2 rows, 2
+    // positives -> acc 10000, conf 7500 -> gap 2500
+    val rows = Seq((2500L, false), (2500L, false), (2500L, false),
+      (2500L, true), (7500L, true), (7500L, true))
+    val out = RankStats.calibrationError(
+        rows.toDF("conf", "y"), $"conf", $"y")
+      .collect().head
+    assert(out.getAs[Long]("n") === 6L)
+    // ece = (4*0 + 2*2500) / 6 = 833
+    assert(out.getAs[Long]("ece_bp") === 833L)
+    assert(out.getAs[Long]("mce_bp") === 2500L)
+    // brier_q8 = (3*2500^2 + 7500^2 + 2*2500^2) / 6
+    val brier = (3L * 2500 * 2500 + 7500L * 7500 + 2L * 2500 * 2500) / 6
+    assert(out.getAs[Long]("brier_q8") === brier)
+    spark.catalog.clearCache()
+  }
 }
