@@ -2784,6 +2784,54 @@ object ExtQueries extends QueryGroup {
       |      ORDER BY score_q8, doc_id LIMIT 50)
       |SELECT doc_id, n_chars, score_q8 FROM k ORDER BY doc_id""".stripMargin
 
+  /** k-truss backbone of the near-dup graph ([[graft.ops.KTruss]],
+    * k = 3: every surviving edge closes ≥ 1 triangle of the truss) —
+    * the EDGE-density community backbone next to ext_kcore's node
+    * peel: pendant links and chains strip off, dense cluster interiors
+    * survive with their triangle supports. The oracle unrolls six peel
+    * rounds (idempotent past the fixpoint), each one wedge-join
+    * support recompute + filter, written independently of the Spark
+    * loop. */
+  def ktrussQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    graft.ops.KTruss.run(edges, k = 3).orderBy($"a", $"b")
+  }
+
+  private val ktrussSql = {
+    def round(r: Int): String = {
+      val prev = s"e${r - 1}"
+      s"""t$r AS MATERIALIZED (
+         |  SELECT x.a, x.b, y.b AS c
+         |  FROM $prev x JOIN $prev y ON x.a = y.a AND x.b < y.b
+         |  JOIN $prev z ON z.a = x.b AND z.b = y.b),
+         |s$r AS MATERIALIZED (
+         |  SELECT a, b, count(*)::BIGINT AS sup FROM (
+         |    SELECT a, b FROM t$r
+         |    UNION ALL SELECT a, c AS b FROM t$r
+         |    UNION ALL SELECT b AS a, c AS b FROM t$r)
+         |  GROUP BY 1, 2),
+         |e$r AS MATERIALIZED (
+         |  SELECT p.a, p.b, coalesce(s$r.sup, 0) AS sup
+         |  FROM $prev p LEFT JOIN s$r ON s$r.a = p.a AND s$r.b = p.b
+         |  WHERE coalesce(s$r.sup, 0) >= 1)""".stripMargin
+    }
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+       |${(1 to 6).map(round).mkString(",\n")}
+       |SELECT a, b, sup AS support FROM e6 ORDER BY a, b""".stripMargin
+  }
+
   /** Triangle counts per node over the near-dup graph
     * ([[graft.ops.Triangles]], degree-ordered wedge enumeration). The
     * oracle enumerates each triangle by plain id-order (a<b<c triple
@@ -5408,6 +5456,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_harmonic", harmonicQ, Some(harmonicSql)),
+    QueryDef("ext_ktruss", ktrussQ, Some(ktrussSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     QueryDef("ext_embed_pca", embedPca, Some(embedPcaSql)),
