@@ -78,39 +78,49 @@ object Bench {
     }
     val results = selected.map { case (name, fn) =>
       val (dt1, ok1) = timeOnce(name, fn)
+      // a FAILED re-run must not contribute a time-to-fail min — keep
+      // the first (successful) timing — but it must not be INVISIBLE
+      // either: an intermittent failure is exactly what a committed
+      // artifact needs to disclose (flagged per-query + stderr)
+      var rerunFailed = false
       val runs =
         if (ok1 && dt1 > rerunSec) {
-          // a FAILED re-run must not contribute a time-to-fail min —
-          // keep the first (successful) timing and record both raws
           val (dt2, ok2) = timeOnce(name, fn)
-          if (ok2) Seq(dt1, dt2) else Seq(dt1)
+          if (ok2) Seq(dt1, dt2)
+          else { rerunFailed = true; Seq(dt1) }
         } else Seq(dt1)
       val dt = runs.min
       // progress to stderr (stdout carries only the one JSON line): a
       // wedged run shows WHERE it stopped instead of dying silently
       System.err.println(f"[bench] $name%-28s $dt%8.2f s" +
         (if (!ok1) "  ERR"
+         else if (rerunFailed) "  RERUN-FAILED (flaky: first run ok, re-run errored)"
          else if (runs.size > 1) f"  (runs: ${runs.map(r => f"$r%.2f").mkString(", ")})"
          else ""))
-      (name, dt, ok1, runs)
+      (name, dt, ok1, runs, rerunFailed)
     }
     def sec(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     // A failed query records the -1 sentinel, NOT its time-to-fail — a
     // time-to-fail in the queries map reads as a (usually flattering)
     // legitimate timing. Failures are also excluded from the total and
     // counted in the trailer so a broken build can't look fast.
-    val qs = results.map { case (k, v, ok, _) =>
+    val qs = results.map { case (k, v, ok, _, _) =>
       "\"" + k + "\":" + (if (ok) sec(v) else "-1") }.mkString("{", ",", "}")
-    val reruns = results.filter(_._4.size > 1).map { case (k, _, _, runs) =>
+    val reruns = results.filter(_._4.size > 1).map { case (k, _, _, runs, _) =>
       "\"" + k + "\":[" + runs.map(sec).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // queries whose guard re-run FAILED after a clean first run: the
+    // recorded timing is legitimate but the query is flaky — the
+    // artifact must say so rather than present a clean success
+    val rerunFailures = results.filter(_._5).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
     val good = results.filter(_._3)
     val nFailed = results.size - good.size
     val total = if (good.nonEmpty) good.map(_._2).sum else 0.0
     val loadAfter = loadAvg()
     val hostMeta = s""""warmup_sec":${sec(warmupSec)},"load_before":${sec(loadBefore)},"load_after":${sec(loadAfter)}"""
     val full =
-      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$reruns,"failures":$nFailed,$hostMeta,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${sec(total)},"unit":"sec","queries":$qs,"runs":$reruns,"failures":$nFailed,"rerun_failures":$rerunFailures,$hostMeta,"sf":"$sfDir"}"""
     // The harness keeps only the last ~2000 chars of stdout, which cuts
     // an 85-query JSON line mid-stream. Three outputs, most durable
     // first: (1) the full line goes to a file (committed per round as

@@ -638,11 +638,37 @@ object Dedup {
     * len-bucket) block holds millions of docs (O(n²) pairs), while a
     * (lang, rare-token) bucket holds the handful of docs actually
     * containing that token. Cost is a word-count shuffle + one window
-    * sort over doc tokens — all linear in corpus size. */
-  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    * sort over doc tokens — all linear in corpus size.
+    *
+    * `maxDf > 0` is the PRODUCTION df cap: tokens appearing in more
+    * than `maxDf` documents are removed from every token SET — both
+    * candidate generation and the Jaccard verify — so Jaccard is
+    * computed over the capped sets (deterministic, oracle-replayable
+    * semantics, not a best-effort prune). By pigeonhole at most
+    * Σ|set|∕maxDf distinct tokens can exceed the cap, so the stop list
+    * is a BOUNDED driver materialization broadcast as a literal — no
+    * extra corpus shuffle. Docs whose whole set is stop-listed drop
+    * out (they carry no discriminative tokens). 0 disables the cap. */
+  def ngramJaccard(docs: DataFrame, threshold: Double = 0.8,
+      maxDf: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val prepared = docs.select(
-        $"doc_id", $"lang", array_distinct(TextStats.tokens($"text")).as("toks"))
+    val raw = docs.select(
+      $"doc_id", $"lang", array_distinct(TextStats.tokens($"text")).as("toks"))
+    val capped =
+      if (maxDf <= 0) raw
+      else {
+        val stop = raw.select(explode($"toks").as("tok"))
+          .groupBy($"tok").agg(count(lit(1)).as("freq"))
+          .where($"freq" > maxDf)
+          .select($"tok").collect().map(_.getString(0))
+        require(stop.length <= 100000,
+          s"df cap yielded ${stop.length} stop tokens — raise maxDf")
+        if (stop.isEmpty) raw
+        else raw.select($"doc_id", $"lang",
+            array_except($"toks", typedLit(stop.toSeq)).as("toks"))
+          .where(size($"toks") > 0)
+      }
+    val prepared = capped
       .withColumn("n_toks", size($"toks"))
       .persistScoped
     val docToks = prepared.select($"doc_id", $"lang", $"n_toks",

@@ -800,9 +800,10 @@ object Frequency {
     * on both engines — (c∕n)·ln(c·n∕(ra·cb)) for MI cells,
     * (ra∕n)·ln(n∕ra) for entropy terms (spelled positively; no
     * negation of a floor) — the bm25 ln-portability pattern. Null
-    * categories participate as their own level via a sentinel
-    * (relational GROUP BY already treats NULL as one group on both
-    * engines).
+    * categories participate as their own level: the GROUP BYs treat
+    * NULL as one group on both engines, and the margin joins are
+    * NULL-SAFE (`<=>` / IS NOT DISTINCT FROM) so null-level cells
+    * contribute to the MI numerator exactly like the entropies.
     *
     * Scale shape: two map-side-combined aggregates (cells +
     * margins at category cardinality) and arithmetic on a
@@ -814,7 +815,14 @@ object Frequency {
     val n = cells.agg(sum($"c").as("n"))
     val ma = cells.groupBy($"a").agg(sum($"c").as("ra"))
     val mb = cells.groupBy($"b").agg(sum($"c").as("cb"))
-    val mi = cells.join(broadcast(ma), Seq("a")).join(broadcast(mb), Seq("b"))
+    // NULL-SAFE margin joins: a null category is its own level (the
+    // GROUP BYs above already treat it as one group on both engines),
+    // and a plain equi-join would silently drop its cells from the MI
+    // numerator while the marginal entropies still count it —
+    // MI/NMI would be inconsistent for data with null categories
+    val mi = cells
+      .join(broadcast(ma.withColumnRenamed("a", "_ma_a")), $"a" <=> $"_ma_a")
+      .join(broadcast(mb.withColumnRenamed("b", "_mb_b")), $"b" <=> $"_mb_b")
       .crossJoin(broadcast(n))
       .agg(sum(expr(
         """CAST(floor((CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) *

@@ -27,51 +27,106 @@ import org.apache.spark.sql.functions._
   * `maxIter` with a THROW on non-convergence — never a superset
   * answer. Truss peeling cascades at most once per deleted edge, and
   * on similarity graphs (dense cluster interiors, thin fringes) it
-  * converges in a handful of rounds.
+  * converges in a handful of rounds. Convergence is detected from the
+  * kept-count alone — the previous round's cardinality is CARRIED in a
+  * driver variable, never recounted, so each peel round costs exactly
+  * one counting job on top of its barrier.
   */
 object KTruss {
+
+  private def support(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    // triangles in a<b orientation: (a,b) ∧ (a,c) with b<c ∧ (b,c)
+    val tri = e.select($"a", $"b")
+      .join(e.select($"a", $"b".as("c")), Seq("a"))
+      .where($"b" < $"c")
+      .join(e.select($"a".as("b"), $"b".as("c")), Seq("b", "c"))
+      .select($"a", $"b", $"c")
+    tri.select($"a", $"b")
+      .unionByName(tri.select($"a", $"c".as("b")))
+      .unionByName(tri.select($"b".as("a"), $"c".as("b")))
+      .groupBy($"a", $"b").agg(count(lit(1)).as("support"))
+  }
+
+  /** One full peel to the k-truss fixpoint over canonical (a, b)
+    * edges. Returns the converged `(a, b, support)` frame (barriered)
+    * and its cardinality — the count every caller needs next anyway,
+    * so it never has to be recomputed. */
+  private def peel(e0: DataFrame, n0: Long, k: Int,
+      maxIter: Int): (DataFrame, Long) = {
+    val spark = e0.sparkSession
+    import spark.implicits._
+    val minSup = (k - 2).toLong
+    var e = e0
+    var nPrev = n0
+    var round = 0
+    while (round < maxIter) {
+      round += 1
+      val kept = Iterate.loopBarrier(
+        e.join(support(e), Seq("a", "b"), "left_outer")
+          .select($"a", $"b",
+            coalesce($"support", lit(0L)).as("support"))
+          .where($"support" >= minSup))
+      val nKept = kept.count()
+      if (nKept == nPrev) return (kept, nKept)
+      nPrev = nKept
+      e = kept.select($"a", $"b")
+    }
+    throw new IllegalStateException(
+      s"k-truss did not converge in $maxIter rounds — raise maxIter")
+  }
+
+  private def canonical(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    edges.select($"src".as("a"), $"dst".as("b"))
+      .where($"a" < $"b").distinct()
+  }
 
   def run(edges: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
     require(k >= 3, s"k must be >= 3 for a meaningful truss, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val e0 = Iterate.loopBarrier(canonical(edges))
+    peel(e0, e0.count(), k, maxIter)._1
+  }
+
+  /** Full truss DECOMPOSITION: the trussness t(e) = max k such that
+    * edge e survives the k-truss peel, for every canonical edge (every
+    * edge has t ≥ 2 — the 2-truss is the whole graph). This is the
+    * readout a curation dashboard wants: one peel sweep labels each
+    * near-dup edge with how deep in the community backbone it sits,
+    * instead of answering a single yes/no k.
+    *
+    * Shape: successive peels at k = 3, 4, … — each starting from the
+    * PREVIOUS truss's survivors (E_k ⊆ E_{k−1}, so phase cost shrinks
+    * monotonically and the k = 3 phase dominates); edges dropped by the
+    * k-peel get trussness k − 1 via one anti-join per phase. Phases are
+    * bounded by `maxK` with a THROW if edges remain (never a silently
+    * truncated labeling); each dropped frame is barriered so the final
+    * union replays nothing. */
+  def decompose(edges: DataFrame, maxK: Int = 8,
+      maxIter: Int = 20): DataFrame = {
+    require(maxK >= 3, s"maxK must be >= 3, got $maxK")
     val spark = edges.sparkSession
     import spark.implicits._
-    val minSup = (k - 2).toLong
-
-    def support(e: DataFrame): DataFrame = {
-      // triangles in a<b orientation: (a,b) ∧ (a,c) with b<c ∧ (b,c)
-      val tri = e.select($"a", $"b")
-        .join(e.select($"a", $"b".as("c")), Seq("a"))
-        .where($"b" < $"c")
-        .join(e.select($"a".as("b"), $"b".as("c")), Seq("b", "c"))
-        .select($"a", $"b", $"c")
-      tri.select($"a", $"b")
-        .unionByName(tri.select($"a", $"c".as("b")))
-        .unionByName(tri.select($"b".as("a"), $"c".as("b")))
-        .groupBy($"a", $"b").agg(count(lit(1)).as("support"))
+    var cur = Iterate.loopBarrier(canonical(edges))
+    var nCur = cur.count()
+    var k = 3
+    var labeled = List.empty[DataFrame]
+    while (nCur > 0 && k <= maxK) {
+      val (kept, nKept) = peel(cur, nCur, k, maxIter)
+      labeled = Iterate.loopBarrier(
+        cur.join(kept, Seq("a", "b"), "left_anti")
+          .select($"a", $"b", lit((k - 1).toLong).as("trussness"))) :: labeled
+      cur = kept.select($"a", $"b")
+      nCur = nKept
+      k += 1
     }
-
-    var e = Iterate.loopBarrier(
-      edges.select($"src".as("a"), $"dst".as("b"))
-        .where($"a" < $"b").distinct())
-    var converged = false
-    var round = 0
-    while (!converged && round < maxIter) {
-      round += 1
-      val withSup = Iterate.loopBarrier(
-        e.join(support(e), Seq("a", "b"), "left_outer")
-          .select($"a", $"b",
-            coalesce($"support", lit(0L)).as("support")))
-      val kept = Iterate.loopBarrier(
-        withSup.where($"support" >= minSup))
-      converged = kept.count() == e.count()
-      e = kept.select($"a", $"b")
-      if (converged) {
-        // re-attach the converged supports for the readout
-        return kept.select($"a", $"b", $"support")
-      }
-    }
-    throw new IllegalStateException(
-      s"k-truss did not converge in $maxIter rounds — raise maxIter")
+    if (nCur > 0) throw new IllegalStateException(
+      s"truss decomposition still has $nCur edges past k = $maxK — raise maxK")
+    if (labeled.isEmpty) // empty graph: empty labeling, correct schema
+      cur.select($"a", $"b", lit(2L).as("trussness"))
+    else labeled.reduce(_ unionByName _)
   }
 }

@@ -371,6 +371,43 @@ object ExtQueries extends QueryGroup {
        |      len(list_distinct(list_concat(a.toks, b.toks))) * 10000) >= 8000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The PRODUCTION-SHAPE run of the same operator: df cap ON
+    * (maxDf = ⌈0.775·corpus⌉ — near-universal tokens leave every token
+    * set before candidate generation AND verify). On the degenerate
+    * 20-word testdata vocabulary the cap genuinely bites (most tokens
+    * are near-universal); on a Heaps-law corpus it is a no-op. The
+    * oracle replays the cap exactly: same df threshold, same capped
+    * sets, naive all-pairs Jaccard over them. */
+  def dedupNgramCapped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = load(spark, dir, "documents")
+    val maxDf = math.ceil(0.775 * docs.count()).toLong
+    Dedup.ngramJaccard(docs, 0.8, maxDf).orderBy($"id_a", $"id_b")
+  }
+
+  private val dedupNgramCappedSql =
+    s"""WITH raw AS MATERIALIZED (
+       |  SELECT doc_id, lang, list_distinct($toksSql) AS toks
+       |  FROM documents),
+       |lim AS (SELECT ceil(0.775 * count(*))::BIGINT AS max_df FROM documents),
+       |tf AS MATERIALIZED (
+       |  SELECT tok, count(*)::BIGINT AS freq
+       |  FROM (SELECT doc_id, unnest(toks) AS tok FROM raw) GROUP BY tok),
+       |p AS MATERIALIZED (
+       |  SELECT r.doc_id, any_value(r.lang) AS lang, list(u.tok) AS toks
+       |  FROM raw r
+       |  JOIN (SELECT doc_id, unnest(toks) AS tok FROM raw) u
+       |    ON u.doc_id = r.doc_id
+       |  JOIN tf ON tf.tok = u.tok CROSS JOIN lim
+       |  WHERE tf.freq <= lim.max_df
+       |  GROUP BY r.doc_id)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang AS lang,
+       |       CAST(floor(len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |             len(list_distinct(list_concat(a.toks, b.toks))) * 10000) AS BIGINT) AS jaccard_q4
+       |FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+       |WHERE floor(len(list_intersect(a.toks, b.toks))::DOUBLE /
+       |      len(list_distinct(list_concat(a.toks, b.toks))) * 10000) >= 8000
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Embedding-cosine near-dup pairs within label blocks. */
   def dedupEmbedding(spark: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(load(spark, dir, "embeddings"), 0.3)
@@ -2829,7 +2866,86 @@ object ExtQueries extends QueryGroup {
        |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
        |e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
        |${(1 to 6).map(round).mkString(",\n")}
-       |SELECT a, b, sup AS support FROM e6 ORDER BY a, b""".stripMargin
+       |SELECT a, b, sup AS support FROM e6
+       |-- fixpoint assert: the Spark side iterates to a VERIFIED fixpoint;
+       |-- if a dataset ever needs a 7th peel round this unroll must fail
+       |-- loudly, not ship a non-fixpoint superset as the oracle
+       |WHERE CASE WHEN (SELECT count(*) FROM e6) = (SELECT count(*) FROM e5)
+       |           THEN TRUE
+       |           ELSE error('ktruss oracle not converged in 6 rounds') END
+       |ORDER BY a, b""".stripMargin
+  }
+
+  /** Full truss DECOMPOSITION of the near-dup graph
+    * ([[graft.ops.KTruss.decompose]]): every canonical edge labeled
+    * with its trussness t(e) = max k whose k-truss contains it (t ≥ 2
+    * always) — the curation-dashboard readout next to ext_ktruss's
+    * single-k answer. The oracle replays successive peel phases
+    * (k = 3..8, six unrolled rounds each) with per-phase fixpoint
+    * asserts and a final emptiness assert, so a deeper-than-unrolled
+    * dataset fails LOUDLY instead of hash-mismatching. */
+  def trussDecomposeQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    graft.ops.KTruss.decompose(edges, maxK = 8).orderBy($"a", $"b")
+  }
+
+  private val trussDecomposeSql = {
+    val kMax = 8
+    // phase k peels from the (k-1)-truss (E_k ⊆ E_{k-1}: the peel
+    // fixpoint from any superset of E_k inside G is E_k itself)
+    def phase(k: Int): String = {
+      val minSup = k - 2
+      def prev(r: Int) = s"k${k}e${r - 1}"
+      val e0 =
+        if (k == 3) "k3e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs)"
+        else s"k${k}e0 AS MATERIALIZED (SELECT a, b FROM k${k - 1}e6)"
+      val rounds = (1 to 6).map { r =>
+        s"""k${k}t$r AS MATERIALIZED (
+           |  SELECT x.a, x.b, y.b AS c
+           |  FROM ${prev(r)} x JOIN ${prev(r)} y ON x.a = y.a AND x.b < y.b
+           |  JOIN ${prev(r)} z ON z.a = x.b AND z.b = y.b),
+           |k${k}s$r AS MATERIALIZED (
+           |  SELECT a, b, count(*)::BIGINT AS sup FROM (
+           |    SELECT a, b FROM k${k}t$r
+           |    UNION ALL SELECT a, c AS b FROM k${k}t$r
+           |    UNION ALL SELECT b AS a, c AS b FROM k${k}t$r)
+           |  GROUP BY 1, 2),
+           |k${k}e$r AS MATERIALIZED (
+           |  SELECT p.a, p.b
+           |  FROM ${prev(r)} p LEFT JOIN k${k}s$r s ON s.a = p.a AND s.b = p.b
+           |  WHERE coalesce(s.sup, 0) >= $minSup)""".stripMargin
+      }.mkString(",\n")
+      e0 + ",\n" + rounds
+    }
+    val joins = (3 to kMax).map(k =>
+      s"LEFT JOIN k${k}e6 f$k ON f$k.a = g.a AND f$k.b = g.b").mkString("\n")
+    val trussCase = (kMax to 3 by -1)
+      .map(k => s"WHEN f$k.a IS NOT NULL THEN $k").mkString(" ")
+    val asserts = (3 to kMax).map(k =>
+      s"""CASE WHEN (SELECT count(*) FROM k${k}e6) = (SELECT count(*) FROM k${k}e5)
+         |      THEN TRUE ELSE error('truss phase $k not converged in 6 rounds') END""".stripMargin)
+      .mkString("\n  AND ")
+    s"""WITH pairs AS MATERIALIZED (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM $nzSql a JOIN $nzSql b
+       |    ON a.label = b.label AND a.vec_id < b.vec_id
+       |  WHERE floor(${cosSql("a.embedding", "b.embedding")} * 10000) >= 3000),
+       |${(3 to kMax).map(phase).mkString(",\n")}
+       |SELECT g.a, g.b,
+       |       (CASE $trussCase ELSE 2 END)::BIGINT AS trussness
+       |FROM k3e0 g
+       |$joins
+       |WHERE $asserts
+       |  AND CASE WHEN (SELECT count(*) FROM k${kMax}e6) = 0
+       |      THEN TRUE ELSE error('truss decomposition incomplete at k=$kMax') END
+       |ORDER BY 1, 2""".stripMargin
   }
 
   /** Triangle counts per node over the near-dup graph
@@ -4896,10 +5012,14 @@ object ExtQueries extends QueryGroup {
       |ma AS (SELECT a, sum(c)::BIGINT AS ra FROM cells GROUP BY 1),
       |mb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY 1),
       |mi AS (
+      |  -- null-safe margin joins: a NULL category is its own level and
+      |  -- must reach the MI numerator (mirrors the Spark <=> joins)
       |  SELECT sum(floor((c::DOUBLE / n::DOUBLE) *
       |           ln((c::DOUBLE * n::DOUBLE) / (ra::DOUBLE * cb::DOUBLE)) *
       |           1000000.0::DOUBLE)::BIGINT)::BIGINT AS mi_q6
-      |  FROM cells JOIN ma USING (a) JOIN mb USING (b) CROSS JOIN nn),
+      |  FROM cells JOIN ma ON cells.a IS NOT DISTINCT FROM ma.a
+      |             JOIN mb ON cells.b IS NOT DISTINCT FROM mb.b
+      |             CROSS JOIN nn),
       |ha AS (
       |  SELECT sum(floor((ra::DOUBLE / n::DOUBLE) *
       |           ln(n::DOUBLE / ra::DOUBLE) *
@@ -5386,6 +5506,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_spans", dedupSpans, Some(dedupSpansSql)),
     QueryDef("ext_dedup_despan", dedupDespan, Some(dedupDespanSql)),
     QueryDef("ext_dedup_ngram_jaccard", dedupNgram, Some(dedupNgramSql)),
+    QueryDef("ext_dedup_ngram_capped", dedupNgramCapped, Some(dedupNgramCappedSql)),
     QueryDef("ext_dedup_embedding", dedupEmbedding, Some(dedupEmbeddingSql)),
     QueryDef("ext_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)),
     QueryDef("ext_dedup_eval", dedupEval, Some(dedupEvalSql)),
@@ -5457,6 +5578,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_harmonic", harmonicQ, Some(harmonicSql)),
     QueryDef("ext_ktruss", ktrussQ, Some(ktrussSql)),
+    QueryDef("ext_truss_decompose", trussDecomposeQ, Some(trussDecomposeSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),
     QueryDef("ext_cluster_quality", clusterQualityQ, Some(clusterQualitySql)),
     QueryDef("ext_embed_pca", embedPca, Some(embedPcaSql)),

@@ -558,7 +558,9 @@ object StreamingIngest {
     * probe loop inside a stateless streaming projection.
     *
     * Shape: the dimension HISTORY (key, ts, payload — dimension-sized
-    * by contract, every version of every key) is collected once at
+    * by contract, ENFORCED by `maxDimRows`: the collect is counted
+    * first and a fact-sized history fails loudly instead of OOMing the
+    * driver) is collected once at
     * query build, indexed per key as a ts-sorted array, and broadcast;
     * each stream row binary-searches its key's array — the
     * BroadcastAsofJoinExec probe loop. The stream side is never
@@ -577,7 +579,8 @@ object StreamingIngest {
     * suffices). */
   def asofJoinStream(stream: DataFrame, dimHistory: DataFrame,
       keys: Seq[String], tsCol: String,
-      rightPrefix: String = "r_"): DataFrame = {
+      rightPrefix: String = "r_",
+      maxDimRows: Long = 2000000L): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType, TimestampType}
     require(keys.nonEmpty, "asof join needs at least one key column")
@@ -609,11 +612,20 @@ object StreamingIngest {
       case (x: Comparable[Any] @unchecked, y) => x.compareTo(y)
       case (x, y) => x.toString.compareTo(y.toString)
     }
-    val collected = dimHistory
+    val dimRows = dimHistory
       .where(keys.map(col(_).isNotNull).reduce(_ && _) && col(tsCol).isNotNull)
       .select(struct(keys.map(col): _*).as("_k"),
         micros(col(tsCol)).as("_tsus"), struct(matchCols: _*).as("_r"))
-      .collect()
+    // "dimension-sized by contract" must be enforced, not assumed: a
+    // caller handing a FACT-sized history would otherwise OOM the
+    // driver with no useful error (the ops/Journeys bounded-collect
+    // convention — count first, collect only under the bound)
+    val nDim = dimRows.count()
+    require(nDim <= maxDimRows,
+      s"asofJoinStream dimension history has $nDim rows (> maxDimRows=" +
+        s"$maxDimRows) — this operator broadcasts the FULL history; " +
+        "pass a dimension-sized frame or raise maxDimRows explicitly")
+    val collected = dimRows.collect()
     val index: Map[Row, (Array[Long], Array[Row])] =
       collected.groupBy(_.getStruct(0)).map { case (k, rows) =>
         // ascending (ts, payload): the RIGHTMOST entry with ts <= probe
@@ -738,9 +750,14 @@ object StreamingIngest {
     * Decision rule (deterministic, documented contract): a document is
     * REJECTED iff its signature matches — shares an LSH band bucket AND
     * agrees on ≥ `minAgree` of the k MinHash components — (a) any
-    * already-INDEXED document, or (b) a smaller-id document in its own
-    * micro-batch (min-id-wins locally; the standard relational stand-in
-    * for sequential greedy inside a batch). Matching is signature-only
+    * already-INDEXED document, or (b) a smaller-id KEPT document in its
+    * own micro-batch. In-batch resolution is TRUE sequential greedy
+    * (process ids ascending; a doc is rejected only by a doc that
+    * actually enters the corpus), computed relationally by
+    * [[sequentialGreedy]] — so `dup_of` always anchors at a kept or
+    * indexed document, never at a peer that was itself rejected, and a
+    * chain a←b←c keeps a AND c (b's rejection does not cascade).
+    * Matching is signature-only
     * (no stored text, no exact-Jaccard verify): at index scale the
     * corpus text cannot be re-read per batch, which is precisely the
     * trade the production incremental dedupers make.
@@ -752,6 +769,67 @@ object StreamingIngest {
     * every doc against itself). Index rows are (doc_id, sig, band_idx,
     * band_val): band-bucket equi-join probes, candidate-bounded work,
     * never all-pairs. */
+  /** Sequential-greedy duplicate resolution over one micro-batch's
+    * candidate graph: replay "process ids ascending; keep unless a
+    * KEPT smaller candidate (or the index) matches" relationally.
+    *
+    * `idxRejected` (_nid, dup_of) are definitive rejects (anchors are
+    * indexed, i.e. already-kept, docs); `edges` (_oid < _nid) are the
+    * verified in-batch candidate pairs; `ids` the batch's doc ids.
+    * Returns (_nid, dup_of) where every dup_of is a kept or indexed
+    * doc — never a rejected peer.
+    *
+    * Each round finalizes (1) KEPT: undecided ids whose smaller
+    * candidate neighbors are all rejected (their greedy outcome can no
+    * longer change), then (2) REJECTED: undecided ids with a kept
+    * smaller neighbor (anchor = min such). The minimum undecided id is
+    * decided every round, and rounds bound by the longest alternating
+    * kept-chain — duplicate clusters are shallow, but `maxRounds`
+    * THROWS rather than mislabel on an adversarial batch. Frames are
+    * batch-sized; each round is loopBarrier-truncated ([[graft.ops.Iterate]]). */
+  private[graft] def sequentialGreedy(idxRejected: DataFrame,
+      edges: DataFrame, ids: DataFrame, maxRounds: Int = 60): DataFrame = {
+    import graft.ops.Iterate
+    var rejected = Iterate.loopBarrier(
+      idxRejected.select(col("_nid"), col("dup_of")))
+    var kept = ids.select(col("_nid")).limit(0)
+    var undecided = Iterate.loopBarrier(
+      ids.select(col("_nid")).distinct()
+        .join(rejected, Seq("_nid"), "left_anti"))
+    val e = Iterate.loopBarrier(
+      edges.select(col("_oid"), col("_nid")).distinct())
+    var nUndecided = undecided.count()
+    var round = 0
+    while (nUndecided > 0) {
+      round += 1
+      if (round > maxRounds) throw new IllegalStateException(
+        s"sequentialGreedy did not resolve in $maxRounds rounds " +
+          s"($nUndecided ids undecided) — raise maxRounds")
+      // edges whose smaller endpoint is rejected can never reject
+      val live = Iterate.loopBarrier(
+        e.join(rejected.select(col("_nid").as("_oid")), Seq("_oid"), "left_anti"))
+      val blocked = live.select(col("_nid")).distinct()
+      val newKept = Iterate.loopBarrier(
+        undecided.join(blocked, Seq("_nid"), "left_anti"))
+      kept = Iterate.loopBarrier(kept.unionByName(newKept))
+      val newRej = Iterate.loopBarrier(
+        live.join(kept.select(col("_nid").as("_oid")), Seq("_oid"))
+          .join(undecided.join(newKept, Seq("_nid"), "left_anti"), Seq("_nid"))
+          .groupBy(col("_nid")).agg(min(col("_oid")).as("dup_of")))
+      rejected = Iterate.loopBarrier(rejected.unionByName(newRej))
+      undecided = Iterate.loopBarrier(
+        undecided.join(newKept, Seq("_nid"), "left_anti")
+          .join(newRej.select(col("_nid")), Seq("_nid"), "left_anti"))
+      val n2 = undecided.count()
+      // progress is guaranteed (the min undecided id always resolves);
+      // the guard keeps a logic regression from spinning silently
+      if (n2 >= nUndecided) throw new IllegalStateException(
+        s"sequentialGreedy made no progress at round $round ($n2 undecided)")
+      nUndecided = n2
+    }
+    rejected
+  }
+
   def nearDupSink(docs: DataFrame, indexPath: String, keepPath: String,
       rejectPath: String, checkpoint: String, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 6, r: Int = 2,
@@ -803,7 +881,9 @@ object StreamingIngest {
                 col("_sig").as("sig"), col("band_idx"), col("band_val"))
                 .limit(0)
             else spark.read.parquet(earlier: _*)
-          // (a) probe the persistent index
+          // (a) probe the persistent index — an index match is a
+          // definitive reject (its anchor is in the corpus by
+          // construction)
           val dupIdx = bandsNew.join(index
                 .select(col(idCol).as("_oid"), col("sig").as("_sig_old"),
                   col("band_idx"), col("band_val")),
@@ -812,10 +892,11 @@ object StreamingIngest {
             .distinct()
             .where(agreeExpr >= minAgree)
             .groupBy(col("_nid")).agg(min(col("_oid")).as("dup_of"))
-          // (b) min-id-wins within the batch
+          // (b) in-batch candidate EDGES (smaller id → larger id), then
+          // sequential-greedy resolution: only KEPT docs reject
           val right = bandsNew.select(col("_nid").as("_bigid"),
             col("_sig"), col("band_idx"), col("band_val"))
-          val dupBatch = bandsNew
+          val inEdges = bandsNew
             .select(col("_nid").as("_oid"), col("_sig").as("_sig_old"),
               col("band_idx"), col("band_val"))
             .join(right, Seq("band_idx", "band_val"))
@@ -824,10 +905,9 @@ object StreamingIngest {
               col("_sig_old"))
             .distinct()
             .where(agreeExpr >= minAgree)
-            .groupBy(col("_nid")).agg(min(col("_oid")).as("dup_of"))
-          val rejected = dupIdx.unionByName(dupBatch)
-            .groupBy(col("_nid")).agg(min(col("dup_of")).as("dup_of"))
-            .persist()
+            .select(col("_oid"), col("_nid"))
+          val rejected = sequentialGreedy(dupIdx, inEdges,
+            sigd.select(col(idCol).as("_nid"))).persist()
           val keeps = sigd.join(rejected,
             sigd(idCol) === rejected("_nid"), "left_anti")
           val rejects = sigd.join(rejected, sigd(idCol) === rejected("_nid"))

@@ -30,6 +30,29 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (1L, 5L)))
   }
 
+  test("ngramJaccard df cap: near-universal tokens leave every SET, " +
+      "capped Jaccard is deterministic and oracle-shaped") {
+    // "common" sits in 5 of 6 docs; with maxDf=4 it leaves every token
+    // set, which RAISES j(1,2) from 4/6 to 4/5 — the pair exists only
+    // under the cap (removing a one-sided token shrinks the union)
+    val docs = (Seq(
+      (1L, "en", "common xtra alpha beta gamma delta"),
+      (2L, "en", "alpha beta gamma delta")) ++
+      (3L to 6L).map(i => (i, "en", s"common filler_$i")))
+      .toDF("doc_id", "lang", "text")
+    val uncapped = Dedup.ngramJaccard(docs, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped === Set.empty)
+    val capped = Dedup.ngramJaccard(docs, 0.8, maxDf = 4L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Long]("jaccard_q4")))
+    assert(capped.toSeq === Seq((1L, 2L) -> 8000L))
+    // a cap nothing exceeds is the identity path
+    val noop = Dedup.ngramJaccard(docs, 0.8, maxDf = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(noop === uncapped)
+    spark.catalog.clearCache()
+  }
+
   test("withCacheScope frees every operator-persisted block at scope exit") {
     import org.apache.spark.storage.StorageLevel
     val docs = (1L to 40L).map(i => (i, "en", s"shared words plus unique token_$i here"))

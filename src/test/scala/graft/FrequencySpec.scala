@@ -440,4 +440,24 @@ class FrequencySpec extends SparkSpec {
       .map(r => r.getString(0) -> r.getLong(2)).toMap
     assert(again === out.map { case (k, v) => k -> v._2 })
   }
+
+  test("mutualInfo: null categories are their own level — identical to an " +
+      "explicit sentinel level, and their cells reach the MI numerator") {
+    // lang null for some rows, correlated with source: pre-fix the
+    // null-keyed CELLS dropped out of the MI sum (plain equi-join)
+    // while the entropies kept them — MI/NMI inconsistent
+    val rows = Seq(
+      (Option("en"), "s1"), (Option("en"), "s1"), (Option("en"), "s2"),
+      (Option.empty[String], "s3"), (Option.empty[String], "s3"),
+      (Option.empty[String], "s1"), (Option("de"), "s2"))
+    val withNull = rows.toDF("lang", "source")
+    val withSentinel = rows.map { case (a, b) => (a.getOrElse("__null__"), b) }
+      .toDF("lang", "source")
+    val got = Frequency.mutualInfo(withNull, "lang", "source").collect().head
+    val want = Frequency.mutualInfo(withSentinel, "lang", "source").collect().head
+    assert(got === want)
+    // the null level carries real signal here: a run that dropped its
+    // cells would undercount MI (this pins the numerator contribution)
+    assert(got.getAs[Long]("mi_q6") > 0L)
+  }
 }

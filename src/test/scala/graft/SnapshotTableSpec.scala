@@ -82,6 +82,23 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.history(spark, p).count() === 2L)
   }
 
+  test("crash window: data dir written, commit lost — readers never see it, " +
+      "the replayed batch reclaims the version, nothing double-lands") {
+    val p = tmpDir()
+    assert(SnapshotTable.write(Seq(1L, 2L).toDF("id"), p, "overwrite") === 1L)
+    // a crashed append attempt: v=2 data landed, _commits/2.json did not
+    Seq(3L, 4L).toDF("id").write.parquet(s"$p/v=2")
+    assert(ids(p) === Set(1L, 2L)) // orphan is invisible
+    assert(SnapshotTable.latestVersion(spark, p) === Some(1L))
+    // the at-least-once replay of the same logical batch reclaims v=2
+    assert(SnapshotTable.appendBatch(Seq(3L, 4L).toDF("id"), p, 7L) === Some(2L))
+    assert(ids(p) === Set(1L, 2L, 3L, 4L))
+    assert(SnapshotTable.read(spark, p).count() === 4L) // not 6: debris clobbered
+    // and a SECOND delivery of that batch id is the metadata no-op
+    assert(SnapshotTable.appendBatch(Seq(3L, 4L).toDF("id"), p, 7L).isEmpty)
+    assert(SnapshotTable.read(spark, p).count() === 4L)
+  }
+
   test("appendStream lands one committed version per micro-batch") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

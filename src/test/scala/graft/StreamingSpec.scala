@@ -339,6 +339,115 @@ class StreamingSpec extends SparkSpec {
     assert(cols === Set("doc_id", "text"))
   }
 
+
+  test("sequentialGreedy: chains keep every other doc, idx-rejected neighbors " +
+      "cannot reject, anchors always point at kept/indexed docs") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newLongEncoder}
+    def ids(xs: Long*) = xs.toDF("_nid")
+    def edges(xs: (Long, Long)*) = xs.toDF("_oid", "_nid")
+    def idx(xs: (Long, Long)*) = xs.toDF("_nid", "dup_of")
+    def run(i: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame,
+        d: org.apache.spark.sql.DataFrame) =
+      StreamingIngest.sequentialGreedy(i, e, d)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // chain 1-2-3: greedy keeps 1, rejects 2 against 1, KEEPS 3 (its only
+    // candidate 2 never entered the corpus) — min-id-wins wrongly dropped 3
+    assert(run(idx(), edges((1L, 2L), (2L, 3L)), ids(1L, 2L, 3L)) ===
+      Map(2L -> 1L))
+    // 4-chain: alternation continues
+    assert(run(idx(), edges((1L, 2L), (2L, 3L), (3L, 4L)), ids(1L, 2L, 3L, 4L)) ===
+      Map(2L -> 1L, 4L -> 3L))
+    // triangle: 1 kept, both others anchor at 1
+    assert(run(idx(), edges((1L, 2L), (1L, 3L), (2L, 3L)), ids(1L, 2L, 3L)) ===
+      Map(2L -> 1L, 3L -> 1L))
+    // doc 1 is index-rejected: it never enters the corpus, so it cannot
+    // reject 2 — and 2's own anchor chain ends (2 kept)
+    assert(run(idx((1L, 0L)), edges((1L, 2L)), ids(1L, 2L)) === Map(1L -> 0L))
+    // index rejection + in-batch edge from the SAME doc: idx anchor stands,
+    // 2 survives because 1 is out
+    assert(run(idx((1L, 0L)), edges((1L, 2L), (2L, 3L)), ids(1L, 2L, 3L)) ===
+      Map(1L -> 0L, 3L -> 2L))
+  }
+
+  test("asofJoinStream: fact-sized dimension history fails LOUDLY at build, " +
+      "not as a driver OOM") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    val dim = (1L to 50L).map(i => (s"k$i", ts(i), i)).toDF("k", "ts", "price")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("ts",
+          org.apache.spark.sql.types.TimestampType))))
+      .parquet(tmpDir("graft-asof-guard"))
+    val e = intercept[IllegalArgumentException] {
+      StreamingIngest.asofJoinStream(stream, dim, Seq("k"), "ts",
+        maxDimRows = 10L)
+    }
+    assert(e.getMessage.contains("maxDimRows"))
+    // the same history under the bound builds fine
+    StreamingIngest.asofJoinStream(stream, dim, Seq("k"), "ts",
+      maxDimRows = 50L)
+  }
+
+  test("nearDupSink crash window: a failed attempt's batch dirs (data written, " +
+      "stream commit lost) are reclaimed on replay — docs never reject " +
+      "against their own debris, outputs don't double-land") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def text(i: Long): String = (0 until 12).map(j => s"c${i}d$j").mkString(" ")
+    val b1 = Seq((1L, text(1)), (2L, text(2)), (3L, text(3)))
+    val b2 = Seq((11L, text(1)),  // cross-batch copy of doc 1 -> reject
+      (12L, text(12)))
+    def runSink(landing: String, idxP: String, keepP: String, rejP: String,
+        ckpt: String, rows: Seq[(Long, String)], part: String): Unit = {
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/$part")
+      val schema = spark.read.parquet(s"$landing/$part").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$landing/*")
+      val q = StreamingIngest.nearDupSink(stream, idxP, keepP, rejP, ckpt)
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // throwaway run: produces REAL debris (correct schemas/content) for
+    // both batches, as if an attempt wrote its dirs and lost the commit
+    val t = tmpDir("graft-crash-throwaway")
+    runSink(s"$t/land", s"$t/idx", s"$t/keep", s"$t/rej", s"$t/ckpt", b1, "p1")
+    runSink(s"$t/land", s"$t/idx", s"$t/keep", s"$t/rej", s"$t/ckpt", b2, "p2")
+    // real paths: plant the debris BEFORE each batch first runs
+    val landing = tmpDir("graft-crash-landing")
+    val idxP = tmpDir("graft-crash-idx") + "/idx"
+    val keepP = tmpDir("graft-crash-keep")
+    val rejP = tmpDir("graft-crash-rej")
+    val ckpt = tmpDir("graft-crash-ckpt")
+    def plant(src: String, dst: String): Unit =
+      spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+    // batch 0's own index/keep rows already on disk = the failed attempt
+    plant(s"$t/idx/b0", s"$idxP/b0")
+    plant(s"$t/keep/b0", s"$keepP/b0")
+    runSink(landing, idxP, keepP, rejP, ckpt, b1, "p1")
+    // all three docs kept — none rejected against its own debris rows
+    assert(spark.read.parquet(s"$keepP/b*").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+    // batch 1 debris planted before batch 1 replays
+    plant(s"$t/idx/b1", s"$idxP/b1")
+    runSink(landing, idxP, keepP, rejP, ckpt, b2, "p2")
+    val kept = spark.read.parquet(s"$keepP/b*").select($"doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val rej = spark.read.parquet(s"$rejP/b*").select($"doc_id", $"dup_of")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 12 kept (its debris index row at b1 must be invisible to batch 1);
+    // doc 11 rejected against the COMMITTED index (doc 1), nothing doubled
+    assert(kept === Set(1L, 2L, 3L, 12L))
+    assert(rej === Map(11L -> 1L))
+    val idxIds = spark.read.parquet(s"$idxP/b*").select($"doc_id")
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(idxIds === kept)
+    // one row per doc everywhere: the replay OVERWROTE the debris
+    val keepRows = spark.read.parquet(s"$keepP/b*").count()
+    assert(keepRows === 4L, s"keep double-landed: $keepRows rows")
+  }
+
   test("corpusFilterSink: multi-batch keep/reject routing equals the batch cascade") {
     val docs = Tables.load(spark, sfDir, "documents")
     val landing = tmpDir("graft-landing-corpus")
