@@ -1,0 +1,113 @@
+#!/usr/bin/env bash
+# Standing 10x scale gate — the per-round artifact version of the
+# round-9 scale study:
+#   (a) regenerate the m=1 and m=10 Heaps-law corpora with graft.ScaleGen
+#       (m=1 ~ sf0.1-sized, m=10 ~ sf1-sized; Heaps vocabulary V=2000*ceil(sqrt(m))
+#       is the realistic text model — the committed testdata's ~20-word
+#       vocabulary makes candidate-pair text operators look quadratic
+#       when the true behavior is near-linear),
+#   (b) run the FULL Verify sweep at m=10 (every gated query must run
+#       clean at sf1-equivalent scale — this is the gate that caught the
+#       ev50 int64 overflow and the assortativity /0 in round 9),
+#   (c) bench the N most expensive queries (taken from a committed bench
+#       artifact) at both multipliers,
+#   (d) write SCALE_r<round>.json with per-query 1x->10x scaling
+#       exponents (exp = log10(t10/t1)); if SCALE_r<round-1>.json
+#       exists, append a per-query diff and FAIL on any exponent
+#       worsening by more than 0.15.
+#
+# Usage: scripts/scale_gate.sh <round> [topN=30] [artifact=BENCH_LOCAL.json] [base=/tmp/scale] [extraQueries]
+#   extraQueries: comma-separated names benched in ADDITION to the
+#   artifact's top-N (e.g. a new query not yet in any artifact).
+# Exit nonzero on: verify failures at m10, or an exponent regression.
+set -euo pipefail
+cd "$(dirname "$0")/.."
+
+ROUND="${1:?usage: scale_gate.sh <round> [topN] [artifact] [base] [extra]}"
+N="${2:-30}"
+ARTIFACT="${3:-BENCH_LOCAL.json}"
+BASE="${4:-/tmp/scale}"
+EXTRA="${5:-}"
+
+[ -f "$ARTIFACT" ] || { echo "no bench artifact at $ARTIFACT" >&2; exit 1; }
+
+echo "[scale] (a) generating Heaps corpora under $BASE" >&2
+for m in 1 10; do
+  sbt -batch "runMain graft.ScaleGen $BASE/h$m $m heaps" >/dev/null
+done
+
+echo "[scale] (b) full Verify sweep at m=10" >&2
+rm -rf "$BASE/verify_h10"
+sbt -batch "runMain graft.Verify $BASE/h10 $BASE/verify_h10" >/dev/null
+python3 - "$BASE/verify_h10" <<'EOF'
+import glob, json, os, sys
+out = sys.argv[1]
+failed = json.load(open(f"{out}/_failed.json"))
+n = len([p for p in glob.glob(f"{out}/*") if os.path.isdir(p)])
+print(f"[scale] verify@m10: {n} query dumps, {len(failed)} failures", file=sys.stderr)
+if failed:
+    for k, v in failed.items():
+        print(f"[scale]   FAIL {k}: {v[:200]}", file=sys.stderr)
+    sys.exit(1)
+EOF
+
+SLOW=$(python3 - "$ARTIFACT" "$N" <<'EOF'
+import json, sys
+art = json.load(open(sys.argv[1]))
+qs = {k: v for k, v in art["queries"].items() if v > 0}
+print(",".join(sorted(sorted(qs, key=qs.get, reverse=True)[: int(sys.argv[2])])))
+EOF
+)
+if [ -n "$EXTRA" ]; then SLOW="$SLOW,$EXTRA"; fi
+echo "[scale] (c) benching top-$N at m=1 and m=10: $SLOW" >&2
+for m in 1 10; do
+  SPARK_GRAFT_SF_DIR="$BASE/h$m" SPARK_GRAFT_ONLY="$SLOW" \
+    SPARK_GRAFT_BENCH_OUT="$BASE/bench_h$m.json" \
+    sbt -batch "runMain graft.Bench" >/dev/null
+done
+
+echo "[scale] (d) writing SCALE_r${ROUND}.json" >&2
+python3 - "$ROUND" "$BASE" <<'EOF'
+import json, math, os, sys
+rnd, base = int(sys.argv[1]), sys.argv[2]
+b1 = json.load(open(f"{base}/bench_h1.json"))
+b10 = json.load(open(f"{base}/bench_h10.json"))
+rows = {}
+for q, t1 in sorted(b1["queries"].items()):
+    t10 = b10["queries"].get(q, -1)
+    if t1 <= 0 or t10 <= 0:
+        rows[q] = {"t_m1": t1, "t_m10": t10, "ratio": None, "exp": None}
+        continue
+    ratio = t10 / t1
+    rows[q] = {"t_m1": round(t1, 3), "t_m10": round(t10, 3),
+               "ratio": round(ratio, 2), "exp": round(math.log10(ratio), 2)}
+out = {"round": rnd, "corpus": "heaps", "multipliers": [1, 10],
+       "queries": rows,
+       "host": {"m1": {k: b1.get(k) for k in ("warmup_sec", "load_before", "load_after")},
+                "m10": {k: b10.get(k) for k in ("warmup_sec", "load_before", "load_after")}}}
+prev_path = f"SCALE_r{rnd - 1:02d}.json"
+regressions = []
+if os.path.exists(prev_path):
+    prev = json.load(open(prev_path))["queries"]
+    diff = {}
+    for q, r in rows.items():
+        p = prev.get(q)
+        if p and p.get("exp") is not None and r.get("exp") is not None:
+            d = round(r["exp"] - p["exp"], 2)
+            diff[q] = d
+            if d > 0.15:
+                regressions.append(f"{q}: exp {p['exp']} -> {r['exp']} (+{d})")
+    out["exp_diff_vs_prev"] = diff
+    out["regressions"] = regressions
+path = f"SCALE_r{rnd:02d}.json"
+json.dump(out, open(path, "w"), indent=1)
+print(path)
+for q, r in sorted(rows.items(), key=lambda kv: -(kv[1]["exp"] or -99)):
+    print(f"  {q:32s} m1 {r['t_m1']:>8}s  m10 {r['t_m10']:>8}s  exp {r['exp']}")
+if regressions:
+    print("EXPONENT REGRESSIONS (>0.15):", file=sys.stderr)
+    for r in regressions:
+        print(f"  {r}", file=sys.stderr)
+    sys.exit(1)
+EOF
+echo "[scale] gate green" >&2

@@ -127,6 +127,15 @@ object AsofJoin {
       rightPrefix: String = "r_"): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one key column")
     require(maxGapSeconds >= 0, s"maxGapSeconds must be >= 0, got $maxGapSeconds")
+    // the gap math runs through unix_micros(cast(.. AS TIMESTAMP)):
+    // a no-op for TIMESTAMP, the session-zone pin for TIMESTAMP_NTZ —
+    // any other type must fail here, not silently reinterpret
+    locally {
+      import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+      val tsDt = right.schema(tsCol).dataType
+      require(tsDt == TimestampType || tsDt == TimestampNTZType,
+        s"asofNearest ts column must be TIMESTAMP/TIMESTAMP_NTZ, got $tsDt ($tsCol)")
+    }
     val rPayload = right.columns.filterNot(c => keys.contains(c) || c == tsCol).toSeq
     val rStruct = struct((col(tsCol).as(tsCol) +: rPayload.map(c => col(c).as(c))): _*)
     val rTagged = right
@@ -147,7 +156,8 @@ object AsofJoin {
     val wPrev = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wNext = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     def gapOk(c: org.apache.spark.sql.Column) =
-      abs(unix_micros(c.getField(tsCol)) - unix_micros(col("_ts"))) <=
+      abs(unix_micros(c.getField(tsCol).cast("timestamp")) -
+        unix_micros(col("_ts").cast("timestamp"))) <=
         maxGapSeconds * 1000000L
     val picked = unioned
       .withColumn("_prev", last(col("_r"), ignoreNulls = true).over(wPrev))
@@ -157,8 +167,10 @@ object AsofJoin {
       .withColumn("_nOk", col("_next").isNotNull && gapOk(col("_next")))
       .withColumn("_match",
         when(col("_pOk") && (!col("_nOk") ||
-          unix_micros(col("_ts")) - unix_micros(col("_prev").getField(tsCol)) <=
-            unix_micros(col("_next").getField(tsCol)) - unix_micros(col("_ts"))),
+          unix_micros(col("_ts").cast("timestamp")) -
+            unix_micros(col("_prev").getField(tsCol).cast("timestamp")) <=
+            unix_micros(col("_next").getField(tsCol).cast("timestamp")) -
+            unix_micros(col("_ts").cast("timestamp"))),
           col("_prev"))
           .when(col("_nOk"), col("_next")))
     picked.select(lCols.map(c => col("_l").getField(c).as(c)) ++

@@ -139,7 +139,7 @@ object Journeys {
     val byUser = Window.partitionBy(col(userCol)).orderBy($"_s")
     val prev = byUser.rowsBetween(Window.unboundedPreceding, -1)
     events
-      .select(col(userCol), expr(s"unix_micros($tsCol) div 1000000").as("_s"))
+      .select(col(userCol), expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div 1000000").as("_s"))
       .select(col(userCol), $"_s", ($"_s" + windowSeconds).as("_e"))
       .withColumn("_newisl",
         when(max($"_e").over(prev).isNull ||
@@ -196,7 +196,7 @@ object Journeys {
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val ud = events
       .select(col(userCol).as("_u"),
-        expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("_d"))
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div ${86400L * 1000000L}").as("_d"))
       .distinct()
     val maxDay = ud.agg(max($"_d").as("_mx"))
     ud.select($"_u",
@@ -221,7 +221,7 @@ object Journeys {
     require(longDays >= 1, s"longDays must be >= 1, got $longDays")
     val ud = events
       .select(col(userCol).as("_u"),
-        expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("_d"))
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div ${86400L * 1000000L}").as("_d"))
       .distinct()
       .persistScoped // both the DAU and MAU rollups read this
     val span = ud.agg(min($"_d").as("_mn"), max($"_d").as("_mx"))
@@ -244,7 +244,7 @@ object Journeys {
       tsCol: String = "ts"): DataFrame = {
     val ud = events
       .select(col(userCol).as("_u"),
-        expr(s"unix_micros($tsCol) div ${86400L * 1000000L}").as("_d"))
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div ${86400L * 1000000L}").as("_d"))
       .distinct()
       .persistScoped // read twice: first-day aggregate + day rollup
     val firsts = ud.groupBy($"_u").agg(min($"_d").as("_f"))
@@ -342,7 +342,7 @@ object Journeys {
     val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     events
       .select(col(userCol), col(tieCol),
-        expr(s"unix_micros($tsCol) div 1000000").as("es"))
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div 1000000").as("es"))
       .withColumn("_new",
         when($"es" - lag($"es", 1).over(w) <= gapSeconds, lit(0L))
           .otherwise(lit(1L))) // first row: NULL comparison → new session
@@ -377,11 +377,11 @@ object Journeys {
       s"lookbackSeconds must be >= 1, got $lookbackSeconds")
     val touches = events.where(col(typeCol).isin(touchTypes: _*))
       .select(col(userCol), col(idCol), lit(0).as("_k"),
-        expr(s"unix_micros($tsCol)").as("_us"),
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"),
         col(typeCol).as("_ch"), lit(null).cast("long").as("cents"))
     val convs = events.where(col(typeCol) === convType)
       .select(col(userCol), col(idCol), lit(1).as("_k"),
-        expr(s"unix_micros($tsCol)").as("_us"),
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"),
         lit(null).cast("string").as("_ch"),
         round(col(valueCol) * 100).cast("long").as("cents"))
     val w = Window.partitionBy(col(userCol))
@@ -417,12 +417,12 @@ object Journeys {
     require(halfLifeSeconds >= 1,
       s"halfLifeSeconds must be >= 1, got $halfLifeSeconds")
     val base = events.select(col(groupCol),
-      expr(s"unix_micros($tsCol)").as("_us"),
+      expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"),
       round(col(valueCol) * 100).cast("long").as("_cents"))
     val withRef = refUs match {
       case Some(r) => base.withColumn("_ref", lit(r))
       case None => base.crossJoin(
-        broadcast(events.agg(max(expr(s"unix_micros($tsCol)")).as("_ref"))))
+        broadcast(events.agg(max(expr(s"unix_micros(cast($tsCol AS TIMESTAMP))")).as("_ref"))))
     }
     withRef
       .withColumn("_w", least(lit(62L),
@@ -446,7 +446,7 @@ object Journeys {
     require(k >= 1, s"k must be >= 1, got $k")
     events
       .select(col(userCol).as("_u"),
-        struct(expr(s"unix_micros($tsCol)").as("_us"), col(idCol).as("_id"),
+        struct(expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"), col(idCol).as("_id"),
           col(typeCol).as("_t")).as("_e"))
       .groupBy($"_u").agg(sort_array(collect_list($"_e")).as("_seq"))
       .select(explode(expr(
@@ -480,7 +480,7 @@ object Journeys {
       tieCol: String = "event_id"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = events.select(col(userCol), col(tieCol), col(typeCol),
-      expr(s"unix_micros($tsCol)").as("_us"))
+      expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"))
     // order by the derived epoch (ts itself is projected away above)
     val w = Window.partitionBy(col(userCol)).orderBy($"_us", col(tieCol))
     val pairs = base
@@ -528,7 +528,7 @@ object Journeys {
     val m = 1000000L
     val lateness = events
       .select(col(typeCol), col(arrivalCol),
-        expr(s"unix_micros($tsCol)").as("_us"))
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"))
       .withColumn("_late", max($"_us").over(w) - $"_us")
     val banded = lateness.select(col(typeCol),
       when($"_late" === 0L, lit(0L))
@@ -568,7 +568,7 @@ object Journeys {
     val dayUs = 86400L * 1000000L
     val perUser = events
       .select(col(userCol).as("user_id"),
-        expr(s"unix_micros($tsCol) div $dayUs").as("_d"),
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div $dayUs").as("_d"),
         col(typeCol).as("_t"),
         floor(col(valueCol) * 10000).cast("long").as("_v4"))
       .groupBy($"user_id")
@@ -623,7 +623,7 @@ object Journeys {
     val dayUs = 86400L * 1000000L
     val days = events
       .select(col(userCol).as("u"),
-        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div $dayUs").as("d"))
       .distinct()
     val w = Window.partitionBy($"u").orderBy($"d")
     days

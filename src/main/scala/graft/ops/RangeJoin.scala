@@ -28,6 +28,17 @@ import org.apache.spark.sql.functions._
   * `sequence` would otherwise count DOWN and bucket them backwards. */
 object RangeJoin {
 
+  /** Bucket index: unix_micros(cast(.. AS TIMESTAMP)) — a no-op for
+    * TIMESTAMP, the session-zone pin for TIMESTAMP_NTZ. The type is
+    * checked so any other input fails loudly instead of silently
+    * reinterpreting (cast from LONG would read seconds). */
+  private def requireTs(df: DataFrame, name: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    val dt = df.schema(name).dataType
+    require(dt == TimestampType || dt == TimestampNTZType,
+      s"$op column $name must be TIMESTAMP/TIMESTAMP_NTZ, got $dt")
+  }
+
   def pointInInterval(points: DataFrame, intervals: DataFrame,
       ptCol: String, startCol: String, endCol: String,
       bucketSeconds: Long = 600L): DataFrame = {
@@ -36,7 +47,11 @@ object RangeJoin {
     require(overlap.isEmpty,
       s"points and intervals must not share column names, both have: $overlap")
     val w = bucketSeconds * 1000000L
-    def b(c: org.apache.spark.sql.Column) = floor(unix_micros(c) / w)
+    requireTs(points, ptCol, "pointInInterval")
+    requireTs(intervals, startCol, "pointInInterval")
+    requireTs(intervals, endCol, "pointInInterval")
+    def b(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c.cast("timestamp")) / w)
     val pts = points.withColumn("_b", b(col(ptCol)))
     val ivs = intervals
       .where(col(endCol) >= col(startCol))
@@ -68,7 +83,10 @@ object RangeJoin {
     require(shared.isEmpty,
       s"left and right must not share column names, both have: $shared")
     val w = bucketSeconds * 1000000L
-    def b(c: org.apache.spark.sql.Column) = floor(unix_micros(c) / w)
+    Seq(startL -> left, endL -> left, startR -> right, endR -> right)
+      .foreach { case (c, df) => requireTs(df, c, "intervalOverlap") }
+    def b(c: org.apache.spark.sql.Column) =
+      floor(unix_micros(c.cast("timestamp")) / w)
     val l = left.where(col(endL) >= col(startL))
       .withColumn("_b", explode(sequence(b(col(startL)), b(col(endL)))))
     val r = right.where(col(endR) >= col(startR))

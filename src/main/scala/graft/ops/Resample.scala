@@ -51,7 +51,7 @@ object Resample {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
     val obs = events
       .select(col(keyCol).as("_k"),
-        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"),
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div ${bucketSeconds * 1000000L}").as("b"),
         col(tsCol).as("_ts"), col(tieCol).as("_tie"),
         floor(col(valueCol) * lit(10000.0)).cast("long").as("_v_q4"))
       .groupBy($"_k", $"b")
@@ -97,7 +97,7 @@ object Resample {
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
     val obs = events
       .select(col(keyCol).as("_k"),
-        expr(s"unix_micros($tsCol) div ${bucketSeconds * 1000000L}").as("b"),
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div ${bucketSeconds * 1000000L}").as("b"),
         col(tsCol).as("_ts"), col(tieCol).as("_tie"),
         floor(col(valueCol) * lit(10000.0)).cast("long").as("_v_q4"))
       .groupBy($"_k", $"b")
@@ -145,7 +145,7 @@ object Resample {
     val w = Window.partitionBy($"_k").orderBy($"es", col(tieCol))
     events
       .select(col(keyCol).as("_k"),
-        expr(s"unix_micros($tsCol) div 1000000").as("es"),
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div 1000000").as("es"),
         col(tieCol),
         floor(col(valueCol) * lit(10000.0)).cast("long").as("_v_q4"))
       .withColumn("_dt", lead($"es", 1).over(w) - $"es") // null on last
@@ -192,7 +192,7 @@ object Resample {
     val spread = ($"w_n" * $"w_ss" - $"w_s" * $"w_s").cast("double")
     events
       .select(col(keyCol).as("_k"),
-        expr(s"unix_micros($tsCol)").as("_us"), col(tieCol),
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"), col(tieCol),
         floor(col(valueCol) * lit(10000.0)).cast("long").as("v_q4"))
       .withColumn("w_n", n).withColumn("w_s", s).withColumn("w_ss", ss)
       .select($"_k".as(keyCol), col(tieCol), $"v_q4",
@@ -244,7 +244,7 @@ object Resample {
     val dayUs = 86400L * 1000000L
     val daily = events
       .select(col(groupCol).as("g"),
-        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div $dayUs").as("d"))
       .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
     val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
       .select($"g", explode(sequence($"d0", $"d1")).as("d"))
@@ -280,7 +280,7 @@ object Resample {
     val dayUs = 86400L * 1000000L
     val daily = events
       .select(col(groupCol).as("g"),
-        expr(s"unix_micros($tsCol) div $dayUs").as("d"))
+        expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div $dayUs").as("d"))
       .groupBy($"g", $"d").agg(count(lit(1)).as("c"))
     val grid = daily.groupBy($"g").agg(min($"d").as("d0"), max($"d").as("d1"))
       .select($"g", $"d0", $"d1", explode(sequence($"d0", $"d1")).as("d"))
