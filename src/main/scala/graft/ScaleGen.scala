@@ -159,7 +159,13 @@ object ScaleGen {
     val words = array(vocab.map(lit): _*)
     def tok(seed: Column, j: Column, salt: Int): Column =
       if (heapsVocab > 0)
-        concat(lit("w"), pmod(xxhash64(seed, j, lit(salt)), lit(heapsVocab)))
+        // digits→letters keeps the token ALPHABETIC: operators that
+        // gate on a word pattern (BPE's ^[a-z]+$) must see real words,
+        // or the Heaps corpus silently starves them (caught by the
+        // round-10 scale gate: zero BPE merges → ext_bpe_encode threw)
+        concat(lit("w"), translate(
+          pmod(xxhash64(seed, j, lit(salt)), lit(heapsVocab)).cast("string"),
+          "0123456789", "abcdefghij"))
       else element_at(words,
         pmod(xxhash64(seed, j, lit(salt)), lit(20)).cast("int") + 1)
     def textOf(seed: Column, extraSalt: Int): Column =

@@ -38,12 +38,25 @@ object Sinks {
     * data survives in `.old` (and [[readOrEmpty]] falls back to it). A
     * brief absent-dir window between the renames is inherent to
     * rename-based swaps on HDFS-like filesystems — what the hardening
-    * buys is durability, not zero-window. */
-  def atomicParquetSwap(df: DataFrame, path: String): Unit = {
+    * buys is durability, not zero-window.
+    *
+    * `sidecar` (name → contents) rides INSIDE the swapped directory
+    * (written to tmp before the rename), so metadata and data commit
+    * in the same atomic step — the transaction-marker slot for sinks
+    * whose merge is not idempotent (underscore names are invisible to
+    * parquet readers; fetch with [[readSidecar]]). */
+  def atomicParquetSwap(df: DataFrame, path: String,
+      sidecar: Map[String, String] = Map.empty): Unit = {
     val spark = df.sparkSession
     val tmp = path + ".tmp"
     df.write.mode("overwrite").parquet(tmp)
     val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    sidecar.foreach { case (name, body) =>
+      require(name.startsWith("_"),
+        s"sidecar files must be underscore-prefixed (parquet-invisible), got $name")
+      val out = fs.create(new Path(tmp, name), true)
+      try out.write(body.getBytes("UTF-8")) finally out.close()
+    }
     val dst = new Path(path)
     val old = new Path(path + ".old")
     fs.delete(old, true) // leftover from a crashed previous swap
@@ -55,6 +68,21 @@ object Sinks {
       throw new java.io.IOException(s"swap rename failed: $tmp -> $path")
     }
     fs.delete(old, true)
+  }
+
+  /** Read a [[atomicParquetSwap]] sidecar file — None when the table
+    * or the sidecar doesn't exist (fresh target, or a table written
+    * without one). */
+  def readSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): Option[String] = {
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val p = new Path(path, name)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
   }
 
   /** S14 — done-marker gate (Snakemake `touch(...)`,

@@ -674,8 +674,14 @@ object StreamingIngest {
     * top-k). The alternative — a watermarked complete-mode aggregation
     * — holds every key in operator state forever; here state lives in
     * the target table and the checkpoint only tracks file progress.
-    * The swap is atomic (rename-aside) and each batch is either wholly
-    * merged or not, so AvailableNow restarts resume exactly. */
+    *
+    * Exactly-once: the ADDITIVE merge is the one sink shape that is
+    * NOT idempotent under replay, so the swapped table carries its own
+    * transaction marker — a `_graft_batch` sidecar committed in the
+    * SAME atomic rename as the data. A replayed batch (crash after the
+    * swap, before the streaming checkpoint recorded the commit) sees
+    * its own id already in the marker and becomes a no-op instead of
+    * double-counting. */
   def runningAggSink(stream: DataFrame, targetPath: String,
       keys: Seq[String], valueCol: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -683,22 +689,28 @@ object StreamingIngest {
       .outputMode("update")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val delta = batch.groupBy(keys.map(col): _*)
-          .agg(count(lit(1)).as("_d_n"), sum(col(valueCol)).as("_d_total"))
-        val target =
-          try spark.read.parquet(targetPath)
-          catch { case _: Throwable =>
-            delta.select(keys.map(col) :+ col("_d_n").as("n") :+
-              col("_d_total").as("total"): _*).limit(0) }
-        val merged = target.join(delta, keys, "full")
-          .select(keys.map(col) ++ Seq(
-            (coalesce(col("n"), lit(0L)) + coalesce(col("_d_n"), lit(0L)))
-              .as("n"),
-            (coalesce(col("total"), lit(0.0)) +
-              coalesce(col("_d_total"), lit(0.0))).as("total")): _*)
-        graft.io.Sinks.atomicParquetSwap(merged, targetPath)
+        val alreadyMerged = graft.io.Sinks
+          .readSidecar(spark, targetPath, "_graft_batch")
+          .exists(_.trim.toLong >= batchId)
+        if (!alreadyMerged) {
+          val delta = batch.groupBy(keys.map(col): _*)
+            .agg(count(lit(1)).as("_d_n"), sum(col(valueCol)).as("_d_total"))
+          val target =
+            try spark.read.parquet(targetPath)
+            catch { case _: Throwable =>
+              delta.select(keys.map(col) :+ col("_d_n").as("n") :+
+                col("_d_total").as("total"): _*).limit(0) }
+          val merged = target.join(delta, keys, "full")
+            .select(keys.map(col) ++ Seq(
+              (coalesce(col("n"), lit(0L)) + coalesce(col("_d_n"), lit(0L)))
+                .as("n"),
+              (coalesce(col("total"), lit(0.0)) +
+                coalesce(col("_d_total"), lit(0.0))).as("total")): _*)
+          graft.io.Sinks.atomicParquetSwap(merged, targetPath,
+            sidecar = Map("_graft_batch" -> batchId.toString))
+        }
         ()
       }
 
@@ -739,36 +751,6 @@ object StreamingIngest {
         } finally { scored.unpersist(); () }
       }
 
-  /** Incremental NEAR-DUP dedup sink — the production shape of corpus
-    * deduplication: documents land continuously, each new document is
-    * checked against a persistent MinHash-LSH INDEX of everything kept
-    * so far, and only survivors join the index. The batch operator
-    * ([[graft.ext.Dedup.minhashLsh]]) answers "which pairs are dups";
-    * this answers the online question "should THIS document enter the
-    * corpus" without ever rescanning the corpus.
-    *
-    * Decision rule (deterministic, documented contract): a document is
-    * REJECTED iff its signature matches — shares an LSH band bucket AND
-    * agrees on ≥ `minAgree` of the k MinHash components — (a) any
-    * already-INDEXED document, or (b) a smaller-id KEPT document in its
-    * own micro-batch. In-batch resolution is TRUE sequential greedy
-    * (process ids ascending; a doc is rejected only by a doc that
-    * actually enters the corpus), computed relationally by
-    * [[sequentialGreedy]] — so `dup_of` always anchors at a kept or
-    * indexed document, never at a peer that was itself rejected, and a
-    * chain a←b←c keeps a AND c (b's rejection does not cascade).
-    * Matching is signature-only
-    * (no stored text, no exact-Jaccard verify): at index scale the
-    * corpus text cannot be re-read per batch, which is precisely the
-    * trade the production incremental dedupers make.
-    *
-    * Exactly-once by idempotent output: keep/reject/index rows all land
-    * in per-batch `b<batchId>` subdirectories, and a batch PROBES only
-    * STRICTLY-EARLIER batch dirs — a replayed batch neither re-appends
-    * nor sees its own failed attempt's index rows (which would reject
-    * every doc against itself). Index rows are (doc_id, sig, band_idx,
-    * band_val): band-bucket equi-join probes, candidate-bounded work,
-    * never all-pairs. */
   /** Sequential-greedy duplicate resolution over one micro-batch's
     * candidate graph: replay "process ids ascending; keep unless a
     * KEPT smaller candidate (or the index) matches" relationally.
@@ -830,6 +812,37 @@ object StreamingIngest {
     rejected
   }
 
+
+  /** Incremental NEAR-DUP dedup sink — the production shape of corpus
+    * deduplication: documents land continuously, each new document is
+    * checked against a persistent MinHash-LSH INDEX of everything kept
+    * so far, and only survivors join the index. The batch operator
+    * ([[graft.ext.Dedup.minhashLsh]]) answers "which pairs are dups";
+    * this answers the online question "should THIS document enter the
+    * corpus" without ever rescanning the corpus.
+    *
+    * Decision rule (deterministic, documented contract): a document is
+    * REJECTED iff its signature matches — shares an LSH band bucket AND
+    * agrees on ≥ `minAgree` of the k MinHash components — (a) any
+    * already-INDEXED document, or (b) a smaller-id KEPT document in its
+    * own micro-batch. In-batch resolution is TRUE sequential greedy
+    * (process ids ascending; a doc is rejected only by a doc that
+    * actually enters the corpus), computed relationally by
+    * [[sequentialGreedy]] — so `dup_of` always anchors at a kept or
+    * indexed document, never at a peer that was itself rejected, and a
+    * chain a←b←c keeps a AND c (b's rejection does not cascade).
+    * Matching is signature-only
+    * (no stored text, no exact-Jaccard verify): at index scale the
+    * corpus text cannot be re-read per batch, which is precisely the
+    * trade the production incremental dedupers make.
+    *
+    * Exactly-once by idempotent output: keep/reject/index rows all land
+    * in per-batch `b<batchId>` subdirectories, and a batch PROBES only
+    * STRICTLY-EARLIER batch dirs — a replayed batch neither re-appends
+    * nor sees its own failed attempt's index rows (which would reject
+    * every doc against itself). Index rows are (doc_id, sig, band_idx,
+    * band_val): band-bucket equi-join probes, candidate-bounded work,
+    * never all-pairs. */
   def nearDupSink(docs: DataFrame, indexPath: String, keepPath: String,
       rejectPath: String, checkpoint: String, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 6, r: Int = 2,

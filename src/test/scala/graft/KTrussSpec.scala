@@ -43,6 +43,14 @@ class KTrussSpec extends SparkSpec {
     assert(out.size === 6 && out.values.forall(_ === 4L))
   }
 
+  test("decompose saturates at maxK on graphs denser than the cap") {
+    // K4 has trussness 4 everywhere; with maxK = 3 every edge labels 3
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val out = KTruss.decompose(sym(k4), maxK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.size === 6 && out.values.forall(_ === 3L))
+  }
+
   test("decompose agrees with run at every k on a random graph") {
     val rnd = new scala.util.Random(47)
     val pairs = (1 to 150).map { _ =>

@@ -293,8 +293,56 @@ class StreamingSpec extends SparkSpec {
     assert(got === want && got.size >= 3)
   }
 
+  test("runningAggSink crash window: a replayed batch (table swapped, " +
+      "checkpoint commit lost) is a no-op — the additive merge cannot " +
+      "double-count") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val landing = tmpDir("graft-ragg-crash-landing")
+    val target = tmpDir("graft-ragg-crash-target") + "/agg"
+    val ckpt = tmpDir("graft-ragg-crash-ckpt")
+    def land(rows: Seq[(String, Double)], part: String): Unit =
+      rows.toDF("event_type", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/$part")
+    def drain(): Unit = {
+      val schema = spark.read.parquet(s"$landing/*").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$landing/*")
+      val q = StreamingIngest.runningAggSink(stream, target,
+        Seq("event_type"), "value", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+      // the checkpoint stays registered as in-use for a beat after
+      // termination — restarting on it too fast trips Spark's
+      // concurrent-checkpoint guard
+      var waited = 0
+      while (spark.streams.active.nonEmpty && waited < 100) {
+        Thread.sleep(100); waited += 1
+      }
+    }
+    def got(): Map[String, (Long, Double)] = spark.read.parquet(target)
+      .select($"event_type", $"n", $"total").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    land(Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)), "p1")
+    drain()
+    assert(got() === Map("a" -> ((2L, 3.0)), "b" -> ((1L, 5.0))))
+    // crash simulation: the sink committed (swap + _graft_batch sidecar)
+    // but the STREAMING checkpoint lost batch 0's commit record — on
+    // restart Structured Streaming replays batch 0 with the same files
+    val commit0 = new java.io.File(s"$ckpt/commits/0")
+    assert(commit0.exists, s"expected streaming commit record at $commit0")
+    assert(commit0.delete())
+    // the local FS keeps a checksum sidecar; a real crash never wrote
+    // either file, so drop it with the commit record
+    new java.io.File(s"$ckpt/commits/.0.crc").delete()
+    drain() // replay — without the sidecar gate this doubles every count
+    assert(got() === Map("a" -> ((2L, 3.0)), "b" -> ((1L, 5.0))))
+    // and the NEXT real batch still merges normally
+    land(Seq(("a", 10.0), ("c", 7.0)), "p2")
+    drain()
+    assert(got() === Map("a" -> ((3L, 13.0)), "b" -> ((1L, 5.0)),
+      "c" -> ((1L, 7.0))))
+  }
+
   test("nearDupSink: incremental near-dup dedup against the growing index — " +
-      "cross-batch rejects, min-id-wins in-batch, survivors extend the index") {
+      "cross-batch rejects, sequential greedy in-batch, survivors extend the index") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     // fully disjoint token sets across distinct docs -> no false bands;
     // exact copies -> identical signatures -> always caught
@@ -306,7 +354,7 @@ class StreamingSpec extends SparkSpec {
     val ckpt = tmpDir("graft-neardup-ckpt")
     val b1 = Seq((1L, text(1)), (2L, text(2)), (3L, text(3)),
       (4L, text(4)), (5L, text(5)), (6L, text(6)),
-      (7L, text(3))) // in-batch exact copy of 3 -> min-id-wins
+      (7L, text(3))) // in-batch exact copy of 3 -> 3 kept, 7 rejected
     val b2 = Seq((11L, text(11)),
       (12L, text(3)),  // copy of an INDEXED doc -> cross-batch reject
       (13L, text(13)),
