@@ -848,6 +848,45 @@ object Frequency {
           "ELSE 0 END").as("nmi_bp"))
   }
 
+  /** Cohen's kappa between two categorical label columns — the
+    * inter-annotator / classifier-vs-gold AGREEMENT score corrected for
+    * chance: κ = (n·agree − S) ∕ (n² − S) with S = Σ_level row_l·col_l
+    * (the chance-agreement mass). Emits n, n_agree, s_chance and κ in
+    * basis points via sign-before-division (κ < 0 = worse than chance;
+    * dividing the absolute numerator keeps Spark's truncating `div` ≡
+    * DuckDB's flooring `//`). Null labels are their own level — the
+    * [[mutualInfo]] contract — via null-safe aggregation and joins.
+    * A degenerate table where chance explains everything (n² = S, one
+    * level on either side) emits κ = 0.
+    *
+    * Scale shape: one fact scan into a cell aggregate at category²
+    * cardinality; margins and the chance sum are category-sized
+    * broadcasts. Products form in decimal(38,0) (10⁴·n·n_agree
+    * overflows int64 past ~10⁹ rows); readout columns cast back to
+    * long. */
+  def cohenKappa(df: DataFrame, colA: String, colB: String): DataFrame = {
+    val cells = df.groupBy(col(colA).as("a"), col(colB).as("b"))
+      .agg(count(lit(1)).as("c"))
+      .persistScoped // n, agree, both margins, and S all read this frame
+    val n = cells.agg(sum($"c").as("n"))
+    val agree = cells.where($"a" <=> $"b")
+      .agg(coalesce(sum($"c"), lit(0L)).as("n_agree"))
+    val ra = cells.groupBy($"a").agg(sum($"c").as("ra"))
+    val cb = cells.groupBy($"b").agg(sum($"c").as("cb"))
+    val s = ra.join(broadcast(cb), $"a" <=> $"b")
+      .agg(coalesce(sum($"ra".cast("decimal(38,0)") * $"cb"),
+        lit(0L).cast("decimal(38,0)")).as("_s"))
+    n.crossJoin(broadcast(agree)).crossJoin(broadcast(s))
+      .withColumn("_num",
+        expr("CAST(n AS DECIMAL(38,0)) * n_agree - _s"))
+      .withColumn("_den", expr("CAST(n AS DECIMAL(38,0)) * n - _s"))
+      .select($"n", $"n_agree", $"_s".cast("long").as("s_chance"),
+        expr("""CASE WHEN _den = 0 THEN CAST(0 AS BIGINT)
+                WHEN _num >= 0 THEN CAST((10000 * _num) div _den AS BIGINT)
+                ELSE CAST(-((10000 * (-_num)) div _den) AS BIGINT)
+                END""").as("kappa_bp"))
+  }
+
   def kmvJaccard(docs: DataFrame, textCol: String = "text",
       srcCol: String = "source", k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

@@ -356,4 +356,65 @@ object RankStats {
       .select(col("g").as(groupCol), col("_n").as("n_points"),
         col("n_pairs"), col("slope_q6"), col("_r_q6").as("intercept_q6"))
   }
+
+  /** Kendall's τ-b — the tie-corrected rank concordance next to
+    * [[spearman]]: over all row pairs of a group, C = concordant
+    * (x and y order agree), D = discordant, with ties in x or y in
+    * neither; τ-b = (C − D) ∕ √((n₀−n₁)(n₀−n₂)) where n₀ = n(n−1)∕2
+    * and n₁/n₂ are the x/y tie-pair sums. Rows with a null x or y are
+    * dropped.
+    *
+    * Shape: rows first COLLAPSE to distinct (x, y) value cells with
+    * counts, and the pair enumeration runs over CELL pairs weighted by
+    * count products — |cells|² per group, not |rows|² (ties are free).
+    * Same contract as [[theilSen]]: feed a collapsed/bounded series
+    * (daily aggregates, bucketed metrics), where m = distinct cells is
+    * calendar- or domain-bounded; on a continuous column collapse or
+    * bucket first. C, D and the tie sums are exact integers; only the
+    * final τ-b runs through one identical-structure double expression
+    * (IEEE sqrt + divide are correctly rounded on both engines, the
+    * ev14 pattern). Groups whose tie-corrected denominator is zero
+    * (constant x or constant y) emit τ-b = 0. */
+  def kendallTau(df: DataFrame, groupCol: Column, xCol: Column,
+      yCol: Column): DataFrame = {
+    val cells = df
+      .select(groupCol.as("g"), xCol.as("x"), yCol.as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull)
+      .groupBy(col("g"), col("x"), col("y"))
+      .agg(count(lit(1)).as("c"))
+      .persistScoped // margins AND both sides of the cell-pair join
+    val a = cells.toDF("g", "xa", "ya", "ca")
+    val b = cells.toDF("g", "xb", "yb", "cb")
+    // each unordered cell pair exactly once: (xa, ya) < (xb, yb) lex
+    val cd = a.join(b, Seq("g"))
+      .where(col("xa") < col("xb") ||
+        (col("xa") === col("xb") && col("ya") < col("yb")))
+      .groupBy(col("g"))
+      .agg(
+        sum(when(col("xa") < col("xb") && col("ya") < col("yb"),
+          col("ca") * col("cb")).otherwise(lit(0L))).as("c_conc"),
+        sum(when(col("xa") < col("xb") && col("ya") > col("yb"),
+          col("ca") * col("cb")).otherwise(lit(0L))).as("d_disc"))
+    val tx = cells.groupBy(col("g"), col("x"))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n1"))
+    val ty = cells.groupBy(col("g"), col("y"))
+      .agg(sum(col("c")).as("t"))
+      .groupBy(col("g"))
+      .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+    val nn = cells.groupBy(col("g")).agg(sum(col("c")).as("n"))
+    nn.join(cd, Seq("g"), "left_outer")
+      .join(tx, Seq("g")).join(ty, Seq("g"))
+      .select(col("g"), col("n"),
+        coalesce(col("c_conc"), lit(0L)).as("c_conc"),
+        coalesce(col("d_disc"), lit(0L)).as("d_disc"),
+        col("n1"), col("n2"),
+        expr("n * (n - 1) div 2").as("n0"))
+      .withColumn("tau_b_bp", expr(
+        """CASE WHEN n0 - n1 <= 0 OR n0 - n2 <= 0 THEN CAST(0 AS BIGINT)
+          |ELSE CAST(floor((10000.0D * (c_conc - d_disc)) /
+          |  sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 - n2 AS DOUBLE)))
+          |  AS BIGINT) END""".stripMargin))
+  }
 }

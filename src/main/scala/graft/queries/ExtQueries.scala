@@ -138,6 +138,43 @@ object ExtQueries extends QueryGroup {
        |SELECT id_a, id_b, jaccard_q4 FROM scored WHERE jaccard_q4 >= 5000
        |ORDER BY id_a, id_b""".stripMargin
 
+  /** The PRODUCTION-SHAPE run of the MinHash-LSH dedup: hot-bucket cap
+    * ON (maxBucket = 2 — a band bucket larger than the cap is dropped
+    * wholesale before the candidate self-join; at 100 TB a boilerplate
+    * bucket holding millions of docs must never reach the join). The
+    * oracle replays the cap exactly: identical band values
+    * ("sig_i:sig_j" strings on both engines), bucket sizes counted over
+    * the same exploded rows, HAVING n ≤ 2. */
+  def dedupMinhashCapped(spark: SparkSession, dir: String): DataFrame =
+    Dedup.minhashLsh(load(spark, dir, "documents"), 0.5, maxBucket = 2)
+      .orderBy($"id_a", $"id_b")
+
+  private val dedupMinhashCappedSql =
+    s"""WITH $minhashChainSql,
+       |bexp AS (
+       |  SELECT doc_id, 0 AS band_idx, b0 AS band_val FROM bands
+       |  UNION ALL SELECT doc_id, 1, b1 FROM bands
+       |  UNION ALL SELECT doc_id, 2, b2 FROM bands),
+       |bsz AS (
+       |  SELECT band_idx, band_val FROM bexp
+       |  GROUP BY 1, 2 HAVING count(*) <= 2),
+       |bkept AS (
+       |  SELECT e.doc_id, e.band_idx, e.band_val
+       |  FROM bexp e JOIN bsz USING (band_idx, band_val)),
+       |candc AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bkept a JOIN bkept b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |   AND a.doc_id < b.doc_id),
+       |scored AS (
+       |  SELECT c.id_a, c.id_b,
+       |         CAST(floor(len(list_intersect(sa.ss, sb.ss))::DOUBLE /
+       |               len(list_distinct(list_concat(sa.ss, sb.ss))) * 10000) AS BIGINT) AS jaccard_q4
+       |  FROM candc c JOIN sets sa ON c.id_a = sa.doc_id
+       |               JOIN sets sb ON c.id_b = sb.doc_id)
+       |SELECT id_a, id_b, jaccard_q4 FROM scored WHERE jaccard_q4 >= 5000
+       |ORDER BY id_a, id_b""".stripMargin
+
   /** Exact-substring duplicate spans (Lee et al. 2021 ExactSubstr shape)
     * over the dup-injected corpus: word 5-grams occurring ≥ 2× chain
     * into maximal per-doc spans of ≥ 10 tokens. The injected full-doc
@@ -1476,6 +1513,43 @@ object ExtQueries extends QueryGroup {
        |       ((10000 * c.n) // t.tt)::BIGINT AS share_bp
        |FROM cells c JOIN t USING (lang)
        |ORDER BY c.lang, c.lang_pred""".stripMargin
+
+  /** ext_kappa_langid — Cohen's κ between the stored `lang` label and
+    * the n-gram lang-id prediction ([[Frequency.cohenKappa]]): the
+    * chance-corrected agreement score a labeling pipeline reports
+    * where raw accuracy lies (a majority-class predictor scores high
+    * accuracy but κ ≈ 0). Same prediction chain as ext_lang_confusion;
+    * the oracle replays prediction AND the κ arithmetic. */
+  def kappaLangId(spark: SparkSession, dir: String): DataFrame =
+    Frequency.cohenKappa(
+      load(spark, dir, "documents")
+        .select($"lang",
+          TextStats.langId(TextStats.tokens($"text")).as("lang_pred")),
+      "lang", "lang_pred")
+
+  private val kappaLangIdSql =
+    s"""WITH w AS (
+       |  SELECT doc_id, lang, $toksSql AS ws FROM documents),
+       |scored AS (SELECT doc_id, lang, $langScoreExprs FROM w),
+       |p AS (SELECT lang, $langBestSql AS best, * FROM scored),
+       |pred AS (SELECT lang AS a, $langPredCase AS b FROM p),
+       |cells AS (SELECT a, b, count(*)::BIGINT AS c FROM pred GROUP BY 1, 2),
+       |nn AS (SELECT sum(c)::BIGINT AS n FROM cells),
+       |ag AS (SELECT coalesce(sum(c), 0)::BIGINT AS n_agree FROM cells
+       |       WHERE a IS NOT DISTINCT FROM b),
+       |ra AS (SELECT a, sum(c)::BIGINT AS ra FROM cells GROUP BY 1),
+       |cb AS (SELECT b, sum(c)::BIGINT AS cb FROM cells GROUP BY 1),
+       |s AS (SELECT coalesce(sum(ra.ra::HUGEINT * cb.cb), 0)::HUGEINT AS s_chance
+       |      FROM ra JOIN cb ON ra.a IS NOT DISTINCT FROM cb.b)
+       |SELECT n, n_agree, s_chance::BIGINT AS s_chance,
+       |       (CASE WHEN n::HUGEINT * n - s_chance = 0 THEN 0
+       |        WHEN n::HUGEINT * n_agree - s_chance >= 0
+       |          THEN (10000 * (n::HUGEINT * n_agree - s_chance)) //
+       |               (n::HUGEINT * n - s_chance)
+       |        ELSE -((10000 * (s_chance - n::HUGEINT * n_agree)) //
+       |               (n::HUGEINT * n - s_chance))
+       |        END)::BIGINT AS kappa_bp
+       |FROM nn CROSS JOIN ag CROSS JOIN s""".stripMargin
 
   private val textStatsSql = {
     val scoreExprs = langScoreExprs
@@ -5470,6 +5544,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_sketch_kmv", sketchKmv, Some(sketchKmvSql)),
     QueryDef("ext_sketch_hll", sketchHll, Some(sketchHllSql)),
     QueryDef("ext_mutual_info", mutualInfo, Some(mutualInfoSql)),
+    QueryDef("ext_kappa_langid", kappaLangId, Some(kappaLangIdSql)),
     QueryDef("ext_rag_chunking", ragChunking, Some(ragChunkingSql)),
     QueryDef("ext_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     QueryDef("ext_calibration_error", calibrationErrorQ,
@@ -5502,6 +5577,8 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_exact", dedupExact, Some(dedupExactSql)),
     QueryDef("ext_dedup_sorted_nbhd", dedupSortedNbhd, Some(dedupSortedNbhdSql)),
     QueryDef("ext_dedup_minhash_lsh", dedupMinhash, Some(dedupMinhashSql)),
+    QueryDef("ext_dedup_minhash_capped", dedupMinhashCapped,
+      Some(dedupMinhashCappedSql)),
     QueryDef("ext_dedup_simhash", dedupSimhash, Some(dedupSimhashSql)),
     QueryDef("ext_dedup_simhash_near", dedupSimhashNear, Some(dedupSimhashNearSql)),
     QueryDef("ext_dedup_spans", dedupSpans, Some(dedupSpansSql)),

@@ -83,6 +83,57 @@ object StatQueries extends QueryGroup {
       .withColumnRenamed("g", "returnflag")
       .orderBy($"returnflag")
 
+  /** ext_kendall_tau — Kendall's τ-b trend concordance per event type
+    * over the DAILY count series (epoch-day vs count — the collapsed,
+    * calendar-bounded input [[graft.ops.RankStats.kendallTau]]'s
+    * cell-pair shape wants): the tie-corrected rank-agreement readout
+    * next to ext_spearman's ρ and ev36's Mann–Kendall S. C/D and tie
+    * sums exact; τ-b through one identical-structure double. */
+  def kendallTauQ(spark: SparkSession, dir: String): DataFrame = {
+    val daily = load(spark, dir, "events")
+      .groupBy($"event_type",
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      .agg(count(lit(1)).as("cnt"))
+    RankStats.kendallTau(daily, $"event_type", $"d", $"cnt")
+      .withColumnRenamed("g", "event_type")
+      .orderBy($"event_type")
+  }
+
+  private val kendallTauSql =
+    """WITH daily AS (
+      |  SELECT event_type AS g,
+      |         epoch_us(CAST(ts AS TIMESTAMP)) // 86400000000 AS x,
+      |         count(*)::BIGINT AS y
+      |  FROM events GROUP BY 1, 2),
+      |cells AS (
+      |  SELECT g, x, y, count(*)::BIGINT AS c FROM daily GROUP BY 1, 2, 3),
+      |cd AS (
+      |  SELECT a.g,
+      |    sum(CASE WHEN a.x < b.x AND a.y < b.y THEN a.c * b.c ELSE 0 END)::BIGINT AS c_conc,
+      |    sum(CASE WHEN a.x < b.x AND a.y > b.y THEN a.c * b.c ELSE 0 END)::BIGINT AS d_disc
+      |  FROM cells a JOIN cells b
+      |    ON a.g = b.g AND (a.x < b.x OR (a.x = b.x AND a.y < b.y))
+      |  GROUP BY a.g),
+      |tx AS (SELECT g, sum(t * (t - 1) // 2)::BIGINT AS n1 FROM (
+      |         SELECT g, x, sum(c) AS t FROM cells GROUP BY 1, 2) GROUP BY g),
+      |ty AS (SELECT g, sum(t * (t - 1) // 2)::BIGINT AS n2 FROM (
+      |         SELECT g, y, sum(c) AS t FROM cells GROUP BY 1, 2) GROUP BY g),
+      |nn AS (SELECT g, sum(c)::BIGINT AS n FROM cells GROUP BY g)
+      |SELECT nn.g AS event_type, nn.n,
+      |       coalesce(cd.c_conc, 0)::BIGINT AS c_conc,
+      |       coalesce(cd.d_disc, 0)::BIGINT AS d_disc,
+      |       tx.n1, ty.n2,
+      |       (nn.n * (nn.n - 1) // 2)::BIGINT AS n0,
+      |       (CASE WHEN nn.n * (nn.n - 1) // 2 - tx.n1 <= 0
+      |               OR nn.n * (nn.n - 1) // 2 - ty.n2 <= 0 THEN 0
+      |        ELSE floor((10000.0::DOUBLE * (coalesce(cd.c_conc, 0) - coalesce(cd.d_disc, 0))) /
+      |          sqrt((nn.n * (nn.n - 1) // 2 - tx.n1)::DOUBLE *
+      |               (nn.n * (nn.n - 1) // 2 - ty.n2)::DOUBLE))
+      |        END)::BIGINT AS tau_b_bp
+      |FROM nn LEFT JOIN cd ON nn.g = cd.g
+      |JOIN tx ON nn.g = tx.g JOIN ty ON nn.g = ty.g
+      |ORDER BY event_type""".stripMargin
+
   private val spearmanSql =
     """WITH r AS (
       |  SELECT l_returnflag AS g,
@@ -1318,6 +1369,7 @@ object StatQueries extends QueryGroup {
     QueryDef("ext_auc_rank", aucRank, Some(aucRankSql)),
     QueryDef("ext_gini", giniQ, Some(giniSql)),
     QueryDef("ext_spearman", spearmanQ, Some(spearmanSql)),
+    QueryDef("ext_kendall_tau", kendallTauQ, Some(kendallTauSql)),
     QueryDef("ext_chi_square", chiSquareQ, Some(chiSquareSql)),
     QueryDef("ext_t_closeness", tClosenessQ, Some(tClosenessSql)),
     QueryDef("ext_weighted_median", weightedMedianQ, Some(weightedMedianSql)),

@@ -460,4 +460,26 @@ class FrequencySpec extends SparkSpec {
     // cells would undercount MI (this pins the numerator contribution)
     assert(got.getAs[Long]("mi_q6") > 0L)
   }
+
+  test("cohenKappa: hand-computed golden with a null level; perfect inversion " +
+      "is -10000; chance-only table is 0") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    def k(rows: Seq[(Option[String], Option[String])]) =
+      Frequency.cohenKappa(rows.toDF("a", "b"), "a", "b").collect().head
+    // n=7, agree=4; ra=(x:3,y:2,null:2), cb=(x:4,y:2,null:1), S=18
+    // kappa = (7*4-18)/(49-18) = 10/31 -> 3225 bp (floor)
+    val g = k(Seq(
+      (Some("x"), Some("x")), (Some("x"), Some("x")), (Some("x"), Some("y")),
+      (Some("y"), Some("y")), (Some("y"), Some("x")),
+      (None, None), (None, Some("x"))))
+    assert((g.getAs[Long]("n"), g.getAs[Long]("n_agree"),
+      g.getAs[Long]("s_chance"), g.getAs[Long]("kappa_bp")) ===
+      ((7L, 4L, 18L, 3225L)))
+    // perfect disagreement on a symmetric 2x2: kappa = -1
+    val inv = k(Seq((Some("x"), Some("y")), (Some("y"), Some("x"))))
+    assert(inv.getAs[Long]("kappa_bp") === -10000L)
+    // one-level annotator: chance explains everything -> 0 by contract
+    val const = k(Seq((Some("x"), Some("x")), (Some("x"), Some("x"))))
+    assert(const.getAs[Long]("kappa_bp") === 0L)
+  }
 }

@@ -174,4 +174,29 @@ class RankStatsSpec extends SparkSpec {
     assert(out.getAs[Long]("brier_q8") === brier)
     spark.catalog.clearCache()
   }
+
+  test("kendallTau: hand-computed tau-b with x-ties; count-weighted cells; " +
+      "constant column emits 0") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions.col
+    // points (1,1)(2,3)(3,2)(4,4)(4,5): C=8, D=1 (the (2,3)/(3,2)
+    // inversion), DE is an x-tie pair -> neither; n1=1, n2=0
+    // tau-b = 7/sqrt(9*10) = 0.7378... -> 7378 bp
+    val g1 = Seq((1, 1), (2, 3), (3, 2), (4, 4), (4, 5))
+      .map { case (x, y) => ("g1", x.toLong, y.toLong) }
+    // (1,1) twice + (2,2): the duplicated cell rides as count 2 ->
+    // C = 2, ties n1 = n2 = 1, tau-b = 2/sqrt(2*2) = 1 -> 10000
+    val g2 = Seq(("g2", 1L, 1L), ("g2", 1L, 1L), ("g2", 2L, 2L))
+    // constant y: denominator zero -> 0 by contract
+    val g3 = Seq(("g3", 1L, 7L), ("g3", 2L, 7L), ("g3", 3L, 7L))
+    val out = RankStats.kendallTau((g1 ++ g2 ++ g3).toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("c_conc"), r.getAs[Long]("d_disc"),
+          r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Long]("tau_b_bp")))).toMap
+    assert(out("g1") === ((8L, 1L, 1L, 0L, 7378L)))
+    assert(out("g2") === ((2L, 0L, 1L, 1L, 10000L)))
+    assert(out("g3")._5 === 0L)
+  }
 }
