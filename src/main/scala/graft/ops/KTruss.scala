@@ -52,15 +52,29 @@ object KTruss {
   /** One full peel to the k-truss fixpoint over canonical (a, b)
     * edges. Returns the converged `(a, b, support)` frame (barriered)
     * and its cardinality — the count every caller needs next anyway,
-    * so it never has to be recomputed. */
+    * so it never has to be recomputed.
+    *
+    * `sup0`: supports ALREADY VALID for e0 (a previous peel's converged
+    * frame — [[decompose]]'s phase hand-off). The first round then
+    * filters instead of recomputing the wedge join: if nothing drops,
+    * e0 was already the k-truss and the peel is free; if edges drop,
+    * the loop continues with fresh supports. Skips one wedge join per
+    * phase — the dominant cost on dense graphs. */
   private def peel(e0: DataFrame, n0: Long, k: Int,
-      maxIter: Int): (DataFrame, Long) = {
+      maxIter: Int, sup0: Option[DataFrame] = None): (DataFrame, Long) = {
     val spark = e0.sparkSession
     import spark.implicits._
     val minSup = (k - 2).toLong
     var e = e0
     var nPrev = n0
     var round = 0
+    sup0.foreach { s =>
+      val kept = Iterate.loopBarrier(s.where($"support" >= minSup))
+      val nKept = kept.count()
+      if (nKept == nPrev) return (kept, nKept)
+      nPrev = nKept
+      e = kept.select($"a", $"b")
+    }
     while (round < maxIter) {
       round += 1
       val kept = Iterate.loopBarrier(
@@ -119,12 +133,16 @@ object KTruss {
     var nCur = cur.count()
     var k = 3
     var labeled = List.empty[DataFrame]
+    // converged supports of the previous phase — valid for `cur`, so
+    // each phase's first round filters instead of re-wedge-joining
+    var curSup: Option[DataFrame] = None
     while (nCur > 0 && k <= maxK) {
-      val (kept, nKept) = peel(cur, nCur, k, maxIter)
+      val (kept, nKept) = peel(cur, nCur, k, maxIter, curSup)
       labeled = Iterate.loopBarrier(
         cur.join(kept, Seq("a", "b"), "left_anti")
           .select($"a", $"b", lit((k - 1).toLong).as("trussness"))) :: labeled
       cur = kept.select($"a", $"b")
+      curSup = Some(kept)
       nCur = nKept
       k += 1
     }
