@@ -199,4 +199,38 @@ class RankStatsSpec extends SparkSpec {
     assert(out("g2") === ((2L, 0L, 1L, 1L, 10000L)))
     assert(out("g3")._5 === 0L)
   }
+
+  test("kendallTau equals the naive O(n^2) pair loop on random tied data") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(53)
+    val rows = for {
+      g <- Seq("p", "q", "r"); _ <- 1 to 40
+    } yield (g, rnd.nextInt(12).toLong, rnd.nextInt(8).toLong)
+    // brute force per group
+    def naive(pts: Seq[(Long, Long)]): (Long, Long, Long, Long, Long) = {
+      var c = 0L; var d = 0L
+      for (i <- pts.indices; j <- (i + 1) until pts.size) {
+        val ((xi, yi), (xj, yj)) = (pts(i), pts(j))
+        val s = (xi - xj).sign * (yi - yj).sign
+        if (s > 0) c += 1 else if (s < 0) d += 1
+      }
+      val n = pts.size.toLong
+      def ties(f: ((Long, Long)) => Long) =
+        pts.groupBy(f).values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+      val (n0, n1, n2) = (n * (n - 1) / 2, ties(_._1), ties(_._2))
+      val tau = math.floor(10000.0 * (c - d) /
+        math.sqrt((n0 - n1).toDouble * (n0 - n2).toDouble)).toLong
+      (c, d, n1, n2, tau)
+    }
+    val want = rows.groupBy(_._1).map { case (g, rs) =>
+      g -> naive(rs.map(t => (t._2, t._3))) }
+    val got = RankStats.kendallTau(rows.toDF("g", "x", "y"),
+        col("g"), col("x"), col("y"))
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("c_conc"), r.getAs[Long]("d_disc"),
+          r.getAs[Long]("n1"), r.getAs[Long]("n2"),
+          r.getAs[Long]("tau_b_bp")))).toMap
+    assert(got === want)
+  }
 }

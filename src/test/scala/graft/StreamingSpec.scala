@@ -417,6 +417,38 @@ class StreamingSpec extends SparkSpec {
       Map(1L -> 0L, 3L -> 2L))
   }
 
+  test("sequentialGreedy equals the literal sequential simulation on random " +
+      "candidate graphs with random index rejects") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newLongEncoder}
+    val rnd = new scala.util.Random(31)
+    for (trial <- 1 to 5) {
+      val nIds = 24
+      val ids = (1L to nIds).toSeq
+      val edges = (for {
+        a <- ids; b <- ids if a < b && rnd.nextDouble() < 0.12
+      } yield (a, b)).distinct
+      val idxRej = ids.filter(_ => rnd.nextDouble() < 0.15).map(i => (i, -i))
+      // literal simulation: ascending ids; reject on idx match or a
+      // KEPT smaller candidate; anchor = idx anchor, else min kept nbr
+      val idxMap = idxRej.toMap
+      var kept = Set.empty[Long]
+      var rej = Map.empty[Long, Long]
+      for (i <- ids) {
+        if (idxMap.contains(i)) rej += i -> idxMap(i)
+        else {
+          val keptNbrs = edges.collect { case (o, n) if n == i && kept(o) => o }
+          if (keptNbrs.nonEmpty) rej += i -> keptNbrs.min
+          else kept += i
+        }
+      }
+      val got = StreamingIngest.sequentialGreedy(
+          idxRej.toDF("_nid", "dup_of"), edges.toDF("_oid", "_nid"),
+          ids.toDF("_nid"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got === rej, s"trial $trial: edges=$edges idx=$idxRej")
+    }
+  }
+
   test("asofJoinStream: fact-sized dimension history fails LOUDLY at build, " +
       "not as a driver OOM") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
