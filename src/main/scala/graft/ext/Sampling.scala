@@ -781,4 +781,59 @@ object Sampling {
       .select($"anchor_id", $"rank".cast("long").as("rank"),
         $"cand".as("neg_id"))
   }
+
+  /** k-center greedy CORESET (Gonzalez 1985 farthest-point traversal,
+    * the 2-approximation to the k-center cover): start from the
+    * min-id vector, then k − 1 times select the point FARTHEST (squared
+    * L2) from everything selected so far — the standard diverse-subset
+    * selector for training-data curation (Sener & Savarese ICLR'18 use
+    * exactly this traversal for active-learning coresets).
+    *
+    * Determinism/portability: distances are d² = ⟨v,v⟩ − 2⟨v,s⟩ + ⟨s,s⟩
+    * with every inner product computed BY THE ENGINE over the same
+    * float values (selected vectors ride back in as array literals, no
+    * string round-trip; the oracle recomputes its own `list_dot_product`
+    * over the identical floats — bit-equal doubles, the cosine-kernel
+    * precedent), argmax ties break on min id, and the emitted distance
+    * is q6-floored.
+    *
+    * Scale shape: the corpus NEVER shuffles — each of the k − 1 rounds
+    * is one narrow scan (least() over ≤ k literal-vector kernel dots)
+    * into a TakeOrdered(1); selected vectors are a k-bounded driver
+    * materialization. k passes over 100 TB is the honest cost of the
+    * sequential greedy; the batched variants (pick several per round)
+    * trade approximation quality for passes and drop in here unchanged. */
+  def kCenterCoreset(embeddings: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
+    val spark = embeddings.sparkSession
+    import spark.implicits.{newProductEncoder, localSeqToDatasetHolder}
+    import Similarity.dot
+    val e = embeddings
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .where(col("v").isNotNull)
+      .persistScoped // scanned once per round
+    val seed = e.orderBy($"id").limit(1).collect()
+    require(seed.nonEmpty, "kCenterCoreset needs a non-empty corpus")
+    var sel = Vector((seed(0).getLong(0), seed(0).getSeq[Float](1), 0L))
+    while (sel.size < k) {
+      val d2s = sel.map { case (_, vec, _) =>
+        val lv = typedLit(vec)
+        dot($"v", $"v") - lit(2.0) * dot($"v", lv) + dot(lv, lv)
+      }
+      val minD2 = if (d2s.size == 1) d2s.head else least(d2s: _*)
+      val top = e.where(!$"id".isin(sel.map(_._1): _*))
+        .select($"id", $"v", minD2.as("_d2"))
+        .orderBy($"_d2".desc, $"id".asc)
+        .limit(1).collect()
+      require(top.nonEmpty,
+        s"corpus has fewer than k=$k distinct vectors (got ${sel.size})")
+      val r = top(0)
+      sel = sel :+ ((r.getLong(0), r.getSeq[Float](1),
+        math.floor(r.getDouble(2) * 1000000.0).toLong))
+    }
+    sel.zipWithIndex
+      .map { case ((id, _, d2q6), i) => ((i + 1).toLong, id, d2q6) }
+      .toDF("rank", "vec_id", "d2_q6")
+  }
 }

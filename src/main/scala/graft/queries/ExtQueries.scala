@@ -5111,6 +5111,45 @@ object ExtQueries extends QueryGroup {
       |             ELSE 0 END)::BIGINT AS nmi_bp
       |FROM nn CROSS JOIN mi CROSS JOIN ha CROSS JOIN hb""".stripMargin
 
+  /** ext_coreset_kcenter — k-center greedy coreset over the embedding
+    * corpus ([[Sampling.kCenterCoreset]], Gonzalez farthest-point
+    * traversal): the 6 most mutually-distant vectors with their
+    * selection distances — the diverse-subset selector of
+    * training-data curation. The oracle replays every greedy round:
+    * one CTE per selection, least() over the same engine-computed
+    * inner products, argmax with the min-id tiebreak. */
+  def coresetKcenter(spark: SparkSession, dir: String): DataFrame =
+    Sampling.kCenterCoreset(load(spark, dir, "embeddings"), k = 6)
+      .orderBy($"rank")
+
+  private val coresetKcenterSql = {
+    val k = 6
+    def lp(x: String, y: String) = s"list_dot_product($x, $y)"
+    def d2(vi: String) =
+      s"(${lp("e.v", "e.v")} - 2.0::DOUBLE * ${lp("e.v", vi)} + ${lp(vi, vi)})"
+    val ctes = new StringBuilder
+    ctes ++= "e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings WHERE embedding IS NOT NULL),\n"
+    ctes ++= "s1 AS (SELECT id, v, 0.0::DOUBLE AS d2 FROM e ORDER BY id LIMIT 1)"
+    for (r <- 2 to k) {
+      val priors = (1 until r).map(i => s"s$i")
+      val d2expr =
+        if (r == 2) d2("s1.v")
+        else "least(" + (1 until r).map(i => d2(s"s$i.v")).mkString(", ") + ")"
+      val notSel = (1 until r).map(i => s"e.id <> s$i.id").mkString(" AND ")
+      ctes ++= s""",
+         |s$r AS (
+         |  SELECT e.id, e.v, $d2expr AS d2
+         |  FROM e, ${priors.mkString(", ")}
+         |  WHERE $notSel
+         |  ORDER BY d2 DESC, e.id LIMIT 1)""".stripMargin
+    }
+    val union = (1 to k).map(r =>
+      s"SELECT ${r}::BIGINT AS rank, id AS vec_id, " +
+        (if (r == 1) "0::BIGINT" else "floor(d2 * 1000000.0::DOUBLE)::BIGINT") +
+        s" AS d2_q6 FROM s$r").mkString("\nUNION ALL ")
+    s"WITH ${ctes.result()}\n$union\nORDER BY rank"
+  }
+
   /** Deterministic negative sampling for contrastive training
     * ([[Sampling.negativeSample]]): near-dup pairs are the positives
     * (both directions), and each anchor draws 3 md5-walk negatives
@@ -5546,6 +5585,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_mutual_info", mutualInfo, Some(mutualInfoSql)),
     QueryDef("ext_kappa_langid", kappaLangId, Some(kappaLangIdSql)),
     QueryDef("ext_rag_chunking", ragChunking, Some(ragChunkingSql)),
+    QueryDef("ext_coreset_kcenter", coresetKcenter, Some(coresetKcenterSql)),
     QueryDef("ext_negative_sampling", negativeSampling, Some(negativeSamplingSql)),
     QueryDef("ext_calibration_error", calibrationErrorQ,
       Some(calibrationErrorSql)),

@@ -512,4 +512,30 @@ class SamplingSpec extends SparkSpec {
     // determinism: a re-run reproduces the schedule bit-for-bit
     assert(run().sorted.toSeq === rows.sorted.toSeq)
   }
+
+  test("kCenterCoreset: farthest-point traversal golden on a line; exact-tie " +
+      "breaks to min id; corpus smaller than k fails loudly") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import org.apache.spark.sql.functions.col
+    def v(x: Float) = Seq(x, 0.0f)
+    // points 0, 10, 5, 9: seed = id 1 (min id), then 10 (d2 100),
+    // then 5 (min-dist 25 beats 9's 1), then 9 (d2 1)
+    val emb = Seq((1L, v(0f)), (2L, v(10f)), (3L, v(5f)), (4L, v(9f)))
+      .toDF("vec_id", "embedding")
+    val got = graft.ext.Sampling.kCenterCoreset(emb, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((1L, 1L, 0L), (2L, 2L, 100000000L),
+      (3L, 3L, 25000000L), (4L, 4L, 1000000L)))
+    // symmetric points at -3 and +3 around the seed at 0: identical d2,
+    // the smaller id wins
+    val tie = Seq((1L, v(0f)), (5L, v(3f)), (4L, v(-3f)))
+      .toDF("vec_id", "embedding")
+    val t = graft.ext.Sampling.kCenterCoreset(tie, 2).collect()
+    assert(t.map(r => r.getLong(1)).toSeq === Seq(1L, 4L))
+    val e = intercept[IllegalArgumentException] {
+      graft.ext.Sampling.kCenterCoreset(emb, 8).collect()
+    }
+    assert(e.getMessage.contains("fewer than k"))
+    spark.catalog.clearCache()
+  }
 }
