@@ -102,6 +102,34 @@ object Bfs {
     * Nodes with no edges are absent (their harmonic is 0 by
     * definition — join back with a left join as for [[run]]). */
   def harmonic(edges: DataFrame, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    boundedDistances(edges, maxHops).groupBy($"root")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div d")).as("harmonic_q6"))
+      .select($"root".as("id"), $"n_reached", $"harmonic_q6")
+  }
+
+  /** Bounded ECCENTRICITY per node — max hop distance to anything
+    * reached within `maxHops` (a LOWER BOUND on true eccentricity when
+    * the radius truncates; on similarity graphs whose components fit
+    * inside the bound it is exact) — plus the reach count. The
+    * min/max over this frame are the graph-audit radius and diameter
+    * lower bounds a curation dashboard tracks round over round
+    * ("did dedup fragment the near-dup graph?"). Shares [[harmonic]]'s
+    * frontier BFS and its disconnected-native contract (unreachable
+    * pairs simply don't contribute; edgeless nodes are absent). */
+  def eccentricity(edges: DataFrame, maxHops: Int): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    boundedDistances(edges, maxHops).groupBy($"root")
+      .agg(count(lit(1)).as("n_reached"), max($"d").as("ecc_hops"))
+      .select($"root".as("id"), $"n_reached", $"ecc_hops")
+  }
+
+  /** The shared bounded all-pairs frontier BFS: (root, node, d) for
+    * every ordered pair within `maxHops` hops, d ≥ 1. */
+  private def boundedDistances(edges: DataFrame, maxHops: Int): DataFrame = {
     require(maxHops >= 1 && maxHops <= 8,
       s"maxHops must be in 1..8, got $maxHops")
     val spark = edges.sparkSession
@@ -129,9 +157,6 @@ object Bfs {
         frontier = next.select($"root", $"node")
       }
     }
-    dist.groupBy($"root")
-      .agg(count(lit(1)).as("n_reached"),
-        sum(expr("1000000 div d")).as("harmonic_q6"))
-      .select($"root".as("id"), $"n_reached", $"harmonic_q6")
+    dist
   }
 }

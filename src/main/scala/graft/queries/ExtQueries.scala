@@ -2518,7 +2518,10 @@ object ExtQueries extends QueryGroup {
     graft.ops.Bfs.harmonic(edges, maxHops = 3).orderBy($"id")
   }
 
-  private val harmonicSql =
+  /** The 3-hop NOT-EXISTS-pruned level CTE chain ending in `alld`
+    * (root, node, d) over the near-dup graph — shared by the harmonic
+    * and eccentricity oracles. */
+  private def bfsLevelsSql =
     s"""WITH pairs AS MATERIALIZED (
        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |  FROM $nzSql a JOIN $nzSql b
@@ -2546,9 +2549,34 @@ object ExtQueries extends QueryGroup {
        |                    WHERE d2.root = p.root AND d2.node = e.dst)),
        |alld AS (
        |  SELECT * FROM d1 UNION ALL SELECT * FROM d2 UNION ALL
-       |  SELECT * FROM d3)
+       |  SELECT * FROM d3)""".stripMargin
+
+  private def harmonicSql =
+    s"""$bfsLevelsSql
        |SELECT root AS id, count(*)::BIGINT AS n_reached,
        |       sum(1000000 // d)::BIGINT AS harmonic_q6
+       |FROM alld GROUP BY 1 ORDER BY id""".stripMargin
+
+  /** ext_eccentricity — bounded eccentricity + reach per node
+    * ([[graft.ops.Bfs.eccentricity]], 3 hops, the [[harmonicQ]] BFS):
+    * per-node max distance within the bound — min/max over the frame
+    * are the radius and diameter lower bounds of the near-dup graph. */
+  def eccentricityQ(spark: SparkSession, dir: String): DataFrame = {
+    val emb = load(spark, dir, "embeddings")
+    // barrier: the cosine pair kernel is the expensive stage, and every
+    // consumer (symmetrizing union branches, iterative rounds, final
+    // metric passes) would re-evaluate it without the persist
+    val pairs = Similarity.cosineNearDup(emb, 0.3).select($"id_a", $"id_b")
+      .persistScoped
+    val edges = pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst")))
+    graft.ops.Bfs.eccentricity(edges, maxHops = 3).orderBy($"id")
+  }
+
+  private def eccentricitySql =
+    s"""$bfsLevelsSql
+       |SELECT root AS id, count(*)::BIGINT AS n_reached,
+       |       max(d)::BIGINT AS ecc_hops
        |FROM alld GROUP BY 1 ORDER BY id""".stripMargin
 
   /** Minimum spanning forest of the near-dup graph with DISTANCE
@@ -5695,6 +5723,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_kcore", kcore, Some(kcoreSql)),
     QueryDef("ext_bfs_hops", bfsHops, Some(bfsHopsSql)),
     QueryDef("ext_harmonic", harmonicQ, Some(harmonicSql)),
+    QueryDef("ext_eccentricity", eccentricityQ, Some(eccentricitySql)),
     QueryDef("ext_ktruss", ktrussQ, Some(ktrussSql)),
     QueryDef("ext_truss_decompose", trussDecomposeQ, Some(trussDecomposeSql)),
     QueryDef("ext_knn_graph", knnGraphQ, Some(knnGraphSql)),

@@ -75,4 +75,20 @@ class BfsSpec extends SparkSpec {
       assert(got === dist.toMap, s"trial $trial")
     }
   }
+
+  test("eccentricity: path-graph golden within and beyond the hop bound") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val edges = (path ++ path.map(p => (p._2, p._1))).toDF("src", "dst")
+    val full = graft.ops.Bfs.eccentricity(edges, maxHops = 3)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 4-node path: ends see 3 nodes at ecc 3; middles see 3 at ecc 2
+    assert(full === Map(1L -> ((3L, 3L)), 2L -> ((3L, 2L)),
+      3L -> ((3L, 2L)), 4L -> ((3L, 3L))))
+    // truncated bound: ecc saturates at the bound, reach shrinks
+    val cut = graft.ops.Bfs.eccentricity(edges, maxHops = 1)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(cut === Map(1L -> ((1L, 1L)), 2L -> ((2L, 1L)),
+      3L -> ((2L, 1L)), 4L -> ((1L, 1L))))
+  }
 }
