@@ -152,6 +152,36 @@ class PlanAuditSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  // round-10 additions — same blanket contract
+  private lazy val auditedSeventh: Seq[(String, DataFrame, String)] = Seq(
+    ("ext_truss_decompose", ExtQueries.trussDecomposeQ(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_dedup_ngram_capped", ExtQueries.dedupNgramCapped(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_dedup_minhash_capped", ExtQueries.dedupMinhashCapped(spark, sfDir),
+      "global orderBy presentation sort"),
+    ("ext_kappa_langid", ExtQueries.kappaLangId(spark, sfDir),
+      "one-row summary over category-sized margins"),
+    ("ext_kendall_tau", StatQueries.kendallTauQ(spark, sfDir),
+      "calendar-cardinality cell frame, presentation sort"),
+    ("ext_coreset_kcenter", ExtQueries.coresetKcenter(spark, sfDir),
+      "k-row driver-built readout"),
+    ("ext_eccentricity", ExtQueries.eccentricityQ(spark, sfDir),
+      "global orderBy presentation sort"))
+
+  test("round-10 queries: no cartesian product, no unhinted nested loop, " +
+      "single-partition only where bounded") {
+    auditedSeventh.foreach { case (name, df, reason) =>
+      val p = plan(df)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin") ||
+        p.contains("Broadcast"), s"$name:\n$p")
+      if (p.contains("SinglePartition"))
+        assert(reason.nonEmpty, s"$name has an UNEXPLAINED SinglePartition:\n$p")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("cupedLift / sprtMonitor: multi-consumer readouts scan the fact table " +
       "ONCE behind a persist barrier") {
     def finalPlan(df: DataFrame): String = {
