@@ -646,9 +646,14 @@ object Dedup {
     * computed over the capped sets (deterministic, oracle-replayable
     * semantics, not a best-effort prune). By pigeonhole at most
     * Σ|set|∕maxDf distinct tokens can exceed the cap, so the stop list
-    * is a BOUNDED driver materialization broadcast as a literal — no
-    * extra corpus shuffle. Docs whose whole set is stop-listed drop
-    * out (they carry no discriminative tokens). 0 disables the cap. */
+    * is a BOUNDED driver materialization — COUNTED first, collected
+    * only under the bound (the ops/Journeys convention: a pathological
+    * tiny maxDf on a huge vocabulary must fail loudly, not OOM the
+    * driver mid-collect) — and shipped as a codegen reference-object
+    * hash set ([[graft.functions.ArrayExceptSet]], the BloomJoin bitset
+    * pattern), never a plan literal; no extra corpus shuffle. Docs
+    * whose whole set is stop-listed drop out (they carry no
+    * discriminative tokens). 0 disables the cap. */
   def ngramJaccard(docs: DataFrame, threshold: Double = 0.8,
       maxDf: Long = 0L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -657,15 +662,18 @@ object Dedup {
     val capped =
       if (maxDf <= 0) raw
       else {
-        val stop = raw.select(explode($"toks").as("tok"))
+        val stopDf = raw.select(explode($"toks").as("tok"))
           .groupBy($"tok").agg(count(lit(1)).as("freq"))
           .where($"freq" > maxDf)
-          .select($"tok").collect().map(_.getString(0))
-        require(stop.length <= 100000,
-          s"df cap yielded ${stop.length} stop tokens — raise maxDf")
+          .select($"tok")
+          .persistScoped // counted then collected — one computation
+        val nStop = stopDf.count()
+        require(nStop <= 100000,
+          s"df cap yielded $nStop stop tokens — raise maxDf")
+        val stop = stopDf.collect().map(_.getString(0))
         if (stop.isEmpty) raw
         else raw.select($"doc_id", $"lang",
-            array_except($"toks", typedLit(stop.toSeq)).as("toks"))
+            graft.functions.ArrayExceptSet($"toks", stop).as("toks"))
           .where(size($"toks") > 0)
       }
     val prepared = capped

@@ -14,7 +14,16 @@ import org.apache.spark.sql.DataFrame
   * the carried-over origin statistics so each round replans from fresh
   * leaf stats. */
 private[graft] object Iterate {
+  /** Test hook: every loopBarrier is exactly one eager RDD job, so
+    * specs pin a loop's per-round action count against THIS counter
+    * (deterministic) instead of SparkListener job totals (AQE splits
+    * one Dataset action into a session-config-dependent number of
+    * jobs — an absolute job bound flakes on upgrades). */
+  private[graft] val barrierCount =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   def loopBarrier(df: DataFrame): DataFrame = {
+    barrierCount.incrementAndGet()
     val ck = df.localCheckpoint(true)
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }

@@ -32,6 +32,7 @@ object Journeys {
   def funnel(events: DataFrame, stages: Seq[String],
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "funnel")
     require(stages.nonEmpty, "funnel needs at least one stage")
     val relevant = events
       .where(col(typeCol).isin(stages.map(lit): _*))
@@ -70,6 +71,7 @@ object Journeys {
     * exists and contains the whole cohort. */
   def retention(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "retention")
     val firsts = events.groupBy(col(userCol))
       .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
     events.select(col(userCol), col(tsCol))
@@ -96,6 +98,7 @@ object Journeys {
   def cohortLtv(events: DataFrame, purchaseType: String = "purchase",
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "cohortLtv")
     import org.apache.spark.sql.expressions.Window
     val firsts = events.groupBy(col(userCol))
       .agg(date_trunc("week", min(col(tsCol))).cast("date").as("cohort_week"))
@@ -134,6 +137,7 @@ object Journeys {
     * max end of everything before it. Exact integer epoch seconds. */
   def activeTime(events: DataFrame, windowSeconds: Long = 300L,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "activeTime")
     import org.apache.spark.sql.expressions.Window
     require(windowSeconds >= 1, s"windowSeconds must be >= 1, got $windowSeconds")
     val byUser = Window.partitionBy(col(userCol)).orderBy($"_s")
@@ -163,6 +167,7 @@ object Journeys {
     * toward zero on negative deltas in Spark but floor in DuckDB. */
   def weekOverWeek(events: DataFrame, tsCol: String = "ts",
       valueCol: String = "value"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "weekOverWeek")
     import org.apache.spark.sql.expressions.Window
     val w = Window.orderBy($"week")
     events
@@ -193,6 +198,7 @@ object Journeys {
     * last event). */
   def rollingActives(events: DataFrame, windowDays: Int = 7,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "rollingActives")
     require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val ud = events
       .select(col(userCol).as("_u"),
@@ -218,6 +224,7 @@ object Journeys {
     * to the observed [min, max] day span. */
   def stickiness(events: DataFrame, longDays: Int = 28,
       userCol: String = "user_id", tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "stickiness")
     require(longDays >= 1, s"longDays must be >= 1, got $longDays")
     val ud = events
       .select(col(userCol).as("_u"),
@@ -242,6 +249,7 @@ object Journeys {
     * — event volume never reaches the comparison. */
   def newVsReturning(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "newVsReturning")
     val ud = events
       .select(col(userCol).as("_u"),
         expr(s"unix_micros(cast($tsCol AS TIMESTAMP)) div ${86400L * 1000000L}").as("_d"))
@@ -269,6 +277,7 @@ object Journeys {
   def transitions(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", typeCol: String = "event_type",
       tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "transitions")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(tieCol))
     val pairs = events
@@ -301,6 +310,7 @@ object Journeys {
   def stationaryDistribution(events: DataFrame, iters: Int = 3,
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "stationaryDistribution")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val t = transitions(events, userCol, tsCol, typeCol, tieCol)
       .select($"from_type", $"to_type", $"p_bp")
@@ -336,6 +346,7 @@ object Journeys {
   def sessions(events: DataFrame, gapSeconds: Long,
       userCol: String = "user_id", tsCol: String = "ts",
       tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "sessions")
     import org.apache.spark.sql.expressions.Window
     require(gapSeconds >= 1, s"gapSeconds must be >= 1, got $gapSeconds")
     val w = Window.partitionBy(col(userCol)).orderBy($"es", col(tieCol))
@@ -372,6 +383,7 @@ object Journeys {
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", idCol: String = "event_id",
       valueCol: String = "value"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "lastTouchAttribution")
     import org.apache.spark.sql.expressions.Window
     require(lookbackSeconds >= 1,
       s"lookbackSeconds must be >= 1, got $lookbackSeconds")
@@ -414,6 +426,7 @@ object Journeys {
   def decayedPopularity(events: DataFrame, halfLifeSeconds: Long,
       groupCol: String = "event_type", tsCol: String = "ts",
       valueCol: String = "value", refUs: Option[Long] = None): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "decayedPopularity")
     require(halfLifeSeconds >= 1,
       s"halfLifeSeconds must be >= 1, got $halfLifeSeconds")
     val base = events.select(col(groupCol),
@@ -442,6 +455,7 @@ object Journeys {
   def frequentPaths(events: DataFrame, pathLen: Int = 3, k: Int = 20,
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", idCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "frequentPaths")
     require(pathLen >= 2, s"pathLen must be >= 2, got $pathLen")
     require(k >= 1, s"k must be >= 1, got $k")
     events
@@ -478,6 +492,7 @@ object Journeys {
   def nextEventAccuracy(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts", typeCol: String = "event_type",
       tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "nextEventAccuracy")
     import org.apache.spark.sql.expressions.Window
     val base = events.select(col(userCol), col(tieCol), col(typeCol),
       expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"))
@@ -522,6 +537,7 @@ object Journeys {
     * one (type, band) map-side-combined rollup. */
   def latenessAudit(events: DataFrame, typeCol: String = "event_type",
       tsCol: String = "ts", arrivalCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "latenessAudit")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(typeCol)).orderBy(col(arrivalCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -565,6 +581,7 @@ object Journeys {
   def rfm(events: DataFrame, purchaseType: String = "purchase",
       userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "rfm")
     val dayUs = 86400L * 1000000L
     val perUser = events
       .select(col(userCol).as("user_id"),
@@ -619,6 +636,7 @@ object Journeys {
     * cardinality, partitioned by user — no global sort. */
   def streaks(events: DataFrame, userCol: String = "user_id",
       tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "streaks")
     import org.apache.spark.sql.expressions.Window
     val dayUs = 86400L * 1000000L
     val days = events
@@ -665,6 +683,7 @@ object Journeys {
       iters: Int = 6, maxStates: Int = 100, userCol: String = "user_id",
       tsCol: String = "ts", typeCol: String = "event_type",
       tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "removalEffect")
     require(iters >= 1, s"iters must be >= 1, got $iters")
     import org.apache.spark.sql.expressions.Window
     val spark = events.sparkSession
@@ -751,6 +770,7 @@ object Journeys {
   def shapleyAttribution(events: DataFrame, convType: String = "purchase",
       maxChannels: Int = 12, userCol: String = "user_id", tsCol: String = "ts",
       typeCol: String = "event_type", tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "shapleyAttribution")
     val spark = events.sparkSession
     import spark.implicits.{newProductEncoder, newStringEncoder}
 

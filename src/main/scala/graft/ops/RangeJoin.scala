@@ -32,7 +32,7 @@ object RangeJoin {
     * TIMESTAMP, the session-zone pin for TIMESTAMP_NTZ. The type is
     * checked so any other input fails loudly instead of silently
     * reinterpreting (cast from LONG would read seconds). */
-  private def requireTs(df: DataFrame, name: String, op: String): Unit = {
+  private[graft] def requireTs(df: DataFrame, name: String, op: String): Unit = {
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
     val dt = df.schema(name).dataType
     require(dt == TimestampType || dt == TimestampNTZType,

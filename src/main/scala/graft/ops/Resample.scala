@@ -48,6 +48,7 @@ object Resample {
   def gapFill(events: DataFrame, bucketSeconds: Long,
       keyCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value", tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "gapFill")
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
     val obs = events
       .select(col(keyCol).as("_k"),
@@ -94,6 +95,7 @@ object Resample {
   def interpolate(events: DataFrame, bucketSeconds: Long,
       keyCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value", tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "interpolate")
     require(bucketSeconds >= 1, s"bucketSeconds must be >= 1, got $bucketSeconds")
     val obs = events
       .select(col(keyCol).as("_k"),
@@ -142,6 +144,7 @@ object Resample {
   def timeWeightedAvg(events: DataFrame, keyCol: String = "user_id",
       tsCol: String = "ts", valueCol: String = "value",
       tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "timeWeightedAvg")
     val w = Window.partitionBy($"_k").orderBy($"es", col(tieCol))
     events
       .select(col(keyCol).as("_k"),
@@ -181,6 +184,7 @@ object Resample {
   def anomalies(events: DataFrame, window: Int = 20, minObs: Int = 5,
       k: Int = 3, keyCol: String = "user_id", tsCol: String = "ts",
       valueCol: String = "value", tieCol: String = "event_id"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "anomalies")
     require(window >= 1 && minObs >= 2 && k >= 1,
       s"need window >= 1, minObs >= 2, k >= 1; got $window/$minObs/$k")
     val w = Window.partitionBy($"_k").orderBy($"_us", col(tieCol))
@@ -241,6 +245,7 @@ object Resample {
     * sum + one argmax window, both at series size. */
   def changepoint(events: DataFrame, groupCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "changepoint")
     val dayUs = 86400L * 1000000L
     val daily = events
       .select(col(groupCol).as("g"),
@@ -308,6 +313,7 @@ object Resample {
     * over raw events. */
   def ewma(events: DataFrame, span: Int = 14,
       groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "ewma")
     // span cap keeps the fixed-point headroom honest: Σ c·2^(span−1)
     // then ×10⁴ must stay under 2⁶³ — at span 30 that still allows
     // ~8.5e8 events per group-day before overflow
@@ -350,6 +356,7 @@ object Resample {
     * the corpus; the seasonal table broadcasts. */
   def seasonalDecompose(events: DataFrame, period: Int = 7,
       groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "seasonalDecompose")
     require(period >= 3 && period % 2 == 1,
       s"period must be odd >= 3 for a centered window, got $period")
     val half = period / 2
@@ -397,6 +404,7 @@ object Resample {
     * never reshuffle twice. */
   def burstSegments(events: DataFrame, groupCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "burstSegments")
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpr}
     val series = dailySeries(events, groupCol, tsCol)
     val agg = series.groupBy($"g")
@@ -420,6 +428,7 @@ object Resample {
     * twin of [[seasonalBacktest]]'s holdout readout. */
   def seasonalResiduals(events: DataFrame, season: Int = 7,
       groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "seasonalResiduals")
     require(season >= 1, s"season must be >= 1, got $season")
     val series = dailySeries(events, groupCol, tsCol).persistScoped
     val fc = series.select($"g", ($"d" + season).as("d"), $"c".as("f"))
@@ -451,6 +460,7 @@ object Resample {
   def seasonalBacktest(events: DataFrame, season: Int = 7,
       horizon: Int = 14, groupCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "seasonalBacktest")
     require(season >= 1, s"season must be >= 1, got $season")
     require(horizon >= 1, s"horizon must be >= 1, got $horizon")
     val series = dailySeries(events, groupCol, tsCol)
@@ -486,6 +496,7 @@ object Resample {
     * per-group window over that bounded pair set. */
   def theilSen(events: DataFrame, groupCol: String = "event_type",
       tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "theilSen")
     import org.apache.spark.sql.expressions.Window
     val series = dailySeries(events, groupCol, tsCol)
       .select($"g", $"d", $"c")
@@ -506,6 +517,7 @@ object Resample {
 
   def autocorrelation(events: DataFrame, maxLag: Int = 7,
       groupCol: String = "event_type", tsCol: String = "ts"): DataFrame = {
+    RangeJoin.requireTs(events, tsCol, "autocorrelation")
     require(maxLag >= 1, s"maxLag must be >= 1, got $maxLag")
     val series = dailySeries(events, groupCol, tsCol)
       .select($"g", $"d", $"c")

@@ -2444,7 +2444,16 @@ object ExtQueries extends QueryGroup {
        |    FROM ae WHERE iter < 30)
        |  WHERE dsrc >= 2 AND ddst >= 2)
        |SELECT src AS node, count(*)::BIGINT AS deg
-       |FROM ae WHERE iter = 30 GROUP BY src ORDER BY node""".stripMargin
+       |FROM ae
+       |-- fixpoint assert: the peel is monotone-shrinking, so equal row
+       |-- counts at iters 29/30 == set equality == converged; a graph
+       |-- needing a 31st peel must fail loudly, not ship a superset
+       |WHERE iter = 30
+       |  AND CASE WHEN (SELECT count(*) FROM ae WHERE iter = 30)
+       |             = (SELECT count(*) FROM ae WHERE iter = 29)
+       |           THEN TRUE
+       |           ELSE error('kcore oracle not converged in 30 rounds') END
+       |GROUP BY src ORDER BY node""".stripMargin
 
   /** Multi-source BFS over the shared near-dup graph: minimum hop
     * distance from the seed set (every ~97th vector — a deterministic
@@ -2635,7 +2644,16 @@ object ExtQueries extends QueryGroup {
        |  SELECT a AS n FROM edges0 UNION ALL SELECT b FROM edges0)),
        |comp0 AS (SELECT n, n AS c FROM nodes),
        |$rounds
-       |SELECT a, b, w FROM ($forest) ORDER BY a, b""".stripMargin
+       |SELECT a, b, w FROM ($forest)
+       |-- fixpoint assert: Borůvka is converged iff NO cross-component
+       |-- edge survives the final contraction; a dataset needing a 13th
+       |-- round must fail loudly, not ship a partial forest as the oracle
+       |WHERE CASE WHEN NOT EXISTS (
+       |        SELECT 1 FROM edges0 e JOIN comp12 x ON e.a = x.n
+       |        JOIN comp12 y ON e.b = y.n WHERE x.c != y.c)
+       |           THEN TRUE
+       |           ELSE error('msf oracle not converged in 12 rounds') END
+       |ORDER BY a, b""".stripMargin
   }
 
   /** Weighted shortest semantic distance from the SAME seed set as
@@ -2679,7 +2697,16 @@ object ExtQueries extends QueryGroup {
        |d0 AS (SELECT vec_id AS n, 0::BIGINT AS d FROM $nzSql
        |       WHERE vec_id % 97 = 0),
        |${(1 to 30).map(round).mkString(",\n")}
-       |SELECT n AS node, d::BIGINT AS dist FROM d30 ORDER BY node""".stripMargin
+       |SELECT n AS node, d::BIGINT AS dist FROM d30
+       |-- fixpoint assert: the Spark side relaxes to a VERIFIED fixpoint;
+       |-- if a dataset ever needs a 31st relaxation round this unroll must
+       |-- fail loudly, not ship inflated distances as the oracle
+       |WHERE CASE WHEN (SELECT count(*) FROM d30) = (SELECT count(*) FROM d29)
+       |            AND NOT EXISTS (SELECT 1 FROM d30 x JOIN d29 y
+       |                            ON x.n = y.n AND x.d <> y.d)
+       |           THEN TRUE
+       |           ELSE error('sssp oracle not converged in 30 rounds') END
+       |ORDER BY node""".stripMargin
   }
 
   /** Personalized PageRank from the SAME seed set as [[bfsHops]] over

@@ -624,7 +624,9 @@ object StreamingIngest {
     require(nDim <= maxDimRows,
       s"asofJoinStream dimension history has $nDim rows (> maxDimRows=" +
         s"$maxDimRows) — this operator broadcasts the FULL history; " +
-        "pass a dimension-sized frame or raise maxDimRows explicitly")
+        "pass a dimension-sized frame, raise maxDimRows explicitly, or " +
+        "use asofJoinSink (per-micro-batch shuffle as-of, no broadcast " +
+        "bound)")
     val collected = dimRows.collect()
     val index: Map[Row, (Array[Long], Array[Row])] =
       collected.groupBy(_.getStruct(0)).map { case (k, rows) =>
@@ -662,6 +664,37 @@ object StreamingIngest {
         col("_asof_match").getField(c).as(rightPrefix + c)): _*)
   }
 
+  /** Over-limit companion of [[asofJoinStream]]: the graceful-degrade
+    * path when the dimension history exceeds the broadcast bound. Each
+    * micro-batch is as-of joined against the FULL history with the
+    * SHUFFLE operator [[graft.ops.AsofJoin.asofBackward]] — per-trigger
+    * cost is a (batch ∪ history) key-shuffle instead of a driver-built
+    * broadcast index, so the history can be arbitrarily large; the
+    * trade is per-batch latency, which is why [[asofJoinStream]] stays
+    * the default under the bound. Identical match semantics (backward
+    * inclusive, equal-ts payload tie-break, null keys/no-prior → null).
+    *
+    * Exactly-once by idempotent output: each micro-batch overwrites its
+    * own `b<batchId>` subdirectory, so a replayed batch rewrites the
+    * same files and the union of subdirs is exactly the processed
+    * prefix of the stream (the [[corpusFilterSink]] shape). */
+  def asofJoinSink(stream: DataFrame, dimHistory: DataFrame,
+      keys: Seq[String], tsCol: String, outPath: String,
+      checkpoint: String,
+      rightPrefix: String = "r_"): DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(keys.nonEmpty, "asof join needs at least one key column")
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.ops.AsofJoin
+          .asofBackward(batch, dimHistory, keys, tsCol, rightPrefix)
+          .write.mode("overwrite").parquet(s"$outPath/b$batchId")
+        ()
+      }
+  }
+
   /** Incremental aggregate maintenance: keep a per-key (n, total)
     * aggregate table up to date from a stream WITHOUT ever
     * re-aggregating history — each micro-batch is pre-aggregated (one
@@ -681,7 +714,12 @@ object StreamingIngest {
     * SAME atomic rename as the data. A replayed batch (crash after the
     * swap, before the streaming checkpoint recorded the commit) sees
     * its own id already in the marker and becomes a no-op instead of
-    * double-counting. */
+    * double-counting. The marker is scoped to the streaming QUERY id
+    * (`_graft_query` sidecar, persisted in the checkpoint metadata so
+    * it survives restarts): batch ids restart at 0 when a checkpoint is
+    * deleted, and an unscoped marker would then silently SKIP every
+    * replayed batch — data loss dressed as replay protection. A query-id
+    * mismatch fails loudly instead. */
   def runningAggSink(stream: DataFrame, targetPath: String,
       keys: Seq[String], valueCol: String,
       checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
@@ -691,6 +729,27 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        // batch ids are only meaningful WITHIN one checkpoint lineage:
+        // a deleted-and-recreated checkpoint (or a new query pointed at
+        // an existing target) restarts them at 0, and silently skipping
+        // batches <= the stored marker would be data LOSS, not replay
+        // protection. The streaming query id is persisted in the
+        // checkpoint metadata, so it is the lineage identity: same
+        // checkpoint across restarts → same id; deleted checkpoint →
+        // new id → fail loudly instead of mis-merging.
+        val queryId = Option(spark.sparkContext
+          .getLocalProperty("sql.streaming.queryId")).getOrElse("")
+        val storedQuery = graft.io.Sinks
+          .readSidecar(spark, targetPath, "_graft_query").map(_.trim)
+        storedQuery.foreach { sq =>
+          if (queryId.nonEmpty && sq.nonEmpty && sq != queryId)
+            throw new IllegalStateException(
+              s"runningAggSink target $targetPath was built by streaming " +
+                s"query $sq but this query is $queryId — the checkpoint " +
+                "was recreated (batch ids restarted) or the target belongs " +
+                "to another query; remove the target to rebuild, or point " +
+                "this query at a fresh target")
+        }
         val alreadyMerged = graft.io.Sinks
           .readSidecar(spark, targetPath, "_graft_batch")
           .exists(_.trim.toLong >= batchId)
@@ -709,7 +768,8 @@ object StreamingIngest {
               (coalesce(col("total"), lit(0.0)) +
                 coalesce(col("_d_total"), lit(0.0))).as("total")): _*)
           graft.io.Sinks.atomicParquetSwap(merged, targetPath,
-            sidecar = Map("_graft_batch" -> batchId.toString))
+            sidecar = Map("_graft_batch" -> batchId.toString,
+              "_graft_query" -> queryId))
         }
         ()
       }
@@ -764,20 +824,32 @@ object StreamingIngest {
     * Each round finalizes (1) KEPT: undecided ids whose smaller
     * candidate neighbors are all rejected (their greedy outcome can no
     * longer change), then (2) REJECTED: undecided ids with a kept
-    * smaller neighbor (anchor = min such). The minimum undecided id is
+    * smaller neighbor. The minimum undecided id is
     * decided every round, and rounds bound by the longest alternating
     * kept-chain — duplicate clusters are shallow, but `maxRounds`
-    * THROWS rather than mislabel on an adversarial batch. Frames are
+    * THROWS rather than mislabel on an adversarial batch.
+    *
+    * Anchors are assigned AFTER convergence, against the FINAL kept
+    * set: a smaller candidate neighbor can become kept in a LATER
+    * round than the one that rejected this id (chain-fed structure —
+    * e.g. edges (1,2)(2,3)(3,6)(5,6): 6 is rejected in round 1 by the
+    * then-kept 5, but 3 only resolves kept in round 2 and the literal
+    * replay anchors 6 at min(3,5)=3). Since kept is monotone and every
+    * smaller id is final by convergence, min(kept smaller neighbor) at
+    * convergence IS the literal sequential-greedy anchor. Frames are
     * batch-sized; each round is loopBarrier-truncated ([[graft.ops.Iterate]]). */
   private[graft] def sequentialGreedy(idxRejected: DataFrame,
       edges: DataFrame, ids: DataFrame, maxRounds: Int = 60): DataFrame = {
     import graft.ops.Iterate
-    var rejected = Iterate.loopBarrier(
+    val idxRej = Iterate.loopBarrier(
       idxRejected.select(col("_nid"), col("dup_of")))
+    // the loop only needs the rejected-ID SET; in-batch anchors wait
+    // for the final kept set
+    var rejectedIds = idxRej.select(col("_nid"))
     var kept = ids.select(col("_nid")).limit(0)
     var undecided = Iterate.loopBarrier(
       ids.select(col("_nid")).distinct()
-        .join(rejected, Seq("_nid"), "left_anti"))
+        .join(rejectedIds, Seq("_nid"), "left_anti"))
     val e = Iterate.loopBarrier(
       edges.select(col("_oid"), col("_nid")).distinct())
     var nUndecided = undecided.count()
@@ -789,7 +861,7 @@ object StreamingIngest {
           s"($nUndecided ids undecided) — raise maxRounds")
       // edges whose smaller endpoint is rejected can never reject
       val live = Iterate.loopBarrier(
-        e.join(rejected.select(col("_nid").as("_oid")), Seq("_oid"), "left_anti"))
+        e.join(rejectedIds.select(col("_nid").as("_oid")), Seq("_oid"), "left_anti"))
       val blocked = live.select(col("_nid")).distinct()
       val newKept = Iterate.loopBarrier(
         undecided.join(blocked, Seq("_nid"), "left_anti"))
@@ -797,11 +869,11 @@ object StreamingIngest {
       val newRej = Iterate.loopBarrier(
         live.join(kept.select(col("_nid").as("_oid")), Seq("_oid"))
           .join(undecided.join(newKept, Seq("_nid"), "left_anti"), Seq("_nid"))
-          .groupBy(col("_nid")).agg(min(col("_oid")).as("dup_of")))
-      rejected = Iterate.loopBarrier(rejected.unionByName(newRej))
+          .select(col("_nid")).distinct())
+      rejectedIds = Iterate.loopBarrier(rejectedIds.unionByName(newRej))
       undecided = Iterate.loopBarrier(
         undecided.join(newKept, Seq("_nid"), "left_anti")
-          .join(newRej.select(col("_nid")), Seq("_nid"), "left_anti"))
+          .join(newRej, Seq("_nid"), "left_anti"))
       val n2 = undecided.count()
       // progress is guaranteed (the min undecided id always resolves);
       // the guard keeps a logic regression from spinning silently
@@ -809,7 +881,17 @@ object StreamingIngest {
         s"sequentialGreedy made no progress at round $round ($n2 undecided)")
       nUndecided = n2
     }
-    rejected
+    // anchor assignment vs the FINAL kept set (kept ids are never
+    // revoked, so every batch-rejected id has >=1 kept smaller
+    // neighbor and its min is the literal replay's anchor);
+    // idx-rejected anchors stand as given
+    val batchRej = rejectedIds
+      .join(idxRej.select(col("_nid")), Seq("_nid"), "left_anti")
+    val anchored = batchRej
+      .join(e, Seq("_nid"))
+      .join(kept.select(col("_nid").as("_oid")), Seq("_oid"))
+      .groupBy(col("_nid")).agg(min(col("_oid")).as("dup_of"))
+    idxRej.unionByName(anchored)
   }
 
 

@@ -53,6 +53,28 @@ class DedupSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("ngramJaccard df cap: stop list rides as a reference-object set, " +
+      "never a plan literal") {
+    // 60 docs sharing 40 high-df tokens: with maxDf=4 the stop list has
+    // 40 entries — the pre-r11 typedLit form inlined every token into
+    // the plan tree (a plan-size/task-binary hazard at the 100k bound)
+    val fill = (1 to 40).map(j => s"stopword_$j").mkString(" ")
+    val docs = (1L to 60L).map(i => (i, "en", s"$fill unique_$i"))
+      .toDF("doc_id", "lang", "text")
+    val out = Dedup.ngramJaccard(docs, 0.8, maxDf = 4L)
+    // the analyzed plan holds the full lineage (the executed plan
+    // truncates the subtrees behind the operator's persist barriers)
+    val p = out.queryExecution.analyzed.toString
+    assert(p.contains("array_except_set"),
+      s"expected the reference-object stop filter in the plan:\n$p")
+    assert(!p.contains("stopword_"),
+      s"stop tokens leaked into the plan tree as literals:\n$p")
+    // capped semantics: every shared token is stop-listed, each doc
+    // keeps only its unique token — no pairs survive
+    assert(out.count() === 0L)
+    spark.catalog.clearCache()
+  }
+
   test("withCacheScope frees every operator-persisted block at scope exit") {
     import org.apache.spark.storage.StorageLevel
     val docs = (1L to 40L).map(i => (i, "en", s"shared words plus unique token_$i here"))

@@ -78,35 +78,45 @@ class KTrussSpec extends SparkSpec {
     assert(e.getMessage.contains("did not converge"))
   }
 
-  test("peel job count: one barrier + one count per round, nothing recounted") {
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
-    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
-    val listener = new SparkListener {
-      override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
-        counter.incrementAndGet(); ()
+  test("peel action count: one barrier + one count per round, nothing recounted") {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    // count ACTIONS, not jobs: barriers via the Iterate test hook (one
+    // eager RDD job each, AQE-independent) and Dataset count() calls via
+    // a QueryExecutionListener — an absolute SparkListener job bound is
+    // session-config/AQE-dependent and flakes on upgrades
+    val counts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+          durationNs: Long): Unit = {
+        if (funcName == "count") { counts.incrementAndGet(); () }
       }
+      override def onFailure(funcName: String, qe: QueryExecution,
+          exception: Exception): Unit = ()
     }
     val edges = sym(house) // converges in exactly 2 rounds at k=3
     edges.count() // materialize inputs outside the window
-    spark.sparkContext.addSparkListener(listener)
-    val jobs = try {
-      counter.set(0)
+    spark.listenerManager.register(listener)
+    val (barriers, nCounts) = try {
+      val b0 = graft.ops.Iterate.barrierCount.get()
+      counts.set(0)
       KTruss.run(edges, k = 3).count()
+      // QE listener events are posted asynchronously — drain to stable
       var last = -1; var stable = 0
       while (stable < 3) {
         Thread.sleep(100)
-        val c = counter.get()
+        val c = counts.get()
         if (c == last) stable += 1 else { stable = 0; last = c }
       }
-      last
-    } finally spark.sparkContext.removeSparkListener(listener)
-    // 5 actions total: canonical barrier + its count, 2 rounds ×
-    // (barrier + count), final readout count. AQE splits each action
-    // into several jobs (28 measured on this graph/session config);
-    // the pre-fix loop ran 2 extra actions per round (a second barrier
-    // and a recount of the already-known previous cardinality), which
-    // measures well above this bound
-    assert(jobs <= 30, s"peel ran $jobs jobs (28 expected) — is the loop " +
-      "recounting a frame whose cardinality it already carries?")
+      (graft.ops.Iterate.barrierCount.get() - b0, last)
+    } finally spark.listenerManager.unregister(listener)
+    // exactly: canonical barrier + its count, 2 rounds × (barrier +
+    // count), final readout count. The pre-fix loop ran a second
+    // barrier and a recount of the already-known previous cardinality
+    // per round (5 barriers / 6 counts here)
+    assert(barriers == 3L, s"peel ran $barriers loopBarriers (3 expected) — " +
+      "is the loop re-barriering a frame it already truncated?")
+    assert(nCounts == 4, s"peel ran $nCounts count() actions (4 expected) — " +
+      "is the loop recounting a frame whose cardinality it already carries?")
   }
 }

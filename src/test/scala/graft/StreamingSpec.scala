@@ -415,17 +415,25 @@ class StreamingSpec extends SparkSpec {
     // 2 survives because 1 is out
     assert(run(idx((1L, 0L)), edges((1L, 2L), (2L, 3L)), ids(1L, 2L, 3L)) ===
       Map(1L -> 0L, 3L -> 2L))
+    // chain-fed anchor: 6 is rejected in the FIRST relational round by
+    // the then-kept 5, but 3 only resolves kept in round 2 — the
+    // literal replay anchors 6 at min(3, 5) = 3, not 5
+    assert(run(idx(), edges((1L, 2L), (2L, 3L), (3L, 6L), (5L, 6L)),
+      ids(1L, 2L, 3L, 5L, 6L)) === Map(2L -> 1L, 6L -> 3L))
   }
 
   test("sequentialGreedy equals the literal sequential simulation on random " +
       "candidate graphs with random index rejects") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder, newLongEncoder}
     val rnd = new scala.util.Random(31)
-    for (trial <- 1 to 5) {
+    // denser trials feed the chain-fed anchor structure (a doc rejected
+    // in an early round whose smaller neighbor only keeps later)
+    for (trial <- 1 to 8) {
       val nIds = 24
       val ids = (1L to nIds).toSeq
+      val density = if (trial <= 4) 0.12 else 0.22
       val edges = (for {
-        a <- ids; b <- ids if a < b && rnd.nextDouble() < 0.12
+        a <- ids; b <- ids if a < b && rnd.nextDouble() < density
       } yield (a, b)).distinct
       val idxRej = ids.filter(_ => rnd.nextDouble() < 0.15).map(i => (i, -i))
       // literal simulation: ascending ids; reject on idx match or a
@@ -466,9 +474,83 @@ class StreamingSpec extends SparkSpec {
         maxDimRows = 10L)
     }
     assert(e.getMessage.contains("maxDimRows"))
+    // the guard names the graceful-degrade path
+    assert(e.getMessage.contains("asofJoinSink"))
     // the same history under the bound builds fine
     StreamingIngest.asofJoinStream(stream, dim, Seq("k"), "ts",
       maxDimRows = 50L)
+  }
+
+  test("asofJoinSink: an over-broadcast-bound history still answers — " +
+      "per-batch shuffle as-of equals batch asofBackward") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
+    // history big enough that asofJoinStream at maxDimRows=10 refuses it
+    val dim = (1L to 50L).flatMap(i =>
+      Seq((s"k${i % 5}", ts(i), i), (s"k${i % 5}", ts(i + 100), i + 100)))
+      .toDF("k", "ts", "price")
+    val probes = Seq(
+      ("k1", ts(60), 1L),   // mid-history
+      ("k2", ts(0), 2L),    // before any version -> null
+      ("k3", ts(500), 3L),  // after everything -> latest
+      (null.asInstanceOf[String], ts(60), 4L)) // null key -> null
+    val (b1, b2) = probes.splitAt(2)
+    val landing = tmpDir("graft-asofsink-landing")
+    val out = tmpDir("graft-asofsink-out") + "/asof"
+    val ckpt = tmpDir("graft-asofsink-ckpt")
+    def drain(rows: Seq[(String, java.sql.Timestamp, Long)], part: String): Unit = {
+      rows.toDF("k", "ts", "qty").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/$part")
+      val schema = spark.read.parquet(s"$landing/$part").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$landing/*")
+      val q = StreamingIngest.asofJoinSink(stream, dim, Seq("k"), "ts",
+        out, ckpt).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain(b1, "p1"); drain(b2, "p2")
+    def asSet(df: org.apache.spark.sql.DataFrame) = df
+      .select($"qty", $"r_price", unix_micros($"r_ts"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1),
+        if (r.isNullAt(2)) null else r.getLong(2))).toSet
+    val got = asSet(spark.read.parquet(s"$out/b*"))
+    val want = asSet(graft.ops.AsofJoin.asofBackward(
+      probes.toDF("k", "ts", "qty"), dim, Seq("k"), "ts"))
+    assert(got === want)
+    assert(got.size === 4)
+  }
+
+  test("runningAggSink: a recreated checkpoint (batch ids restarted) fails " +
+      "LOUDLY against the existing target instead of silently skipping") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val landing = tmpDir("graft-ragg-qid-landing")
+    val target = tmpDir("graft-ragg-qid-target") + "/agg"
+    val ckpt1 = tmpDir("graft-ragg-qid-ckpt1")
+    def drain(rows: Seq[(String, Double)], part: String, ckpt: String): Unit = {
+      rows.toDF("event_type", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/$part")
+      val schema = spark.read.parquet(s"$landing/*").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$landing/*")
+      val q = StreamingIngest.runningAggSink(stream, target,
+        Seq("event_type"), "value", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain(Seq(("a", 1.0), ("b", 2.0)), "p1", ckpt1)
+    assert(spark.read.parquet(target).count() === 2L)
+    // a NEW checkpoint restarts batch ids at 0 — the unscoped pre-r11
+    // marker would skip the replayed batch silently (data loss); the
+    // query-id-scoped marker must refuse instead
+    val ckpt2 = tmpDir("graft-ragg-qid-ckpt2")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(Seq(("c", 3.0)), "p2", ckpt2)
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("checkpoint")), e.toString)
+    // the target is untouched by the refused run
+    assert(spark.read.parquet(target).count() === 2L)
   }
 
   test("nearDupSink crash window: a failed attempt's batch dirs (data written, " +
