@@ -11,15 +11,24 @@
 #       ev50 int64 overflow and the assortativity /0 in round 9),
 #   (c) bench the N most expensive queries (taken from a committed bench
 #       artifact) at both multipliers,
-#   (d) write SCALE_r<round>.json with per-query 1x->10x scaling
-#       exponents (exp = log10(t10/t1)); if SCALE_r<round-1>.json
-#       exists, append a per-query diff and FAIL on any exponent
-#       worsening by more than 0.15.
+#   (d) ZIPF-SKEW section (round 11): regenerate both multipliers with
+#       log-uniform hot keys (events.user_id / o_custkey / l_partkey;
+#       hottest key ~10% of ALL rows) plus boilerplate-prefixed
+#       documents, verify the skew-sensitive queries run clean at m=10,
+#       and bench them at both multipliers — hot-key skew is the classic
+#       100TB failure mode uniform corpora never exercise,
+#   (e) write SCALE_r<round>.json with per-query 1x->10x scaling
+#       exponents (exp = log10(t10/t1)) for BOTH sections; if
+#       SCALE_r<round-1>.json exists, append per-query diffs and FAIL on
+#       any exponent worsening by more than 0.15. Every bench artifact
+#       is health-checked (scripts/check_bench_health.py): failures or
+#       unresolved contention re-runs (`rerun_failures`) fail the gate.
 #
 # Usage: scripts/scale_gate.sh <round> [topN=30] [artifact=BENCH_LOCAL.json] [base=/tmp/scale] [extraQueries]
 #   extraQueries: comma-separated names benched in ADDITION to the
 #   artifact's top-N (e.g. a new query not yet in any artifact).
-# Exit nonzero on: verify failures at m10, or an exponent regression.
+# Exit nonzero on: verify failures at m10 (either corpus), bench-health
+# failures, or an exponent regression.
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -28,6 +37,10 @@ N="${2:-30}"
 ARTIFACT="${3:-BENCH_LOCAL.json}"
 BASE="${4:-/tmp/scale}"
 EXTRA="${5:-}"
+
+# skew-sensitive set: hot-key join (j28), per-user sequence/window ops,
+# heavy hitters, hot-segment / hot-digest / hot-bucket dedup gates
+SKEWQ="j28_salted_join,ev4_transitions,ev5_sessions,ev8_rolling_actives,ev25_active_time,ext_heavy_hitters,ext_heavy_distinct,ext_dedup_segments,ext_dedup_exact,ext_dedup_minhash_capped"
 
 [ -f "$ARTIFACT" ] || { echo "no bench artifact at $ARTIFACT" >&2; exit 1; }
 
@@ -66,44 +79,90 @@ for m in 1 10; do
     sbt -batch "runMain graft.Bench" >/dev/null
 done
 
-echo "[scale] (d) writing SCALE_r${ROUND}.json" >&2
+echo "[scale] (d) zipf-skew corpora + skew-sensitive verify/bench" >&2
+for m in 1 10; do
+  sbt -batch "runMain graft.ScaleGen $BASE/z$m $m zipf" >/dev/null
+done
+rm -rf "$BASE/verify_z10"
+sbt -batch "runMain graft.Verify $BASE/z10 $BASE/verify_z10 ${SKEWQ//,/ }" >/dev/null
+python3 - "$BASE/verify_z10" <<'EOF'
+import glob, json, os, sys
+out = sys.argv[1]
+failed = json.load(open(f"{out}/_failed.json"))
+n = len([p for p in glob.glob(f"{out}/*") if os.path.isdir(p)])
+print(f"[scale] verify@zipf-m10: {n} query dumps, {len(failed)} failures", file=sys.stderr)
+if failed:
+    for k, v in failed.items():
+        print(f"[scale]   FAIL {k}: {v[:200]}", file=sys.stderr)
+    sys.exit(1)
+EOF
+for m in 1 10; do
+  SPARK_GRAFT_SF_DIR="$BASE/z$m" SPARK_GRAFT_ONLY="$SKEWQ" \
+    SPARK_GRAFT_BENCH_OUT="$BASE/bench_z$m.json" \
+    sbt -batch "runMain graft.Bench" >/dev/null
+done
+
+echo "[scale] bench-artifact health (failures / unresolved re-runs)" >&2
+python3 scripts/check_bench_health.py \
+  "$BASE/bench_h1.json" "$BASE/bench_h10.json" \
+  "$BASE/bench_z1.json" "$BASE/bench_z10.json"
+
+echo "[scale] (e) writing SCALE_r${ROUND}.json" >&2
 python3 - "$ROUND" "$BASE" <<'EOF'
 import json, math, os, sys
 rnd, base = int(sys.argv[1]), sys.argv[2]
-b1 = json.load(open(f"{base}/bench_h1.json"))
-b10 = json.load(open(f"{base}/bench_h10.json"))
-rows = {}
-for q, t1 in sorted(b1["queries"].items()):
-    t10 = b10["queries"].get(q, -1)
-    if t1 <= 0 or t10 <= 0:
-        rows[q] = {"t_m1": t1, "t_m10": t10, "ratio": None, "exp": None}
-        continue
-    ratio = t10 / t1
-    rows[q] = {"t_m1": round(t1, 3), "t_m10": round(t10, 3),
-               "ratio": round(ratio, 2), "exp": round(math.log10(ratio), 2)}
+
+def section(tag):
+    b1 = json.load(open(f"{base}/bench_{tag}1.json"))
+    b10 = json.load(open(f"{base}/bench_{tag}10.json"))
+    rows = {}
+    for q, t1 in sorted(b1["queries"].items()):
+        t10 = b10["queries"].get(q, -1)
+        if t1 <= 0 or t10 <= 0:
+            rows[q] = {"t_m1": t1, "t_m10": t10, "ratio": None, "exp": None}
+            continue
+        ratio = t10 / t1
+        rows[q] = {"t_m1": round(t1, 3), "t_m10": round(t10, 3),
+                   "ratio": round(ratio, 2), "exp": round(math.log10(ratio), 2)}
+    host = {"m1": {k: b1.get(k) for k in ("warmup_sec", "load_before", "load_after")},
+            "m10": {k: b10.get(k) for k in ("warmup_sec", "load_before", "load_after")}}
+    return rows, host
+
+rows, host = section("h")
+zrows, zhost = section("z")
 out = {"round": rnd, "corpus": "heaps", "multipliers": [1, 10],
-       "queries": rows,
-       "host": {"m1": {k: b1.get(k) for k in ("warmup_sec", "load_before", "load_after")},
-                "m10": {k: b10.get(k) for k in ("warmup_sec", "load_before", "load_after")}}}
+       "queries": rows, "host": host,
+       "skew": {"corpus": "zipf (log-uniform hot keys s~1, boilerplate-prefixed docs)",
+                "queries": zrows, "host": zhost}}
 prev_path = f"SCALE_r{rnd - 1:02d}.json"
 regressions = []
 if os.path.exists(prev_path):
-    prev = json.load(open(prev_path))["queries"]
+    prev = json.load(open(prev_path))
     diff = {}
     for q, r in rows.items():
-        p = prev.get(q)
+        p = prev.get("queries", {}).get(q)
         if p and p.get("exp") is not None and r.get("exp") is not None:
             d = round(r["exp"] - p["exp"], 2)
             diff[q] = d
             if d > 0.15:
                 regressions.append(f"{q}: exp {p['exp']} -> {r['exp']} (+{d})")
+    zdiff = {}
+    for q, r in zrows.items():
+        p = prev.get("skew", {}).get("queries", {}).get(q)
+        if p and p.get("exp") is not None and r.get("exp") is not None:
+            d = round(r["exp"] - p["exp"], 2)
+            zdiff[q] = d
+            if d > 0.15:
+                regressions.append(f"[skew] {q}: exp {p['exp']} -> {r['exp']} (+{d})")
     out["exp_diff_vs_prev"] = diff
+    out["skew"]["exp_diff_vs_prev"] = zdiff
     out["regressions"] = regressions
 path = f"SCALE_r{rnd:02d}.json"
 json.dump(out, open(path, "w"), indent=1)
 print(path)
-for q, r in sorted(rows.items(), key=lambda kv: -(kv[1]["exp"] or -99)):
-    print(f"  {q:32s} m1 {r['t_m1']:>8}s  m10 {r['t_m10']:>8}s  exp {r['exp']}")
+for tag, rr in (("heaps", rows), ("zipf ", zrows)):
+    for q, r in sorted(rr.items(), key=lambda kv: -(kv[1]["exp"] or -99)):
+        print(f"  [{tag}] {q:32s} m1 {r['t_m1']:>8}s  m10 {r['t_m10']:>8}s  exp {r['exp']}")
 if regressions:
     print("EXPONENT REGRESSIONS (>0.15):", file=sys.stderr)
     for r in regressions:

@@ -39,16 +39,37 @@ object ScaleGen {
   private def h(idCol: Column, salt: Int, n: Long): Column =
     pmod(xxhash64(idCol, lit(salt)), lit(n))
 
+  /** Log-uniform ("Zipf s≈1") key in [0, n): k = ⌊n^u⌋ − 1 for uniform
+    * u, so P(k) ∝ ln((k+2)∕(k+1)) ≈ 1∕(k+1) — key 0 alone draws
+    * ~1∕ln n of ALL rows (~10% at n = 15000), the classic hot-key
+    * profile web/user data carries at 100 TB. Same (id, salt)
+    * determinism as [[h]]. */
+  private def zipfKey(idCol: Column, salt: Int, n: Long): Column =
+    least(lit(n - 1), greatest(lit(0L),
+      floor(pow(lit(n.toDouble),
+        h(idCol, salt, 1000000L).cast("double") / 1000000.0))
+        .cast("long") - 1))
+
   /** @param heapsVocab 0 = mirror the testdata's degenerate 20-word
     *   vocabulary (every term in most documents — the adversarial case
     *   for retrieval/dedup candidate generation); > 0 = draw tokens
     *   from a vocabulary of that size, sized per Heaps' law
     *   (V ∝ √corpus) by the caller — the realistic text model where
-    *   document frequency per term grows sublinearly. */
+    *   document frequency per term grows sublinearly.
+    * @param zipfSkew true = draw the hot join/groupBy keys
+    *   (events.user_id, orders.o_custkey, lineitem.l_partkey) from the
+    *   log-uniform [[zipfKey]] distribution instead of uniform, and
+    *   plant a corpus-hot 16-token boilerplate PREFIX on ~20% of
+    *   documents (two grid-aligned hot segments for segment dedup; the
+    *   rest of each text stays unique, so pair-producing operators
+    *   don't get quadratic output BY CONSTRUCTION — the skew lands on
+    *   keys and groups, which is the thing under test). */
   def generate(spark: SparkSession, outDir: String, m: Int,
-      heapsVocab: Long = 0L): Unit = {
+      heapsVocab: Long = 0L, zipfSkew: Boolean = false): Unit = {
     require(m >= 1, s"multiplier must be >= 1, got $m")
     val day = 86400L * 1000000L // micros
+    def key(idCol: Column, salt: Int, n: Long): Column =
+      if (zipfSkew) zipfKey(idCol, salt, n) else h(idCol, salt, n)
 
     def write(df: DataFrame, name: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
@@ -101,7 +122,7 @@ object ScaleGen {
 
     val orderEpoch = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
     write(spark.range(nOrders).select($"id".as("o_orderkey"),
-      h($"id", 11, nCust).as("o_custkey"),
+      key($"id", 11, nCust).as("o_custkey"),
       element_at(array(Seq("O", "P", "F").map(lit): _*),
         h($"id", 12, 3).cast("int") + 1).as("o_orderstatus"),
       (h($"id", 13, 45000000) / 100.0 + 1000.0).as("o_totalprice"),
@@ -117,7 +138,7 @@ object ScaleGen {
         explode(sequence(lit(1), (h($"id", 16, 7) + 1).cast("int")))
           .as("l_linenumber"))
       .select($"l_orderkey",
-        h(concat($"l_orderkey", lit("_"), $"l_linenumber"), 17, nPart)
+        key(concat($"l_orderkey", lit("_"), $"l_linenumber"), 17, nPart)
           .as("l_partkey"),
         h(concat($"l_orderkey", lit("_"), $"l_linenumber"), 18, nSupp)
           .as("l_suppkey"),
@@ -145,7 +166,7 @@ object ScaleGen {
       timestamp_micros(unix_micros(evEpoch) +
         h($"id", 26, 30L * 86400L) * 1000000L +
         h($"id", 27, 1000000)).as("ts"),
-      h($"id", 28, nUsers).as("user_id"),
+      key($"id", 28, nUsers).as("user_id"),
       element_at(array(Seq("signup", "purchase", "view", "click",
         "error").map(lit): _*), h($"id", 29, 5).cast("int") + 1)
         .as("event_type"),
@@ -172,11 +193,21 @@ object ScaleGen {
       array_join(transform(
         sequence(lit(0), (h(seed, 32 + extraSalt, 80) + 8).cast("int")),
         j => tok(seed, j, 33 + extraSalt)), " ")
+    // zipf mode: a fixed 16-token boilerplate PREFIX on ~20% of docs —
+    // exactly two grid-aligned corpus-hot segments (segLen=8), the
+    // shared-header/web-boilerplate hot-group shape; alphabetic tokens
+    // so word-pattern-gated ops (BPE) still see them as words
+    val boiler = (1 to 16).map(i =>
+      "wboiler" + ('a' + (i - 1)).toChar).mkString(" ")
+    def withBoiler(body: Column): Column =
+      if (zipfSkew) when(h($"id", 40, 5) === 0,
+        concat(lit(boiler), lit(" "), body)).otherwise(body)
+      else body
     write(spark.range(nDocs).select($"id".as("doc_id"),
-        when($"id" % 10 === 0 && $"id" > 0,
+        withBoiler(when($"id" % 10 === 0 && $"id" > 0,
           concat(textOf($"id" - 1, 0), lit(" "),
             tok($"id", lit(0), 34)))
-          .otherwise(textOf($"id", 0)).as("text"),
+          .otherwise(textOf($"id", 0))).as("text"),
         when(h($"id", 35, 10) < 8, "en").otherwise(
           element_at(array(lit("de"), lit("fr")),
             h($"id", 36, 2).cast("int") + 1)).as("lang"),
@@ -197,16 +228,21 @@ object ScaleGen {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val m = args(1).toInt
-    // optional third arg "heaps": realistic vocabulary V = 2000·√m
+    // optional third arg: "heaps" = realistic vocabulary V = 2000·√m;
+    // "zipf" = the same Heaps vocabulary PLUS log-uniform hot keys and
+    // boilerplate-prefixed documents (the hot-key skew corpus)
+    val mode = if (args.length > 2) args(2) else ""
+    require(mode == "" || mode == "heaps" || mode == "zipf",
+      s"unknown corpus mode '$mode' (want heaps|zipf)")
     val heapsVocab =
-      if (args.length > 2 && args(2) == "heaps")
+      if (mode == "heaps" || mode == "zipf")
         (2000L * math.ceil(math.sqrt(m.toDouble)).toLong)
       else 0L
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = LocalSession.build(cpus,
       Map("spark.sql.adaptive.enabled" -> "true"))
-    generate(spark, outDir, m, heapsVocab)
-    println(s"""{"generated":"$outDir","multiplier":$m,"heaps_vocab":$heapsVocab}""")
+    generate(spark, outDir, m, heapsVocab, zipfSkew = mode == "zipf")
+    println(s"""{"generated":"$outDir","multiplier":$m,"heaps_vocab":$heapsVocab,"zipf":${mode == "zipf"}}""")
     spark.stop()
   }
 

@@ -15,20 +15,26 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   path/v=3/...parquet            — one directory per version
-  *   path/_commits/3.json           — single-line commit record
+  *   path/v=3-a1b2c3d4/...parquet   — one ATTEMPT-UNIQUE dir per version
+  *   path/_commits/3.json           — single-line commit record (names the dir)
   * }}}
   * The COMMIT LOG is authoritative: a version exists iff its commit
-  * file exists. The writer protocol is
+  * file exists, and the commit record names the data directory. The
+  * writer protocol is
   *   1. next = latest committed + 1
-  *   2. write data to `v=<next>` (overwrite — clobbers debris of a
-  *      crashed attempt at the same version, which is invisible anyway)
+  *   2. write data to `v=<next>-a<nonce>` — unique PER ATTEMPT, so two
+  *      writers racing for the same version can never touch each
+  *      other's bytes (with a shared `v=<next>` dir, the loser's data
+  *      write could land AFTER the winner's commit and silently clobber
+  *      the committed snapshot — the classic same-base two-writer hole)
   *   3. write `_commits/_tmp_<next>` then RENAME to `<next>.json`
   * Rename-to-existing FAILS on Hadoop filesystems, so step 3 is the
-  * optimistic-concurrency point: of two racing writers one commits, the
-  * other throws and retries on a fresh version. A crash before step 3
-  * leaves an orphan data dir that readers never see and the next writer
-  * reclaims.
+  * optimistic-concurrency point: of two racing writers one commits; the
+  * other throws, DELETES its own staged dir, and retries on a fresh
+  * version. A crash before step 3 leaves an orphan data dir that
+  * readers never see; [[vacuum]] reclaims orphans once their version
+  * number is committed (any writer still staging one of those versions
+  * is guaranteed to lose its commit race, so the deletion is safe).
   *
   * `append` versions stack on the previous snapshot; `overwrite` starts
   * a new base. A snapshot at version V = the latest overwrite ≤ V plus
@@ -46,7 +52,10 @@ object SnapshotTable {
   private def commitDir(path: String) = new Path(path, "_commits")
 
   private final case class Commit(version: Long, action: String, rows: Long,
-      batchId: Long = -1L)
+      batchId: Long = -1L, dirName: String = null) {
+    /** Pre-r11 records carry no dir — they used the shared `v=<n>`. */
+    def dir: String = if (dirName == null) s"v=$version" else dirName
+  }
 
   private def commits(spark: SparkSession, path: String): Seq[Commit] = {
     val f = fs(spark)
@@ -65,8 +74,10 @@ object SnapshotTable {
         def field(k: String) = fieldOpt(k)
           .getOrElse(throw new IllegalStateException(
             s"corrupt commit record $name: $body"))
+        val dirName = """"dir":"([^"]+)"""".r
+          .findFirstMatchIn(body).map(_.group(1)).orNull
         Commit(field("version").toLong, field("action"), field("rows").toLong,
-          fieldOpt("batch").map(_.toLong).getOrElse(-1L))
+          fieldOpt("batch").map(_.toLong).getOrElse(-1L), dirName)
       }
       .sortBy(_.version)
   }
@@ -83,17 +94,60 @@ object SnapshotTable {
 
   private def write(df: DataFrame, path: String, mode: String,
       batchId: Long): Long = {
+    val next = latestVersion(df.sparkSession, path).getOrElse(0L) + 1L
+    writeAttempt(df, path, next, mode, batchId)
+  }
+
+  /** One write ATTEMPT at an explicit version — the unit the
+    * optimistic-concurrency race decides (separated so the two-writer
+    * same-base race is testable deterministically). Stages data in an
+    * attempt-unique dir; on a lost commit race the staged dir is
+    * DELETED before rethrowing, so the loser leaves no debris. */
+  private[graft] def writeAttempt(df: DataFrame, path: String, next: Long,
+      mode: String, batchId: Long = -1L): Long = {
     require(mode == "append" || mode == "overwrite",
       s"mode must be append|overwrite, got $mode")
     val spark = df.sparkSession
-    val next = latestVersion(spark, path).getOrElse(0L) + 1L
-    val dataDir = new Path(path, s"v=$next")
+    val nonce = java.util.UUID.randomUUID.toString.replace("-", "").take(8)
+    val dirName = s"v=$next-a$nonce"
+    val dataDir = new Path(path, dirName)
     df.write.mode("overwrite").parquet(dataDir.toString)
     // footer-driven count of what was actually written (no extra
     // materialization of df, which may be expensive lineage)
     val rows = spark.read.parquet(dataDir.toString).count()
-    commit(spark, path, next, mode, rows, batchId)
+    try commit(spark, path, next, mode, rows, batchId, dirName)
+    catch { case e: java.io.IOException =>
+      fs(spark).delete(dataDir, true) // reclaim the loser's staging
+      throw e
+    }
     next
+  }
+
+  /** Delete data dirs no commit record references, for versions at or
+    * below the latest committed one — crash debris from attempts that
+    * never reached their commit rename. Safe under concurrency: a
+    * writer still staging one of those version numbers is guaranteed
+    * to lose its commit race (the version is already committed), so
+    * at worst its doomed attempt fails a step earlier.
+    * @return the deleted directory names */
+  def vacuum(spark: SparkSession, path: String): Seq[String] = {
+    val all = commits(spark, path)
+    if (all.isEmpty) return Seq.empty
+    val latest = all.last.version
+    val referenced = all.map(_.dir).toSet
+    val f = fs(spark)
+    val root = new Path(path)
+    if (!f.exists(root)) return Seq.empty
+    f.listStatus(root).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("v="))
+      .filterNot(referenced)
+      .filter { n =>
+        val v = n.stripPrefix("v=").takeWhile(_.isDigit)
+        v.nonEmpty && v.toLong <= latest
+      }
+      .map { n => f.delete(new Path(path, n), true); n }
   }
 
   /** Idempotent streaming append for `foreachBatch`: a batch id already
@@ -122,14 +176,17 @@ object SnapshotTable {
     * name. A concurrent writer that already committed this version
     * makes the rename refuse — we throw and the caller retries. */
   private[graft] def commit(spark: SparkSession, path: String,
-      version: Long, mode: String, rows: Long, batchId: Long = -1L): Unit = {
+      version: Long, mode: String, rows: Long, batchId: Long = -1L,
+      dataDirName: String = null): Unit = {
     val f = fs(spark)
     val dir = commitDir(path)
     f.mkdirs(dir)
     val tmp = new Path(dir, s"_tmp_$version")
     val out = f.create(tmp, true)
+    val dirField =
+      if (dataDirName == null) "" else s""","dir":"$dataDirName""""
     try out.write(
-      s"""{"version":$version,"action":"$mode","rows":$rows,"batch":$batchId}\n"""
+      s"""{"version":$version,"action":"$mode","rows":$rows,"batch":$batchId$dirField}\n"""
         .getBytes("UTF-8"))
     finally out.close()
     val fin = new Path(dir, s"$version.json")
@@ -160,7 +217,7 @@ object SnapshotTable {
     }
     val baseIdx = upTo.lastIndexWhere(_.action == "overwrite")
     val chain = if (baseIdx < 0) upTo else upTo.drop(baseIdx)
-    val dirs = chain.map(c => s"$path/v=${c.version}")
+    val dirs = chain.map(c => s"$path/${c.dir}")
     spark.read.option("mergeSchema", "true").parquet(dirs: _*)
   }
 
@@ -199,7 +256,7 @@ object SnapshotTable {
     val newState =
       if (rebuild) partials(read(spark, sourcePath, Some(latest)))
       else {
-        val deltaDirs = fresh.map(c => s"$sourcePath/v=${c.version}")
+        val deltaDirs = fresh.map(c => s"$sourcePath/${c.dir}")
         val delta = partials(
           spark.read.option("mergeSchema", "true").parquet(deltaDirs: _*))
         read(spark, statePath).unionByName(delta)

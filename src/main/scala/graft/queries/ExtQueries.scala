@@ -2326,6 +2326,10 @@ object ExtQueries extends QueryGroup {
        |${iter("it1", "it2")},
        |${iter("it2", "it3")},
        |${iter("it3", "it4")}
+       |-- no fixpoint assert NEEDED: power iteration is fixed-count BY
+       |-- DEFINITION on both sides (PageRank.run(iterations = 4) == 4
+       |-- unrolled CTEs) — unlike the msf/sssp/kcore/ktruss fixpoint
+       |-- loops, the iteration count can never drift with the dataset
        |SELECT id, r AS rank FROM it4 ORDER BY id""".stripMargin
   }
 
@@ -2759,6 +2763,9 @@ object ExtQueries extends QueryGroup {
        |${round("l0", "l1")},
        |${round("l1", "l2")},
        |${round("l2", "l3")}
+       |-- no fixpoint assert NEEDED: personalized PageRank is
+       |-- fixed-count BY DEFINITION on both sides
+       |-- (PersonalizedPageRank.run(iterations = 3) == 3 unrolled CTEs)
        |SELECT id, r AS rank FROM l3 ORDER BY id""".stripMargin
   }
 
@@ -2815,6 +2822,10 @@ object ExtQueries extends QueryGroup {
 
   private val labelPropSql =
     s"""WITH $labelPropChainSql
+       |-- no fixpoint assert NEEDED: synchronous LPA here is fixed-count
+       |-- BY DEFINITION on both sides (LabelProp.run(iterations = 3) ==
+       |-- 3 unrolled CTE rounds) — the assignment is the 3-round one,
+       |-- converged or not, identically in both engines
        |SELECT id, lab FROM l3 ORDER BY id""".stripMargin
 
   /** Degree ASSORTATIVITY of the near-dup graph (Newman 2002): the

@@ -63,6 +63,70 @@ class SnapshotTableSpec extends SparkSpec {
     assert(SnapshotTable.latestVersion(spark, p) === Some(2L))
   }
 
+  test("two-writer append race on the SAME base version: the loser cannot " +
+      "clobber the winner's committed bytes, and its staging dir is reclaimed") {
+    val p = tmpDir()
+    SnapshotTable.write(Seq(1L).toDF("id"), p, "overwrite")
+    // both writers read latest=1 and target version 2; A stages+commits
+    // first, then B runs its FULL attempt (stage, count, commit) at the
+    // same version — the post-commit data write that corrupted the
+    // shared-dir layout
+    assert(SnapshotTable.write(Seq(10L).toDF("id"), p, "append") === 2L)
+    val e = intercept[java.io.IOException](
+      SnapshotTable.writeAttempt(Seq(99L).toDF("id"), p, 2L, "append"))
+    assert(e.getMessage.contains("version 2"))
+    // the committed snapshot holds A's bytes, not B's
+    assert(ids(p) === Set(1L, 10L))
+    val hist = SnapshotTable.history(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(hist(2L) === 1L)
+    // B's staging dir was deleted on the lost race: only referenced
+    // data dirs remain
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(dirs.size === 2, s"unexpected dirs: $dirs")
+    // and nothing is left for vacuum to reclaim
+    assert(SnapshotTable.vacuum(spark, p).isEmpty)
+  }
+
+  test("reader during a concurrent write: a snapshot handle stays stable " +
+      "across later appends/overwrites; staged commits are invisible") {
+    val p = tmpDir()
+    SnapshotTable.write(Seq(1L, 2L).toDF("id"), p, "overwrite")
+    val reader = SnapshotTable.read(spark, p, Some(1L))
+    // concurrent writers: an append, a mid-commit _tmp record, and a
+    // full OVERWRITE all land while the reader's handle is open
+    SnapshotTable.write(Seq(3L).toDF("id"), p, "append")
+    val w = new java.io.PrintWriter(s"$p/_commits/_tmp_9")
+    w.write("""{"version":9,"action":"append","rows":0}"""); w.close()
+    SnapshotTable.write(Seq(100L).toDF("id"), p, "overwrite")
+    // the v=1 handle still reads version 1, exactly
+    assert(reader.collect().map(_.getLong(0)).toSet === Set(1L, 2L))
+    // staged (_tmp) commits never count as versions
+    assert(SnapshotTable.latestVersion(spark, p) === Some(3L))
+    assert(ids(p) === Set(100L))
+    // old snapshots remain readable after the overwrite (time travel)
+    assert(SnapshotTable.read(spark, p, Some(2L))
+      .collect().map(_.getLong(0)).toSet === Set(1L, 2L, 3L))
+  }
+
+  test("vacuum reclaims crash debris but never a referenced or future dir") {
+    val p = tmpDir()
+    SnapshotTable.write(Seq(1L).toDF("id"), p, "overwrite")
+    SnapshotTable.write(Seq(2L).toDF("id"), p, "append")
+    // crash debris: attempts at versions 1 and 2 that never committed
+    Seq(99L).toDF("id").write.parquet(s"$p/v=1-adeadbeef")
+    Seq(99L).toDF("id").write.parquet(s"$p/v=2")
+    // a LIVE staging attempt at the NEXT (uncommitted) version
+    Seq(42L).toDF("id").write.parquet(s"$p/v=3-alivelive")
+    val deleted = SnapshotTable.vacuum(spark, p).toSet
+    assert(deleted === Set("v=1-adeadbeef", "v=2"))
+    assert(ids(p) === Set(1L, 2L)) // committed chain untouched
+    val dirs = new java.io.File(p).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("v=")).toSet
+    assert(dirs.contains("v=3-alivelive")) // future attempt untouched
+  }
+
   test("append-time schema evolution merges; old versions read new column as null") {
     val p = tmpDir()
     SnapshotTable.write(Seq(1L).toDF("id"), p, "overwrite")
@@ -128,7 +192,8 @@ class SnapshotTableSpec extends SparkSpec {
     assert(state(st) === Map("a" -> ((1L, 1L)), "b" -> ((1L, 2L))))
     // DESTROY version 1's data files: an incremental refresh that
     // touched them would now fail or change results
-    val v1 = new java.io.File(s"$src/v=1")
+    val v1 = new java.io.File(src).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v=1")).head
     v1.listFiles.foreach(_.delete())
     SnapshotTable.write(Seq(("a", 10L)).toDF("k", "v"), src, "append")
     assert(SnapshotTable.refreshAgg(spark, src, st, Seq("k"), "v") === 2L)
