@@ -17,7 +17,12 @@ import graft.ext.ScopedPersist
   * column — per-key sorts that scale out with the key cardinality,
   * never a single-task global ORDER BY (the `globalRank` trap) — and
   * every statistic then collapses through one map-side-combined
-  * aggregate to |groups| rows.
+  * aggregate to |groups| rows. Where the group column itself is
+  * LOW-CARDINALITY (spearman's 3 return flags), partitioning by it is
+  * the same trap one step removed: [[spearman]] therefore
+  * histogram-buckets values first and ranks within (group, bucket)
+  * with broadcast prefix offsets — window partitions shrink by the
+  * bucket count and no task ever sorts a whole group.
   */
 object RankStats {
 
@@ -88,23 +93,66 @@ object RankStats {
     * decimal(38,0) end-to-end. Groups where either variance quantizes
     * to zero are dropped. */
   def spearman(df: DataFrame, groupCol: Column, xCol: Column,
-      yCol: Column): DataFrame = {
-    // doubled midrank, quantized to a q6 SHARE of the group's rank span
-    // (2·midrank ∈ [1, 2n] → ⌊10⁶·mr2 ∕ 2n⌋ ∈ [0, 10⁶]) — group-size-
-    // independent magnitudes, so every downstream product has a fixed
-    // bound no matter how large the group
-    def rq(c: String) = expr(
-      s"""(1000000 * (2 * _rk_$c + _ct_$c - 1)) div (2 * _gn)""")
-    def rk(c: String) = rank().over(
-      Window.partitionBy(col("g")).orderBy(col(c))).cast("long")
-    def ct(c: String) = count(lit(1)).over(
-      Window.partitionBy(col("g"), col(c)))
-    val ranked = df.select(groupCol.as("g"), xCol.as("_x"), yCol.as("_y"))
-      .withColumn("_gn", count(lit(1)).over(Window.partitionBy(col("g"))))
-      .withColumn("_rk__x", rk("_x")).withColumn("_ct__x", ct("_x"))
-      .withColumn("_rk__y", rk("_y")).withColumn("_ct__y", ct("_y"))
-      .withColumn("_rx", rq("_x").cast("decimal(38,0)"))
-      .withColumn("_ry", rq("_y").cast("decimal(38,0)"))
+      yCol: Column, rankBuckets: Int = 256): DataFrame = {
+    require(rankBuckets >= 1, s"rankBuckets must be >= 1, got $rankBuckets")
+    // DISTRIBUTED per-group ranking (r11): `rank().over(partitionBy(g))`
+    // with a LOW-CARDINALITY g (3 return flags here) sorts each group's
+    // full row set in ONE task — the silent scale killer the plan audit
+    // can't see because the window IS partitioned, just by a 3-value
+    // key. Instead, rows are histogram-bucketed by value (any monotone
+    // bucketing works: equal values land in equal buckets, so tie
+    // counts are bucket-local), per-(g, bucket) prefix offsets come
+    // from a bucket-cardinality rollup, and the global doubled midrank
+    // falls out of ONE window over (g, bucket):
+    //   rank_in_bucket rk = cnt_less_in_bucket + 1
+    //   cnt_le (RANGE frame, same window spec — shares the exchange+sort)
+    //   2·midrank = 2·cnt_less + cnt + 1 = 2·off + rk + le
+    // Window partitions shrink from n/|g| rows to n/(|g|·B).
+    val base = df.select(groupCol.as("g"), xCol.as("_x"), yCol.as("_y"))
+    // per-group count + value spans, one broadcastable row per group
+    val gstats = broadcast(base.groupBy(col("g")).agg(
+      count(lit(1)).as("_gn"),
+      min(col("_x").cast("double")).as("_xlo"),
+      max(col("_x").cast("double")).as("_xhi"),
+      min(col("_y").cast("double")).as("_ylo"),
+      max(col("_y").cast("double")).as("_yhi")))
+    def bucket(c: String, lo: String, hi: String) =
+      when(col(c).isNull, lit(-1)).otherwise(
+        least(lit(rankBuckets - 1), greatest(lit(0),
+          floor((col(c).cast("double") - col(lo)) /
+            ((col(hi) - col(lo)) / rankBuckets + lit(1e-300)))
+            .cast("int"))))
+    val withB = base.join(gstats, Seq("g"))
+      .withColumn("_bx", bucket("_x", "_xlo", "_xhi"))
+      .withColumn("_by", bucket("_y", "_ylo", "_yhi"))
+      .persistScoped
+    // rows BELOW each (g, bucket): bucket-cardinality frame, broadcast
+    def offsets(b: String, name: String) = broadcast(
+      withB.groupBy(col("g"), col(b)).agg(count(lit(1)).as("_c"))
+        .withColumn(name, coalesce(sum(col("_c")).over(
+          Window.partitionBy(col("g")).orderBy(col(b))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .drop("_c"))
+    def midrank2(b: String, v: String, off: String): Column = {
+      val w = Window.partitionBy(col("g"), col(b)).orderBy(col(v))
+      // rank + RANGE-frame count share one exchange + one sort
+      (lit(2) * col(off) + rank().over(w).cast("long") +
+        count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+    }
+    val ranked = withB
+      .join(offsets("_bx", "_offx"), Seq("g", "_bx"))
+      .join(offsets("_by", "_offy"), Seq("g", "_by"))
+      .withColumn("_mr2_x", midrank2("_bx", "_x", "_offx"))
+      .withColumn("_mr2_y", midrank2("_by", "_y", "_offy"))
+      // doubled midrank, quantized to a q6 SHARE of the group's rank
+      // span (2·midrank ∈ [1, 2n] → ⌊10⁶·mr2 ∕ 2n⌋ ∈ [0, 10⁶]) —
+      // group-size-independent magnitudes, so every downstream product
+      // has a fixed bound no matter how large the group
+      .withColumn("_rx", expr("(1000000 * _mr2_x) div (2 * _gn)")
+        .cast("decimal(38,0)"))
+      .withColumn("_ry", expr("(1000000 * _mr2_y) div (2 * _gn)")
+        .cast("decimal(38,0)"))
     ranked.groupBy(col("g"))
       .agg(count(lit(1)).cast("decimal(38,0)").as("_n"),
         sum(col("_rx")).as("_sx"), sum(col("_ry")).as("_sy"),

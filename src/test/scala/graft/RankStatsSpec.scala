@@ -86,6 +86,26 @@ class RankStatsSpec extends SparkSpec {
     assert(math.abs(rho) < 1000, s"expected near zero, got $rho")
   }
 
+  test("spearman: bucketed distributed ranking == the single-window form " +
+      "on random ties-heavy data") {
+    // rankBuckets = 1 puts every row in bucket 0 — the window collapses
+    // to partitionBy(g), i.e. the pre-r11 single-task-per-group form;
+    // any bucket count must produce IDENTICAL midranks (equal values
+    // share a bucket, offsets restore the global rank)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map(i =>
+      (s"g${i % 3}", rnd.nextInt(12), rnd.nextInt(40)))
+    val df = rows.toDF("g", "x", "y")
+    def run(b: Int) = RankStats.spearman(df, $"g", $"x", $"y", rankBuckets = b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("rho2_bp")))).toMap
+    val single = run(1)
+    assert(single.keySet === Set("g0", "g1", "g2"))
+    assert(run(7) === single)
+    assert(run(256) === single)
+    spark.catalog.clearCache()
+  }
+
   test("mann-kendall: monotone series hit +-n_pairs; ties contribute 0") {
     val up = Seq(("g", 1, 10L), ("g", 2, 20L), ("g", 3, 30L), ("g", 4, 40L))
       .toDF("g", "t", "x")
