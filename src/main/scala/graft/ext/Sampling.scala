@@ -185,20 +185,37 @@ object Sampling {
     * guard against a single source dominating the mix. Deterministic:
     * within a group, rows rank by (md5 of the key, key) — a reproducible
     * pseudo-random order, so the kept k are a stable uniform draw rather
-    * than whatever k arrived first. One hash-partitioned window on the
-    * group column; no global sort. Skewed groups are exactly the point
-    * (a hot domain IS the oversized partition) — AQE splits the
-    * straggler, and the window only ranks, never materializes the group
-    * in one buffer beyond Spark's spill-able window frame. */
+    * than whatever k arrived first. Scale shape (r11): the naive
+    * per-group window sorts each whole group in one task no matter the
+    * cluster size (AQE cannot split a window partition); rows are
+    * instead pre-pruned through bucketed hash-prefix counts so the
+    * per-group rank runs on ~(k + one bucket) survivors. */
   def capPerGroup(df: DataFrame, keyCol: String, groupCol: String,
-      k: Int): DataFrame = {
+      k: Int, buckets: Int = 1024): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(md5(col(keyCol).cast("string").cast("binary")), col(keyCol))
-    df.withColumn("_rk", row_number().over(w))
+    // Pre-prune via bucketed hash-prefix counts ([[graft.ops
+    // .GroupedPrefix]]): a row with >= k predecessors in strictly-lower
+    // buckets can never make the cap, and since bucketing is monotone
+    // in the order key the pruned rows are a SUFFIX of the order — the
+    // survivors are a prefix, so row_number over the pruned frame IS
+    // the true rank. The per-group window then ranks ~(k + one bucket)
+    // rows instead of the whole group (a 20-source corpus would
+    // otherwise sort n/20 rows per task no matter the cluster size).
+    // The numeric value of the first 15 hex chars is monotone in the
+    // md5 string, and equal prefixes share a bucket — order-consistent.
+    val hashed = df
+      .withColumn("_h", md5(col(keyCol).cast("string").cast("binary")))
+      .withColumn("_hv",
+        expr("cast(conv(substring(_h, 1, 15), 16, 10) as bigint)"))
+    val withOff = graft.ops.GroupedPrefix.withBucketOffsets(hashed,
+      Seq(groupCol), "_hv", count(lit(1)), "_coff", buckets)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_h"), col(keyCol))
+    withOff
+      .where(coalesce(col("_coff"), lit(0L)) < k)
+      .withColumn("_rk", row_number().over(w))
       .where(col("_rk") <= k)
-      .drop("_rk")
+      .select(df.columns.map(col): _*) // the caller's schema, untouched
   }
 
   /** Deterministic global shuffle + sharding for training-data output:
@@ -355,26 +372,38 @@ object Sampling {
   /** Per-group greedy token-budget selection — [[budgetSelect]] with an
     * independent budget per group (per-language / per-source quotas,
     * the "balanced corpus under a global token cap" curation step).
-    * Here a plain partitioned window IS the scale-correct plan: the
-    * running sum partitions by the group key, so there is no global
-    * order and no single task — the machinery [[budgetSelect]] needs
-    * to avoid `Window.orderBy` is only required when the rank order is
-    * GLOBAL. */
+    * Scale shape (r11): the group key is LOW-cardinality (a handful of
+    * languages), so a plain group-partitioned running sum is whole-
+    * corpus-sized single-task sorts in disguise; the running token sum
+    * is instead score-bucketed with broadcast prefix offsets
+    * ([[graft.ops.GroupedPrefix]]). */
   def budgetSelectPerGroup(docs: DataFrame, budgetTokens: Long,
       groupCol: String, scoreCol: String, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", buckets: Int = 256): DataFrame = {
     require(budgetTokens >= 1, s"budgetTokens must be >= 1, got $budgetTokens")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col(scoreCol).desc, col(idCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs
+    // distributed running token sum ([[graft.ops.GroupedPrefix]],
+    // descending buckets follow the score-desc order; equal scores
+    // share a bucket, ties break on id INSIDE the bucket): a 3-language
+    // corpus partitioned by language alone is three whole-corpus-sized
+    // single-task sorts — nominally partitioned, not scaled
+    val scored = docs
       .select(col(groupCol), col(idCol).cast("long").as(idCol),
         col(scoreCol).cast("long").as(scoreCol),
         TextStats.tokenCount(TextStats.tokens(col(textCol)))
           .cast("long").as("n_tokens"))
-      .withColumn("cum_before", coalesce(sum($"n_tokens").over(w), lit(0L)))
+    val withOff = graft.ops.GroupedPrefix.withBucketOffsets(scored,
+      Seq(groupCol), scoreCol, sum($"n_tokens"), "_toff",
+      buckets, descending = true)
+    val w = Window.partitionBy(col(groupCol), col("_b"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withOff
+      .withColumn("cum_before", coalesce(col("_toff"), lit(0L)) +
+        coalesce(sum($"n_tokens").over(w), lit(0L)))
       .where($"cum_before" < budgetTokens)
+      .select(col(groupCol), col(idCol), col(scoreCol),
+        $"n_tokens", $"cum_before")
   }
 
   /** DSIR-shaped data selection (Xie et al., "Data Selection for

@@ -532,20 +532,29 @@ object Journeys {
     * batch dry-run). Bands are exponential (on-time, ≤1 m, ≤10 m,
     * ≤1 h, >1 h) in exact integer µs.
     *
-    * Scale shape: one type-keyed ordered window (running max is a
-    * narrow running aggregate within each partition's sorted slice) +
-    * one (type, band) map-side-combined rollup. */
+    * Scale shape (r11): the type key is LOW-cardinality (5 event
+    * types), so a plain type-partitioned running max is whole-stream
+    * single-task sorts in disguise; the prefix max is instead
+    * arrival-bucketed with broadcast per-bucket maxima
+    * ([[GroupedPrefix]], prefix-combined with max) — global running
+    * max = max(lower-bucket max, in-bucket running max) — plus the
+    * (type, band) map-side-combined rollup. */
   def latenessAudit(events: DataFrame, typeCol: String = "event_type",
       tsCol: String = "ts", arrivalCol: String = "event_id"): DataFrame = {
     RangeJoin.requireTs(events, tsCol, "latenessAudit")
     import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col(typeCol)).orderBy(col(arrivalCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val m = 1000000L
-    val lateness = events
-      .select(col(typeCol), col(arrivalCol),
-        expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"))
-      .withColumn("_late", max($"_us").over(w) - $"_us")
+    val base = events.select(col(typeCol), col(arrivalCol),
+      expr(s"unix_micros(cast($tsCol AS TIMESTAMP))").as("_us"))
+    val withOff = GroupedPrefix.withBucketOffsets(base, Seq(typeCol),
+      arrivalCol, max($"_us"), "_moff", prefixCombine = max)
+    val w = Window.partitionBy(col(typeCol), col("_b"))
+      .orderBy(col(arrivalCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lateness = withOff
+      .withColumn("_late",
+        greatest(coalesce($"_moff", lit(Long.MinValue)),
+          max($"_us").over(w)) - $"_us")
     val banded = lateness.select(col(typeCol),
       when($"_late" === 0L, lit(0L))
         .when($"_late" <= 60L * m, lit(1L))

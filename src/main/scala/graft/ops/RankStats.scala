@@ -37,13 +37,22 @@ object RankStats {
     * negatives have no defined AUC and are dropped.
     */
   def auc(df: DataFrame, groupCol: Column, labelCol: Column,
-      scoreCol: Column): DataFrame = {
+      scoreCol: Column, rankBuckets: Int = 256): DataFrame = {
     val base = df.select(groupCol.as("g"), labelCol.as("_pos"),
       scoreCol.as("_x"))
-    val r2 = base
-      .withColumn("_r", rank().over(Window.partitionBy(col("g")).orderBy(col("_x"))))
-      .withColumn("_c", count(lit(1)).over(Window.partitionBy(col("g"), col("_x"))))
-      .withColumn("_mr2", lit(2L) * col("_r") + col("_c") - lit(1L))
+    // distributed midrank ([[GroupedPrefix]]): the group column is
+    // low-cardinality (20 sources), so partitionBy(g) alone would sort
+    // whole groups in single tasks; 2·midrank = 2r + c − 1 =
+    // 2·offset + rank_in_bucket + count_le_in_bucket, with the rank
+    // and the RANGE-frame count sharing one exchange + sort
+    val withOff = GroupedPrefix.withBucketOffsets(base, Seq("g"), "_x",
+      count(lit(1)), "_off", rankBuckets)
+    val w = Window.partitionBy(col("g"), col("_b")).orderBy(col("_x"))
+    val r2 = withOff
+      .withColumn("_mr2", lit(2L) * coalesce(col("_off"), lit(0L)) +
+        rank().over(w).cast("long") +
+        count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding,
+          Window.currentRow)))
     r2.groupBy(col("g"))
       .agg(
         sum(when(col("_pos"), lit(1L)).otherwise(lit(0L))).as("n_pos"),
@@ -253,14 +262,22 @@ object RankStats {
     * group total in the same partition unbounded — one shuffle on the
     * group key, then a min over the qualifying rows. */
   def weightedMedian(df: DataFrame, groupCol: Column, valueCol: Column,
-      weightCol: Column, tieCol: Column): DataFrame = {
-    val part = Window.partitionBy(col("g"))
-    val cumW = part.orderBy(col("_x"), col("_t"))
+      weightCol: Column, tieCol: Column, buckets: Int = 256): DataFrame = {
+    val base = df.select(groupCol.as("g"), valueCol.as("_x"),
+      weightCol.as("_w"), tieCol.as("_t"))
+    // distributed running weight ([[GroupedPrefix]]): cum = weights in
+    // strictly-lower buckets (broadcast offsets) + in-bucket running
+    // sum — partitionBy(g) alone (25 nations) would be whole-group
+    // single-task sorts
+    val withOff = GroupedPrefix.withBucketOffsets(base, Seq("g"), "_x",
+      sum(col("_w")), "_woff", buckets)
+    val tot = broadcast(base.groupBy(col("g")).agg(sum(col("_w")).as("_tot")))
+    val cumW = Window.partitionBy(col("g"), col("_b"))
+      .orderBy(col("_x"), col("_t"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    df.select(groupCol.as("g"), valueCol.as("_x"), weightCol.as("_w"),
-        tieCol.as("_t"))
-      .withColumn("_cum", sum(col("_w")).over(cumW))
-      .withColumn("_tot", sum(col("_w")).over(part))
+    withOff.join(tot, Seq("g"))
+      .withColumn("_cum",
+        coalesce(col("_woff"), lit(0L)) + sum(col("_w")).over(cumW))
       .where(lit(2L) * col("_cum") >= col("_tot"))
       .groupBy(col("g"))
       .agg(min(col("_x")).as("w_median"), max(col("_tot")).as("total_w"))

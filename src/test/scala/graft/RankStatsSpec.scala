@@ -106,6 +106,34 @@ class RankStatsSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("auc / weightedMedian: bucketed prefix machinery == the " +
+      "single-window form on random ties-heavy data") {
+    // buckets = 1 collapses the (g, bucket) window to partitionBy(g) —
+    // the pre-r11 whole-group-per-task form; any bucket count must
+    // reproduce it exactly (ties share buckets, offsets restore ranks)
+    val rnd = new scala.util.Random(11)
+    val adf = (1 to 300).map(i =>
+      (s"s${i % 4}", rnd.nextInt(30), rnd.nextBoolean()))
+      .toDF("g", "x", "pos")
+    def runAuc(b: Int) = RankStats.auc(adf, $"g", $"pos", $"x", rankBuckets = b)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("auc_bp")).toMap
+    val auc1 = runAuc(1)
+    assert(auc1.keySet === Set("s0", "s1", "s2", "s3"))
+    assert(runAuc(8) === auc1)
+    assert(runAuc(256) === auc1)
+    val wdf = (1 to 300).map(i =>
+      (s"n${i % 5}", rnd.nextInt(25), rnd.nextInt(9) + 1L, i.toLong))
+      .toDF("g", "x", "w", "t")
+    def runWm(b: Int) = RankStats.weightedMedian(
+        wdf, $"g", $"x", $"w", $"t", buckets = b)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Int]("w_median"), r.getAs[Long]("total_w")))).toMap
+    val wm1 = runWm(1)
+    assert(wm1.keySet === Set("n0", "n1", "n2", "n3", "n4"))
+    assert(runWm(8) === wm1)
+    assert(runWm(256) === wm1)
+  }
+
   test("mann-kendall: monotone series hit +-n_pairs; ties contribute 0") {
     val up = Seq(("g", 1, 10L), ("g", 2, 20L), ("g", 3, 30L), ("g", 4, 40L))
       .toDF("g", "t", "x")

@@ -96,6 +96,32 @@ class SamplingSpec extends SparkSpec {
       !== (1L to 25L).toSet)
   }
 
+  test("capPerGroup / budgetSelectPerGroup: bucketed prefix pruning == " +
+      "the single-window form") {
+    // buckets = 1: no pruning (offset 0 for all), the window collapses
+    // to the pre-r11 per-group form — any bucket count must keep the
+    // exact same membership and cumulative sums
+    val rnd = new scala.util.Random(13)
+    val df = (1L to 400L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    def runCap(b: Int) = Sampling.capPerGroup(df, "doc_id", "source", 30,
+      buckets = b).collect().map(_.getLong(0)).toSet
+    val cap1 = runCap(1)
+    assert(cap1.size === 4 * 30)
+    assert(runCap(16) === cap1)
+    assert(runCap(1024) === cap1)
+    val docs = (1L to 200L).map(i => (s"l${i % 3}", i,
+      (0 until 1 + rnd.nextInt(5)).map(j => s"t$j").mkString(" "),
+      rnd.nextInt(50).toLong)).toDF("lang", "doc_id", "text", "score")
+    def runBudget(b: Int) = Sampling.budgetSelectPerGroup(
+        docs, 60L, "lang", "score", buckets = b)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("cum_before")).toMap
+    val bud1 = runBudget(1)
+    assert(bud1.nonEmpty)
+    assert(runBudget(8) === bud1)
+    assert(runBudget(256) === bud1)
+  }
+
   test("splitAssign covers every row exactly once and respects weights roughly") {
     val df = (1L to 5000L).toDF("doc_id")
     val counts = df.select(Sampling.splitAssign($"doc_id",
