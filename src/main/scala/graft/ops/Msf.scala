@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -75,10 +74,18 @@ object Msf {
         val tch = rel.select($"ca".as("tc"), $"w", $"a", $"b", $"ca", $"cb")
           .unionByName(
             rel.select($"cb".as("tc"), $"w", $"a", $"b", $"ca", $"cb"))
-        val win = Window.partitionBy($"tc").orderBy($"w", $"a", $"b")
-        val sel = tch.withColumn("_rn", row_number().over(win))
-          .where($"_rn" === 1)
-          .select($"a", $"b", $"w", $"ca", $"cb").distinct()
+        // min edge per component as an AGGREGATE (lexicographic struct
+        // min ≡ the former row_number()=1 over orderBy(w, a, b)), not a
+        // window: min is map-side combinable, so a GIANT component's
+        // incident-edge list collapses to partial minima on the map
+        // side instead of being sorted whole in one window task — the
+        // hot-component analogue of the low-cardinality-window fix
+        val sel = tch
+          .groupBy($"tc")
+          .agg(min(struct($"w", $"a", $"b", $"ca", $"cb")).as("_m"))
+          .select($"_m.a".as("a"), $"_m.b".as("b"), $"_m.w".as("w"),
+            $"_m.ca".as("ca"), $"_m.cb".as("cb"))
+          .distinct()
           .persist(StorageLevel.MEMORY_AND_DISK)
         forest = Iterate.loopBarrier(
           forest.unionByName(sel.select($"a", $"b", $"w")))
