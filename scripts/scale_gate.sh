@@ -83,8 +83,11 @@ echo "[scale] (d) zipf-skew corpora + skew-sensitive verify/bench" >&2
 for m in 1 10; do
   sbt -batch "runMain graft.ScaleGen $BASE/z$m $m zipf" >/dev/null
 done
+# FULL sweep at zipf-m10 (r11 ran it once manually: 371/371 clean) —
+# every operator must survive the hot-key corpus, not just the ten
+# benched skew queries
 rm -rf "$BASE/verify_z10"
-sbt -batch "runMain graft.Verify $BASE/z10 $BASE/verify_z10 ${SKEWQ//,/ }" >/dev/null
+sbt -batch "runMain graft.Verify $BASE/z10 $BASE/verify_z10" >/dev/null
 python3 - "$BASE/verify_z10" <<'EOF'
 import glob, json, os, sys
 out = sys.argv[1]
