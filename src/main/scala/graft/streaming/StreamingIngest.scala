@@ -688,8 +688,12 @@ object StreamingIngest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // match asofJoinStream's contract exactly: null-ts history rows
+        // are DROPPED (asofBackward alone would sort a null ts first and
+        // hand it to every probe as the "earliest" version)
         graft.ops.AsofJoin
-          .asofBackward(batch, dimHistory, keys, tsCol, rightPrefix)
+          .asofBackward(batch, dimHistory.where(col(tsCol).isNotNull),
+            keys, tsCol, rightPrefix)
           .write.mode("overwrite").parquet(s"$outPath/b$batchId")
         ()
       }

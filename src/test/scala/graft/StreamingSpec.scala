@@ -485,9 +485,12 @@ class StreamingSpec extends SparkSpec {
       "per-batch shuffle as-of equals batch asofBackward") {
     import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
     val ts = (s: Long) => new java.sql.Timestamp(1700000000000L + s * 1000L)
-    // history big enough that asofJoinStream at maxDimRows=10 refuses it
-    val dim = (1L to 50L).flatMap(i =>
-      Seq((s"k${i % 5}", ts(i), i), (s"k${i % 5}", ts(i + 100), i + 100)))
+    // history big enough that asofJoinStream at maxDimRows=10 refuses
+    // it; one NULL-ts version rides along — it must be dropped (the
+    // asofJoinStream contract), not matched as the "earliest" version
+    val dim = ((1L to 50L).flatMap(i =>
+      Seq((s"k${i % 5}", ts(i), i), (s"k${i % 5}", ts(i + 100), i + 100))) :+
+      (("k2", null.asInstanceOf[java.sql.Timestamp], 777L)))
       .toDF("k", "ts", "price")
     val probes = Seq(
       ("k1", ts(60), 1L),   // mid-history
@@ -515,9 +518,13 @@ class StreamingSpec extends SparkSpec {
         if (r.isNullAt(2)) null else r.getLong(2))).toSet
     val got = asSet(spark.read.parquet(s"$out/b*"))
     val want = asSet(graft.ops.AsofJoin.asofBackward(
-      probes.toDF("k", "ts", "qty"), dim, Seq("k"), "ts"))
+      probes.toDF("k", "ts", "qty"), dim.where($"ts".isNotNull),
+      Seq("k"), "ts"))
     assert(got === want)
     assert(got.size === 4)
+    // the null-ts history row never matched: the before-any-version
+    // probe on its key stays null instead of picking up price 777
+    assert(got.exists(t => t._1 == 2L && t._2 == null), got.toString)
   }
 
   test("runningAggSink: a recreated checkpoint (batch ids restarted) fails " +
