@@ -395,8 +395,14 @@ object Multimodal {
         val (size, szLen) = vint(b, o + idLen, keepMarker = false)
         val payload = o + idLen + szLen
         val unknown = size == (1L << (7 * szLen)) - 1
-        val end = if (unknown) to else payload + size.toInt
-        if (end > to) throw new Truncated(s"EBML element 0x${id.toHexString} past $to")
+        // bound-check in Long BEFORE narrowing: a hostile declared size
+        // > Int.MaxValue would wrap under toInt (e.g. 2^32 -> 0) and
+        // sail past the guard, walking misaligned bytes into plausible-
+        // but-wrong metadata instead of a Truncated quarantine (mp4Walk
+        // already checks in Long)
+        val endL = if (unknown) to.toLong else payload.toLong + size
+        if (endL > to) throw new Truncated(s"EBML element 0x${id.toHexString} past $to")
+        val end = endL.toInt
         f(id, payload, end)
         o = end
       }

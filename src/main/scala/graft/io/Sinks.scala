@@ -70,6 +70,20 @@ object Sinks {
     fs.delete(old, true)
   }
 
+  /** Backfill a single sidecar file into an EXISTING swapped table
+    * without rewriting its data — the upgrade path for targets built
+    * before a new marker existed (a lone metadata file create, not a
+    * swap: acceptable exactly because the marker being absent is the
+    * state being repaired). */
+  def writeSidecar(spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String, body: String): Unit = {
+    require(name.startsWith("_"),
+      s"sidecar files must be underscore-prefixed (parquet-invisible), got $name")
+    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, name), true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   /** Read a [[atomicParquetSwap]] sidecar file — None when the table
     * or the sidecar doesn't exist (fresh target, or a table written
     * without one). */

@@ -21,6 +21,8 @@ import graft.ops.Upsert
   */
 object StreamingIngest {
 
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** File-source stream over a landing directory (parquet parts). */
   def landingStream(spark: SparkSession, dir: String, schema: StructType,
       maxFilesPerTrigger: Int = 16): DataFrame =
@@ -745,14 +747,34 @@ object StreamingIngest {
           .getLocalProperty("sql.streaming.queryId")).getOrElse("")
         val storedQuery = graft.io.Sinks
           .readSidecar(spark, targetPath, "_graft_query").map(_.trim)
-        storedQuery.foreach { sq =>
-          if (queryId.nonEmpty && sq.nonEmpty && sq != queryId)
-            throw new IllegalStateException(
-              s"runningAggSink target $targetPath was built by streaming " +
-                s"query $sq but this query is $queryId — the checkpoint " +
-                "was recreated (batch ids restarted) or the target belongs " +
-                "to another query; remove the target to rebuild, or point " +
-                "this query at a fresh target")
+        storedQuery match {
+          case Some(sq) =>
+            if (queryId.nonEmpty && sq.nonEmpty && sq != queryId)
+              throw new IllegalStateException(
+                s"runningAggSink target $targetPath was built by streaming " +
+                  s"query $sq but this query is $queryId — the checkpoint " +
+                  "was recreated (batch ids restarted) or the target belongs " +
+                  "to another query; remove the target to rebuild, or point " +
+                  "this query at a fresh target")
+          case None =>
+            // legacy target (built before the lineage sidecar existed):
+            // for THIS batch the replay check below runs unscoped — a
+            // recreated checkpoint's restarted batch ids could silently
+            // skip. Warn loudly, and adopt the current query id NOW
+            // (regardless of whether the batch-id check skips the merge)
+            // so every subsequent batch is lineage-scoped again.
+            val hasBatchMarker = graft.io.Sinks
+              .readSidecar(spark, targetPath, "_graft_batch").isDefined
+            if (hasBatchMarker) {
+              log.warn(
+                s"runningAggSink target $targetPath has a _graft_batch " +
+                  "marker but no _graft_query lineage sidecar (pre-lineage " +
+                  "target): replay protection runs UNSCOPED for this batch " +
+                  s"— adopting query id $queryId from here on")
+              if (queryId.nonEmpty)
+                graft.io.Sinks.writeSidecar(
+                  spark, targetPath, "_graft_query", queryId)
+            }
         }
         val alreadyMerged = graft.io.Sinks
           .readSidecar(spark, targetPath, "_graft_batch")

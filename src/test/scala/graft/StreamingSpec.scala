@@ -560,6 +560,43 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.parquet(target).count() === 2L)
   }
 
+  test("runningAggSink: a PRE-LINEAGE target (no _graft_query sidecar) " +
+      "warns, adopts the current query id, and is scoped from then on") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val landing = tmpDir("graft-ragg-legacy-landing")
+    val target = tmpDir("graft-ragg-legacy-target") + "/agg"
+    def drain(rows: Seq[(String, Double)], part: String, ckpt: String): Unit = {
+      rows.toDF("event_type", "value").coalesce(1)
+        .write.mode("overwrite").parquet(s"$landing/$part")
+      val schema = spark.read.parquet(s"$landing/*").schema
+      val stream = spark.readStream.schema(schema).parquet(s"$landing/*")
+      val q = StreamingIngest.runningAggSink(stream, target,
+        Seq("event_type"), "value", ckpt).start()
+      try q.awaitTermination() finally q.stop()
+    }
+    drain(Seq(("a", 1.0)), "p1", tmpDir("graft-ragg-legacy-ckpt1"))
+    // simulate a target built before the lineage sidecar existed
+    val qsc = new java.io.File(s"$target/_graft_query")
+    assert(qsc.exists); assert(qsc.delete())
+    new java.io.File(s"$target/._graft_query.crc").delete()
+    // a fresh query against the legacy target must NOT throw — the
+    // replay check runs unscoped for this one batch (warned), and the
+    // current query id is adopted immediately
+    drain(Seq(("b", 2.0)), "p2", tmpDir("graft-ragg-legacy-ckpt2"))
+    assert(graft.io.Sinks.readSidecar(spark, target, "_graft_query")
+      .exists(_.trim.nonEmpty))
+    // ...so a THIRD query (another recreated checkpoint) now fails
+    // loudly — the lineage scope is restored
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(Seq(("c", 3.0)), "p3", tmpDir("graft-ragg-legacy-ckpt3"))
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(c =>
+      c.isInstanceOf[IllegalStateException] &&
+        c.getMessage.contains("checkpoint")), e.toString)
+  }
+
   test("nearDupSink crash window: a failed attempt's batch dirs (data written, " +
       "stream commit lost) are reclaimed on replay — docs never reject " +
       "against their own debris, outputs don't double-land") {
