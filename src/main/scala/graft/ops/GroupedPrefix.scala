@@ -41,10 +41,10 @@ private[graft] object GroupedPrefix {
     * (no task ever sorts a whole group), so it belongs on operators
     * whose group key is FIXED-cardinality while the data grows.
     *
-    * Contract: group keys must be NON-NULL (the offsets come back via
-    * an inner equi-join on the group key, so null-group rows would be
-    * dropped, where a window would have kept them as a partition);
-    * every current caller groups by a generated/enum column. */
+    * NULL group keys are kept as their own group — exact
+    * `Window.partitionBy` parity (Spark windows put null keys in one
+    * partition): the two offset joins below are NULL-SAFE (`<=>`), so
+    * a null-containing user group column loses nothing. */
   def withBucketOffsets(df: DataFrame, groupCols: Seq[String],
       valueCol: String, perBucketAgg: Column, offName: String,
       buckets: Int = 256, descending: Boolean = false,
@@ -60,7 +60,7 @@ private[graft] object GroupedPrefix {
         .cast("int")))
     val idx = if (descending) lit(buckets - 1) - raw else raw
     val nullIdx = if (descending) lit(buckets) else lit(-1)
-    val withB = df.join(stats, groupCols)
+    val withB = joinNullSafe(df, stats, groupCols)
       .withColumn("_b", when(col(valueCol).isNull, nullIdx).otherwise(idx))
       .drop("_gp_lo", "_gp_hi")
     val off = broadcast(withB
@@ -69,6 +69,19 @@ private[graft] object GroupedPrefix {
         Window.partitionBy(g: _*).orderBy(col("_b"))
           .rowsBetween(Window.unboundedPreceding, -1)))
       .drop("_gp_c"))
-    withB.join(off, groupCols :+ "_b")
+    joinNullSafe(withB, off, groupCols :+ "_b")
+  }
+
+  /** Inner join on `keys` with NULL-SAFE equality — the join shape
+    * every window-replacement rollup needs: groupBy KEEPS a null
+    * group, and joining its aggregate back with plain `=` would
+    * silently drop those rows, where the `Window.partitionBy` being
+    * replaced kept them as their own partition. */
+  private[graft] def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val r = keys.foldLeft(right)(
+      (d, c) => d.withColumnRenamed(c, s"_gp_k_$c"))
+    val cond = keys.map(c => col(c) <=> col(s"_gp_k_$c")).reduce(_ && _)
+    left.join(r, cond).drop(keys.map(c => s"_gp_k_$c"): _*)
   }
 }

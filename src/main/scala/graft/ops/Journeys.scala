@@ -564,7 +564,7 @@ object Journeys {
     val counts = banded.groupBy(col(typeCol), $"band_rank")
       .agg(count(lit(1)).as("n"))
     val tot = counts.groupBy(col(typeCol)).agg(sum($"n").as("_t"))
-    counts.join(broadcast(tot), Seq(typeCol))
+    GroupedPrefix.joinNullSafe(counts, broadcast(tot), Seq(typeCol))
       .select(col(typeCol), $"band_rank",
         element_at(
           array(lit("on-time"), lit("<=1m"), lit("<=10m"), lit("<=1h"),

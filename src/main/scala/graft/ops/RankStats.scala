@@ -131,7 +131,10 @@ object RankStats {
           floor((col(c).cast("double") - col(lo)) /
             ((col(hi) - col(lo)) / rankBuckets + lit(1e-300)))
             .cast("int"))))
-    val withB = base.join(gstats, Seq("g"))
+    // null-safe joins throughout: a NULL group is a real partition to
+    // the window this machinery replaces, so the rollup joins must
+    // return its rows too
+    val withB = GroupedPrefix.joinNullSafe(base, gstats, Seq("g"))
       .withColumn("_bx", bucket("_x", "_xlo", "_xhi"))
       .withColumn("_by", bucket("_y", "_ylo", "_yhi"))
       .persistScoped
@@ -149,9 +152,10 @@ object RankStats {
         count(lit(1)).over(w.rangeBetween(Window.unboundedPreceding,
           Window.currentRow)))
     }
-    val ranked = withB
-      .join(offsets("_bx", "_offx"), Seq("g", "_bx"))
-      .join(offsets("_by", "_offy"), Seq("g", "_by"))
+    val ranked = GroupedPrefix.joinNullSafe(
+      GroupedPrefix.joinNullSafe(withB, offsets("_bx", "_offx"),
+        Seq("g", "_bx")),
+      offsets("_by", "_offy"), Seq("g", "_by"))
       .withColumn("_mr2_x", midrank2("_bx", "_x", "_offx"))
       .withColumn("_mr2_y", midrank2("_by", "_y", "_offy"))
       // doubled midrank, quantized to a q6 SHARE of the group's rank
@@ -275,7 +279,7 @@ object RankStats {
     val cumW = Window.partitionBy(col("g"), col("_b"))
       .orderBy(col("_x"), col("_t"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    withOff.join(tot, Seq("g"))
+    GroupedPrefix.joinNullSafe(withOff, tot, Seq("g"))
       .withColumn("_cum",
         coalesce(col("_woff"), lit(0L)) + sum(col("_w")).over(cumW))
       .where(lit(2L) * col("_cum") >= col("_tot"))

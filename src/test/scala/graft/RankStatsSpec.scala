@@ -134,6 +134,57 @@ class RankStatsSpec extends SparkSpec {
     assert(runWm(256) === wm1)
   }
 
+  test("dominant tie value (60% of rows share one x): bucketed ranking " +
+      "== single-window form, midranks exact") {
+    // the hot-tie shape the zipf scale gate plants in l_quantity: a
+    // monotone bucketing must put the whole tie in ONE bucket, and the
+    // midrank algebra must still be exact there
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 500).map { i =>
+      val x = if (rnd.nextInt(10) < 6) 25 else rnd.nextInt(50) + 1
+      (s"g${i % 3}", x, rnd.nextInt(40))
+    }
+    val df = rows.toDF("g", "x", "y")
+    def runSp(b: Int) = RankStats.spearman(df, $"g", $"x", $"y",
+        rankBuckets = b)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("rho2_bp")).toMap
+    val sp1 = runSp(1) // whole-group single window: the reference form
+    assert(runSp(256) === sp1)
+    val adf = rows.map { case (g, x, y) => (g, x, y % 2 == 0) }
+      .toDF("g", "x", "pos")
+    def runAuc(b: Int) = RankStats.auc(adf, $"g", $"pos", $"x",
+        rankBuckets = b)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("auc_bp")).toMap
+    assert(runAuc(256) === runAuc(1))
+    spark.catalog.clearCache()
+  }
+
+  test("null group keys survive the bucketed prefix machinery " +
+      "(window parity: null keys are their own partition)") {
+    // the r11 offset joins were plain equi-joins, which silently DROP
+    // null join keys — Window.partitionBy keeps them as one partition
+    val adf = Seq((Some("a"), 1, false), (Some("a"), 2, true),
+      (None: Option[String], 1, false), (None, 2, false), (None, 3, true))
+      .toDF("g", "x", "pos")
+    val auc = RankStats.auc(adf, $"g", $"pos", $"x")
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Long]("auc_bp"))
+      .toMap
+    assert(auc == Map(Some("a") -> 10000L, None -> 10000L))
+    val sdf = Seq((Some("a"), 1, 1), (Some("a"), 2, 2), (Some("a"), 3, 3),
+      (None: Option[String], 1, 3), (None, 2, 2), (None, 3, 1))
+      .toDF("g", "x", "y")
+    val sp = RankStats.spearman(sdf, $"g", $"x", $"y")
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Long]("rho2_bp"))
+      .toMap
+    assert(sp == Map(Some("a") -> 10000L, None -> -10000L))
+    val wdf = Seq((Some("a"), 5, 1L, 1L), (None: Option[String], 7, 1L, 2L),
+      (None, 9, 1L, 3L), (None, 11, 1L, 4L)).toDF("g", "x", "w", "t")
+    val wm = RankStats.weightedMedian(wdf, $"g", $"x", $"w", $"t")
+      .collect().map(r => Option(r.getString(0)) -> r.getAs[Int]("w_median"))
+      .toMap
+    assert(wm == Map(Some("a") -> 5, None -> 9))
+  }
+
   test("mann-kendall: monotone series hit +-n_pairs; ties contribute 0") {
     val up = Seq(("g", 1, 10L), ("g", 2, 20L), ("g", 3, 30L), ("g", 4, 40L))
       .toDF("g", "t", "x")
