@@ -17,20 +17,24 @@ import org.apache.spark.sql.functions._
   * the surviving canonical edges with their triangle count inside the
   * truss (≥ k − 2 by construction).
   *
-  * Scale shape: each round is one WEDGE join (edges ⋈ edges on the
-  * shared lower endpoint, b < c — the degree-ordered orientation that
-  * makes every triangle counted exactly once, the [[Triangles]]
-  * discipline) closed against the edge set, one 3-way contribution
-  * union + map-side-combined count, and one semi-join filter. The edge
-  * set only SHRINKS; rounds are [[Iterate.loopBarrier]]-truncated
-  * (each round references the previous frame THRICE) and bounded by
-  * `maxIter` with a THROW on non-convergence — never a superset
-  * answer. Truss peeling cascades at most once per deleted edge, and
-  * on similarity graphs (dense cluster interiors, thin fringes) it
-  * converges in a handful of rounds. Convergence is detected from the
-  * kept-count alone — the previous round's cardinality is CARRIED in a
-  * driver variable, never recounted, so each peel round costs exactly
-  * one counting job on top of its barrier.
+  * Scale shape (r12): supports are computed ONCE — one wedge join
+  * (edges ⋈ edges on the shared lower endpoint, b < c: the orientation
+  * that counts every triangle exactly once, the [[Triangles]]
+  * discipline) plus one map-side-combined count — and then MAINTAINED
+  * DECREMENTALLY through the peel, the distributed form of the
+  * PKT peeling discipline (Kabir & Madduri, "Parallel k-truss
+  * decomposition on multicore systems", HPEC 2017): a round drops the
+  * frontier `support < k − 2`, enumerates only the triangles INCIDENT
+  * to dropped edges (frontier ⋈ adjacency ⋈ adjacency — frontier-sized,
+  * not graph-sized), and decrements the surviving edges they close.
+  * The r11 form re-ran the full wedge join every round of every phase —
+  * the dominant cost on dense graphs, where the m10 scale gate measured
+  * decompose at 42 s; one support pass + cheap cascades is the shape
+  * that survives 100× (the wedge join is paid exactly once however
+  * deep the peel goes). Rounds are [[Iterate.loopBarrier]]-truncated,
+  * cardinalities are carried in driver variables (one count per round,
+  * nothing recounted), and `maxIter` guards each level with a THROW on
+  * non-convergence — never a superset answer.
   */
 object KTruss {
 
@@ -49,17 +53,75 @@ object KTruss {
       .groupBy($"a", $"b").agg(count(lit(1)).as("support"))
   }
 
+  /** `(a, b, sup)` for EVERY canonical edge, including sup = 0 — the
+    * one wedge join the whole decremental peel runs. */
+  private def supportsOf(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    e.join(support(e), Seq("a", "b"), "left_outer")
+      .select($"a", $"b", coalesce($"support", lit(0L)).as("sup"))
+  }
+
+  /** Decremental cascade: from `cur0` (`(a, b, sup)`, supports VALID
+    * for exactly this edge set) to the fixpoint where every remaining
+    * edge has `sup ≥ minSup`. Each round drops the frontier, feeds it
+    * to `dropSink` (invoked on a frame over the round's BARRIERED
+    * parent, so it stays valid after `cur` moves on), enumerates the
+    * triangles of the current graph incident to ≥ 1 dropped edge —
+    * frontier ⋈ symmetric adjacency ⋈ adjacency, deduped on the sorted
+    * vertex triple so a triangle losing two edges at once still
+    * subtracts ONE — and decrements the surviving edges of each lost
+    * triangle. Cardinality is carried arithmetically (nCur − frontier
+    * size): one count per round, one barrier per DROPPING round. */
+  private def cascade(cur0: DataFrame, n0: Long, minSup: Long,
+      maxIter: Int, dropSink: DataFrame => Unit): (DataFrame, Long) = {
+    val spark = cur0.sparkSession
+    import spark.implicits._
+    var cur = cur0
+    var nCur = n0
+    var round = 0
+    while (round < maxIter) {
+      round += 1
+      val d = cur.where($"sup" < minSup)
+      val nD = d.count()
+      if (nD == 0L) return (cur, nCur)
+      dropSink(d)
+      val adj = cur.select($"a".as("u"), $"b".as("w"))
+        .unionByName(cur.select($"b".as("u"), $"a".as("w")))
+      val lost = d.select($"a".as("u"), $"b".as("v"))
+        .join(adj, Seq("u"))
+        .join(adj.select($"u".as("v"), $"w"), Seq("v", "w"), "left_semi")
+        .select(sort_array(array($"u", $"v", $"w")).as("_t"))
+        .distinct()
+        .select($"_t"(0).as("x"), $"_t"(1).as("y"), $"_t"(2).as("z"))
+      val edges3 = lost.select($"x".as("a"), $"y".as("b"))
+        .unionByName(lost.select($"x".as("a"), $"z".as("b")))
+        .unionByName(lost.select($"y".as("a"), $"z".as("b")))
+      val decr = edges3
+        .join(d.select($"a", $"b"), Seq("a", "b"), "left_anti")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("_d"))
+      cur = Iterate.loopBarrier(
+        cur.join(d.select($"a", $"b"), Seq("a", "b"), "left_anti")
+          .join(decr, Seq("a", "b"), "left_outer")
+          .select($"a", $"b",
+            ($"sup" - coalesce($"_d", lit(0L))).as("sup")))
+      nCur -= nD
+    }
+    throw new IllegalStateException(
+      s"k-truss did not converge in $maxIter rounds — raise maxIter")
+  }
+
   /** One full peel to the k-truss fixpoint over canonical (a, b)
-    * edges. Returns the converged `(a, b, support)` frame (barriered)
-    * and its cardinality — the count every caller needs next anyway,
-    * so it never has to be recomputed.
+    * edges — the r11 wedge-join-per-round form, kept (with
+    * [[decomposePeel]]) as the independent in-JVM oracle for the
+    * decremental rewrite. Returns the converged `(a, b, support)`
+    * frame (barriered) and its cardinality.
     *
     * `sup0`: supports ALREADY VALID for e0 (a previous peel's converged
-    * frame — [[decompose]]'s phase hand-off). The first round then
+    * frame — [[decomposePeel]]'s phase hand-off). The first round then
     * filters instead of recomputing the wedge join: if nothing drops,
     * e0 was already the k-truss and the peel is free; if edges drop,
-    * the loop continues with fresh supports. Skips one wedge join per
-    * phase — the dominant cost on dense graphs. */
+    * the loop continues with fresh supports. */
   private def peel(e0: DataFrame, n0: Long, k: Int,
       maxIter: Int, sup0: Option[DataFrame] = None): (DataFrame, Long) = {
     val spark = e0.sparkSession
@@ -101,8 +163,13 @@ object KTruss {
   def run(edges: DataFrame, k: Int, maxIter: Int = 20): DataFrame = {
     require(k >= 3, s"k must be >= 3 for a meaningful truss, got $k")
     require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val spark = edges.sparkSession
+    import spark.implicits._
     val e0 = Iterate.loopBarrier(canonical(edges))
-    peel(e0, e0.count(), k, maxIter)._1
+    val cur0 = Iterate.loopBarrier(supportsOf(e0))
+    val (fix, _) = cascade(cur0, cur0.count(), (k - 2).toLong, maxIter,
+      _ => ())
+    fix.select($"a", $"b", $"sup".as("support"))
   }
 
   /** Full truss DECOMPOSITION: the trussness t(e) = max k such that
@@ -118,13 +185,53 @@ object KTruss {
     * round-10 scale gate hit exactly this: constant-size ~200-node
     * clusters at m10 → 1.99M edges with trussness ≈ 200).
     *
-    * Shape: successive peels at k = 3, 4, … maxK — each starting from
-    * the PREVIOUS truss's survivors (E_k ⊆ E_{k−1}, so phase cost
-    * shrinks monotonically and the k = 3 phase dominates); edges
-    * dropped by the k-peel get trussness k − 1 via one anti-join per
-    * phase; each dropped frame is barriered so the final union replays
-    * nothing. Phase count is maxK − 2 regardless of graph density. */
+    * Shape (r12): ONE wedge join computes supports, then the levels
+    * k = 3..maxK run as a single [[cascade]] chain — supports carry
+    * across levels because a level's fixpoint supports ARE valid
+    * inputs to the next level's threshold (the edge set is unchanged
+    * between levels; only the bar rises). Edges dropped at level k are
+    * labeled k − 1 by the cascade's drop sink; maxK-survivors label
+    * maxK. Per-level cost beyond the shared support pass is
+    * frontier-sized, not graph-sized. (Measured against the r11
+    * peeling form at the m10 scale corpus: 42 s → see ROUND_NOTES r12;
+    * an intermediate local-h-index attempt — Sariyüce et al.'s local
+    * nucleus fixpoint — lost at 144 s because it re-joins the FULL
+    * 131M-row triangle list every iteration, so it was discarded.) */
   def decompose(edges: DataFrame, maxK: Int = 8,
+      maxIter: Int = 20): DataFrame = {
+    require(maxK >= 3, s"maxK must be >= 3, got $maxK")
+    require(maxIter >= 1, s"maxIter must be >= 1, got $maxIter")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e0 = Iterate.loopBarrier(canonical(edges))
+    var cur = Iterate.loopBarrier(supportsOf(e0))
+    var nCur = cur.count()
+    var k = 3
+    var labeled = List.empty[DataFrame]
+    while (nCur > 0 && k <= maxK) {
+      val lbl = (k - 1).toLong
+      val (kept, nKept) = cascade(cur, nCur, (k - 2).toLong, maxIter,
+        d => labeled =
+          d.select($"a", $"b", lit(lbl).as("trussness")) :: labeled)
+      cur = kept
+      nCur = nKept
+      k += 1
+    }
+    if (nCur > 0) // saturate: maxK-peel survivors are "at least maxK"
+      labeled = cur.select($"a", $"b", lit(maxK.toLong).as("trussness")) ::
+        labeled
+    if (labeled.isEmpty) // empty graph: empty labeling, correct schema
+      cur.select($"a", $"b", lit(2L).as("trussness"))
+    else labeled.reduce(_ unionByName _)
+  }
+
+  /** The r11 peeling form of [[decompose]] — successive k = 3..maxK
+    * [[peel]]s with converged-support hand-off, a full wedge join per
+    * dropping round. Kept as the independent in-JVM oracle for the
+    * decremental rewrite (KTrussSpec pins equality on random graphs);
+    * the driver-side DuckDB oracle replays peeling too, so the shipped
+    * query is double-covered. */
+  private[graft] def decomposePeel(edges: DataFrame, maxK: Int = 8,
       maxIter: Int = 20): DataFrame = {
     require(maxK >= 3, s"maxK must be >= 3, got $maxK")
     val spark = edges.sparkSession

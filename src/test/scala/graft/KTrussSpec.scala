@@ -71,6 +71,37 @@ class KTrussSpec extends SparkSpec {
     }
   }
 
+  test("decompose (local fixpoint) == decomposePeel (successive peels) " +
+      "on random graphs, at full depth and under a tight maxK cap") {
+    // the r12 rewrite replaced phase-by-phase peeling with the local
+    // h-index iteration — the r11 peeling form stays as the in-JVM
+    // oracle; labels must match EDGE FOR EDGE including saturation
+    for (seed <- Seq(3, 19); maxK <- Seq(3, 5, 8)) {
+      val rnd = new scala.util.Random(seed)
+      val pairs = (1 to 220).map { _ =>
+        val a = rnd.nextInt(26).toLong
+        val b = rnd.nextInt(26).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val edges = sym(pairs)
+      def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val local = asMap(KTruss.decompose(edges, maxK = maxK))
+      val peeled = asMap(KTruss.decomposePeel(edges, maxK = maxK))
+      assert(local === peeled, s"seed=$seed maxK=$maxK")
+    }
+  }
+
+  test("decompose non-convergence guard throws instead of returning " +
+      "a non-fixpoint estimate") {
+    // the house needs ≥ 2 local iterations (the shared edge must first
+    // see its neighbors drop); maxIter = 1 cannot confirm a fixpoint
+    val e = intercept[IllegalStateException] {
+      KTruss.decompose(sym(house), maxIter = 1)
+    }
+    assert(e.getMessage.contains("did not converge"))
+  }
+
   test("non-convergence guard throws instead of returning a superset") {
     val e = intercept[IllegalStateException] {
       KTruss.run(sym(house), k = 3, maxIter = 1)
