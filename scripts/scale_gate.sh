@@ -13,7 +13,8 @@
 #       artifact) at both multipliers,
 #   (d) ZIPF-SKEW section (round 11): regenerate both multipliers with
 #       log-uniform hot keys (events.user_id / o_custkey / l_partkey;
-#       hottest key ~10% of ALL rows) plus boilerplate-prefixed
+#       hottest key draws ln2/ln n of ALL rows — 9.5% of events at m=1,
+#       7.2% at m=10, cooling as the keyspace grows) plus boilerplate-prefixed
 #       documents, verify the skew-sensitive queries run clean at m=10,
 #       and bench them at both multipliers — hot-key skew is the classic
 #       100TB failure mode uniform corpora never exercise,
@@ -39,8 +40,12 @@ BASE="${4:-/tmp/scale}"
 EXTRA="${5:-}"
 
 # skew-sensitive set: hot-key join (j28), per-user sequence/window ops,
-# heavy hitters, hot-segment / hot-digest / hot-bucket dedup gates
-SKEWQ="j28_salted_join,ev4_transitions,ev5_sessions,ev8_rolling_actives,ev25_active_time,ext_heavy_hitters,ext_heavy_distinct,ext_dedup_segments,ext_dedup_exact,ext_dedup_minhash_capped"
+# heavy hitters, hot-segment / hot-digest / hot-bucket dedup gates;
+# r12 adds the join+connected-components family (j25/ext_dedup_components
+# — CC under hot keys was measured only on heaps corpora before) and
+# ext_spearman (zipf mode now plants a hot TIE in l_quantity, the
+# GroupedPrefix hot-tie degeneracy probe)
+SKEWQ="j28_salted_join,ev4_transitions,ev5_sessions,ev8_rolling_actives,ev25_active_time,ext_heavy_hitters,ext_heavy_distinct,ext_dedup_segments,ext_dedup_exact,ext_dedup_minhash_capped,j25_er_pipeline,ext_dedup_components,ext_spearman"
 
 [ -f "$ARTIFACT" ] || { echo "no bench artifact at $ARTIFACT" >&2; exit 1; }
 
@@ -111,65 +116,7 @@ python3 scripts/check_bench_health.py \
   "$BASE/bench_z1.json" "$BASE/bench_z10.json"
 
 echo "[scale] (e) writing SCALE_r${ROUND}.json" >&2
-python3 - "$ROUND" "$BASE" <<'EOF'
-import json, math, os, sys
-rnd, base = int(sys.argv[1]), sys.argv[2]
-
-def section(tag):
-    b1 = json.load(open(f"{base}/bench_{tag}1.json"))
-    b10 = json.load(open(f"{base}/bench_{tag}10.json"))
-    rows = {}
-    for q, t1 in sorted(b1["queries"].items()):
-        t10 = b10["queries"].get(q, -1)
-        if t1 <= 0 or t10 <= 0:
-            rows[q] = {"t_m1": t1, "t_m10": t10, "ratio": None, "exp": None}
-            continue
-        ratio = t10 / t1
-        rows[q] = {"t_m1": round(t1, 3), "t_m10": round(t10, 3),
-                   "ratio": round(ratio, 2), "exp": round(math.log10(ratio), 2)}
-    host = {"m1": {k: b1.get(k) for k in ("warmup_sec", "load_before", "load_after")},
-            "m10": {k: b10.get(k) for k in ("warmup_sec", "load_before", "load_after")}}
-    return rows, host
-
-rows, host = section("h")
-zrows, zhost = section("z")
-out = {"round": rnd, "corpus": "heaps", "multipliers": [1, 10],
-       "queries": rows, "host": host,
-       "skew": {"corpus": "zipf (log-uniform hot keys s~1, boilerplate-prefixed docs)",
-                "queries": zrows, "host": zhost}}
-prev_path = f"SCALE_r{rnd - 1:02d}.json"
-regressions = []
-if os.path.exists(prev_path):
-    prev = json.load(open(prev_path))
-    diff = {}
-    for q, r in rows.items():
-        p = prev.get("queries", {}).get(q)
-        if p and p.get("exp") is not None and r.get("exp") is not None:
-            d = round(r["exp"] - p["exp"], 2)
-            diff[q] = d
-            if d > 0.15:
-                regressions.append(f"{q}: exp {p['exp']} -> {r['exp']} (+{d})")
-    zdiff = {}
-    for q, r in zrows.items():
-        p = prev.get("skew", {}).get("queries", {}).get(q)
-        if p and p.get("exp") is not None and r.get("exp") is not None:
-            d = round(r["exp"] - p["exp"], 2)
-            zdiff[q] = d
-            if d > 0.15:
-                regressions.append(f"[skew] {q}: exp {p['exp']} -> {r['exp']} (+{d})")
-    out["exp_diff_vs_prev"] = diff
-    out["skew"]["exp_diff_vs_prev"] = zdiff
-    out["regressions"] = regressions
-path = f"SCALE_r{rnd:02d}.json"
-json.dump(out, open(path, "w"), indent=1)
-print(path)
-for tag, rr in (("heaps", rows), ("zipf ", zrows)):
-    for q, r in sorted(rr.items(), key=lambda kv: -(kv[1]["exp"] or -99)):
-        print(f"  [{tag}] {q:32s} m1 {r['t_m1']:>8}s  m10 {r['t_m10']:>8}s  exp {r['exp']}")
-if regressions:
-    print("EXPONENT REGRESSIONS (>0.15):", file=sys.stderr)
-    for r in regressions:
-        print(f"  {r}", file=sys.stderr)
-    sys.exit(1)
-EOF
+# extracted to its own script (r12) so the exponent-regression gate —
+# heaps AND zipf-skew sections — is testable against planted inputs
+python3 scripts/scale_aggregate.py "$ROUND" "$BASE"
 echo "[scale] gate green" >&2

@@ -40,10 +40,12 @@ object ScaleGen {
     pmod(xxhash64(idCol, lit(salt)), lit(n))
 
   /** Log-uniform ("Zipf s≈1") key in [0, n): k = ⌊n^u⌋ − 1 for uniform
-    * u, so P(k) ∝ ln((k+2)∕(k+1)) ≈ 1∕(k+1) — key 0 alone draws
-    * ~1∕ln n of ALL rows (~10% at n = 15000), the classic hot-key
-    * profile web/user data carries at 100 TB. Same (id, salt)
-    * determinism as [[h]]. */
+    * u, so P(k) = ln((k+2)∕(k+1))∕ln n ∝ ≈1∕(k+1) — key 0 alone draws
+    * ln 2∕ln n of ALL rows (≈9.5% at n = 1500, events.user_id's m = 1
+    * cardinality; ≈7.2% at n = 15000, its m = 10 cardinality — the hot
+    * key COOLS as the keyspace grows, like real web/user data), the
+    * classic hot-key profile at 100 TB. Same (id, salt) determinism
+    * as [[h]]. */
   private def zipfKey(idCol: Column, salt: Int, n: Long): Column =
     least(lit(n - 1), greatest(lit(0L),
       floor(pow(lit(n.toDouble),
@@ -143,7 +145,17 @@ object ScaleGen {
         h(concat($"l_orderkey", lit("_"), $"l_linenumber"), 18, nSupp)
           .as("l_suppkey"),
         $"l_linenumber",
-        (h(concat($"l_orderkey", $"l_linenumber"), 19, 50) + 1)
+        // zipf mode: ~30% of lines share ONE quantity — a hot TIE in a
+        // column rank-family operators ORDER BY (ext_spearman). Monotone
+        // bucketing lands a whole tie group in one bucket by contract,
+        // so this measures GroupedPrefix's hot-tie degeneracy (the r11
+        // verdict's unmeasured spot); midrank semantics make the answer
+        // well-defined regardless
+        (if (zipfSkew)
+          when(h(concat($"l_orderkey", $"l_linenumber"), 19, 10) < 3,
+            lit(25L))
+            .otherwise(h(concat($"l_orderkey", $"l_linenumber"), 19, 50) + 1)
+        else h(concat($"l_orderkey", $"l_linenumber"), 19, 50) + 1)
           .cast("double").as("l_quantity"),
         (h(concat($"l_orderkey", $"l_linenumber"), 20, 10000000) / 100.0
           + 900.0).as("l_extendedprice"),
