@@ -1318,6 +1318,46 @@ object ExtQueries extends QueryGroup {
        |       ((sz - 1) * count(*))::BIGINT AS n_removable
        |FROM cs GROUP BY sz ORDER BY sz""".stripMargin
 
+  /** ext_cc_star — giant-star connected components, the adversarial
+    * shape for label propagation + contraction: ONE component of Θ(n)
+    * nodes at diameter 1 with a hub of degree n − 1 (the r11 verdict's
+    * unmeasured spot — the zipf corpus plants hot KEYS but never a
+    * giant CC cluster, so [[graft.ext.Dedup.resolveComponents]]'s
+    * contraction under a Θ(n)-degree hub was measured nowhere; Kiveris
+    * et al.'s alternating large-star/small-star exists for exactly
+    * this shape and gets implemented only if this entry degrades).
+    * The star is built directly as an edge spine (NO pair generation,
+    * so output stays linear by construction), sized 20× the documents
+    * table so it scales with the corpus; the hub is the MAX id, so
+    * min-labels must flow leaf → hub → leaves (two propagation rounds,
+    * not one). `localFinishEdges = 0` keeps the loop fully distributed
+    * — the default driver union-find would absorb the m1-sized star
+    * and the gate would compare code PATHS, not scales. Output is the
+    * per-component rollup (one row), not n labels: the gate times the
+    * resolve, not the dump. */
+  def ccStarQ(spark: SparkSession, dir: String): DataFrame = {
+    val n = load(spark, dir, "documents").count() * 20L
+    val nodes = spark.range(n).select($"id".as("doc_id"))
+    val pairs = spark.range(n - 1)
+      .select($"id".as("id_a"), lit(n - 1).as("id_b"))
+    Dedup.resolveComponents(nodes, pairs, idCol = "doc_id",
+        localFinishEdges = 0L)
+      .groupBy($"component_id")
+      .agg(count(lit(1)).as("n_nodes"),
+        min($"doc_id").as("min_id"), max($"doc_id").as("max_id"),
+        sum(when($"is_canonical", 1L).otherwise(0L)).as("n_canonical"))
+      .orderBy($"component_id")
+  }
+
+  // the star's components have a CLOSED FORM (one component rooted at
+  // the min id 0) — the oracle states it, scaled off the same table
+  private val ccStarSql =
+    """WITH n AS (SELECT 20 * count(*) AS n FROM documents)
+      |SELECT 0::BIGINT AS component_id, n::BIGINT AS n_nodes,
+      |       0::BIGINT AS min_id, (n - 1)::BIGINT AS max_id,
+      |       1::BIGINT AS n_canonical
+      |FROM n""".stripMargin
+
   /** Leakage-safe train/val/test split: split assignment keyed on the
     * near-dup COMPONENT id, not the document id, so near-duplicates can
     * never straddle train and eval (the contamination mode a plain
@@ -5695,6 +5735,7 @@ object ExtQueries extends QueryGroup {
     QueryDef("ext_dedup_embedding_lsh", dedupEmbeddingLsh, Some(dedupEmbeddingLshSql)),
     QueryDef("ext_dedup_eval", dedupEval, Some(dedupEvalSql)),
     QueryDef("ext_dedup_components", dedupComponents, Some(dedupComponentsSql)),
+    QueryDef("ext_cc_star", ccStarQ, Some(ccStarSql)),
     QueryDef("ext_dedup_pipeline", dedupPipeline, Some(dedupPipelineSql)),
     QueryDef("ext_dedup_semantic", dedupSemantic, Some(dedupSemanticSql)),
     QueryDef("ext_sim_topk", simTopK, Some(simTopKSql)),
