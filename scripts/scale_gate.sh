@@ -104,8 +104,13 @@ if failed:
         print(f"[scale]   FAIL {k}: {v[:200]}", file=sys.stderr)
     sys.exit(1)
 EOF
+# RERUN_SEC=0: every skew query is timed twice and the min recorded —
+# the skew set's walls are small (0.3–10 s), where one cache-polluted
+# run swings an exponent by ±0.3 (r12 measured ev4_transitions' m10
+# at 1.0–2.5 s across identical idle runs)
 for m in 1 10; do
   SPARK_GRAFT_SF_DIR="$BASE/z$m" SPARK_GRAFT_ONLY="$SKEWQ" \
+    SPARK_GRAFT_RERUN_SEC=0 \
     SPARK_GRAFT_BENCH_OUT="$BASE/bench_z$m.json" \
     sbt -batch "runMain graft.Bench" >/dev/null
 done
