@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** k-truss decomposition — [[KCore]]'s EDGE-density sibling (Cohen
@@ -38,18 +38,39 @@ import org.apache.spark.sql.functions._
   */
 object KTruss {
 
+  /** Triangle count per canonical edge. Wedges are enumerated in
+    * DEGREE-ORDERED orientation (the [[Triangles]] discipline, Schank &
+    * Wagner 2005): each edge points from its (deg, id)-smaller endpoint
+    * to the larger, so wedge volume is O(m^1.5) total — id-orientation
+    * (the r11 form) costs Σ C(outdeg_id, 2), which a single low-id HUB
+    * blows up to C(deg_hub, 2) even on a triangle-free graph (a 100k
+    * star = 5·10⁹ wedges; KTrussSpec pins a 30k-star canary that hangs
+    * under any regression to id-order). Found triangles map back to
+    * canonical a < b edges, so the output — and every truss hash — is
+    * orientation-invariant. */
   private def support(e: DataFrame): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    // triangles in a<b orientation: (a,b) ∧ (a,c) with b<c ∧ (b,c)
-    val tri = e.select($"a", $"b")
-      .join(e.select($"a", $"b".as("c")), Seq("a"))
-      .where($"b" < $"c")
-      .join(e.select($"a".as("b"), $"b".as("c")), Seq("b", "c"))
-      .select($"a", $"b", $"c")
-    tri.select($"a", $"b")
-      .unionByName(tri.select($"a", $"c".as("b")))
-      .unionByName(tri.select($"b".as("a"), $"c".as("b")))
+    val both = e.select($"a".as("u"), $"b".as("v"))
+      .unionByName(e.select($"b".as("u"), $"a".as("v")))
+    val deg = both.groupBy($"u".as("id")).agg(count(lit(1)).as("deg"))
+    val oriented = both
+      .join(deg.toDF("u", "_du"), "u")
+      .join(deg.toDF("v", "_dv"), "v")
+      .where(struct($"_du", $"u") < struct($"_dv", $"v"))
+      .select($"u".as("src"), $"v".as("dst"), $"_dv".as("_dd"))
+    val tri = oriented.select($"src", $"dst".as("x"), $"_dd".as("_dx"))
+      .join(oriented.select($"src", $"dst".as("y"), $"_dd".as("_dy")),
+        Seq("src"))
+      .where(struct($"_dx", $"x") < struct($"_dy", $"y"))
+      .join(oriented.select($"src".as("x"), $"dst".as("y")), Seq("x", "y"),
+        "left_semi")
+      .select($"src", $"x", $"y")
+    def canon(p: Column, q: Column): Column =
+      struct(least(p, q).as("a"), greatest(p, q).as("b"))
+    tri.select(explode(array(canon($"src", $"x"), canon($"src", $"y"),
+        canon($"x", $"y"))).as("_e"))
+      .select($"_e.a".as("a"), $"_e.b".as("b"))
       .groupBy($"a", $"b").agg(count(lit(1)).as("support"))
   }
 
@@ -62,9 +83,29 @@ object KTruss {
       .select($"a", $"b", coalesce($"support", lit(0L)).as("sup"))
   }
 
-  /** Decremental cascade: from `cur0` (`(a, b, sup)`, supports VALID
-    * for exactly this edge set) to the fixpoint where every remaining
-    * edge has `sup ≥ minSup`. Each round drops the frontier, feeds it
+  /** Attach each endpoint's INITIAL degree as carried columns
+    * `(_da, _db)` — one rollup + two joins, paid once per decompose
+    * (not once per round): the cascade's sparser-endpoint orientation
+    * then reads a projection instead of re-ranking the shrinking
+    * graph. Initial-degree orientation is the standard PKT choice —
+    * the ordering is a COST heuristic (the adjacency semi-join decides
+    * membership), so degree drift during the peel can only cost time,
+    * never triangles, and a star's hub stays the hub however many of
+    * its edges have dropped. */
+  private def withDeg(cur: DataFrame): DataFrame = {
+    val spark = cur.sparkSession
+    import spark.implicits._
+    val deg = cur.select($"a".as("u")).unionByName(cur.select($"b".as("u")))
+      .groupBy($"u".as("id")).agg(count(lit(1)).as("deg"))
+    cur.join(deg.toDF("a", "_da"), "a")
+      .join(deg.toDF("b", "_db"), "b")
+      .select($"a", $"b", $"sup", $"_da", $"_db")
+  }
+
+  /** Decremental cascade: from `cur0` (`(a, b, sup, _da, _db)` —
+    * supports VALID for exactly this edge set, endpoint degrees
+    * attached once by [[withDeg]]) to the fixpoint where every
+    * remaining edge has `sup ≥ minSup`. Each round drops the frontier, feeds it
     * to `dropSink` (invoked on a frame over the round's BARRIERED
     * parent, so it stays valid after `cur` moves on), enumerates the
     * triangles of the current graph incident to ≥ 1 dropped edge —
@@ -88,7 +129,16 @@ object KTruss {
       dropSink(d)
       val adj = cur.select($"a".as("u"), $"b".as("w"))
         .unionByName(cur.select($"b".as("u"), $"a".as("w")))
-      val lost = d.select($"a".as("u"), $"b".as("v"))
+      // candidate third vertices come from each dropped edge's
+      // SPARSER endpoint (by the carried initial degrees — a pure
+      // projection, zero per-round jobs): expanding from the denser
+      // side would cost deg(hub) rows per dropped hub edge — the same
+      // skew the degree-ordered wedge enumeration in [[support]]
+      // exists to kill
+      val dOriented = d.select(
+        when($"_da" <= $"_db", $"a").otherwise($"b").as("u"),
+        when($"_da" <= $"_db", $"b").otherwise($"a").as("v"))
+      val lost = dOriented
         .join(adj, Seq("u"))
         .join(adj.select($"u".as("v"), $"w"), Seq("v", "w"), "left_semi")
         .select(sort_array(array($"u", $"v", $"w")).as("_t"))
@@ -104,7 +154,8 @@ object KTruss {
         cur.join(d.select($"a", $"b"), Seq("a", "b"), "left_anti")
           .join(decr, Seq("a", "b"), "left_outer")
           .select($"a", $"b",
-            ($"sup" - coalesce($"_d", lit(0L))).as("sup")))
+            ($"sup" - coalesce($"_d", lit(0L))).as("sup"),
+            $"_da", $"_db"))
       nCur -= nD
     }
     throw new IllegalStateException(
@@ -166,7 +217,7 @@ object KTruss {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = Iterate.loopBarrier(canonical(edges))
-    val cur0 = Iterate.loopBarrier(supportsOf(e0))
+    val cur0 = Iterate.loopBarrier(withDeg(supportsOf(e0)))
     val (fix, _) = cascade(cur0, cur0.count(), (k - 2).toLong, maxIter,
       _ => ())
     fix.select($"a", $"b", $"sup".as("support"))
@@ -204,7 +255,7 @@ object KTruss {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = Iterate.loopBarrier(canonical(edges))
-    var cur = Iterate.loopBarrier(supportsOf(e0))
+    var cur = Iterate.loopBarrier(withDeg(supportsOf(e0)))
     var nCur = cur.count()
     var k = 3
     var labeled = List.empty[DataFrame]

@@ -71,10 +71,10 @@ class KTrussSpec extends SparkSpec {
     }
   }
 
-  test("decompose (local fixpoint) == decomposePeel (successive peels) " +
-      "on random graphs, at full depth and under a tight maxK cap") {
-    // the r12 rewrite replaced phase-by-phase peeling with the local
-    // h-index iteration — the r11 peeling form stays as the in-JVM
+  test("decompose (decremental cascade) == decomposePeel (successive " +
+      "peels) on random graphs, at full depth and under a tight maxK cap") {
+    // the r12 rewrite replaced phase-by-phase peeling with decremental
+    // support maintenance — the r11 peeling form stays as the in-JVM
     // oracle; labels must match EDGE FOR EDGE including saturation
     for (seed <- Seq(3, 19); maxK <- Seq(3, 5, 8)) {
       val rnd = new scala.util.Random(seed)
@@ -90,6 +90,22 @@ class KTrussSpec extends SparkSpec {
       val peeled = asMap(KTruss.decomposePeel(edges, maxK = maxK))
       assert(local === peeled, s"seed=$seed maxK=$maxK")
     }
+  }
+
+  test("hub canary: a 30k-edge star runs instantly under degree-ordered " +
+      "wedge enumeration (id-order would enumerate C(30k,2) wedges)") {
+    // star with hub id 0 (the LOWEST id — the adversarial case for
+    // a<b orientation: every edge points out of the hub, 4.5e8 wedges;
+    // degree-ordering points every edge INTO the hub, zero wedges).
+    // Triangle-free -> 3-truss empty, trussness 2 everywhere.
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = 30000L
+    val star = spark.range(1, n).select(lit(0L).as("src"), col("id").as("dst"))
+      .unionByName(spark.range(1, n).select(col("id").as("src"), lit(0L).as("dst")))
+    assert(KTruss.run(star, k = 3).isEmpty)
+    val dec = KTruss.decompose(star)
+    assert(dec.where(col("trussness") =!= 2L).isEmpty)
+    assert(dec.count() === n - 1)
   }
 
   test("decompose non-convergence guard throws instead of returning " +
