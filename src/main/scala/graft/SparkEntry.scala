@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AggQueries, EventQueries, FilterQueries, ExtQueries, FunctionQueries, JoinQueries, LinkageQueries, MergeQueries, RetrievalQueries, SortSetQueries, SourceQueries, StatQueries, TpchQueries, WindowQueries, GeoQueries}
+import graft.queries.{AggQueries, AnnotationQueries, EventQueries, FilterQueries, ExtQueries, FunctionQueries, JoinQueries, LinkageQueries, MergeQueries, RetrievalQueries, SortSetQueries, SourceQueries, StatQueries, TpchQueries, WindowQueries, GeoQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -14,7 +14,7 @@ import graft.queries.{AggQueries, EventQueries, FilterQueries, ExtQueries, Funct
 object SparkEntry {
 
   private val groups: Seq[QueryGroup] = Seq(
-    AggQueries, EventQueries, FilterQueries, ExtQueries, FunctionQueries, JoinQueries, LinkageQueries, GeoQueries, MergeQueries, RetrievalQueries, SortSetQueries, SourceQueries, StatQueries, TpchQueries, WindowQueries)
+    AggQueries, AnnotationQueries, EventQueries, FilterQueries, ExtQueries, FunctionQueries, JoinQueries, LinkageQueries, GeoQueries, MergeQueries, RetrievalQueries, SortSetQueries, SourceQueries, StatQueries, TpchQueries, WindowQueries)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

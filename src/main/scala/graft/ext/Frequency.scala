@@ -887,6 +887,58 @@ object Frequency {
                 END""").as("kappa_bp"))
   }
 
+  /** Fleiss' kappa (Fleiss 1971) — multi-annotator chance-corrected
+    * agreement over `(item, label)` ratings with a FIXED panel size:
+    * the readout an annotation pipeline reports when k raters label
+    * the same items ([[cohenKappa]] is the 2-rater special case, but
+    * Fleiss admits ANY assignment of raters to items). Items that did
+    * not receive exactly `raters` ratings are dropped (the classic
+    * complete-case requirement — a partial panel has no defined P_i).
+    *
+    * With n_ij = ratings of item i in category j, N kept items,
+    * T = N·raters, A = Σ n_ij², C_j = Σ_i n_ij:
+    *   P̄  = (A − T) ∕ (T(raters−1)),   P̄e = Σ C_j² ∕ T²,
+    *   κ  = (P̄ − P̄e) ∕ (1 − P̄e)
+    *       = (T(A − T) − (raters−1)ΣC²) ∕ ((raters−1)(T² − ΣC²)).
+    * All-integer basis points via sign-before-division (`div` ≡ `//`
+    * across engines), products in decimal(38,0) — T² and T·A overflow
+    * int64 past ~10⁸ ratings. Null labels are their own category (the
+    * [[cohenKappa]] contract). Degenerate unanimity (one category
+    * everywhere → denominator 0) emits κ = 0.
+    *
+    * Scale shape: one fact scan into an (item, label) cell aggregate,
+    * one item-total rollup for the complete-case semi-join, then
+    * category-sized margins — no window, no collect, every aggregate
+    * map-side combinable. */
+  def fleissKappa(df: DataFrame, itemCol: String, labelCol: String,
+      raters: Int): DataFrame = {
+    require(raters >= 2, s"raters must be >= 2, got $raters")
+    val cells = df.groupBy(col(itemCol).as("i"), col(labelCol).as("j"))
+      .agg(count(lit(1)).as("c"))
+      .persistScoped // complete-case filter + margins + A all read this
+    val complete = cells.groupBy($"i").agg(sum($"c").as("t"))
+      .where($"t" === raters.toLong).select($"i")
+    val kept = cells.join(complete, Seq("i"), "left_semi").persistScoped
+    val base = kept.agg(
+      count_distinct($"i").as("n_items"),
+      coalesce(sum($"c" * $"c"), lit(0L)).as("sum_sq"))
+    val s2 = kept.groupBy($"j").agg(sum($"c").as("cj"))
+      .agg(coalesce(sum($"cj".cast("decimal(38,0)") * $"cj"),
+        lit(0L).cast("decimal(38,0)")).as("_s2"))
+    base.crossJoin(broadcast(s2))
+      .withColumn("_t", ($"n_items" * raters.toLong).cast("decimal(38,0)"))
+      .withColumn("_num",
+        $"_t" * ($"sum_sq" - $"_t") - lit((raters - 1).toLong) * $"_s2")
+      .withColumn("_den",
+        lit((raters - 1).toLong) * ($"_t" * $"_t" - $"_s2"))
+      .select($"n_items", lit(raters.toLong).as("n_raters"), $"sum_sq",
+        $"_s2".cast("long").as("s2_cat"),
+        expr("""CASE WHEN _den = 0 THEN CAST(0 AS BIGINT)
+                WHEN _num >= 0 THEN CAST((10000 * _num) div _den AS BIGINT)
+                ELSE CAST(-((10000 * (-_num)) div _den) AS BIGINT)
+                END""").as("kappa_bp"))
+  }
+
   def kmvJaccard(docs: DataFrame, textCol: String = "text",
       srcCol: String = "source", k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

@@ -1089,6 +1089,64 @@ object TextStats {
     * count (`length(bin(n))`, = ⌊log₂ n⌋+1 for n ≥ 1; empty docs take
     * bucket 0) — exact integer log-bucketing both engines spell
     * identically, no float log₂ anywhere. */
+  /** ROUGE-style clipped n-gram overlap for candidate∕reference text
+    * PAIRS (Lin 2004, "ROUGE: a package for automatic evaluation of
+    * summaries") — the eval-pipeline readout for generated-vs-gold
+    * text: for n ∈ {1, 2}, clipped overlap = Σ_gram min(count_cand,
+    * count_ref), precision = overlap ∕ |cand n-grams|, recall =
+    * overlap ∕ |ref n-grams|, F1 harmonic — all in integer basis
+    * points (counts are exact integers; `div` ≡ `//`, every operand
+    * non-negative, so no float and no sign split anywhere).
+    *
+    * Output: one row per (pair, n): `(pair_id, n, cand_ngrams,
+    * ref_ngrams, overlap, prec_bp, rec_bp, f1_bp)`; a side with zero
+    * n-grams scores 0 by convention.
+    *
+    * Scale shape: per-pair token work only — explode → one
+    * map-side-combinable gram count per side, one equi-join on
+    * (pair, n, gram) for the clipped sum (grams absent from either
+    * side contribute 0, so the join is INNER), totals read off array
+    * sizes. No global state, no window, no collect: 100 TB of pairs
+    * shard by pair_id. */
+  def rougeOverlap(pairs: DataFrame, pairIdCol: String = "pair_id",
+      candCol: String = "cand", refCol: String = "ref"): DataFrame = {
+    def uni(c: Column): Column = filter(tokens(c), w => w =!= "")
+    def bi(t: Column): Column =
+      when(size(t) >= 2,
+        zip_with(slice(t, lit(1), size(t) - 1), slice(t, lit(2), size(t) - 1),
+          (x, y) => concat(x, lit(" "), y)))
+        .otherwise(array().cast("array<string>"))
+    val base = pairs
+      .select(col(pairIdCol).cast("long").as("pid"),
+        uni(col(candCol)).as("c1"), uni(col(refCol)).as("r1"))
+      .select($"pid", $"c1", $"r1", bi($"c1").as("c2"), bi($"r1").as("r2"))
+      .persistScoped // read for both gram sides and the totals
+    def grams(col1: String, col2: String, cnt: String): DataFrame =
+      base.select($"pid", lit(1L).as("n"), explode(col(col1)).as("g"))
+        .unionByName(
+          base.select($"pid", lit(2L).as("n"), explode(col(col2)).as("g")))
+        .groupBy($"pid", $"n", $"g").agg(count(lit(1)).as(cnt))
+    val overlap = grams("c1", "c2", "ca")
+      .join(grams("r1", "r2", "cb"), Seq("pid", "n", "g"))
+      .groupBy($"pid", $"n").agg(sum(least($"ca", $"cb")).as("overlap"))
+    val totals = base.select($"pid", lit(1L).as("n"),
+        size($"c1").cast("long").as("cand_ngrams"),
+        size($"r1").cast("long").as("ref_ngrams"))
+      .unionByName(base.select($"pid", lit(2L).as("n"),
+        size($"c2").cast("long").as("cand_ngrams"),
+        size($"r2").cast("long").as("ref_ngrams")))
+    totals.join(overlap, Seq("pid", "n"), "left_outer")
+      .select($"pid".as("pair_id"), $"n", $"cand_ngrams", $"ref_ngrams",
+        coalesce($"overlap", lit(0L)).as("overlap"))
+      .withColumn("prec_bp", when($"cand_ngrams" > 0L,
+        expr("(10000 * overlap) div cand_ngrams")).otherwise(0L))
+      .withColumn("rec_bp", when($"ref_ngrams" > 0L,
+        expr("(10000 * overlap) div ref_ngrams")).otherwise(0L))
+      .withColumn("f1_bp", when($"prec_bp" + $"rec_bp" > 0L,
+        expr("(2 * prec_bp * rec_bp) div (prec_bp + rec_bp)"))
+        .otherwise(0L))
+  }
+
   def lengthProfile(docs: DataFrame, srcCol: String = "source",
       textCol: String = "text"): DataFrame = {
     val n = size(filter(tokens(col(textCol)), w => w =!= ""))
