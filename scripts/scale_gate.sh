@@ -37,7 +37,11 @@ ROUND="${1:?usage: scale_gate.sh <round> [topN] [artifact] [base] [extra]}"
 N="${2:-30}"
 ARTIFACT="${3:-BENCH_LOCAL.json}"
 BASE="${4:-/tmp/scale}"
-EXTRA="${5:-}"
+# default extras: queries worth gating that may not crack the
+# artifact's top-N — ext_ktruss (the r12 truss work's single-k probe)
+# and the r12 annotation/preference/eval family, whose first gate round
+# seeds the exp_diff baselines for r13+
+EXTRA="${5:-ext_ktruss,ext_fleiss_kappa,ext_kripp_alpha,ext_bradley_terry,ext_condorcet_cycles,ext_rouge_pairs}"
 
 # skew-sensitive set: hot-key join (j28), per-user sequence/window ops,
 # heavy hitters, hot-segment / hot-digest / hot-bucket dedup gates;

@@ -939,6 +939,67 @@ object Frequency {
                 END""").as("kappa_bp"))
   }
 
+  /** Krippendorff's alpha, nominal metric (Krippendorff 2011,
+    * "Computing Krippendorff's alpha-reliability") — the agreement
+    * coefficient for INCOMPLETE panels: where [[fleissKappa]] drops
+    * every item whose panel is short, alpha uses all items with ≥ 2
+    * ratings, weighting each by its own pairable-value count. With
+    * m_u ratings of item u (n_uj per category), n = Σ m_u,
+    * C_j = Σ_u n_uj:
+    *   D_o = (1∕n) Σ_u Σ_j n_uj(m_u − n_uj) ∕ (m_u − 1)
+    *   D_e = (n² − ΣC_j²) ∕ (n(n−1)),   α = 1 − D_o ∕ D_e
+    *       = 1 − S(n−1) ∕ (L(n² − ΣC²)),
+    * where L = lcm(1..maxRaters−1) clears every per-item denominator:
+    * S = Σ_rows c(m−c)·(L ∕ (m−1)) is an EXACT integer, so α lands in
+    * basis points with zero float anywhere — the per-ROW form matters
+    * at scale: S needs no per-item regrouping, it is one map-side
+    * combinable sum over the (item, label) cells. Items with m > maxRaters
+    * fail LOUDLY (they would need a larger L); the default 32 keeps
+    * L = lcm(1..31) within int64. All-one-category data has D_e = 0 →
+    * α emitted as 0 (undefined in the literature; 0 = "no better than
+    * chance" is the conservative readout). Truncating `div` ≡ flooring
+    * `//` because every operand of the division is non-negative. */
+  def krippendorffAlpha(df: DataFrame, itemCol: String, labelCol: String,
+      maxRaters: Int = 32): DataFrame = {
+    require(maxRaters >= 2 && maxRaters <= 41,
+      s"maxRaters must be in [2, 41] (lcm(1..40) is the int64 ceiling), " +
+        s"got $maxRaters")
+    val lcmL: Long = (2 until maxRaters)
+      .foldLeft(1L)((a, b) => a / BigInt(a).gcd(BigInt(b)).toLong * b)
+    val cells = df.groupBy(col(itemCol).as("i"), col(labelCol).as("j"))
+      .agg(count(lit(1)).as("c"))
+      .persistScoped // item totals, margins, and S all read this
+    val items = cells.groupBy($"i").agg(sum($"c").as("m")).persistScoped
+    val nOver = items.where($"m" > maxRaters.toLong).count()
+    require(nOver == 0L,
+      s"krippendorffAlpha: $nOver items carry more than $maxRaters " +
+        "ratings - raise maxRaters (L must clear every m-1)")
+    val kept = cells.join(items.where($"m" >= 2L), Seq("i"))
+    val sRow = kept.agg(coalesce(sum(
+      expr(s"CAST(c * (m - c) AS DECIMAL(38,0)) * ($lcmL div (m - 1))")),
+      lit(0L).cast("decimal(38,0)")).as("_s"))
+    val base = items.where($"m" >= 2L).agg(
+      count(lit(1)).as("n_items"),
+      coalesce(sum($"m"), lit(0L)).as("n_values"))
+    val s2 = kept.groupBy($"j").agg(sum($"c").as("cj"))
+      .agg(coalesce(sum($"cj".cast("decimal(38,0)") * $"cj"),
+        lit(0L).cast("decimal(38,0)")).as("_s2"))
+    base.crossJoin(broadcast(sRow)).crossJoin(broadcast(s2))
+      .withColumn("_n", $"n_values".cast("decimal(38,0)"))
+      .withColumn("_l", lit(lcmL).cast("decimal(38,0)"))
+      .withColumn("_den", $"_l" * ($"_n" * $"_n" - $"_s2"))
+      .select($"n_items", $"n_values",
+        // D_o in bp — the raw L-scaled sum S overflows int64 at corpus
+        // scale (L ~ 7e13), but D_o = S/(Ln) is a [0, 1] fraction
+        expr("""CASE WHEN _n = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((10000 * _s) div (_l * _n) AS BIGINT)
+                END""").as("do_bp"),
+        $"_s2".cast("long").as("s2_cat"),
+        expr("""CASE WHEN _den <= 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST(10000 - (10000 * _s * (_n - 1)) div _den AS BIGINT)
+                END""").as("alpha_bp"))
+  }
+
   def kmvJaccard(docs: DataFrame, textCol: String = "text",
       srcCol: String = "source", k: Int = 64): DataFrame = {
     require(k >= 2, s"k must be >= 2, got $k")

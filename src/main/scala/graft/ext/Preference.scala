@@ -108,4 +108,59 @@ object Preference {
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), schema)
   }
+
+  /** Condorcet-cycle audit — the TRANSITIVITY check a preference
+    * dataset (or the [[bradleyTerry]] model about to be fit on it)
+    * deserves: player a DOMINATES b when a won their head-to-head
+    * majority (w_ab > w_ba, strict; ties and splits are incomparable),
+    * and a triple a→b→c→a is a Condorcet cycle — preference data a
+    * single strength axis cannot represent. Reports, as one row:
+    * players, strict dominances, comparable triples (all three pairs
+    * decided), cycles, and the cycle share in basis points.
+    *
+    * Every cyclic triangle has exactly one rotation starting at its
+    * lexicographically-least node, so `a < b AND a < c` counts each
+    * cycle once; comparable triples are counted on the UNDIRECTED
+    * majority graph with `a < b < c`. Scale shape: reducing raw
+    * outcomes is the same map-side `groupBy(winner, loser)` as the BT
+    * fit; the triangle joins then run on the players²-bounded
+    * dominance matrix — this is an audit over a panel∕model roster,
+    * and the cubic triple enumeration is in ROSTER size only, never
+    * in outcome volume. Fully distributed: no collect anywhere. */
+  def condorcetCycles(outcomes: DataFrame, winnerCol: String = "winner",
+      loserCol: String = "loser"): DataFrame = {
+    val dw = outcomes
+      .groupBy(col(winnerCol).cast("string").as("i"),
+        col(loserCol).cast("string").as("j"))
+      .agg(count(lit(1)).as("w"))
+      .where($"i".isNotNull && $"j".isNotNull && $"i" =!= $"j")
+      .persistScoped
+    val dom = dw
+      .join(dw.select($"j".as("i"), $"i".as("j"), $"w".as("wr")),
+        Seq("i", "j"), "left_outer")
+      .where($"w" > coalesce($"wr", lit(0L)))
+      .select($"i".as("a"), $"j".as("b"))
+      .persistScoped // three legs of the triangle join + the edge count
+    val nPlayers = dw.select($"i").unionByName(dw.select($"j".as("i")))
+      .distinct().agg(count(lit(1)).as("n_players"))
+    val nDom = dom.agg(count(lit(1)).as("n_dominances"))
+    val cycles = dom
+      .join(dom.select($"a".as("b"), $"b".as("c")), Seq("b"))
+      .join(dom.select($"a".as("c"), $"b".as("x")), Seq("c"))
+      .where($"x" === $"a" && $"a" < $"b" && $"a" < $"c")
+      .agg(count(lit(1)).as("n_cycles"))
+    val und = dom.select(least($"a", $"b").as("a"), greatest($"a", $"b").as("b"))
+    val comparable = und
+      .join(und.select($"a".as("b"), $"b".as("c")), Seq("b"))
+      .join(und.select($"a", $"b".as("c")), Seq("a", "c"), "left_semi")
+      .where($"a" < $"b" && $"b" < $"c")
+      .agg(count(lit(1)).as("n_comparable_triples"))
+    nPlayers.crossJoin(broadcast(nDom)).crossJoin(broadcast(comparable))
+      .crossJoin(broadcast(cycles))
+      .select($"n_players", $"n_dominances", $"n_comparable_triples",
+        $"n_cycles",
+        expr("""CASE WHEN n_comparable_triples = 0 THEN CAST(0 AS BIGINT)
+                ELSE (10000 * n_cycles) div n_comparable_triples
+                END""").as("cycle_bp"))
+  }
 }

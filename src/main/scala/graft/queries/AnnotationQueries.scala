@@ -52,13 +52,55 @@ object AnnotationQueries extends QueryGroup {
       |   END)::BIGINT AS kappa_bp
       |FROM f""".stripMargin
 
-  /** ext_bradley_terry — nations as players: within each order, the
-    * nation with the larger supplier revenue (exact integer cents —
-    * double revenue sums would make win∕loss flip on summation order
-    * between engines) beats every other nation present; ties produce
-    * no game. [[Preference.bradleyTerry]] fits 10 MM iterations on the
-    * 25-player win matrix; the oracle unrolls the same 10 iterations. */
-  def bradleyTerryQ(spark: SparkSession, dir: String): DataFrame = {
+  /** ext_kripp_alpha — Krippendorff's nominal α over the SAME ratings
+    * as ext_fleiss_kappa but with NO complete-case requirement: every
+    * order with ≥ 2 lineitems contributes, weighted by its own panel
+    * size ([[Frequency.krippendorffAlpha]] — the incomplete-panel
+    * generalization; L = lcm(1..31) clears every per-item denominator
+    * so α is exact integer basis points). */
+  def krippAlphaQ(spark: SparkSession, dir: String): DataFrame =
+    Frequency.krippendorffAlpha(
+      load(spark, dir, "lineitem").select($"l_orderkey", $"l_returnflag"),
+      "l_orderkey", "l_returnflag", maxRaters = 32)
+
+  // lcm(1..31) — MUST match krippendorffAlpha(maxRaters = 32)'s internal
+  // constant; computed with the same fold so the oracle can't drift
+  private def lcm31: Long = (2 until 32)
+    .foldLeft(1L)((a, b) => a / BigInt(a).gcd(BigInt(b)).toLong * b)
+
+  private def krippAlphaSql =
+    s"""WITH cells AS MATERIALIZED (
+       |  SELECT l_orderkey AS i, l_returnflag AS j, count(*)::BIGINT AS c
+       |  FROM lineitem GROUP BY 1, 2),
+       |items AS MATERIALIZED (
+       |  SELECT i, sum(c)::BIGINT AS m FROM cells GROUP BY 1),
+       |kept AS MATERIALIZED (
+       |  SELECT c.i, c.j, c.c, it.m FROM cells c JOIN items it ON c.i = it.i
+       |  WHERE it.m >= 2),
+       |base AS (SELECT count(*)::BIGINT AS n_items,
+       |                coalesce(sum(m), 0)::BIGINT AS n_values
+       |         FROM items WHERE m >= 2),
+       |s AS (SELECT coalesce(sum((c * (m - c))::HUGEINT *
+       |               ($lcm31 // (m - 1))), 0)::HUGEINT AS s FROM kept),
+       |s2 AS (SELECT coalesce(sum(cj::HUGEINT * cj), 0)::HUGEINT AS s2
+       |       FROM (SELECT j, sum(c)::BIGINT AS cj FROM kept GROUP BY j)),
+       |f AS (SELECT n_items, n_values, s, s2, n_values::HUGEINT AS n,
+       |             $lcm31::HUGEINT *
+       |               (n_values::HUGEINT * n_values - s2) AS den
+       |      FROM base CROSS JOIN s CROSS JOIN s2)
+       |SELECT n_items, n_values,
+       |  (CASE WHEN n = 0 THEN 0
+       |   ELSE (10000 * s) // ($lcm31::HUGEINT * n) END)::BIGINT AS do_bp,
+       |  s2::BIGINT AS s2_cat,
+       |  (CASE WHEN den <= 0 THEN 0
+       |   ELSE 10000 - (10000 * s * (n - 1)) // den END)::BIGINT AS alpha_bp
+       |FROM f""".stripMargin
+
+  /** Shared duel derivation for the preference pair: within each
+    * order, nations duel on supplier revenue in EXACT integer cents
+    * (double sums would flip near-tie win∕loss between engines);
+    * ties produce no game. */
+  private def nationOutcomes(spark: SparkSession, dir: String): DataFrame = {
     val rev = load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_suppkey", $"l_extendedprice")
       .join(broadcast(load(spark, dir, "supplier")
@@ -69,16 +111,73 @@ object AnnotationQueries extends QueryGroup {
         $"s_nationkey" === $"n_nationkey")
       .groupBy($"l_orderkey", $"n_name")
       .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
-    val outcomes = rev.select($"l_orderkey", $"n_name".as("na"), $"cents".as("ca"))
+    rev.select($"l_orderkey", $"n_name".as("na"), $"cents".as("ca"))
       .join(rev.select($"l_orderkey", $"n_name".as("nb"), $"cents".as("cb")),
         Seq("l_orderkey"))
       .where($"na" < $"nb" && $"ca" =!= $"cb")
       .select(when($"ca" > $"cb", $"na").otherwise($"nb").as("winner"),
         when($"ca" > $"cb", $"nb").otherwise($"na").as("loser"))
-    Preference.bradleyTerry(outcomes, "winner", "loser", iters = 10)
+  }
+
+  /** ext_bradley_terry — nations as players over [[nationOutcomes]]
+    * duels. [[Preference.bradleyTerry]] fits 10 MM iterations on the
+    * 25-player win matrix; the oracle unrolls the same 10 iterations. */
+  def bradleyTerryQ(spark: SparkSession, dir: String): DataFrame =
+    Preference.bradleyTerry(nationOutcomes(spark, dir),
+        "winner", "loser", iters = 10)
       .withColumnRenamed("player", "n_name")
       .orderBy($"rnk")
-  }
+
+  /** ext_condorcet_cycles — transitivity audit of the same duel data:
+    * strict majority dominances, comparable triples, Condorcet cycles
+    * and the cycle share ([[Preference.condorcetCycles]]). */
+  def condorcetQ(spark: SparkSession, dir: String): DataFrame =
+    Preference.condorcetCycles(nationOutcomes(spark, dir))
+
+  // shared oracle prefix: duels -> directed win matrix (def, not val —
+  // object-init order would interpolate "null" into dependent SQL)
+  private def duelSqlPrefix =
+    """rev AS MATERIALIZED (
+      |  SELECT l_orderkey AS ok, n_name AS nm,
+      |         sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
+      |  FROM lineitem
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  GROUP BY 1, 2),
+      |outc AS MATERIALIZED (
+      |  SELECT CASE WHEN a.cents > b.cents THEN a.nm ELSE b.nm END AS w,
+      |         CASE WHEN a.cents > b.cents THEN b.nm ELSE a.nm END AS l
+      |  FROM rev a JOIN rev b ON a.ok = b.ok AND a.nm < b.nm
+      |  WHERE a.cents <> b.cents),
+      |dw AS MATERIALIZED (
+      |  SELECT w AS i, l AS j, count(*)::BIGINT AS wd FROM outc
+      |  GROUP BY 1, 2)""".stripMargin
+
+  private def condorcetSql =
+    s"""WITH $duelSqlPrefix,
+       |dom AS MATERIALIZED (
+       |  SELECT d.i AS a, d.j AS b FROM dw d
+       |  LEFT JOIN dw r ON r.i = d.j AND r.j = d.i
+       |  WHERE d.wd > coalesce(r.wd, 0)),
+       |np2 AS (SELECT count(DISTINCT x)::BIGINT AS n_players FROM (
+       |          SELECT i AS x FROM dw UNION ALL SELECT j AS x FROM dw)),
+       |nd AS (SELECT count(*)::BIGINT AS n_dominances FROM dom),
+       |cyc AS (SELECT count(*)::BIGINT AS n_cycles
+       |        FROM dom e1
+       |        JOIN dom e2 ON e2.a = e1.b
+       |        JOIN dom e3 ON e3.a = e2.b AND e3.b = e1.a
+       |        WHERE e1.a < e1.b AND e1.a < e2.b),
+       |und AS MATERIALIZED (
+       |  SELECT least(a, b) AS a, greatest(a, b) AS b FROM dom),
+       |cmp AS (SELECT count(*)::BIGINT AS n_comparable_triples
+       |        FROM und u1
+       |        JOIN und u2 ON u2.a = u1.b
+       |        JOIN und u3 ON u3.a = u1.a AND u3.b = u2.b)
+       |SELECT n_players, n_dominances, n_comparable_triples, n_cycles,
+       |  (CASE WHEN n_comparable_triples = 0 THEN 0
+       |   ELSE (10000 * n_cycles) // n_comparable_triples
+       |   END)::BIGINT AS cycle_bp
+       |FROM np2 CROSS JOIN nd CROSS JOIN cmp CROSS JOIN cyc""".stripMargin
 
   private def btRound(i: Int): String = {
     val prev = s"p${i - 1}"
@@ -94,21 +193,7 @@ object AnnotationQueries extends QueryGroup {
   }
 
   private def bradleyTerrySql =
-    s"""WITH rev AS MATERIALIZED (
-       |  SELECT l_orderkey AS ok, n_name AS nm,
-       |         sum(round(l_extendedprice * 100)::BIGINT)::BIGINT AS cents
-       |  FROM lineitem
-       |  JOIN supplier ON l_suppkey = s_suppkey
-       |  JOIN nation ON s_nationkey = n_nationkey
-       |  GROUP BY 1, 2),
-       |outc AS MATERIALIZED (
-       |  SELECT CASE WHEN a.cents > b.cents THEN a.nm ELSE b.nm END AS w,
-       |         CASE WHEN a.cents > b.cents THEN b.nm ELSE a.nm END AS l
-       |  FROM rev a JOIN rev b ON a.ok = b.ok AND a.nm < b.nm
-       |  WHERE a.cents <> b.cents),
-       |dw AS MATERIALIZED (
-       |  SELECT w AS i, l AS j, count(*)::BIGINT AS wd FROM outc
-       |  GROUP BY 1, 2),
+    s"""WITH $duelSqlPrefix,
        |np AS MATERIALIZED (
        |  SELECT i, j, sum(wd)::BIGINT AS n FROM (
        |    SELECT i, j, wd FROM dw
@@ -193,6 +278,8 @@ object AnnotationQueries extends QueryGroup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("ext_fleiss_kappa", fleissKappaQ, Some(fleissKappaSql)),
+    QueryDef("ext_kripp_alpha", krippAlphaQ, Some(krippAlphaSql)),
     QueryDef("ext_bradley_terry", bradleyTerryQ, Some(bradleyTerrySql)),
+    QueryDef("ext_condorcet_cycles", condorcetQ, Some(condorcetSql)),
     QueryDef("ext_rouge_pairs", rougePairsQ, Some(rougePairsSql)))
 }

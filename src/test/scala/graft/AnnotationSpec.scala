@@ -40,6 +40,61 @@ class AnnotationSpec extends SparkSpec {
     assert(row.getAs[Long]("kappa_bp") === 0L)
   }
 
+  test("krippendorffAlpha: worked incomplete-panel example — the items " +
+      "fleissKappa would drop still count, singletons don't") {
+    // u1: A,A (m=2)  u2: A,B (m=2)  u3: B,B,B (m=3)  u4: A (m=1 DROPPED)
+    // n=7, C=(3,4) S2=25
+    // D_o = (1/7)(0 + 2 + 0) = 2/7 -> do_bp floor = 2857
+    // D_e = (49-25)/42 = 4/7 ; alpha = 1 - (2/7)/(4/7) = 0.5 -> 5000 bp
+    val df = Seq(
+      (1L, "A"), (1L, "A"),
+      (2L, "A"), (2L, "B"),
+      (3L, "B"), (3L, "B"), (3L, "B"),
+      (4L, "A")).toDF("item", "label")
+    val row = Frequency.krippendorffAlpha(df, "item", "label").collect().head
+    assert(row.getAs[Long]("n_items") === 3L)
+    assert(row.getAs[Long]("n_values") === 7L)
+    assert(row.getAs[Long]("do_bp") === 2857L)
+    assert(row.getAs[Long]("s2_cat") === 25L)
+    assert(row.getAs[Long]("alpha_bp") === 5000L)
+  }
+
+  test("krippendorffAlpha: unanimity degenerates to 0; an over-wide " +
+      "panel fails the maxRaters gate loudly") {
+    val uni = Seq((1L, "A"), (1L, "A"), (2L, "A"), (2L, "A"))
+      .toDF("item", "label")
+    assert(Frequency.krippendorffAlpha(uni, "item", "label")
+      .collect().head.getAs[Long]("alpha_bp") === 0L)
+    val wide = Seq.fill(33)((1L, "A")).toDF("item", "label")
+    val e = intercept[IllegalArgumentException] {
+      Frequency.krippendorffAlpha(wide, "item", "label")
+    }
+    assert(e.getMessage.contains("maxRaters"))
+  }
+
+  test("condorcetCycles: a planted 3-cycle counts once; the transitive " +
+      "triple and the tied pair count zero") {
+    // A>B (2-1), B>C, C>A  -> cycle; A>D; B-D, C-D never met
+    val cyc = Seq(("A", "B"), ("A", "B"), ("B", "A"), ("B", "C"),
+      ("C", "A"), ("A", "D")).toDF("winner", "loser")
+    val r1 = Preference.condorcetCycles(cyc).collect().head
+    assert(r1.getAs[Long]("n_players") === 4L)
+    assert(r1.getAs[Long]("n_dominances") === 4L)
+    assert(r1.getAs[Long]("n_comparable_triples") === 1L)
+    assert(r1.getAs[Long]("n_cycles") === 1L)
+    assert(r1.getAs[Long]("cycle_bp") === 10000L)
+    // transitive: A>B, B>C, A>C -> comparable 1, cycles 0
+    val tr = Seq(("A", "B"), ("B", "C"), ("A", "C")).toDF("winner", "loser")
+    val r2 = Preference.condorcetCycles(tr).collect().head
+    assert(r2.getAs[Long]("n_comparable_triples") === 1L)
+    assert(r2.getAs[Long]("n_cycles") === 0L)
+    assert(r2.getAs[Long]("cycle_bp") === 0L)
+    // a 1-1 split is incomparable: zero dominances
+    val tie = Seq(("A", "B"), ("B", "A")).toDF("winner", "loser")
+    assert(Preference.condorcetCycles(tie).collect().head
+      .getAs[Long]("n_dominances") === 0L)
+  }
+
   test("bradleyTerry: 3-1 head-to-head fixes strengths at the exact " +
       "3:1 ratio (MM fixpoint reached from p = 1)") {
     // W_A=3, W_B=1, n=4: p_A <- 3(p_A+p_B)/4, p_B <- (p_A+p_B)/4 —
