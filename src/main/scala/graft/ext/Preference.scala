@@ -43,16 +43,29 @@ object Preference {
     * so the readout is engine-stable. */
   def bradleyTerry(outcomes: DataFrame, winnerCol: String = "winner",
       loserCol: String = "loser", iters: Int = 10,
+      maxPlayers: Int = 1024): DataFrame =
+    bradleyTerryFromMatrix(
+      outcomes.groupBy(col(winnerCol).as("i"), col(loserCol).as("j"))
+        .agg(count(lit(1)).as("w")),
+      iters = iters, maxPlayers = maxPlayers)
+
+  /** The fit half of [[bradleyTerry]], over an ALREADY-REDUCED directed
+    * win matrix `(winner, loser, wins)` — the entry point for
+    * incrementally-maintained matrices (the streaming preference sink
+    * keeps one as a running-aggregate table; a warehouse job may keep
+    * one per day and fit on demand). Re-aggregates per ordered pair on
+    * the way in, so unioned partial matrices are fine. */
+  def bradleyTerryFromMatrix(matrix: DataFrame, winnerCol: String = "i",
+      loserCol: String = "j", winsCol: String = "w", iters: Int = 10,
       maxPlayers: Int = 1024): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val spark = outcomes.sparkSession
+    val spark = matrix.sparkSession
 
-    // distributed half: raw outcomes -> directed win matrix
-    val dw = outcomes
+    val dw = matrix
       .groupBy(col(winnerCol).cast("string").as("i"),
         col(loserCol).cast("string").as("j"))
-      .agg(count(lit(1)).as("w"))
-      .where($"i".isNotNull && $"j".isNotNull && $"i" =!= $"j")
+      .agg(sum(col(winsCol).cast("long")).as("w"))
+      .where($"i".isNotNull && $"j".isNotNull && $"i" =!= $"j" && $"w" > 0L)
       .persistScoped
     val nPlayers = dw.select($"i").unionByName(dw.select($"j".as("i")))
       .distinct().count()

@@ -800,6 +800,34 @@ object StreamingIngest {
         ()
       }
 
+  /** Streaming preference leaderboard, write half: maintain the
+    * DIRECTED win matrix from a stream of `(winner, loser)` outcomes —
+    * [[runningAggSink]]'s additive-monoid skeleton with keys =
+    * (winner, loser), so per-trigger cost is O(batch + matrix) however
+    * much preference history the stream has seen, and the exactly-once
+    * machinery (atomic swap, `_graft_batch` replay marker scoped by
+    * `_graft_query` lineage) is INHERITED, not re-implemented. The
+    * matrix row count is players²-bounded — the same bound the
+    * Bradley–Terry fit relies on — so the merge side stays tiny while
+    * outcome volume grows without limit. */
+  def preferenceSink(outcomes: DataFrame, targetPath: String,
+      checkpoint: String): DataStreamWriter[org.apache.spark.sql.Row] =
+    runningAggSink(
+      outcomes.select(col("winner"), col("loser"), lit(1L).as("_one")),
+      targetPath, Seq("winner", "loser"), "_one", checkpoint)
+
+  /** Read half: fit Bradley–Terry strengths off the maintained matrix
+    * on demand ([[graft.ext.Preference.bradleyTerryFromMatrix]] — the
+    * `n` count column IS the win count). Readout cost is matrix-sized,
+    * independent of stream history. */
+  def preferenceLeaderboard(spark: SparkSession, targetPath: String,
+      iters: Int = 10, maxPlayers: Int = 1024): DataFrame =
+    graft.ext.Preference.bradleyTerryFromMatrix(
+      spark.read.parquet(targetPath)
+        .select(col("winner"), col("loser"), col("n")),
+      winnerCol = "winner", loserCol = "loser", winsCol = "n",
+      iters = iters, maxPlayers = maxPlayers)
+
   /** Streaming twin of [[graft.ext.TextStats.filterCorpus]] — the
     * incremental shape of corpus curation at 100 TB: new documents land
     * continuously and each is scored ONCE, routed to the kept corpus or

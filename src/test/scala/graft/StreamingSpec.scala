@@ -269,6 +269,38 @@ class StreamingSpec extends SparkSpec {
     assert(byQty(6L) === None)       // null key
   }
 
+  test("preferenceSink: win matrix maintained across micro-batches; " +
+      "the leaderboard equals the one-shot batch Bradley-Terry fit") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val outcomes = Seq(
+      ("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"),
+      ("A", "C"), ("A", "C"), ("C", "B"), ("B", "C"))
+      .toDF("winner", "loser")
+    val landing = tmpDir("graft-pref-landing")
+    // several part files + 1 file per trigger -> several micro-batches,
+    // so the ADDITIVE matrix merge is what's under test
+    outcomes.repartition(4).write.mode("overwrite").parquet(landing)
+    val schema = spark.read.parquet(landing).schema
+    val stream = StreamingIngest.landingStream(spark, landing, schema,
+      maxFilesPerTrigger = 1)
+    val target = tmpDir("graft-pref-target") + "/matrix"
+    val q = StreamingIngest.preferenceSink(stream, target,
+      tmpDir("graft-pref-ckpt")).start()
+    try q.awaitTermination() finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4))).sortBy(_._1)
+    val got = rows(StreamingIngest.preferenceLeaderboard(spark, target))
+    val want = rows(graft.ext.Preference.bradleyTerry(outcomes))
+    assert(got === want && got.length === 3)
+    // the maintained matrix itself is the exact directed win count
+    val m = spark.read.parquet(target)
+      .select($"winner", $"loser", $"n").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(m === Map(("A", "B") -> 3L, ("B", "A") -> 1L,
+      ("A", "C") -> 2L, ("C", "B") -> 1L, ("B", "C") -> 1L))
+  }
+
   test("runningAggSink: multi-batch additive maintenance equals the batch aggregate") {
     val ev = Tables.load(spark, sfDir, "events")
     val landing = tmpDir("graft-landing-ragg")
