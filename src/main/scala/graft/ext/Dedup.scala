@@ -690,15 +690,35 @@ object Dedup {
     val prefixes = docToks.join(tokFreq, Seq("tok"))
       .withColumn("rn", row_number().over(w))
       .where($"rn" <= $"n_toks" - ceil($"n_toks" * threshold) + 1)
-      .select($"doc_id", $"lang", $"n_toks", $"tok")
+      .select($"doc_id", $"lang", $"n_toks", $"tok", $"rn")
       .persistScoped
-    val cands = prefixes.toDF("id_a", "lang", "n_a", "tok")
-      .join(prefixes.toDF("id_b", "lang", "n_b", "tok"), Seq("lang", "tok"))
+    // POSITIONAL filter (the PPJoin tightening of the prefix filter,
+    // Xiao et al. WWW'08 §3.2): for the FIRST token two docs share in
+    // the global (freq, tok) order, every other common token sits at a
+    // LATER position in both lists, so |a∩b| ≤ 1 + min(n_a−p_a, n_b−p_b)
+    // — and the first common token of a qualifying pair is provably
+    // inside both prefixes (a later first-common contradicts
+    // o ≥ ⌈t·n⌉), so keeping every join row whose positional bound
+    // still admits the threshold keeps a SUPERSET of the qualifying
+    // pairs: answer-identical, candidates collapse. Measured at the
+    // 10× Heaps corpus: 14.1M → see ROUND_NOTES r12 (the verify stage
+    // was 4,270× over-generated against 3,310 true pairs). The test is
+    // pure long arithmetic in the verify's own floorQ4 semantics
+    // (10⁴·bound ≥ tq4·(n_a+n_b−bound), monotone in overlap — no float
+    // edge can prune a borderline pair the verify would keep).
+    val tq4 = math.floor(threshold * 10000).toLong
+    val posBound = lit(1L) +
+      least($"n_a" - $"rn_a", $"n_b" - $"rn_b").cast("long")
+    val cands = prefixes.toDF("id_a", "lang", "n_a", "tok", "rn_a")
+      .join(prefixes.toDF("id_b", "lang", "n_b", "tok", "rn_b"),
+        Seq("lang", "tok"))
       .where($"id_a" < $"id_b")
       // lossless size prefilter: |a∩b| ≤ min ⇒ j ≤ min/max, so pairs with
       // min/max < threshold can't pass — skip the intersect entirely
       .where(least($"n_a", $"n_b").cast("double") /
         greatest($"n_a", $"n_b") >= threshold)
+      .where(lit(10000L) * posBound >=
+        lit(tq4) * ($"n_a" + $"n_b" - posBound))
       .select($"id_a", $"id_b", $"lang").distinct()
       // persisted: candidates are the narrow waist of the operator (3 small
       // columns). Callers routinely re-evaluate the returned frame — a

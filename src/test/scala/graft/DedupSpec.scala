@@ -30,6 +30,41 @@ class DedupSpec extends SparkSpec {
     assert(out === Set((1L, 2L), (1L, 5L)))
   }
 
+  test("positional (PPJoin) candidate filter is answer-invariant: " +
+      "randomized corpora equal the in-JVM quadratic all-pairs form") {
+    // the r12 positional filter prunes join rows by the first-common-
+    // token bound; a wrong inequality direction or an off-by-one in the
+    // position loses borderline pairs ONLY on adversarial shapes —
+    // random perturbed near-dups at two thresholds sweep those.
+    val vocab = (0 until 40).map(i => s"w$i")
+    for (seed <- Seq(7, 23); t <- Seq(0.5, 0.8)) {
+      val rnd = new scala.util.Random(seed)
+      val docs = (0 until 48).map { id =>
+        val base = rnd.shuffle(vocab).take(6 + rnd.nextInt(10))
+        val mutated = base.map(w =>
+          if (rnd.nextDouble() < 0.15) vocab(rnd.nextInt(vocab.size)) else w)
+        (id.toLong, if (id % 11 == 0) "fr" else "en", mutated.mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "lang", "text")
+      val got = Dedup.ngramJaccard(df, t)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+        .toSet
+      // independent quadratic reference: distinct token sets, same
+      // floorQ4 threshold semantics
+      val sets = docs.map { case (id, lang, text) =>
+        (id, lang, text.split("\\s+").filter(_.nonEmpty).toSet)
+      }
+      val tq4 = math.floor(t * 10000).toLong
+      val want = (for {
+        (ia, la, sa) <- sets; (ib, lb, sb) <- sets
+        if ia < ib && la == lb
+        o = (sa & sb).size; u = (sa | sb).size
+        if u > 0 && (10000L * o) / u >= tq4
+      } yield (ia, ib)).toSet
+      assert(got === want, s"seed=$seed t=$t")
+    }
+  }
+
   test("ngramJaccard df cap: near-universal tokens leave every SET, " +
       "capped Jaccard is deterministic and oracle-shaped") {
     // "common" sits in 5 of 6 docs; with maxDf=4 it leaves every token
