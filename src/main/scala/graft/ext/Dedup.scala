@@ -308,33 +308,36 @@ object Dedup {
     *    round — a `persist` alone leaves every driver-side plan walk
     *    (analysis, optimization, AQE plan-string rendering)
     *    superlinear in rounds.
-    *  - the rebuild (`createDataFrame(ck.rdd, schema)`) discards the
+    *  - the rebuild (GraftSqlShim.measuredBarrier) REPLACES the
     *    ORIGIN STATS that `localCheckpoint` copies onto its
-    *    `LogicalRDD` leaf. Catalyst's size-only join estimate is
+    *    `LogicalRDD` leaf with the checkpoint's measured block size.
+    *    Catalyst's size-only join estimate is
     *    `size(left) · size(right)`, so with stats carried across
     *    rounds `sizeInBytes` DOUBLES IN BIT-LENGTH every round —
     *    measured: 11 bits → 19,858 bits in 12 rounds — and by ~30
     *    joins the driver sits for minutes inside
     *    `BigInteger.multiply` under `SizeInBytesOnlyStatsPlanVisitor`
     *    (this wedged a full sf0.1 benchmark run). With the rebuild
-    *    every round re-plans from a plain leaf (63 bits, constant).
+    *    every round re-plans from a measured constant-bit-length
+    *    leaf, and a genuinely small frame (frontier, score vector,
+    *    contracted edges) gets to BROADCAST instead of forcing a
+    *    full shuffle of the big side every round.
     *
     * Superseded checkpoint blocks are freed by the ContextCleaner once
     * unreferenced — no session-lifetime cache leak. On a real cluster
     * prefer `spark.sparkContext.setCheckpointDir` + `checkpoint()` for
     * executor-loss tolerance; the algorithm is unchanged. */
   /** Iterative-loop barrier: eagerly materialize `df` via
-    * `localCheckpoint`, then rebuild the frame from the checkpointed
-    * RDD so the returned leaf carries FRESH default statistics instead
-    * of the origin stats `localCheckpoint` copies over. See
-    * [[resolveComponents]]'s doc for why carrying stats across rounds
-    * of a join loop is an exponential-bit-length driver hazard. The
-    * Row round-trip this adds is per-label-row (two longs here) —
-    * noise next to the joins it guards. */
-  private def loopBarrier(df: DataFrame): DataFrame = {
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
-  }
+    * `localCheckpoint`, with the leaf's statistics REPLACED by the
+    * checkpoint's measured block sizes (see
+    * [[resolveComponents]]'s doc for why carrying derived stats across
+    * rounds of a join loop is an exponential-bit-length driver hazard,
+    * and GraftSqlShim.measuredBarrier for the measured-stats /
+    * no-Row-round-trip details). */
+  private def loopBarrier(df: DataFrame): DataFrame =
+    // eager checkpoint + measured-stats leaf — see
+    // GraftSqlShim.measuredBarrier
+    org.apache.spark.sql.GraftSqlShim.measuredBarrier(df)
 
   /** When the (contracted) edge list is at or under this many rows, the
     * loop finishes with one bounded driver-side union-find instead of

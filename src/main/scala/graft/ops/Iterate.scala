@@ -24,7 +24,8 @@ private[graft] object Iterate {
 
   def loopBarrier(df: DataFrame): DataFrame = {
     barrierCount.incrementAndGet()
-    val ck = df.localCheckpoint(true)
-    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+    // eager checkpoint + measured-stats leaf (no external-Row round
+    // trip, no default-stats pessimism) — see GraftSqlShim.measuredBarrier
+    org.apache.spark.sql.GraftSqlShim.measuredBarrier(df)
   }
 }
