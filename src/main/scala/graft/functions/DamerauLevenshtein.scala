@@ -31,8 +31,24 @@ import org.apache.spark.unsafe.types.UTF8String
 object DamerauLevenshteinKernel {
 
   def distance(aU: UTF8String, bU: UTF8String): Int = {
-    val a = aU.toString
-    val b = bU.toString
+    val a0 = aU.toString
+    val b0 = bU.toString
+    // Trim the common prefix and suffix before the O(l1·l2) DP — exact
+    // for the unrestricted DL metric (edits on the differing core never
+    // profit from touching matched affixes; pinned exhaustively against
+    // the untrimmed DP in DamerauLevenshteinSpec). Blocked match-join
+    // keys share long constant prefixes ("Customer#0000…"), so this
+    // shrinks the DP from |name|² to |differing core|² (r12
+    // optimization, guide §1.2 per-task work).
+    var pre = 0
+    val maxPre = math.min(a0.length, b0.length)
+    while (pre < maxPre && a0.charAt(pre) == b0.charAt(pre)) pre += 1
+    var sufA = a0.length
+    var sufB = b0.length
+    while (sufA > pre && sufB > pre &&
+        a0.charAt(sufA - 1) == b0.charAt(sufB - 1)) { sufA -= 1; sufB -= 1 }
+    val a = a0.substring(pre, sufA)
+    val b = b0.substring(pre, sufB)
     val l1 = a.length
     val l2 = b.length
     if (l1 == 0) return l2

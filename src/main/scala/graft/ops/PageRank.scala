@@ -33,7 +33,13 @@ object PageRank {
     import spark.implicits._
 
     val e = edges.select($"src", $"dst")
-    val deg = e.groupBy($"src").agg(count(lit(1)).as("out_deg"))
+    // out-degree is LOOP-INVARIANT: merge it onto the edge list ONCE
+    // (guide §2.4 — two operations keyed the same way share one
+    // exchange) instead of re-joining ranks⋈deg⋈edges every round.
+    // Per round this drops one node-scale⋈edge-scale join; the merged
+    // list is the same width class (src, dst, out_deg).
+    val eDeg = e.join(
+        e.groupBy($"src").agg(count(lit(1)).as("out_deg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ids = nodes.select($"id").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -48,8 +54,7 @@ object PageRank {
     var prev: DataFrame = null
     for (_ <- 1 to iterations) {
       val contribs = ranks
-        .join(deg, ranks("id") === deg("src"))
-        .join(e, "src")
+        .join(eDeg, ranks("id") === eDeg("src"))
         .select($"dst", expr("r div out_deg").as("c"))
         .groupBy($"dst").agg(sum($"c").as("s"))
       val next = ids
@@ -63,7 +68,7 @@ object PageRank {
       ranks = next
     }
     if (prev != null) prev.unpersist()
-    deg.unpersist()
+    eDeg.unpersist()
     val out = ranks.select($"id", $"r".as("rank"))
     ids.unpersist()
     out

@@ -43,10 +43,12 @@ object PersonalizedPageRank {
     import spark.implicits._
 
     // read every iteration — persist so an expensive upstream (the
-    // near-dup self-join) materializes once instead of once per round
+    // near-dup self-join) materializes once instead of once per round.
+    // The out-weight total is LOOP-INVARIANT: merged onto the edge list
+    // ONCE (guide §2.4) instead of re-joining live⋈wtot⋈edges per round.
     val e = edges.select($"src", $"dst", $"w").where($"w" > 0)
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val wtot = e.groupBy($"src").agg(sum($"w").as("wtot"))
+    val eW = e.join(
+        e.groupBy($"src").agg(sum($"w").as("wtot")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val s = seeds.select(seeds.columns.head).toDF("id").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -62,8 +64,7 @@ object PersonalizedPageRank {
     for (_ <- 1 to iterations) {
       val live = ranks.where($"r" > 0)
       val contribs = live
-        .join(wtot, live("id") === wtot("src"))
-        .join(e, "src")
+        .join(eW, live("id") === eW("src"))
         .select($"dst", expr("(r * w) div wtot").as("c"))
         .groupBy($"dst").agg(sum($"c").as("cs"))
       val next = contribs.select($"dst".as("id"), $"cs")
@@ -79,8 +80,7 @@ object PersonalizedPageRank {
       ranks = next
     }
     if (prev != null) prev.unpersist()
-    wtot.unpersist()
-    e.unpersist()
+    eW.unpersist()
     val out = ranks.select($"id", $"r".as("rank"))
     s.unpersist()
     out

@@ -111,12 +111,27 @@ object AnnotationQueries extends QueryGroup {
         $"s_nationkey" === $"n_nationkey")
       .groupBy($"l_orderkey", $"n_name")
       .agg(sum(round($"l_extendedprice" * 100).cast("long")).as("cents"))
-    rev.select($"l_orderkey", $"n_name".as("na"), $"cents".as("ca"))
-      .join(rev.select($"l_orderkey", $"n_name".as("nb"), $"cents".as("cb")),
-        Seq("l_orderkey"))
-      .where($"na" < $"nb" && $"ca" =!= $"cb")
-      .select(when($"ca" > $"cb", $"na").otherwise($"nb").as("winner"),
-        when($"ca" > $"cb", $"nb").otherwise($"na").as("loser"))
+    // Pair generation WITHOUT the rev⋈rev self-join (which recomputed
+    // the unpersisted aggregate twice and re-shuffled both copies by
+    // l_orderkey): ONE more aggregate collects each order's ≤ 25-entry
+    // (nation, cents) list, and the i<j pairs explode in-row — bounded
+    // by nations-per-order at every scale, no orderkey shuffle of two
+    // aggregate copies. Each unordered pair appears exactly once
+    // (list order is irrelevant: i<j enumerates every 2-subset), the
+    // winner is cents-determined, ties drop — row-identical to the
+    // self-join formulation (guide §2.4/§3.3: remove the shuffle, and
+    // never explode BEFORE deciding).
+    rev.groupBy($"l_orderkey")
+      .agg(collect_list(struct($"n_name", $"cents")).as("ns"))
+      .select(explode(expr(
+        """flatten(transform(ns, (x, i) ->
+          |  transform(slice(ns, i + 2, size(ns) - i - 1), y ->
+          |    struct(x.n_name AS na, x.cents AS ca,
+          |           y.n_name AS nb, y.cents AS cb))))""".stripMargin))
+        .as("p"))
+      .where($"p.ca" =!= $"p.cb")
+      .select(when($"p.ca" > $"p.cb", $"p.na").otherwise($"p.nb").as("winner"),
+        when($"p.ca" > $"p.cb", $"p.nb").otherwise($"p.na").as("loser"))
   }
 
   /** ext_bradley_terry — nations as players over [[nationOutcomes]]

@@ -99,6 +99,59 @@ class DamerauLevenshteinSpec extends SparkSpec {
     }
   }
 
+  /** The UNTRIMMED Lowrance–Wagner DP, verbatim as the kernel computed
+    * it before the common-affix trim (r12 optimization) — the trimmed
+    * kernel must be value-identical to it everywhere. This reference is
+    * itself pinned against the BFS shortest-edit-sequence oracle by the
+    * randomized test above (the kernel and this DP were one function
+    * when that test was written). */
+  private def refDpUntrimmed(a: String, b: String): Int = {
+    val l1 = a.length
+    val l2 = b.length
+    if (l1 == 0) return l2
+    if (l2 == 0) return l1
+    val inf = l1 + l2
+    val d = Array.ofDim[Int](l1 + 2, l2 + 2)
+    d(0)(0) = inf
+    for (i <- 0 to l1) { d(i + 1)(0) = inf; d(i + 1)(1) = i }
+    for (j <- 0 to l2) { d(0)(j + 1) = inf; d(1)(j + 1) = j }
+    val da = mutable.Map.empty[Char, Int].withDefaultValue(0)
+    for (i <- 1 to l1) {
+      var db = 0
+      for (j <- 1 to l2) {
+        val k = da(b.charAt(j - 1))
+        val l = db
+        val cost = if (a.charAt(i - 1) == b.charAt(j - 1)) { db = j; 0 } else 1
+        d(i + 1)(j + 1) = Seq(
+          d(i)(j) + cost, d(i + 1)(j) + 1, d(i)(j + 1) + 1,
+          d(k)(l) + (i - k - 1) + 1 + (j - l - 1)).min
+      }
+      da(a.charAt(i - 1)) = i
+    }
+    d(l1 + 1)(l2 + 1)
+  }
+
+  test("affix trimming is exact: exhaustive core strings under shared affixes") {
+    val alpha = Seq('a', 'b', 'c')
+    val cores: Seq[String] = (0 to 3).flatMap { n =>
+      (0 until math.pow(3, n).toInt).map { x =>
+        var (v, s) = (x, "")
+        (0 until n).foreach { _ => s += alpha(v % 3); v /= 3 }
+        s
+      }
+    }
+    // affixes chosen to stress the trim boundary: same chars as the
+    // cores (so a transposition COULD in principle cross into the
+    // trimmed region) plus a disjoint-alphabet control
+    val affixes = Seq(("", ""), ("a", ""), ("", "a"), ("ab", "ba"),
+      ("ba", "ab"), ("xy", ""), ("", "xy"), ("aa", "aa"))
+    for (ca <- cores; cb <- cores; (p, s) <- affixes) {
+      val (wa, wb) = (p + ca + s, p + cb + s)
+      assert(dl(wa, wb) == refDpUntrimmed(wa, wb),
+        s"'$wa' vs '$wb' (core '$ca'/'$cb', affix '$p'/'$s')")
+    }
+  }
+
   test("expression surface: Column API, SQL registration, null propagation") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
