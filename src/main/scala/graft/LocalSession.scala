@@ -33,8 +33,31 @@ object LocalSession {
       // custom SQL functions + the SimilarityPruning optimizer rule —
       // the same config-only install a cluster deployment would use
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Shuffle blocks and localCheckpoint spills go to spark.local.dir;
+      // the sandbox's /tmp sits on a shared virtual disk whose
+      // throttling stalls write-heavy stages for tens of seconds
+      // (measured: identical queries swinging 3 s ↔ 68 s with idle CPU
+      // — guide §7.4's "blocked on I/O" signature). Use the RAM-backed
+      // tmpfs when present, exactly as a cluster deploy points local
+      // dirs at fast node-local disks; override via SPARK_LOCAL_DIRS.
+      .config("spark.local.dir",
+        if (sys.env.contains("SPARK_LOCAL_DIRS")) sys.env("SPARK_LOCAL_DIRS")
+        else if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir", "/tmp"))
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
+      // ObjectHashAggregate (collect_list/collect_set/mode — every
+      // in-row pair-explode operator aggregates through it) falls back
+      // to SORT-BASED aggregation once a partition's hash map exceeds
+      // this many groups; the Spark default of 128 means any real
+      // grouping column (baskets, hubs, orders) sorts whole partitions
+      // instead of hash-aggregating them (measured: the assoc-rules
+      // basket collect at sf0.1 spent 13 task-CPU-seconds under the
+      // fallback). 64k groups of bounded small state is well inside
+      // executor memory at any scale; override via
+      // SPARK_GRAFT_OBJ_AGG_FALLBACK for memory-constrained deploys.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
       // Plan STRINGS are rendered per AQE stage materialization even with
       // the UI off; with literal-heavy expressions (inlined centroids /
       // hyperplanes) the default ~2 GiB cap let one render dominate a

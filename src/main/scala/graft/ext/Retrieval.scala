@@ -99,9 +99,17 @@ object Retrieval {
       .select(col(idCol).as("q_id"), explode(toks).as("term"))
       .where($"term" =!= "")
       .distinct()
-    val contrib = tf
-      .join(broadcast(qTerms), Seq("term"))
-      .where($"q_id" =!= $"n_id")
+    // Score each (term, doc) posting ONCE — the BM25 contribution is
+    // independent of which query retrieves it — and only THEN fan out
+    // to (q_id, doc) candidates (r12 optimization, guide §1.2/§2.3:
+    // the old order joined qTerms FIRST, so the idf/saturation floating
+    // math re-ran per matching QUERY — a query-fanout-sized multiplier
+    // on the hot math). The semi-join keeps the math to postings some
+    // query actually touches; quantized contributions are longs, so the
+    // per-(q, doc) sum is order-independent and the result identical.
+    val scoredTf = tf
+      .join(broadcast(qTerms.select($"term").distinct()), Seq("term"),
+        "left_semi")
       .join(broadcast(dfreq), Seq("term"))
       .join(dl, Seq("n_id"))
       .crossJoin(broadcast(stats))
@@ -115,7 +123,10 @@ object Retrieval {
         ($"tf" * lit(k1 + 1.0)) /
           ($"tf" + lit(k1) * (lit(1.0 - b) + lit(b) * $"dl" / $"_avgdl")))
       .withColumn("_c_q4", floor($"_idf" * $"_sat" * lit(10000.0)).cast("long"))
-    val scored = contrib
+      .select($"term", $"n_id", $"_c_q4")
+    val scored = scoredTf
+      .join(broadcast(qTerms), Seq("term"))
+      .where($"q_id" =!= $"n_id")
       .groupBy($"q_id", $"n_id")
       .agg(sum($"_c_q4").as("score_q4"))
     val w = Window.partitionBy($"q_id").orderBy($"score_q4".desc, $"n_id".asc)
