@@ -46,18 +46,14 @@ object LocalSession {
         else System.getProperty("java.io.tmpdir", "/tmp"))
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
-      // ObjectHashAggregate (collect_list/collect_set/mode — every
-      // in-row pair-explode operator aggregates through it) falls back
-      // to SORT-BASED aggregation once a partition's hash map exceeds
-      // this many groups; the Spark default of 128 means any real
-      // grouping column (baskets, hubs, orders) sorts whole partitions
-      // instead of hash-aggregating them (measured: the assoc-rules
-      // basket collect at sf0.1 spent 13 task-CPU-seconds under the
-      // fallback). 64k groups of bounded small state is well inside
-      // executor memory at any scale; override via
-      // SPARK_GRAFT_OBJ_AGG_FALLBACK for memory-constrained deploys.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        sys.env.getOrElse("SPARK_GRAFT_OBJ_AGG_FALLBACK", "65536"))
+      // NOTE (r12 optimization, measured and rejected): raising
+      // spark.sql.objectHashAggregate.sortBased.fallbackThreshold from
+      // its default 128 looked attractive for the collect_list/
+      // collect_set operators, but A/B at sf0.1 showed the big-state
+      // aggregates (n-gram token lists) run 4.6× MORE task CPU under a
+      // large object hash map than under the sort-based fallback
+      // (ext_dedup_ngram_capped: 62 → 282 CPU-seconds) — the default
+      // stays.
       // Plan STRINGS are rendered per AQE stage materialization even with
       // the UI off; with literal-heavy expressions (inlined centroids /
       // hyperplanes) the default ~2 GiB cap let one render dominate a

@@ -20,8 +20,8 @@ object StageProbe {
       Map("spark.sql.adaptive.enabled" -> "true"))
 
     final case class St(id: Int, name: String, wallMs: Long, taskMs: Long,
-        cpuMs: Long, tasks: Int, shufReadMB: Double, shufWriteMB: Double,
-        inMB: Double)
+        cpuMs: Long, gcMs: Long, tasks: Int, shufReadMB: Double,
+        shufWriteMB: Double, inMB: Double)
     val stages = new java.util.concurrent.ConcurrentLinkedQueue[St]()
     var jobs = new java.util.concurrent.atomic.AtomicInteger(0)
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -33,7 +33,8 @@ object StageProbe {
         val wall = (for {a <- si.completionTime; b <- si.submissionTime}
           yield a - b).getOrElse(0L)
         stages.add(St(si.stageId, si.name.takeWhile(_ != '\n'), wall,
-          m.executorRunTime, m.executorCpuTime / 1000000, si.numTasks,
+          m.executorRunTime, m.executorCpuTime / 1000000,
+          m.jvmGCTime, si.numTasks,
           m.shuffleReadMetrics.totalBytesRead / 1e6,
           m.shuffleWriteMetrics.bytesWritten / 1e6,
           m.inputMetrics.bytesRead / 1e6))
@@ -61,10 +62,12 @@ object StageProbe {
       println(f"%n=== $n: $dt%.2f s, rows=$rows, jobs=${jobs.get()}, " +
         f"stages=${ss.size}, stageWallSum=${ss.map(_.wallMs).sum / 1e3}%.2f s, " +
         f"taskTimeSum=${ss.map(_.taskMs).sum / 1e3}%.2f s, " +
-        f"cpuSum=${ss.map(_.cpuMs).sum / 1e3}%.2f s ===")
-      ss.sortBy(-_.cpuMs).take(20).foreach { s =>
+        f"cpuSum=${ss.map(_.cpuMs).sum / 1e3}%.2f s, " +
+        f"gcSum=${ss.map(_.gcMs).sum / 1e3}%.2f s ===")
+      ss.sortBy(-_.taskMs).take(20).foreach { s =>
         println(f"  stage ${s.id}%4d wall=${s.wallMs / 1e3}%6.2f s " +
-          f"task=${s.taskMs / 1e3}%7.2f s cpu=${s.cpuMs / 1e3}%7.2f s n=${s.tasks}%3d " +
+          f"task=${s.taskMs / 1e3}%7.2f s cpu=${s.cpuMs / 1e3}%7.2f s " +
+          f"gc=${s.gcMs / 1e3}%6.2f s n=${s.tasks}%3d " +
           f"in=${s.inMB}%7.1fMB sr=${s.shufReadMB}%7.1fMB " +
           f"sw=${s.shufWriteMB}%7.1fMB  ${s.name.take(90)}")
       }

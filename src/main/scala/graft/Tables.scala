@@ -15,6 +15,41 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
+  /** Deterministic spread keys for [[load]]'s small-scan widening —
+    * unique (or near-unique) per table, so a hash repartition spreads
+    * evenly and reproduces identically under task retries (guide §2.5:
+    * never round-robin on rand-derived keys). Dimensions that always
+    * broadcast are deliberately absent. */
+  private val spreadKeys: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "orders" -> Seq("o_orderkey"),
+    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
+    "events" -> Seq("event_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  /** Widen a scan whose planned parallelism is far below the session's
+    * shuffle width (guide §2.5 "input skew: one huge unsplittable file
+    * … repartition immediately after the read"). At bench SFs each
+    * table is ONE parquet file with ONE row group, so Spark's
+    * 4 MB open-cost floor plans the whole scan — and everything fused
+    * above it (tokenization cascades, per-row kernels) — into a single
+    * task; at production scale tables arrive as many files/row groups,
+    * the condition is false, and no exchange is added. Deterministic
+    * hash keys, never round-robin (retry-safety, guide §2.5). */
+  private def spread(spark: SparkSession, name: String,
+      df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    spreadKeys.get(name) match {
+      case Some(keys) =>
+        val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+        if (df.rdd.getNumPartitions * 4 < target)
+          df.repartition(target, keys.map(col): _*)
+        else df
+      case None => df
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // events.ts has been generated as both TIMESTAMP(NANOS) (which
@@ -25,7 +60,7 @@ object Tables {
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      raw.schema("ts").dataType match {
+      spread(spark, name, raw.schema("ts").dataType match {
         case LongType =>
           // TIMESTAMP(NANOS) read as raw int64 nanos: truncate to micros
           // (same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP).
@@ -36,9 +71,9 @@ object Tables {
           // single downstream type for window/asof/range arithmetic.
           raw.withColumn("ts", col("ts").cast(TimestampType))
         case _ => raw
-      }
+      })
     } else {
-      spark.read.parquet(s"$sfDir/$name.parquet")
+      spread(spark, name, spark.read.parquet(s"$sfDir/$name.parquet"))
     }
 
   /** Small dimensions that should always be broadcast when joined. */
