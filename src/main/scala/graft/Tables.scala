@@ -24,9 +24,10 @@ object Tables {
     "customer" -> Seq("c_custkey"),
     "orders" -> Seq("o_orderkey"),
     "lineitem" -> Seq("l_orderkey", "l_linenumber"),
-    "events" -> Seq("event_id"),
+    // "events" -> Seq("event_id"),  // TEMP A/B
     "documents" -> Seq("doc_id"),
-    "embeddings" -> Seq("vec_id"))
+    // "embeddings" -> Seq("vec_id")  // TEMP A/B
+    )
 
   /** Widen a scan whose planned parallelism is far below the session's
     * shuffle width (guide §2.5 "input skew: one huge unsplittable file
