@@ -128,7 +128,12 @@ object Bench {
     // complete stdout, (3) a compact trailer prints LAST — short enough
     // to survive any tail truncation, so a line-wise JSON parse always
     // finds a valid record.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // default detail name is PER-CONFIG (r13 measurement-logistics fix:
+    // in r12 an 8-core run overwrote the 32-core run's BENCH_LOCAL.json,
+    // so the driver's per-query comparison came up empty — VERDICT item 3;
+    // timing methodology unchanged)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"BENCH_LOCAL_c$cpus.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (full + "\n").getBytes("UTF-8"))
     println(full)

@@ -38,12 +38,19 @@ object LocalSession {
       // throttling stalls write-heavy stages for tens of seconds
       // (measured: identical queries swinging 3 s ↔ 68 s with idle CPU
       // — guide §7.4's "blocked on I/O" signature). Use the RAM-backed
-      // tmpfs when present, exactly as a cluster deploy points local
+      // tmpfs when present AND roomy (ADVICE r12: tmpfs is a silent
+      // memory ceiling, so require ≥ 16 GiB usable before defaulting to
+      // it — a bench-SF shuffle footprint is well under that, and a
+      // host whose tmpfs is nearly full falls back to /tmp instead of
+      // failing mid-stage), exactly as a cluster deploy points local
       // dirs at fast node-local disks; override via SPARK_LOCAL_DIRS.
-      .config("spark.local.dir",
+      .config("spark.local.dir", {
+        val shm = new java.io.File("/dev/shm")
         if (sys.env.contains("SPARK_LOCAL_DIRS")) sys.env("SPARK_LOCAL_DIRS")
-        else if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-spark"
-        else System.getProperty("java.io.tmpdir", "/tmp"))
+        else if (shm.isDirectory && shm.getUsableSpace >= 16L * 1024 * 1024 * 1024)
+          "/dev/shm/graft-spark"
+        else System.getProperty("java.io.tmpdir", "/tmp")
+      })
       .config("spark.executor.heartbeatInterval", "60s")
       .config("spark.network.timeout", "600s")
       // NOTE (r12 optimization, measured and rejected): raising

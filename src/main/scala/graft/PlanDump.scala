@@ -8,6 +8,11 @@ package graft
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: runMain graft.PlanDump <sfDir> <outDir> <tag> <query> [query...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir, tag, rest @ _*) = args
     val spark = LocalSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),

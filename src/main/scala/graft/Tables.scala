@@ -15,40 +15,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings")
 
-  /** Deterministic spread keys for [[load]]'s small-scan widening —
-    * unique (or near-unique) per table, so a hash repartition spreads
-    * evenly and reproduces identically under task retries (guide §2.5:
-    * never round-robin on rand-derived keys). Dimensions that always
-    * broadcast are deliberately absent. */
+  /** Deterministic spread keys for [[loadWide]]'s small-scan widening —
+    * unique per table, so a hash repartition spreads evenly and
+    * reproduces identically under task retries (guide §2.5: never
+    * round-robin on rand-derived keys). */
   private val spreadKeys: Map[String, Seq[String]] = Map(
-    "customer" -> Seq("c_custkey"),
-    "orders" -> Seq("o_orderkey"),
-    "lineitem" -> Seq("l_orderkey", "l_linenumber"),
-    // "events" -> Seq("event_id"),  // TEMP A/B
-    "documents" -> Seq("doc_id"),
-    // "embeddings" -> Seq("vec_id")  // TEMP A/B
-    )
+    "documents" -> Seq("doc_id"))
 
-  /** Widen a scan whose planned parallelism is far below the session's
-    * shuffle width (guide §2.5 "input skew: one huge unsplittable file
-    * … repartition immediately after the read"). At bench SFs each
-    * table is ONE parquet file with ONE row group, so Spark's
-    * 4 MB open-cost floor plans the whole scan — and everything fused
-    * above it (tokenization cascades, per-row kernels) — into a single
-    * task; at production scale tables arrive as many files/row groups,
-    * the condition is false, and no exchange is added. Deterministic
-    * hash keys, never round-robin (retry-safety, guide §2.5). */
-  private def spread(spark: SparkSession, name: String,
-      df: DataFrame): DataFrame = {
+  /** EXPLICIT opt-in scan widening for the handful of operators whose
+    * downstream per-row work dwarfs the scan (document tokenization
+    * cascades: phrase search, skip-grams, winnowing, Pareto/budget
+    * scoring). At bench SFs each table is ONE parquet file with ONE
+    * row group, so the whole cascade fuses into a single task; the
+    * repartition spreads it to the session's shuffle width (guide §2.5
+    * "input skew: one huge unsplittable file … repartition immediately
+    * after the read"). r12 applied this widening inside [[load]] to
+    * EVERY fact-table consumer and regressed the 32-core bench ~29%
+    * (a full-table Exchange taxes every light scan-filter-project
+    * query); r13 reverts that and keeps the widening only at the call
+    * sites where it measurably pays. At production scale tables arrive
+    * as many files/row groups, the parallelism condition is false, and
+    * no exchange is added. */
+  def loadWide(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     import org.apache.spark.sql.functions.col
-    spreadKeys.get(name) match {
-      case Some(keys) =>
-        val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        if (df.rdd.getNumPartitions * 4 < target)
-          df.repartition(target, keys.map(col): _*)
-        else df
-      case None => df
-    }
+    val df = load(spark, sfDir, name)
+    val keys = spreadKeys.getOrElse(name,
+      sys.error(s"no spread keys declared for table $name"))
+    val target = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    if (df.rdd.getNumPartitions * 4 < target)
+      df.repartition(target, keys.map(col): _*)
+    else df
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
@@ -61,7 +57,7 @@ object Tables {
       import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = spark.read.parquet(s"$sfDir/$name.parquet")
-      spread(spark, name, raw.schema("ts").dataType match {
+      (raw.schema("ts").dataType match {
         case LongType =>
           // TIMESTAMP(NANOS) read as raw int64 nanos: truncate to micros
           // (same truncation DuckDB applies casting TIMESTAMP_NS->TIMESTAMP).
@@ -74,7 +70,7 @@ object Tables {
         case _ => raw
       })
     } else {
-      spread(spark, name, spark.read.parquet(s"$sfDir/$name.parquet"))
+      spark.read.parquet(s"$sfDir/$name.parquet")
     }
 
   /** Small dimensions that should always be broadcast when joined. */

@@ -21,16 +21,19 @@ import org.apache.spark.storage.StorageLevel
   * never detonate the shuffle.
   *
   * Scale shape: dedup → degree census (one map-side-combined count) →
-  * semi-filter → per-hub collect (≤ maxDegree items by the filter, so
-  * the aggregation buffer is cap-bounded) → IN-ROW i<j pair explode →
-  * one map-side-combined pair count. The r12 optimization replaced the
-  * hub-keyed self-join here: the join materialized every raw pair row
-  * into its own exchange (69 MB at sf0.1 — guide §2.3/§3.3, never
-  * explode into a shuffle you can aggregate first); the in-row explode
-  * feeds the pair count's partial aggregation INSIDE the same stage,
-  * so only combined (item_a, item_b, n) partials cross the wire.
-  * Pairs are emitted canonically (item_a < item_b, every 2-subset
-  * once), so no distinct pass is needed. */
+  * semi-filter → one hub-keyed self-join → one map-side-combined pair
+  * count. Pairs are emitted canonically (item_a < item_b), so no
+  * distinct pass is needed.
+  *
+  * NOTE (r13): r12 replaced the self-join with a per-hub collect_list
+  * + in-row i<j explode to keep raw pair rows out of the exchange, but
+  * its supporting A/B ran with the ObjectHashAggregate sort-fallback
+  * threshold raised to 65536 — a setting that was itself measured and
+  * REJECTED (see LocalSession) — so under the default threshold the
+  * collect aggregation sort-fell-back per partition and the operator
+  * ran 2.7–3.3× SLOWER than this self-join (driver r12: 6.5–7.7 s vs
+  * r11's 2.44 s at sf0.1; r13 re-A/B under the default threshold:
+  * self-join 2.6 s vs explode 5.0–8.5 s min-of-2). Restored. */
 object Cooccurrence {
 
   def project(edges: DataFrame, maxDegree: Int): DataFrame = {
@@ -40,28 +43,16 @@ object Cooccurrence {
     val e = edges.select($"hub", $"item").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy($"hub").agg(count(lit(1)).as("_d"))
-    // the census runs BEFORE any per-hub collection, so a hot hub is
-    // dropped by a counter, never buffered; the collect_list below is
-    // therefore ≤ maxDegree items per group by construction. The
-    // groupBy(hub) after the hub-keyed semi-join reuses the join's
-    // partitioning — one exchange establishes both (guide §2.4).
-    e.join(deg.where($"_d" <= maxDegree).select($"hub"), "hub")
-      .groupBy($"hub").agg(collect_list($"item").as("_its"))
-      // AQE sizes the post-aggregation stage from the COLLECTED frame's
-      // bytes and cannot see the ~maxDegree/2× pair explode below it —
-      // at sf0.1 it coalesced the 2.6 MB list frame to 2 tasks and ran
-      // the 69 MB explosion single-threaded. Pin the explode's
-      // parallelism to the configured shuffle width (scale-adaptive:
-      // the same knob a cluster deploy tunes), which AQE honors because
-      // the partition count is explicit.
-      .repartition(spark.conf.get("spark.sql.shuffle.partitions").toInt,
-        $"hub")
-      .select(explode(expr(
-        """flatten(transform(_its, (x, i) ->
-          |  transform(slice(_its, i + 2, size(_its) - i - 1), y ->
-          |    struct(least(x, y) AS item_a, greatest(x, y) AS item_b))))"""
-          .stripMargin)).as("p"))
-      .select($"p.item_a", $"p.item_b")
+    // kept is read by BOTH self-join sides; materialize it, then free
+    // the raw edge cache (kept's cache carries the result from here —
+    // the caller clears it per the operator caching contract)
+    val kept = e.join(deg.where($"_d" <= maxDegree).select($"hub"), "hub")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kept.count()
+    e.unpersist()
+    kept.select($"hub", $"item".as("item_a"))
+      .join(kept.select($"hub", $"item".as("item_b")), "hub")
+      .where($"item_a" < $"item_b")
       .groupBy($"item_a", $"item_b")
       .agg(count(lit(1)).as("n_shared"))
   }

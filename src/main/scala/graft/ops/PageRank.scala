@@ -32,7 +32,11 @@ object PageRank {
     val spark = nodes.sparkSession
     import spark.implicits._
 
+    // e feeds BOTH sides of the eDeg merge below; persist it so an
+    // expensive upstream (near-dup self-join edges) materializes once,
+    // not twice, when eDeg is first computed (ADVICE r12).
     val e = edges.select($"src", $"dst")
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // out-degree is LOOP-INVARIANT: merge it onto the edge list ONCE
     // (guide §2.4 — two operations keyed the same way share one
     // exchange) instead of re-joining ranks⋈deg⋈edges every round.
@@ -41,6 +45,8 @@ object PageRank {
     val eDeg = e.join(
         e.groupBy($"src").agg(count(lit(1)).as("out_deg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    eDeg.count()
+    e.unpersist()
     val ids = nodes.select($"id").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = ids.count()

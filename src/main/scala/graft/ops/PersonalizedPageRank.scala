@@ -46,10 +46,15 @@ object PersonalizedPageRank {
     // near-dup self-join) materializes once instead of once per round.
     // The out-weight total is LOOP-INVARIANT: merged onto the edge list
     // ONCE (guide §2.4) instead of re-joining live⋈wtot⋈edges per round.
+    // e itself feeds BOTH sides of the merge, so persist it too and
+    // free it once the merged list is materialized (ADVICE r12).
     val e = edges.select($"src", $"dst", $"w").where($"w" > 0)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val eW = e.join(
         e.groupBy($"src").agg(sum($"w").as("wtot")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    eW.count()
+    e.unpersist()
     val s = seeds.select(seeds.columns.head).toDF("id").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nS = s.count()

@@ -50,8 +50,13 @@ object GraftSqlShim {
           .find(_.id == lr.rdd.id)
           .map(i => i.memSize + i.diskSize)
           .filter(_ > 0L)
+        // 4x safety margin (ADVICE r12): memSize is a SizeEstimator
+        // SAMPLE of the deserialized blocks; an under-report on a frame
+        // near the broadcast threshold could otherwise plan a driver-OOM
+        // broadcast. Loop frames this barrier serves are KBs against a
+        // 10 MB threshold, so the margin never costs a wanted broadcast.
         val stats = measured.map(b =>
-          catalyst.plans.logical.Statistics(sizeInBytes = BigInt(b)))
+          catalyst.plans.logical.Statistics(sizeInBytes = BigInt(4L * b)))
         classic.Dataset.ofRows(spark, execution.LogicalRDD(
           lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
           lr.isStreaming, None)(spark, stats, None))
