@@ -15,9 +15,15 @@ object StageProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = args.drop(1).toSeq
+    // diagnostic knob: SPARK_GRAFT_PROBE_CONF="k=v,k=v" overlays session
+    // confs so a conf hypothesis can be A/B'd without code edits
+    val extra = sys.env.get("SPARK_GRAFT_PROBE_CONF")
+      .map(_.split(',').toSeq.map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap).getOrElse(Map.empty)
     val spark = LocalSession.build(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"),
-      Map("spark.sql.adaptive.enabled" -> "true"))
+      Map("spark.sql.adaptive.enabled" -> "true") ++ extra)
 
     final case class St(id: Int, name: String, wallMs: Long, taskMs: Long,
         cpuMs: Long, gcMs: Long, tasks: Int, shufReadMB: Double,

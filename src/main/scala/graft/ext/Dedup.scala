@@ -339,6 +339,15 @@ object Dedup {
     // GraftSqlShim.measuredBarrier
     org.apache.spark.sql.GraftSqlShim.measuredBarrier(df)
 
+  /** [[loopBarrier]] with the convergence probe folded into the
+    * materialization job (see Iterate.loopBarrierProbe) — r13: the
+    * per-round change-flag count and the edge-count probe were each a
+    * separately planned driver job over blocks the barrier had just
+    * built. Values and decisions unchanged; ~2 fewer jobs per round. */
+  private def loopBarrierProbe(df: DataFrame, probeCols: Seq[String])
+      : (DataFrame, Array[(Long, Long)]) =
+    org.apache.spark.sql.GraftSqlShim.measuredBarrierProbe(df, probeCols)
+
   /** When the (contracted) edge list is at or under this many rows, the
     * loop finishes with one bounded driver-side union-find instead of
     * more distributed rounds. Geometric contraction means a 100-TB graph
@@ -352,8 +361,14 @@ object Dedup {
       localFinishEdges: Long = componentsLocalFinishEdges): DataFrame = {
     // symmetrized edge list; labels flow both directions. A barrier leaf:
     // every round's plan references edges, so it must be constant-size.
-    var edges = loopBarrier(pairs.select($"id_a".as("src"), $"id_b".as("dst"))
-      .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst"))))
+    // The edge COUNT (the local-finish gate read at every loop top)
+    // rides each edge barrier's materialization job — src is never null
+    // (ids), so the non-null count ≡ the former edges.count().
+    var (edges, ec0) = loopBarrierProbe(
+      pairs.select($"id_a".as("src"), $"id_b".as("dst"))
+        .unionByName(pairs.select($"id_b".as("src"), $"id_a".as("dst"))),
+      Seq("src"))
+    var eCount = ec0(0)._1
     var labels = loopBarrier(docs.select(col(idCol).as("id"))
       .distinct().select($"id", $"id".as("comp")))
     // Pointer-doubling closure: comp ← comp(comp) until stable. Labels
@@ -366,13 +381,14 @@ object Dedup {
       var cur = tbl
       var moving = true
       while (moving) {
-        val jumped = loopBarrier(cur.as("c")
+        val (jumped, st) = loopBarrierProbe(cur.as("c")
           .join(cur.select($"id".as("jid"), $"comp".as("jcomp")),
             $"c.comp" === $"jid", "left")
           .select($"c.id".as("id"),
             least($"c.comp", coalesce($"jcomp", $"c.comp")).as("comp"),
-            (least($"c.comp", coalesce($"jcomp", $"c.comp")) < $"c.comp").as("ch")))
-        moving = jumped.where($"ch").limit(1).count() > 0
+            (least($"c.comp", coalesce($"jcomp", $"c.comp")) < $"c.comp").as("ch")),
+          Seq("ch"))
+        moving = st(0)._2 > 0 // Σ of the 0/1 change flags ≡ "any changed"
         cur = jumped.select($"id", $"comp")
       }
       cur
@@ -388,7 +404,8 @@ object Dedup {
       // distributed rounds converge to, so output is bit-identical.
       // (localFinishEdges = 0 disables, keeping the loop fully
       // distributed — DedupSpec pins both paths equal.)
-      val eCount = edges.count() // cheap: counts just-checkpointed blocks
+      // eCount rides the edge barriers' materialization jobs (set at
+      // the initial barrier and re-set at every contraction below)
       if (eCount <= localFinishEdges) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
@@ -422,12 +439,13 @@ object Dedup {
       // chains already discovered)
       val nbrMin = edges.join(labels, $"dst" === $"id")
         .groupBy($"src").agg(min($"comp").as("nbr_comp"))
-      val stepped = loopBarrier(labels.as("l")
+      val (stepped, stepSt) = loopBarrierProbe(labels.as("l")
         .join(nbrMin, $"l.id" === $"src", "left")
         .select($"l.id".as("id"),
           least($"l.comp", coalesce($"nbr_comp", $"l.comp")).as("comp"),
-          (least($"l.comp", coalesce($"nbr_comp", $"l.comp")) < $"l.comp").as("ch")))
-      val changed = stepped.where($"ch").limit(1).count()
+          (least($"l.comp", coalesce($"nbr_comp", $"l.comp")) < $"l.comp").as("ch")),
+        Seq("ch"))
+      val changed = stepSt(0)._2 // Σ of the 0/1 change flags
       log.info(s"resolveComponents round=$it changed=$changed")
       if (changed == 0) converged = true
       else {
@@ -438,12 +456,14 @@ object Dedup {
         // now inside one component) drop, and dedup collapses the
         // parallel edges a big cluster produces. Mapping both stored
         // directions keeps the list symmetric without a re-union.
-        edges = loopBarrier(edges
+        val (contracted, ecSt) = loopBarrierProbe(edges
           .join(labels.select($"id".as("src"), $"comp".as("csrc")), Seq("src"))
           .join(labels.select($"id".as("dst"), $"comp".as("cdst")), Seq("dst"))
           .where($"csrc" =!= $"cdst")
           .select($"csrc".as("src"), $"cdst".as("dst"))
-          .distinct())
+          .distinct(), Seq("src"))
+        edges = contracted
+        eCount = ecSt(0)._1
       }
       it += 1
       }

@@ -28,4 +28,16 @@ private[graft] object Iterate {
     // trip, no default-stats pessimism) — see GraftSqlShim.measuredBarrier
     org.apache.spark.sql.GraftSqlShim.measuredBarrier(df)
   }
+
+  /** [[loopBarrier]] whose materialization job ALSO computes the
+    * caller's convergence probe — per long/boolean column named, the
+    * (non-null count, Σ value) pair over the checkpointed rows. One
+    * driver job instead of checkpoint-count + separately planned probe
+    * aggregate (guide §5: the probes were pure per-round driver
+    * latency; values and convergence decisions are unchanged). */
+  def loopBarrierProbe(df: DataFrame, probeCols: Seq[String])
+      : (DataFrame, Array[(Long, Long)]) = {
+    barrierCount.incrementAndGet()
+    org.apache.spark.sql.GraftSqlShim.measuredBarrierProbe(df, probeCols)
+  }
 }

@@ -121,10 +121,16 @@ object KTruss {
     var cur = cur0
     var nCur = n0
     var round = 0
+    // frontier size for rounds ≥ 2 rides the previous round's barrier
+    // (a `sup < minSup` flag summed during materialization — r13,
+    // guide §5: the per-round d.count() was a separately planned job
+    // over just-checkpointed blocks). Round 1 counts for real: cur0
+    // comes from a previous level whose threshold was lower.
+    var nDFused: Option[Long] = None
     while (round < maxIter) {
       round += 1
       val d = cur.where($"sup" < minSup)
-      val nD = d.count()
+      val nD = nDFused.getOrElse(d.count())
       if (nD == 0L) return (cur, nCur)
       dropSink(d)
       val adj = cur.select($"a".as("u"), $"b".as("w"))
@@ -150,12 +156,15 @@ object KTruss {
       val decr = edges3
         .join(d.select($"a", $"b"), Seq("a", "b"), "left_anti")
         .groupBy($"a", $"b").agg(count(lit(1)).as("_d"))
-      cur = Iterate.loopBarrier(
+      val (bar, st) = Iterate.loopBarrierProbe(
         cur.join(d.select($"a", $"b"), Seq("a", "b"), "left_anti")
           .join(decr, Seq("a", "b"), "left_outer")
           .select($"a", $"b",
             ($"sup" - coalesce($"_d", lit(0L))).as("sup"),
-            $"_da", $"_db"))
+            $"_da", $"_db")
+          .withColumn("_dr", $"sup" < minSup), Seq("_dr"))
+      cur = bar.drop("_dr")
+      nDFused = Some(st(0)._2)
       nCur -= nD
     }
     throw new IllegalStateException(
@@ -217,8 +226,10 @@ object KTruss {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = Iterate.loopBarrier(canonical(edges))
-    val cur0 = Iterate.loopBarrier(withDeg(supportsOf(e0)))
-    val (fix, _) = cascade(cur0, cur0.count(), (k - 2).toLong, maxIter,
+    // edge count rides the barrier job (sup is never null — coalesced)
+    val (cur0, n0St) = Iterate.loopBarrierProbe(
+      withDeg(supportsOf(e0)), Seq("sup"))
+    val (fix, _) = cascade(cur0, n0St(0)._1, (k - 2).toLong, maxIter,
       _ => ())
     fix.select($"a", $"b", $"sup".as("support"))
   }
@@ -255,8 +266,11 @@ object KTruss {
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = Iterate.loopBarrier(canonical(edges))
-    var cur = Iterate.loopBarrier(withDeg(supportsOf(e0)))
-    var nCur = cur.count()
+    // edge count rides the barrier job (sup is never null — coalesced)
+    val (cur1, nSt) = Iterate.loopBarrierProbe(
+      withDeg(supportsOf(e0)), Seq("sup"))
+    var cur = cur1
+    var nCur = nSt(0)._1
     var k = 3
     var labeled = List.empty[DataFrame]
     while (nCur > 0 && k <= maxK) {

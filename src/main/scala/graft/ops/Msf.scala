@@ -89,14 +89,53 @@ object Msf {
           .persist(StorageLevel.MEMORY_AND_DISK)
         forest = Iterate.loopBarrier(
           forest.unionByName(sel.select($"a", $"b", $"w")))
-        // merge the contracted graph: selected edges over component ids
-        val merged = graft.ext.Dedup.resolveComponents(
-          sel.select($"ca".as("cid")).unionByName(sel.select($"cb".as("cid"))),
-          sel.select($"ca".as("id_a"), $"cb".as("id_b")), idCol = "cid")
-        comp = Iterate.loopBarrier(comp
-          .join(merged.select($"cid".as("_oc"), $"component_id".as("_nc")),
-            comp("c") === $"_oc", "left")
-          .select($"n", coalesce($"_nc", $"c").as("c")))
+        // merge the contracted graph: selected edges over component
+        // ids. The contracted edge list is ≤ one edge per component
+        // and components at least halve per round, so it is usually
+        // BOUNDED-driver-small: finish the merge with the same
+        // union-find resolveComponents itself local-finishes with
+        // (min-id roots ≡ the distributed min-label fixpoint — the
+        // accepted bounded-materialization pattern), skipping that
+        // operator's edge/label barrier setup (~8 driver jobs per
+        // Borůvka round spent re-barriering a KB-sized frame; guide
+        // §5). Above the bound, the fully distributed pass as before.
+        val selN = sel.count() // cheap: sel is persisted
+        comp = Iterate.loopBarrier(
+          if (selN <= graft.ext.Dedup.componentsLocalFinishEdges) {
+            val es = sel.select($"ca", $"cb").collect()
+            val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent(r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) {
+                val nx = parent(c); parent(c) = r; c = nx
+              }
+              r
+            }
+            es.foreach { ed =>
+              val (ra, rb) = (find(ed.getLong(0)), find(ed.getLong(1)))
+              if (ra != rb) { // larger root under smaller: root = min id
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+            val mapping = es.iterator
+              .flatMap(ed => Iterator(ed.getLong(0), ed.getLong(1)))
+              .toArray.distinct.map(v => (v, find(v)))
+              .filter { case (v, r) => v != r }.toSeq
+            val mapDf = spark.createDataFrame(mapping).toDF("_oc", "_nc")
+            comp.join(broadcast(mapDf), comp("c") === $"_oc", "left")
+              .select($"n", coalesce($"_nc", $"c").as("c"))
+          } else {
+            val merged = graft.ext.Dedup.resolveComponents(
+              sel.select($"ca".as("cid"))
+                .unionByName(sel.select($"cb".as("cid"))),
+              sel.select($"ca".as("id_a"), $"cb".as("id_b")), idCol = "cid")
+            comp.join(
+                merged.select($"cid".as("_oc"), $"component_id".as("_nc")),
+                comp("c") === $"_oc", "left")
+              .select($"n", coalesce($"_nc", $"c").as("c"))
+          })
         sel.unpersist()
         rel.unpersist()
         rounds += 1

@@ -39,14 +39,17 @@ object Sssp {
     // even with every byte cached (see Iterate.loopBarrier)
     val e = Iterate.loopBarrier(
       edges.select($"src", $"dst", $"w").where($"w" > 0))
-    var dist = Iterate.loopBarrier(
+    // the (count, Σd) convergence signature rides the barrier's own
+    // materialization job (loopBarrierProbe) — r13: the separately
+    // planned probe aggregate was one of the two driver jobs this loop
+    // paid per round on KB-sized frames (measured: 104 jobs for 1.4 s
+    // of total task time at sf0.1; guide §5 driver overhead). `d` is
+    // never null, so (count, sum) here ≡ the former
+    // agg(count(lit(1)), coalesce(sum(d), 0)) probe exactly.
+    var (dist, sig0) = Iterate.loopBarrierProbe(
       seeds.select(seeds.columns.head).toDF("node").distinct()
-        .select($"node", lit(0L).as("d")))
-    def probe(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), coalesce(sum($"d"), lit(0L))).head
-      (r.getLong(0), r.getLong(1))
-    }
-    var sig = probe(dist)
+        .select($"node", lit(0L).as("d")), Seq("d"))
+    var sig = sig0(0)
     var round = 0
     var converged = false
     while (!converged) {
@@ -56,9 +59,9 @@ object Sssp {
             "refusing to return inflated distances")
       val cand = dist.join(e, dist("node") === e("src"))
         .select($"dst".as("node"), ($"d" + $"w").as("d"))
-      val next = Iterate.loopBarrier(dist.unionByName(cand)
-        .groupBy($"node").agg(min($"d").as("d")))
-      val nextSig = probe(next)
+      val (next, st) = Iterate.loopBarrierProbe(dist.unionByName(cand)
+        .groupBy($"node").agg(min($"d").as("d")), Seq("d"))
+      val nextSig = st(0)
       dist = next
       converged = nextSig == sig
       sig = nextSig

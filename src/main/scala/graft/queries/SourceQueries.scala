@@ -35,7 +35,7 @@ object SourceQueries extends QueryGroup {
   def xlsxRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val nation = graft.Tables.load(spark, dir, "nation")
       .orderBy($"n_nationkey").collect()
-    val tmpDir = java.nio.file.Files.createTempDirectory("graft_s1").toFile
+    val tmpDir = graft.io.Scratch.dir("graft_s1").toFile
     graft.io.Xlsx.writeXlsx(new java.io.File(tmpDir, "nation.xlsx"),
       Seq(Seq("n_nationkey", "n_name", "n_regionkey")) ++
         nation.map(r => Seq(r.get(0).toString, r.getString(1),
@@ -59,7 +59,7 @@ object SourceQueries extends QueryGroup {
     * the data, so the gate proves the stats a pruning reader would
     * trust are the truth. */
   def footerStatsQ(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s25").toFile
+    val tmp = graft.io.Scratch.dir("graft_s25").toFile
     graft.Tables.load(spark, dir, "lineitem")
       .select($"l_returnflag", $"l_orderkey")
       .repartition($"l_returnflag")
@@ -85,7 +85,7 @@ object SourceQueries extends QueryGroup {
   def bloomRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val li = graft.Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s17").toFile
+    val tmp = graft.io.Scratch.dir("graft_s17").toFile
     graft.io.Layout.writeWithBloom(li, tmp.getAbsolutePath,
       Seq("l_partkey"), ndv = 200000L)
     val key = li.agg(min($"l_partkey")).head.getLong(0)
@@ -110,7 +110,7 @@ object SourceQueries extends QueryGroup {
   def snapshotRoundTrip(spark: SparkSession, dir: String): DataFrame = {
     val docs = graft.Tables.load(spark, dir, "documents")
       .select($"doc_id", $"lang", $"n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s18").toString
+    val tmp = graft.io.Scratch.dir("graft_s18").toString
     graft.io.SnapshotTable.write(docs.where($"doc_id" < 100),
       tmp, "overwrite")
     graft.io.SnapshotTable.write(
@@ -130,8 +130,8 @@ object SourceQueries extends QueryGroup {
   def incrementalAgg(spark: SparkSession, dir: String): DataFrame = {
     val orders = graft.Tables.load(spark, dir, "orders")
       .select($"o_custkey", $"o_orderkey")
-    val src = java.nio.file.Files.createTempDirectory("graft_s20src").toString
-    val st = java.nio.file.Files.createTempDirectory("graft_s20st").toString
+    val src = graft.io.Scratch.dir("graft_s20src").toString
+    val st = graft.io.Scratch.dir("graft_s20st").toString
     graft.io.SnapshotTable.write(orders.where($"o_orderkey" % 2 === 0),
       src, "overwrite")
     graft.io.SnapshotTable.refreshAgg(spark, src, st,
@@ -233,7 +233,7 @@ object SourceQueries extends QueryGroup {
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val docs = graft.Tables.load(spark, dir, "documents")
       .select($"doc_id", $"text", $"lang", $"source", $"n_chars")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s22").toFile
+    val tmp = graft.io.Scratch.dir("graft_s22").toFile
     graft.io.Sinks.writeJsonl(docs, tmp.getAbsolutePath)
     val schema = StructType(Seq(
       StructField("doc_id", LongType), StructField("text", StringType),
@@ -255,7 +255,7 @@ object SourceQueries extends QueryGroup {
     * every long-lived dataset walks. */
   def schemaEvolution(spark: SparkSession, dir: String): DataFrame = {
     val c = graft.Tables.load(spark, dir, "customer")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s27").toFile
+    val tmp = graft.io.Scratch.dir("graft_s27").toFile
     c.where($"c_custkey" % 2 === 1)
       .select($"c_custkey", $"c_mktsegment")
       .write.mode("overwrite").parquet(s"$tmp/gen=1")
@@ -282,7 +282,7 @@ object SourceQueries extends QueryGroup {
     val li = graft.Tables.load(spark, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber", $"l_quantity",
         $"l_returnflag")
-    val tmp = java.nio.file.Files.createTempDirectory("graft_s23").toFile
+    val tmp = graft.io.Scratch.dir("graft_s23").toFile
     li.write.mode("overwrite").orc(tmp.getAbsolutePath)
     spark.read.orc(tmp.getAbsolutePath)
       .select($"l_orderkey", $"l_linenumber",

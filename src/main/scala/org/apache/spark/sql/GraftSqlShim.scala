@@ -42,8 +42,15 @@ object GraftSqlShim {
     * (never under-estimates into an unsafe broadcast). */
   def measuredBarrier(df: DataFrame): DataFrame = {
     val ds = df.asInstanceOf[classic.Dataset[Row]]
-    val spark = ds.sparkSession
     val ck = ds.localCheckpoint(true).asInstanceOf[classic.Dataset[Row]]
+    swapMeasuredStats(ck)
+  }
+
+  /** Rebuild a just-checkpointed Dataset's LogicalRDD leaf with the
+    * checkpoint's measured block sizes as statistics (the second half
+    * of [[measuredBarrier]], shared with the probe-fusing variants). */
+  private def swapMeasuredStats(ck: classic.Dataset[Row]): DataFrame = {
+    val spark = ck.sparkSession
     ck.queryExecution.analyzed match {
       case lr: execution.LogicalRDD =>
         val measured = spark.sparkContext.getRDDStorageInfo
@@ -61,6 +68,85 @@ object GraftSqlShim {
           lr.output, lr.rdd, lr.outputPartitioning, lr.outputOrdering,
           lr.isStreaming, None)(spark, stats, None))
       case _ => ck // unexpected plan shape: keep the checkpoint as-is
+    }
+  }
+
+  /** [[measuredBarrier]] with the loop's CONVERGENCE PROBE folded into
+    * the materialization job itself (r13, guide §5 driver overhead): an
+    * iterative operator previously paid, per round, the eager
+    * checkpoint's internal count job PLUS a separately planned
+    * DataFrame aggregate for its probe (count / sum / any-changed) —
+    * 2-3 driver jobs and one Catalyst pass per round spent re-reading
+    * blocks that were in hand the moment they were built. Here the
+    * checkpoint is LAZY and the probe aggregate is the action that
+    * materializes it: one narrow job computes the blocks, caches them
+    * (localCheckpoint's storage level), truncates lineage, and returns
+    * the fold — per round the probe is free.
+    *
+    * `probeCols` name LONG or BOOLEAN columns of `df`; the result is,
+    * per column, `(count of non-null rows, Σ value)` with booleans
+    * summed as 0/1 — enough to express every probe the loops use
+    * (row count, Σ distance, #changed, #below-threshold). Values and
+    * convergence decisions are IDENTICAL to the former per-probe
+    * aggregates; only the job count changes. */
+  def measuredBarrierProbe(df: DataFrame, probeCols: Seq[String])
+      : (DataFrame, Array[(Long, Long)]) = {
+    val ds = df.asInstanceOf[classic.Dataset[Row]]
+    val schema = ds.schema
+    val idx = probeCols.map { c =>
+      val i = schema.fieldIndex(c)
+      schema.fields(i).dataType match {
+        case types.LongType => (i, false)
+        case types.BooleanType => (i, true)
+        case other => throw new IllegalArgumentException(
+          s"measuredBarrierProbe: column $c has type $other, need long/boolean")
+      }
+    }.toArray
+    val ck = ds.localCheckpoint(false).asInstanceOf[classic.Dataset[Row]]
+    ck.queryExecution.analyzed match {
+      case lr: execution.LogicalRDD =>
+        // the fold action below is the checkpoint's FIRST job: it
+        // computes the partitions, the block manager caches them, and
+        // doCheckpoint truncates the lineage when the job completes
+        val k = idx.length
+        val folded = lr.rdd.mapPartitions ({ it =>
+          val cnt = new Array[Long](k)
+          val sum = new Array[Long](k)
+          while (it.hasNext) {
+            val row = it.next()
+            var j = 0
+            while (j < k) {
+              val (i, isBool) = idx(j)
+              if (!row.isNullAt(i)) {
+                cnt(j) += 1L
+                sum(j) += (if (isBool) { if (row.getBoolean(i)) 1L else 0L }
+                           else row.getLong(i))
+              }
+              j += 1
+            }
+          }
+          Iterator.single((cnt, sum))
+        }, preservesPartitioning = true)
+          .fold((new Array[Long](k), new Array[Long](k))) { (a, b) =>
+            var j = 0
+            while (j < k) { a._1(j) += b._1(j); a._2(j) += b._2(j); j += 1 }
+            a
+          }
+        (swapMeasuredStats(ck), idx.indices.map(j =>
+          (folded._1(j), folded._2(j))).toArray)
+      case _ =>
+        // unexpected plan shape: keep the checkpoint, probe via SQL —
+        // same values, the old job count
+        import functions._
+        val aggs = idx.map { case (i, isBool) =>
+          val c = col(schema.fields(i).name)
+          struct(count(c),
+            coalesce(sum(if (isBool) c.cast("long") else c), lit(0L)))
+        }
+        val r = ck.agg(aggs.head, aggs.tail: _*).head()
+        (ck, idx.indices.map { j =>
+          val s = r.getStruct(j); (s.getLong(0), s.getLong(1))
+        }.toArray)
     }
   }
 }

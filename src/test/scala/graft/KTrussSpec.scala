@@ -157,13 +157,18 @@ class KTrussSpec extends SparkSpec {
       }
       (graft.ops.Iterate.barrierCount.get() - b0, last)
     } finally spark.listenerManager.unregister(listener)
-    // exactly: canonical barrier + its count, 2 rounds × (barrier +
-    // count), final readout count. The pre-fix loop ran a second
-    // barrier and a recount of the already-known previous cardinality
-    // per round (5 barriers / 6 counts here)
+    // exactly: canonical barrier, the cur0 probe-barrier (its edge
+    // count rides the barrier job — r13), 1 dropping-round barrier
+    // (whose next-round frontier count rides it too), and 2 count()
+    // actions: the first round's frontier count (cur0's flag is from
+    // no previous threshold) + the final readout count. The pre-r13
+    // loop ran 4 counts (cur0 count + a d.count per round); the
+    // pre-r12 loop ran a second barrier and a recount of the
+    // already-known previous cardinality per round (5 barriers /
+    // 6 counts here).
     assert(barriers == 3L, s"peel ran $barriers loopBarriers (3 expected) — " +
       "is the loop re-barriering a frame it already truncated?")
-    assert(nCounts == 4, s"peel ran $nCounts count() actions (4 expected) — " +
+    assert(nCounts == 2, s"peel ran $nCounts count() actions (2 expected) — " +
       "is the loop recounting a frame whose cardinality it already carries?")
   }
 }
